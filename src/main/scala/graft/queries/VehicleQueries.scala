@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.etl.VehicleFeed
+
+/** The reference's query surface (queries.go), re-expressed as declarative
+  * DataFrame plans over the upserted vehicle table.
+  *
+  * Determinism policy for the DuckDB oracle compare (SURVEY.md §4): exact
+  * decimal arithmetic for sums/avgs of 2-decimal data, ROUND(,4) for
+  * ratios/percentiles, and a unique tie-break key on every top-k.
+  */
+object VehicleQueries {
+
+  /** Exact average of a 2-decimal column: decimal sum (exact) → double →
+    * one IEEE division. Bit-identical across engines, unlike avg(double)
+    * whose result depends on summation order. */
+  private def exactAvg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1))
+
+  /** Route classification — faithful to queries.go:26-35 including its
+    * CASE order (`y%` matches before `ynk%`, so commuter-rail ids class as
+    * Bus; reproduced deliberately). */
+  def routeType(id: Column): Column =
+    when(id.startsWith("R-"), "Red Line")
+      .when(id.startsWith("O-"), "Orange Line")
+      .when(id.startsWith("G-"), "Green Line")
+      .when(id.startsWith("B-"), "Blue Line")
+      .when(id.startsWith("y"), "Bus")
+      .when(id.startsWith("ynk"), "Commuter Rail")
+      .otherwise("Other")
+
+  /** 8-way cardinal bucketing with the North wrap-around
+    * (queries.go:214-246). Sequential `when` = disjoint buckets. */
+  def cardinalDirection(bearing: Column): Column =
+    when(bearing >= 337.5 || bearing < 22.5, "North")
+      .when(bearing < 67.5, "Northeast")
+      .when(bearing < 112.5, "East")
+      .when(bearing < 157.5, "Southeast")
+      .when(bearing < 202.5, "South")
+      .when(bearing < 247.5, "Southwest")
+      .when(bearing < 292.5, "West")
+      .otherwise("Northwest")
+
+  // ---- query implementations over an upserted vehicles frame ----
+
+  /** queries.go:10-18 — ORDER BY speed DESC LIMIT n, id tie-break. */
+  def topFastest(vehicles: DataFrame, n: Int = 10): DataFrame =
+    vehicles.orderBy(desc("speed"), asc("id")).limit(n)
+
+  /** queries.go:21-45 — CASE prefix → count/avg/max. */
+  def routeBreakdown(vehicles: DataFrame): DataFrame =
+    vehicles
+      .groupBy(routeType(col("id")).as("route_type"))
+      .agg(count(lit(1)).as("n"),
+           exactAvg(col("speed")).as("avg_speed"),
+           max(col("speed")).as("max_speed"))
+
+  /** queries.go:70-105 fleet overview (one row). */
+  def summaryStats(vehicles: DataFrame): DataFrame =
+    vehicles.agg(
+      count(lit(1)).as("total_vehicles"),
+      exactAvg(col("speed")).as("avg_speed"),
+      max(col("speed")).as("max_speed"),
+      min(col("speed")).as("min_speed"),
+      count(when(col("speed") > 0, lit(1))).as("moving_vehicles"),
+      count(when(col("speed") === 0, lit(1))).as("stationary_vehicles")
+    ).withColumn("pct_moving",
+      round(col("moving_vehicles") * lit(100.0) / col("total_vehicles"), 4))
+
+  /** queries.go:107-115 — counts per current_status. */
+  def statusCounts(vehicles: DataFrame): DataFrame =
+    vehicles.groupBy(col("current_status")).agg(count(lit(1)).as("n"))
+
+  /** queries.go:117-128 — occupancy distribution as % of fleet. */
+  def occupancyPct(vehicles: DataFrame): DataFrame =
+    vehicles.groupBy(col("occupancy_status")).agg(count(lit(1)).as("n"))
+      .withColumn("pct", round(col("n") * lit(100.0) / sum("n").over(Window.partitionBy()), 4))
+
+  /** queries.go:130-136 — direction 0/1 counts. */
+  def directionCounts(vehicles: DataFrame): DataFrame =
+    vehicles.groupBy(col("direction_id")).agg(count(lit(1)).as("n"))
+
+  /** queries.go:147-166 — p50/p90/p95 of moving-vehicle speeds. The
+    * reference approximates via LIMIT/OFFSET; we use exact interpolated
+    * percentiles (= DuckDB quantile_cont). */
+  def speedPercentiles(vehicles: DataFrame): DataFrame =
+    vehicles.filter(col("speed") > 0).agg(
+      round(expr("percentile(speed, 0.5)"), 4).as("p50"),
+      round(expr("percentile(speed, 0.9)"), 4).as("p90"),
+      round(expr("percentile(speed, 0.95)"), 4).as("p95"))
+
+  /** queries.go:193-211 — bearing BETWEEN target−δ AND target+δ. */
+  def byBearing(vehicles: DataFrame, target: Double, delta: Double): DataFrame =
+    vehicles
+      .filter(col("bearing").between(target - delta, target + delta))
+      .select(col("id"), col("label"), col("bearing"), col("speed"))
+
+  /** queries.go:214-270 — counts per cardinal direction. */
+  def bearingSummary(vehicles: DataFrame): DataFrame =
+    vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
+      .agg(count(lit(1)).as("n"))
+
+  /** queries.go:274-278 — COUNT(*). */
+  def countVehicles(vehicles: DataFrame): DataFrame =
+    vehicles.agg(count(lit(1)).as("n"))
+
+  /** queries.go:283-287 — point lookup. */
+  def speedById(vehicles: DataFrame, id: String): DataFrame =
+    vehicles.filter(col("id") === id).select(col("id"), col("speed"))
+
+  // ---- driver wiring ----
+
+  private def vehicles(s: SparkSession, dir: String): DataFrame =
+    VehicleFeed.vehiclesFromEvents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v_transform"      -> ((s, d) => VehicleFeed.fromEvents(graft.core.Tables(s, d).events)),
+    "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
+    "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
+    "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
+    "v_summary_stats"  -> ((s, d) => summaryStats(vehicles(s, d))),
+    "v_status_counts"  -> ((s, d) => statusCounts(vehicles(s, d))),
+    "v_occupancy_pct"  -> ((s, d) => occupancyPct(vehicles(s, d))),
+    "v_direction_counts" -> ((s, d) => directionCounts(vehicles(s, d))),
+    "v_speed_percentiles" -> ((s, d) => speedPercentiles(vehicles(s, d))),
+    "v_bearing_filter" -> ((s, d) => byBearing(vehicles(s, d), 90.0, 15.0)),
+    "v_bearing_summary"-> ((s, d) => bearingSummary(vehicles(s, d))),
+    "v_count"          -> ((s, d) => countVehicles(vehicles(s, d))),
+    "v_speed_by_id"    -> ((s, d) => speedById(vehicles(s, d), "R-42"))
+  )
+
+  /** DuckDB CTE mirroring VehicleFeed.fromEvents + latest (SURVEY.md §4). */
+  val VehiclesCte: String =
+    """WITH vehicles_all AS (
+      |  SELECT
+      |    concat(CASE user_id % 6 WHEN 0 THEN 'R-' WHEN 1 THEN 'O-' WHEN 2 THEN 'G-'
+      |          WHEN 3 THEN 'B-' WHEN 4 THEN 'y' ELSE 'ynk' END,
+      |          CAST(user_id AS VARCHAR)) AS id,
+      |    CAST(user_id AS VARCHAR) AS label,
+      |    42.0 + (event_id % 1000) / 1000.0 AS latitude,
+      |    -71.0 - (user_id % 100) / 100.0 AS longitude,
+      |    CASE WHEN event_type IN ('view','signup') THEN 0.0 ELSE value END AS speed,
+      |    CAST(user_id % 2 AS INTEGER) AS direction_id,
+      |    CASE event_type WHEN 'click' THEN 'IN_TRANSIT_TO'
+      |         WHEN 'purchase' THEN 'INCOMING_AT'
+      |         WHEN 'view' THEN 'STOPPED_AT' ELSE 'UNKNOWN' END AS current_status,
+      |    CASE event_type WHEN 'signup' THEN 'MANY_SEATS_AVAILABLE'
+      |         WHEN 'error' THEN 'FEW_SEATS_AVAILABLE' ELSE 'UNKNOWN' END AS occupancy_status,
+      |    CAST(event_id % 360 AS INTEGER) AS bearing,
+      |    ts AS updated_at,
+      |    event_id AS obs_id
+      |  FROM events
+      |), vehicles AS (
+      |  SELECT id, label, latitude, longitude, speed, direction_id,
+      |         current_status, occupancy_status, bearing, updated_at, obs_id
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id
+      |          ORDER BY updated_at DESC, obs_id DESC) AS rn FROM vehicles_all)
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  private val cardinalSql =
+    """CASE WHEN bearing >= 337.5 OR bearing < 22.5 THEN 'North'
+      |     WHEN bearing < 67.5 THEN 'Northeast'
+      |     WHEN bearing < 112.5 THEN 'East'
+      |     WHEN bearing < 157.5 THEN 'Southeast'
+      |     WHEN bearing < 202.5 THEN 'South'
+      |     WHEN bearing < 247.5 THEN 'Southwest'
+      |     WHEN bearing < 292.5 THEN 'West'
+      |     ELSE 'Northwest' END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v_transform" -> s"$VehiclesCte SELECT * FROM vehicles_all",
+    "v_upsert_latest" -> s"$VehiclesCte SELECT * FROM vehicles",
+    "v_top10_fastest" -> s"$VehiclesCte SELECT * FROM vehicles ORDER BY speed DESC, id LIMIT 10",
+    "v_route_breakdown" ->
+      s"""$VehiclesCte SELECT
+         |  CASE WHEN id LIKE 'R-%' THEN 'Red Line'
+         |       WHEN id LIKE 'O-%' THEN 'Orange Line'
+         |       WHEN id LIKE 'G-%' THEN 'Green Line'
+         |       WHEN id LIKE 'B-%' THEN 'Blue Line'
+         |       WHEN id LIKE 'y%' THEN 'Bus'
+         |       WHEN id LIKE 'ynk%' THEN 'Commuter Rail'
+         |       ELSE 'Other' END AS route_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(speed AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_speed,
+         |  MAX(speed) AS max_speed
+         |FROM vehicles GROUP BY 1""".stripMargin,
+    "v_summary_stats" ->
+      s"""$VehiclesCte SELECT *,
+         |  ROUND(moving_vehicles * 100.0 / total_vehicles, 4) AS pct_moving
+         |FROM (SELECT
+         |  COUNT(*) AS total_vehicles,
+         |  CAST(SUM(CAST(speed AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_speed,
+         |  MAX(speed) AS max_speed,
+         |  MIN(speed) AS min_speed,
+         |  COUNT(*) FILTER (WHERE speed > 0) AS moving_vehicles,
+         |  COUNT(*) FILTER (WHERE speed = 0) AS stationary_vehicles
+         |FROM vehicles)""".stripMargin,
+    "v_status_counts" ->
+      s"$VehiclesCte SELECT current_status, COUNT(*) AS n FROM vehicles GROUP BY 1",
+    "v_occupancy_pct" ->
+      s"""$VehiclesCte SELECT occupancy_status, n,
+         |  ROUND(n * 100.0 / SUM(n) OVER (), 4) AS pct
+         |FROM (SELECT occupancy_status, COUNT(*) AS n FROM vehicles GROUP BY 1)""".stripMargin,
+    "v_direction_counts" ->
+      s"$VehiclesCte SELECT direction_id, COUNT(*) AS n FROM vehicles GROUP BY 1",
+    "v_speed_percentiles" ->
+      s"""$VehiclesCte SELECT
+         |  ROUND(quantile_cont(speed, 0.5), 4) AS p50,
+         |  ROUND(quantile_cont(speed, 0.9), 4) AS p90,
+         |  ROUND(quantile_cont(speed, 0.95), 4) AS p95
+         |FROM vehicles WHERE speed > 0""".stripMargin,
+    "v_bearing_filter" ->
+      s"$VehiclesCte SELECT id, label, bearing, speed FROM vehicles WHERE bearing BETWEEN 75.0 AND 105.0",
+    "v_bearing_summary" ->
+      s"$VehiclesCte SELECT $cardinalSql AS direction, COUNT(*) AS n FROM vehicles GROUP BY 1",
+    "v_count" -> s"$VehiclesCte SELECT COUNT(*) AS n FROM vehicles",
+    "v_speed_by_id" ->
+      s"$VehiclesCte SELECT id, speed FROM vehicles WHERE id = 'R-42'"
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.VehicleFeed
+
+/** Mirrors the reference's test suite (main_test.go) on the Spark ETL. */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload =
+    """{"data":[{"id":"test-vehicle-1","type":"vehicle","attributes":{
+      |"updated_at":"2024-01-15T10:30:00-05:00","speed":25.5,
+      |"revenue_status":"REVENUE","occupancy_status":"MANY_SEATS_AVAILABLE",
+      |"longitude":-71.0589,"latitude":42.3601,"label":"1234",
+      |"direction_id":0,"current_stop_sequence":5,
+      |"current_status":"IN_TRANSIT_TO","bearing":180}}]}""".stripMargin.replace("\n", "")
+
+  test("extract: successful payload parse (main_test.go:18-69)") {
+    val out = VehicleFeed.extract(Seq(payload).toDS()).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("id") == "test-vehicle-1")
+    assert(out(0).getAs[String]("label") == "1234")
+  }
+
+  test("extract: invalid JSON yields no rows (main_test.go:91-108)") {
+    val out = VehicleFeed.extract(Seq("invalid json").toDS())
+    assert(out.count() == 0)
+  }
+
+  test("transform: nullable speed/bearing default to 0 (main_test.go:111-154)") {
+    val noNulls = payload.replace("\"speed\":25.5,", "").replace(",\"bearing\":180", "")
+    val out = VehicleFeed.transform(VehicleFeed.extract(Seq(noNulls).toDS())).collect()(0)
+    assert(out.getAs[Double]("speed") == 0.0)
+    assert(out.getAs[Int]("bearing") == 0)
+  }
+
+  test("transform: filters records with empty id or label (main_test.go:157-210)") {
+    val three =
+      """{"data":[
+        |{"id":"","type":"vehicle","attributes":{"updated_at":"2024-01-15T10:30:00-05:00","label":"1234","latitude":42.3601,"longitude":-71.0589}},
+        |{"id":"test-2","type":"vehicle","attributes":{"updated_at":"2024-01-15T10:30:00-05:00","label":"","latitude":42.3601,"longitude":-71.0589}},
+        |{"id":"test-3","type":"vehicle","attributes":{"updated_at":"2024-01-15T10:30:00-05:00","label":"5678","latitude":42.3601,"longitude":-71.0589}}
+        |]}""".stripMargin.replace("\n", "")
+    val out = VehicleFeed.transform(VehicleFeed.extract(Seq(three).toDS())).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("id") == "test-3")
+  }
+
+  test("transform: empty status normalizes to UNKNOWN (main_test.go:213-247)") {
+    val emptyStatus = payload.replace("\"current_status\":\"IN_TRANSIT_TO\",", "\"current_status\":\"\",")
+    val out = VehicleFeed.transform(VehicleFeed.extract(Seq(emptyStatus).toDS())).collect()(0)
+    assert(out.getAs[String]("current_status") == "UNKNOWN")
+    assert(out.getAs[String]("occupancy_status") == "MANY_SEATS_AVAILABLE")
+  }
+
+  test("transform: RFC3339 offset timestamps parse to UTC instants") {
+    val out = VehicleFeed.transform(VehicleFeed.extract(Seq(payload).toDS()))
+      .select(col("updated_at").cast("long")).collect()(0).getLong(0)
+    assert(out == java.time.Instant.parse("2024-01-15T15:30:00Z").getEpochSecond)
+  }
+
+  test("load/upsert: latest record per key wins (main_test.go:299-359)") {
+    val obs = Seq(
+      ("test-1", 25.5, java.sql.Timestamp.valueOf("2024-01-15 10:30:00"), 1L),
+      ("test-1", 30.0, java.sql.Timestamp.valueOf("2024-01-15 10:35:00"), 2L),
+      ("test-2", 12.0, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 3L)
+    ).toDF("id", "speed", "updated_at", "obs_id")
+    val out = VehicleFeed.latest(obs)
+    assert(out.count() == 2)
+    val s = out.filter($"id" === "test-1").select("speed").collect()(0).getDouble(0)
+    assert(s == 30.0)
+  }
+
+  test("load/upsert: ties break deterministically on obs_id") {
+    val t = java.sql.Timestamp.valueOf("2024-01-15 10:30:00")
+    val obs = Seq(("k", 1.0, t, 7L), ("k", 2.0, t, 9L), ("k", 3.0, t, 8L))
+      .toDF("id", "speed", "updated_at", "obs_id")
+    assert(VehicleFeed.latest(obs).select("speed").collect()(0).getDouble(0) == 2.0)
+  }
+
+  test("fromEvents: deterministic derivation over testdata") {
+    val v = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    assert(v.columns.toSet == Set("id", "label", "latitude", "longitude", "speed",
+      "direction_id", "current_status", "occupancy_status", "bearing", "updated_at", "obs_id"))
+    assert(v.count() == 1000)
+    assert(v.filter($"speed" < 0).count() == 0)
+    assert(v.filter($"bearing" < 0 || $"bearing" >= 360).count() == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.VehicleFeed
+import graft.queries.VehicleQueries
+
+class VehicleQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vehicles = VehicleFeed.vehiclesFromEvents(spark, TestSpark.sf0001).cache()
+
+  test("top10: 10 rows sorted by speed desc (main_test.go:362-421)") {
+    val rows = VehicleQueries.topFastest(vehicles).select("speed").collect().map(_.getDouble(0))
+    assert(rows.length == 10)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("summary stats: avg/max consistent with direct agg (main_test.go:424-495)") {
+    val s = VehicleQueries.summaryStats(vehicles).collect()(0)
+    val total = vehicles.count()
+    assert(s.getAs[Long]("total_vehicles") == total)
+    assert(s.getAs[Long]("moving_vehicles") + s.getAs[Long]("stationary_vehicles") == total)
+    val maxSpeed = vehicles.agg(max("speed")).collect()(0).getDouble(0)
+    assert(s.getAs[Double]("max_speed") == maxSpeed)
+  }
+
+  test("route breakdown: reference CASE order puts ynk ids in Bus") {
+    val rt = VehicleQueries.routeType(lit("ynk77"))
+    assert(Seq("x").toDF("c").select(rt).collect()(0).getString(0) == "Bus")
+    val counts = VehicleQueries.routeBreakdown(vehicles)
+    assert(counts.filter($"route_type" === "Commuter Rail").count() == 0)
+    assert(counts.agg(sum("n")).collect()(0).getLong(0) == vehicles.count())
+  }
+
+  test("bearing summary: 8 disjoint buckets cover everything, North wraps") {
+    val d = VehicleQueries.cardinalDirection(col("b"))
+    val got = Seq(0, 22, 23, 359, 338, 90, 180, 270).toDF("b").select(d).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("North", "North", "Northeast", "North", "North", "East", "South", "West"))
+    val total = VehicleQueries.bearingSummary(vehicles).agg(sum("n")).collect()(0).getLong(0)
+    assert(total == vehicles.count())
+  }
+
+  test("bearing filter: all results within the cone") {
+    val out = VehicleQueries.byBearing(vehicles, 90.0, 15.0)
+    assert(out.filter($"bearing" < 75 || $"bearing" > 105).count() == 0)
+  }
+
+  test("percentiles: ordered p50 <= p90 <= p95") {
+    val r = VehicleQueries.speedPercentiles(vehicles).collect()(0)
+    assert(r.getDouble(0) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2))
+  }
+
+  test("upsert shrank the feed to one row per id") {
+    assert(vehicles.groupBy("id").count().filter($"count" > 1).count() == 0)
+  }
+}

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+Registers each parquet table as a DuckDB view, runs every oracle SQL,
+and compares against the Spark-dumped parquet (columns sorted by name,
+rows sorted, values hashed)."""
+import sys, json, glob, duckdb, pandas as pd, numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        fails.append(name); print(f"FAIL {name}: oracle SQL error: {e}"); continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        fails.append(name); print(f"FAIL {name}: no spark output"); continue
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            if np.issubdtype(df[c].dtype, np.datetime64):
+                df[c] = df[c].astype("datetime64[us]")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+    exp_n, got_n = norm(exp), norm(got)
+    if list(exp_n.columns) != list(got_n.columns):
+        fails.append(name); print(f"FAIL {name}: columns {list(got_n.columns)} vs oracle {list(exp_n.columns)}"); continue
+    if len(exp_n) != len(got_n):
+        fails.append(name); print(f"FAIL {name}: rows {len(got_n)} vs oracle {len(exp_n)}"); continue
+    try:
+        pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False, check_exact=True)
+        print(f"OK   {name} ({len(got_n)} rows)")
+    except AssertionError as e:
+        fails.append(name); print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-matched; fails: {fails}")
+sys.exit(1 if fails else 0)
