@@ -22,11 +22,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 only reads
-    * via the nanosAsLong legacy conf (as a raw long). Normalize to a
-    * microsecond timestamp here so every downstream operator — and the
-    * DuckDB oracle, whose TIMESTAMP is also µs — sees identical values. */
+    * via the nanosAsLong legacy conf (as a raw long — set in
+    * `GraftSession.builder`, required). Normalize to a microsecond
+    * timestamp here so every downstream operator — and the DuckDB oracle,
+    * whose TIMESTAMP is also µs — sees identical values. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

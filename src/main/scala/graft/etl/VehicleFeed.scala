@@ -77,7 +77,10 @@ object VehicleFeed {
         normalizeStatus(col("current_status")).as("current_status"),
         normalizeStatus(col("occupancy_status")).as("occupancy_status"),
         coalesce(col("bearing"), lit(0)).as("bearing"),
-        coalesce(to_timestamp(col("updated_at")), current_timestamp()).as("updated_at")
+        coalesce(to_timestamp(col("updated_at")), current_timestamp()).as("updated_at"),
+        // Ingest wall-clock, as in the reference schema (model.go:44, set in
+        // transform.go:11). Excluded from oracle checks (it's now()).
+        current_timestamp().as("ingested_at")
       )
 
   /** Load / UPSERT (load.go:6-43): keep the latest record per id.

@@ -87,12 +87,27 @@ object VehicleQueries {
 
   /** queries.go:147-166 — p50/p90/p95 of moving-vehicle speeds. The
     * reference approximates via LIMIT/OFFSET; we use exact interpolated
-    * percentiles (= DuckDB quantile_cont). */
+    * percentiles (= DuckDB quantile_cont).
+    *
+    * Scale note: exact `percentile` buffers every moving-vehicle speed in
+    * ONE aggregation buffer — fine at oracle-check scale, an executor-OOM
+    * risk at 100 TB. The engine API for clusters is
+    * [[speedPercentilesApprox]]; this exact variant exists for oracle
+    * parity (DuckDB `quantile_cont`). */
   def speedPercentiles(vehicles: DataFrame): DataFrame =
     vehicles.filter(col("speed") > 0).agg(
       round(expr("percentile(speed, 0.5)"), 4).as("p50"),
       round(expr("percentile(speed, 0.9)"), 4).as("p90"),
       round(expr("percentile(speed, 0.95)"), 4).as("p95"))
+
+  /** Scale-safe percentiles: `approx_percentile` (KLL-style sketch, fixed
+    * memory per partial, mergeable map-side) — the variant a 100 TB
+    * deployment should call. accuracy=10000 ⇒ rank error ≤ 0.01%. */
+  def speedPercentilesApprox(vehicles: DataFrame, accuracy: Int = 10000): DataFrame =
+    vehicles.filter(col("speed") > 0).agg(
+      expr(s"approx_percentile(speed, 0.5, $accuracy)").as("p50"),
+      expr(s"approx_percentile(speed, 0.9, $accuracy)").as("p90"),
+      expr(s"approx_percentile(speed, 0.95, $accuracy)").as("p95"))
 
   /** queries.go:193-211 — bearing BETWEEN target−δ AND target+δ. */
   def byBearing(vehicles: DataFrame, target: Double, delta: Double): DataFrame =
@@ -116,7 +131,7 @@ object VehicleQueries {
   // ---- driver wiring ----
 
   private def vehicles(s: SparkSession, dir: String): DataFrame =
-    VehicleFeed.vehiclesFromEvents(s, dir)
+    graft.core.Catalog.vehicles(s, dir)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_transform"      -> ((s, d) => VehicleFeed.fromEvents(graft.core.Tables(s, d).events)),
