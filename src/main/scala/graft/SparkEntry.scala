@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.VehicleFeed
-import graft.queries.VehicleQueries
+import graft.queries.{AnalyticsQueries, VehicleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -15,9 +15,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VehicleQueries.queries
+    VehicleQueries.queries ++ AnalyticsQueries.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
-    VehicleQueries.oracles
+    VehicleQueries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** General analytics surface (SURVEY.md §2.2): joins, windows, grouping
+  * sets, set ops, sessionization, event-time windows, as-of join — the
+  * query families a user of any analytics engine reaches for first.
+  *
+  * Scale design notes (audited via `.explain` in BENCH):
+  *  - dimension joins (`region`, `nation`, small filtered sides) are
+  *    explicitly `broadcast()`; fact-fact joins shuffle on the join key
+  *    only after filter pushdown (`PushedFilters` reaches the scan).
+  *  - windows partition by a bounded key (customer / user / brand), never
+  *    an unpartitioned global window.
+  *  - sessionization is lag+cumsum per user (state bounded per key);
+  *    event-time windows use `window()`, which aggregates map-side.
+  *  - the as-of join is ONE shuffle (union + per-key window), not a
+  *    range-join explosion and not per-row lookups.
+  *
+  * Float determinism for oracle parity (SURVEY.md §4): sums of 2-decimal
+  * money go through DECIMAL(18,2); per-row derived money (price×(1−disc))
+  * through DECIMAL(18,4); free-form doubles through DECIMAL(28,10). Each
+  * is exact under any summation order, then ONE cast to double.
+  */
+object AnalyticsQueries {
+
+  /** Exact sum of a 2-decimal money column → double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact average of a 2-decimal column → double (one IEEE division). */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Per-row revenue `extprice × (1 − discount)` has ≤4 decimal digits;
+    * DECIMAL(18,4) makes the sum order-independent. */
+  private def revenueSum: Column =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+      .cast(DoubleType)
+
+  // ---- §2.2 query implementations ----
+
+  /** q1: multi-aggregate scan (TPC-H Q1 shape). Filter pushed to the
+    * parquet scan; one hash aggregate with map-side partials. */
+  def pricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum.as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q3: 3-way join + agg + top-k (TPC-H Q3 shape). The customer side is
+    * segment-filtered then broadcast; orders⋈lineitem shuffles on the
+    * order key. Top-k compiles to TakeOrderedAndProject (no global sort). */
+  def shippingPriority(t: Tables): DataFrame =
+    t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(t.orders.filter(col("o_orderdate") < lit("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem.filter(col("l_shipdate") > lit("1998-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  /** q5: 6-way join through the star schema (TPC-H Q5 shape). region and
+    * nation broadcast; the fact chain shuffles once per key change. */
+  def localSupplier(t: Tables): DataFrame =
+    broadcast(t.region.filter(col("r_name") === "ASIA"))
+      .join(broadcast(t.nation), col("r_regionkey") === col("n_regionkey"))
+      .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+      .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01") &&
+                            col("o_orderdate") < lit("1997-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(t.supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueSum.as("revenue"))
+
+  /** Broadcast hash join of small dims — the plan must show
+    * BroadcastHashJoin, zero shuffle on the dim side. */
+  def broadcastDim(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_acctbal"))
+
+  /** Left-semi (EXISTS): customers with at least one big order. */
+  def semiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Left-anti (NOT EXISTS): customers with no order in 2001+. */
+  def antiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderdate") >= lit("2001-01-01")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Top-N per group via row_number window (bounded partitions: brand). */
+  def windowTopN(t: Tables, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(desc("p_retailprice"), asc("p_partkey"))
+    t.part
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"), col("rn"))
+  }
+
+  /** Running sum + lag over an ordered per-customer partition. Running
+    * money goes through DECIMAL so every prefix sum is exact. */
+  def windowRunning(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+    t.orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DoubleType).as("running_spend"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+  }
+
+  /** Multi-column count(distinct) — Catalyst plans this as Expand +
+    * two-phase aggregate, partials map-side. */
+  def distinctAgg(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_partkey")).as("nd_parts"),
+      countDistinct(col("l_suppkey")).as("nd_supps"),
+      countDistinct(col("l_orderkey")).as("nd_orders"),
+      count(lit(1)).as("n"))
+
+  /** ROLLUP grouping sets; rolled-up levels surfaced as 'ALL' (NULL
+    * markers coalesced so the oracle compare is unambiguous). */
+  def rollupOrders(t: Tables): DataFrame =
+    t.orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+
+  /** Pivot with an explicit value list (no collect-distinct pre-pass —
+    * at 100 TB an implicit pivot would scan once just to enumerate). */
+  def pivotStatus(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+
+  /** UNION / INTERSECT / EXCEPT over nation-key sets, tagged per branch. */
+  def setOps(t: Tables): DataFrame = {
+    val custNations = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val richSuppNations = t.supplier.filter(col("s_acctbal") >= 8000)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.union(richSuppNations).distinct().withColumn("op", lit("union"))
+      .unionByName(custNations.intersect(richSuppNations).withColumn("op", lit("intersect")))
+      .unionByName(custNations.except(richSuppNations).withColumn("op", lit("except")))
+  }
+
+  /** String funcs (substr/upper/regexp) + date_trunc/extract, aggregated
+    * so the output is compact at any scale. */
+  def stringDate(t: Tables): DataFrame =
+    t.orders.select(
+      date_trunc("month", col("o_orderdate")).as("order_month"),
+      year(col("o_orderdate")).as("order_year"),
+      quarter(col("o_orderdate")).as("order_quarter"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_num"),
+      upper(regexp_extract(col("o_orderpriority"), "^\\d-(.+)$", 1)).as("prio_word"))
+      .groupBy(col("order_month"), col("order_year"), col("order_quarter"),
+        col("prio_num"), col("prio_word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Sessionization: gap > 30 min ⇒ new session. lag + cumsum per user —
+    * state is bounded per key and the whole thing is ONE shuffle on
+    * user_id reused by both window functions and the final aggregate. */
+  def sessionize(t: Tables, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+    val gapUs = lit(gapMinutes.toLong * 60L * 1000000L)
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+
+  /** Tumbling 1-hour event-time windows per event_type via `window()` —
+    * aggregates map-side before the shuffle, unlike a sort-based bucketing. */
+  def eventWindows(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 10))).cast(DoubleType).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** As-of join: each purchase ↔ the most recent click with
+    * click.ts ≤ purchase.ts for the same user (ties on ts broken by the
+    * larger event_id; purchases with no prior click are kept with nulls).
+    *
+    * Spark-first shape: union both sides, ONE window per user ordered so
+    * clicks sort before purchases at equal ts, then `last(click_struct,
+    * ignoreNulls)` — a single shuffle with bounded per-key state. The
+    * naive alternative (range join click.ts ≤ purchase.ts) explodes to
+    * O(clicks × purchases) per user at 100 TB. */
+  def asofJoin(t: Tables): DataFrame = {
+    val e = t.events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, (col("event_type") === "purchase").cast("int").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickStruct = when(col("event_type") === "click",
+      struct(col("ts").as("click_ts"), col("event_id").as("click_event_id"),
+        col("value").as("click_value")))
+    e.withColumn("last_click", last(clickStruct, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event_id"),
+        col("last_click.click_ts").as("click_ts"),
+        col("last_click.click_event_id").as("click_event_id"),
+        col("last_click.click_value").as("click_value"))
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d))),
+    "q3_shipping_priority" -> ((s, d) => shippingPriority(Tables(s, d))),
+    "q5_local_supplier"    -> ((s, d) => localSupplier(Tables(s, d))),
+    "q_broadcast_dim"      -> ((s, d) => broadcastDim(Tables(s, d))),
+    "q_semi_join"          -> ((s, d) => semiJoin(Tables(s, d))),
+    "q_anti_join"          -> ((s, d) => antiJoin(Tables(s, d))),
+    "q_window_topn"        -> ((s, d) => windowTopN(Tables(s, d))),
+    "q_window_running"     -> ((s, d) => windowRunning(Tables(s, d))),
+    "q_distinct_agg"       -> ((s, d) => distinctAgg(Tables(s, d))),
+    "q_rollup"             -> ((s, d) => rollupOrders(Tables(s, d))),
+    "q_pivot"              -> ((s, d) => pivotStatus(Tables(s, d))),
+    "q_set_ops"            -> ((s, d) => setOps(Tables(s, d))),
+    "q_string_date"        -> ((s, d) => stringDate(Tables(s, d))),
+    "q_sessionize"         -> ((s, d) => sessionize(Tables(s, d))),
+    "q_event_windows"      -> ((s, d) => eventWindows(Tables(s, d))),
+    "q_asof_join"          -> ((s, d) => asofJoin(Tables(s, d))))
+
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  $revenueSql AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueSql AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM region
+         |JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON n_nationkey = c_nationkey
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1""".stripMargin,
+    "q_broadcast_dim" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_window_topn" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part)
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_parts,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+        |  COUNT(DISTINCT l_orderkey) AS nd_orders,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |           WHERE s_acctbal >= 8000)
+        |SELECT nationkey, 'union' AS op FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'intersect' AS op FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+        |UNION ALL
+        |SELECT nationkey, 'except' AS op FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)""".stripMargin,
+    "q_string_date" ->
+      """SELECT date_trunc('month', o_orderdate) AS order_month,
+        |  year(o_orderdate) AS order_year,
+        |  quarter(o_orderdate) AS order_quarter,
+        |  substr(o_orderpriority, 1, 1) AS prio_num,
+        |  upper(regexp_extract(o_orderpriority, '^\d-(.+)$', 1)) AS prio_word,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM g),
+        |s AS (SELECT *, CAST(SUM(new_sess) OVER (
+        |        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_event_windows" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS ce, value AS cv
+        |           FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id AS pe
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.pts AS purchase_ts, p.pe AS purchase_event_id,
+        |       c.cts AS click_ts, c.ce AS click_event_id, c.cv AS click_value
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
+        |QUALIFY row_number() OVER (PARTITION BY p.pe
+        |  ORDER BY c.cts DESC NULLS LAST, c.ce DESC) = 1""".stripMargin)
+}

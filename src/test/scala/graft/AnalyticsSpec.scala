@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.AnalyticsQueries
+
+/** Semantics + plan-shape checks for the §2.2 analytics surface.
+  * Value-level correctness is the DuckDB oracle gate (Verify); here we
+  * assert the semantics a unit can check fast, and that the physical
+  * plans have the shape we want at scale (broadcasts, pushdown). */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = Tables(spark, TestSpark.sf0001)
+
+  test("q1: aggregates only rows within the shipdate filter") {
+    val out = AnalyticsQueries.pricingSummary(t)
+    val total = out.agg(sum("count_order")).collect()(0).getLong(0)
+    val expected = t.lineitem.filter($"l_shipdate" <= "1998-09-02").count()
+    assert(total == expected && expected > 0)
+  }
+
+  test("q3: top-k is sorted by revenue desc with orderkey tie-break") {
+    val rows = AnalyticsQueries.shippingPriority(t).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5 and q_broadcast_dim plans broadcast the dimension side") {
+    for (df <- Seq(AnalyticsQueries.localSupplier(t), AnalyticsQueries.broadcastDim(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    }
+  }
+
+  test("q1 filter is pushed into the parquet scan") {
+    val plan = AnalyticsQueries.pricingSummary(t).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("semi ∪ anti partition customers when predicates align") {
+    // semi(P) + anti(P) over the same predicate = all customers, disjoint.
+    val withOrders2001 = t.customer.join(
+      t.orders.filter($"o_orderdate" >= "2001-01-01"),
+      $"c_custkey" === $"o_custkey", "left_semi")
+    val anti = AnalyticsQueries.antiJoin(t)
+    assert(withOrders2001.count() + anti.count() == t.customer.count())
+    assert(withOrders2001.join(anti, Seq("c_custkey"), "inner").count() == 0)
+  }
+
+  test("q_window_topn: at most 3 per brand, ranks 1..3, descending prices") {
+    val out = AnalyticsQueries.windowTopN(t).collect()
+    val byBrand = out.groupBy(_.getAs[String]("p_brand"))
+    assert(byBrand.values.forall(_.length <= 3))
+    byBrand.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      val prices = sorted.map(_.getAs[Double]("p_retailprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_window_running: running_spend is cumulative per customer") {
+    val rows = AnalyticsQueries.windowRunning(t)
+      .filter($"o_custkey" === t.orders.select("o_custkey").first().getLong(0))
+      .orderBy("o_orderdate", "o_orderkey").collect()
+    var acc = BigDecimal(0)
+    rows.foreach { r =>
+      acc += BigDecimal(r.getAs[Double]("o_totalprice")).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(r.getAs[Double]("running_spend") - acc.toDouble) < 1e-6)
+    }
+  }
+
+  test("q_rollup: grand total row equals table count") {
+    val out = AnalyticsQueries.rollupOrders(t)
+    val grand = out.filter($"status" === "ALL" && $"priority" === "ALL").collect()
+    assert(grand.length == 1 && grand(0).getAs[Long]("n") == t.orders.count())
+  }
+
+  test("q_pivot: pivoted counts sum to row count") {
+    val out = AnalyticsQueries.pivotStatus(t)
+    val total = out.agg(sum($"n_f" + $"n_o")).collect()(0).getLong(0)
+    assert(total == t.lineitem.count())
+  }
+
+  test("q_set_ops: intersect ⊆ union, except ∩ intersect = ∅") {
+    val out = AnalyticsQueries.setOps(t).collect()
+    val by = out.groupBy(_.getAs[String]("op")).view.mapValues(_.map(_.getAs[Int]("nationkey")).toSet)
+    val u = by.getOrElse("union", Set.empty)
+    val i = by.getOrElse("intersect", Set.empty)
+    val e = by.getOrElse("except", Set.empty)
+    assert(i.subsetOf(u) && e.subsetOf(u) && (i & e).isEmpty)
+  }
+
+  test("q_sessionize: splitting at a 30min gap covers all events exactly once") {
+    val out = AnalyticsQueries.sessionize(t)
+    assert(out.agg(sum("n_events")).collect()(0).getLong(0) == t.events.count())
+    // session bounds ordered
+    assert(out.filter($"session_start" > $"session_end").count() == 0)
+  }
+
+  test("q_event_windows: window starts align to the hour and cover all events") {
+    val out = AnalyticsQueries.eventWindows(t)
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == t.events.count())
+    assert(out.filter(minute($"window_start") =!= 0 || second($"window_start") =!= 0).count() == 0)
+  }
+
+  test("q_asof_join: click is the latest at-or-before the purchase") {
+    val rows = AnalyticsQueries.asofJoin(t).filter($"click_ts".isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("click_ts").after(r.getAs[java.sql.Timestamp]("purchase_ts")))
+    }
+    // one output row per purchase
+    val purchases = t.events.filter($"event_type" === "purchase").count()
+    assert(AnalyticsQueries.asofJoin(t).count() == purchases)
+  }
+}
