@@ -1,0 +1,245 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.3 / §5), over a `documents(doc_id, text, …)` table.
+  *
+  * Scale design — the invariant across all five operators is that NOTHING
+  * is O(n²) in the corpus:
+  *  - exact dedup: one hash-shuffle groupBy on a 128-bit content hash.
+  *  - MinHash/LSH: signatures are computed scan-side (no shuffle), band
+  *    buckets via `posexplode`-style explode, and the self-join shuffles
+  *    on (band, bucket-hash) — pair work is proportional to collisions,
+  *    never to n².
+  *  - SimHash: 64-bit fingerprints scan-side; the hamming-≤3 pair search
+  *    blocks on 16-bit fingerprint chunks (pigeonhole: ≤3 flipped bits
+  *    over 4 chunks ⇒ at least one chunk equal), so only same-chunk
+  *    pairs are compared.
+  *  - n-gram Jaccard: EXACT jaccard via a shingle inverted index — a
+  *    pair is generated once per shared shingle and counted, so work is
+  *    O(Σ shingle-collisions). For skewed corpora, drop
+  *    ultra-frequent shingles with `dfCap` (they only generate candidate
+  *    pairs that verification would reject anyway).
+  *  - embedding near-dup: pairs bucketed by a partition key (`label`),
+  *    cosine via the codegen'd `graft_cosine` expression.
+  */
+object Dedup {
+
+  /** Whitespace-collapsed, trimmed, lower-cased text — the normalization
+    * every text-dedup operator shares. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Word tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Distinct word 3-gram shingles ("a b c") of a `tokens` array column
+    * named `toks` (SQL expr — stays in one projection). */
+  private val shingleSql =
+    """CASE WHEN size(toks) >= 3
+      |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+      |         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+      |  ELSE array() END""".stripMargin
+
+  /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop out). */
+  def shingled(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), expr(shingleSql).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact dedup by normalized content hash: keep the smallest doc_id per
+    * group. One map-side-combined hash aggregate — the cheapest possible
+    * dedup at 100 TB (the 128-bit hash shuffles, the text does not). */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signatures (`numPerms` permutations) + LSH banding
+    * (`bands` bands of `numPerms/bands` rows) → near-dup CANDIDATE pairs.
+    *
+    * Permutation p's hash of a shingle is `hash(shingle, p)` (Murmur3 with
+    * the permutation index folded in); the signature entry is the min over
+    * the doc's shingles — computed entirely scan-side with higher-order
+    * functions. Candidates come from an equi-join on (band, band-hash):
+    * the shuffle carries one row per (doc, band), and pair generation is
+    * proportional to actual bucket collisions. With 32 bands of 4, the
+    * candidate-probability curve is ~1−(1−J⁴)³² (J=0.5 → 0.88, J=0.8 → 1−ε).
+    */
+  def minhashCandidates(documents: DataFrame, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val sigSql =
+      s"transform(sequence(0, ${numPerms - 1}), p -> array_min(transform(shingles, s -> hash(s, p))))"
+    val bandSql =
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
+    val buckets = shingled(documents)
+      .select(col("doc_id"), expr(sigSql).as("sig"))
+      .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash fingerprint per document, computed scan-side: each
+    * token votes ±1 on every bit of its xxhash64; the fingerprint takes
+    * the sign of each bit's tally. */
+  def simhashFingerprints(documents: DataFrame): DataFrame = {
+    val tallySql =
+      """aggregate(toks,
+        |  transform(sequence(0, 63), j -> 0L),
+        |  (acc, t) -> zip_with(acc,
+        |    transform(sequence(0, 63),
+        |      j -> IF((shiftright(xxhash64(t), j) & 1L) = 1L, 1L, -1L)),
+        |    (a, b) -> a + b))""".stripMargin
+    val fpSql =
+      "aggregate(zip_with(tally, sequence(0, 63), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(tallySql).as("tally"))
+      .select(col("doc_id"), expr(fpSql).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (default 3).
+    *
+    * Pair search blocks on the fingerprint's four 16-bit chunks: any pair
+    * within hamming 3 of 64 bits must agree exactly on ≥1 chunk
+    * (pigeonhole), so the join is an equi-join on (chunk-index, chunk
+    * value) and only collisions pay the `graft_hamming64` check (one
+    * codegen'd `Long.bitCount(a^b)`). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "16-bit chunk blocking is exact only for hamming <= 3")
+    val chunkSql =
+      "transform(sequence(0, 3), c -> struct(c AS c, (shiftright(simhash, 16 * c) & 65535L) AS cv))"
+    val chunks = simhashFingerprints(documents)
+      .select(col("doc_id"), col("simhash"), explode(expr(chunkSql)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", GraftFunctions.hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** EXACT 3-gram Jaccard ≥ τ near-dup pairs via a shingle inverted
+    * index: explode distinct shingles, equi-join on the shingle, count
+    * shared shingles per pair — any pair with J > 0 shares a shingle, so
+    * nothing above the threshold is missed, and no all-pairs product is
+    * ever formed.
+    *
+    * `dfCap`: optionally drop shingles appearing in more than `dfCap`
+    * documents — the standard skew guard at corpus scale (a shingle in
+    * 10⁶ docs generates 10¹² candidate pairs that verification would
+    * reject; capping bounds per-shingle fan-out). Default off for exact
+    * semantics. */
+  def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.8, dfCap: Option[Int] = None): DataFrame = {
+    val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
+    val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
+    val inverted = dfCap match {
+      case Some(cap) =>
+        val rare = inverted0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("shingle"))
+        inverted0.join(broadcast(rare), Seq("shingle"), "left_semi")
+      case None => inverted0
+    }
+    inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
+      .filter(round(col("jaccard"), 4) >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
+    * `label` — at corpus scale the bucketer would be an LSH signature,
+    * see Similarity.annLsh). Cosine is the codegen'd `graft_cosine`
+    * Catalyst expression — no UDF, stays inside WholeStageCodegen. */
+  def embedNearDup(embeddings: DataFrame, tau: Double = 0.3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 4) >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  // ---- driver wiring ----
+
+  import org.apache.spark.sql.SparkSession
+  import graft.core.Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup"   -> ((s, d) => exactDedup(Tables(s, d).documents)),
+    "d_minhash_lsh"   -> ((s, d) => minhashCandidates(Tables(s, d).documents)),
+    "d_simhash"       -> ((s, d) => simhashPairs(Tables(s, d).documents)),
+    "d_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "d_embed_neardup" -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
+
+  /** DuckDB mirror of `shingled` (1-based list indexing there). */
+  private val shingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      |  FROM toks WHERE len(toks) >= 3),
+      |d AS (SELECT doc_id, sh, len(sh) AS l FROM sh WHERE len(sh) > 0)""".stripMargin
+
+  /** Oracles for the SQL-expressible keys. `d_minhash_lsh` / `d_simhash`
+    * are rows-checked: their buckets depend on Spark's Murmur3/xxhash64,
+    * which DuckDB cannot reproduce; their SEMANTICS are spec-tested
+    * against the exact `ngramJaccardPairs` instead (DedupSpec). */
+  val oracles: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""$shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM p
+         |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8""".stripMargin,
+    "d_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim
+        |FROM p
+        |WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Dedup
+
+/** Semantics of the dedup family over the sf0.001 documents corpus
+  * (500 docs with ~28 planted near-dup pairs at trigram-jaccard ≥ 0.8). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, TestSpark.sf0001).documents
+  private lazy val embs = Tables(spark, TestSpark.sf0001).embeddings
+
+  test("exactDedup: groups cover all docs, keep_id is the minimum of its group") {
+    val out = Dedup.exactDedup(docs)
+    assert(out.agg(sum("n_dups")).collect()(0).getLong(0) == docs.count())
+    // whitespace/case variants of one text collapse to one group
+    val variants = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD "), (4L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactDedup(variants).collect()
+    assert(g.length == 2)
+    assert(g.find(_.getAs[Long]("n_dups") == 3).get.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngramJaccardPairs: exact jaccard, symmetric-free (a<b), finds the planted pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.8).collect()
+    assert(pairs.length == 28)
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.8 && r.getAs[Double]("jaccard") <= 1.0))
+  }
+
+  test("minhashCandidates: recalls every true near-dup pair (J≈0.98 ⇒ P(candidate)≈1)") {
+    val truth = Dedup.ngramJaccardPairs(docs, tau = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(truth.subsetOf(cand), s"missed: ${truth -- cand}")
+    // banding prunes: candidates must be far fewer than all ~125k pairs
+    assert(cand.size < 1000)
+  }
+
+  test("simhashPairs: all pairs within hamming bound and have high token overlap") {
+    // SimHash approximates UNIGRAM (token-multiset) similarity — verify
+    // against token-set jaccard, not the trigram measure.
+    val tokenSets = docs.select($"doc_id", Dedup.tokens($"text").as("toks")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+    pairs.foreach { r =>
+      val (a, b) = (tokenSets(r.getAs[Long]("doc_a")), tokenSets(r.getAs[Long]("doc_b")))
+      val j = (a & b).size.toDouble / (a | b).size
+      assert(j >= 0.5, s"pair ${r} has unigram jaccard $j")
+    }
+  }
+
+  test("simhash fingerprint is deterministic and order-insensitive across partitions") {
+    val a = Dedup.simhashFingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Dedup.simhashFingerprints(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("embedNearDup: matches a brute-force within-label check") {
+    val out = Dedup.embedNearDup(embs, tau = 0.3)
+    assert(out.count() == 82) // measured brute-force count at sf0.001, tau=0.3
+    assert(out.filter($"cos_sim" < 0.3).count() == 0)
+    // bucketed by label: every pair shares a label (guaranteed by the join key)
+    assert(out.filter($"vec_a" >= $"vec_b").count() == 0)
+  }
+
+  test("dfCap drops ultra-frequent shingles from candidate generation") {
+    val skewed = Seq(
+      (1L, "common shingle here plus aaa"),
+      (2L, "common shingle here plus bbb"),
+      (3L, "common shingle here plus ccc"),
+      (4L, "totally different text entirely now")).toDF("doc_id", "text")
+    // cap=2: "common shingle here" (df=3) is dropped, pairs lose that overlap
+    val uncapped = Dedup.ngramJaccardPairs(skewed, tau = 0.1, dfCap = None).count()
+    val capped = Dedup.ngramJaccardPairs(skewed, tau = 0.1, dfCap = Some(2)).count()
+    assert(capped <= uncapped)
+  }
+}
