@@ -15,9 +15,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VehicleQueries.queries ++ AnalyticsQueries.queries ++ graft.ops.Dedup.queries
+    VehicleQueries.queries ++ AnalyticsQueries.queries ++
+      graft.ops.Dedup.queries ++ graft.ops.Similarity.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
-    VehicleQueries.oracles ++ AnalyticsQueries.oracles ++ graft.ops.Dedup.oracles
+    VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
+      graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.GraftFunctions
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs = Tables(spark, TestSpark.sf0001).embeddings
+
+  test("graft_cosine matches a scala-side double fold, bit-exactly") {
+    val rows = embs.limit(2).collect()
+    val (a, b) = (rows(0).getSeq[Float](rows(0).fieldIndex("embedding")),
+                  rows(1).getSeq[Float](rows(1).fieldIndex("embedding")))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      val (x, y) = (a(i).toDouble, b(i).toDouble)
+      dot += x * y; na += x * x; nb += y * y
+    }
+    val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(GraftFunctions.cosine($"a", $"b")).collect()(0).getDouble(0)
+    assert(got == expected)
+  }
+
+  test("graft_cosine: identical vectors → 1.0, zero vector → 0.0") {
+    val v = Seq.fill(4)(0.5f)
+    val z = Seq.fill(4)(0.0f)
+    val out = Seq((v, v, z)).toDF("a", "b", "z")
+      .select(GraftFunctions.cosine($"a", $"b"), GraftFunctions.cosine($"a", $"z")).collect()(0)
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(out.getDouble(1) == 0.0)
+  }
+
+  test("graft_cosine runs inside a WholeStageCodegen span (no fallback)") {
+    val df = Similarity.annTopK(embs)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val plan = df.queryExecution.executedPlan.toString
+    val codegenLine = plan.linesIterator.find(_.contains("graft_cosine"))
+    assert(codegenLine.isDefined && codegenLine.get.trim.stripPrefix("+- ").startsWith("*"),
+      s"graft_cosine not in a codegen stage:\n$plan")
+  }
+
+  test("graft_hamming64 counts flipped bits") {
+    val out = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+      .select(GraftFunctions.hamming64($"a", $"b")).collect().map(_.getInt(0))
+    assert(out.sameElements(Array(64, 1, 0)))
+  }
+
+  test("annTopK: descending cosine, k rows, excludes the query vector") {
+    val out = Similarity.annTopK(embs, queryVecId = 0L, k = 20).collect()
+    assert(out.length == 20)
+    assert(!out.exists(_.getAs[Long]("vec_id") == 0L))
+    val sims = out.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("annLsh: returns candidates whose cosine matches brute force ranking") {
+    val brute = Similarity.annTopK(embs, queryVecId = 0L, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val lsh = Similarity.annLsh(embs, queryVecId = 0L, k = 10).collect()
+    assert(lsh.nonEmpty, "query bucket + multi-probe produced no candidates")
+    // every LSH hit's cosine agrees with the brute-force computation
+    lsh.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") == brute(r.getAs[Long]("vec_id")))
+    }
+    // and hits are returned best-first
+    val sims = lsh.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("annTopK plan: broadcast join + TakeOrderedAndProject (no global sort)") {
+    val plan = Similarity.annTopK(embs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
