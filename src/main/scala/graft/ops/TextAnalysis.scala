@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2.3):
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything here is a pure Column / higher-order-function pipeline —
+  * one projection per document, no UDFs, no shuffle except the final
+  * aggregate where one exists. At 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword sets for the n-gram/stopword heuristic.
+    * Overlaps (e.g. fr/es "que") are fine — they count for both and the
+    * argmax with a fixed tie order decides. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que"),
+    "es" -> Seq("el", "los", "las", "y", "es", "por", "una", "que"))
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** Occurrence count of language stopwords in a `toks` array column. */
+  private def hits(lang: String): Column =
+    expr(s"size(filter(toks, t -> t IN (${inList(stopwords(lang))})))")
+
+  /** Stopword-heuristic language ID per document. Deterministic argmax
+    * with tie order en > de > fr > es; all-zero → 'unknown'. */
+  def langId(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        hits("en").as("en_hits"), hits("de").as("de_hits"),
+        hits("fr").as("fr_hits"), hits("es").as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+             col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
+          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
+                col("de_hits") > 0, "de")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("unknown"))
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, upper
+    * ratio → a coarse high/medium/low bucket. Ratios are single integer
+    * divisions (deterministic across engines), rounded to 4. */
+  def quality(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
+        regexp_count(col("text"), lit("[A-Z]")).as("n_upper"),
+        expr(s"size(filter(toks, t -> t IN (${inList(stopwords("en"))})))").as("n_stop"))
+      .withColumn("punct_ratio",
+        round(col("n_punct") / greatest(col("n_chars"), lit(1)), 4))
+      .withColumn("upper_ratio",
+        round(col("n_upper") / greatest(col("n_chars"), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(col("n_stop") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") >= 50 && col("n_stop") > 0, "high")
+          .when(col("n_tokens") >= 20, "medium")
+          .otherwise("low"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs | single digits | single punctuation), aggregated per
+    * source with exact integer sums. */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(Dedup.tokens(col("text"))).as("ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"))
+      .withColumn("avg_bpe_per_doc",
+        round(col("total_bpe_tokens") / col("n_docs"), 4))
+
+  /** Content fingerprint: md5 of the text with everything except
+    * lowercase alphanumerics removed — robust to punctuation/whitespace
+    * edits, cheap to group on at any scale. */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")).as("fingerprint"))
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid"      -> ((s, d) => langId(Tables(s, d).documents)),
+    "t_quality"     -> ((s, d) => quality(Tables(s, d).documents)),
+    "t_tokens"      -> ((s, d) => tokenStats(Tables(s, d).documents)),
+    "t_fingerprint" -> ((s, d) => fingerprint(Tables(s, d).documents)))
+
+  private def inListSql(lang: String): String = inList(stopwords(lang))
+
+  private val toksCte =
+    """WITH toks AS (
+      |  SELECT doc_id, text, source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "t_langid" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS en_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("de")}))) AS de_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("fr")}))) AS fr_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS es_hits
+         |FROM toks)
+         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+         |            AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN es_hits > 0 THEN 'es'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM h""".stripMargin,
+    "t_quality" ->
+      s"""$toksCte,
+         |m AS (SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(toks) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS n_stop
+         |FROM toks)
+         |SELECT doc_id, n_chars, n_tokens, n_punct, n_upper, n_stop,
+         |  ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+         |  ROUND(CAST(n_upper AS DOUBLE) / greatest(n_chars, 1), 4) AS upper_ratio,
+         |  ROUND(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+         |  CASE WHEN n_tokens >= 50 AND n_stop > 0 THEN 'high'
+         |       WHEN n_tokens >= 20 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM m""".stripMargin,
+    "t_tokens" ->
+      s"""$toksCte
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS total_ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         |    AS total_bpe_tokens,
+         |  ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_bpe_per_doc
+         |FROM toks GROUP BY 1""".stripMargin,
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
+        |FROM documents""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, TestSpark.sf0001).documents
+
+  test("langId: stopword argmax with deterministic tie order") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),   // en
+      (2L, "der hund und die katze ist nicht da"), // de
+      (3L, "xyzzy qwerty plugh"),                  // no stopwords
+      (4L, "le chat est dans la maison pour que")  // fr
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unknown", 4L -> "fr"))
+  }
+
+  test("langId covers every document exactly once") {
+    val out = TextAnalysis.langId(docs)
+    assert(out.count() == docs.count())
+    assert(out.select("lang_pred").distinct().collect()
+      .map(_.getString(0)).forall(Set("en", "de", "fr", "es", "unknown")))
+  }
+
+  test("quality: ratios bounded, buckets exhaustive") {
+    val out = TextAnalysis.quality(docs)
+    assert(out.count() == docs.count())
+    assert(out.filter($"punct_ratio" < 0 || $"punct_ratio" > 1).count() == 0)
+    assert(out.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+    assert(out.filter(!$"quality_bucket".isin("high", "medium", "low")).count() == 0)
+  }
+
+  test("quality: empty-ish text does not divide by zero") {
+    val out = TextAnalysis.quality(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Double]("punct_ratio") == 0.0))
+  }
+
+  test("tokenStats: BPE-ish segmentation counts letter runs, digits, punct") {
+    val out = TextAnalysis.tokenStats(
+      Seq((1L, "ab12, cd!", "s1")).toDF("doc_id", "text", "source")).collect()(0)
+    // "ab" + "1" + "2" + "," + "cd" + "!" = 6 bpe tokens; 2 ws tokens
+    assert(out.getAs[Long]("total_bpe_tokens") == 6L)
+    assert(out.getAs[Long]("total_ws_tokens") == 2L)
+  }
+
+  test("fingerprint: invariant to case, punctuation and whitespace") {
+    val out = TextAnalysis.fingerprint(Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO-WORLD"), (4L, "other")
+    ).toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L) && out(1L) != out(4L))
+  }
+
+  test("multimodal: binary assembly round-trips and decode features are consistent") {
+    val media = Multimodal.assemble(docs)
+    assert(media.schema("bytes").dataType.typeName == "binary")
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length == docs.count())
+    decoded.foreach { d =>
+      assert(d.feature == (d.n_bytes.toLong * 31L + d.doc_id) % 997L)
+      assert(d.content_md5.length == 32)
+      assert(Set("image", "audio", "video")(d.media_type))
+    }
+    // metadata-only access must not require decoding: schema pruning check
+    val widths = media.select("width").limit(5).collect()
+    assert(widths.forall(_.getInt(0) >= 64))
+  }
+
+  test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
+    val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
+    val txt = docs.limit(1).select("text").collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(one.getAs[String]("content_md5") == expected)
+  }
+}
