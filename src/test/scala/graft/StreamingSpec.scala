@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.etl.VehicleFeed
+import graft.streaming.VehicleStream
+
+/** SURVEY §2.4: streaming ingest, watermark+window agg, stateful upsert.
+  * Driven with a real parquet file stream + memory sinks; results are
+  * cross-checked against the batch path over the same data. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fresh stream-source dir seeded with the sf0.001 events file. */
+  private def mkSourceDir(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft-stream-$tag")
+    Files.copy(Paths.get(TestSpark.sf0001, "events.parquet"),
+      dir.resolve("batch0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private lazy val batchVehicles =
+    VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+
+  test("ingest: streaming derivation matches the batch derivation") {
+    val stream = VehicleStream.ingest(spark, mkSourceDir("ingest"))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("ingested")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ingested")
+    assert(got.count() == batchVehicles.count())
+    // spot-check full-row equality via anti-joins in both directions
+    assert(got.exceptAll(batchVehicles).count() == 0)
+    assert(batchVehicles.exceptAll(got).count() == 0)
+  }
+
+  test("windowed agg: watermarked hourly counts cover every event once") {
+    val stream = VehicleStream.ingest(spark, mkSourceDir("windows"))
+    val q = VehicleStream.windowedCounts(stream)
+      .writeStream.format("memory").queryName("wins")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val wins = spark.table("wins")
+    assert(wins.agg(sum("n")).collect()(0).getLong(0) == batchVehicles.count())
+    // window bounds are aligned, 1 hour wide
+    assert(wins.filter(minute($"window_start") =!= 0).count() == 0)
+    assert(wins.filter($"window_end" =!= $"window_start" + expr("INTERVAL 1 HOUR")).count() == 0)
+  }
+
+  test("stateful upsert: latest-per-key matches the batch argmax upsert") {
+    val dir = mkSourceDir("upsert")
+    val stream = VehicleStream.ingest(spark, dir)
+    val q = VehicleStream.latestPerKey(stream)
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("latest")
+    val expected = VehicleFeed.latest(batchVehicles)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).count() == 0)
+  }
+
+  test("stateful upsert: state persists across micro-batches (incremental)") {
+    val dir = mkSourceDir("incr")
+    // one continuous query; files arriving later become new micro-batches
+    val q = VehicleStream.latestPerKey(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("incr")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("incr").count()
+      // a second file arrives (same content ⇒ same winners re-emitted from
+      // retained state, one update row per key)
+      Files.copy(Paths.get(TestSpark.sf0001, "events.parquet"),
+        Paths.get(dir, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val table = spark.table("incr")
+      assert(table.count() > after1)
+      assert(table.select("id").distinct().count() ==
+        VehicleFeed.latest(batchVehicles).count())
+    } finally q.stop()
+  }
+}
