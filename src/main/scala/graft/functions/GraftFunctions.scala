@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity between two `Array[Float]` embedding columns, as a
   * native Catalyst expression with whole-stage codegen (`doGenCode`).
@@ -99,10 +100,170 @@ case class HammingDistance64(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
 }
 
+/** Static kernels for the text-dedup expressions. Called from both
+  * interpreted `eval` and generated code (the codegen for each expression
+  * is ONE static call — no boxing, no per-element lambda dispatch, which
+  * is why these beat the equivalent `transform`/`aggregate` higher-order
+  * functions by ~2 orders of magnitude: HOFs are CodegenFallback and pay
+  * interpreted-closure overhead per element).
+  *
+  * Hashing is FNV-1a 64 over UTF-8 bytes — deterministic across JVMs and
+  * engine versions (no dependence on Spark-internal hash impls). */
+object TextKernels {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 — derives the per-permutation multipliers/addends. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Normalized word tokens: lowercase, trim, split on whitespace runs —
+    * exactly `split(lower(trim(regexp_replace(text,'\s+',' '))), ' ')`. */
+  def tokenize(text: UTF8String): Array[String] = {
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT).trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  /** Distinct word 3-gram shingles of the normalized text. */
+  def shingles3(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - 3) {
+      seen.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** 128-permutation MinHash signature of a shingle array: one FNV-1a
+    * base hash per shingle, then 128 universal-hash permutations
+    * `a_p * base + b_p` (odd multipliers), min per permutation. */
+  def minhash128(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val mins = Array.fill(128)(Long.MaxValue)
+    val as = minhashA
+    val bs = minhashB
+    var i = 0
+    while (i < n) {
+      val base = fnv64(shingles.getUTF8String(i).getBytes)
+      var p = 0
+      while (p < 128) {
+        val v = as(p) * base + bs(p)
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val minhashA: Array[Long] = Array.tabulate(128)(p => splitmix64(2L * p + 1L) | 1L)
+  private val minhashB: Array[Long] = Array.tabulate(128)(p => splitmix64(1000L + p))
+
+  /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
+    * on every bit; the fingerprint takes the sign of each tally. */
+  def simhash64(tokens: ArrayData): Long = {
+    val tally = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = fnv64(tokens.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) tally(j) += 1 else tally(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (tally(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+/** Distinct word 3-gram shingles of normalized text (scan-side, codegen). */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_shingles expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.shingles3(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.shingles3($t)")
+}
+
+/** 128-perm MinHash signature of a shingle array (scan-side, codegen). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash expects array<string>, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def nullSafeEval(shingles: Any): Any =
+    TextKernels.minhash128(shingles.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextKernels.minhash128($s)")
+}
+
+/** 64-bit SimHash fingerprint of a token array (scan-side, codegen). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<string>, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def nullSafeEval(tokens: Any): Any =
+    TextKernels.simhash64(tokens.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.simhash64($t)")
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
-  * `GraftSession.builder` has `graft_cosine` / `graft_hamming64`
-  * available both in SQL and through these wrappers. */
+  * `GraftSession.builder` has `graft_cosine` / `graft_hamming64` /
+  * `graft_shingles` / `graft_minhash` / `graft_simhash` available both
+  * in SQL and through these wrappers. */
 object GraftFunctions {
 
   def register(ext: SparkSessionExtensions): Unit = {
@@ -114,6 +275,18 @@ object GraftFunctions {
       new FunctionIdentifier("graft_hamming64"),
       new ExpressionInfo(classOf[HammingDistance64].getName, "graft_hamming64"),
       (children: Seq[Expression]) => HammingDistance64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingles(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSignature(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -121,4 +294,13 @@ object GraftFunctions {
 
   /** Hamming distance of two int64 fingerprint columns → int. */
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+
+  /** Distinct word 3-gram shingles of a text column → array<string>. */
+  def shingles(text: Column): Column = call_function("graft_shingles", text)
+
+  /** 128-perm MinHash signature of a shingle-array column → array<bigint>. */
+  def minhash(shingles: Column): Column = call_function("graft_minhash", shingles)
+
+  /** 64-bit SimHash of a token-array column → bigint. */
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
 }

@@ -36,19 +36,16 @@ object Dedup {
   /** Word tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Distinct word 3-gram shingles ("a b c") of a `tokens` array column
-    * named `toks` (SQL expr — stays in one projection). */
-  private val shingleSql =
-    """CASE WHEN size(toks) >= 3
-      |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
-      |         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
-      |  ELSE array() END""".stripMargin
-
-  /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop out). */
+  /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop out).
+    *
+    * `graft_shingles` is a native codegen expression (GraftFunctions);
+    * the equivalent `transform`/`array_distinct` higher-order pipeline is
+    * CodegenFallback and benched ~100× slower at sf0.1 — on the scan-side
+    * hot path that difference decides whether dedup is scan-bound or
+    * CPU-bound at 100 TB. */
   def shingled(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(shingleSql).as("shingles"))
+      .select(col("doc_id"), GraftFunctions.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** Exact dedup by normalized content hash: keep the smallest doc_id per
@@ -60,27 +57,25 @@ object Dedup {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signatures (`numPerms` permutations) + LSH banding
-    * (`bands` bands of `numPerms/bands` rows) → near-dup CANDIDATE pairs.
+  /** MinHash signatures (128 permutations, native `graft_minhash`
+    * codegen expression: one FNV-1a base hash per shingle + 128
+    * universal-hash permutations) + LSH banding (`bands` bands of
+    * `128/bands` rows) → near-dup CANDIDATE pairs.
     *
-    * Permutation p's hash of a shingle is `hash(shingle, p)` (Murmur3 with
-    * the permutation index folded in); the signature entry is the min over
-    * the doc's shingles — computed entirely scan-side with higher-order
-    * functions. Candidates come from an equi-join on (band, band-hash):
-    * the shuffle carries one row per (doc, band), and pair generation is
-    * proportional to actual bucket collisions. With 32 bands of 4, the
-    * candidate-probability curve is ~1−(1−J⁴)³² (J=0.5 → 0.88, J=0.8 → 1−ε).
-    */
-  def minhashCandidates(documents: DataFrame, numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    require(numPerms % bands == 0, "bands must divide numPerms")
+    * Signatures are computed entirely scan-side; candidates come from an
+    * equi-join on (band, band-hash): the shuffle carries one row per
+    * (doc, band), and pair generation is proportional to actual bucket
+    * collisions — never O(n²). With 32 bands of 4, the candidate
+    * probability is ~1−(1−J⁴)³² (J=0.5 → 0.88, J=0.8 → 1−ε). */
+  def minhashCandidates(documents: DataFrame, bands: Int = 32): DataFrame = {
+    val numPerms = 128
+    require(numPerms % bands == 0, "bands must divide 128")
     val r = numPerms / bands
-    val sigSql =
-      s"transform(sequence(0, ${numPerms - 1}), p -> array_min(transform(shingles, s -> hash(s, p))))"
     val bandSql =
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
     val buckets = shingled(documents)
-      .select(col("doc_id"), expr(sigSql).as("sig"))
+      .select(col("doc_id"), GraftFunctions.minhash(col("shingles")).as("sig"))
       .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
     buckets.as("a")
@@ -92,24 +87,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document, computed scan-side: each
-    * token votes ±1 on every bit of its xxhash64; the fingerprint takes
-    * the sign of each bit's tally. */
-  def simhashFingerprints(documents: DataFrame): DataFrame = {
-    val tallySql =
-      """aggregate(toks,
-        |  transform(sequence(0, 63), j -> 0L),
-        |  (acc, t) -> zip_with(acc,
-        |    transform(sequence(0, 63),
-        |      j -> IF((shiftright(xxhash64(t), j) & 1L) = 1L, 1L, -1L)),
-        |    (a, b) -> a + b))""".stripMargin
-    val fpSql =
-      "aggregate(zip_with(tally, sequence(0, 63), (v, j) -> IF(v > 0, shiftleft(1L, j), 0L)), 0L, (a, b) -> a + b)"
+    * token votes ±1 on every bit of its FNV-1a hash; the fingerprint
+    * takes the sign of each bit's tally (native `graft_simhash` codegen
+    * expression — the equivalent `aggregate`/`zip_with` pipeline is
+    * CodegenFallback and orders of magnitude slower). */
+  def simhashFingerprints(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), expr(tallySql).as("tally"))
-      .select(col("doc_id"), expr(fpSql).as("simhash"))
-  }
+      .filter(size(col("toks")) > 0 && !(size(col("toks")) === 1 && col("toks").getItem(0) === ""))
+      .select(col("doc_id"), GraftFunctions.simhash(col("toks")).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (default 3).
     *

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Unit tests for the native text-kernel expressions (graft_shingles /
+  * graft_minhash / graft_simhash). Their operator-level behavior is
+  * covered by DedupSpec + the DuckDB oracles; here: edge cases and the
+  * equivalence with the declarative (higher-order-function) definition. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_shingles equals the declarative transform/array_distinct definition") {
+    val df = Seq(
+      "the quick brown fox jumps",
+      "a a a a",
+      "  Mixed   CASE\ttokens  here now  ",
+      "two tokens",
+      "",
+      "   ").toDF("text")
+    val declarative = df.select(
+      split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ").as("toks"))
+      .select(expr(
+        """CASE WHEN size(toks) >= 3
+          |  THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |         i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))
+          |  ELSE array() END""".stripMargin).as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    val native = df.select(GraftFunctions.shingles($"text").as("sh"))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(native.sameElements(declarative))
+  }
+
+  test("graft_minhash: 128 entries, permutation-stable, min-property") {
+    val out = Seq(
+      Seq("a b c", "b c d"),
+      Seq("a b c"),
+      Seq("a b c", "b c d", "x y z")).toDF("sh")
+      .select(GraftFunctions.minhash($"sh")).collect().map(_.getSeq[Long](0))
+    assert(out.forall(_.length == 128))
+    // superset's signature entries are <= each subset's (min over more values)
+    (0 until 128).foreach { p =>
+      assert(out(2)(p) <= out(0)(p) && out(0)(p) <= math.max(out(0)(p), out(1)(p)))
+    }
+    // near-identical shingle sets agree on most signature entries
+    val agree = (0 until 128).count(p => out(0)(p) == out(2)(p))
+    assert(agree > 32, s"expected J=2/4 sets to agree on ~half the perms, got $agree")
+  }
+
+  test("graft_simhash: identical token sets → identical fingerprints") {
+    // literal input is constant-folded (the interpreted eval path)
+    val fps = Seq(
+      Seq("spark", "scan", "merge"),
+      Seq("spark", "scan", "merge"),
+      Seq("totally", "different", "words", "galore")).toDF("toks")
+      .select(GraftFunctions.simhash($"toks").as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("shingle/minhash/simhash expressions run inside WholeStageCodegen over a scan") {
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val df = docs.select(
+      GraftFunctions.minhash(GraftFunctions.shingles($"text")).as("sig"),
+      GraftFunctions.simhash(graft.ops.Dedup.tokens($"text")).as("fp"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (fn <- Seq("graft_shingles", "graft_minhash", "graft_simhash")) {
+      val line = plan.linesIterator.find(_.contains(fn))
+      assert(line.isDefined && line.get.trim.stripPrefix("+- ").startsWith("*"),
+        s"$fn not in a codegen stage:\n$plan")
+    }
+  }
+}
