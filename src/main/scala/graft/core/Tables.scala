@@ -22,11 +22,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 only reads
-    * via the nanosAsLong legacy conf (as a raw long — set in
-    * `GraftSession.builder`, required). Normalize to a microsecond
-    * timestamp here so every downstream operator — and the DuckDB oracle,
-    * whose TIMESTAMP is also µs — sees identical values. */
+    * via the nanosAsLong legacy conf (as a raw long). `GraftSession`
+    * sets it at session build; for sessions built elsewhere (e.g. a
+    * harness calling `SparkEntry.entry` with its own session) we set it
+    * defensively before the read — same value, so this is idempotent for
+    * graft sessions and only mutates foreign ones that would otherwise
+    * fail the read outright. Normalize to a microsecond timestamp so
+    * every downstream operator — and the DuckDB oracle, whose TIMESTAMP
+    * is also µs — sees identical values. */
   def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

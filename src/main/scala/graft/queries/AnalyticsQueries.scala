@@ -186,23 +186,17 @@ object AnalyticsQueries {
         col("prio_num"), col("prio_word"))
       .agg(count(lit(1)).as("n"))
 
-  /** Sessionization: gap > 30 min ⇒ new session. lag + cumsum per user —
-    * state is bounded per key and the whole thing is ONE shuffle on
-    * user_id reused by both window functions and the final aggregate. */
-  def sessionize(t: Tables, gapMinutes: Int = 30): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
-    val gapUs = lit(gapMinutes.toLong * 60L * 1000000L)
-    t.events
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_sess", when(col("gap_us").isNull || col("gap_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("session_id",
-        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  /** Sessionization: gap > 30 min ⇒ new session, via the generic
+    * [[graft.ops.Temporal.sessionize]] operator (ONE shuffle on user_id,
+    * reused by both window functions and the final aggregate). */
+  def sessionize(t: Tables, gapMinutes: Int = 30): DataFrame =
+    graft.ops.Temporal.sessionize(
+      t.events.select(col("user_id"), col("ts"), col("event_id")),
+      key = "user_id", ts = "ts", tieBreak = "event_id", gapMinutes = gapMinutes)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
-  }
 
   /** Tumbling 1-hour event-time windows per event_type via `window()` —
     * aggregates map-side before the shuffle, unlike a sort-based bucketing. */
@@ -218,32 +212,28 @@ object AnalyticsQueries {
 
   /** As-of join: each purchase ↔ the most recent click with
     * click.ts ≤ purchase.ts for the same user (ties on ts broken by the
-    * larger event_id; purchases with no prior click are kept with nulls).
-    *
-    * Spark-first shape: union both sides, ONE window per user ordered so
-    * clicks sort before purchases at equal ts, then `last(click_struct,
-    * ignoreNulls)` — a single shuffle with bounded per-key state. The
-    * naive alternative (range join click.ts ≤ purchase.ts) explodes to
-    * O(clicks × purchases) per user at 100 TB. */
+    * larger event_id; purchases with no prior click are kept with
+    * nulls) — the generic [[graft.ops.Temporal.asof]] operator applied
+    * to purchases/clicks. One shuffle; no range-join explosion. */
   def asofJoin(t: Tables): DataFrame = {
-    val e = t.events
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, (col("event_type") === "purchase").cast("int").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val clickStruct = when(col("event_type") === "click",
-      struct(col("ts").as("click_ts"), col("event_id").as("click_event_id"),
-        col("value").as("click_value")))
-    e.withColumn("last_click", last(clickStruct, ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val e = t.events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    graft.ops.Temporal.asof(purchases, clicks,
+      on = "user_id", leftTs = "ts", rightTs = "click_ts",
+      rightPayload = Seq("click_ts", "click_event_id", "click_value"),
+      rightTieBreak = "click_event_id")
       .select(
         col("user_id"),
         col("ts").as("purchase_ts"),
         col("event_id").as("purchase_event_id"),
-        col("last_click.click_ts").as("click_ts"),
-        col("last_click.click_event_id").as("click_event_id"),
-        col("last_click.click_value").as("click_value"))
+        col("asof_click_ts").as("click_ts"),
+        col("asof_click_event_id").as("click_event_id"),
+        col("asof_click_value").as("click_value"))
   }
 
   // ---- driver wiring ----
