@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators (SURVEY §5: "for skewed doc dedup, salt =
+  * hash prefix").
+  *
+  * AQE's skew-join handles most runtime skew by splitting oversized
+  * partitions, but two cases still need explicit salting at 100 TB:
+  * a single hot KEY inside one partition (AQE can split a partition,
+  * not a key), and skewed aggregation (AQE does not salt aggregates).
+  * Both helpers are deterministic — the salt derives from a hash of an
+  * existing unique column, never from rand() — so results are stable
+  * and replayable.
+  */
+object Skew {
+
+  /** Salted fact⋈dim equi-join for a skewed fact key: the fact side gets
+    * a deterministic salt in [0, salts) from `factUnique` (any unique or
+    * near-unique column); the dim side is replicated `salts` times. The
+    * join key becomes (key, salt), so a hot key's rows spread over
+    * `salts` reducers instead of one. Result is row-identical to the
+    * unsalted join.
+    *
+    * Use when one fact key holds ≫ one reducer's share (e.g. the empty
+    * document's fingerprint, a null-ish user id). Replication cost:
+    * `salts ×` the dim side — keep the dim small or pre-filtered. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 factUnique: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedFact = fact.withColumn("__salt", pmod(hash(col(factUnique)), lit(salts)))
+    val saltedDim = dim.withColumn("__salt", explode(lit((0 until salts).toArray)))
+    saltedFact.join(saltedDim,
+        saltedFact("__salt") === saltedDim("__salt") &&
+        saltedFact(key) === saltedDim(key))
+      .drop("__salt")
+      .drop(saltedDim(key))
+  }
+
+  /** Two-phase salted aggregation for skewed group keys: partial
+    * aggregate on (key, salt), then merge on key. Works for any
+    * agg whose partial and merge are both expressible (count/sum here —
+    * the common hot-key cases). A hot key's input spreads over `salts`
+    * partial groups before the tiny merge. */
+  def saltedCount(df: DataFrame, key: String, unique: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt", pmod(hash(col(unique)), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+  }
+
+  /** Salted sum variant (exact decimal path left to the caller's cast). */
+  def saltedSum(df: DataFrame, key: String, unique: String, valueCol: Column,
+                salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    df.withColumn("__salt", pmod(hash(col(unique)), lit(salts)))
+      .withColumn("__v", valueCol)
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col("__v")).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("total"))
+  }
+}

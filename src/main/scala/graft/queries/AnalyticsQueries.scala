@@ -143,6 +143,18 @@ object AnalyticsQueries {
       countDistinct(col("l_orderkey")).as("nd_orders"),
       count(lit(1)).as("n"))
 
+  /** Scale-safe distinct counts: HyperLogLog++ sketches (fixed-size
+    * partials, mergeable map-side, no Expand blow-up). The engine API
+    * for 100 TB interactive use; `rsd` 0.01 ⇒ ~1% relative error with
+    * a few KB of state per group. The exact variant stays as the
+    * oracle-checked path. */
+  def distinctAggApprox(t: Tables, rsd: Double = 0.01): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey"), rsd).as("nd_parts"),
+      approx_count_distinct(col("l_suppkey"), rsd).as("nd_supps"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("nd_orders"),
+      count(lit(1)).as("n"))
+
   /** ROLLUP grouping sets; rolled-up levels surfaced as 'ALL' (NULL
     * markers coalesced so the oracle compare is unambiguous). */
   def rollupOrders(t: Tables): DataFrame =

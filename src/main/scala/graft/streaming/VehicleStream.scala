@@ -60,6 +60,16 @@ object VehicleStream {
         col("window.end").as("window_end"),
         col("current_status"), col("n"))
 
+  /** Streaming exact dedup: drop repeated observations (same obs_id)
+    * arriving within the watermark — the streaming counterpart of the
+    * batch `Dedup.exactDedup`. State holds one key per obs_id and is
+    * evicted once the watermark passes, so it stays bounded no matter
+    * how long the stream runs. */
+  def dedupedIngest(vehicles: DataFrame): DataFrame =
+    vehicles
+      .withWatermark("updated_at", "2 hours")
+      .dropDuplicatesWithinWatermark("obs_id")
+
   /** Streaming Load/UPSERT: latest record per vehicle id via
     * `mapGroupsWithState` — the continuous version of the batch argmax
     * upsert (`VehicleFeed.latest`), with the same

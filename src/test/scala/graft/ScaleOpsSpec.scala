@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Skew
+import graft.queries.AnalyticsQueries
+
+/** Scale-mitigation operators: salting, sketch aggregates, bucketed
+  * co-located joins. Each check proves the mitigated plan produces the
+  * SAME result as the straightforward plan (that equivalence is the
+  * whole point — these are drop-in replacements under skew/scale). */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val t = Tables(spark, TestSpark.sf0001)
+
+  test("saltedJoin: row-identical to the plain join under a hot key") {
+    // fabricate skew: all lineitems of one suppkey (a hot dim key)
+    val fact = t.lineitem.select($"l_orderkey", $"l_linenumber", $"l_suppkey")
+    val dim = t.supplier.select($"s_suppkey".as("l_suppkey"), $"s_name")
+    val plain = fact.join(dim, "l_suppkey")
+      .select($"l_orderkey", $"l_linenumber", $"s_name")
+    val salted = Skew.saltedJoin(fact, dim, key = "l_suppkey",
+      factUnique = "l_orderkey", salts = 8)
+      .select($"l_orderkey", $"l_linenumber", $"s_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedCount/saltedSum: identical to direct aggregation") {
+    val direct = t.orders.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(t.orders, "o_orderstatus", "o_orderkey", 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+
+    val directSum = t.orders.groupBy($"o_orderstatus")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("s")).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val saltedSum = Skew.saltedSum(t.orders, "o_orderstatus", "o_orderkey",
+      $"o_totalprice".cast("decimal(18,2)"), 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(saltedSum == directSum)
+  }
+
+  test("distinctAggApprox: within 2% of exact counts") {
+    val exact = AnalyticsQueries.distinctAgg(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = AnalyticsQueries.distinctAggApprox(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.02, s"$k: $n vs ${approx(k)}")
+    }
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previously interrupted run can leave the managed location behind
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    t.orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    t.lineitem.select($"l_orderkey", $"l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    // disable broadcast so the test exercises the big-big (bucketed) path
+    // that matters at 100 TB, where neither side fits in memory
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderstatus").agg(sum($"l_quantity"))
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    // co-located: the join itself needs no Exchange (only the final agg may)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("SortMergeJoin") || finalPlan.contains("ShuffledHashJoin"), plan)
+    val exchangesBelowJoin = finalPlan.linesIterator
+      .dropWhile(l => !l.contains("Join")).count(_.contains("Exchange"))
+    assert(exchangesBelowJoin == 0,
+      s"expected bucket-co-located join with no exchange below the join:\n$plan")
+    assert(finalPlan.contains("Bucketed: true"), plan)
+  }
+}

@@ -64,6 +64,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).count() == 0)
   }
 
+  test("streaming dedup: repeated observations are dropped within the watermark") {
+    val dir = mkSourceDir("dedup")
+    val q = VehicleStream.dedupedIngest(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val after1 = spark.table("dedup").count()
+      assert(after1 == batchVehicles.count())
+      // the same file arrives again: every obs_id is a duplicate → no new rows
+      Files.copy(Paths.get(TestSpark.sf0001, "events.parquet"),
+        Paths.get(dir, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == after1)
+    } finally q.stop()
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
