@@ -1,0 +1,122 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CosineSimilarity, TextKernels}
+
+/** Property-style tests (seeded random inputs) for the pure kernels —
+  * these run on the JVM directly, no Spark jobs, so hundreds of cases
+  * are cheap. */
+class KernelPropertySpec extends SparkSpec {
+
+  private def utf8Array(ss: Seq[String]): GenericArrayData =
+    new GenericArrayData(ss.map(s => UTF8String.fromString(s): Any).toArray)
+
+  private def randTokens(rnd: Random, n: Int): Seq[String] =
+    Seq.fill(n)(("tok" + rnd.nextInt(50)))
+
+  test("fnv64: deterministic, sensitive to every byte") {
+    val rnd = new Random(7)
+    (1 to 200).foreach { _ =>
+      val s = rnd.nextString(rnd.nextInt(40) + 1)
+      val b = s.getBytes("UTF-8")
+      assert(TextKernels.fnv64(b) == TextKernels.fnv64(b.clone()))
+      if (b.nonEmpty) {
+        val mutated = b.clone(); mutated(rnd.nextInt(b.length)) = (mutated(rnd.nextInt(b.length)) + 1).toByte
+        if (!java.util.Arrays.equals(mutated, b))
+          assert(TextKernels.fnv64(mutated) != TextKernels.fnv64(b))
+      }
+    }
+  }
+
+  test("shingles3: every shingle is 3 tokens; count ≤ tokens−2; distinct") {
+    val rnd = new Random(11)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val text = randTokens(rnd, n).mkString(" ")
+      val sh = TextKernels.shingles3(UTF8String.fromString(text))
+      val out = (0 until sh.numElements()).map(sh.getUTF8String(_).toString)
+      assert(out.size == out.distinct.size)
+      if (n < 3) assert(out.isEmpty) else assert(out.size <= n - 2)
+      out.foreach(s => assert(s.split(" ").length == 3))
+    }
+  }
+
+  test("minhash128: element-wise min property under union; J≈ agreement rate") {
+    val rnd = new Random(13)
+    (1 to 50).foreach { _ =>
+      val a = randTokens(rnd, rnd.nextInt(30) + 5).distinct.map(_ + " x y")
+      val b = randTokens(rnd, rnd.nextInt(30) + 5).distinct.map(_ + " x y")
+      val sa = TextKernels.minhash128(utf8Array(a))
+      val sb = TextKernels.minhash128(utf8Array(b))
+      val su = TextKernels.minhash128(utf8Array((a ++ b).distinct))
+      (0 until 128).foreach { p =>
+        assert(su.getLong(p) == math.min(sa.getLong(p), sb.getLong(p)))
+      }
+      // agreement rate estimates jaccard (loose statistical bound, 128 perms)
+      val inter = a.toSet.intersect(b.toSet).size.toDouble
+      val j = inter / (a.toSet ++ b.toSet).size
+      val agree = (0 until 128).count(p => sa.getLong(p) == sb.getLong(p)) / 128.0
+      assert(math.abs(agree - j) < 0.25, s"J=$j agree=$agree")
+    }
+  }
+
+  test("simhash64: invariant to token order and to duplicating the multiset") {
+    val rnd = new Random(17)
+    (1 to 100).foreach { _ =>
+      val toks = randTokens(rnd, rnd.nextInt(40) + 1)
+      val fp = TextKernels.simhash64(utf8Array(toks))
+      assert(TextKernels.simhash64(utf8Array(rnd.shuffle(toks))) == fp)
+      assert(TextKernels.simhash64(utf8Array(toks ++ toks)) == fp)
+    }
+  }
+
+  test("cosine kernel: symmetry, bounds, scale behavior") {
+    val rnd = new Random(19)
+    def arr(v: Seq[Float]) = new GenericArrayData(v.map(x => x: Any).toArray)
+    val cs = CosineSimilarity(null, null)
+    (1 to 100).foreach { _ =>
+      val n = rnd.nextInt(32) + 1
+      val a = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+      val b = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+      val ab = cs.nullSafeEval(arr(a), arr(b)).asInstanceOf[Double]
+      val ba = cs.nullSafeEval(arr(b), arr(a)).asInstanceOf[Double]
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      // positive scaling leaves cosine unchanged (up to fp noise)
+      val a2 = a.map(_ * 2.0f)
+      val ab2 = cs.nullSafeEval(arr(a2), arr(b)).asInstanceOf[Double]
+      assert(math.abs(ab2 - ab) < 1e-6)
+    }
+  }
+
+  test("asof (randomized differential): matches an O(n²) reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new Random(23)
+    (1 to 3).foreach { round =>
+      val leftRows = Seq.fill(120)((rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000) * 1000L), rnd.nextLong().abs))
+      val rightRows = Seq.fill(150)((rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000) * 1000L), rnd.nextLong().abs))
+      val left = leftRows.toDF("k", "lts", "lid")
+      val right = rightRows.toDF("k", "rts", "rid")
+      val got = graft.ops.Temporal.asof(left, right, "k", "lts", "rts", Seq("rts", "rid"), "rid")
+        .collect().map(r => (r.getAs[Long]("lid"),
+          Option(r.getAs[java.sql.Timestamp]("asof_rts")), Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+        .toSet
+      val expected = leftRows.map { case (k, lts, lid) =>
+        val cands = rightRows.filter(r => r._1 == k && !r._2.after(lts))
+        if (cands.isEmpty) (lid, None, None)
+        else {
+          val best = cands.maxBy(r => (r._2.getTime, r._3))
+          (lid, Some(best._2): Option[java.sql.Timestamp], Some(best._3): Option[Long])
+        }
+      }.toSet
+      assert(got == expected, s"round $round differs")
+    }
+  }
+}
