@@ -177,6 +177,25 @@ object TextKernels {
   private val minhashA: Array[Long] = Array.tabulate(128)(p => splitmix64(2L * p + 1L) | 1L)
   private val minhashB: Array[Long] = Array.tabulate(128)(p => splitmix64(1000L + p))
 
+  /** Random-hyperplane LSH bucket id: bit p of the result is the sign of
+    * dot(embedding, planes[p]). `planes` is a small literal
+    * array<array<double>> shipped with the plan. */
+  def hyperplaneSig(embedding: ArrayData, planes: ArrayData): Long = {
+    val nPlanes = planes.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val plane = planes.getArray(p)
+      val dim = math.min(plane.numElements(), embedding.numElements())
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += embedding.getFloat(j).toDouble * plane.getDouble(j); j += 1 }
+      if (dot > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
     * on every bit; the fingerprint takes the sign of each tally. */
   def simhash64(tokens: ArrayData): Long = {
@@ -259,6 +278,31 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.simhash64($t)")
 }
 
+/** Random-hyperplane LSH bucket id of an embedding against a literal
+  * plane matrix (scan-side, codegen). */
+case class HyperplaneSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_sig expects (array<float>, array<array<double>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HyperplaneSignature =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(emb: Any, planes: Any): Any =
+    TextKernels.hyperplaneSig(emb.asInstanceOf[ArrayData], planes.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.hyperplaneSig($a, $b)")
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
   * `GraftSession.builder` has `graft_cosine` / `graft_hamming64` /
@@ -287,6 +331,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
+      (children: Seq[Expression]) => HyperplaneSignature(children(0), children(1))))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -303,4 +351,8 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a token-array column → bigint. */
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+
+  /** Hyperplane LSH bucket of an embedding vs a literal plane matrix → bigint. */
+  def hyperplaneSig(embedding: Column, planes: Column): Column =
+    call_function("graft_hyperplane_sig", embedding, planes)
 }

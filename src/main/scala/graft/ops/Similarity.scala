@@ -48,16 +48,12 @@ object Similarity {
     * neighbors); top-k by exact cosine among candidates only. */
   def annLsh(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    // bucket = Σ_p (dot(embedding, planes[p]) > 0) << p — scan-side via the
+    // codegen'd graft_hyperplane_sig expression (the literal plane matrix
+    // ships with the plan; no shuffle, no interpreted lambda per element)
     val planesCol = typedlit(hyperplanes(nPlanes, dim))
-    // bucket = Σ_p (dot(embedding, planes[p]) > 0) << p   — scan-side, codegen'd
-    val sigSql =
-      s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) ->
-         |  acc + IF(aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE),
-         |             (s, j) -> s + CAST(embedding[j] AS DOUBLE) * planes[p][j]) > 0D,
-         |           shiftleft(1L, p), 0L))""".stripMargin
     val withSig = embeddings
-      .withColumn("planes", planesCol)
-      .withColumn("bucket", expr(sigSql))
+      .withColumn("bucket", GraftFunctions.hyperplaneSig(col("embedding"), planesCol))
       .select(col("vec_id"), col("label"), col("embedding"), col("bucket"))
     // multi-probe set: the query bucket and every 1-bit flip of it
     val probes = withSig.filter(col("vec_id") === queryVecId)
