@@ -57,6 +57,19 @@ object Dedup {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** The dedup a pipeline actually applies: keep only each group's
+    * surviving row (min doc_id per normalized-content hash). Implemented
+    * as groupBy + min + semi-join back — two hash shuffles on compact
+    * keys, never a window over the full corpus. */
+  def dedupDocuments(documents: DataFrame): DataFrame = {
+    val keep = documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    documents.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** MinHash signatures (128 permutations, native `graft_minhash`
     * codegen expression: one FNV-1a base hash per shingle + 128
     * universal-hash permutations) + LSH banding (`bands` bands of

@@ -24,6 +24,15 @@ class DedupSpec extends SparkSpec {
     assert(g.find(_.getAs[Long]("n_dups") == 3).get.getAs[Long]("keep_id") == 1L)
   }
 
+  test("dedupDocuments: keeps one survivor per group, min doc_id wins") {
+    val variants = Seq((5L, "Hello  World"), (2L, "hello world"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupDocuments(variants).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(2L, 9L))
+    // corpus-level: survivors count equals number of distinct normalized hashes
+    assert(Dedup.dedupDocuments(docs).count() == Dedup.exactDedup(docs).count())
+  }
+
   test("ngramJaccardPairs: exact jaccard, symmetric-free (a<b), finds the planted pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.8).collect()
     assert(pairs.length == 28)
