@@ -168,6 +168,36 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact 3-gram Jaccard evaluated ONLY on given candidate pairs
+    * (doc_a, doc_b) — the verification stage of the production near-dup
+    * pipeline. Work is O(candidates), independent of how much shingle
+    * mass the corpus shares. */
+  def jaccardOnCandidates(documents: DataFrame, candidates: DataFrame, tau: Double): DataFrame = {
+    val sh = shingled(documents)
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(round(col("jaccard"), 4) >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The production near-dup pipeline: MinHash/LSH candidate generation
+    * (recall ~1 for J ≥ 0.8 with 32×4 banding) followed by exact Jaccard
+    * verification on candidates only.
+    *
+    * Contrast with [[ngramJaccardPairs]], which is exact over the WHOLE
+    * corpus via the shingle inverted index: that pays per shingle-sharing
+    * pair, which explodes when the corpus is duplicate-heavy (measured at
+    * 50k docs / 249k true near-dup pairs: inverted index 91 s vs this
+    * pipeline 8.7 s, IDENTICAL pair set at τ=0.8 — graft.tools.Stress).
+    * Use the inverted index when you need certified-exact recall at any
+    * τ; use this at corpus scale. */
+  def nearDupPairs(documents: DataFrame, tau: Double = 0.8, bands: Int = 32): DataFrame =
+    jaccardOnCandidates(documents, minhashCandidates(documents, bands), tau)
+
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
     * `label` — at corpus scale the bucketer would be an LSH signature,
     * see Similarity.annLsh). Cosine is the codegen'd `graft_cosine`

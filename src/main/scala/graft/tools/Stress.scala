@@ -1,0 +1,36 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Tables}
+import graft.ops.{Dedup, Similarity}
+/** Scale stress: replicate the sf0.1 corpus N× with distinct doc_ids and
+  * run the dedup/similarity family. Verifies pair generation stays
+  * bounded by real collisions (not corpus²) as rows grow. */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, "/root/testdata/sf0.1")
+    // n distinct variants per doc: suffix the text so replicas are NEAR dups
+    // (same shingles mostly) but not exact, and doc_ids are unique
+    val docs = t.documents.crossJoin(spark.range(n).withColumnRenamed("id", "rep"))
+      .select((col("doc_id") * n + col("rep")).as("doc_id"),
+              concat(col("text"), lit(" rep"), col("rep")).as("text"),
+              col("source"))
+      .repartition(16)
+    println(s"[stress] corpus: ${docs.count()} docs")
+    def time[T](label: String)(f: => T): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label: ${(System.nanoTime()-t0)/1e9}%.1f s = $r")
+    }
+    time("exact_dedup")(Dedup.exactDedup(docs).count())
+    time("simhash_pairs")(Dedup.simhashPairs(docs).count())
+    time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
+    time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
+    time("neardup_pipeline")(Dedup.nearDupPairs(docs).count())
+    val emb = t.embeddings
+    time("ann_topk")(Similarity.annTopK(emb).count())
+    time("embed_neardup")(Dedup.embedNearDup(emb).count())
+    spark.stop()
+  }
+}

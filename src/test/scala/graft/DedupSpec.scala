@@ -40,6 +40,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getAs[Double]("jaccard") >= 0.8 && r.getAs[Double]("jaccard") <= 1.0))
   }
 
+  test("nearDupPairs (candidates+verify) equals the exact inverted-index result") {
+    val exact = Dedup.ngramJaccardPairs(docs, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pipeline = Dedup.nearDupPairs(docs, tau = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pipeline == exact)
+  }
+
   test("minhashCandidates: recalls every true near-dup pair (J≈0.98 ⇒ P(candidate)≈1)") {
     val truth = Dedup.ngramJaccardPairs(docs, tau = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
