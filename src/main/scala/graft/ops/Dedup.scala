@@ -219,14 +219,16 @@ object Dedup {
   import graft.core.Tables
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_exact_dedup"   -> ((s, d) => exactDedup(Tables(s, d).documents)),
-    "d_minhash_lsh"   -> ((s, d) => minhashCandidates(Tables(s, d).documents)),
-    "d_simhash"       -> ((s, d) => simhashPairs(Tables(s, d).documents)),
-    "d_ngram_jaccard" -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
-    "d_embed_neardup" -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
+    "d_exact_dedup"      -> ((s, d) => exactDedup(Tables(s, d).documents)),
+    "d_exact_keep"       -> ((s, d) => dedupDocuments(Tables(s, d).documents)),
+    "d_minhash_lsh"      -> ((s, d) => minhashCandidates(Tables(s, d).documents)),
+    "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
+    "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "d_neardup_pipeline" -> ((s, d) => nearDupPairs(Tables(s, d).documents)),
+    "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */
-  private val shingleCte =
+  private[ops] val shingleCte =
     """WITH toks AS (
       |  SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
@@ -242,20 +244,30 @@ object Dedup {
     * are rows-checked: their buckets depend on Spark's Murmur3/xxhash64,
     * which DuckDB cannot reproduce; their SEMANTICS are spec-tested
     * against the exact `ngramJaccardPairs` instead (DedupSpec). */
+  /** The ngram-jaccard oracle SQL also serves d_neardup_pipeline: the
+    * candidates+verify pipeline must produce the IDENTICAL pair set
+    * (banding recall at J≈0.98 is 1−(1−J⁴)³² ≈ 1−10⁻⁴⁶). */
+  private val ngramJaccardOracle =
+    s"""$shingleCte,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
+       |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+       |FROM p
+       |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
-    "d_ngram_jaccard" ->
-      s"""$shingleCte,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
-         |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
-         |FROM p
-         |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8""".stripMargin,
+    "d_exact_keep" ->
+      """SELECT * FROM documents WHERE doc_id IN (
+        |  SELECT MIN(doc_id) FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    "d_neardup_pipeline" -> ngramJaccardOracle,
+    "d_ngram_jaccard" -> ngramJaccardOracle,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -86,6 +86,17 @@ object TextAnalysis {
       .withColumn("avg_bpe_per_doc",
         round(col("total_bpe_tokens") / col("n_docs"), 4))
 
+  /** Corpus n-gram statistics: top-k 3-gram shingles by document
+    * frequency (distinct shingles per doc, so a shingle counts once per
+    * document). explode → map-side-combined count → TakeOrdered. */
+  def ngramStats(documents: DataFrame, k: Int = 20): DataFrame =
+    Dedup.shingled(documents)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+
   /** Content fingerprint: md5 of the text with everything except
     * lowercase alphanumerics removed — robust to punctuation/whitespace
     * edits, cheap to group on at any scale. */
@@ -100,6 +111,7 @@ object TextAnalysis {
     "t_langid"      -> ((s, d) => langId(Tables(s, d).documents)),
     "t_quality"     -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"      -> ((s, d) => tokenStats(Tables(s, d).documents)),
+    "t_ngram_stats" -> ((s, d) => ngramStats(Tables(s, d).documents)),
     "t_fingerprint" -> ((s, d) => fingerprint(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
@@ -153,6 +165,11 @@ object TextAnalysis {
          |  ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS DOUBLE)
          |    / COUNT(*), 4) AS avg_bpe_per_doc
          |FROM toks GROUP BY 1""".stripMargin,
+    "t_ngram_stats" ->
+      s"""${Dedup.shingleCte}
+         |SELECT shingle, COUNT(*) AS df
+         |FROM (SELECT unnest(sh) AS shingle FROM d)
+         |GROUP BY 1 ORDER BY df DESC, shingle ASC LIMIT 20""".stripMargin,
     "t_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint

@@ -100,6 +100,17 @@ object VehicleQueries {
       round(expr("percentile(speed, 0.9)"), 4).as("p90"),
       round(expr("percentile(speed, 0.95)"), 4).as("p95"))
 
+  /** Per-route percentiles of moving-vehicle speeds — percentile
+    * aggregation with a GROUP BY (each group's buffer is bounded by the
+    * route's fleet; the global-percentile memory caveat doesn't apply). */
+  def routePercentiles(vehicles: DataFrame): DataFrame =
+    vehicles.filter(col("speed") > 0)
+      .groupBy(routeType(col("id")).as("route_type"))
+      .agg(
+        round(expr("percentile(speed, 0.5)"), 4).as("p50"),
+        round(expr("percentile(speed, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_moving"))
+
   /** Scale-safe percentiles: `approx_percentile` (KLL-style sketch, fixed
     * memory per partial, mergeable map-side) — the variant a 100 TB
     * deployment should call. accuracy=10000 ⇒ rank error ≤ 0.01%. */
@@ -143,6 +154,7 @@ object VehicleQueries {
     "v_occupancy_pct"  -> ((s, d) => occupancyPct(vehicles(s, d))),
     "v_direction_counts" -> ((s, d) => directionCounts(vehicles(s, d))),
     "v_speed_percentiles" -> ((s, d) => speedPercentiles(vehicles(s, d))),
+    "v_route_percentiles" -> ((s, d) => routePercentiles(vehicles(s, d))),
     "v_bearing_filter" -> ((s, d) => byBearing(vehicles(s, d), 90.0, 15.0)),
     "v_bearing_summary"-> ((s, d) => bearingSummary(vehicles(s, d))),
     "v_count"          -> ((s, d) => countVehicles(vehicles(s, d))),
@@ -230,6 +242,19 @@ object VehicleQueries {
          |  ROUND(quantile_cont(speed, 0.9), 4) AS p90,
          |  ROUND(quantile_cont(speed, 0.95), 4) AS p95
          |FROM vehicles WHERE speed > 0""".stripMargin,
+    "v_route_percentiles" ->
+      s"""$VehiclesCte SELECT
+         |  CASE WHEN id LIKE 'R-%' THEN 'Red Line'
+         |       WHEN id LIKE 'O-%' THEN 'Orange Line'
+         |       WHEN id LIKE 'G-%' THEN 'Green Line'
+         |       WHEN id LIKE 'B-%' THEN 'Blue Line'
+         |       WHEN id LIKE 'y%' THEN 'Bus'
+         |       WHEN id LIKE 'ynk%' THEN 'Commuter Rail'
+         |       ELSE 'Other' END AS route_type,
+         |  ROUND(quantile_cont(speed, 0.5), 4) AS p50,
+         |  ROUND(quantile_cont(speed, 0.9), 4) AS p90,
+         |  COUNT(*) AS n_moving
+         |FROM vehicles WHERE speed > 0 GROUP BY 1""".stripMargin,
     "v_bearing_filter" ->
       s"$VehiclesCte SELECT id, label, bearing, speed FROM vehicles WHERE bearing BETWEEN 75.0 AND 105.0",
     "v_bearing_summary" ->
