@@ -60,6 +60,15 @@ object VehicleFeed {
       .select($"v.id".as("id"), $"v.attributes.*")
   }
 
+  /** Extract from files of raw JSON payloads (one API page per line) —
+    * the batch-file equivalent of the reference's HTTP fetch: at scale,
+    * pages land in object storage and this is a distributed text scan →
+    * `from_json`, parallelism = file splits. */
+  def extractFromJsonFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    extract(spark.read.textFile(path))
+  }
+
   /** Transform (transform.go:9-67): validity filter, null defaults,
     * status normalization, RFC3339 timestamp parse. Pure column ops —
     * whole-stage codegen, no UDFs. */

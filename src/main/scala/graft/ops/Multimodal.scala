@@ -68,11 +68,17 @@ object Multimodal {
   }
 
   /** The typed decode stage (see class doc: the seam where a real codec
-    * plugs in; stubbed, deterministic). */
-  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    * plugs in; stubbed, deterministic).
+    *
+    * `parallelism`: decode runs one task per input partition; a media
+    * table often arrives in few large row groups while decode is
+    * CPU-bound, so allow an explicit fan-out before the map (round-robin
+    * — no key needed, decode is per-record). */
+  def decode(media: Dataset[MediaRecord], parallelism: Option[Int] = None): Dataset[DecodedMedia] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.map(decodeStub _)
+    val spread = parallelism.map(media.repartition(_)).getOrElse(media)
+    spread.map(decodeStub _)
   }
 
   /** Full pipeline: assemble → decode → feature frame. */

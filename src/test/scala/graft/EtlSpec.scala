@@ -78,6 +78,20 @@ class EtlSpec extends SparkSpec {
     assert(VehicleFeed.latest(obs).select("speed").collect()(0).getDouble(0) == 2.0)
   }
 
+  test("extractFromJsonFiles: distributed text scan parses page files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    java.nio.file.Files.writeString(dir.resolve("page0.json"), payload + "\n" + payload)
+    val out = VehicleFeed.extractFromJsonFiles(spark, dir.toString)
+    assert(out.count() == 2)
+    assert(out.select("id").distinct().collect()(0).getString(0) == "test-vehicle-1")
+  }
+
+  test("transform: carries ingested_at alongside the reference schema") {
+    val out = VehicleFeed.transform(VehicleFeed.extract(Seq(payload).toDS()))
+    assert(out.columns.contains("ingested_at"))
+    assert(out.filter(col("ingested_at").isNull).count() == 0)
+  }
+
   test("fromEvents: deterministic derivation over testdata") {
     val v = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
     assert(v.columns.toSet == Set("id", "label", "latitude", "longitude", "speed",

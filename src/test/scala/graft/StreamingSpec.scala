@@ -64,6 +64,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.exceptAll(expected).count() == 0)
   }
 
+  test("windowed agg append mode: watermark passage finalizes and emits closed windows") {
+    val dir = mkSourceDir("append")
+    val q = VehicleStream.windowedCounts(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("append_wins")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 re-delivers the same events: max event time is unchanged, so
+      // the watermark (max − 2h) finalizes every window older than that
+      Files.copy(Paths.get(TestSpark.sf0001, "events.parquet"),
+        Paths.get(dir, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val emitted = spark.table("append_wins")
+      assert(emitted.count() > 0, "no windows were finalized by the watermark")
+      // append emits only CLOSED windows: all strictly below max(event time) − 2h
+      val maxTs = batchVehicles.agg(max($"updated_at")).collect()(0).getTimestamp(0)
+      val lateBound = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+      assert(emitted.filter($"window_end" > lateBound).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup: repeated observations are dropped within the watermark") {
     val dir = mkSourceDir("dedup")
     val q = VehicleStream.dedupedIngest(VehicleStream.ingest(spark, dir))
