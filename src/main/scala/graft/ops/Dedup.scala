@@ -80,15 +80,24 @@ object Dedup {
     * (doc, band), and pair generation is proportional to actual bucket
     * collisions — never O(n²). With 32 bands of 4, the candidate
     * probability is ~1−(1−J⁴)³² (J=0.5 → 0.88, J=0.8 → 1−ε). */
-  def minhashCandidates(documents: DataFrame, bands: Int = 32): DataFrame = {
+  /** MinHash signature table: `(doc_id, sig array<bigint>[128])` — the
+    * intermediate a 100 TB pipeline should MATERIALIZE (parquet/Delta):
+    * it is ~1% of corpus bytes, amortizes signature computation across
+    * dedup runs, and spares candidate generation the second corpus scan
+    * its self-join otherwise costs (see SCALING.md). */
+  def minhashSignatures(documents: DataFrame): DataFrame =
+    shingled(documents)
+      .select(col("doc_id"), GraftFunctions.minhash(col("shingles")).as("sig"))
+
+  /** Candidate generation off a (possibly materialized) signature table. */
+  def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
     val numPerms = 128
     require(numPerms % bands == 0, "bands must divide 128")
     val r = numPerms / bands
     val bandSql =
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
-    val buckets = shingled(documents)
-      .select(col("doc_id"), GraftFunctions.minhash(col("shingles")).as("sig"))
+    val buckets = signatures
       .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
     buckets.as("a")
@@ -98,6 +107,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  def minhashCandidates(documents: DataFrame, bands: Int = 32): DataFrame =
+    minhashCandidatesFromSignatures(minhashSignatures(documents), bands)
 
   /** 64-bit SimHash fingerprint per document, computed scan-side: each
     * token votes ±1 on every bit of its FNV-1a hash; the fingerprint

@@ -73,6 +73,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("candidates from a materialized signature table equal the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    Dedup.minhashSignatures(docs).write.mode("overwrite").parquet(dir)
+    val fromTable = Dedup.minhashCandidatesFromSignatures(spark.read.parquet(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTable == inline)
+  }
+
   test("simhash fingerprint is deterministic and order-insensitive across partitions") {
     val a = Dedup.simhashFingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = Dedup.simhashFingerprints(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
