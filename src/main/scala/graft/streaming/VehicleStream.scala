@@ -60,6 +60,39 @@ object VehicleStream {
         col("window.end").as("window_end"),
         col("current_status"), col("n"))
 
+  /** Raw normalized event stream (µs timestamps) — input for
+    * event-level streaming operators. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Stream-stream interval join: each purchase ↔ the clicks of the same
+    * user within the preceding hour. Watermarks on BOTH sides bound the
+    * join state (clicks older than purchase-watermark − 1 h are evicted);
+    * the interval condition keeps it an equi-join on user_id with a
+    * bounded time range — the streaming analogue of `Temporal.asof`
+    * restricted to a window (true "latest only" is not expressible in a
+    * stream-stream join; use [[latestPerKey]]-style state for that). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_event_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+              click_ts >= purchase_ts - INTERVAL 1 HOUR AND
+              click_ts <= purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_event_id"), col("click_ts"), col("click_event_id"),
+        col("click_value"))
+  }
+
   /** Streaming exact dedup: drop repeated observations (same obs_id)
     * arriving within the watermark — the streaming counterpart of the
     * batch `Dedup.exactDedup`. State holds one key per obs_id and is

@@ -102,6 +102,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val dir = mkSourceDir("ssj")
+    val q = VehicleStream.purchaseClickJoin(VehicleStream.eventStream(spark, dir))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ssj")
+    val e = graft.core.Tables(spark, TestSpark.sf0001).events
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"), $"event_id".as("click_event_id"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"event_id".as("purchase_event_id"))
+    val batch = purchases.join(clicks,
+      $"c_user" === $"p_user" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR") &&
+        $"click_ts" <= $"purchase_ts")
+    assert(got.count() == batch.count())
+    assert(got.count() > 0)
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
