@@ -196,6 +196,29 @@ object TextKernels {
     sig
   }
 
+  /** Index of the nearest centroid (squared L2) — the IVF assignment
+    * kernel. `centroids` is a small literal array<array<double>>. */
+  def nearestCentroid(embedding: ArrayData, centroids: ArrayData): Int = {
+    val k = centroids.numElements()
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = centroids.getArray(c)
+      val dim = math.min(cent.numElements(), embedding.numElements())
+      var d2 = 0.0
+      var j = 0
+      while (j < dim) {
+        val diff = embedding.getFloat(j).toDouble - cent.getDouble(j)
+        d2 += diff * diff
+        j += 1
+      }
+      if (d2 < bestDist) { bestDist = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
     * on every bit; the fingerprint takes the sign of each tally. */
   def simhash64(tokens: ArrayData): Long = {
@@ -303,6 +326,31 @@ case class HyperplaneSignature(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.hyperplaneSig($a, $b)")
 }
 
+/** Nearest-centroid index (squared L2) of an embedding against a literal
+  * centroid matrix (scan-side, codegen) — the IVF assignment step. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_centroid expects (array<float>, array<array<double>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(emb: Any, cents: Any): Any =
+    TextKernels.nearestCentroid(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.nearestCentroid($a, $b)")
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
   * `GraftSession.builder` has `graft_cosine` / `graft_hamming64` /
@@ -335,6 +383,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "graft_hyperplane_sig"),
       (children: Seq[Expression]) => HyperplaneSignature(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -355,4 +407,8 @@ object GraftFunctions {
   /** Hyperplane LSH bucket of an embedding vs a literal plane matrix → bigint. */
   def hyperplaneSig(embedding: Column, planes: Column): Column =
     call_function("graft_hyperplane_sig", embedding, planes)
+
+  /** Nearest-centroid index of an embedding vs a literal centroid matrix → int. */
+  def nearestCentroid(embedding: Column, centroids: Column): Column =
+    call_function("graft_nearest_centroid", embedding, centroids)
 }

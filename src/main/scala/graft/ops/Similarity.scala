@@ -69,11 +69,67 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** IVF coarse quantizer: k-means with deterministic init (embeddings
+    * of the k smallest vec_ids) and decimal-exact centroid means, so the
+    * index is identical across runs. Each Lloyd iteration is one
+    * distributed assign (codegen `graft_nearest_centroid`) + one
+    * aggregation; only the k×dim centroid matrix ever reaches the driver
+    * (that IS the model — collecting it is not a driver-side data loop). */
+  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    var centroids: Seq[Seq[Double]] = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    for (_ <- 1 to iters) {
+      val means = embeddings
+        .withColumn("cluster", GraftFunctions.nearestCentroid(col("embedding"), typedlit(centroids)))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCluster.get(c) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => centroids(c) // empty cluster keeps its previous centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** IVF ANN: assign every vector to its nearest centroid (inverted
+    * lists), probe the query's `nProbe` nearest lists, rank candidates by
+    * exact cosine. Scan cost unchanged; ranking touches ~nProbe/nlist of
+    * the corpus. The complement of [[annLsh]]: IVF adapts to the data
+    * distribution (clusters), LSH is data-independent. */
+  def annIvf(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+             nlist: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist)
+    val assigned = embeddings
+      .withColumn("cluster", GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = qVec(j).toDouble - c(j); d * d }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    assigned
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_topk" -> ((s, d) => annTopK(Tables(s, d).embeddings)),
-    "s_ann_lsh"  -> ((s, d) => annLsh(Tables(s, d).embeddings)))
+    "s_ann_lsh"  -> ((s, d) => annLsh(Tables(s, d).embeddings)),
+    "s_ann_ivf"  -> ((s, d) => annIvf(Tables(s, d).embeddings)))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

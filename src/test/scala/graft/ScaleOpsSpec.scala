@@ -56,6 +56,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("date-partitioned writes prune partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables(spark, TestSpark.sf0001).events
+      .withColumn("event_date", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"event_date" === "2024-01-05")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"), scan)
+    // the layout really has ~30 date partitions, and the filtered read
+    // returns exactly the one day's events
+    assert(spark.read.parquet(dir).select("event_date").distinct().count() > 20)
+    assert(q.count() == Tables(spark, TestSpark.sf0001).events.filter(to_date($"ts") === "2024-01-05").count())
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -72,6 +72,26 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("annIvf: deterministic index, candidates ranked by exact cosine") {
+    val brute = Similarity.annTopK(embs, queryVecId = 0L, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = Similarity.annIvf(embs, queryVecId = 0L, k = 10).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(r.getAs[Int]("cluster") >= 0 && r.getAs[Int]("cluster") < 16)
+      assert(r.getAs[Double]("cos_sim") == brute(r.getAs[Long]("vec_id")))
+    }
+    // deterministic across invocations (decimal-exact means, fixed init)
+    val again = Similarity.annIvf(embs, queryVecId = 0L, k = 10).collect()
+    assert(ivf.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("ivfCentroids: k centroids of the right dimension, stable") {
+    val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+    assert(cents == Similarity.ivfCentroids(embs, k = 8, iters = 1))
+  }
+
   test("annTopK plan: broadcast join + TakeOrderedAndProject (no global sort)") {
     val plan = Similarity.annTopK(embs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
