@@ -76,7 +76,12 @@ object VehicleQueries {
   def statusCounts(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(col("current_status")).agg(count(lit(1)).as("n"))
 
-  /** queries.go:117-128 — occupancy distribution as % of fleet. */
+  /** queries.go:117-128 — occupancy distribution as % of fleet.
+    *
+    * INVARIANT: the unpartitioned window runs on the POST-AGGREGATION
+    * frame — at most one row per occupancy status (single digits) — so
+    * the single-partition exchange it implies is over a handful of rows,
+    * never the input table. Do not lift this pattern onto raw data. */
   def occupancyPct(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(col("occupancy_status")).agg(count(lit(1)).as("n"))
       .withColumn("pct", round(col("n") * lit(100.0) / sum("n").over(Window.partitionBy()), 4))
