@@ -248,9 +248,62 @@ object AnalyticsQueries {
         col("asof_click_value").as("click_value"))
   }
 
+  /** Time-RANGE window frame: per-customer 90-day trailing spend.
+    * Ordered by an integer epoch column so the frame is a deterministic
+    * µs range in both engines; money through DECIMAL as always. */
+  def movingAvg(t: Tables, days: Int = 90): DataFrame = {
+    val spanUs = days.toLong * 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_epoch_us"))
+      .rangeBetween(-spanUs, 0)
+    t.orders
+      // NTZ → timestamp is an identity under the UTC session timezone
+      .withColumn("order_epoch_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("trailing_avg"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .drop("order_epoch_us")
+  }
+
+  /** Argmax aggregate: the highest-value order per status via `max_by`
+    * with a packed deterministic ordering key (cents ⊕ orderkey). */
+  def argmaxOrder(t: Tables): DataFrame =
+    t.orders
+      .withColumn("ordkey",
+        (col("o_totalprice") * 100).cast("bigint") * lit(10000000000L) + col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("max_by(o_orderkey, ordkey)").as("top_orderkey"),
+        max(col("o_totalprice")).as("top_totalprice"),
+        count(lit(1)).as("n"))
+
+  /** ntile quartiles of customers by account balance within segment —
+    * the bucketing window family (ntile/percent_rank). */
+  def ntileCustomers(t: Tables, buckets: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(asc("c_acctbal"), asc("c_custkey"))
+    t.customer.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      ntile(buckets).over(w).as("balance_quartile"))
+  }
+
+  /** FULL OUTER join: nations having rich customers vs nations having
+    * rich suppliers — both sides partial, nulls in both directions. */
+  def fullOuter(t: Tables): DataFrame = {
+    val poorCust = t.customer.filter(col("c_acctbal") < -900)
+      .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_poor_customers"))
+    val richSupp = t.supplier.filter(col("s_acctbal") >= 8000)
+      .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_rich_suppliers"))
+    poorCust.join(richSupp, Seq("nationkey"), "full_outer")
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg"         -> ((s, d) => movingAvg(Tables(s, d))),
+    "q_argmax"             -> ((s, d) => argmaxOrder(Tables(s, d))),
+    "q_ntile"              -> ((s, d) => ntileCustomers(Tables(s, d))),
+    "q_full_outer"         -> ((s, d) => fullOuter(Tables(s, d))),
     "q1_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d))),
     "q3_shipping_priority" -> ((s, d) => shippingPriority(Tables(s, d))),
     "q5_local_supplier"    -> ((s, d) => localSupplier(Tables(s, d))),
@@ -272,6 +325,35 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(*) OVER w AS trailing_avg,
+        |  COUNT(*) OVER w AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(epoch_us(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey,
+        |    CAST(o_totalprice * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_orderkey,
+        |  MAX(o_totalprice) AS top_totalprice,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS balance_quartile
+        |FROM customer""".stripMargin,
+    "q_full_outer" ->
+      """WITH pc AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_poor_customers
+        |            FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+        |     rs AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_rich_suppliers
+        |            FROM supplier WHERE s_acctbal >= 8000 GROUP BY 1)
+        |SELECT COALESCE(pc.nationkey, rs.nationkey) AS nationkey,
+        |       n_poor_customers, n_rich_suppliers
+        |FROM pc FULL OUTER JOIN rs ON pc.nationkey = rs.nationkey""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

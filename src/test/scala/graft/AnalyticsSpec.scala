@@ -107,6 +107,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(minute($"window_start") =!= 0 || second($"window_start") =!= 0).count() == 0)
   }
 
+  test("q_moving_avg: trailing window contains the row itself and only prior 90 days") {
+    val rows = AnalyticsQueries.movingAvg(t).filter($"n_in_window" === 1).collect()
+    // a window of one row averages to exactly that row's price
+    rows.take(20).foreach { r =>
+      assert(r.getAs[Double]("trailing_avg") == r.getAs[Double]("o_totalprice"))
+    }
+    assert(AnalyticsQueries.movingAvg(t).filter($"n_in_window" < 1).count() == 0)
+  }
+
+  test("q_argmax: top order per status really has the max totalprice") {
+    val maxes = t.orders.groupBy($"o_orderstatus").agg(max($"o_totalprice").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    AnalyticsQueries.argmaxOrder(t).collect().foreach { r =>
+      assert(r.getAs[Double]("top_totalprice") == maxes(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("q_ntile: quartiles are 1..4 and sizes differ by at most one per segment") {
+    val out = AnalyticsQueries.ntileCustomers(t).collect()
+    assert(out.forall(r => (1 to 4).contains(r.getAs[Int]("balance_quartile"))))
+    out.groupBy(_.getAs[String]("c_mktsegment")).values.foreach { seg =>
+      val sizes = seg.groupBy(_.getAs[Int]("balance_quartile")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("q_full_outer: preserves unmatched keys from both sides") {
+    val out = AnalyticsQueries.fullOuter(t).collect()
+    // every row has a non-null key; at least one side may be null
+    assert(out.forall(!_.isNullAt(0)))
+  }
+
   test("q_asof_join: click is the latest at-or-before the purchase") {
     val rows = AnalyticsQueries.asofJoin(t).filter($"click_ts".isNotNull).collect()
     assert(rows.nonEmpty)
