@@ -17,11 +17,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
       graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
-      graft.ops.TextAnalysis.queries ++ graft.ops.Multimodal.queries
+      graft.ops.TextAnalysis.queries ++ graft.ops.Multimodal.queries ++
+      graft.ops.Profiler.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
       graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
-      graft.ops.TextAnalysis.oracles ++ graft.ops.Multimodal.oracles
+      graft.ops.TextAnalysis.oracles ++ graft.ops.Multimodal.oracles ++
+      graft.ops.Profiler.oracles
 }

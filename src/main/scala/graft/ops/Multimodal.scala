@@ -63,7 +63,8 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       (lit(64) + col("doc_id") % 512).cast("int").as("width"),
       (lit(64) + (col("doc_id") * 7) % 512).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("bytes")
+      // null text → empty payload, so the typed decode never sees null bytes
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("bytes")
     ).as[MediaRecord]
   }
 

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Schema-dynamic data profiling: per-column null counts, distinct
+  * counts, and min/max — the first thing a pipeline runs against an
+  * unknown 100 TB table.
+  *
+  * ONE pass over the data: all per-column aggregates go into a single
+  * `agg(...)` (one job, map-side partials), then the wide single row is
+  * unpivoted to one row per column with a `stack` projection — no
+  * per-column jobs, no collect of data rows.
+  *
+  * `exact = false` (the at-scale default) uses HyperLogLog++ distinct
+  * sketches; `exact = true` plans Expand-based exact distincts (used by
+  * the oracle-checked `q_profile` key at test scale).
+  */
+object Profiler {
+
+  def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__null_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    wide.select(col("__total").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_value, max_value)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> ((s, d) => profile(Tables(s, d).orders, exact = true)))
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
+        |SELECT 'o_orderkey' AS column_name, n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS n_null,
+        |  (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS n_distinct,
+        |  (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_value,
+        |  (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_value FROM t
+        |UNION ALL SELECT 'o_custkey', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        |  (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+        |  (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) FROM t
+        |UNION ALL SELECT 'o_orderstatus', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL),
+        |  (SELECT COUNT(DISTINCT o_orderstatus) FROM orders),
+        |  (SELECT MIN(o_orderstatus) FROM orders),
+        |  (SELECT MAX(o_orderstatus) FROM orders) FROM t
+        |UNION ALL SELECT 'o_totalprice', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL),
+        |  (SELECT COUNT(DISTINCT o_totalprice) FROM orders),
+        |  (SELECT CAST(MIN(o_totalprice) AS VARCHAR) FROM orders),
+        |  (SELECT CAST(MAX(o_totalprice) AS VARCHAR) FROM orders) FROM t
+        |UNION ALL SELECT 'o_orderdate', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL),
+        |  (SELECT COUNT(DISTINCT o_orderdate) FROM orders),
+        |  (SELECT strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders),
+        |  (SELECT strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders) FROM t
+        |UNION ALL SELECT 'o_orderpriority', n_rows,
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL),
+        |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
+        |  (SELECT MIN(o_orderpriority) FROM orders),
+        |  (SELECT MAX(o_orderpriority) FROM orders) FROM t""".stripMargin)
+}

@@ -31,6 +31,9 @@ object Temporal {
   def asof(left: DataFrame, right: DataFrame, on: String,
            leftTs: String, rightTs: String,
            rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+    val reserved = Seq("__ts", "__side", "__tie", "__payload", "__match")
+    require(!left.columns.exists(reserved.contains),
+      s"left frame must not contain the reserved columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__ts", col(leftTs))
@@ -58,6 +61,8 @@ object Temporal {
     * key). ONE shuffle on the key; both window functions reuse it. */
   def sessionize(df: DataFrame, key: String, ts: String, tieBreak: String,
                  gapMinutes: Int): DataFrame = {
+    require(!df.columns.exists(Seq("__gap_us", "__new_sess").contains),
+      "frame must not contain the reserved columns __gap_us, __new_sess")
     val w = Window.partitionBy(col(key)).orderBy(col(ts).asc, col(tieBreak).asc)
     val gapUs = lit(gapMinutes.toLong * 60L * 1000000L)
     df.withColumn("__gap_us",

@@ -56,6 +56,23 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("profiler: one pass, correct nulls/distincts, sketch within 2% of exact") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
+      .toDF("id", "s")
+    val p = graft.ops.Profiler.profile(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("s").getAs[Long]("n_null") == 1 && p("s").getAs[Long]("n_distinct") == 2)
+    assert(p("id").getAs[Long]("n_null") == 0 && p("id").getAs[Long]("n_distinct") == 4)
+    assert(p("id").getAs[Long]("n_rows") == 4)
+    // sketch mode stays close on a real table
+    val exact = graft.ops.Profiler.profile(t.lineitem, exact = true).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    graft.ops.Profiler.profile(t.lineitem, exact = false).collect().foreach { r =>
+      val e = exact(r.getString(0))
+      if (e > 100) assert(math.abs(r.getAs[Long]("n_distinct") - e).toDouble / e < 0.02)
+    }
+  }
+
   test("date-partitioned writes prune partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables(spark, TestSpark.sf0001).events
