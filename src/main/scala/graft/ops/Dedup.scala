@@ -210,6 +210,23 @@ object Dedup {
   def nearDupPairs(documents: DataFrame, tau: Double = 0.8, bands: Int = 32): DataFrame =
     jaccardOnCandidates(documents, minhashCandidates(documents, bands), tau)
 
+  /** Fuzzy (edit-distance) near-dup pairs: LSH candidates filtered by
+    * `levenshtein ≤ maxDist` on the normalized text. Two scale guards:
+    * a length-difference prefilter (|len(a)−len(b)| > maxDist can never
+    * pass) and Spark's thresholded `levenshtein(a, b, k)`, which
+    * early-exits the O(n·m) DP as soon as the distance exceeds k. Edit
+    * distance is only ever computed on candidate pairs, never all-pairs. */
+  def fuzzyPairs(documents: DataFrame, maxDist: Int = 10): DataFrame = {
+    val norm = documents.select(col("doc_id"), normText(col("text")).as("nt"))
+    minhashCandidates(documents)
+      .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a")), "doc_a")
+      .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b")), "doc_b")
+      .filter(abs(length(col("nt_a")) - length(col("nt_b"))) <= maxDist)
+      .withColumn("edit_distance", levenshtein(col("nt_a"), col("nt_b"), maxDist))
+      .filter(col("edit_distance") >= 0 && col("edit_distance") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("edit_distance"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
     * `label` — at corpus scale the bucketer would be an LSH signature,
     * see Similarity.annLsh). Cosine is the codegen'd `graft_cosine`
@@ -237,6 +254,7 @@ object Dedup {
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
     "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "d_neardup_pipeline" -> ((s, d) => nearDupPairs(Tables(s, d).documents)),
+    "d_fuzzy"            -> ((s, d) => fuzzyPairs(Tables(s, d).documents)),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */

@@ -83,6 +83,17 @@ class DedupSpec extends SparkSpec {
     assert(fromTable == inline)
   }
 
+  test("fuzzyPairs: planted near-dups found, distances within bound, no false matches") {
+    val pairs = Dedup.fuzzyPairs(docs, maxDist = 10).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Int]("edit_distance") >= 0 &&
+      r.getAs[Int]("edit_distance") <= 10))
+    // every fuzzy pair is also a high-jaccard near-dup on this corpus
+    val truth = Dedup.ngramJaccardPairs(docs, tau = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet.subsetOf(truth))
+  }
+
   test("simhash fingerprint is deterministic and order-insensitive across partitions") {
     val a = Dedup.simhashFingerprints(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val b = Dedup.simhashFingerprints(docs.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
