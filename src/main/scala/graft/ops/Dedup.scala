@@ -92,7 +92,7 @@ object Dedup {
   /** Candidate generation off a (possibly materialized) signature table. */
   def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
     val numPerms = 128
-    require(numPerms % bands == 0, "bands must divide 128")
+    require(bands > 0 && numPerms % bands == 0, "bands must be positive and divide 128")
     val r = numPerms / bands
     val bandSql =
       s"""transform(sequence(0, ${bands - 1}),
@@ -154,11 +154,15 @@ object Dedup {
     * nothing above the threshold is missed, and no all-pairs product is
     * ever formed.
     *
-    * `dfCap`: optionally drop shingles appearing in more than `dfCap`
-    * documents — the standard skew guard at corpus scale (a shingle in
-    * 10⁶ docs generates 10¹² candidate pairs that verification would
-    * reject; capping bounds per-shingle fan-out). Default off for exact
-    * semantics. */
+    * `dfCap`: optionally restrict the measure to shingles appearing in
+    * at most `dfCap` documents — the skew guard at corpus scale (a
+    * shingle in 10⁶ docs generates 10¹² pair-rows). With the cap on,
+    * BOTH the intersection and each document's set size are computed
+    * over the capped vocabulary, so the result is the exact jaccard of
+    * the sub-cap shingle sets (a well-defined measure, not a corrupted
+    * one) — still an approximation of full-vocabulary jaccard near τ;
+    * for certified-exact recall on skewed corpora use [[nearDupPairs]].
+    * Default off. */
   def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.8, dfCap: Option[Int] = None): DataFrame = {
     val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
     val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
@@ -166,7 +170,12 @@ object Dedup {
       case Some(cap) =>
         val rare = inverted0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select(col("shingle"))
-        inverted0.join(broadcast(rare), Seq("shingle"), "left_semi")
+        val filtered = inverted0.join(broadcast(rare), Seq("shingle"), "left_semi")
+        // recompute set sizes over the capped vocabulary so numerator and
+        // denominators live in the same universe
+        val cappedLens = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("capped_len"))
+        filtered.drop("len").join(cappedLens, Seq("doc_id"))
+          .select(col("doc_id"), col("capped_len").as("len"), col("shingle"))
       case None => inverted0
     }
     inverted.as("a")
@@ -215,7 +224,12 @@ object Dedup {
     * a length-difference prefilter (|len(a)−len(b)| > maxDist can never
     * pass) and Spark's thresholded `levenshtein(a, b, k)`, which
     * early-exits the O(n·m) DP as soon as the distance exceeds k. Edit
-    * distance is only ever computed on candidate pairs, never all-pairs. */
+    * distance is only ever computed on candidate pairs, never all-pairs.
+    *
+    * Scope caveat: candidates come from 3-gram shingles, so documents
+    * with fewer than 3 tokens are categorically excluded — this operator
+    * targets document-scale near-dups, not short-string matching (an
+    * exact-dedup pass catches identical short strings). */
   def fuzzyPairs(documents: DataFrame, maxDist: Int = 10): DataFrame = {
     val norm = documents.select(col("doc_id"), normText(col("text")).as("nt"))
     minhashCandidates(documents)

@@ -99,8 +99,8 @@ object Multimodal {
         |       ELSE 'video' END AS media_type,
         |  CAST(64 + doc_id % 512 AS INTEGER) AS width,
         |  CAST(64 + (doc_id * 7) % 512 AS INTEGER) AS height,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-        |  md5(text) AS content_md5,
-        |  (octet_length(encode(text)) * 31 + doc_id) % 997 AS feature
+        |  CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
+        |  md5(COALESCE(text, '')) AS content_md5,
+        |  (octet_length(encode(COALESCE(text, ''))) * 31 + doc_id) % 997 AS feature
         |FROM documents""".stripMargin)
 }

@@ -29,6 +29,8 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  factUnique: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "frames must not contain the reserved column __salt")
     val saltedFact = fact.withColumn("__salt", pmod(hash(col(factUnique)), lit(salts)))
     val saltedDim = dim.withColumn("__salt", explode(lit((0 until salts).toArray)))
     saltedFact.join(saltedDim,
@@ -45,6 +47,7 @@ object Skew {
     * partial groups before the tiny merge. */
   def saltedCount(df: DataFrame, key: String, unique: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!df.columns.contains("__salt"), "frame must not contain the reserved column __salt")
     df.withColumn("__salt", pmod(hash(col(unique)), lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
@@ -56,6 +59,8 @@ object Skew {
   def saltedSum(df: DataFrame, key: String, unique: String, valueCol: Column,
                 salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!df.columns.exists(Seq("__salt", "__v").contains),
+      "frame must not contain the reserved columns __salt, __v")
     df.withColumn("__salt", pmod(hash(col(unique)), lit(salts)))
       .withColumn("__v", valueCol)
       .groupBy(col(key), col("__salt"))

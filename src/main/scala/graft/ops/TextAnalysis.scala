@@ -55,7 +55,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        size(col("toks")).as("n_tokens"),
+        // empty text tokenizes to [""] — count only real tokens
+        size(filter(col("toks"), t => t =!= "")).as("n_tokens"),
         regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
         regexp_count(col("text"), lit("[A-Z]")).as("n_upper"),
         expr(s"size(filter(toks, t -> t IN (${inList(stopwords("en"))})))").as("n_stop"))
@@ -76,7 +77,7 @@ object TextAnalysis {
   def tokenStats(documents: DataFrame): DataFrame =
     documents
       .select(col("source"),
-        size(Dedup.tokens(col("text"))).as("ws_tokens"),
+        size(filter(Dedup.tokens(col("text")), t => t =!= "")).as("ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
       .groupBy(col("source"))
       .agg(
@@ -143,7 +144,7 @@ object TextAnalysis {
       s"""$toksCte,
          |m AS (SELECT doc_id,
          |  length(text) AS n_chars,
-         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, t -> t != '')) AS n_tokens,
          |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
          |  len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
          |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS n_stop
@@ -159,7 +160,7 @@ object TextAnalysis {
     "t_tokens" ->
       s"""$toksCte
          |SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(len(toks)) AS BIGINT) AS total_ws_tokens,
+         |  CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS total_ws_tokens,
          |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
          |    AS total_bpe_tokens,
          |  ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS DOUBLE)

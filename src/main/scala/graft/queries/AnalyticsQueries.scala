@@ -270,8 +270,11 @@ object AnalyticsQueries {
     * with a packed deterministic ordering key (cents ⊕ orderkey). */
   def argmaxOrder(t: Tables): DataFrame =
     t.orders
+      // round, don't truncate: 0.29*100 is 28.999… as a double; Spark's
+      // cast truncates while DuckDB's rounds — round() agrees with the
+      // oracle and keeps one-cent-apart prices correctly ordered
       .withColumn("ordkey",
-        (col("o_totalprice") * 100).cast("bigint") * lit(10000000000L) + col("o_orderkey"))
+        round(col("o_totalprice") * 100).cast("bigint") * lit(10000000000L) + col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("max_by(o_orderkey, ordkey)").as("top_orderkey"),

@@ -40,13 +40,8 @@ object VehicleStream {
   /** Streaming ingest: parquet file stream → µs timestamps → the same
     * deterministic vehicle derivation the batch path uses (one code
     * path, two execution modes). */
-  def ingest(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    VehicleFeed.fromEvents(raw)
-  }
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    VehicleFeed.fromEvents(eventStream(spark, dir))
 
   /** Watermarked tumbling-window counts per current_status. The 2-hour
     * watermark bounds state: windows older than max(event time) − 2h are
@@ -115,8 +110,11 @@ object VehicleStream {
       .groupByKey(_.id)
       .mapGroupsWithState[Vehicle, Vehicle](GroupStateTimeout.NoTimeout) {
         (_: String, obs: Iterator[Vehicle], state: GroupState[Vehicle]) =>
+          // getTime is millisecond-truncated; getNanos carries the full
+          // fractional second, so this matches the batch upsert's
+          // microsecond ordering exactly (same winner for sub-ms ties)
           val latest = (state.getOption.iterator ++ obs)
-            .maxBy(v => (v.updated_at.getTime, v.obs_id))
+            .maxBy(v => (v.updated_at.getTime, v.updated_at.getNanos, v.obs_id))
           state.update(latest)
           latest
       }

@@ -37,10 +37,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.filter(!$"quality_bucket".isin("high", "medium", "low")).count() == 0)
   }
 
-  test("quality: empty-ish text does not divide by zero") {
+  test("quality: empty-ish text counts zero tokens and does not divide by zero") {
     val out = TextAnalysis.quality(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")).collect()
     assert(out.length == 2)
-    out.foreach(r => assert(r.getAs[Double]("punct_ratio") == 0.0))
+    out.foreach { r =>
+      assert(r.getAs[Double]("punct_ratio") == 0.0)
+      assert(r.getAs[Int]("n_tokens") == 0)
+    }
+    val ts = TextAnalysis.tokenStats(Seq((1L, "  ", "s1")).toDF("doc_id", "text", "source")).collect()(0)
+    assert(ts.getAs[Long]("total_ws_tokens") == 0L)
   }
 
   test("tokenStats: BPE-ish segmentation counts letter runs, digits, punct") {
