@@ -108,6 +108,15 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"vec_a" >= $"vec_b").count() == 0)
   }
 
+  test("operators are partition-invariant (same results under repartition)") {
+    val shuffled = docs.repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.exactDedup(shuffled)) == rows(Dedup.exactDedup(docs)))
+    assert(rows(Dedup.ngramJaccardPairs(shuffled)) == rows(Dedup.ngramJaccardPairs(docs)))
+    assert(rows(graft.ops.TextAnalysis.tokenStats(shuffled)) ==
+      rows(graft.ops.TextAnalysis.tokenStats(docs)))
+  }
+
   test("dfCap drops ultra-frequent shingles from candidate generation") {
     val skewed = Seq(
       (1L, "common shingle here plus aaa"),
