@@ -73,6 +73,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("signature table is incremental: per-batch signatures union to the full table") {
+    // new documents only need their own signatures computed — the table
+    // grows by appending, never recomputing (per-doc, data-independent)
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    val half2 = docs.filter($"doc_id" % 2 === 1)
+    val incremental = Dedup.minhashSignatures(half1)
+      .unionByName(Dedup.minhashSignatures(half2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val full = Dedup.minhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(incremental == full)
+  }
+
   test("candidates from a materialized signature table equal the inline path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
     Dedup.minhashSignatures(docs).write.mode("overwrite").parquet(dir)
