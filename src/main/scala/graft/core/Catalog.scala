@@ -16,11 +16,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Catalog {
   private val vehiclesCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
   def vehicles(spark: SparkSession, dir: String): DataFrame =
     vehiclesCache.getOrElseUpdate(
       (spark, dir),
       graft.etl.VehicleFeed.vehiclesFromEvents(spark, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** The MinHash signature table for a dir's documents (cached, shared) —
+    * the in-session analogue of the materialized signature table every
+    * LSH-based dedup operator reads (SCALING.md: compute once, reuse). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate(
+      (spark, dir),
+      graft.ops.Dedup.minhashSignatures(Tables(spark, dir).documents)
         .persist(StorageLevel.MEMORY_AND_DISK))
 }

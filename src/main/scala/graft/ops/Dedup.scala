@@ -230,9 +230,15 @@ object Dedup {
     * with fewer than 3 tokens are categorically excluded — this operator
     * targets document-scale near-dups, not short-string matching (an
     * exact-dedup pass catches identical short strings). */
-  def fuzzyPairs(documents: DataFrame, maxDist: Int = 10): DataFrame = {
+  def fuzzyPairs(documents: DataFrame, maxDist: Int = 10): DataFrame =
+    fuzzyPairsFromCandidates(documents, minhashCandidates(documents), maxDist)
+
+  /** Fuzzy verification over a precomputed candidate set (e.g. from a
+    * materialized signature table). */
+  def fuzzyPairsFromCandidates(documents: DataFrame, candidates: DataFrame,
+                               maxDist: Int = 10): DataFrame = {
     val norm = documents.select(col("doc_id"), normText(col("text")).as("nt"))
-    minhashCandidates(documents)
+    candidates
       .join(norm.select(col("doc_id").as("doc_a"), col("nt").as("nt_a")), "doc_a")
       .join(norm.select(col("doc_id").as("doc_b"), col("nt").as("nt_b")), "doc_b")
       .filter(abs(length(col("nt_a")) - length(col("nt_b"))) <= maxDist)
@@ -261,14 +267,20 @@ object Dedup {
   import org.apache.spark.sql.SparkSession
   import graft.core.Tables
 
+  /** The three LSH-based keys share one cached signature table
+    * (graft.core.Catalog) — the in-session form of the materialized
+    * signature table documented in SCALING.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup"      -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "d_exact_keep"       -> ((s, d) => dedupDocuments(Tables(s, d).documents)),
-    "d_minhash_lsh"      -> ((s, d) => minhashCandidates(Tables(s, d).documents)),
+    "d_minhash_lsh"      -> ((s, d) =>
+      minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d))),
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
     "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
-    "d_neardup_pipeline" -> ((s, d) => nearDupPairs(Tables(s, d).documents)),
-    "d_fuzzy"            -> ((s, d) => fuzzyPairs(Tables(s, d).documents)),
+    "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidates(Tables(s, d).documents,
+      minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
+    "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
+      minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */
