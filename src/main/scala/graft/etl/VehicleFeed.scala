@@ -60,6 +60,18 @@ object VehicleFeed {
       .select($"v.id".as("id"), $"v.attributes.*")
   }
 
+  /** The payloads [[extract]] dropped: raw strings that failed to parse
+    * as the expected page schema. At scale this feeds a dead-letter sink
+    * and an alerting count — the distributed replacement for the
+    * reference's fail-the-whole-batch behavior (extract.go:29-33). */
+  def corruptPayloads(raw: Dataset[String]): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    raw.select($"value", from_json($"value", payloadSchema).as("p"))
+      .filter($"p".isNull || $"p.data".isNull)
+      .select($"value".as("raw_payload"))
+  }
+
   /** Extract from files of raw JSON payloads (one API page per line) —
     * the batch-file equivalent of the reference's HTTP fetch: at scale,
     * pages land in object storage and this is a distributed text scan →

@@ -78,6 +78,16 @@ class EtlSpec extends SparkSpec {
     assert(VehicleFeed.latest(obs).select("speed").collect()(0).getDouble(0) == 2.0)
   }
 
+  test("corruptPayloads: exactly the non-parsing payloads, extract+corrupt covers input") {
+    val input = Seq(payload, "not json at all", """{"other":"shape"}""", payload).toDS()
+    val good = VehicleFeed.extract(input).count()
+    val bad = VehicleFeed.corruptPayloads(input)
+    assert(bad.count() == 2)
+    assert(good == 2)
+    assert(bad.collect().map(_.getString(0)).toSet ==
+      Set("not json at all", """{"other":"shape"}"""))
+  }
+
   test("extractFromJsonFiles: distributed text scan parses page files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json")
     java.nio.file.Files.writeString(dir.resolve("page0.json"), payload + "\n" + payload)
