@@ -165,6 +165,16 @@ object AnalyticsQueries {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total_price"))
 
+  /** CUBE grouping sets — all four (status, priority) combinations in
+    * one Expand-based aggregate pass (complements ROLLUP's hierarchy). */
+  def cubeOrders(t: Tables): DataFrame =
+    t.orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+
   /** Pivot with an explicit value list (no collect-distinct pre-pass —
     * at 100 TB an implicit pivot would scan once just to enumerate). */
   def pivotStatus(t: Tables): DataFrame =
@@ -317,6 +327,7 @@ object AnalyticsQueries {
     "q_argmax"             -> ((s, d) => argmaxOrder(Tables(s, d))),
     "q_ntile"              -> ((s, d) => ntileCustomers(Tables(s, d))),
     "q_full_outer"         -> ((s, d) => fullOuter(Tables(s, d))),
+    "q_cube"               -> ((s, d) => cubeOrders(Tables(s, d))),
     "q1_pricing_summary"   -> ((s, d) => pricingSummary(Tables(s, d))),
     "q3_shipping_priority" -> ((s, d) => shippingPriority(Tables(s, d))),
     "q5_local_supplier"    -> ((s, d) => localSupplier(Tables(s, d))),
@@ -367,6 +378,13 @@ object AnalyticsQueries {
         |SELECT COALESCE(pc.nationkey, rs.nationkey) AS nationkey,
         |       n_poor_customers, n_rich_suppliers
         |FROM pc FULL OUTER JOIN rs ON pc.nationkey = rs.nationkey""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
