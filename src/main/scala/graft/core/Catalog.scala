@@ -13,24 +13,77 @@ import org.apache.spark.storage.StorageLevel
   * Verify/Bench run would re-derive and re-shuffle the full upsert
   * (13 scans + 13 shuffles, as flagged in round 1's VERDICT). `persist`
   * is lazy — a single query still pays exactly one derive+upsert.
+  *
+  * Lifecycle: entries are keyed by (session, dir) and evicted lazily —
+  * every lookup first drops entries whose session has been stopped, so
+  * frames bound to dead sessions don't accumulate for the JVM lifetime
+  * (a stopped session's cached blocks are already gone with its
+  * BlockManager; this just drops the references). [[clear]] is the
+  * explicit hook for tests / long-lived processes.
   */
 object Catalog {
   private val vehiclesCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val sigCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ivfCache = TrieMap.empty[(SparkSession, String, Int), (Seq[Seq[Double]], DataFrame)]
+
+  private def evictStopped(): Unit = {
+    vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    ivfCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+  }
+
+  /** Unpersist and drop every cached frame for `spark` (all dirs). */
+  def clear(spark: SparkSession): Unit = {
+    def drop[K](cache: TrieMap[K, DataFrame], of: K => SparkSession): Unit =
+      cache.keys.filter(k => of(k) eq spark).foreach { k =>
+        cache.remove(k).foreach(df => if (!spark.sparkContext.isStopped) df.unpersist())
+      }
+    drop(vehiclesCache, (k: (SparkSession, String)) => k._1)
+    drop(sigCache, (k: (SparkSession, String)) => k._1)
+    ivfCache.keys.filter(_._1 eq spark).foreach { k =>
+      ivfCache.remove(k).foreach { case (_, df) =>
+        if (!spark.sparkContext.isStopped) df.unpersist()
+      }
+    }
+  }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
-  def vehicles(spark: SparkSession, dir: String): DataFrame =
+  def vehicles(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     vehiclesCache.getOrElseUpdate(
       (spark, dir),
       graft.etl.VehicleFeed.vehiclesFromEvents(spark, dir)
         .persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** The MinHash signature table for a dir's documents (cached, shared) —
     * the in-session analogue of the materialized signature table every
     * LSH-based dedup operator reads (SCALING.md: compute once, reuse). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
     sigCache.getOrElseUpdate(
       (spark, dir),
       graft.ops.Dedup.minhashSignatures(Tables(spark, dir).documents)
         .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The fitted IVF index for a dir's embeddings (cached, shared):
+    * deterministic k-means centroids + the cluster-assigned corpus,
+    * persisted. Fitting inside every query invocation was round 2's
+    * slowest similarity path (two blocking Lloyd jobs per call); a fitted
+    * index is a MODEL — built once per (session, dir, nlist), served
+    * many times, exactly like [[minhashSignatures]]. */
+  def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 16): (Seq[Seq[Double]], DataFrame) = {
+    evictStopped()
+    ivfCache.getOrElseUpdate((spark, dir, nlist), {
+      import org.apache.spark.sql.functions.{col, typedlit}
+      val emb = Tables(spark, dir).embeddings
+      val cents = graft.ops.Similarity.ivfCentroids(emb, nlist)
+      val assigned = emb
+        .withColumn("cluster",
+          graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (cents, assigned)
+    })
+  }
 }

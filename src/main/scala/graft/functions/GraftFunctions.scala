@@ -2,9 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
@@ -219,6 +222,88 @@ object TextKernels {
     best
   }
 
+  /** Per-literal compiled stopword sets, keyed by the literal's ArrayData
+    * identity: a foldable list literal is materialized once per task, so
+    * compiling its HashSets once per (task, literal) amortizes to nothing,
+    * while membership checks become O(1) per token. Bounded: cleared if it
+    * ever exceeds 64 distinct literals (it holds a handful in practice). */
+  private val stopwordCache = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[ArrayData, Array[java.util.HashSet[String]]]())
+
+  /** One-pass token profile against N literal word lists: returns
+    * `[nTokens, hits(list 0), …, hits(list N-1)]` where nTokens counts
+    * the (non-empty) normalized word tokens and hits(l) counts tokens
+    * that appear in list l (with multiplicity) — exactly
+    * `size(filter(toks, t -> t IN (list)))` for each list, but in ONE
+    * tokenization pass per row instead of one interpreted HOF per list. */
+  def stopwordProfile(text: UTF8String, lists: ArrayData): ArrayData = {
+    var compiled = stopwordCache.get(lists)
+    if (compiled == null) {
+      compiled = Array.tabulate(lists.numElements()) { l =>
+        val list = lists.getArray(l)
+        val s = new java.util.HashSet[String](list.numElements() * 2)
+        var j = 0
+        while (j < list.numElements()) { s.add(list.getUTF8String(j).toString); j += 1 }
+        s
+      }
+      if (stopwordCache.size() > 64) stopwordCache.clear()
+      stopwordCache.put(lists, compiled)
+    }
+    val toks = tokenize(text)
+    val counts = new Array[Int](compiled.length)
+    var i = 0
+    while (i < toks.length) {
+      var l = 0
+      while (l < compiled.length) {
+        if (compiled(l).contains(toks(i))) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](compiled.length + 1)
+    out(0) = toks.length
+    var l = 0
+    while (l < counts.length) { out(l + 1) = counts(l); l += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Indices of the `m` nearest centroids (squared L2), nearest first —
+    * the multi-assignment (canopy) variant of [[nearestCentroid]] used
+    * for similarity blocking. `m` is small (2–4); selection is an
+    * insertion pass per centroid. */
+  def nearestCentroids(embedding: ArrayData, centroids: ArrayData, m: Int): ArrayData = {
+    val k = centroids.numElements()
+    val take = math.min(m, k)
+    val bestIdx = new Array[Int](take)
+    val bestDist = Array.fill(take)(Double.MaxValue)
+    var c = 0
+    while (c < k) {
+      val cent = centroids.getArray(c)
+      val dim = math.min(cent.numElements(), embedding.numElements())
+      var d2 = 0.0
+      var j = 0
+      while (j < dim) {
+        val diff = embedding.getFloat(j).toDouble - cent.getDouble(j)
+        d2 += diff * diff
+        j += 1
+      }
+      // insert (c, d2) into the sorted top-m (ties keep the lower index)
+      var pos = take
+      while (pos > 0 && bestDist(pos - 1) > d2) pos -= 1
+      if (pos < take) {
+        var q = take - 1
+        while (q > pos) { bestIdx(q) = bestIdx(q - 1); bestDist(q) = bestDist(q - 1); q -= 1 }
+        bestIdx(pos) = c
+        bestDist(pos) = d2
+      }
+      c += 1
+    }
+    val out = new Array[Any](take)
+    var i = 0
+    while (i < take) { out(i) = bestIdx(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
     * on every bit; the fingerprint takes the sign of each tally. */
   def simhash64(tokens: ArrayData): Long = {
@@ -351,11 +436,144 @@ case class NearestCentroid(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.nearestCentroid($a, $b)")
 }
 
+/** Indices of the m nearest centroids (squared L2) of an embedding vs a
+  * literal centroid matrix (scan-side, codegen) — the multi-assignment
+  * step of canopy blocking (see Dedup.embedNearDupClusters). */
+case class NearestCentroids(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroids expects (array<float>, array<array<double>>, int), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): NearestCentroids =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(emb: Any, cents: Any, m: Any): Any =
+    TextKernels.nearestCentroids(emb.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], m.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.TextKernels.nearestCentroids($a, $b, $c)")
+}
+
+/** One-pass stopword/token profile of a text column against a literal
+  * array of word lists (scan-side, codegen): `[n_tokens, hits_0, …]`.
+  * Replaces one interpreted `filter` HOF per language (CodegenFallback,
+  * per-element closure dispatch) with a single tokenize + hash-set pass. */
+case class StopwordProfile(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_stopword_profile"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(ArrayType(StringType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_stopword_profile expects (string, array<array<string>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): StopwordProfile =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(text: Any, lists: Any): Any =
+    TextKernels.stopwordProfile(text.asInstanceOf[UTF8String], lists.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) => s"graft.functions.TextKernels.stopwordProfile($t, $l)")
+}
+
+/** Element-wise fixed-point sum of an `array<float>` column — the
+  * one-pass vector aggregate behind the IVF k-means fit (each Lloyd
+  * iteration aggregates per-cluster vector sums in a single map-side-
+  * combined pass, instead of `posexplode`-ing every vector into dim rows).
+  *
+  * Accumulates `round(v * 1e9)` in longs, so the sum is EXACT and
+  * order-independent (long addition commutes) — the fitted centroids are
+  * bit-identical across partitionings and runs, which the repo's
+  * determinism policy requires of every model fit. Output is the scaled
+  * sum vector `array<bigint>`; divide by `VectorSumFixed.Scale * n` for
+  * the mean. Long range: 9.2e18 / 1e9 leaves ~9e9 of summed magnitude
+  * per dimension before overflow — far beyond any per-cluster fit batch
+  * (fit on a bounded sample at corpus scale). */
+case class VectorSumFixed(child: Expression,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vecsum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_vecsum expects array<float>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buffer.length < n) java.util.Arrays.copyOf(buffer, n) else buffer
+    var i = 0
+    while (i < n) {
+      b(i) += math.round(arr.getFloat(i).toDouble * VectorSumFixed.Scale)
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumFixed =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumFixed =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumFixed =
+    copy(child = newChild)
+}
+
+object VectorSumFixed {
+  /** Fixed-point scale: 1e-9 resolution per element. */
+  val Scale: Long = 1000000000L
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
-  * `GraftSession.builder` has `graft_cosine` / `graft_hamming64` /
-  * `graft_shingles` / `graft_minhash` / `graft_simhash` available both
-  * in SQL and through these wrappers. */
+  * `GraftSession.builder` has every `graft_*` function registered here
+  * (see [[GraftFunctions.register]] for the authoritative list) available
+  * both in SQL and through these wrappers. */
 object GraftFunctions {
 
   def register(ext: SparkSessionExtensions): Unit = {
@@ -387,6 +605,18 @@ object GraftFunctions {
       new FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (children: Seq[Expression]) => NearestCentroid(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
+      (children: Seq[Expression]) => NearestCentroids(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_stopword_profile"),
+      new ExpressionInfo(classOf[StopwordProfile].getName, "graft_stopword_profile"),
+      (children: Seq[Expression]) => StopwordProfile(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSumFixed].getName, "graft_vecsum"),
+      (children: Seq[Expression]) => VectorSumFixed(children.head)))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -411,4 +641,18 @@ object GraftFunctions {
   /** Nearest-centroid index of an embedding vs a literal centroid matrix → int. */
   def nearestCentroid(embedding: Column, centroids: Column): Column =
     call_function("graft_nearest_centroid", embedding, centroids)
+
+  /** Indices of the m nearest centroids of an embedding vs a literal
+    * centroid matrix → array<int>, nearest first. */
+  def nearestCentroids(embedding: Column, centroids: Column, m: Column): Column =
+    call_function("graft_nearest_centroids", embedding, centroids, m)
+
+  /** One-pass token/stopword profile of a text column vs a literal list of
+    * word lists → array<int> `[n_tokens, hits_0, …]`. */
+  def stopwordProfile(text: Column, lists: Column): Column =
+    call_function("graft_stopword_profile", text, lists)
+
+  /** Fixed-point element-wise sum aggregate of an array<float> column →
+    * array<bigint> (scaled by [[VectorSumFixed.Scale]]). */
+  def vecSum(embedding: Column): Column = call_function("graft_vecsum", embedding)
 }

@@ -168,9 +168,15 @@ object Dedup {
     val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
     val inverted = dfCap match {
       case Some(cap) =>
-        val rare = inverted0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("shingle"))
-        val filtered = inverted0.join(broadcast(rare), Seq("shingle"), "left_semi")
+        // Broadcast the OVER-cap (frequent) shingles and remove them with
+        // an anti-join: the frequent set is small by construction (few
+        // shingles can exceed a df cap — at most Σdf/cap of them), so the
+        // broadcast stays bounded no matter how large the corpus
+        // vocabulary grows. Broadcasting the rare set would be the whole
+        // vocabulary at corpus scale.
+        val frequent = inverted0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("shingle"))
+        val filtered = inverted0.join(broadcast(frequent), Seq("shingle"), "left_anti")
         // recompute set sizes over the capped vocabulary so numerator and
         // denominators live in the same universe
         val cappedLens = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("capped_len"))
@@ -248,9 +254,12 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
-    * `label` — at corpus scale the bucketer would be an LSH signature,
-    * see Similarity.annLsh). Cosine is the codegen'd `graft_cosine`
-    * Catalyst expression — no UDF, stays inside WholeStageCodegen. */
+    * `label`). This is the ORACLE form — a semantic blocking key makes
+    * the pair set SQL-expressible, but it is O(bucket²): with few labels
+    * at corpus scale it degenerates toward all-pairs. The scale path is
+    * [[embedNearDupLsh]], which blocks on hyperplane signatures instead.
+    * Cosine is the codegen'd `graft_cosine` Catalyst expression — no
+    * UDF, stays inside WholeStageCodegen. */
   def embedNearDup(embeddings: DataFrame, tau: Double = 0.3): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
     e.as("a")
@@ -260,6 +269,82 @@ object Dedup {
       .filter(round(col("cos"), 4) >= tau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Embedding near-dup pairs at scale: block on random-hyperplane LSH
+    * signatures (codegen `graft_hyperplane_sig`, scan-side) with
+    * multi-probe, then verify every candidate with exact cosine ≥ τ.
+    *
+    * Candidate generation is an equi-join of each vector's probe set
+    * (its own `nPlanes`-bit signature plus every 1-bit flip) against raw
+    * signatures — two vectors collide iff their signatures differ by ≤ 1
+    * bit, so pair work is O(bucket collisions), never O(n²), and bucket
+    * population is data-independent (~n/2^nPlanes expected). Precision
+    * is exact (cosine verify).
+    *
+    * Recall regime — measured, not assumed: hyperplane collision
+    * probability is (1 − θ/π) per bit, so recall ≈ 1 for genuine
+    * near-dups (cos ≥ 0.9 ⇒ θ ≤ 26°; spec-proven ⊇ the label-bucketed
+    * truth on a planted-replica corpus) but collapses toward the noise
+    * floor: on the driver's test embeddings, whose τ=0.3 pairs sit at
+    * cos 0.30–0.47 (≈ the 2.4σ tail of RANDOM 64-dim cosines), sig
+    * blocking recalls < 50% — as does any sub-quadratic blocker
+    * (measured: canopy nAssign=3 misses 23%). Finding "all pairs above
+    * the random-similarity tail" is intrinsically an all-pairs problem;
+    * use [[embedNearDup]]'s exact bucketed path for that regime, this or
+    * [[embedNearDupClusters]] for actual near-duplicate mining at scale.
+    * Signatures are engine-side hashes, so this key is rows-checked; its
+    * semantics are spec-verified against exact truths (DedupSpec). */
+  /** Embedding near-dup pairs via canopy blocking on the k-means coarse
+    * quantizer (McCallum/Nigam/Ungar-style canopies): every vector is
+    * assigned to its `nAssign` nearest centroids (codegen
+    * `graft_nearest_centroids`, scan-side); candidate pairs share ≥ 1
+    * assigned cluster; every candidate is verified with exact cosine ≥ τ.
+    * Data-dependent blocking — buckets follow the corpus's own cluster
+    * structure, so it recalls moderately-similar neighbors that
+    * data-independent hyperplane buckets split. Pair work is
+    * O(Σ bucket²) with bucket ≈ n·nAssign/nlist — bounded by sizing
+    * nlist ∝ corpus/target-bucket; never O(n²). The fitted centroids
+    * come from the Catalog-cached IVF index (one fit per (session, dir),
+    * shared with `s_ann_ivf`). */
+  def embedNearDupClusters(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                           tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("canopy"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.canopy") === col("b.canopy") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("b.label").as("label"), col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .withColumn("cos", GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(round(col("cos"), 4) >= tau)
+      .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_sim"))
+      .distinct() // a pair can share up to nAssign canopies
+  }
+
+  def embedNearDupLsh(embeddings: DataFrame, tau: Double = 0.3,
+                      nPlanes: Int = 6, dim: Int = 64): DataFrame = {
+    val planesCol = typedlit(Similarity.hyperplanes(nPlanes, dim))
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("sig", GraftFunctions.hyperplaneSig(col("embedding"), planesCol))
+    // probe set: own signature + every 1-bit flip. A pair (a, b) with
+    // hamming(sig_a, sig_b) <= 1 matches on EXACTLY one probe bucket
+    // (probe 0 iff equal, one flip iff distance 1), so no distinct pass
+    // is needed to dedupe candidates.
+    val probed = e.select(col("vec_id"), col("embedding"),
+      explode(concat(array(col("sig")),
+        expr(s"transform(sequence(0, ${nPlanes - 1}), p -> sig ^ shiftleft(1L, p))")))
+        .as("probe"))
+    probed.as("a")
+      .join(e.as("b"),
+        col("a.probe") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(round(col("cos"), 4) >= tau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("b.label").as("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
   // ---- driver wiring ----
@@ -281,7 +366,8 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
-    "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)))
+    "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
+    "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */
   private[ops] val shingleCte =

@@ -23,8 +23,9 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   /** Deterministic hyperplanes: fixed-seed Gaussian components, shipped
-    * as a literal (broadcast with the plan, never shuffled). */
-  private def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    * as a literal (broadcast with the plan, never shuffled). Shared with
+    * `Dedup.embedNearDupLsh` (same family of data-independent bucketers). */
+  private[ops] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -70,27 +71,40 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: k-means with deterministic init (embeddings
-    * of the k smallest vec_ids) and decimal-exact centroid means, so the
-    * index is identical across runs. Each Lloyd iteration is one
-    * distributed assign (codegen `graft_nearest_centroid`) + one
-    * aggregation; only the k×dim centroid matrix ever reaches the driver
-    * (that IS the model — collecting it is not a driver-side data loop). */
-  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    var centroids: Seq[Seq[Double]] = embeddings.orderBy(col("vec_id")).limit(k)
+    * of the k smallest vec_ids) and fixed-point-exact centroid means, so
+    * the index is identical across runs AND partitionings. Each Lloyd
+    * iteration is ONE distributed job: assign (codegen
+    * `graft_nearest_centroid`) + a map-side-combined `graft_vecsum`
+    * aggregate that sums whole vectors per cluster — the shuffle carries
+    * k rows of (cluster, sum-vector, count), never the corpus and never
+    * a per-dimension explode. Only the k×dim centroid matrix reaches the
+    * driver (that IS the model — collecting it is not a data loop).
+    *
+    * `sampleDenom`: fit on the deterministic 1/sampleDenom hash-sample of
+    * vec_ids (`xxhash64(vec_id) % denom = 0`) — at corpus scale the
+    * quantizer only needs a representative sample, so the fit cost is
+    * decoupled from corpus size; assignment still covers every row. */
+  def ivfCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                   sampleDenom: Int = 1): Seq[Seq[Double]] = {
+    val fitSet =
+      if (sampleDenom <= 1) embeddings
+      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleDenom)) === 0)
+    var centroids: Seq[Seq[Double]] = fitSet.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val scale = graft.functions.VectorSumFixed.Scale.toDouble
     for (_ <- 1 to iters) {
-      val means = embeddings
+      val sums = fitSet
         .withColumn("cluster", GraftFunctions.nearestCentroid(col("embedding"), typedlit(centroids)))
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("cluster"), col("dim"))
-        .agg((sum(col("v").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(GraftFunctions.vecSum(col("embedding")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val byCluster = sums.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { c =>
         byCluster.get(c) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case Some(row) =>
+            val n = row.getLong(2).toDouble
+            row.getSeq[Long](1).map(s => s.toDouble / scale / n).toSeq
           case None => centroids(c) // empty cluster keeps its previous centroid
         }
       }
@@ -98,22 +112,19 @@ object Similarity {
     centroids
   }
 
-  /** IVF ANN: assign every vector to its nearest centroid (inverted
-    * lists), probe the query's `nProbe` nearest lists, rank candidates by
-    * exact cosine. Scan cost unchanged; ranking touches ~nProbe/nlist of
-    * the corpus. The complement of [[annLsh]]: IVF adapts to the data
-    * distribution (clusters), LSH is data-independent. */
-  def annIvf(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
-             nlist: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = ivfCentroids(embeddings, nlist)
-    val assigned = embeddings
-      .withColumn("cluster", GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
-    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+  /** IVF ANN over a PRE-FITTED index (centroids + cluster-assigned
+    * corpus): probe the query's `nProbe` nearest lists, rank candidates
+    * by exact cosine. This is the serving path — the fit happens once
+    * (see `Catalog.ivfIndex`), exactly as a materialized signature table
+    * amortizes LSH; ranking touches ~nProbe/nlist of the corpus. */
+  def annIvfFromIndex(centroids: Seq[Seq[Double]], assigned: DataFrame,
+                      queryVecId: Long = 0L, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val qVec = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).collect()(0).getSeq[Float](0)
-    val probes = cents.zipWithIndex.map { case (c, i) =>
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
       (i, c.indices.map { j => val d = qVec(j).toDouble - c(j); d * d }.sum)
     }.sortBy(_._2).take(nProbe).map(_._1)
-    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+    val q = broadcast(assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding")))
     assigned
       .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryVecId)
@@ -124,12 +135,30 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cluster"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** IVF ANN, self-contained (fits, assigns, then serves): the
+    * convenience form for one-off use. The complement of [[annLsh]]: IVF
+    * adapts to the data distribution (clusters), LSH is data-independent.
+    * Repeated queries should go through `Catalog.ivfIndex` +
+    * [[annIvfFromIndex]] so the fit is paid once per corpus. */
+  def annIvf(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+             nlist: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist)
+    val assigned = embeddings
+      .withColumn("cluster", GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+    annIvfFromIndex(cents, assigned, queryVecId, k, nProbe)
+  }
+
   // ---- driver wiring ----
 
+  /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
+    * (session, dir), like the shared MinHash signature table). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_topk" -> ((s, d) => annTopK(Tables(s, d).embeddings)),
     "s_ann_lsh"  -> ((s, d) => annLsh(Tables(s, d).embeddings)),
-    "s_ann_ivf"  -> ((s, d) => annIvf(Tables(s, d).embeddings)))
+    "s_ann_ivf"  -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      annIvfFromIndex(cents, assigned)
+    }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

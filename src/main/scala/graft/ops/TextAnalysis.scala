@@ -4,13 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.GraftFunctions
 
 /** Text-analysis operators for a training-data pipeline (SURVEY.md §2.3):
   * language ID, quality scoring, token counting, fingerprinting.
   *
-  * Everything here is a pure Column / higher-order-function pipeline —
-  * one projection per document, no UDFs, no shuffle except the final
-  * aggregate where one exists. At 100 TB these run at scan speed.
+  * Everything here is one projection per document — no UDFs, no shuffle
+  * except the final aggregate where one exists. Token/stopword counting
+  * goes through the codegen `graft_stopword_profile` kernel (ONE
+  * tokenization + hash-set pass per row); the equivalent per-language
+  * `filter` higher-order functions are CodegenFallback and pay an
+  * interpreted closure per token per language — the same ~100× class of
+  * overhead the dedup kernels eliminated (SCALING.md). At 100 TB these
+  * run at scan speed.
   */
 object TextAnalysis {
 
@@ -23,20 +29,23 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que"),
     "es" -> Seq("el", "los", "las", "y", "es", "por", "una", "que"))
 
+  /** Fixed language order: profile index i+1 = hits for langOrder(i). */
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es")
+
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
-  /** Occurrence count of language stopwords in a `toks` array column. */
-  private def hits(lang: String): Column =
-    expr(s"size(filter(toks, t -> t IN (${inList(stopwords(lang))})))")
+  /** `[n_tokens, en_hits, de_hits, fr_hits, es_hits]` in one codegen pass. */
+  private def profile: Column =
+    GraftFunctions.stopwordProfile(col("text"), typedlit(langOrder.map(stopwords)))
 
   /** Stopword-heuristic language ID per document. Deterministic argmax
     * with tie order en > de > fr > es; all-zero → 'unknown'. */
   def langId(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), profile.as("p"))
       .select(col("doc_id"),
-        hits("en").as("en_hits"), hits("de").as("de_hits"),
-        hits("fr").as("fr_hits"), hits("es").as("es_hits"))
+        col("p").getItem(1).as("en_hits"), col("p").getItem(2).as("de_hits"),
+        col("p").getItem(3).as("fr_hits"), col("p").getItem(4).as("es_hits"))
       .withColumn("lang_pred",
         when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
              col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
@@ -51,15 +60,15 @@ object TextAnalysis {
     * divisions (deterministic across engines), rounded to 4. */
   def quality(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), profile.as("p"))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        // empty text tokenizes to [""] — count only real tokens
-        size(filter(col("toks"), t => t =!= "")).as("n_tokens"),
+        // profile(0) counts only real (non-empty) tokens
+        col("p").getItem(0).as("n_tokens"),
         regexp_count(col("text"), lit("[.,;:!?]")).as("n_punct"),
         regexp_count(col("text"), lit("[A-Z]")).as("n_upper"),
-        expr(s"size(filter(toks, t -> t IN (${inList(stopwords("en"))})))").as("n_stop"))
+        col("p").getItem(1).as("n_stop"))
       .withColumn("punct_ratio",
         round(col("n_punct") / greatest(col("n_chars"), lit(1)), 4))
       .withColumn("upper_ratio",
@@ -77,7 +86,9 @@ object TextAnalysis {
   def tokenStats(documents: DataFrame): DataFrame =
     documents
       .select(col("source"),
-        size(filter(Dedup.tokens(col("text")), t => t =!= "")).as("ws_tokens"),
+        // profile with no word lists = just the normalized token count
+        GraftFunctions.stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]]))
+          .getItem(0).as("ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
       .groupBy(col("source"))
       .agg(

@@ -140,5 +140,50 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(skewed, tau = 0.1, dfCap = None).count()
     val capped = Dedup.ngramJaccardPairs(skewed, tau = 0.1, dfCap = Some(2)).count()
     assert(capped <= uncapped)
+    // the anti-join keeps sub-cap overlap: docs 1-3 still share "here plus"
+    // ... only through sub-cap shingles, so capped jaccard is well-defined
+    val cappedPairs = Dedup.ngramJaccardPairs(skewed, tau = 0.0001, dfCap = Some(2)).collect()
+    assert(cappedPairs.forall(r => r.getAs[Double]("jaccard") <= 1.0))
+  }
+
+  /** Planted replica corpus: `groups` near-identical replica groups
+    * (cos ≈ 0.9998 within a group) — the regime blocking-based embedding
+    * dedup exists for. label = group id, so embedNearDup's label buckets
+    * are the exact truth. */
+  private lazy val replicaEmbs = {
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = for {
+      g <- 0 until 40
+      base = Array.fill(dim)(rnd.nextGaussian())
+      r <- 0 until 3
+    } yield {
+      val noise = Array.fill(dim)(rnd.nextGaussian() * 0.01)
+      val v = base.indices.map(i => (base(i) + noise(i)).toFloat)
+      ((g * 3 + r).toLong, g.toString, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("embedNearDupLsh ⊇ label-bucketed truth on a planted replica corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelTruth = pairs(Dedup.embedNearDup(replicaEmbs, tau = 0.8))
+    assert(labelTruth.size == 40 * 3, "every within-group pair is a near-dup")
+    val lsh = Dedup.embedNearDupLsh(replicaEmbs, tau = 0.8, nPlanes = 4, dim = 32)
+    assert(labelTruth.subsetOf(pairs(lsh)),
+      s"LSH blocking missed ${(labelTruth -- pairs(lsh)).size} true replica pairs")
+    // precision is exact by construction: every emitted pair re-verified
+    assert(lsh.filter($"cos_sim" < 0.8).count() == 0)
+  }
+
+  test("embedNearDupClusters ⊇ label-bucketed truth on the replica corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelTruth = pairs(Dedup.embedNearDup(replicaEmbs, tau = 0.8))
+    val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
+    val canopy = Dedup.embedNearDupClusters(replicaEmbs, cents, tau = 0.8, nAssign = 2)
+    assert(labelTruth.subsetOf(pairs(canopy)),
+      s"canopy blocking missed ${(labelTruth -- pairs(canopy)).size} true replica pairs")
   }
 }

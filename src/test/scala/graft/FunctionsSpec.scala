@@ -60,6 +60,52 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("graft_stopword_profile equals the per-list filter-HOF definition") {
+    val lists = Seq(Seq("the", "a", "and"), Seq("der", "die"))
+    val df = Seq(
+      "the quick brown fox and the lazy dog",
+      "der hund und die katze",
+      "a a the the the",
+      "",
+      "   ",
+      "no stop words whatsoever").toDF("text")
+    val declarative = df.select(
+      split(lower(trim(regexp_replace($"text", "\\s+", " "))), " ").as("toks"))
+      .select(
+        size(filter($"toks", t => t =!= "")).as("n"),
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'and')))").as("h0"),
+        expr("size(filter(toks, t -> t IN ('der', 'die')))").as("h1"))
+      .collect().map(r => Seq(r.getInt(0), r.getInt(1), r.getInt(2)))
+    val native = df.select(
+      GraftFunctions.stopwordProfile($"text", typedlit(lists)).as("p"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(native.sameElements(declarative))
+  }
+
+  test("graft_vecsum: exact fixed-point sums, partition-order invariant") {
+    val scale = graft.functions.VectorSumFixed.Scale
+    val vecs = (0 until 100).map(i => Seq(i * 0.001f, -i * 0.5f, 3.25f))
+    val expected = (0 until 3).map(d =>
+      vecs.map(v => math.round(v(d).toDouble * scale)).sum)
+    def sums(parts: Int) = vecs.toDF("v").repartition(parts)
+      .agg(GraftFunctions.vecSum($"v")).collect()(0).getSeq[Long](0).toSeq
+    assert(sums(1) == expected)
+    assert(sums(7) == expected) // long adds commute: identical under any partitioning
+  }
+
+  test("graft_nearest_centroids: top-m prefix agrees with graft_nearest_centroid") {
+    val cents = Seq(Seq(0.0, 0.0), Seq(1.0, 1.0), Seq(-1.0, 2.0), Seq(5.0, 5.0))
+    val df = Seq(Seq(0.1f, 0.2f), Seq(0.9f, 1.2f), Seq(4.0f, 4.0f)).toDF("v")
+    val out = df.select(
+      GraftFunctions.nearestCentroid($"v", typedlit(cents)).as("one"),
+      GraftFunctions.nearestCentroids($"v", typedlit(cents), lit(2)).as("two"))
+      .collect()
+    out.foreach { r =>
+      val top = r.getSeq[Int](1)
+      assert(top.length == 2 && top.head == r.getInt(0) && top(0) != top(1))
+    }
+  }
+
   test("shingle/minhash/simhash expressions run inside WholeStageCodegen over a scan") {
     val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
     val df = docs.select(

@@ -92,6 +92,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cents == Similarity.ivfCentroids(embs, k = 8, iters = 1))
   }
 
+  test("ivfCentroids: bit-identical under repartitioning (fixed-point sums commute)") {
+    val a = Similarity.ivfCentroids(embs, k = 8, iters = 2)
+    val b = Similarity.ivfCentroids(embs.repartition(13), k = 8, iters = 2)
+    assert(a == b)
+  }
+
+  test("ivfCentroids: hash-sampled fit is deterministic and well-formed") {
+    val cents = Similarity.ivfCentroids(embs, k = 4, iters = 1, sampleDenom = 4)
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    assert(cents == Similarity.ivfCentroids(embs, k = 4, iters = 1, sampleDenom = 4))
+  }
+
+  test("Catalog.ivfIndex: cached fit serves identical rows to the inline fit") {
+    val (cents, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val (cents2, assigned2) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    assert(cents eq cents2, "second lookup must return the cached model, not refit")
+    assert(assigned eq assigned2)
+    val fromIndex = Similarity.annIvfFromIndex(cents, assigned, queryVecId = 0L, k = 10).collect()
+    val inline = Similarity.annIvf(embs, queryVecId = 0L, k = 10).collect()
+    assert(fromIndex.map(_.toString).sameElements(inline.map(_.toString)))
+  }
+
   test("annTopK plan: broadcast join + TakeOrderedAndProject (no global sort)") {
     val plan = Similarity.annTopK(embs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -56,6 +56,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Long]("total_ws_tokens") == 2L)
   }
 
+  test("langId/quality/tokenStats run fully inside WholeStageCodegen (no HOF fallback)") {
+    for (df <- Seq(TextAnalysis.langId(docs), TextAnalysis.quality(docs),
+                   TextAnalysis.tokenStats(docs))) {
+      df.collect() // finalize the adaptive plan so codegen stages are visible
+      val plan = df.queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.contains("graft_stopword_profile"))
+      assert(line.isDefined && line.get.trim.stripPrefix("+- ").startsWith("*"),
+        s"graft_stopword_profile not in a codegen stage:\n$plan")
+      // the interpreted lambda machinery must be gone from the hot path
+      assert(!plan.contains("lambdafunction"), s"HOF survived in plan:\n$plan")
+    }
+  }
+
   test("fingerprint: invariant to case, punctuation and whitespace") {
     val out = TextAnalysis.fingerprint(Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO-WORLD"), (4L, "other")
