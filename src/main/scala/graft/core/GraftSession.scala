@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   * and coalesce at runtime exactly as they would on a 1000-executor
   * cluster, and the session timezone is UTC for oracle parity.
   *
-  * The builder also injects graft's native Catalyst expressions
-  * (`graft_cosine`, `graft_hamming64`) via `SparkSessionExtensions` —
-  * sessions built elsewhere won't resolve those functions.
+  * The builder also injects every graft native Catalyst expression —
+  * the authoritative list is `GraftFunctions.register` — via
+  * `SparkSessionExtensions`; sessions built elsewhere won't resolve any
+  * `graft_*` function.
   */
 object GraftSession {
   def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder = {

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.etl.VehicleFeed
@@ -117,6 +117,48 @@ object VehicleStream {
             .maxBy(v => (v.updated_at.getTime, v.updated_at.getNanos, v.obs_id))
           state.update(latest)
           latest
+      }
+  }
+
+  /** [[latestPerKey]] with BOUNDED state for unbounded key domains: a
+    * key whose last update is older than `ttlMs` of event time is
+    * retired — its final record is flushed once more (so a sink can mark
+    * it closed) and its state removed. `NoTimeout` is fine for a vehicle
+    * fleet (state = fleet size); for generic upsert keys (doc ids, user
+    * ids) idle keys would otherwise accumulate for the life of the
+    * query, which at 100 TB/day of keys is an unbounded state store.
+    *
+    * Eviction is driven by `EventTimeTimeout` off the WATERMARK, not
+    * wall clock, so replaying the same stream evicts identically
+    * (deterministic, like everything else in this engine). The timeout
+    * target is `last update + ttlMs`, clamped above the current
+    * watermark as the API requires; rows older than the watermark are
+    * dropped by the state operator itself (standard late-data rule —
+    * `watermarkDelay` is the lateness budget). */
+  def latestPerKeyWithTtl(vehicles: DataFrame, ttlMs: Long = 6L * 3600 * 1000,
+                          watermarkDelay: String = "2 hours"): Dataset[Vehicle] = {
+    val spark = vehicles.sparkSession
+    import spark.implicits._
+    vehicles
+      .withWatermark("updated_at", watermarkDelay)
+      .as[Vehicle]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Vehicle, Vehicle](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, obs: Iterator[Vehicle], state: GroupState[Vehicle]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(last) // retirement flush, then the key is gone
+          } else {
+            val latest = (state.getOption.iterator ++ obs)
+              .maxBy(v => (v.updated_at.getTime, v.updated_at.getNanos, v.obs_id))
+            state.update(latest)
+            state.setTimeoutTimestamp(
+              math.max(latest.updated_at.getTime + ttlMs,
+                state.getCurrentWatermarkMs() + 1))
+            Iterator.single(latest)
+          }
       }
   }
 }

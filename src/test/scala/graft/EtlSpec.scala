@@ -78,6 +78,30 @@ class EtlSpec extends SparkSpec {
     assert(VehicleFeed.latest(obs).select("speed").collect()(0).getDouble(0) == 2.0)
   }
 
+  test("PagedSource: stubbed paged fetch round-trips; corrupt page dead-letters") {
+    import graft.etl.PagedSource
+    val urls = PagedSource.pageUrls("http://api.example/vehicles", pages = 3, pageSize = 2)
+    assert(urls == Seq(
+      "http://api.example/vehicles?page[limit]=2&page[offset]=0",
+      "http://api.example/vehicles?page[limit]=2&page[offset]=2",
+      "http://api.example/vehicles?page[limit]=2&page[offset]=4"))
+    // injectable transport: page 1 is a corrupt body, the rest are good
+    val stub: PagedSource.Transport = {
+      case u if u.endsWith("=2") => "<html>rate limited</html>"
+      case u => payload.replace("test-vehicle-1", s"v-${u.takeRight(1)}")
+    }
+    val raw = PagedSource.fetchPages(spark, urls, stub)
+    val obs = graft.etl.VehicleFeed.transform(graft.etl.VehicleFeed.extract(raw)).collect()
+    assert(obs.map(_.getAs[String]("id")).sorted.sameElements(Array("v-0", "v-4")))
+    val corrupt = graft.etl.VehicleFeed.corruptPayloads(raw).collect()
+    assert(corrupt.length == 1 && corrupt(0).getString(0).startsWith("<html>"))
+    // transport failure fails the batch, like extract.go:24-27
+    val failing: PagedSource.Transport = _ => throw new java.io.IOException("HTTP 500")
+    intercept[java.io.IOException] {
+      PagedSource.fetchPages(spark, urls.take(1), failing)
+    }
+  }
+
   test("corruptPayloads: exactly the non-parsing payloads, extract+corrupt covers input") {
     val input = Seq(payload, "not json at all", """{"other":"shape"}""", payload).toDS()
     val good = VehicleFeed.extract(input).count()

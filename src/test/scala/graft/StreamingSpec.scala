@@ -122,6 +122,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("stateful upsert with TTL: idle keys are retired by the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def v(id: String, minutes: Int, obs: Long) =
+      graft.streaming.Vehicle(id, id, 0, 0, 9.0, 0, "IN_TRANSIT_TO", "UNKNOWN", 0,
+        new java.sql.Timestamp(base + minutes * 60000L), obs)
+    val source = MemoryStream[graft.streaming.Vehicle]
+    // ttl 1 h, watermark delay 30 min — all in event time
+    val out = VehicleStream.latestPerKeyWithTtl(source.toDF(), ttlMs = 3600 * 1000L,
+      watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("ttl_upsert")
+      .outputMode("update").start()
+    try {
+      source.addData(v("A", 0, 1), v("B", 0, 2))   // batch 1: A,B live
+      q.processAllAvailable()
+      source.addData(v("C", 150, 3))               // batch 2: watermark → +120 min
+      q.processAllAvailable()
+      source.addData(v("D", 151, 4))               // batch 3: A,B timeouts (+60) < wm → retire
+      q.processAllAvailable()
+      val rows = spark.table("ttl_upsert").groupBy("id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // retired keys were flushed a second time; live keys emitted once
+      assert(rows("A") == 2 && rows("B") == 2, s"expected retirement flush, got $rows")
+      assert(rows("C") == 1 && rows("D") == 1, s"unexpected re-emission: $rows")
+      // retirement removed state: a later batch can't flush A/B again,
+      // and it advances the watermark past C's and D's TTLs in turn
+      source.addData(v("E", 600, 5))
+      q.processAllAvailable()
+      val after = spark.table("ttl_upsert").groupBy("id").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after("A") == 2 && after("B") == 2, s"state lingered after eviction: $after")
+      assert(after("C") == 2 && after("D") == 2, s"C/D should retire under E's watermark: $after")
+      // and the state store really shrank to the one live key
+      val stateRows = q.recentProgress.reverse.flatMap(p => p.stateOperators.headOption)
+        .headOption.map(_.numRowsTotal)
+      assert(stateRows.contains(1L), s"expected only E live in state, got $stateRows")
+    } finally q.stop()
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
