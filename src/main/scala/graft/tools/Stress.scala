@@ -31,6 +31,22 @@ object Stress {
     val emb = t.embeddings
     time("ann_topk")(Similarity.annTopK(emb).count())
     time("embed_neardup")(Dedup.embedNearDup(emb).count())
+    // embedding replicas: n jittered copies per vector (true near-dups).
+    // label-bucketing pays O(replicas²) per label; the LSH/canopy
+    // bucketers must stay bounded by real bucket collisions instead.
+    val dim = 64
+    val jitter = expr(
+      s"transform(embedding, (v, i) -> cast(v + 0.001 * ((hash(vec_id, rep, i) % 1000) / 1000.0) as float))")
+    val embN = emb.crossJoin(spark.range(n).withColumnRenamed("id", "rep"))
+      .select((col("vec_id") * n + col("rep")).as("vec_id"),
+              col("label"), jitter.as("embedding"))
+      .repartition(16)
+    println(s"[stress] embeddings: ${embN.count()} vectors")
+    time("embed_lsh_pairs")(Dedup.embedNearDupLsh(embN, tau = 0.99, nPlanes = 12).count())
+    time("embed_canopy_pairs") {
+      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      Dedup.embedNearDupClusters(embN, cents, tau = 0.99, nAssign = 2).count()
+    }
     spark.stop()
   }
 }
