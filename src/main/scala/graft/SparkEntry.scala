@@ -18,12 +18,12 @@ object SparkEntry {
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
       graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Multimodal.queries ++
-      graft.ops.Profiler.queries
+      graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
       graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Multimodal.oracles ++
-      graft.ops.Profiler.oracles
+      graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles
 }

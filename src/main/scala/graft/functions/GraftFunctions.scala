@@ -304,6 +304,33 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass word-3-gram repetition profile of normalized text:
+    * `[total, distinct, maxFreq]` over trigrams WITH multiplicity —
+    * the raw counts behind C4/Gopher-style repetition filters
+    * (duplicate-trigram fraction, most-common-trigram fraction).
+    * `[0, 0, 0]` for texts with fewer than 3 tokens. */
+  def repetitionProfile(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val out = new Array[Any](3)
+    if (toks.length < 3) {
+      out(0) = 0; out(1) = 0; out(2) = 0
+      return new GenericArrayData(out)
+    }
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var maxFreq = 0
+    var i = 0
+    while (i <= toks.length - 3) {
+      val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+      val c = counts.merge(g, 1, Integer.sum)
+      if (c > maxFreq) maxFreq = c
+      i += 1
+    }
+    out(0) = toks.length - 2
+    out(1) = counts.size()
+    out(2) = maxFreq
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
     * on every bit; the fingerprint takes the sign of each tally. */
   def simhash64(tokens: ArrayData): Long = {
@@ -465,6 +492,28 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
       (a, b, c) => s"graft.functions.TextKernels.nearestCentroids($a, $b, $c)")
 }
 
+/** One-pass word-3-gram repetition profile of a text column
+  * (scan-side, codegen): `[total, distinct, maxFreq]` — the counts
+  * behind duplicate-trigram and most-common-trigram quality filters. */
+case class RepetitionProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_repetition_profile"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_repetition_profile expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.repetitionProfile(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.repetitionProfile($t)")
+}
+
 /** One-pass stopword/token profile of a text column against a literal
   * array of word lists (scan-side, codegen): `[n_tokens, hits_0, …]`.
   * Replaces one interpreted `filter` HOF per language (CodegenFallback,
@@ -617,6 +666,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VectorSumFixed].getName, "graft_vecsum"),
       (children: Seq[Expression]) => VectorSumFixed(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_repetition_profile"),
+      new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
+      (children: Seq[Expression]) => RepetitionProfile(children.head)))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -655,4 +708,9 @@ object GraftFunctions {
   /** Fixed-point element-wise sum aggregate of an array<float> column →
     * array<bigint> (scaled by [[VectorSumFixed.Scale]]). */
   def vecSum(embedding: Column): Column = call_function("graft_vecsum", embedding)
+
+  /** Word-3-gram repetition profile of a text column → array<int>
+    * `[total, distinct, max_freq]`. */
+  def repetitionProfile(text: Column): Column =
+    call_function("graft_repetition_profile", text)
 }

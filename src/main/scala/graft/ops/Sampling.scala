@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic corpus sampling / data mixing — the step that turns a
+  * raw corpus into a training mixture with per-source weights (e.g.
+  * "50% web, 25% code, …"). Requirements at 100 TB:
+  *
+  *  - **Scan-side**: the sample decision is a pure function of
+  *    (source, doc_id) — a filter in the scan projection, no shuffle,
+  *    no RNG state, trivially parallel.
+  *  - **Deterministic & portable**: the decision hashes with md5 and
+  *    compares the first 15 hex chars (60 bits) against a per-source
+  *    threshold string — any engine with md5 reproduces the exact
+  *    sample (the DuckDB oracle does), reruns are idempotent, and
+  *    upstream re-partitioning cannot change membership.
+  *  - **Stable under rate changes**: raising a source's rate strictly
+  *    grows its sample (threshold grows, membership is monotone) — no
+  *    resampling churn between mixture versions.
+  */
+object Sampling {
+
+  /** `rate` ∈ [0,1] as a 15-hex-char threshold: doc is kept iff its
+    * 60-bit md5 coordinate is strictly below it. */
+  private[graft] def thresholdHex(rate: Double): String = {
+    val max = (1L << 60) - 1
+    val t = math.min(math.max((rate * math.pow(2, 60)).toLong, 0L), max)
+    f"$t%015x"
+  }
+
+  /** The 60-bit hash coordinate of a document: first 15 hex chars of
+    * md5("source:doc_id") — mirrored verbatim in the oracle SQL. */
+  private def coord: Column =
+    substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 15)
+
+  /** Per-source threshold column from a rate map (unlisted sources get
+    * `defaultRate`). */
+  private def thresholdCol(rates: Map[String, Double], defaultRate: Double): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (src, r)) => when(col("source") === src, lit(thresholdHex(r))).otherwise(acc)
+    }
+
+  /** The sampled mixture: rows of `documents` kept under the per-source
+    * rates. Pure scan-side filter. */
+  def sampleMixture(documents: DataFrame, rates: Map[String, Double],
+                    defaultRate: Double = 0.1): DataFrame =
+    documents
+      .filter(coord < thresholdCol(rates, defaultRate))
+      .select(col("doc_id"), col("source"))
+
+  /** Realized mixture summary: kept/total per source (exact integer
+    * counts via one aggregation over the flagged scan). */
+  def mixtureSummary(documents: DataFrame, rates: Map[String, Double],
+                     defaultRate: Double = 0.1): DataFrame =
+    documents
+      .select(col("source"),
+        (coord < thresholdCol(rates, defaultRate)).cast("int").as("kept"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .withColumn("kept_frac", round(col("n_kept") / col("n_docs"), 4))
+
+  // ---- driver wiring ----
+
+  /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
+    * src2, downweight src3, 10% tail for everything else. */
+  val MixRates: Map[String, Double] =
+    Map("src0" -> 0.8, "src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25)
+  val MixDefault: Double = 0.1
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)))
+
+  val oracles: Map[String, String] = {
+    val cases = MixRates.toSeq.sortBy(_._1)
+      .map { case (src, r) => s"WHEN '$src' THEN '${thresholdHex(r)}'" }
+      .mkString(" ")
+    Map(
+      "d_sample_mix" ->
+        s"""SELECT doc_id, source FROM documents
+           |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <
+           |  CASE source $cases ELSE '${thresholdHex(MixDefault)}' END""".stripMargin)
+  }
+}

@@ -117,14 +117,58 @@ object TextAnalysis {
       col("doc_id"),
       md5(regexp_replace(lower(col("text")), "[^a-z0-9]+", "")).as("fingerprint"))
 
+  /** Repetition quality signals (C4/Gopher-style filters): per document,
+    * the duplicate-trigram fraction (1 − distinct/total) and the
+    * most-common-trigram fraction, with a coarse repetitive/ok flag.
+    * One codegen kernel pass per row (`graft_repetition_profile`) — no
+    * explode, no shuffle, scan speed at any corpus size. Documents with
+    * fewer than 3 tokens have no trigrams and drop out (same domain rule
+    * as `Dedup.shingled`). */
+  def repetition(documents: DataFrame, dupTau: Double = 0.3, topTau: Double = 0.2): DataFrame =
+    documents
+      .select(col("doc_id"), GraftFunctions.repetitionProfile(col("text")).as("p"))
+      .select(col("doc_id"),
+        col("p").getItem(0).as("n_trigrams"),
+        col("p").getItem(1).as("n_distinct"),
+        col("p").getItem(2).as("max_freq"))
+      .filter(col("n_trigrams") > 0)
+      .withColumn("dup_ratio", round(lit(1.0) - col("n_distinct") / col("n_trigrams"), 4))
+      .withColumn("top_ratio", round(col("max_freq") / col("n_trigrams"), 4))
+      .withColumn("rep_flag",
+        when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
+          .otherwise("ok"))
+
+  /** Decontamination: flag corpus documents sharing ≥ `minHits` distinct
+    * word 3-grams with an evaluation set (here: the docs of
+    * `evalSource`). The eval side of the join is the DISTINCT shingle
+    * set of the benchmark — small by nature — so at 100 TB this is a
+    * broadcast join against the corpus scan, a shuffle only for the
+    * per-doc hit count: the standard pre-training decontamination shape
+    * (n-gram overlap vs held-out benchmarks). */
+  def decontaminate(documents: DataFrame, evalSource: String = "src19",
+                    minHits: Int = 2): DataFrame = {
+    val sh = Dedup.shingled(documents)
+    val src = documents.select(col("doc_id"), col("source"))
+    val evalShingles = sh.join(src.filter(col("source") === evalSource), "doc_id")
+      .select(explode(col("shingles")).as("g")).distinct()
+    sh.join(src.filter(col("source") =!= evalSource), "doc_id")
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_langid"      -> ((s, d) => langId(Tables(s, d).documents)),
-    "t_quality"     -> ((s, d) => quality(Tables(s, d).documents)),
-    "t_tokens"      -> ((s, d) => tokenStats(Tables(s, d).documents)),
-    "t_ngram_stats" -> ((s, d) => ngramStats(Tables(s, d).documents)),
-    "t_fingerprint" -> ((s, d) => fingerprint(Tables(s, d).documents)))
+    "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
+    "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
+    "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
+    "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),
+    "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
+    "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
+    "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -185,5 +229,40 @@ object TextAnalysis {
     "t_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "t_repetition" ->
+      s"""$toksCte,
+         |tri AS (SELECT doc_id,
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS tg
+         |  FROM toks WHERE len(toks) >= 3),
+         |mx AS (SELECT doc_id, MAX(c) AS max_freq FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c
+         |    FROM (SELECT doc_id, unnest(tg) AS g FROM tri) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |base AS (SELECT t.doc_id,
+         |    CAST(len(t.tg) AS INT) AS n_trigrams,
+         |    CAST(len(list_distinct(t.tg)) AS INT) AS n_distinct,
+         |    CAST(mx.max_freq AS INT) AS max_freq
+         |  FROM tri t JOIN mx ON t.doc_id = mx.doc_id)
+         |SELECT doc_id, n_trigrams, n_distinct, max_freq,
+         |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 4) AS dup_ratio,
+         |  ROUND(CAST(max_freq AS DOUBLE) / n_trigrams, 4) AS top_ratio,
+         |  CASE WHEN ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_trigrams, 4) > 0.3
+         |         OR ROUND(CAST(max_freq AS DOUBLE) / n_trigrams, 4) > 0.2
+         |       THEN 'repetitive' ELSE 'ok' END AS rep_flag
+         |FROM base""".stripMargin,
+    "t_decontaminate" ->
+      s"""${Dedup.shingleCte},
+         |ev AS (SELECT DISTINCT g FROM (
+         |    SELECT unnest(d.sh) AS g
+         |    FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+         |    WHERE doc.source = 'src19')),
+         |corpus AS (SELECT d.doc_id, doc.source, unnest(d.sh) AS g
+         |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+         |  WHERE doc.source != 'src19')
+         |SELECT c.doc_id, c.source, COUNT(*) AS n_hits
+         |FROM corpus c JOIN ev ON c.g = ev.g
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2""".stripMargin)
 }

@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.Sampling
+
+/** Deterministic mixture sampling: portable hash membership, monotone
+  * under rate growth, per-source rates realized. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, TestSpark.sf0001).documents
+
+  test("membership is deterministic and scan-side (no shuffle)") {
+    val df = Sampling.sampleMixture(docs, Sampling.MixRates, 0.1)
+    val a = df.collect().map(_.getLong(0)).sorted
+    val b = Sampling.sampleMixture(docs.repartition(7), Sampling.MixRates, 0.1)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample must not depend on partitioning")
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("raising a rate strictly grows the sample (monotone membership)") {
+    val low = Sampling.sampleMixture(docs, Map.empty, 0.2).collect().map(_.getLong(0)).toSet
+    val high = Sampling.sampleMixture(docs, Map.empty, 0.6).collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+    assert(low.size < high.size)
+    assert(Sampling.sampleMixture(docs, Map.empty, 0.0).count() == 0)
+    assert(Sampling.sampleMixture(docs, Map.empty, 1.0).count() == docs.count())
+  }
+
+  test("per-source rates are realized within binomial tolerance") {
+    val summary = Sampling.mixtureSummary(docs, Sampling.MixRates, 0.1).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kept_frac")).toMap
+    // 25 docs/source at sf0.001: allow ±4σ of binomial(25, rate)
+    for ((src, rate) <- Sampling.MixRates) {
+      val tol = 4 * math.sqrt(rate * (1 - rate) / 25)
+      assert(math.abs(summary(src) - rate) <= tol,
+        s"$src kept ${summary(src)} vs rate $rate (tol $tol)")
+    }
+  }
+
+  test("thresholdHex maps rates to the 60-bit hex scale") {
+    assert(Sampling.thresholdHex(0.5) == "800000000000000")
+    assert(Sampling.thresholdHex(0.0) == "000000000000000")
+    assert(Sampling.thresholdHex(0.25) == "400000000000000")
+  }
+}

@@ -76,6 +76,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == out(2L) && out(2L) == out(3L) && out(1L) != out(4L))
   }
 
+  test("repetition: kernel counts trigrams with multiplicity, flags loops") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),  // one trigram repeated
+      (2L, "a b a b a b"),                               // total 4, distinct 2, max 2
+      (3L, "all tokens here are fully distinct words"),  // no repetition
+      (4L, "too short")                                  // < 3 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getAs[Int]("n_trigrams") == 6 && out(1L).getAs[Int]("n_distinct") == 1)
+    assert(out(1L).getAs[String]("rep_flag") == "repetitive")
+    assert(out(2L).getAs[Int]("n_trigrams") == 4 && out(2L).getAs[Int]("n_distinct") == 2
+      && out(2L).getAs[Int]("max_freq") == 2)
+    assert(out(3L).getAs[Double]("dup_ratio") == 0.0)
+    assert(out(3L).getAs[String]("rep_flag") == "ok")
+    // scan-side kernel: no explode/shuffle in the plan
+    val plan = TextAnalysis.repetition(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
+  }
+
+  test("decontaminate: flags corpus docs sharing trigrams with the eval set") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "completely unrelated corpus text goes here now", "train"),
+      (3L, "benchmark says the quick brown fox jumps high", "eval"),
+      (4L, "another benchmark question entirely", "eval")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.decontaminate(df, evalSource = "eval", minHits = 2).collect()
+    // doc 1 shares "the quick brown"/"quick brown fox"/"brown fox jumps" with doc 3
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("doc_id") == 1L)
+    assert(out(0).getAs[Long]("n_hits") == 3L)
+    // eval docs themselves are never flagged
+    assert(!out.exists(_.getAs[String]("source") == "eval"))
+  }
+
   test("multimodal: binary assembly round-trips and decode features are consistent") {
     val media = Multimodal.assemble(docs)
     assert(media.schema("bytes").dataType.typeName == "binary")
