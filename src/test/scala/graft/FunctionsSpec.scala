@@ -106,6 +106,36 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("every graft_* function resolves from pure SQL (SparkSessionExtensions surface)") {
+    graft.core.Tables(spark, TestSpark.sf0001).documents.createOrReplaceTempView("sql_docs")
+    graft.core.Tables(spark, TestSpark.sf0001).embeddings.createOrReplaceTempView("sql_embs")
+    val rows = spark.sql(
+      """SELECT
+        |  graft_cosine(a.embedding, b.embedding) AS cos,
+        |  graft_hamming64(5L, 4L) AS ham,
+        |  size(graft_shingles('one two three four')) AS n_sh,
+        |  size(graft_minhash(graft_shingles('one two three four'))) AS n_sig,
+        |  graft_simhash(array('x', 'y')) AS fp,
+        |  graft_hyperplane_sig(a.embedding, array(array(1.0d), array(-1.0d))) AS hsig,
+        |  graft_nearest_centroid(a.embedding, array(array(0.0d), array(9.0d))) AS nc,
+        |  graft_nearest_centroids(a.embedding, array(array(0.0d), array(9.0d)), 2) AS ncs,
+        |  graft_stopword_profile('the cat and dog', array(array('the', 'and'))) AS prof,
+        |  graft_repetition_profile('a b a b a b') AS rep
+        |FROM sql_embs a JOIN sql_embs b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("ham") == 1)
+    assert(r.getAs[Int]("n_sh") == 2 && r.getAs[Int]("n_sig") == 128)
+    assert(r.getSeq[Int](r.fieldIndex("prof")).toSeq == Seq(4, 2))
+    assert(r.getSeq[Int](r.fieldIndex("rep")).toSeq == Seq(4, 2, 2))
+    assert(r.getSeq[Int](r.fieldIndex("ncs")).head == r.getAs[Int]("nc"))
+    // the aggregate registers too
+    val agg = spark.sql(
+      "SELECT graft_vecsum(embedding) FROM sql_embs GROUP BY label LIMIT 1").collect()
+    assert(agg.nonEmpty && agg(0).getSeq[Long](0).length == 64)
+  }
+
   test("shingle/minhash/simhash expressions run inside WholeStageCodegen over a scan") {
     val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
     val df = docs.select(
