@@ -48,6 +48,38 @@ object Store {
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(table)
 
+  /** Incrementally extend a stored signature table: compute signatures
+    * ONLY for documents not yet present and append them (the bucketed
+    * layout is preserved — Spark validates the bucket spec on append).
+    * At 100 TB this is the difference between re-shingling the whole
+    * corpus per ingest batch and paying compute proportional to NEW
+    * documents only; the anti-join driving it reads just the stored
+    * table's doc_id column (pruned scan). Idempotent: a re-run with the
+    * same corpus appends nothing. */
+  def refreshMinhashSignatures(spark: SparkSession, documents: org.apache.spark.sql.DataFrame,
+                               buckets: Int = 8, table: String = SignaturesTable): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.catalog.tableExists(table)) {
+      graft.ops.Dedup.minhashSignatures(documents).write
+        .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+      spark.table(table).count()
+    } else {
+      val known = spark.table(table).select(col("doc_id"))
+      // pin the delta before writing: the plan reads the table being
+      // appended to, so a post-write re-evaluation would see its own rows
+      val fresh = graft.ops.Dedup.minhashSignatures(
+        documents.join(known, Seq("doc_id"), "left_anti")).persist()
+      try {
+        val n = fresh.count()
+        if (n > 0)
+          fresh.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(table)
+        n
+      } finally fresh.unpersist()
+    }
+  }
+
   /** The loaded vehicles: the stored table if one exists, else the
     * in-session derived+cached frame. */
   def vehicles(spark: SparkSession, dir: String, table: String = VehiclesTable): DataFrame =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.core.{Catalog, Store}
+import graft.core.{Catalog, Store, Tables}
 
 /** Durable loaded-table semantics: the bucketed store round-trips the
   * upsert exactly, and joins against it are bucket-co-located (no
@@ -31,6 +31,27 @@ class StoreSpec extends SparkSpec {
     // fallback: with no stored table, reads come from the session catalog
     val fallback = Store.vehicles(spark, TestSpark.sf0001, table = "t_store_vehicles")
     assert(fallback.count() == derived.count())
+  }
+
+  test("refreshMinhashSignatures: only new docs pay compute; idempotent; equals full build") {
+    dropTable("t_incr_sigs")
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    val firstHalf = docs.filter($"doc_id" < 250)
+    Store.refreshMinhashSignatures(spark, firstHalf, buckets = 4, table = "t_incr_sigs")
+    assert(spark.table("t_incr_sigs").count() ==
+      graft.ops.Dedup.minhashSignatures(firstHalf).count())
+    // second refresh with the FULL corpus appends only the missing docs
+    val appended = Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_incr_sigs")
+    val full = graft.ops.Dedup.minhashSignatures(docs)
+    assert(appended == full.count() - graft.ops.Dedup.minhashSignatures(firstHalf).count())
+    // stored table now equals the from-scratch signature table, row for row
+    val stored = spark.table("t_incr_sigs")
+    assert(stored.count() == full.count())
+    assert(stored.exceptAll(full).count() == 0 && full.exceptAll(stored).count() == 0)
+    // idempotent: same corpus again → nothing appended
+    assert(Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_incr_sigs") == 0L)
+    assert(spark.table("t_incr_sigs").count() == full.count())
+    dropTable("t_incr_sigs")
   }
 
   test("join keyed on the stored table's bucket key needs no exchange on the stored side") {
