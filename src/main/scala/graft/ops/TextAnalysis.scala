@@ -147,12 +147,16 @@ object TextAnalysis {
     * (n-gram overlap vs held-out benchmarks). */
   def decontaminate(documents: DataFrame, evalSource: String = "src19",
                     minHits: Int = 2): DataFrame = {
-    val sh = Dedup.shingled(documents)
-    val src = documents.select(col("doc_id"), col("source"))
-    val evalShingles = sh.join(src.filter(col("source") === evalSource), "doc_id")
-      .select(explode(col("shingles")).as("g")).distinct()
-    sh.join(src.filter(col("source") =!= evalSource), "doc_id")
-      .select(col("doc_id"), col("source"), explode(col("shingles")).as("g"))
+    // shingle with source carried through the scan projection — no
+    // self-join back to documents for metadata
+    val sh = documents
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalShingles = sh.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("g")).distinct()
+    sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
       .join(broadcast(evalShingles), "g")
       .groupBy(col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_hits"))
