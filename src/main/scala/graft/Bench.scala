@@ -52,12 +52,13 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             errors ::= name
             failed = true
-            times += (System.nanoTime() - t0) / 1e9
         }
         rep += 1
       }
+      // a failed key reports -1, never its abort latency — the timing
+      // payload stays honest even though the process exits non-zero
       val sorted = times.result().sorted
-      name -> sorted(sorted.size / 2)
+      name -> (if (failed) -1.0 else sorted(sorted.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -26,10 +26,11 @@ object Cli {
     "bearing"         -> "v_bearing_filter",
     "bearing_summary" -> "v_bearing_summary")
 
-  /** Parameter flags (defaults match the fixed-argument `queries` keys,
-    * so a flagless run is identical to the driver surface). */
+  /** Parameter flags. Unset flags (None / reference defaults) leave each
+    * query's own signature default in force, so a flagless run is
+    * identical to the oracle-checked driver surface. */
   case class Params(bearing: Double = 90.0, delta: Double = 15.0,
-                    k: Int = 10, tau: Double = 0.8)
+                    k: Option[Int] = None, tau: Double = 0.8)
 
   def run(spark: SparkSession, dir: String, query: String,
           params: Params = Params()): DataFrame = {
@@ -44,10 +45,10 @@ object Cli {
           graft.core.Catalog.vehicles(spark, dir), p.bearing, p.delta)
       case "v_top10_fastest" =>
         graft.queries.VehicleQueries.topFastest(
-          graft.core.Catalog.vehicles(spark, dir), p.k)
+          graft.core.Catalog.vehicles(spark, dir), p.k.getOrElse(10))
       case "s_ann_topk" =>
         graft.ops.Similarity.annTopK(
-          graft.core.Tables(spark, dir).embeddings, k = p.k)
+          graft.core.Tables(spark, dir).embeddings, k = p.k.getOrElse(20))
       case "d_ngram_jaccard" =>
         graft.ops.Dedup.ngramJaccardPairs(
           graft.core.Tables(spark, dir).documents, tau = p.tau)
@@ -66,7 +67,7 @@ object Cli {
     val params = Params(
       bearing = opts.get("--bearing").map(_.toDouble).getOrElse(d.bearing),
       delta = opts.get("--delta").map(_.toDouble).getOrElse(d.delta),
-      k = opts.get("--k").map(_.toInt).getOrElse(d.k),
+      k = opts.get("--k").map(_.toInt),
       tau = opts.get("--tau").map(_.toDouble).getOrElse(d.tau))
     (dir, query, params)
   }

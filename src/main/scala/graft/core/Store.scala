@@ -66,17 +66,19 @@ object Store {
       spark.table(table).count()
     } else {
       val known = spark.table(table).select(col("doc_id"))
-      // pin the delta before writing: the plan reads the table being
-      // appended to, so a post-write re-evaluation would see its own rows
+      // MATERIALIZE the delta (lineage cut, not best-effort persist)
+      // before writing: the plan reads the table being appended to, so
+      // any re-evaluation after rows land — cache eviction, task retry —
+      // would see its own output and silently drop/duplicate signatures.
+      // With the lineage cut, block loss fails the job instead.
       val fresh = graft.ops.Dedup.minhashSignatures(
-        documents.join(known, Seq("doc_id"), "left_anti")).persist()
-      try {
-        val n = fresh.count()
-        if (n > 0)
-          fresh.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
-            .saveAsTable(table)
-        n
-      } finally fresh.unpersist()
+        documents.join(known, Seq("doc_id"), "left_anti"))
+        .localCheckpoint(true)
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(table)
+      n
     }
   }
 

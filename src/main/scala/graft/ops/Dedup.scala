@@ -271,6 +271,39 @@ object Dedup {
         col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Embedding near-dup pairs via canopy blocking on the k-means coarse
+    * quantizer (McCallum/Nigam/Ungar-style canopies): every vector is
+    * assigned to its `nAssign` nearest centroids (codegen
+    * `graft_nearest_centroids`, scan-side); candidate pairs share ≥ 1
+    * assigned cluster; every candidate is verified with exact cosine ≥ τ.
+    * Data-dependent blocking — buckets follow the corpus's own cluster
+    * structure, so it recalls moderately-similar neighbors that
+    * data-independent hyperplane buckets split. Pair work is
+    * O(Σ bucket²) with bucket ≈ n·nAssign/nlist — bounded by sizing
+    * nlist ∝ corpus/target-bucket; never O(n²). The fitted centroids
+    * come from the Catalog-cached IVF index (one fit per (session, dir),
+    * shared with `s_ann_ivf`). Pairs may CROSS labels (blocking is
+    * geometric), so both sides' labels are emitted (`label_a`/`label_b`)
+    * rather than one pretending to be a shared bucket key. */
+  def embedNearDupClusters(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                           tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("canopy"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.canopy") === col("b.canopy") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .withColumn("cos", GraftFunctions.cosine(col("ea"), col("eb")))
+      .filter(round(col("cos"), 4) >= tau)
+      .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+        round(col("cos"), 4).as("cos_sim"))
+      .distinct() // a pair can share up to nAssign canopies
+  }
+
   /** Embedding near-dup pairs at scale: block on random-hyperplane LSH
     * signatures (codegen `graft_hyperplane_sig`, scan-side) with
     * multi-probe, then verify every candidate with exact cosine ≥ τ.
@@ -280,7 +313,8 @@ object Dedup {
     * signatures — two vectors collide iff their signatures differ by ≤ 1
     * bit, so pair work is O(bucket collisions), never O(n²), and bucket
     * population is data-independent (~n/2^nPlanes expected). Precision
-    * is exact (cosine verify).
+    * is exact (cosine verify); pairs may cross labels, so both labels
+    * are emitted.
     *
     * Recall regime — measured, not assumed: hyperplane collision
     * probability is (1 − θ/π) per bit, so recall ≈ 1 for genuine
@@ -295,35 +329,6 @@ object Dedup {
     * [[embedNearDupClusters]] for actual near-duplicate mining at scale.
     * Signatures are engine-side hashes, so this key is rows-checked; its
     * semantics are spec-verified against exact truths (DedupSpec). */
-  /** Embedding near-dup pairs via canopy blocking on the k-means coarse
-    * quantizer (McCallum/Nigam/Ungar-style canopies): every vector is
-    * assigned to its `nAssign` nearest centroids (codegen
-    * `graft_nearest_centroids`, scan-side); candidate pairs share ≥ 1
-    * assigned cluster; every candidate is verified with exact cosine ≥ τ.
-    * Data-dependent blocking — buckets follow the corpus's own cluster
-    * structure, so it recalls moderately-similar neighbors that
-    * data-independent hyperplane buckets split. Pair work is
-    * O(Σ bucket²) with bucket ≈ n·nAssign/nlist — bounded by sizing
-    * nlist ∝ corpus/target-bucket; never O(n²). The fitted centroids
-    * come from the Catalog-cached IVF index (one fit per (session, dir),
-    * shared with `s_ann_ivf`). */
-  def embedNearDupClusters(embeddings: DataFrame, centroids: Seq[Seq[Double]],
-                           tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
-    val e = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"),
-        explode(GraftFunctions.nearestCentroids(col("embedding"),
-          typedlit(centroids), lit(nAssign))).as("canopy"))
-    e.as("a")
-      .join(e.as("b"),
-        col("a.canopy") === col("b.canopy") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("b.label").as("label"), col("a.embedding").as("ea"), col("b.embedding").as("eb"))
-      .withColumn("cos", GraftFunctions.cosine(col("ea"), col("eb")))
-      .filter(round(col("cos"), 4) >= tau)
-      .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos"), 4).as("cos_sim"))
-      .distinct() // a pair can share up to nAssign canopies
-  }
-
   def embedNearDupLsh(embeddings: DataFrame, tau: Double = 0.3,
                       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planesCol = typedlit(Similarity.hyperplanes(nPlanes, dim))
@@ -334,7 +339,7 @@ object Dedup {
     // hamming(sig_a, sig_b) <= 1 matches on EXACTLY one probe bucket
     // (probe 0 iff equal, one flip iff distance 1), so no distinct pass
     // is needed to dedupe candidates.
-    val probed = e.select(col("vec_id"), col("embedding"),
+    val probed = e.select(col("vec_id"), col("label"), col("embedding"),
       explode(concat(array(col("sig")),
         expr(s"transform(sequence(0, ${nPlanes - 1}), p -> sig ^ shiftleft(1L, p))")))
         .as("probe"))
@@ -344,7 +349,8 @@ object Dedup {
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
       .filter(round(col("cos"), 4) >= tau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("b.label").as("label"), round(col("cos"), 4).as("cos_sim"))
+        col("a.label").as("label_a"), col("b.label").as("label_b"),
+        round(col("cos"), 4).as("cos_sim"))
   }
 
   // ---- driver wiring ----

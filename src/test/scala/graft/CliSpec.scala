@@ -8,7 +8,7 @@ class CliSpec extends SparkSpec {
     val (dir, query, p) = Cli.parse(Array(
       "--data", "/tmp/x", "--query", "bearing", "--bearing", "270", "--delta", "10"))
     assert(dir == "/tmp/x" && query == "bearing")
-    assert(p.bearing == 270.0 && p.delta == 10.0 && p.k == 10 && p.tau == 0.8)
+    assert(p.bearing == 270.0 && p.delta == 10.0 && p.k.isEmpty && p.tau == 0.8)
     val (_, _, d) = Cli.parse(Array("--query", "top10"))
     assert(d == Cli.Params())
   }
@@ -29,10 +29,13 @@ class CliSpec extends SparkSpec {
     assert(viaCli.map(_.toString).sorted.sameElements(viaEntry.map(_.toString).sorted))
   }
 
-  test("run: --k bounds top-k queries; unknown query fails loudly") {
+  test("run: --k bounds top-k queries; unset k keeps driver-surface parity") {
     val dir = TestSpark.sf0001
-    assert(Cli.run(spark, dir, "top10", Cli.Params(k = 3)).collect().length == 3)
-    assert(Cli.run(spark, dir, "s_ann_topk", Cli.Params(k = 5)).collect().length == 5)
+    assert(Cli.run(spark, dir, "top10", Cli.Params(k = Some(3))).collect().length == 3)
+    assert(Cli.run(spark, dir, "s_ann_topk", Cli.Params(k = Some(5))).collect().length == 5)
+    // flagless: each query's own default applies (s_ann_topk = 20, like the driver key)
+    assert(Cli.run(spark, dir, "s_ann_topk").collect().length ==
+      SparkEntry.queries("s_ann_topk")(spark, dir).collect().length)
     intercept[IllegalArgumentException] { Cli.run(spark, dir, "nope") }
   }
 }
