@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.core.GraftSession
+import graft.streaming.VehicleStream
+
+/** Streaming state-store benchmark: replays the sf0.1 events file as N
+  * micro-batches through the stateful upsert (`latestPerKey`) and the
+  * watermarked window aggregation, reporting per-batch rows/sec and the
+  * state-store row count. What this verifies at scale:
+  *
+  *  - state stays FLAT for the upsert (one row per key, no growth as
+  *    batches accumulate — re-delivered keys overwrite);
+  *  - throughput stays flat batch-over-batch (no per-batch cost that
+  *    grows with total history — the failure mode of unbounded state);
+  *  - the windowed aggregation holds only open windows (watermark
+  *    eviction), not one row per event ever seen.
+  *
+  *   sbt "runMain graft.tools.StreamBench 5"
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val batches = args.headOption.map(_.toInt).getOrElse(5)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[8]", "graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(label: String, mk: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+      val dir = Files.createTempDirectory(s"graft-sbench-$label").toString
+      val q = mk(dir).start()
+      val src = Paths.get(sfDir, "events.parquet")
+      val perBatch = Seq.newBuilder[(Double, Long)]
+      try {
+        for (b <- 0 until batches) {
+          Files.copy(src, Paths.get(dir, s"batch$b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val stateRows = q.recentProgress.reverse
+            .flatMap(p => p.stateOperators.headOption).headOption
+            .map(_.numRowsTotal).getOrElse(-1L)
+          perBatch += ((sec, stateRows))
+        }
+      } finally q.stop()
+      val rows = spark.read.parquet(sfDir + "/events.parquet").count()
+      val line = perBatch.result().zipWithIndex.map { case ((sec, st), i) =>
+        f"""{"batch":$i,"sec":$sec%.2f,"rows_per_sec":${(rows / sec).toLong},"state_rows":$st}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"bench":"$label","batches":$batches,"rows_per_batch":$rows,"per_batch":$line}""")
+    }
+
+    run("latest_per_key", dir =>
+      VehicleStream.latestPerKey(VehicleStream.ingest(spark, dir))
+        .writeStream.format("noop").outputMode("update"))
+    run("windowed_counts", dir =>
+      VehicleStream.windowedCounts(VehicleStream.ingest(spark, dir))
+        .writeStream.format("noop").outputMode("update"))
+    spark.stop()
+  }
+}
