@@ -23,10 +23,21 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(5)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SPARK_GRAFT_STATE_STORE=rocksdb benches the provider a real
+    // cluster runs (state larger than heap, incremental checkpoints);
+    // default is the HDFS-backed in-memory provider
+    val provider = sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case Some("rocksdb") =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    }
     val spark = GraftSession.builder("local[8]", "graft-stream-bench")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"""{"state_store":"${provider.split('.').last}"}""")
 
     def run(label: String, mk: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
       val dir = Files.createTempDirectory(s"graft-sbench-$label").toString

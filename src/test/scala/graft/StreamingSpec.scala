@@ -162,6 +162,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful upsert runs on the RocksDB state store with identical results") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = VehicleStream.ingest(spark, mkSourceDir("rocksdb"))
+      val q = VehicleStream.latestPerKey(stream)
+        .writeStream.format("memory").queryName("rocks_latest")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val got = spark.table("rocks_latest")
+      val expected = VehicleFeed.latest(batchVehicles)
+      assert(got.count() == expected.count())
+      assert(got.exceptAll(expected).count() == 0)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
