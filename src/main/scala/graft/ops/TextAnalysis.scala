@@ -138,6 +138,32 @@ object TextAnalysis {
         when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
           .otherwise("ok"))
 
+  /** PII patterns — deliberately plain ASCII regex (no lookaround, no
+    * engine-specific classes) so Java regex (Spark) and RE2 (DuckDB,
+    * and most data-plane scrubbers) agree character for character. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ip"    -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")
+
+  /** PII scrubbing: replace emails/phone numbers/IPs with typed
+    * placeholder tokens and count the redactions per document — the
+    * compliance pass every training corpus runs. Pure projection
+    * (regexp_replace/regexp_count chains, whole-stage codegen): scan
+    * speed, no shuffle. Output carries the redaction counts and the md5
+    * of the scrubbed text (stable to verify, no giant text column). */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col("text")) {
+      case (c, (name, pat)) => regexp_replace(c, pat, s"<$name>")
+    }
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(PiiPatterns(0)._2)).as("n_email"),
+      regexp_count(col("text"), lit(PiiPatterns(1)._2)).as("n_phone"),
+      regexp_count(col("text"), lit(PiiPatterns(2)._2)).as("n_ip"),
+      md5(scrubbed).as("clean_md5"))
+  }
+
   /** Decontamination: flag corpus documents sharing ≥ `minHits` distinct
     * word 3-grams with an evaluation set (here: the docs of
     * `evalSource`). The eval side of the join is the DISTINCT shingle
@@ -172,7 +198,8 @@ object TextAnalysis {
     "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
-    "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)))
+    "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
+    "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -256,6 +283,17 @@ object TextAnalysis {
          |         OR ROUND(CAST(max_freq AS DOUBLE) / n_trigrams, 4) > 0.2
          |       THEN 'repetitive' ELSE 'ok' END AS rep_flag
          |FROM base""".stripMargin,
+    "t_pii_scrub" -> {
+      val Seq(em, ph, ip) = PiiPatterns.map(_._2)
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<email>', 'g'), '$ph', '<phone>', 'g'), '$ip', '<ip>', 'g'))
+         |    AS clean_md5
+         |FROM documents""".stripMargin
+    },
     "t_decontaminate" ->
       s"""${Dedup.shingleCte},
          |ev AS (SELECT DISTINCT g FROM (

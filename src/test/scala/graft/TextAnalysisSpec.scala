@@ -97,6 +97,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
   }
 
+  test("piiScrub: redacts emails/phones/IPs, counts match, md5 reflects scrubbed text") {
+    val df = Seq(
+      (1L, "contact bob@example.com or alice@test.org today"),
+      (2L, "call 555-123-4567 from 10.0.0.1 please"),
+      (3L, "no pii in this text at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_email") == 2 && out(1L).getAs[Int]("n_phone") == 0)
+    assert(out(2L).getAs[Int]("n_phone") == 1 && out(2L).getAs[Int]("n_ip") == 1)
+    assert(out(3L).getAs[Int]("n_email") + out(3L).getAs[Int]("n_phone")
+      + out(3L).getAs[Int]("n_ip") == 0)
+    // the scrubbed md5 equals md5 of the placeholder-substituted text
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L).getAs[String]("clean_md5") == m("contact <email> or <email> today"))
+    assert(out(2L).getAs[String]("clean_md5") == m("call <phone> from <ip> please"))
+    assert(out(3L).getAs[String]("clean_md5") == m("no pii in this text at all"))
+  }
+
   test("decontaminate: flags corpus docs sharing trigrams with the eval set") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "train"),
