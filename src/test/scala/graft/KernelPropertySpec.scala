@@ -93,6 +93,61 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("stopwordProfile (randomized differential): matches a brute-force count") {
+    val rnd = new Random(17)
+    (1 to 200).foreach { _ =>
+      val toks = randTokens(rnd, rnd.nextInt(40))
+      val text = toks.mkString("  ") // runs of whitespace collapse in tokenize
+      val lists = Seq.fill(rnd.nextInt(4))(randTokens(rnd, rnd.nextInt(8)).distinct)
+      val listsData = new GenericArrayData(lists.map(l => utf8Array(l): Any).toArray)
+      val out = TextKernels.stopwordProfile(UTF8String.fromString(text), listsData)
+      assert(out.getInt(0) == toks.length)
+      lists.zipWithIndex.foreach { case (l, i) =>
+        assert(out.getInt(i + 1) == toks.count(l.toSet), s"list $i of $lists on $toks")
+      }
+    }
+  }
+
+  test("repetitionProfile invariants: total = n−2, distinct ≤ total, maxFreq consistent") {
+    val rnd = new Random(19)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(40)
+      val toks = randTokens(rnd, n)
+      val out = TextKernels.repetitionProfile(UTF8String.fromString(toks.mkString(" ")))
+      val (total, distinct, maxF) = (out.getInt(0), out.getInt(1), out.getInt(2))
+      if (n < 3) assert(total == 0 && distinct == 0 && maxF == 0)
+      else {
+        val grams = toks.sliding(3).map(_.mkString(" ")).toSeq
+        assert(total == n - 2 && total == grams.size)
+        assert(distinct == grams.distinct.size)
+        assert(maxF == grams.groupBy(identity).values.map(_.size).max)
+        assert(distinct <= total && maxF >= 1 && maxF <= total)
+        // distinct * maxF >= total (pigeonhole on the most common gram)
+        assert(distinct.toLong * maxF >= total)
+      }
+    }
+  }
+
+  test("nearestCentroids: sorted by distance, agrees with an exhaustive scan") {
+    val rnd = new Random(23)
+    (1 to 100).foreach { _ =>
+      val dim = rnd.nextInt(8) + 1
+      val k = rnd.nextInt(6) + 1
+      val m = rnd.nextInt(k) + 1
+      val emb = Array.fill(dim)(rnd.nextFloat())
+      val cents = Seq.fill(k)(Seq.fill(dim)(rnd.nextDouble()))
+      val embData = new GenericArrayData(emb.map(Float.box: Float => Any))
+      val centData = new GenericArrayData(
+        cents.map(c => new GenericArrayData(c.map(Double.box: Double => Any).toArray): Any).toArray)
+      val got = TextKernels.nearestCentroids(embData, centData, m)
+      val out = (0 until got.numElements()).map(got.getInt)
+      def d2(c: Seq[Double]) =
+        c.indices.map { j => val d = emb(j).toDouble - c(j); d * d }.sum
+      val expect = cents.indices.sortBy(i => (d2(cents(i)), i)).take(m)
+      assert(out == expect, s"dim=$dim k=$k m=$m")
+    }
+  }
+
   test("asof (randomized differential): matches an O(n²) reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
