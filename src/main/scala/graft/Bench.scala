@@ -62,7 +62,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    // failed keys (-1 sentinel) are excluded from the headline total —
+    // a failure must never make the total look faster
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -43,12 +43,15 @@ object Cli {
       case "v_bearing_filter" =>
         graft.queries.VehicleQueries.byBearing(
           graft.core.Catalog.vehicles(spark, dir), p.bearing, p.delta)
-      case "v_top10_fastest" =>
+      // k set: parameterized call; k unset: fall through to the driver
+      // surface below, so each query's signature default stays the
+      // single source of truth (no re-hardcoded defaults here)
+      case "v_top10_fastest" if p.k.isDefined =>
         graft.queries.VehicleQueries.topFastest(
-          graft.core.Catalog.vehicles(spark, dir), p.k.getOrElse(10))
-      case "s_ann_topk" =>
+          graft.core.Catalog.vehicles(spark, dir), p.k.get)
+      case "s_ann_topk" if p.k.isDefined =>
         graft.ops.Similarity.annTopK(
-          graft.core.Tables(spark, dir).embeddings, k = p.k.getOrElse(20))
+          graft.core.Tables(spark, dir).embeddings, k = p.k.get)
       case "d_ngram_jaccard" =>
         graft.ops.Dedup.ngramJaccardPairs(
           graft.core.Tables(spark, dir).documents, tau = p.tau)

@@ -66,19 +66,26 @@ object Store {
       spark.table(table).count()
     } else {
       val known = spark.table(table).select(col("doc_id"))
-      // MATERIALIZE the delta (lineage cut, not best-effort persist)
-      // before writing: the plan reads the table being appended to, so
-      // any re-evaluation after rows land — cache eviction, task retry —
-      // would see its own output and silently drop/duplicate signatures.
-      // With the lineage cut, block loss fails the job instead.
-      val fresh = graft.ops.Dedup.minhashSignatures(
-        documents.join(known, Seq("doc_id"), "left_anti"))
-        .localCheckpoint(true)
-      val n = fresh.count()
-      if (n > 0)
-        fresh.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(table)
-      n
+      // STAGE the delta to a scratch path before appending: the delta's
+      // plan reads the table being appended to, so any re-evaluation
+      // after rows land — cache eviction, task retry — would see its own
+      // output and silently drop/duplicate signatures. A parquet stage
+      // is a real materialization (unlike best-effort persist or
+      // localCheckpoint blocks, which also have no deterministic
+      // cleanup), and the scratch files are deleted on the way out.
+      val stage = java.nio.file.Files.createTempDirectory("graft-sig-delta").toString
+      try {
+        graft.ops.Dedup.minhashSignatures(
+          documents.join(known, Seq("doc_id"), "left_anti"))
+          .write.mode("overwrite").parquet(stage)
+        val delta = spark.read.parquet(stage)
+        val n = delta.count()
+        if (n > 0)
+          delta.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(table)
+        n
+      } finally
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
   }
 

@@ -151,17 +151,24 @@ object TextAnalysis {
     * compliance pass every training corpus runs. Pure projection
     * (regexp_replace/regexp_count chains, whole-stage codegen): scan
     * speed, no shuffle. Output carries the redaction counts and the md5
-    * of the scrubbed text (stable to verify, no giant text column). */
+    * of the scrubbed text (stable to verify, no giant text column).
+    *
+    * Counts are taken SEQUENTIALLY on the progressively-scrubbed text
+    * (phone counted after emails are replaced, ip after phones), so
+    * each count equals the number of placeholders actually inserted —
+    * overlapping patterns (a phone-shaped local part inside an email)
+    * are attributed to exactly one category, the one that scrubbed
+    * them. Placeholders are letter-only, so they can never re-match. */
   def piiScrub(documents: DataFrame): DataFrame = {
-    val scrubbed = PiiPatterns.foldLeft(col("text")) {
-      case (c, (name, pat)) => regexp_replace(c, pat, s"<$name>")
-    }
+    val Seq((_, em), (_, ph), (_, ip)) = PiiPatterns
+    val afterEmail = regexp_replace(col("text"), em, "<email>")
+    val afterPhone = regexp_replace(afterEmail, ph, "<phone>")
     documents.select(
       col("doc_id"),
-      regexp_count(col("text"), lit(PiiPatterns(0)._2)).as("n_email"),
-      regexp_count(col("text"), lit(PiiPatterns(1)._2)).as("n_phone"),
-      regexp_count(col("text"), lit(PiiPatterns(2)._2)).as("n_ip"),
-      md5(scrubbed).as("clean_md5"))
+      regexp_count(col("text"), lit(em)).as("n_email"),
+      regexp_count(afterEmail, lit(ph)).as("n_phone"),
+      regexp_count(afterPhone, lit(ip)).as("n_ip"),
+      md5(regexp_replace(afterPhone, ip, "<ip>")).as("clean_md5"))
   }
 
   /** Decontamination: flag corpus documents sharing ≥ `minHits` distinct
@@ -285,14 +292,20 @@ object TextAnalysis {
          |FROM base""".stripMargin,
     "t_pii_scrub" -> {
       val Seq(em, ph, ip) = PiiPatterns.map(_._2)
-      s"""SELECT doc_id,
+      // mirrors the sequential-count semantics: phone counted on the
+      // email-scrubbed text, ip on the phone-scrubbed text
+      s"""WITH s AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<email>', 'g') AS after_email
+         |  FROM documents),
+         |s2 AS (SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '$ph', '<phone>', 'g') AS after_phone
+         |  FROM s)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS INT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '$ph')) AS INT) AS n_phone,
-         |  CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ip,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$em', '<email>', 'g'), '$ph', '<phone>', 'g'), '$ip', '<ip>', 'g'))
-         |    AS clean_md5
-         |FROM documents""".stripMargin
+         |  CAST(len(regexp_extract_all(after_email, '$ph')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(after_phone, '$ip')) AS INT) AS n_ip,
+         |  md5(regexp_replace(after_phone, '$ip', '<ip>', 'g')) AS clean_md5
+         |FROM s2""".stripMargin
     },
     "t_decontaminate" ->
       s"""${Dedup.shingleCte},

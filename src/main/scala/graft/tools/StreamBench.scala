@@ -46,7 +46,13 @@ object StreamBench {
       val perBatch = Seq.newBuilder[(Double, Long)]
       try {
         for (b <- 0 until batches) {
-          Files.copy(src, Paths.get(dir, s"batch$b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+          // stage + atomic move: the running query polls the directory
+          // continuously, and a plain multi-MB copy could be listed
+          // mid-write (truncated parquet → query failure)
+          val tmp = Paths.get(dir, s".batch$b.tmp")
+          Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, Paths.get(dir, s"batch$b.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
           val t0 = System.nanoTime()
           q.processAllAvailable()
           val sec = (System.nanoTime() - t0) / 1e9

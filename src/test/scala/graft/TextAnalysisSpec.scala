@@ -101,7 +101,8 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq(
       (1L, "contact bob@example.com or alice@test.org today"),
       (2L, "call 555-123-4567 from 10.0.0.1 please"),
-      (3L, "no pii in this text at all")
+      (3L, "no pii in this text at all"),
+      (4L, "reach 555-123-4567@corp.net now") // phone-shaped local part
     ).toDF("doc_id", "text")
     val out = TextAnalysis.piiScrub(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -115,6 +116,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L).getAs[String]("clean_md5") == m("contact <email> or <email> today"))
     assert(out(2L).getAs[String]("clean_md5") == m("call <phone> from <ip> please"))
     assert(out(3L).getAs[String]("clean_md5") == m("no pii in this text at all"))
+    // sequential counts: the email scrub consumed the phone-shaped local
+    // part, so no phantom phone redaction is reported
+    assert(out(4L).getAs[Int]("n_email") == 1 && out(4L).getAs[Int]("n_phone") == 0)
+    assert(out(4L).getAs[String]("clean_md5") == m("reach <email> now"))
   }
 
   test("decontaminate: flags corpus docs sharing trigrams with the eval set") {
