@@ -18,6 +18,9 @@ case class MediaRecord(doc_id: Long, media_type: String, width: Int, height: Int
 case class DecodedMedia(doc_id: Long, media_type: String, width: Int, height: Int,
                         n_bytes: Int, content_md5: String, feature: Long)
 
+/** One sampled frame: payload chunk + position, no full media. */
+case class MediaFrame(doc_id: Long, frame_index: Int, n_bytes: Int, frame_md5: String)
+
 /** Multimodal column plumbing (SURVEY.md §2.3 `m_multimodal`).
   *
   * The pipeline shape is the real thing; only the innermost decode is a
@@ -86,10 +89,66 @@ object Multimodal {
   def pipeline(documents: DataFrame): DataFrame =
     decode(assemble(documents)).toDF()
 
+  /** STUB resize at the same typed seam as [[decodeStub]]: metadata set
+    * to the target box, payload deterministically downsampled to
+    * `ceil(n · targetArea/origArea)` bytes (capped at n) — the cost
+    * model of a real resize (output bytes ∝ target area; a real impl is
+    * a libvips/ffmpeg call per record here). Payload-shrinking BEFORE
+    * any shuffle is the point at 100 TB: downstream stages carry the
+    * thumbnail, never the original. */
+  def resizeStub(r: MediaRecord, tw: Int, th: Int): MediaRecord = {
+    val origArea = r.width.toLong * r.height
+    val targetArea = tw.toLong * th
+    val n =
+      if (origArea <= 0) 0
+      else math.min(r.bytes.length.toLong,
+        (r.bytes.length.toLong * targetArea + origArea - 1) / origArea).toInt
+    MediaRecord(r.doc_id, r.media_type, tw, th, java.util.Arrays.copyOf(r.bytes, n))
+  }
+
+  /** Typed resize stage: one map per record (same parallelism story as
+    * [[decode]]). */
+  def resize(media: Dataset[MediaRecord], tw: Int = 64, th: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(resizeStub(_, tw, th))
+  }
+
+  /** Frame sampling: split the payload into `frameSize`-byte frames and
+    * keep every `every`-th one (a video keyframe sampler's shape: output
+    * rows ∝ media length / (frameSize · every), each row carries one
+    * frame, never the whole payload). flatMap at the typed seam — a real
+    * impl demuxes with a codec here; the deterministic chunking keeps it
+    * oracle-checkable. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int = 256,
+                   every: Int = 4): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = r.bytes.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames).filter(_ % every == 0).map { i =>
+        val from = i * frameSize
+        val until = math.min(n, from + frameSize)
+        val md = MessageDigest.getInstance("MD5")
+        val hex = md.digest(java.util.Arrays.copyOfRange(r.bytes, from, until))
+          .map("%02x".format(_)).mkString
+        MediaFrame(r.doc_id, i, until - from, hex)
+      }
+    }
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)))
+    "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
+    "m_resize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
+      resize(assemble(Tables(s, d).documents)).toDF()
+        .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+          blen(col("bytes")).as("n_bytes"), bmd5(col("bytes")).as("thumb_md5"))
+    }),
+    "m_frames" -> ((s, d) => sampleFrames(assemble(Tables(s, d).documents)).toDF()))
 
   val oracles: Map[String, String] = Map(
     "m_multimodal" ->
@@ -102,5 +161,37 @@ object Multimodal {
         |  CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
         |  md5(COALESCE(text, '')) AS content_md5,
         |  (octet_length(encode(COALESCE(text, ''))) * 31 + doc_id) % 997 AS feature
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // integer ceil ((len*ta + oa - 1) // oa) mirrors the Scala stub
+    // exactly — float ceil could round differently on exact divisions.
+    // substring-on-text == byte slice because the corpus is pure ASCII
+    // (verified at every SF; a non-ASCII corpus would need blob slicing).
+    "m_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    64 + doc_id % 512 AS w, 64 + (doc_id * 7) % 512 AS h,
+        |    COALESCE(text, '') AS t,
+        |    octet_length(encode(COALESCE(text, ''))) AS len
+        |  FROM documents),
+        |r AS (SELECT doc_id, media_type,
+        |    least(len, (len * 4096 + w * h - 1) // (w * h)) AS nb, t
+        |  FROM m)
+        |SELECT doc_id, media_type,
+        |  CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+        |  CAST(nb AS INT) AS n_bytes,
+        |  md5(substring(t, 1, CAST(nb AS INT))) AS thumb_md5
+        |FROM r""".stripMargin,
+    "m_frames" ->
+      """WITH m AS (SELECT doc_id, COALESCE(text, '') AS t,
+        |    octet_length(encode(COALESCE(text, ''))) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0, CAST((n + 255) // 256 AS INT) - 1)) AS i
+        |  FROM m WHERE n > 0)
+        |SELECT doc_id, CAST(i AS INT) AS frame_index,
+        |  CAST(least(n - i * 256, 256) AS INT) AS n_bytes,
+        |  md5(substring(t, CAST(i * 256 + 1 AS INT), 256)) AS frame_md5
+        |FROM f WHERE i % 4 = 0""".stripMargin)
 }

@@ -153,6 +153,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(widths.forall(_.getInt(0) >= 64))
   }
 
+  test("multimodal resize: payload shrinks with target area, metadata updated") {
+    val media = Multimodal.assemble(docs)
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    val orig = media.collect().map(r => r.doc_id -> r).toMap
+    resized.foreach { r =>
+      val o = orig(r.doc_id)
+      assert(r.width == 64 && r.height == 64 && r.media_type == o.media_type)
+      val expectN = math.min(o.bytes.length.toLong,
+        (o.bytes.length.toLong * 4096 + o.width.toLong * o.height - 1) / (o.width.toLong * o.height)).toInt
+      assert(r.bytes.length == expectN)
+      assert(r.bytes.sameElements(o.bytes.take(expectN)), s"doc ${r.doc_id} not a prefix")
+    }
+    // resize to the original box is identity on the payload
+    val same = Multimodal.resize(media.limit(5), 600, 600).collect()
+    same.foreach { r => assert(r.bytes.length <= orig(r.doc_id).bytes.length) }
+  }
+
+  test("multimodal frame sampling: every k-th frame, correct sizes, payload chunks") {
+    val media = Multimodal.assemble(docs.limit(20))
+    val frames = Multimodal.sampleFrames(media, frameSize = 256, every = 4).collect()
+    val orig = media.collect().map(r => r.doc_id -> r.bytes).toMap
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_index % 4 == 0)
+      val bytes = orig(f.doc_id)
+      val from = f.frame_index * 256
+      val until = math.min(bytes.length, from + 256)
+      assert(f.n_bytes == until - from)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expect = md.digest(java.util.Arrays.copyOfRange(bytes, from, until))
+        .map("%02x".format(_)).mkString
+      assert(f.frame_md5 == expect)
+    }
+    // coverage: every doc with a payload contributes its frame 0
+    assert(frames.count(_.frame_index == 0) == orig.count(_._2.nonEmpty))
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
