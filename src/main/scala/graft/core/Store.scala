@@ -72,8 +72,12 @@ object Store {
       // output and silently drop/duplicate signatures. A parquet stage
       // is a real materialization (unlike best-effort persist or
       // localCheckpoint blocks, which also have no deterministic
-      // cleanup), and the scratch files are deleted on the way out.
-      val stage = java.nio.file.Files.createTempDirectory("graft-sig-delta").toString
+      // cleanup). The stage lives NEXT TO the warehouse — i.e. on the
+      // same cluster-visible filesystem executors commit to — never in
+      // a driver-local temp dir, and is deleted through the Hadoop FS
+      // API on the way out.
+      val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/_graft_sig_delta_${java.util.UUID.randomUUID}"
       try {
         graft.ops.Dedup.minhashSignatures(
           documents.join(known, Seq("doc_id"), "left_anti"))
@@ -84,8 +88,10 @@ object Store {
           delta.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
             .saveAsTable(table)
         n
-      } finally
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(stage)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
   }
 

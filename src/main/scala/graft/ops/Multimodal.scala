@@ -127,12 +127,13 @@ object Multimodal {
     media.flatMap { r =>
       val n = r.bytes.length
       val frames = (n + frameSize - 1) / frameSize
-      (0 until frames).filter(_ % every == 0).map { i =>
+      val md = MessageDigest.getInstance("MD5") // one digest per record, reset per frame
+      (0 until frames by every).map { i =>
         val from = i * frameSize
         val until = math.min(n, from + frameSize)
-        val md = MessageDigest.getInstance("MD5")
-        val hex = md.digest(java.util.Arrays.copyOfRange(r.bytes, from, until))
-          .map("%02x".format(_)).mkString
+        md.reset()
+        md.update(r.bytes, from, until - from)
+        val hex = md.digest().map("%02x".format(_)).mkString
         MediaFrame(r.doc_id, i, until - from, hex)
       }
     }

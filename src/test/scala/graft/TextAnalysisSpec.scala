@@ -165,9 +165,14 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.bytes.length == expectN)
       assert(r.bytes.sameElements(o.bytes.take(expectN)), s"doc ${r.doc_id} not a prefix")
     }
-    // resize to the original box is identity on the payload
-    val same = Multimodal.resize(media.limit(5), 600, 600).collect()
-    same.foreach { r => assert(r.bytes.length <= orig(r.doc_id).bytes.length) }
+    // resize to each record's OWN box is identity on the payload
+    import spark.implicits._
+    val identity = media.limit(20).collect().map { o =>
+      val r = Multimodal.resizeStub(o, o.width, o.height)
+      assert(r.bytes.sameElements(o.bytes), s"doc ${o.doc_id}: own-box resize must be identity")
+      r
+    }
+    assert(identity.nonEmpty)
   }
 
   test("multimodal frame sampling: every k-th frame, correct sizes, payload chunks") {
