@@ -195,6 +195,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(frames.count(_.frame_index == 0) == orig.count(_._2.nonEmpty))
   }
 
+  test("scan-side keys prune the parquet read to exactly the columns they use") {
+    val expect = Map(
+      "m_frames"     -> "struct<doc_id:bigint,text:string>",
+      "t_pii_scrub"  -> "struct<doc_id:bigint,text:string>",
+      "d_sample_mix" -> "struct<doc_id:bigint,source:string>")
+    for ((key, schema) <- expect) {
+      val df = SparkEntry.queries(key)(spark, TestSpark.sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(s"ReadSchema: $schema"),
+        s"$key should scan only $schema:\n$plan")
+    }
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
