@@ -155,6 +155,34 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct word k-gram shingles of the normalized text — the
+    * parameterized form of [[shingles3]] for long-run detection (k ≈ 8+
+    * catches verbatim substring duplication rather than topical
+    * similarity). */
+  def shinglesK(text: UTF8String, k: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (k <= 0 || toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 128-permutation MinHash signature of a shingle array: one FNV-1a
     * base hash per shingle, then 128 universal-hash permutations
     * `a_p * base + b_p` (odd multipliers), min per permutation. */
@@ -492,6 +520,30 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
       (a, b, c) => s"graft.functions.TextKernels.nearestCentroids($a, $b, $c)")
 }
 
+/** Distinct word k-gram shingles of normalized text (scan-side,
+  * codegen) — the parameterized [[WordShingles]] for long-run
+  * (exact-substring) duplication detection. */
+case class WordShinglesK(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles_k"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_k expects (string, int), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WordShinglesK =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    TextKernels.shinglesK(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.functions.TextKernels.shinglesK($t, $k)")
+}
+
 /** One-pass word-3-gram repetition profile of a text column
   * (scan-side, codegen): `[total, distinct, maxFreq]` — the counts
   * behind duplicate-trigram and most-common-trigram quality filters. */
@@ -670,6 +722,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_repetition_profile"),
       new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
       (children: Seq[Expression]) => RepetitionProfile(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles_k"),
+      new ExpressionInfo(classOf[WordShinglesK].getName, "graft_shingles_k"),
+      (children: Seq[Expression]) => WordShinglesK(children(0), children(1))))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -713,4 +769,8 @@ object GraftFunctions {
     * `[total, distinct, max_freq]`. */
   def repetitionProfile(text: Column): Column =
     call_function("graft_repetition_profile", text)
+
+  /** Distinct word k-gram shingles of a text column → array<string>. */
+  def shinglesK(text: Column, k: Column): Column =
+    call_function("graft_shingles_k", text, k)
 }

@@ -253,6 +253,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("edit_distance"))
   }
 
+  /** Exact-substring duplication (the Lee et al. 2022 "deduplicating
+    * training data" shape): pairs of documents sharing at least
+    * `minRuns` distinct k-token verbatim runs. Catches boilerplate and
+    * copied passages that whole-document Jaccard misses (two long docs
+    * sharing one big quoted block have low global similarity but high
+    * substring duplication).
+    *
+    * Plan: k-gram inverted index (codegen `graft_shingles_k`, scan-side)
+    * → self-equi-join on the gram. At k ≈ 8 random collisions are
+    * essentially zero, so pair work is proportional to TRUE duplicated
+    * runs; grams above `dfCap` documents (site-wide boilerplate) are
+    * removed with the same bounded broadcast anti-join as
+    * [[ngramJaccardPairs]] — the over-cap set is ≤ Σdf/cap grams. */
+  def substringDupPairs(documents: DataFrame, k: Int = 8, minRuns: Int = 1,
+                        dfCap: Int = 100): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), explode(GraftFunctions.shinglesK(col("text"), lit(k))).as("g"))
+    val frequent = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("g"))
+    val kept = grams.join(broadcast(frequent), Seq("g"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_runs"))
+      .filter(col("n_shared_runs") >= minRuns)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
     * `label`). This is the ORACLE form — a semantic blocking key makes
     * the pair set SQL-expressible, but it is O(bucket²): with few labels
@@ -373,7 +401,8 @@ object Dedup {
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
-    "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)))
+    "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
+    "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */
   private[ops] val shingleCte =
@@ -405,7 +434,29 @@ object Dedup {
        |FROM p
        |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8""".stripMargin
 
+  /** DuckDB mirror of substringDupPairs (k=8, dfCap=100, minRuns=1):
+    * the 8-gram inverted index with the same over-cap exclusion. */
+  private val substringDupOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |g8 AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks) - 7),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+      |                     toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) AS gs
+      |  FROM toks WHERE len(toks) >= 8),
+      |e AS (SELECT doc_id, unnest(gs) AS g FROM g8),
+      |keep AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 100),
+      |e2 AS (SELECT e.doc_id, e.g FROM e JOIN keep USING (g))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shared_runs
+      |FROM e2 a JOIN e2 b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d_substring_dup" -> substringDupOracle,
     "d_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

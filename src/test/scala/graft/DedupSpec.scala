@@ -146,6 +146,38 @@ class DedupSpec extends SparkSpec {
     assert(cappedPairs.forall(r => r.getAs[Double]("jaccard") <= 1.0))
   }
 
+  test("substringDupPairs: finds shared verbatim runs that whole-doc jaccard misses") {
+    val quote = "the quick brown fox jumps over the lazy dog every single day"
+    val fillerA = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val fillerB = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$fillerA $quote"),            // long doc quoting the passage
+      (2L, s"$fillerB $quote"),            // different long doc, same passage
+      (3L, "totally unrelated text with nothing shared here at all beyond these words")
+    ).toDF("doc_id", "text")
+    val subs = Dedup.substringDupPairs(df, k = 8).collect()
+    assert(subs.length == 1)
+    assert(subs(0).getAs[Long]("doc_a") == 1L && subs(0).getAs[Long]("doc_b") == 2L)
+    // 12-token quote → 12−8+1 = 5 distinct 8-gram runs shared
+    assert(subs(0).getAs[Long]("n_shared_runs") == 5L)
+    // whole-doc jaccard at the near-dup threshold misses this pair entirely
+    assert(Dedup.ngramJaccardPairs(df, tau = 0.8).count() == 0)
+    // dfCap guard: a run present in EVERY doc is boilerplate, excluded
+    val boiler = (1L to 150L).map(i => (i, s"common boilerplate header shared by all docs everywhere $i unique"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(boiler, k = 8, dfCap = 100).count() == 0)
+  }
+
+  test("graft_shingles_k at k=3 equals graft_shingles") {
+    val texts = docs.limit(50)
+    val a = texts.select($"doc_id", graft.functions.GraftFunctions.shingles($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val b = texts.select($"doc_id",
+        graft.functions.GraftFunctions.shinglesK($"text", lit(3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(a == b)
+  }
+
   /** Planted replica corpus: `groups` near-identical replica groups
     * (cos ≈ 0.9998 within a group) — the regime blocking-based embedding
     * dedup exists for. label = group id, so embedNearDup's label buckets
