@@ -16,14 +16,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
-      graft.ops.Dedup.queries ++ graft.ops.Similarity.queries ++
+      graft.ops.Dedup.queries ++ graft.ops.DupClusters.queries ++
+      graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Multimodal.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
-      graft.ops.Dedup.oracles ++ graft.ops.Similarity.oracles ++
+      graft.ops.Dedup.oracles ++ graft.ops.DupClusters.oracles ++
+      graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Multimodal.oracles ++
       graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles
 }

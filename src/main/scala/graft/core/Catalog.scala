@@ -25,11 +25,13 @@ object Catalog {
   private val vehiclesCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val sigCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val ivfCache = TrieMap.empty[(SparkSession, String, Int), (Seq[Seq[Double]], DataFrame)]
+  private val ccCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     ivfCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    ccCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -40,6 +42,7 @@ object Catalog {
       }
     drop(vehiclesCache, (k: (SparkSession, String)) => k._1)
     drop(sigCache, (k: (SparkSession, String)) => k._1)
+    drop(ccCache, (k: (SparkSession, String)) => k._1)
     ivfCache.keys.filter(_._1 eq spark).foreach { k =>
       ivfCache.remove(k).foreach { case (_, df) =>
         if (!spark.sparkContext.isStopped) df.unpersist()
@@ -65,6 +68,22 @@ object Catalog {
       (spark, dir),
       graft.ops.Dedup.minhashSignatures(Tables(spark, dir).documents)
         .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The duplicate-cluster assignment (doc_id → cluster_id) for a dir's
+    * documents (cached, shared): connected components over the near-dup +
+    * exact-dup edge set, computed once per (session, dir) off the cached
+    * signature table — at scale this is the materialized "cluster map"
+    * table both `d_dup_clusters` and `d_cluster_keep` serve from. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    ccCache.getOrElseUpdate((spark, dir), {
+      val docs = Tables(spark, dir).documents
+      val candidates =
+        graft.ops.Dedup.minhashCandidatesFromSignatures(minhashSignatures(spark, dir))
+      graft.ops.DupClusters.dupClusters(docs, candidates)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** The fitted IVF index for a dir's embeddings (cached, shared):

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: the step a production dedup pipeline
+  * runs BETWEEN pair mining and row dropping (SURVEY.md §2.3). Near-dup
+  * pairs are edges of a graph; the unit of deduplication is its
+  * connected component (A≈B and B≈C must land in one cluster even when
+  * A and C themselves fall below τ), and the survivor is one
+  * representative per component.
+  *
+  * Components come from the alternating large-star/small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014): each round is two self-contained DataFrame jobs (a
+  * groupBy-min and an equi-join back), the edge set only ever shrinks
+  * toward stars, and convergence takes O(log n) rounds on any graph —
+  * at 100 TB that is a handful of bounded shuffles, with NO driver-side
+  * graph state (the driver sees one (count, checksum) scalar per round).
+  * Label-propagation by contrast needs O(diameter) rounds, and
+  * GraphX-style vertex programs would pin the whole graph in RDD land.
+  */
+object DupClusters {
+
+  /** Minimum-reachable-id connected components.
+    *
+    * @param pairs    undirected edges — first two columns are the
+    *                 endpoint ids (self-loops and duplicates tolerated)
+    * @param vertices one column of vertex ids (isolated vertices become
+    *                 singleton clusters)
+    * @return (doc_id, cluster_id) with cluster_id = min id reachable
+    *         from doc_id; deterministic for any partitioning.
+    *
+    * The returned frame reads the final converged edge set, which is
+    * persisted and O(one row per non-root clustered vertex) — callers
+    * that serve many queries should persist the assignment itself
+    * (see `Catalog.dupClusters`).
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+                          maxRounds: Int = 25): DataFrame = {
+    val Array(pa, pb) = pairs.columns.take(2)
+    var edges = materialize(pairs
+      .select(greatest(col(pa), col(pb)).as("u"), least(col(pa), col(pb)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct())
+    var sig = checksum(edges)
+    var converged = sig._1 == 0L // no edges: all singletons
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = materialize(smallStar(largeStar(edges)))
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // Fixpoint of both star operations = stars rooted at each component's
+    // minimum: every remaining edge is (member, root). The groupBy-min is
+    // the star read-off (and guards the u > v invariant).
+    val vCol = vertices.columns.head
+    val assign = edges.groupBy(col("u").as("__cc_id")).agg(min(col("v")).as("__cc_root"))
+    vertices
+      .join(assign, col(vCol) === col("__cc_id"), "left")
+      .select(col(vCol).as("doc_id"),
+        coalesce(col("__cc_root"), col(vCol)).as("cluster_id"))
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its neighborhood (including itself). Keeps the (u > v) edge
+    * orientation: emitted edges are (bigger neighbor, component-min so
+    * far). One groupBy-min + one equi-join. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its SMALLER neighbors (and itself)
+    * to the minimum of those. Edges stay (u > v) by construction. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val toSmaller = e.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    toSmaller.union(m.select(col("u"), col("m").as("v"))).distinct()
+  }
+
+  /** Each round's edge plan references the previous round's several
+    * times (symmetrize + self-join), so without truncation the logical
+    * plan grows exponentially in rounds — checkpointing cuts the lineage
+    * to the materialized round. Reliable (checkpoint-dir) when the
+    * application configured one — the right choice for long cluster
+    * jobs — executor-local otherwise (the per-round edge frame only
+    * shrinks, so re-deriving a lost block means re-running rounds, an
+    * availability trade local jobs happily make). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Scalar convergence signature: (edge count, order-independent content
+    * checksum). The only thing the driver ever sees per round. */
+  private def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+    val row = e
+      .agg(count(lit(1)), sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+      .collect()(0)
+    (row.getLong(0), Option(row.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+  }
+
+  /** The production dedup graph over a documents table:
+    *  - near-dup edges: LSH candidates verified by exact Jaccard ≥ τ
+    *    (identical to the full inverted-index pair set, oracle-proven);
+    *  - exact-dup edges: one STAR edge per extra member of each
+    *    normalized-hash group (hub = min doc_id) — linear in group size,
+    *    never the quadratic within-group pair set, and it catches short
+    *    (<3-token) exact dups that have no shingles. */
+  def dupEdges(documents: DataFrame, candidates: DataFrame, tau: Double = 0.8): DataFrame = {
+    val near = Dedup.jaccardOnCandidates(documents, candidates, tau)
+      .select(col("doc_a"), col("doc_b"))
+    val hashed = documents.select(col("doc_id"), md5(Dedup.normText(col("text"))).as("h"))
+    val hubs = hashed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("hub"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("h"), col("hub"))
+    val exact = hashed.join(hubs, "h")
+      .where(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    near.union(exact)
+  }
+
+  /** (doc_id, cluster_id) for EVERY document: cluster_id = min doc_id of
+    * the near-dup component (singletons map to themselves). */
+  def dupClusters(documents: DataFrame, candidates: DataFrame, tau: Double = 0.8): DataFrame =
+    connectedComponents(dupEdges(documents, candidates, tau), documents.select(col("doc_id")))
+
+  /** Survivor rows after cluster-level dedup: each component's minimum
+    * doc_id (singletons survive trivially). Left-semi join back, so the
+    * full-width document rows never enter the clustering shuffles. */
+  def clusterKeep(documents: DataFrame, assignment: DataFrame): DataFrame =
+    documents.join(
+      assignment.where(col("doc_id") === col("cluster_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+  // ---- driver wiring ----
+
+  import graft.core.{Catalog, Tables}
+
+  /** Both keys serve off the Catalog-cached assignment (clustering runs
+    * once per (session, dir), like the signature table it feeds from). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dup_clusters" -> ((s, d) => Catalog.dupClusters(s, d)),
+    "d_cluster_keep" -> ((s, d) =>
+      clusterKeep(Tables(s, d).documents, Catalog.dupClusters(s, d))))
+
+  /** DuckDB mirror: same edge set (exact-jaccard pairs ∪ exact-hash star
+    * edges), components via a recursive transitive-closure CTE — DuckDB
+    * has no iterative star contraction, but min-over-reachable is the
+    * same fixpoint at oracle scale. */
+  private def reachCte: String = {
+    val shingles = Dedup.shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$shingles,
+       |np AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
+       |       FROM d a JOIN d b ON a.doc_id < b.doc_id),
+       |near AS (SELECT doc_a, doc_b FROM np
+       |         WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+       |hx AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |       FROM documents),
+       |hub AS (SELECT h, MIN(doc_id) AS hub FROM hx GROUP BY h HAVING COUNT(*) > 1),
+       |exact AS (SELECT hub.hub AS doc_a, hx.doc_id AS doc_b
+       |          FROM hx JOIN hub USING (h) WHERE hx.doc_id != hub.hub),
+       |e0 AS (SELECT doc_a AS u, doc_b AS v FROM near
+       |       UNION SELECT doc_a, doc_b FROM exact),
+       |e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+       |assign AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d_dup_clusters" ->
+      s"""$reachCte
+         |SELECT id AS doc_id, root AS cluster_id FROM assign""".stripMargin,
+    "d_cluster_keep" ->
+      s"""$reachCte
+         |SELECT doc.doc_id, doc.text, doc.lang, doc.source, doc.n_chars
+         |FROM documents doc JOIN assign ON doc.doc_id = assign.id
+         |WHERE assign.id = assign.root""".stripMargin)
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.{Dedup, DupClusters}
+
+/** Connected-component dedup clustering: correctness against a local
+  * union-find oracle, transitivity, convergence on adversarial shapes,
+  * and the corpus-level keep semantics. */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, TestSpark.sf0001).documents
+
+  private def assignMap(pairs: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] =
+    DupClusters.connectedComponents(
+        pairs.toDF("doc_a", "doc_b"), vertices.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Local union-find truth for cross-checking the distributed result. */
+  private def unionFind(pairs: Seq[(Long, Long)], vertices: Seq[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    vertices.map(v => v -> find(v)).toMap
+  }
+
+  test("components: chains merge transitively, singletons stay themselves") {
+    // 1-2, 2-3 chain (1 and 3 never paired directly), 4-5, isolated 6
+    val got = assignMap(Seq((1L, 2L), (2L, 3L), (4L, 5L)), Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("components: long path and star converge within the round cap") {
+    // a 64-node path is the worst case for naive propagation — star
+    // contraction must still close it in O(log n) rounds
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val gotPath = assignMap(path, 0L to 63L)
+    assert(gotPath.values.toSet == Set(0L))
+    // a hub-star with the ROOT as the largest id exercises the small-star step
+    val star = (0L until 20L).map(i => (100L, i))
+    val gotStar = assignMap(star, (0L until 20L) :+ 100L)
+    assert(gotStar.values.toSet == Set(0L))
+  }
+
+  test("components match a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val vertices = (0L until 400L).toSeq
+    val pairs = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    assert(assignMap(pairs, vertices) == unionFind(pairs, vertices))
+  }
+
+  test("components are partition-invariant") {
+    val pairs = (0L until 50L).map(i => (i, i + 50L)) ++ (0L until 25L).map(i => (i, i + 1))
+    val vertices = (0L until 100L)
+    val base = assignMap(pairs, vertices)
+    val shuffled = DupClusters.connectedComponents(
+        pairs.toDF("doc_a", "doc_b").repartition(7), vertices.toDF("doc_id").repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == base)
+  }
+
+  test("dupEdges: exact-dup groups contribute star edges, including short docs") {
+    val d = Seq(
+      (1L, "hi"), (2L, "hi"), (7L, " HI "),   // <3 tokens: no shingles, still exact dups
+      (3L, "totally unrelated text about completely other things")
+    ).toDF("doc_id", "text")
+    val edges = DupClusters.dupEdges(d, Dedup.minhashCandidates(d))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (1L, 7L))) // hub = min id, one edge per member
+  }
+
+  test("corpus clusters: every near-dup pair lands in one cluster, roots are minima") {
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(assign.size == docs.count())
+    pairs.foreach { case (a, b) =>
+      assert(assign(a) == assign(b), s"pair ($a,$b) split across clusters")
+    }
+    // root of every cluster is its minimum member and maps to itself
+    assign.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keys.min == root)
+      assert(assign(root) == root)
+    }
+  }
+
+  test("clusterKeep: exactly one survivor per cluster, min doc_id wins") {
+    val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
+    val kept = DupClusters.clusterKeep(docs, assign)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byCluster = assign.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(kept == byCluster.values.toSet)
+    assert(kept.size == assign.select("cluster_id").distinct().count())
+  }
+}
