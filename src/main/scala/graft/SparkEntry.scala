@@ -18,7 +18,8 @@ object SparkEntry {
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
       graft.ops.Dedup.queries ++ graft.ops.DupClusters.queries ++
       graft.ops.Similarity.queries ++
-      graft.ops.TextAnalysis.queries ++ graft.ops.Multimodal.queries ++
+      graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
+      graft.ops.Multimodal.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
@@ -26,6 +27,7 @@ object SparkEntry {
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
       graft.ops.Dedup.oracles ++ graft.ops.DupClusters.oracles ++
       graft.ops.Similarity.oracles ++
-      graft.ops.TextAnalysis.oracles ++ graft.ops.Multimodal.oracles ++
+      graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
+      graft.ops.Multimodal.oracles ++
       graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Training-sequence packing (SURVEY.md §2.3): lay the corpus's token
+  * stream end-to-end and cut it into fixed-size context windows — the
+  * GPT-style "concatenate and chunk" batch-preparation step. A document
+  * belongs to the chunk its FIRST token lands in, so the assignment is a
+  * pure function of (ordering, token counts): deterministic, no packing
+  * state, reproducible by any engine.
+  *
+  * Plan shape: one scan projecting (shard keys, doc_id, token count) —
+  * the text itself never enters the shuffle — then ONE window cumsum per
+  * shard and a hash aggregate over (shard, chunk). The window partitions
+  * by the shard key, so per-partition state is a single running sum.
+  *
+  * Scale rule (100 TB): packing is sequential WITHIN a shard by nature —
+  * parallelism comes from sharding. `source` alone is the oracle-scale
+  * default; a production corpus passes finer shards (e.g. source ×
+  * doc_id-range or date) via `shards` so no single window partition
+  * exceeds an executor. Chunk ids are per-shard, which is exactly what a
+  * data-parallel trainer wants (shards map to input workers).
+  */
+object Packing {
+
+  /** BPE-ish token count (letter runs | single digits | single
+    * punctuation) — the same segmentation `TextAnalysis.tokenStats`
+    * reports, counted by a codegen `regexp_count` at scan speed. */
+  private val TokenRegex = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Per-(shard, chunk) packing summary for `ctx`-token context windows:
+    * docs in the chunk, their total tokens, and the id range. */
+  def seqPack(documents: DataFrame, ctx: Int = 512,
+              shards: Seq[Column] = Seq(col("source"))): DataFrame = {
+    require(ctx > 0, "context window must be positive")
+    val w = Window.partitionBy(shards: _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(shards :+ col("doc_id") :+
+        regexp_count(col("text"), lit(TokenRegex)).as("n_tokens"): _*)
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id", floor(col("offset") / lit(ctx)))
+      .groupBy(shards :+ col("chunk_id"): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_seq_pack" -> ((s, d) => seqPack(Tables(s, d).documents)))
+
+  val oracles: Map[String, String] = Map(
+    "t_seq_pack" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tk)
+        |SELECT source, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM o GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ops.Packing
+
+/** Sequence-packing semantics: chunk assignment, conservation, and
+  * shard-parallel determinism. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, TestSpark.sf0001).documents
+
+  test("hand example: a doc belongs to the chunk its first token lands in") {
+    // tokens: 300, 300, 300 with ctx=512 → offsets 0, 300, 600 → chunks 0, 0, 1
+    val d = Seq(
+      (1L, "s", ("a " * 300).trim),
+      (2L, "s", ("b " * 300).trim),
+      (3L, "s", ("c " * 300).trim)).toDF("doc_id", "source", "text")
+    val out = Packing.seqPack(d, ctx = 512).orderBy("chunk_id")
+      .collect().map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 2L), (1L, 1L, 3L, 3L)))
+  }
+
+  test("conservation: every doc in exactly one chunk, token totals preserved") {
+    val out = Packing.seqPack(docs)
+    assert(out.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    val totalTokens = docs
+      .select(regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("t"))
+      .agg(sum("t")).collect()(0).getLong(0)
+    assert(out.agg(sum("chunk_tokens")).collect()(0).getLong(0) == totalTokens)
+  }
+
+  test("chunk ids are contiguous per source and doc ranges do not overlap") {
+    val rows = Packing.seqPack(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+    rows.groupBy(_._1).foreach { case (_, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, "contiguous ids")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, lastA), (_, _, firstB, _)) => assert(lastA < firstB)
+        case _ =>
+      }
+    }
+  }
+
+  test("packing is partition-invariant and custom shards refine chunks") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Packing.seqPack(docs.repartition(7))) == rows(Packing.seqPack(docs)))
+    // sharding by (source, doc_id range) yields the same token totals
+    val sharded = Packing.seqPack(docs, shards = Seq(col("source"), (col("doc_id") / 100).cast("int").as("rng")))
+    assert(sharded.agg(sum("chunk_tokens")).collect()(0).getLong(0) ==
+      Packing.seqPack(docs).agg(sum("chunk_tokens")).collect()(0).getLong(0))
+  }
+}
