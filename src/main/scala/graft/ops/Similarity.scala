@@ -25,7 +25,7 @@ object Similarity {
   /** Deterministic hyperplanes: fixed-seed Gaussian components, shipped
     * as a literal (broadcast with the plan, never shuffled). Shared with
     * `Dedup.embedNearDupLsh` (same family of data-independent bucketers). */
-  private[ops] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -43,32 +43,43 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** Random-hyperplane LSH ANN: `nPlanes` sign bits form the bucket id;
-    * candidates come from an equi-join of the corpus's bucket id against
-    * the query's multi-probe bucket set (own bucket + hamming-1
-    * neighbors); top-k by exact cosine among candidates only. */
-  def annLsh(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
-             nPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    // bucket = Σ_p (dot(embedding, planes[p]) > 0) << p — scan-side via the
-    // codegen'd graft_hyperplane_sig expression (the literal plane matrix
-    // ships with the plan; no shuffle, no interpreted lambda per element)
+  /** The LSH index table: embeddings with their hyperplane bucket id.
+    * bucket = Σ_p (dot(embedding, planes[p]) > 0) << p — scan-side via the
+    * codegen'd graft_hyperplane_sig expression (the literal plane matrix
+    * ships with the plan; no shuffle, no interpreted lambda per element).
+    * Per-row and data-independent, so it runs identically over a batch
+    * scan or a stream (`graft.streaming.AnnStream` maintains it
+    * continuously) and the table grows by appending. */
+  def withSignatures(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planesCol = typedlit(hyperplanes(nPlanes, dim))
-    val withSig = embeddings
+    embeddings
       .withColumn("bucket", GraftFunctions.hyperplaneSig(col("embedding"), planesCol))
       .select(col("vec_id"), col("label"), col("embedding"), col("bucket"))
-    // multi-probe set: the query bucket and every 1-bit flip of it
-    val probes = withSig.filter(col("vec_id") === queryVecId)
+  }
+
+  /** ANN served off a (possibly materialized or stream-maintained)
+    * signature index: candidates come from an equi-join of the corpus's
+    * bucket id against the query's multi-probe bucket set (own bucket +
+    * hamming-1 neighbors); top-k by exact cosine among candidates only. */
+  def annLshFromSignatures(index: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+                           nPlanes: Int = 8): DataFrame = {
+    val probes = index.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"),
         explode(concat(array(col("bucket")),
           expr(s"transform(sequence(0, ${nPlanes - 1}), p -> bucket ^ shiftleft(1L, p))")))
           .as("probe"))
-    withSig
+    index
       .join(broadcast(probes), col("bucket") === col("probe") && col("vec_id") =!= queryVecId)
       .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("bucket"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** Random-hyperplane LSH ANN, self-contained (index + serve). */
+  def annLsh(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+             nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    annLshFromSignatures(withSignatures(embeddings, nPlanes, dim), queryVecId, k, nPlanes)
 
   /** IVF coarse quantizer: k-means with deterministic init (embeddings
     * of the k smallest vec_ids) and fixed-point-exact centroid means, so

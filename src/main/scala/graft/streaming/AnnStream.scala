@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+
+/** Streaming ANN index maintenance (SURVEY.md §2.4): keep the
+  * hyperplane-LSH signature index fresh as new embeddings arrive,
+  * instead of re-indexing the corpus per batch job.
+  *
+  * The signature is per-row and data-independent (a fixed plane matrix
+  * shipped with the plan), so index refresh is a STATELESS streaming
+  * projection — no watermark, no state store, scan-speed codegen — and
+  * the index table grows strictly by appending. Queries serve off the
+  * accumulating table via `Similarity.annLshFromSignatures`: the
+  * classic lambda-free split of "continuously indexed, queried on
+  * demand". At 100 TB the sink is a bucketed table partitioned by
+  * `bucket` (see `core.Store`), so serving probes read only their
+  * buckets. Contrast with the IVF index, whose centroids are FITTED:
+  * a stream refreshes IVF by re-fitting periodically out-of-band
+  * (`Catalog.ivfIndex`), while assignment of arriving vectors is the
+  * same stateless projection as here.
+  */
+object AnnStream {
+
+  /** Streaming reads need an explicit schema (embeddings.parquet). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Raw embedding file stream. */
+  def embeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema).parquet(dir)
+
+  /** Continuously-maintained signature index: one row per arriving
+    * vector with its LSH bucket — identical values to the batch
+    * `Similarity.withSignatures` (one code path, two execution modes). */
+  def signatureStream(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
+    Similarity.withSignatures(embeddings, nPlanes, dim)
+}

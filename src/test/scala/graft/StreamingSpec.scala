@@ -182,6 +182,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN index refresh: incremental signatures equal the batch index and serve identically") {
+    import graft.ops.Similarity
+    import graft.streaming.AnnStream
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val streamDir = Files.createTempDirectory("graft-ann-stream")
+    def arrive(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ann-half").toString
+      embs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = AnnStream.signatureStream(AnnStream.embeddingStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("ann_sigs")
+      .outputMode("append").start()
+    try {
+      arrive($"vec_id" % 2 === 0, "b0.parquet")
+      q.processAllAvailable()
+      val afterHalf = spark.table("ann_sigs").count()
+      assert(afterHalf > 0 && afterHalf < embs.count(), "index should be partial after batch 1")
+      arrive($"vec_id" % 2 === 1, "b1.parquet")
+      q.processAllAvailable()
+      // refresh is append-only: the full streamed index equals the batch index
+      val streamed = spark.table("ann_sigs")
+      val batch = Similarity.withSignatures(embs)
+      assert(streamed.count() == embs.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      // and serving off the streamed index gives the exact annLsh answer
+      val served = Similarity.annLshFromSignatures(spark.table("ann_sigs"))
+        .collect().map(_.toString).toSeq
+      val direct = Similarity.annLsh(embs).collect().map(_.toString).toSeq
+      assert(served == direct)
+    } finally q.stop()
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
