@@ -136,6 +136,36 @@ class FunctionsSpec extends SparkSpec {
     assert(agg.nonEmpty && agg(0).getSeq[Long](0).length == 64)
   }
 
+  test("graft.GraftExtensions loads through Spark's spark.sql.extensions contract") {
+    // `spark.sql.extensions` is a STATIC conf — Spark applies it when the
+    // SparkContext's conf carries it at session build, which a shared
+    // test context can't exercise end-to-end. Replay Spark's own loading
+    // steps instead: reflective zero-arg construction (applyExtensions
+    // does Class.forName + getConstructor().newInstance()), the
+    // Function1[SparkSessionExtensions, Unit] contract, and the
+    // registration the session build would perform.
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    val instance = Class.forName("graft.GraftExtensions")
+      .getConstructor().newInstance()
+    val f = instance.asInstanceOf[SparkSessionExtensions => Unit]
+    val exts = new SparkSessionExtensions
+    f(exts)
+    val registry = FunctionRegistry.builtin.clone()
+    assert(!registry.functionExists(FunctionIdentifier("graft_hamming64")))
+    // registerFunctions is private[sql] to Scala but public bytecode —
+    // invoke it the way the session builder effectively does
+    classOf[SparkSessionExtensions]
+      .getMethod("registerFunctions", classOf[FunctionRegistry])
+      .invoke(exts, registry)
+    Seq("graft_cosine", "graft_hamming64", "graft_shingles", "graft_minhash",
+      "graft_simhash", "graft_hyperplane_sig", "graft_stopword_profile")
+      .foreach { name =>
+        assert(registry.functionExists(FunctionIdentifier(name)), s"$name not registered")
+      }
+  }
+
   test("shingle/minhash/simhash expressions run inside WholeStageCodegen over a scan") {
     val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
     val df = docs.select(
