@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
       graft.ops.Dedup.queries ++ graft.ops.DupClusters.queries ++
-      graft.ops.Similarity.queries ++
+      graft.ops.Funnel.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
       graft.ops.Multimodal.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
@@ -26,7 +26,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
       graft.ops.Dedup.oracles ++ graft.ops.DupClusters.oracles ++
-      graft.ops.Similarity.oracles ++
+      graft.ops.Funnel.oracles ++ graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
       graft.ops.Multimodal.oracles ++
       graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles

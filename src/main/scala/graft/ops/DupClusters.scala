@@ -139,6 +139,26 @@ object DupClusters {
   def dupClusters(documents: DataFrame, candidates: DataFrame, tau: Double = 0.8): DataFrame =
     connectedComponents(dupEdges(documents, candidates, tau), documents.select(col("doc_id")))
 
+  /** Incremental cluster-map refresh: when a new batch of documents (and
+    * their near-dup pairs against the grown corpus) arrives, the stored
+    * assignment re-enters the computation as its STAR EDGES (member →
+    * root, one row per already-clustered doc) — which have the same
+    * connectivity as the original edge set, are already the algorithm's
+    * fixpoint shape, and are linear in corpus size. Only the new edges
+    * perturb the stars, so convergence is fast; a full recompute over
+    * all historical pairs is never needed (the same new-rows-only
+    * contract as `Store.refreshMinhashSignatures`). */
+  def refresh(storedAssignment: DataFrame, newPairs: DataFrame,
+              vertices: DataFrame): DataFrame = {
+    val starEdges = storedAssignment
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val Array(na, nb) = newPairs.columns.take(2)
+    connectedComponents(
+      starEdges.unionByName(newPairs.select(col(na).as("doc_a"), col(nb).as("doc_b"))),
+      vertices)
+  }
+
   /** Survivor rows after cluster-level dedup: each component's minimum
     * doc_id (singletons survive trivially). Left-semi join back, so the
     * full-width document rows never enter the clustering shuffles. */

@@ -91,6 +91,41 @@ class DupClustersSpec extends SparkSpec {
     }
   }
 
+  test("incremental refresh over the stored star edges equals a full recompute") {
+    val rnd = new scala.util.Random(23)
+    val allPairs = Seq.fill(200)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val vertices = (0L until 300L)
+    val (oldPairs, newPairs) = allPairs.splitAt(120)
+    val stored = DupClusters.connectedComponents(
+      oldPairs.toDF("doc_a", "doc_b"), vertices.toDF("doc_id"))
+    val refreshed = DupClusters.refresh(stored, newPairs.toDF("doc_a", "doc_b"),
+        vertices.toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refreshed == assignMap(allPairs, vertices))
+  }
+
+  test("funnel: stages nest and match the directly-computed survivor sets") {
+    import graft.ops.{Funnel, TextAnalysis}
+    val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
+    val out = Funnel.funnel(docs, assign).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0)._1 == "total" && out(0)._2 == docs.count())
+    assert(out(1)._2 == Dedup.dedupDocuments(docs).count())
+    assert(out(2)._2 == assign.where($"doc_id" === $"cluster_id").count())
+    // monotone retention
+    assert(out(0)._2 >= out(1)._2 && out(1)._2 >= out(2)._2 &&
+      out(2)._2 >= out(3)._2 && out(3)._2 >= out(4)._2)
+    // decontamination stage removed exactly the flagged survivors
+    val contaminated = TextAnalysis.decontaminate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val afterQ = assign.where($"doc_id" === $"cluster_id")
+      .join(TextAnalysis.quality(docs).where($"quality_bucket" =!= "low")
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(out(4)._2 == (afterQ -- contaminated).size)
+  }
+
   test("clusterKeep: exactly one survivor per cluster, min doc_id wins") {
     val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
     val kept = DupClusters.clusterKeep(docs, assign)
