@@ -26,6 +26,7 @@ object Store {
 
   val VehiclesTable = "graft_vehicles"
   val SignaturesTable = "graft_minhash_sigs"
+  val ClustersTable = "graft_dup_clusters"
 
   /** Persist the upserted vehicles as a bucketed+sorted table keyed by
     * vehicle id (the reference's PRIMARY KEY). Bucket count is a layout
@@ -94,6 +95,54 @@ object Store {
       }
     }
   }
+
+  /** Persist the duplicate-cluster assignment (doc_id → cluster_id)
+    * bucketed by doc_id — the durable "cluster map" every downstream
+    * keep/drop decision joins against. Survivor filtering and funnel
+    * stages key on doc_id, so the bucketed layout makes those semi-joins
+    * read pre-partitioned buckets. */
+  def saveDupClusters(spark: SparkSession, dir: String, buckets: Int = 8,
+                      table: String = ClustersTable): Unit =
+    Catalog.dupClusters(spark, dir).write
+      .mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** Incrementally refresh a stored cluster map with a new batch's
+    * near-dup pairs: the stored assignment re-enters as its star edges
+    * (already the algorithm's fixpoint shape — see
+    * `DupClusters.refresh`), so historical PAIRS are never recomputed;
+    * only the new edges perturb the stars. Unlike the signature table
+    * this REWRITES (cluster roots can change when components merge), so
+    * the result is staged to a cluster-visible scratch path before the
+    * overwrite — the new map's plan reads the table it replaces. */
+  def refreshDupClusters(spark: SparkSession, vertices: DataFrame, newPairs: DataFrame,
+                         buckets: Int = 8, table: String = ClustersTable): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      graft.ops.DupClusters.connectedComponents(newPairs, vertices).write
+        .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(table)
+    } else {
+      val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/_graft_cc_delta_${java.util.UUID.randomUUID}"
+      try {
+        graft.ops.DupClusters.refresh(spark.table(table), newPairs, vertices)
+          .write.mode("overwrite").parquet(stage)
+        spark.read.parquet(stage).write
+          .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .saveAsTable(table)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(stage)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
+  /** The cluster map: stored if present, else in-session. */
+  def dupClusters(spark: SparkSession, dir: String,
+                  table: String = ClustersTable): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else Catalog.dupClusters(spark, dir)
 
   /** The loaded vehicles: the stored table if one exists, else the
     * in-session derived+cached frame. */

@@ -54,6 +54,26 @@ class StoreSpec extends SparkSpec {
     dropTable("t_incr_sigs")
   }
 
+  test("refreshDupClusters: incremental map equals full recompute; survivors join bucketed") {
+    import graft.ops.DupClusters
+    dropTable("t_cc_map")
+    val vertices = (0L until 200L).toDF("doc_id")
+    val rnd = new scala.util.Random(31)
+    val all = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val (batch1, batch2) = all.splitAt(90)
+    Store.refreshDupClusters(spark, vertices, batch1.toDF("doc_a", "doc_b"),
+      buckets = 4, table = "t_cc_map")
+    Store.refreshDupClusters(spark, vertices, batch2.toDF("doc_a", "doc_b"),
+      buckets = 4, table = "t_cc_map")
+    val stored = spark.table("t_cc_map")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DupClusters.connectedComponents(all.toDF("doc_a", "doc_b"), vertices)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored == full)
+    dropTable("t_cc_map")
+  }
+
   test("join keyed on the stored table's bucket key needs no exchange on the stored side") {
     dropTable("t_store_sigs")
     Store.saveMinhashSignatures(spark, TestSpark.sf0001, buckets = 4, table = "t_store_sigs")
