@@ -19,7 +19,7 @@ object SparkEntry {
       graft.ops.Dedup.queries ++ graft.ops.DupClusters.queries ++
       graft.ops.Funnel.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
-      graft.ops.Multimodal.queries ++
+      graft.ops.Multimodal.queries ++ graft.ops.Skew.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
@@ -28,6 +28,6 @@ object SparkEntry {
       graft.ops.Dedup.oracles ++ graft.ops.DupClusters.oracles ++
       graft.ops.Funnel.oracles ++ graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
-      graft.ops.Multimodal.oracles ++
+      graft.ops.Multimodal.oracles ++ graft.ops.Skew.oracles ++
       graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles
 }

@@ -68,4 +68,42 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("total"))
   }
+
+  // ---- driver wiring ----
+
+  import org.apache.spark.sql.SparkSession
+  import graft.core.Tables
+
+  /** Oracle keys proving the salted plans are RESULT-IDENTICAL to their
+    * unsalted equivalents — the property deterministic salting exists
+    * for. DuckDB runs the plain aggregate/join; Spark runs the salted
+    * two-phase plan (l_returnflag / c_mktsegment are the archetypal
+    * few-hot-groups keys these guards target at 100 TB). Sums stay in
+    * DECIMAL(18,2) through both phases, so salting cannot perturb a
+    * single bit of the result. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> ((s, d) =>
+      saltedSum(Tables(s, d).lineitem, "l_returnflag", "l_orderkey",
+          col("l_extendedprice").cast("decimal(18,2)"), salts = 16)
+        .select(col("l_returnflag"), col("total").cast("double").as("total_price"))),
+    "q_skew_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      val dim = t.customer.select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      saltedJoin(t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          dim, key = "o_custkey", factUnique = "o_orderkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin)
 }

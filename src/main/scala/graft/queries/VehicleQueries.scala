@@ -131,6 +131,19 @@ object VehicleQueries {
       .filter(col("bearing").between(target - delta, target + delta))
       .select(col("id"), col("label"), col("bearing"), col("speed"))
 
+  /** Geo bounding-box filter over the stored coordinates — the natural
+    * companion query to the reference's latitude/longitude columns
+    * (load.go persists both; the reference exposes no geo query, so
+    * this extends the surface). Pure conjunctive filter: it reaches the
+    * parquet scan as PushedFilters, and a geo-partitioned layout at
+    * scale would prune whole files before the scan. */
+  def geoBox(vehicles: DataFrame, latMin: Double, latMax: Double,
+             lonMin: Double, lonMax: Double): DataFrame =
+    vehicles
+      .filter(col("latitude").between(latMin, latMax) &&
+        col("longitude").between(lonMin, lonMax))
+      .select(col("id"), col("latitude"), col("longitude"), col("speed"))
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -161,6 +174,7 @@ object VehicleQueries {
     "v_speed_percentiles" -> ((s, d) => speedPercentiles(vehicles(s, d))),
     "v_route_percentiles" -> ((s, d) => routePercentiles(vehicles(s, d))),
     "v_bearing_filter" -> ((s, d) => byBearing(vehicles(s, d), 90.0, 15.0)),
+    "v_geo_bbox"       -> ((s, d) => geoBox(vehicles(s, d), 42.90, 42.98, -71.8, -71.05)),
     "v_bearing_summary"-> ((s, d) => bearingSummary(vehicles(s, d))),
     "v_count"          -> ((s, d) => countVehicles(vehicles(s, d))),
     "v_speed_by_id"    -> ((s, d) => speedById(vehicles(s, d), "R-42"))
@@ -262,6 +276,9 @@ object VehicleQueries {
          |FROM vehicles WHERE speed > 0 GROUP BY 1""".stripMargin,
     "v_bearing_filter" ->
       s"$VehiclesCte SELECT id, label, bearing, speed FROM vehicles WHERE bearing BETWEEN 75.0 AND 105.0",
+    "v_geo_bbox" ->
+      s"""$VehiclesCte SELECT id, latitude, longitude, speed FROM vehicles
+         |WHERE latitude BETWEEN 42.90 AND 42.98 AND longitude BETWEEN -71.8 AND -71.05""".stripMargin,
     "v_bearing_summary" ->
       s"$VehiclesCte SELECT $cardinalSql AS direction, COUNT(*) AS n FROM vehicles GROUP BY 1",
     "v_count" -> s"$VehiclesCte SELECT COUNT(*) AS n FROM vehicles",

@@ -45,6 +45,33 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(out.filter($"bearing" < 75 || $"bearing" > 105).count() == 0)
   }
 
+  test("geo bbox: exactly the vehicles inside the box, none outside") {
+    val box = VehicleQueries.geoBox(vehicles, 42.90, 42.98, -71.8, -71.05).collect()
+    assert(box.nonEmpty)
+    assert(box.forall { r =>
+      val (lat, lon) = (r.getAs[Double]("latitude"), r.getAs[Double]("longitude"))
+      lat >= 42.90 && lat <= 42.98 && lon >= -71.8 && lon <= -71.05
+    })
+    val expected = vehicles.filter(
+      $"latitude".between(42.90, 42.98) && $"longitude".between(-71.8, -71.05)).count()
+    assert(box.length == expected)
+    // a proper subset — the box filters, it doesn't pass everything
+    assert(box.length < vehicles.count())
+  }
+
+  test("salted skew paths are result-identical to the plain plans") {
+    import graft.ops.Skew
+    val t = graft.core.Tables(spark, TestSpark.sf0001)
+    val salted = Skew.saltedSum(t.lineitem, "l_returnflag", "l_orderkey",
+        $"l_extendedprice".cast("decimal(18,2)"), salts = 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val plain = t.lineitem.groupBy($"l_returnflag")
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)")).as("total"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted.view.mapValues(_.doubleValue).toMap ==
+      plain.view.mapValues(_.doubleValue).toMap)
+  }
+
   test("percentiles: ordered p50 <= p90 <= p95") {
     val r = VehicleQueries.speedPercentiles(vehicles).collect()(0)
     assert(r.getDouble(0) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2))
