@@ -119,6 +119,34 @@ object VehicleFeed {
       .select(cols.map(c => col(s"r.`$c`")).toIndexedSeq: _*)
   }
 
+  /** Load variant with HISTORY — a slowly-changing-dimension (type 2)
+    * build of the observation feed. Where [[latest]] mirrors the
+    * reference's `INSERT OR REPLACE` (only the newest record survives,
+    * load.go:6-43), this keeps every version with its validity interval:
+    * `valid_from` = the observation time, `valid_to` = the next
+    * observation's time for the same key (NULL while current),
+    * `is_current` = 1 on the open version. A warehouse deployment of the
+    * reference pipeline needs exactly this table to answer "what did the
+    * fleet look like at time T".
+    *
+    * Plan: ONE shuffle on the key, then `row_number` + `lead` inside the
+    * same window sort — per-key state is bounded by that key's history
+    * (same scale shape as sessionization, SURVEY §5). Ordering carries the
+    * unique `obs_id` tie-break, so versions are total-ordered even when
+    * two observations share a timestamp. */
+  def scd2History(observations: DataFrame, key: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("updated_at"), col("obs_id"))
+    observations.select(
+        col(key), col("obs_id"), col("speed"), col("current_status"), col("updated_at"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("updated_at"), 1).over(w))
+      .select(
+        col(key), col("obs_id"), col("speed"), col("current_status"), col("version"),
+        col("updated_at").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast(IntegerType).as("is_current"))
+  }
+
   /** Deterministic derived vehicle feed over the driver's `events` table —
     * the testdata stand-in for the live API (mapping documented in
     * SURVEY.md §4; mirrored verbatim in the DuckDB oracle CTE). */

@@ -62,6 +62,27 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
       .withColumn("kept_frac", round(col("n_kept") / col("n_docs"), 4))
 
+  /** Stratified EXACT-N sampling: precisely `n` documents per source,
+    * chosen by the same 60-bit md5 coordinate (so the selection is a
+    * deterministic, engine-portable function of the data, and the n=1
+    * sample is a prefix of the n=2 sample — nested like the rate-based
+    * [[sampleMixture]]).
+    *
+    * Plan: one shuffle on `source`, then `row_number` over the md5 order.
+    * Scale note: a window rank sorts each stratum — fine while strata fit
+    * a partition's sort spill budget. At 100 TB-per-stratum, take the
+    * rate-based [[sampleMixture]] at ~1.2 × n/N as a scan-side pre-filter,
+    * THEN exact-rank the survivors: same result (membership is a hash
+    * prefix), window input shrunk by the pre-filter's rate. */
+  def stratifiedExactN(documents: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(coord, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   // ---- driver wiring ----
 
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
@@ -71,7 +92,8 @@ object Sampling {
   val MixDefault: Double = 0.1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)))
+    "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
+    "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -81,6 +103,13 @@ object Sampling {
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <
-           |  CASE source $cases ELSE '${thresholdHex(MixDefault)}' END""".stripMargin)
+           |  CASE source $cases ELSE '${thresholdHex(MixDefault)}' END""".stripMargin,
+      "d_stratified_sample" ->
+        """SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank FROM (
+          |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+          |    ORDER BY substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15),
+          |             doc_id) AS sample_rank
+          |  FROM documents)
+          |WHERE sample_rank <= 10""".stripMargin)
   }
 }

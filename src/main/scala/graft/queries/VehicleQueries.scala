@@ -164,6 +164,8 @@ object VehicleQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_transform"      -> ((s, d) => VehicleFeed.fromEvents(graft.core.Tables(s, d).events)),
+    "v_scd2_history"   -> ((s, d) =>
+      VehicleFeed.scd2History(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -222,6 +224,14 @@ object VehicleQueries {
   val oracles: Map[String, String] = Map(
     "v_transform" -> s"$VehiclesCte SELECT * FROM vehicles_all",
     "v_upsert_latest" -> s"$VehiclesCte SELECT * FROM vehicles",
+    "v_scd2_history" ->
+      s"""$VehiclesCte SELECT id, obs_id, speed, current_status,
+         |  CAST(row_number() OVER w AS INT) AS version,
+         |  updated_at AS valid_from,
+         |  lead(updated_at) OVER w AS valid_to,
+         |  CAST(lead(updated_at) OVER w IS NULL AS INT) AS is_current
+         |FROM vehicles_all
+         |WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id)""".stripMargin,
     "v_top10_fastest" -> s"$VehiclesCte SELECT * FROM vehicles ORDER BY speed DESC, id LIMIT 10",
     "v_route_breakdown" ->
       s"""$VehiclesCte SELECT

@@ -78,6 +78,42 @@ class EtlSpec extends SparkSpec {
     assert(VehicleFeed.latest(obs).select("speed").collect()(0).getDouble(0) == 2.0)
   }
 
+  test("scd2 history: versions chain, current row equals the upsert result") {
+    val obs = Seq(
+      ("k1", 1.0, "A", java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1L),
+      ("k1", 2.0, "B", java.sql.Timestamp.valueOf("2024-01-15 10:05:00"), 2L),
+      ("k1", 3.0, "C", java.sql.Timestamp.valueOf("2024-01-15 10:10:00"), 3L),
+      ("k2", 9.0, "A", java.sql.Timestamp.valueOf("2024-01-15 09:00:00"), 4L)
+    ).toDF("id", "speed", "current_status", "updated_at", "obs_id")
+    val hist = VehicleFeed.scd2History(obs).collect()
+      .groupBy(_.getAs[String]("id"))
+    // versions are 1..n per key, ordered by time
+    val k1 = hist("k1").sortBy(_.getAs[Int]("version"))
+    assert(k1.map(_.getAs[Double]("speed")).toSeq == Seq(1.0, 2.0, 3.0))
+    // each closed version's valid_to equals the next version's valid_from
+    for (Array(prev, next) <- k1.sliding(2))
+      assert(prev.getAs[java.sql.Timestamp]("valid_to") ==
+        next.getAs[java.sql.Timestamp]("valid_from"))
+    // exactly one open (is_current) version per key, and it matches latest()
+    val current = VehicleFeed.scd2History(obs).filter($"is_current" === 1)
+    assert(current.count() == 2)
+    val viaUpsert = VehicleFeed.latest(obs)
+      .select("id", "speed").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaHist = current
+      .select("id", "speed").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaHist == viaUpsert)
+  }
+
+  test("scd2 history: same-timestamp versions total-order on obs_id") {
+    val t = java.sql.Timestamp.valueOf("2024-01-15 10:30:00")
+    val obs = Seq(("k", 1.0, "A", t, 7L), ("k", 2.0, "A", t, 9L), ("k", 3.0, "A", t, 8L))
+      .toDF("id", "speed", "current_status", "updated_at", "obs_id")
+    val hist = VehicleFeed.scd2History(obs).orderBy("version").collect()
+    assert(hist.map(_.getAs[Double]("speed")).toSeq == Seq(1.0, 3.0, 2.0))
+    assert(hist.last.getAs[Int]("is_current") == 1)
+    assert(hist.init.forall(_.getAs[Int]("is_current") == 0))
+  }
+
   test("PagedSource: stubbed paged fetch round-trips; corrupt page dead-letters") {
     import graft.etl.PagedSource
     val urls = PagedSource.pageUrls("http://api.example/vehicles", pages = 3, pageSize = 2)

@@ -39,6 +39,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified exact-N: exactly min(n, stratum) rows per source, nested in n") {
+    val n10 = Sampling.stratifiedExactN(docs, 10).collect()
+    val perSource = n10.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, total) <- sizes)
+      assert(perSource(src) == math.min(10L, total),
+        s"$src got ${perSource(src)} of $total")
+    // the n=3 sample is a prefix of the n=10 sample (same hash order)
+    val n3 = Sampling.stratifiedExactN(docs, 3).collect().map(_.getLong(0)).toSet
+    assert(n3.subsetOf(n10.map(_.getLong(0)).toSet))
+    // and independent of input partitioning
+    val repart = Sampling.stratifiedExactN(docs.repartition(7), 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(repart.sameElements(n10.map(_.getLong(0)).sorted))
+  }
+
   test("thresholdHex maps rates to the 60-bit hex scale") {
     assert(Sampling.thresholdHex(0.5) == "800000000000000")
     assert(Sampling.thresholdHex(0.0) == "000000000000000")
