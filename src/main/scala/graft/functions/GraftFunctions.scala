@@ -359,6 +359,17 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One-pass type/token profile of normalized text: `[nTokens,
+    * nDistinct]` — the counts behind type-token-ratio (lexical
+    * diversity) quality filters. One tokenize + hash-set pass per row. */
+  def ttrProfile(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    new GenericArrayData(Array[Any](toks.length, seen.size))
+  }
+
   /** 64-bit SimHash of a token array: each token's FNV-1a hash votes ±1
     * on every bit; the fingerprint takes the sign of each tally. */
   def simhash64(tokens: ArrayData): Long = {
@@ -566,6 +577,28 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.repetitionProfile($t)")
 }
 
+/** One-pass type/token profile of a text column (scan-side, codegen):
+  * `[n_tokens, n_distinct]` — the inputs of a type-token-ratio lexical
+  * diversity filter. */
+case class TtrProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ttr_profile"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_ttr_profile expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TtrProfile =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.ttrProfile(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.ttrProfile($t)")
+}
+
 /** One-pass stopword/token profile of a text column against a literal
   * array of word lists (scan-side, codegen): `[n_tokens, hits_0, …]`.
   * Replaces one interpreted `filter` HOF per language (CodegenFallback,
@@ -723,6 +756,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
       (children: Seq[Expression]) => RepetitionProfile(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ttr_profile"),
+      new ExpressionInfo(classOf[TtrProfile].getName, "graft_ttr_profile"),
+      (children: Seq[Expression]) => TtrProfile(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles_k"),
       new ExpressionInfo(classOf[WordShinglesK].getName, "graft_shingles_k"),
       (children: Seq[Expression]) => WordShinglesK(children(0), children(1))))
@@ -764,6 +801,10 @@ object GraftFunctions {
   /** Fixed-point element-wise sum aggregate of an array<float> column →
     * array<bigint> (scaled by [[VectorSumFixed.Scale]]). */
   def vecSum(embedding: Column): Column = call_function("graft_vecsum", embedding)
+
+  /** Type/token profile of a text column → array<int>
+    * `[n_tokens, n_distinct]`. */
+  def ttrProfile(text: Column): Column = call_function("graft_ttr_profile", text)
 
   /** Word-3-gram repetition profile of a text column → array<int>
     * `[total, distinct, max_freq]`. */

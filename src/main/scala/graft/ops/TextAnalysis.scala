@@ -138,6 +138,25 @@ object TextAnalysis {
         when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
           .otherwise("ok"))
 
+  /** Lexical diversity (type-token ratio): distinct tokens / total
+    * tokens per document — the Gopher-family "fraction of unique words"
+    * quality signal (templated/boilerplate text scores low). One codegen
+    * kernel pass per row (`graft_ttr_profile`): no explode, no
+    * per-doc distinct aggregation, scan speed at any corpus size. The
+    * ratio is a single integer division rounded to 4 (exact across
+    * engines). */
+  def lexicalDiversity(documents: DataFrame, tau: Double = 0.3,
+                       minTokens: Int = 20): DataFrame =
+    documents
+      .select(col("doc_id"), GraftFunctions.ttrProfile(col("text")).as("p"))
+      .select(col("doc_id"),
+        col("p").getItem(0).as("n_tokens"),
+        col("p").getItem(1).as("n_distinct"))
+      .withColumn("ttr", round(col("n_distinct") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("div_flag",
+        when(col("n_tokens") >= minTokens && col("ttr") < tau, "templated")
+          .otherwise("ok"))
+
   /** PII patterns — deliberately plain ASCII regex (no lookaround, no
     * engine-specific classes) so Java regex (Spark) and RE2 (DuckDB,
     * and most data-plane scrubbers) agree character for character. */
@@ -206,7 +225,8 @@ object TextAnalysis {
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
     "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
-    "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)))
+    "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
+    "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -307,6 +327,18 @@ object TextAnalysis {
          |  md5(regexp_replace(after_phone, '$ip', '<ip>', 'g')) AS clean_md5
          |FROM s2""".stripMargin
     },
+    "t_lexical_div" ->
+      s"""$toksCte,
+         |m AS (SELECT doc_id,
+         |    CAST(len(list_filter(toks, t -> t != '')) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(list_filter(toks, t -> t != ''))) AS INT) AS n_distinct
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  ROUND(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) AS ttr,
+         |  CASE WHEN n_tokens >= 20
+         |         AND ROUND(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) < 0.3
+         |       THEN 'templated' ELSE 'ok' END AS div_flag
+         |FROM m""".stripMargin,
     "t_decontaminate" ->
       s"""${Dedup.shingleCte},
          |ev AS (SELECT DISTINCT g FROM (

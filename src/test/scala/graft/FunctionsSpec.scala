@@ -120,7 +120,8 @@ class FunctionsSpec extends SparkSpec {
         |  graft_nearest_centroid(a.embedding, array(array(0.0d), array(9.0d))) AS nc,
         |  graft_nearest_centroids(a.embedding, array(array(0.0d), array(9.0d)), 2) AS ncs,
         |  graft_stopword_profile('the cat and dog', array(array('the', 'and'))) AS prof,
-        |  graft_repetition_profile('a b a b a b') AS rep
+        |  graft_repetition_profile('a b a b a b') AS rep,
+        |  graft_ttr_profile('a b a b a b') AS ttr
         |FROM sql_embs a JOIN sql_embs b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
       .collect()
     assert(rows.length == 1)
@@ -129,6 +130,7 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_sh") == 2 && r.getAs[Int]("n_sig") == 128)
     assert(r.getSeq[Int](r.fieldIndex("prof")).toSeq == Seq(4, 2))
     assert(r.getSeq[Int](r.fieldIndex("rep")).toSeq == Seq(4, 2, 2))
+    assert(r.getSeq[Int](r.fieldIndex("ttr")).toSeq == Seq(6, 2))
     assert(r.getSeq[Int](r.fieldIndex("ncs")).head == r.getAs[Int]("nc"))
     // the aggregate registers too
     val agg = spark.sql(

@@ -97,6 +97,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
   }
 
+  test("lexicalDiversity: TTR counts distinct tokens once, flags templated text") {
+    val df = Seq(
+      (1L, "The the THE cat"),                            // 4 tokens, 2 distinct (case-folded)
+      (2L, ""),                                           // empty → 0 tokens, ttr 0
+      (3L, Seq.fill(20)("buy now").mkString(" ")),        // 40 tokens, 2 distinct → templated
+      (4L, (1 to 25).map(i => s"w$i").mkString(" "))      // fully distinct → ok
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_tokens") == 4 && out(1L).getAs[Int]("n_distinct") == 2)
+    assert(out(1L).getAs[Double]("ttr") == 0.5)
+    assert(out(2L).getAs[Int]("n_tokens") == 0 && out(2L).getAs[Double]("ttr") == 0.0)
+    assert(out(3L).getAs[String]("div_flag") == "templated")
+    assert(out(4L).getAs[Double]("ttr") == 1.0 && out(4L).getAs[String]("div_flag") == "ok")
+    // scan-side kernel: no shuffle, no explode, codegen stage (parquet
+    // input — a literal frame constant-folds to LocalTableScan)
+    val q = TextAnalysis.lexicalDiversity(docs)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"), plan)
+    val line = plan.linesIterator.find(_.contains("graft_ttr_profile"))
+    assert(line.isDefined && line.get.trim.stripPrefix("+- ").startsWith("*"),
+      s"graft_ttr_profile not in a codegen stage:\n$plan")
+  }
+
   test("piiScrub: redacts emails/phones/IPs, counts match, md5 reflects scrubbed text") {
     val df = Seq(
       (1L, "contact bob@example.com or alice@test.org today"),
