@@ -26,12 +26,14 @@ object Catalog {
   private val sigCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val ivfCache = TrieMap.empty[(SparkSession, String, Int), (Seq[Seq[Double]], DataFrame)]
   private val ccCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqCache = TrieMap.empty[(SparkSession, String), (Seq[Seq[Seq[Double]]], DataFrame)]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     ivfCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     ccCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    pqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -45,6 +47,11 @@ object Catalog {
     drop(ccCache, (k: (SparkSession, String)) => k._1)
     ivfCache.keys.filter(_._1 eq spark).foreach { k =>
       ivfCache.remove(k).foreach { case (_, df) =>
+        if (!spark.sparkContext.isStopped) df.unpersist()
+      }
+    }
+    pqCache.keys.filter(_._1 eq spark).foreach { k =>
+      pqCache.remove(k).foreach { case (_, df) =>
         if (!spark.sparkContext.isStopped) df.unpersist()
       }
     }
@@ -92,6 +99,20 @@ object Catalog {
     * slowest similarity path (two blocking Lloyd jobs per call); a fitted
     * index is a MODEL — built once per (session, dir, nlist), served
     * many times, exactly like [[minhashSignatures]]. */
+  /** The fitted PQ index for a dir's embeddings (cached, shared):
+    * deterministic per-subspace codebooks + the encoded code table,
+    * persisted — the compressed-corpus counterpart of [[ivfIndex]]. */
+  def pqIndex(spark: SparkSession, dir: String): (Seq[Seq[Seq[Double]]], DataFrame) = {
+    evictStopped()
+    pqCache.getOrElseUpdate((spark, dir), {
+      val emb = Tables(spark, dir).embeddings
+      val books = graft.ops.Similarity.pqCodebooks(emb)
+      val codes = graft.ops.Similarity.pqCodes(emb, books)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (books, codes)
+    })
+  }
+
   def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 16): (Seq[Seq[Double]], DataFrame) = {
     evictStopped()
     ivfCache.getOrElseUpdate((spark, dir, nlist), {

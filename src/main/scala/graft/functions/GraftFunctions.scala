@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -359,6 +359,62 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Product-quantization encoder: for each of the m codebooks (over
+    * contiguous dim/m-wide subspaces), the index of the nearest
+    * sub-centroid (squared L2). `books` is the literal
+    * array<array<array<double>>> codebook tensor [m][k][dim/m]. One pass,
+    * no slice allocation — reads the embedding in place. */
+  def pqEncode(embedding: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books.getArray(j)
+      val k = book.numElements()
+      val sub = if (k == 0) 0 else book.getArray(0).numElements()
+      val off = j * sub
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = book.getArray(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = embedding.getFloat(off + i).toDouble - cent.getDouble(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestDist) { bestDist = d2; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric-distance (ADC) approximate cosine from PQ codes: with
+    * per-(subspace, code) lookup tables `dotLut[j*k + c] = dot(q_j,
+    * centroid_jc) / |q|` and `norm2Lut[j*k + c] = |centroid_jc|²`,
+    * cos ≈ Σ dotLut / sqrt(Σ norm2Lut). m table lookups per row —
+    * never touches the original vector. */
+  def pqAdcCosine(codes: ArrayData, dotLut: ArrayData, norm2Lut: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val k = dotLut.numElements() / m
+    var s1 = 0.0
+    var s2 = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * k + codes.getInt(j)
+      s1 += dotLut.getDouble(idx)
+      s2 += norm2Lut.getDouble(idx)
+      j += 1
+    }
+    if (s2 <= 0.0) 0.0 else s1 / math.sqrt(s2)
+  }
+
   /** One-pass type/token profile of normalized text: `[nTokens,
     * nDistinct]` — the counts behind type-token-ratio (lexical
     * diversity) quality filters. One tokenize + hash-set pass per row. */
@@ -577,6 +633,57 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.repetitionProfile($t)")
 }
 
+/** Product-quantization encoder (scan-side, codegen): embedding +
+  * literal codebook tensor [m][k][dim/m] → array<int> of m code indices. */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (array<float>, array<array<array<double>>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(emb: Any, books: Any): Any =
+    TextKernels.pqEncode(emb.asInstanceOf[ArrayData], books.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, b) => s"graft.functions.TextKernels.pqEncode($e, $b)")
+}
+
+/** ADC approximate cosine from PQ codes against literal per-(subspace,
+  * code) lookup tables (scan-side, codegen): m array lookups per row. */
+case class PqAdcCosine(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def prettyName: String = "graft_pq_adc_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc_cosine expects (array<int>, array<double>, array<double>), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdcCosine =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(codes: Any, dotLut: Any, norm2Lut: Any): Any =
+    TextKernels.pqAdcCosine(codes.asInstanceOf[ArrayData],
+      dotLut.asInstanceOf[ArrayData], norm2Lut.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, d, n) => s"graft.functions.TextKernels.pqAdcCosine($c, $d, $n)")
+}
+
 /** One-pass type/token profile of a text column (scan-side, codegen):
   * `[n_tokens, n_distinct]` — the inputs of a type-token-ratio lexical
   * diversity filter. */
@@ -756,6 +863,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
       (children: Seq[Expression]) => RepetitionProfile(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_adc_cosine"),
+      new ExpressionInfo(classOf[PqAdcCosine].getName, "graft_pq_adc_cosine"),
+      (children: Seq[Expression]) => PqAdcCosine(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_ttr_profile"),
       new ExpressionInfo(classOf[TtrProfile].getName, "graft_ttr_profile"),
       (children: Seq[Expression]) => TtrProfile(children.head)))
@@ -801,6 +916,14 @@ object GraftFunctions {
   /** Fixed-point element-wise sum aggregate of an array<float> column →
     * array<bigint> (scaled by [[VectorSumFixed.Scale]]). */
   def vecSum(embedding: Column): Column = call_function("graft_vecsum", embedding)
+
+  /** PQ-encode an embedding vs a literal codebook tensor → array<int>. */
+  def pqEncode(embedding: Column, books: Column): Column =
+    call_function("graft_pq_encode", embedding, books)
+
+  /** ADC approximate cosine of a PQ-code column vs literal LUTs → double. */
+  def pqAdcCosine(codes: Column, dotLut: Column, norm2Lut: Column): Column =
+    call_function("graft_pq_adc_cosine", codes, dotLut, norm2Lut)
 
   /** Type/token profile of a text column → array<int>
     * `[n_tokens, n_distinct]`. */

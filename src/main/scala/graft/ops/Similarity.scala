@@ -159,6 +159,110 @@ object Similarity {
     annIvfFromIndex(cents, assigned, queryVecId, k, nProbe)
   }
 
+  /** Product-quantization codebooks: an independent deterministic k-means
+    * per contiguous dim/m-wide subspace (init = the subspace slices of
+    * the k smallest vec_ids; fixed-point-exact means via `graft_vecsum`,
+    * so the fit is bit-identical across runs and partitionings, like
+    * [[ivfCentroids]]).
+    *
+    * All m subspace fits run FUSED: each Lloyd iteration is ONE
+    * distributed job over a (vector × subspace) slice frame — assignment
+    * picks each slice's codebook by subspace index, and the shuffle
+    * carries m×k rows of (subspace, code, sum-vector, count). Only the
+    * m×k×(dim/m) codebook tensor (= dim×k doubles) reaches the driver:
+    * that IS the model. `sampleDenom` decouples fit cost from corpus
+    * size exactly as in [[ivfCentroids]]. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+                  dim: Int = 64, sampleDenom: Int = 1): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val fitSet =
+      if (sampleDenom <= 1) embeddings
+      else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleDenom)) === 0)
+    val init = fitSet.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => init.toSeq.map(v => v.slice(j * sub, (j + 1) * sub).toSeq))
+    val scale = graft.functions.VectorSumFixed.Scale.toDouble
+    val slices = fitSet.select(posexplode(array((0 until m).map(j =>
+      slice(col("embedding"), j * sub + 1, sub)): _*)).as(Seq("sub", "svec")))
+    for (_ <- 1 to iters) {
+      val sums = slices
+        .withColumn("c", GraftFunctions.nearestCentroid(col("svec"),
+          element_at(typedlit(books), col("sub") + 1)))
+        .groupBy(col("sub"), col("c"))
+        .agg(GraftFunctions.vecSum(col("svec")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      books = books.indices.map { j =>
+        books(j).indices.map { c =>
+          byKey.get((j, c)) match {
+            case Some(row) =>
+              val n = row.getLong(3).toDouble
+              row.getSeq[Long](2).map(s => s.toDouble / scale / n).toSeq
+            case None => books(j)(c) // empty code keeps its previous centroid
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** The PQ code table: every embedding compressed to m small ints
+    * (scan-side codegen `graft_pq_encode` — the codebook tensor ships
+    * with the plan). At 100 TB this is the point of PQ: the code table
+    * is ~dim×4/m× smaller than the float corpus (64 floats → 8 bytes
+    * here), small enough to keep hot and scan for every query. */
+  def pqCodes(embeddings: DataFrame, books: Seq[Seq[Seq[Double]]]): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      GraftFunctions.pqEncode(col("embedding"), typedlit(books)).as("codes"))
+
+  /** PQ ANN served off a pre-fitted index: rank the CODE table by ADC
+    * approximate cosine (m lookup-table reads per row, codegen,
+    * `TakeOrderedAndProject` — the float corpus is never scanned), then
+    * re-rank the top k×rerank candidates by exact cosine with one
+    * broadcast join back to the embeddings. */
+  def annPqFromIndex(books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                     embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+                     rerank: Int = 4): DataFrame = {
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble)
+    val qNorm = math.sqrt(qVec.map(v => v * v).sum)
+    val m = books.length
+    val kk = books.head.length
+    val sub = qVec.length / m
+    val dotLut: Seq[Double] = for (j <- 0 until m; c <- 0 until kk) yield {
+      val cent = books(j)(c)
+      val d = (0 until sub).map(i => qVec(j * sub + i) * cent(i)).sum
+      if (qNorm == 0.0) 0.0 else d / qNorm
+    }
+    val norm2Lut: Seq[Double] =
+      for (j <- 0 until m; c <- 0 until kk) yield books(j)(c).map(v => v * v).sum
+    val cand = codes.filter(col("vec_id") =!= queryVecId)
+      .withColumn("adc",
+        GraftFunctions.pqAdcCosine(col("codes"), typedlit(dotLut), typedlit(norm2Lut)))
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"))
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    embeddings.join(broadcast(cand), "vec_id")
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** PQ ANN, self-contained (fit + encode + serve) — the one-off form.
+    * Repeated queries go through `Catalog.pqIndex` so fit and encode are
+    * paid once per corpus. */
+  def annPq(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val books = pqCodebooks(embeddings)
+    annPqFromIndex(books, pqCodes(embeddings, books), embeddings, queryVecId, k)
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -169,6 +273,10 @@ object Similarity {
     "s_ann_ivf"  -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       annIvfFromIndex(cents, assigned)
+    }),
+    "s_ann_pq"   -> ((s, d) => {
+      val (books, codes) = graft.core.Catalog.pqIndex(s, d)
+      annPqFromIndex(books, codes, Tables(s, d).embeddings)
     }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane

@@ -114,6 +114,56 @@ class SimilaritySpec extends SparkSpec {
     assert(fromIndex.map(_.toString).sameElements(inline.map(_.toString)))
   }
 
+  test("pqCodebooks: m×k codebooks of subspace width, bit-identical under repartitioning") {
+    val books = Similarity.pqCodebooks(embs, m = 8, k = 16, iters = 2)
+    assert(books.length == 8)
+    assert(books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val again = Similarity.pqCodebooks(embs.repartition(13), m = 8, k = 16, iters = 2)
+    assert(books == again)
+  }
+
+  test("annPq: rerank cosines are exact, results deterministic, planted duplicate recalled") {
+    val brute = Similarity.annTopK(embs, queryVecId = 0L, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val pq = Similarity.annPq(embs, queryVecId = 0L, k = 10).collect()
+    assert(pq.length == 10)
+    // every returned cosine is the exact brute-force value (ADC only
+    // shortlists; the rerank is exact)
+    pq.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") == brute(r.getAs[Long]("vec_id")))
+    }
+    val again = Similarity.annPq(embs, queryVecId = 0L, k = 10).collect()
+    assert(pq.map(_.toString).sameElements(again.map(_.toString)))
+    // a planted exact duplicate of the query encodes to the query's own
+    // codes, tops the ADC ranking, and must come back with cos_sim 1.0
+    val qRow = embs.filter($"vec_id" === 0L).select($"embedding").collect()(0).getSeq[Float](0)
+    val planted = embs.unionByName(
+      Seq((99999L, qRow, -1)).toDF("vec_id", "embedding", "label"))
+    val hit = Similarity.annPq(planted, queryVecId = 0L, k = 10).collect()
+    assert(hit.head.getAs[Long]("vec_id") == 99999L && hit.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("annPq plan: ADC ranking scans the CODE table only (no float corpus in the shortlist)") {
+    val (books, codes) = graft.core.Catalog.pqIndex(spark, TestSpark.sf0001)
+    val (books2, codes2) = graft.core.Catalog.pqIndex(spark, TestSpark.sf0001)
+    assert((books eq books2) && (codes eq codes2), "second lookup must serve the cached index")
+    // the shortlist stage reads codes (vec_id, codes) — 8 ints per row —
+    // and ranks via TakeOrderedAndProject
+    val shortlist = codes.filter($"vec_id" =!= 0L)
+      .withColumn("adc", GraftFunctions.pqAdcCosine($"codes",
+        typedlit(Seq.fill(128)(0.1)), typedlit(Seq.fill(128)(0.2))))
+      .orderBy(desc("adc"), asc("vec_id")).limit(40)
+    shortlist.collect()
+    val plan = shortlist.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the scan over the cached code table reads codes/label/vec_id only
+    // (the plan string still shows the one-time encode projection INSIDE
+    // the InMemoryRelation — that runs at materialization, not per query)
+    val scanLine = plan.linesIterator.find(_.contains("InMemoryTableScan")).get
+    assert(!scanLine.contains("embedding"),
+      s"float corpus leaked into the ADC scan:\n$scanLine")
+  }
+
   test("annTopK plan: broadcast join + TakeOrderedAndProject (no global sort)") {
     val plan = Similarity.annTopK(embs).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
