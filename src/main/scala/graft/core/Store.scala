@@ -138,6 +138,50 @@ object Store {
     }
   }
 
+  /** Compact a stored bucketed table back to ONE file per bucket.
+    *
+    * Every incremental [[refreshMinhashSignatures]] append lands one
+    * file-set per batch, so bucket b accumulates one file per refresh —
+    * the classic small-files decay of any append-only table (the
+    * Delta/Iceberg OPTIMIZE problem). `repartition(buckets, key)` uses
+    * the same murmur3-hash partitioning as the bucket spec, so each
+    * write task holds exactly one bucket's rows and emits exactly one
+    * file; the rewrite changes the LAYOUT only — contents and the
+    * exchange-free join property are preserved (spec-proven). Contents
+    * are staged to a cluster-visible scratch path first because the
+    * rewrite's plan reads the table it replaces.
+    *
+    * Returns (files before, files after). Run it when
+    * files-per-bucket × open cost starts to show in scan times — at
+    * 100 TB that is a scheduled maintenance job, exactly like SQLite's
+    * VACUUM for the reference's store. */
+  def compact(spark: SparkSession, table: String, key: String,
+              buckets: Int = 8): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    def dataFiles(): Long = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/" + table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) 0L
+      else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    }
+    val before = dataFiles()
+    val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/_graft_compact_${java.util.UUID.randomUUID}"
+    try {
+      spark.table(table).write.mode("overwrite").parquet(stage)
+      spark.read.parquet(stage)
+        .repartition(buckets, col(key))
+        .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(table)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(stage)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    (before, dataFiles())
+  }
+
   /** The cluster map: stored if present, else in-session. */
   def dupClusters(spark: SparkSession, dir: String,
                   table: String = ClustersTable): DataFrame =

@@ -120,6 +120,37 @@ object VehicleStream {
       }
   }
 
+  /** Continuous funnel metrics — the streaming counterpart of
+    * `Funnel.funnel`'s per-stage retention table: per event-time hour,
+    * how many observations arrived (`ingested`), survived exact dedup
+    * (`unique`), and passed the quality gate (`moving`, speed > 0).
+    * This is the monitoring stream a production ingest job alerts on
+    * (a dedup-rate spike or quality collapse shows up within one
+    * window, not at the end of a batch job).
+    *
+    * Shape: the raw branch is stateless; the deduped branch runs ONE
+    * `dropDuplicatesWithinWatermark` and fans each surviving row into
+    * its stage rows with `posexplode` (no second dedup subplan, no
+    * self-union of stateful operators), then one watermarked windowed
+    * aggregation counts (window, stage). Two stateful operators total,
+    * both watermark-bounded — the supported dedup→aggregate chain. */
+  def funnelMetrics(vehicles: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val raw = vehicles
+      .withWatermark("updated_at", watermarkDelay)
+      .select(col("updated_at"), lit(0).as("stage_order"), lit("ingested").as("stage"))
+    val staged = dedupedIngest(vehicles)
+      .select(col("updated_at"),
+        posexplode(when(col("speed") > 0, array(lit("unique"), lit("moving")))
+          .otherwise(array(lit("unique")))).as(Seq("off", "stage")))
+      .select(col("updated_at"), (col("off") + 1).as("stage_order"), col("stage"))
+    raw.unionByName(staged)
+      .groupBy(window(col("updated_at"), "1 hour"), col("stage_order"), col("stage"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("stage_order"), col("stage"), col("n"))
+  }
+
   /** [[latestPerKey]] with BOUNDED state for unbounded key domains: a
     * key whose last update is older than `ttlMs` of event time is
     * retired — its final record is flushed once more (so a sink can mark

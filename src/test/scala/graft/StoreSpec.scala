@@ -96,4 +96,40 @@ class StoreSpec extends SparkSpec {
       s"stored side should be exchange-free:\n$plan")
     dropTable("t_store_sigs")
   }
+
+  test("compact: one file per bucket after appends; contents and bucketing preserved") {
+    dropTable("t_compact_sigs")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    // three incremental refreshes → three file-sets in the table
+    Store.refreshMinhashSignatures(spark, docs.filter($"doc_id" < 150),
+      buckets = 4, table = "t_compact_sigs")
+    Store.refreshMinhashSignatures(spark, docs.filter($"doc_id" < 300),
+      buckets = 4, table = "t_compact_sigs")
+    Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_compact_sigs")
+    val beforeRows = spark.table("t_compact_sigs")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    val (filesBefore, filesAfter) =
+      Store.compact(spark, "t_compact_sigs", key = "doc_id", buckets = 4)
+    assert(filesBefore > 4, s"expected >4 files after 3 appends, saw $filesBefore")
+    assert(filesAfter == 4, s"expected exactly one file per bucket, saw $filesAfter")
+    // contents unchanged, row for row
+    val afterRows = spark.table("t_compact_sigs")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted
+    assert(beforeRows.sameElements(afterRows))
+    // and the compacted table still joins without an exchange on its side
+    val sigs = spark.table("t_compact_sigs")
+    val candidates = sigs.select($"doc_id").limit(50)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = sigs.join(candidates.hint("shuffle_merge"), Seq("doc_id"))
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("Bucketed: true"), plan)
+    assert(finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"compacted side should be exchange-free:\n$plan")
+    dropTable("t_compact_sigs")
+  }
 }

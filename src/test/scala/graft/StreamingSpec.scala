@@ -218,6 +218,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel metrics: per-window ingested/unique/moving counts are exact") {
+    val dir = Files.createTempDirectory("graft-stream-funnel").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
+    def ns(offsetMin: Int): Long = (t0 + offsetMin * 60000L) * 1000000L
+    // 5 observations inside the 10:00 window: a duplicated click (same
+    // event_id), a purchase, a view (speed → 0), a click — so the funnel
+    // must report ingested=5, unique=4, moving=3 for that window
+    val batch0 = Seq(
+      (1L, ns(5), 1L, "click", 10.0, "{}"),
+      (1L, ns(5), 1L, "click", 10.0, "{}"), // exact duplicate observation
+      (2L, ns(15), 1L, "purchase", 5.0, "{}"),
+      (3L, ns(25), 2L, "view", 7.0, "{}"),  // view ⇒ speed 0 ⇒ not moving
+      (4L, ns(35), 3L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch0.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = VehicleStream.funnelMetrics(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("funnel_metrics")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a sentinel 10 h later pushes the watermark past the 10:00 window
+      Seq((99L, ns(600), 9L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val closed = spark.table("funnel_metrics")
+        .filter($"window_start" === new java.sql.Timestamp(t0))
+        .collect().map(r => r.getAs[String]("stage") -> r.getAs[Long]("n")).toMap
+      assert(closed == Map("ingested" -> 5L, "unique" -> 4L, "moving" -> 3L), closed)
+    } finally q.stop()
+  }
+
   test("stateful upsert: state persists across micro-batches (incremental)") {
     val dir = mkSourceDir("incr")
     // one continuous query; files arriving later become new micro-batches
