@@ -320,9 +320,25 @@ object AnalyticsQueries {
     poorCust.join(richSupp, Seq("nationkey"), "full_outer")
   }
 
+  /** Fixed-width numeric histogram of order values — the profiling
+    * aggregate behind any distribution dashboard. Bucket index is
+    * `floor(x / width)` (IEEE division + floor are bit-identical across
+    * engines, so bucket edges are deterministic); one scan with map-side
+    * combine into ~dozens of buckets — the cheapest possible shape at
+    * any corpus size. Exact decimal sum per bucket. */
+  def histogram(t: Tables, width: Double = 20000.0): DataFrame =
+    t.orders
+      .select(floor(col("o_totalprice") / width).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total_price"))
+      .withColumn("bucket_lo", col("bucket") * width)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram"          -> ((s, d) => histogram(Tables(s, d))),
     "q_moving_avg"         -> ((s, d) => movingAvg(Tables(s, d))),
     "q_argmax"             -> ((s, d) => argmaxOrder(Tables(s, d))),
     "q_ntile"              -> ((s, d) => ntileCustomers(Tables(s, d))),
@@ -349,6 +365,12 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(floor(o_totalprice / 20000.0) AS BIGINT) * 20000.0 AS bucket_lo
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_moving_avg" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -139,6 +139,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.forall(!_.isNullAt(0)))
   }
 
+  test("q_histogram: buckets partition every order; edges at bucket*width") {
+    val out = AnalyticsQueries.histogram(t).collect()
+    assert(out.map(_.getAs[Long]("n_orders")).sum == t.orders.count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("bucket_lo") == r.getAs[Long]("bucket") * 20000.0)
+    }
+    // one scan + one aggregation — no join, no window, single exchange
+    val q = AnalyticsQueries.histogram(t)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+  }
+
   test("q_asof_join: click is the latest at-or-before the purchase") {
     val rows = AnalyticsQueries.asofJoin(t).filter($"click_ts".isNotNull).collect()
     assert(rows.nonEmpty)
