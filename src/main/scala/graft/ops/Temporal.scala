@@ -55,6 +55,35 @@ object Temporal {
         rightPayload.map(p => col(s"__match.`$p`").as(s"asof_$p")): _*)
   }
 
+  /** Proximity (banded θ) self-join: all ordered pairs of rows sharing
+    * `key` with `0 < t(b) − t(a) ≤ window`. The naive form is an
+    * inequality self-join — O(rows²) per key, a cartesian in disguise.
+    * This plans it as an EQUI-join on (key, time-bucket): with bucket
+    * width = the window, any qualifying pair lands in the same or
+    * adjacent bucket, so the left side probes buckets {b, b+1} (a 2×
+    * fan-out of key/ts/id columns only) and the band predicate filters
+    * the equi-matches. Shuffle is keyed by (key, bucket) — work scales
+    * with genuine temporal co-location, never with per-key row count
+    * squared. The same trick generalizes to any banded condition
+    * (|x−y| ≤ w on any orderable column). */
+  def proximityJoin(df: DataFrame, key: String, ts: String, id: String,
+                    windowMinutes: Int): DataFrame = {
+    require(!df.columns.contains("__bk"),
+      "frame must not contain the reserved column __bk")
+    val wUs = windowMinutes.toLong * 60L * 1000000L
+    def bucket(c: String): org.apache.spark.sql.Column =
+      floor(unix_micros(col(c)) / wUs)
+    val aSide = df.select(col(key), col(ts).as("a_ts"), col(id).as("a_id"))
+      .withColumn("__bk", explode(array(bucket("a_ts"), bucket("a_ts") + 1)))
+    val bSide = df.select(col(key), col(ts).as("b_ts"), col(id).as("b_id"))
+      .withColumn("__bk", bucket("b_ts"))
+    aSide.join(bSide, Seq(key, "__bk"))
+      .filter(col("b_ts") > col("a_ts") &&
+        unix_micros(col("b_ts")) - unix_micros(col("a_ts")) <= wUs)
+      .select(col(key), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("delta_us"))
+  }
+
   /** Sessionization: assign a per-key session id that increments whenever
     * the gap to the previous row (ordered by `ts`, `tieBreak`) exceeds
     * `gapMinutes`. Output: input columns + `session_id` (1-based per

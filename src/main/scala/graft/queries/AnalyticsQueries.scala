@@ -335,10 +335,20 @@ object AnalyticsQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total_price"))
       .withColumn("bucket_lo", col("bucket") * width)
 
+  /** Proximity join over the event stream: ordered pairs of same-user
+    * events within 5 minutes — the banded θ-join (`Temporal
+    * .proximityJoin`: equi-join on (user, time-bucket), never a per-user
+    * cartesian) that backs co-occurrence / attribution analyses. */
+  def proximityPairs(t: Tables, windowMinutes: Int = 5): DataFrame =
+    graft.ops.Temporal.proximityJoin(
+      t.events.select(col("user_id"), col("ts"), col("event_id")),
+      key = "user_id", ts = "ts", id = "event_id", windowMinutes = windowMinutes)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_histogram"          -> ((s, d) => histogram(Tables(s, d))),
+    "q_proximity_join"     -> ((s, d) => proximityPairs(Tables(s, d))),
     "q_moving_avg"         -> ((s, d) => movingAvg(Tables(s, d))),
     "q_argmax"             -> ((s, d) => argmaxOrder(Tables(s, d))),
     "q_ntile"              -> ((s, d) => ntileCustomers(Tables(s, d))),
@@ -371,6 +381,13 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
         |  CAST(floor(o_totalprice / 20000.0) AS BIGINT) * 20000.0 AS bucket_lo
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_proximity_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, CAST(a.ts AS TIMESTAMP) AS a_ts,
+        |  b.event_id AS b_id, CAST(b.ts AS TIMESTAMP) AS b_ts,
+        |  epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) AS delta_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        | AND epoch_us(CAST(b.ts AS TIMESTAMP)) - epoch_us(CAST(a.ts AS TIMESTAMP)) <= 300000000""".stripMargin,
     "q_moving_avg" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

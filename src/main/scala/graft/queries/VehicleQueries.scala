@@ -144,6 +144,24 @@ object VehicleQueries {
         col("longitude").between(lonMin, lonMax))
       .select(col("id"), col("latitude"), col("longitude"), col("speed"))
 
+  /** Telemetry gap detection: per vehicle, consecutive-observation gaps
+    * exceeding `maxGapHours` — the data-quality monitor a fleet feed
+    * needs (a silent vehicle is indistinguishable from a healthy one in
+    * the latest-only table; the reference keeps no history at all).
+    * One shuffle on the key (same window shape as sessionization);
+    * `delta_us` is an exact integer µs difference. */
+  def gapDetection(feed: DataFrame, maxGapHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("updated_at"), col("obs_id"))
+    val gapUs = maxGapHours.toLong * 3600L * 1000000L
+    feed
+      .select(col("id"), col("updated_at"), col("obs_id"))
+      .withColumn("gap_start", lag(col("updated_at"), 1).over(w))
+      .withColumn("delta_us", unix_micros(col("updated_at")) - unix_micros(col("gap_start")))
+      .filter(col("delta_us") > gapUs)
+      .select(col("id"), col("gap_start"), col("updated_at").as("gap_end"),
+        col("delta_us"))
+  }
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -166,6 +184,8 @@ object VehicleQueries {
     "v_transform"      -> ((s, d) => VehicleFeed.fromEvents(graft.core.Tables(s, d).events)),
     "v_scd2_history"   -> ((s, d) =>
       VehicleFeed.scd2History(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_gap_detection"  -> ((s, d) =>
+      gapDetection(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -284,6 +304,15 @@ object VehicleQueries {
          |  ROUND(quantile_cont(speed, 0.9), 4) AS p90,
          |  COUNT(*) AS n_moving
          |FROM vehicles WHERE speed > 0 GROUP BY 1""".stripMargin,
+    "v_gap_detection" ->
+      s"""$VehiclesCte SELECT id, gap_start, gap_end, delta_us FROM (
+         |  SELECT id,
+         |    lag(updated_at) OVER w AS gap_start,
+         |    updated_at AS gap_end,
+         |    epoch_us(updated_at) - epoch_us(lag(updated_at) OVER w) AS delta_us
+         |  FROM vehicles_all
+         |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id))
+         |WHERE delta_us > 86400000000""".stripMargin,
     "v_bearing_filter" ->
       s"$VehiclesCte SELECT id, label, bearing, speed FROM vehicles WHERE bearing BETWEEN 75.0 AND 105.0",
     "v_geo_bbox" ->

@@ -58,6 +58,44 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("proximityJoin: equals the naive inequality self-join, including bucket-boundary pairs") {
+    import org.apache.spark.sql.functions._
+    // pairs that straddle a 5-minute bucket edge (10:04:59 → 10:05:01),
+    // sit exactly at the window bound (Δ = 5:00 inclusive), and exceed it
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:04:59"), 2L),
+      (1L, ts("2024-01-01 10:05:01"), 3L),   // 2→3 straddles the bucket edge
+      (1L, ts("2024-01-01 10:09:59"), 4L),   // 2→4 is exactly 5:00 → kept
+      (1L, ts("2024-01-01 10:20:00"), 5L),   // > 5 min from everything
+      (2L, ts("2024-01-01 10:00:30"), 6L))   // other key, never pairs with key 1
+      .toDF("user_id", "ts", "event_id")
+    val got = Temporal.proximityJoin(rows, "user_id", "ts", "event_id", 5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive inequality join on RENAMED projections (a plain self-join
+    // alias silently resolves both sides to one lineage — the classic
+    // trivially-true-predicate trap)
+    val aDf = rows.select($"user_id", $"ts".as("ats"), $"event_id".as("aid"))
+    val bDf = rows.select($"user_id".as("buser"), $"ts".as("bts"), $"event_id".as("bid"))
+    val naive = aDf.join(bDf,
+        $"user_id" === $"buser" && $"bts" > $"ats" &&
+          unix_micros($"bts") - unix_micros($"ats") <= 300000000L)
+      .select($"aid", $"bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    // note (1,3) is Δ = 5:01 → correctly excluded; (2,4) is Δ = 5:00 → kept
+    assert(got == Set((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
+  test("proximityJoin plan: equi-join on (key, bucket) — no cartesian, no range join") {
+    val events = graft.core.Tables(spark, TestSpark.sf0001).events
+      .select($"user_id", $"ts", $"event_id")
+    val q = Temporal.proximityJoin(events, "user_id", "ts", "event_id", 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("sessionize: a gap of exactly the threshold does NOT split") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L),

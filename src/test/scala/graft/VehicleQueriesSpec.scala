@@ -45,6 +45,24 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(out.filter($"bearing" < 75 || $"bearing" > 105).count() == 0)
   }
 
+  test("gap detection: flags exactly the over-threshold gaps, exact µs deltas") {
+    import graft.etl.VehicleFeed
+    val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    val gaps = VehicleQueries.gapDetection(feed, maxGapHours = 24).collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach { r =>
+      val delta = r.getAs[Long]("delta_us")
+      assert(delta > 24L * 3600 * 1000000)
+      // the reported delta is exactly gap_end − gap_start
+      val span = r.getAs[java.sql.Timestamp]("gap_end").getTime -
+        r.getAs[java.sql.Timestamp]("gap_start").getTime
+      assert(math.abs(delta / 1000 - span) <= 1) // ms truncation slack
+    }
+    // raising the threshold strictly shrinks the set
+    val wider = VehicleQueries.gapDetection(feed, maxGapHours = 48).count()
+    assert(wider < gaps.length)
+  }
+
   test("geo bbox: exactly the vehicles inside the box, none outside") {
     val box = VehicleQueries.geoBox(vehicles, 42.90, 42.98, -71.8, -71.05).collect()
     assert(box.nonEmpty)
