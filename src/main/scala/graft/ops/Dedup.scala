@@ -89,17 +89,25 @@ object Dedup {
     shingled(documents)
       .select(col("doc_id"), GraftFunctions.minhash(col("shingles")).as("sig"))
 
-  /** Candidate generation off a (possibly materialized) signature table. */
-  def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
+  /** LSH band buckets of a signature table: one (doc_id, band, bhash)
+    * row per (doc, band) — the shared candidate-generation intermediate
+    * for both self-join ([[minhashCandidatesFromSignatures]]) and
+    * cross-corpus ([[crossDedup]]) dedup. */
+  private def bandBuckets(signatures: DataFrame, bands: Int): DataFrame = {
     val numPerms = 128
     require(bands > 0 && numPerms % bands == 0, "bands must be positive and divide 128")
     val r = numPerms / bands
     val bandSql =
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
-    val buckets = signatures
+    signatures
       .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  /** Candidate generation off a (possibly materialized) signature table. */
+  def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
+    val buckets = bandBuckets(signatures, bands)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
@@ -224,6 +232,45 @@ object Dedup {
     * τ; use this at corpus scale. */
   def nearDupPairs(documents: DataFrame, tau: Double = 0.8, bands: Int = 32): DataFrame =
     jaccardOnCandidates(documents, minhashCandidates(documents, bands), tau)
+
+  /** Cross-corpus dedup: which NEW-batch documents duplicate the
+    * EXISTING corpus — the decision every incremental ingest makes
+    * before admitting a crawl batch. Two detectors, one result:
+    * `exact` (equal normalized-content md5 — a broadcast-or-hash
+    * equi-join on compact 32-char keys) and `near` (LSH band buckets of
+    * the batch joined against the corpus's buckets, verified by exact
+    * Jaccard ≥ τ on candidates only, minus pairs already exact).
+    *
+    * Work is proportional to the BATCH and its collisions, never to
+    * corpus × batch: the corpus side enters only through its fingerprint
+    * and signature columns, both of which a production deployment reads
+    * from the durable store (`Store.minhashSignatures` — materialized
+    * once, extended incrementally) rather than recomputing. τ defaults
+    * to 0.8 where 32×4 banding recall is ≈1, so the candidate path
+    * loses nothing vs all-pairs (the oracle checks exactly that). */
+  def crossDedup(corpus: DataFrame, batch: DataFrame, tau: Double = 0.8,
+                 bands: Int = 32): DataFrame = {
+    val cFp = corpus.select(col("doc_id").as("corpus_id"), md5(normText(col("text"))).as("h"))
+    val bFp = batch.select(col("doc_id").as("batch_id"), md5(normText(col("text"))).as("h"))
+    val exact = bFp.join(cFp, "h").select(col("batch_id"), col("corpus_id"))
+    val bBuckets = bandBuckets(minhashSignatures(batch), bands)
+      .withColumnRenamed("doc_id", "batch_id")
+    val cBuckets = bandBuckets(minhashSignatures(corpus), bands)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val cand = bBuckets.join(cBuckets, Seq("band", "bhash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val shB = shingled(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sh_a"))
+    val shC = shingled(corpus).select(col("doc_id").as("corpus_id"), col("shingles").as("sh_b"))
+    val near = cand
+      .join(shB, "batch_id")
+      .join(shC, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4) >= tau)
+      .select(col("batch_id"), col("corpus_id"))
+      .join(exact, Seq("batch_id", "corpus_id"), "left_anti")
+    exact.withColumn("kind", lit("exact"))
+      .unionByName(near.withColumn("kind", lit("near")))
+  }
 
   /** Fuzzy (edit-distance) near-dup pairs: LSH candidates filtered by
     * `levenshtein ≤ maxDist` on the normalized text. Two scale guards:
@@ -402,7 +449,11 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
-    "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)))
+    "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
+    "d_cross_dedup"      -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      crossDedup(docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"))
+    }))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */
   private[ops] val shingleCte =
@@ -457,6 +508,30 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d_substring_dup" -> substringDupOracle,
+    "d_cross_dedup" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents),
+        |ex AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |  FROM f b JOIN f c ON b.h = c.h
+        |  WHERE b.source = 'src0' AND c.source != 'src0'),
+        |toks AS (SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |shx AS (SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+        |  FROM toks WHERE len(toks) >= 3),
+        |d AS (SELECT doc_id, source, sh, len(sh) AS l FROM shx WHERE len(sh) > 0),
+        |nr AS (SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id
+        |  FROM d a JOIN d b ON a.source = 'src0' AND b.source != 'src0'
+        |   AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (a.l + b.l - len(list_intersect(a.sh, b.sh))), 4) >= 0.8
+        |  WHERE NOT EXISTS (SELECT 1 FROM ex
+        |    WHERE ex.batch_id = a.doc_id AND ex.corpus_id = b.doc_id))
+        |SELECT batch_id, corpus_id, 'exact' AS kind FROM ex
+        |UNION ALL
+        |SELECT batch_id, corpus_id, 'near' AS kind FROM nr""".stripMargin,
     "d_exact_dedup" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

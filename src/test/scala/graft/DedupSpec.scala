@@ -96,6 +96,26 @@ class DedupSpec extends SparkSpec {
     assert(fromTable == inline)
   }
 
+  test("crossDedup: planted exact and near batch dups found with the right kind, clean docs pass") {
+    // 40 distinct words → 38 distinct shingles; editing the final word
+    // changes 3 of them: J = 35/41 ≈ 0.854 ≥ 0.8
+    val base = (1 to 39).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base + " tail"),
+      (2L, "an entirely different corpus document about query engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " tail"),    // exact dup of corpus doc 1
+      (101L, base + " changed"), // near dup of corpus doc 1 (one word edited)
+      (102L, "a genuinely novel batch document with fresh content throughout"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDedup(corpus, batch, tau = 0.8).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind")))
+    assert(out.toSet == Set((100L, 1L, "exact"), (101L, 1L, "near")))
+    // the batch-vs-corpus orientation is strict: corpus-internal and
+    // batch-internal duplicates are NOT this operator's business
+    assert(out.forall { case (b, c, _) => b >= 100L && c < 100L })
+  }
+
   test("fuzzyPairs: planted near-dups found, distances within bound, no false matches") {
     val pairs = Dedup.fuzzyPairs(docs, maxDist = 10).collect()
     assert(pairs.nonEmpty)
