@@ -344,9 +344,77 @@ object AnalyticsQueries {
       t.events.select(col("user_id"), col("ts"), col("event_id")),
       key = "user_id", ts = "ts", id = "event_id", windowMinutes = windowMinutes)
 
+  /** Weekly cohort retention: users bucketed by first-seen week, counted
+    * per (cohort, week-offset) of later activity — the product-analytics
+    * staple. Plan: distinct (user, week) first (map-side combine takes
+    * the shuffle from |events| down to |user-weeks|), cohort via a
+    * per-user window min (no second scan of events), then one final
+    * aggregate. All three exchanges carry only user-week rows; at 100 TB
+    * the heavy input collapses in the first partial aggregate. The
+    * offset is exact integer days/7 — both engines truncate the same
+    * Monday-aligned weeks. */
+  def cohortRetention(t: Tables): DataFrame = {
+    val userWeeks = t.events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    userWeeks
+      .withColumn("cohort_week", min(col("wk")).over(w))
+      .withColumn("week_offset", (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Time-grid resample + gap fill: each user's daily activity on a
+    * dense per-user calendar (first to last active day), zero-filled
+    * event counts and last-observation-carried-forward daily totals —
+    * the telemetry/feature-store regularization step. The grid is built
+    * per key with `sequence()` (output bounded by span×keys, never a
+    * global calendar cross-join); the LOCF is one per-user ordered
+    * window over the grid. Day totals go through DECIMAL(28,10) so the
+    * carried value is bit-identical to the oracle's. */
+  def resampleDaily(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(28, 10))).cast(DoubleType).as("day_total"))
+    val grid = daily
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("day_total"),
+        last(col("day_total"), ignoreNulls = true).over(w).as("filled_total"))
+  }
+
+  /** Ranking-window suite: percent_rank / cume_dist / nth_value over a
+    * deterministic (balance, key) order per market segment — the
+    * remaining window-function family §2.2 didn't already cover. The
+    * order key is unique, so the rank doubles are the same IEEE
+    * divisions in any engine; rounded to 4 per the float policy. */
+  def rankSuite(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.customer.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cume"),
+      nth_value(col("c_custkey"), 2).over(full).as("second_poorest_key"),
+      last(col("c_custkey")).over(full).as("richest_key"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d))),
+    "q_resample"           -> ((s, d) => resampleDaily(Tables(s, d))),
+    "q_rank_suite"         -> ((s, d) => rankSuite(Tables(s, d))),
     "q_histogram"          -> ((s, d) => histogram(Tables(s, d))),
     "q_proximity_join"     -> ((s, d) => proximityPairs(Tables(s, d))),
     "q_moving_avg"         -> ((s, d) => movingAvg(Tables(s, d))),
@@ -375,6 +443,42 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, wk,
+        |    MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM uw)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_resample" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS day_total
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT user_id,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY 1))
+        |SELECT g.user_id, g.day, COALESCE(d.n, 0) AS n_events, d.day_total,
+        |  last_value(d.day_total IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    "q_rank_suite" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        |  ROUND(cume_dist() OVER w, 4) AS cume,
+        |  nth_value(c_custkey, 2) OVER wf AS second_poorest_key,
+        |  last_value(c_custkey) OVER wf AS richest_key
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+        |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_orders,
