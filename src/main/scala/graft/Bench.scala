@@ -65,7 +65,17 @@ object Bench {
     // failed keys (-1 sentinel) are excluded from the headline total —
     // a failure must never make the total look faster
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line is the driver contract, but log pipelines truncate
+    // (r4's per-query map survived only in a cut-off tail) — also land
+    // the artifact in a file so the full JSON is always recoverable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

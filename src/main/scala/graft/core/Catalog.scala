@@ -24,16 +24,21 @@ import org.apache.spark.storage.StorageLevel
 object Catalog {
   private val vehiclesCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val sigCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val fpCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val ivfCache = TrieMap.empty[(SparkSession, String, Int), (Seq[Seq[Double]], DataFrame)]
   private val ccCache = TrieMap.empty[(SparkSession, String), DataFrame]
   private val pqCache = TrieMap.empty[(SparkSession, String), (Seq[Seq[Seq[Double]]], DataFrame)]
+  private val ivfPqCache =
+    TrieMap.empty[(SparkSession, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     sigCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    fpCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     ivfCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     ccCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    ivfPqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -44,6 +49,7 @@ object Catalog {
       }
     drop(vehiclesCache, (k: (SparkSession, String)) => k._1)
     drop(sigCache, (k: (SparkSession, String)) => k._1)
+    drop(fpCache, (k: (SparkSession, String)) => k._1)
     drop(ccCache, (k: (SparkSession, String)) => k._1)
     ivfCache.keys.filter(_._1 eq spark).foreach { k =>
       ivfCache.remove(k).foreach { case (_, df) =>
@@ -52,6 +58,11 @@ object Catalog {
     }
     pqCache.keys.filter(_._1 eq spark).foreach { k =>
       pqCache.remove(k).foreach { case (_, df) =>
+        if (!spark.sparkContext.isStopped) df.unpersist()
+      }
+    }
+    ivfPqCache.keys.filter(_._1 eq spark).foreach { k =>
+      ivfPqCache.remove(k).foreach { case (_, _, df) =>
         if (!spark.sparkContext.isStopped) df.unpersist()
       }
     }
@@ -74,6 +85,18 @@ object Catalog {
     sigCache.getOrElseUpdate(
       (spark, dir),
       graft.ops.Dedup.minhashSignatures(Tables(spark, dir).documents)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The content-fingerprint table for a dir's documents (cached,
+    * shared) — the in-session analogue of the durable
+    * `Store.docFingerprints` table the cross-corpus ingest gate reads
+    * instead of re-hashing corpus text. */
+  def docFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    fpCache.getOrElseUpdate(
+      (spark, dir),
+      graft.ops.Dedup.docFingerprints(Tables(spark, dir).documents)
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -110,6 +133,23 @@ object Catalog {
       val codes = graft.ops.Similarity.pqCodes(emb, books)
         .persist(StorageLevel.MEMORY_AND_DISK)
       (books, codes)
+    })
+  }
+
+  /** The fitted IVF-PQ index for a dir's embeddings (cached, shared):
+    * the coarse quantizer's centroids (shared with [[ivfIndex]]), the
+    * residual PQ codebooks, and the persisted (cluster, codes) table —
+    * the compressed inverted-file layout `s_ann_ivfpq` serves from. */
+  def ivfPqIndex(spark: SparkSession, dir: String)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    evictStopped()
+    ivfPqCache.getOrElseUpdate((spark, dir), {
+      val emb = Tables(spark, dir).embeddings
+      val (cents, _) = ivfIndex(spark, dir)
+      val books = graft.ops.Similarity.ivfPqCodebooks(emb, cents)
+      val codes = graft.ops.Similarity.ivfPqCodes(emb, cents, books)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (cents, books, codes)
     })
   }
 

@@ -17,26 +17,95 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * upsert+query pipeline that shuffles the corpus once per query and
   * one that shuffles it once per LOAD.
   *
-  * Reads go through [[vehicles]] / [[minhashSignatures]], which prefer
-  * the stored table when it exists and fall back to deriving in-session
-  * (the Catalog cache) when it doesn't — so queries are oblivious to
-  * whether the load has been made durable yet.
+  * == Snapshot semantics ==
+  *
+  * Every full write ([[saveVehicles]]…, and the rewrites
+  * [[compact]] / [[refreshDupClusters]]) goes through a versioned
+  * PUBLISH: contents land in a fresh backing table `{name}__vN`, then
+  * the public name — a VIEW — is re-pointed at it in one catalog
+  * operation. A rewrite therefore never overwrites the files it reads
+  * (the new version's plan reads the old version), a crash mid-write
+  * leaves the current version untouched, and a reader that resolved the
+  * view before a swap keeps scanning the old version's files, which
+  * survive until the NEXT publish retires them (current + previous are
+  * retained; a reader must straddle TWO rewrites to lose its files —
+  * spec-proven in StoreSpec). Maintenance writes are single-writer by
+  * contract, like any OPTIMIZE job.
+  *
+  * Reads go through [[vehicles]] / [[minhashSignatures]] /
+  * [[docFingerprints]] / [[dupClusters]], which prefer the stored
+  * name when it exists and fall back to deriving in-session (the
+  * Catalog cache) when it doesn't — so queries are oblivious to whether
+  * the load has been made durable yet. The view is a pure name
+  * indirection: scans still carry the backing table's bucket spec, so
+  * the exchange-free join property survives it (spec-proven).
   */
 object Store {
 
   val VehiclesTable = "graft_vehicles"
   val SignaturesTable = "graft_minhash_sigs"
+  val FingerprintsTable = "graft_doc_fps"
   val ClustersTable = "graft_dup_clusters"
+
+  // ---- versioned publish machinery ----
+
+  private def isView(spark: SparkSession, name: String): Boolean =
+    spark.catalog.tableExists(name) && spark.catalog.getTable(name).tableType == "VIEW"
+
+  /** All versioned backing tables of `table`, oldest first. */
+  private def versionsOf(spark: SparkSession, table: String): Seq[(Long, String)] = {
+    val prefix = table.toLowerCase(java.util.Locale.ROOT) + "__v"
+    spark.catalog.listTables().collect().toSeq
+      .map(_.name)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption.map(_ -> n))
+      .sortBy(_._1)
+  }
+
+  /** The table a read of `table` currently resolves to: the newest
+    * versioned backing table when `table` is a published view, `table`
+    * itself when it is a plain (pre-versioning) table. */
+  private def currentBacking(spark: SparkSession, table: String): String =
+    if (isView(spark, table)) versionsOf(spark, table).last._2 else table
+
+  /** Publish `df` as the new current version of `table`: write a fresh
+    * bucketed backing table, swap the public view to it, retire all but
+    * the immediately-previous version. The input plan may freely READ
+    * `table` — it resolves to the old version, which this never touches. */
+  private def publish(spark: SparkSession, df: DataFrame, table: String,
+                      buckets: Int, key: String): Unit = {
+    val vs = versionsOf(spark, table)
+    val next = vs.lastOption.map(_._1 + 1).getOrElse(1L)
+    val backing = s"${table}__v$next"
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(backing)
+    // One-time migration from a pre-versioning plain table: the name must
+    // be freed for the view. (Only this migration drop can disturb an
+    // in-flight reader; every subsequent rewrite is snapshot-safe.)
+    if (spark.catalog.tableExists(table) && !isView(spark, table))
+      spark.sql(s"DROP TABLE $table")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $backing")
+    // keep current + previous for in-flight readers; retire older
+    vs.dropRight(1).foreach { case (_, t) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+  }
+
+  /** Drop a stored table: the public name (view or plain table) and
+    * every versioned backing table, deleting their files. */
+  def drop(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(table)) {
+      if (isView(spark, table)) spark.sql(s"DROP VIEW $table")
+      else spark.sql(s"DROP TABLE $table")
+    }
+    versionsOf(spark, table).foreach { case (_, t) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+  }
+
+  // ---- loads ----
 
   /** Persist the upserted vehicles as a bucketed+sorted table keyed by
     * vehicle id (the reference's PRIMARY KEY). Bucket count is a layout
     * choice: ~(table size / target file size) on a cluster. */
   def saveVehicles(spark: SparkSession, dir: String, buckets: Int = 8,
                    table: String = VehiclesTable): Unit =
-    Catalog.vehicles(spark, dir).write
-      .mode("overwrite")
-      .bucketBy(buckets, "id").sortBy("id")
-      .saveAsTable(table)
+    publish(spark, Catalog.vehicles(spark, dir), table, buckets, "id")
 
   /** Persist the MinHash signature table bucketed by doc_id — the
     * materialized signature table SCALING.md documents (≈1% of corpus
@@ -44,57 +113,14 @@ object Store {
     * candidate verification joins back to it shuffle-free). */
   def saveMinhashSignatures(spark: SparkSession, dir: String, buckets: Int = 8,
                             table: String = SignaturesTable): Unit =
-    Catalog.minhashSignatures(spark, dir).write
-      .mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+    publish(spark, Catalog.minhashSignatures(spark, dir), table, buckets, "doc_id")
 
-  /** Incrementally extend a stored signature table: compute signatures
-    * ONLY for documents not yet present and append them (the bucketed
-    * layout is preserved — Spark validates the bucket spec on append).
-    * At 100 TB this is the difference between re-shingling the whole
-    * corpus per ingest batch and paying compute proportional to NEW
-    * documents only; the anti-join driving it reads just the stored
-    * table's doc_id column (pruned scan). Idempotent: a re-run with the
-    * same corpus appends nothing. */
-  def refreshMinhashSignatures(spark: SparkSession, documents: org.apache.spark.sql.DataFrame,
-                               buckets: Int = 8, table: String = SignaturesTable): Long = {
-    import org.apache.spark.sql.functions.col
-    if (!spark.catalog.tableExists(table)) {
-      graft.ops.Dedup.minhashSignatures(documents).write
-        .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
-      spark.table(table).count()
-    } else {
-      val known = spark.table(table).select(col("doc_id"))
-      // STAGE the delta to a scratch path before appending: the delta's
-      // plan reads the table being appended to, so any re-evaluation
-      // after rows land — cache eviction, task retry — would see its own
-      // output and silently drop/duplicate signatures. A parquet stage
-      // is a real materialization (unlike best-effort persist or
-      // localCheckpoint blocks, which also have no deterministic
-      // cleanup). The stage lives NEXT TO the warehouse — i.e. on the
-      // same cluster-visible filesystem executors commit to — never in
-      // a driver-local temp dir, and is deleted through the Hadoop FS
-      // API on the way out.
-      val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/_graft_sig_delta_${java.util.UUID.randomUUID}"
-      try {
-        graft.ops.Dedup.minhashSignatures(
-          documents.join(known, Seq("doc_id"), "left_anti"))
-          .write.mode("overwrite").parquet(stage)
-        val delta = spark.read.parquet(stage)
-        val n = delta.count()
-        if (n > 0)
-          delta.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
-            .saveAsTable(table)
-        n
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(stage)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-    }
-  }
+  /** Persist the content-fingerprint table `(doc_id, norm_hash)`
+    * bucketed by doc_id — the exact-dup side of the cross-corpus ingest
+    * gate ([[docFingerprints]] / `Dedup.crossDedupFromSignatures`). */
+  def saveDocFingerprints(spark: SparkSession, dir: String, buckets: Int = 8,
+                          table: String = FingerprintsTable): Unit =
+    publish(spark, Catalog.docFingerprints(spark, dir), table, buckets, "doc_id")
 
   /** Persist the duplicate-cluster assignment (doc_id → cluster_id)
     * bucketed by doc_id — the durable "cluster map" every downstream
@@ -103,10 +129,73 @@ object Store {
     * read pre-partitioned buckets. */
   def saveDupClusters(spark: SparkSession, dir: String, buckets: Int = 8,
                       table: String = ClustersTable): Unit =
-    Catalog.dupClusters(spark, dir).write
-      .mode("overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(table)
+    publish(spark, Catalog.dupClusters(spark, dir), table, buckets, "doc_id")
+
+  // ---- incremental refreshes ----
+
+  /** Incrementally extend a stored signature table with NEW documents
+    * only — see [[refreshDocDerived]]. */
+  def refreshMinhashSignatures(spark: SparkSession, documents: DataFrame,
+                               buckets: Int = 8, table: String = SignaturesTable): Long =
+    refreshDocDerived(spark, documents, buckets, table,
+      graft.ops.Dedup.minhashSignatures, "sig")
+
+  /** Incrementally extend a stored fingerprint table with NEW documents
+    * only — see [[refreshDocDerived]]. */
+  def refreshDocFingerprints(spark: SparkSession, documents: DataFrame,
+                             buckets: Int = 8, table: String = FingerprintsTable): Long =
+    refreshDocDerived(spark, documents, buckets, table,
+      graft.ops.Dedup.docFingerprints, "fp")
+
+  /** Shared incremental-refresh protocol for doc_id-keyed derived
+    * tables (signatures, fingerprints): derive rows ONLY for documents
+    * not yet present and append them (the bucketed layout is preserved —
+    * Spark validates the bucket spec on append). At 100 TB this is the
+    * difference between re-deriving the whole corpus per ingest batch
+    * and paying compute proportional to NEW documents only; the
+    * anti-join driving it reads just the stored table's doc_id column
+    * (pruned scan). Idempotent: a re-run with the same corpus appends
+    * nothing. Appends only ever ADD files, so they need no version
+    * swap; they target the current backing table directly. */
+  private def refreshDocDerived(spark: SparkSession, documents: DataFrame,
+                                buckets: Int, table: String,
+                                derive: DataFrame => DataFrame,
+                                stageTag: String): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!spark.catalog.tableExists(table)) {
+      publish(spark, derive(documents), table, buckets, "doc_id")
+      spark.table(table).count()
+    } else {
+      val known = spark.table(table).select(col("doc_id"))
+      // STAGE the delta to a scratch path before appending: the delta's
+      // plan reads the table being appended to, so any re-evaluation
+      // after rows land — cache eviction, task retry — would see its own
+      // output and silently drop/duplicate rows. A parquet stage is a
+      // real materialization (unlike best-effort persist or
+      // localCheckpoint blocks, which also have no deterministic
+      // cleanup). The stage lives NEXT TO the warehouse — i.e. on the
+      // same cluster-visible filesystem executors commit to — never in
+      // a driver-local temp dir, and is deleted through the Hadoop FS
+      // API on the way out (an append failure cannot lose table data,
+      // so unconditional cleanup is safe HERE — rewrites go through
+      // the versioned publish instead).
+      val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        s"/_graft_${stageTag}_delta_${java.util.UUID.randomUUID}"
+      try {
+        derive(documents.join(known, Seq("doc_id"), "left_anti"))
+          .write.mode("overwrite").parquet(stage)
+        val delta = spark.read.parquet(stage)
+        val n = delta.count()
+        if (n > 0)
+          delta.write.mode("append").bucketBy(buckets, "doc_id").sortBy("doc_id")
+            .saveAsTable(currentBacking(spark, table))
+        n
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(stage)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
 
   /** Incrementally refresh a stored cluster map with a new batch's
     * near-dup pairs: the stored assignment re-enters as its star edges
@@ -114,28 +203,17 @@ object Store {
     * `DupClusters.refresh`), so historical PAIRS are never recomputed;
     * only the new edges perturb the stars. Unlike the signature table
     * this REWRITES (cluster roots can change when components merge), so
-    * the result is staged to a cluster-visible scratch path before the
-    * overwrite — the new map's plan reads the table it replaces. */
+    * it goes through the versioned publish: the new map reads the old
+    * version and lands as a new one — no self-overwrite, no lost table
+    * on a failed write, no torn reads. */
   def refreshDupClusters(spark: SparkSession, vertices: DataFrame, newPairs: DataFrame,
                          buckets: Int = 8, table: String = ClustersTable): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      graft.ops.DupClusters.connectedComponents(newPairs, vertices).write
-        .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .saveAsTable(table)
-    } else {
-      val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-        s"/_graft_cc_delta_${java.util.UUID.randomUUID}"
-      try {
+    val assignment =
+      if (!spark.catalog.tableExists(table))
+        graft.ops.DupClusters.connectedComponents(newPairs, vertices)
+      else
         graft.ops.DupClusters.refresh(spark.table(table), newPairs, vertices)
-          .write.mode("overwrite").parquet(stage)
-        spark.read.parquet(stage).write
-          .mode("overwrite").bucketBy(buckets, "doc_id").sortBy("doc_id")
-          .saveAsTable(table)
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(stage)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-    }
+    publish(spark, assignment, table, buckets, "doc_id")
   }
 
   /** Compact a stored bucketed table back to ONE file per bucket.
@@ -147,9 +225,9 @@ object Store {
     * the same murmur3-hash partitioning as the bucket spec, so each
     * write task holds exactly one bucket's rows and emits exactly one
     * file; the rewrite changes the LAYOUT only — contents and the
-    * exchange-free join property are preserved (spec-proven). Contents
-    * are staged to a cluster-visible scratch path first because the
-    * rewrite's plan reads the table it replaces.
+    * exchange-free join property are preserved (spec-proven). The
+    * rewrite goes through the versioned publish, reading the current
+    * version and swapping the view — concurrent readers are never torn.
     *
     * Returns (files before, files after). Run it when
     * files-per-bucket × open cost starts to show in scan times — at
@@ -161,26 +239,28 @@ object Store {
     def dataFiles(): Long = {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-          "/" + table.toLowerCase(java.util.Locale.ROOT))
+          "/" + currentBacking(spark, table).toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(loc)) 0L
       else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     }
     val before = dataFiles()
-    val stage = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-      s"/_graft_compact_${java.util.UUID.randomUUID}"
+    // Read the source UNBUCKETED for the rewrite: a bucketed scan already
+    // satisfies the repartition's distribution, so EnsureRequirements
+    // would elide the exchange and each (per-file) scan task would write
+    // its own file per bucket — reproducing the fragmentation this job
+    // exists to remove. With bucketing off, the explicit repartition
+    // stays and each write task emits exactly one file.
+    val bucketingConf = "spark.sql.sources.bucketing.enabled"
+    val prevBucketing = spark.conf.get(bucketingConf)
     try {
-      spark.table(table).write.mode("overwrite").parquet(stage)
-      spark.read.parquet(stage)
-        .repartition(buckets, col(key))
-        .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
-        .saveAsTable(table)
-    } finally {
-      val p = new org.apache.hadoop.fs.Path(stage)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
+      spark.conf.set(bucketingConf, "false")
+      publish(spark, spark.table(table).repartition(buckets, col(key)), table, buckets, key)
+    } finally spark.conf.set(bucketingConf, prevBucketing)
     (before, dataFiles())
   }
+
+  // ---- reads ----
 
   /** The cluster map: stored if present, else in-session. */
   def dupClusters(spark: SparkSession, dir: String,
@@ -199,4 +279,10 @@ object Store {
                         table: String = SignaturesTable): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
     else Catalog.minhashSignatures(spark, dir)
+
+  /** The fingerprint table: stored if present, else in-session. */
+  def docFingerprints(spark: SparkSession, dir: String,
+                      table: String = FingerprintsTable): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else Catalog.docFingerprints(spark, dir)
 }

@@ -415,6 +415,22 @@ object TextKernels {
     if (s2 <= 0.0) 0.0 else s1 / math.sqrt(s2)
   }
 
+  /** Residual of an embedding against its assigned coarse centroid:
+    * out[i] = emb[i] − centroids[cluster][i], as float — the encode-side
+    * kernel of IVF-PQ (PQ codebooks quantize residuals, which are
+    * far more compressible than raw vectors). One pass, no boxing. */
+  def vecResidual(embedding: ArrayData, centroids: ArrayData, cluster: Int): ArrayData = {
+    val c = centroids.getArray(cluster)
+    val n = embedding.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (embedding.getFloat(i).toDouble - c.getDouble(i)).toFloat
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass type/token profile of normalized text: `[nTokens,
     * nDistinct]` — the counts behind type-token-ratio (lexical
     * diversity) quality filters. One tokenize + hash-set pass per row. */
@@ -684,6 +700,33 @@ case class PqAdcCosine(first: Expression, second: Expression, third: Expression)
     defineCodeGen(ctx, ev, (c, d, n) => s"graft.functions.TextKernels.pqAdcCosine($c, $d, $n)")
 }
 
+/** Coarse-centroid residual of an embedding (scan-side, codegen):
+  * embedding − centroids[cluster], as array<float> — the IVF-PQ encode
+  * kernel (codebooks quantize residuals, not raw vectors). */
+case class VecResidual(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_vec_residual"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_vec_residual expects (array<float>, array<array<double>>, int), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): VecResidual =
+    copy(first = f, second = s, third = t)
+
+  override def nullSafeEval(emb: Any, cents: Any, cluster: Any): Any =
+    TextKernels.vecResidual(emb.asInstanceOf[ArrayData],
+      cents.asInstanceOf[ArrayData], cluster.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, c, i) => s"graft.functions.TextKernels.vecResidual($e, $c, $i)")
+}
+
 /** One-pass type/token profile of a text column (scan-side, codegen):
   * `[n_tokens, n_distinct]` — the inputs of a type-token-ratio lexical
   * diversity filter. */
@@ -871,6 +914,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PqAdcCosine].getName, "graft_pq_adc_cosine"),
       (children: Seq[Expression]) => PqAdcCosine(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_vec_residual"),
+      new ExpressionInfo(classOf[VecResidual].getName, "graft_vec_residual"),
+      (children: Seq[Expression]) => VecResidual(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_ttr_profile"),
       new ExpressionInfo(classOf[TtrProfile].getName, "graft_ttr_profile"),
       (children: Seq[Expression]) => TtrProfile(children.head)))
@@ -924,6 +971,10 @@ object GraftFunctions {
   /** ADC approximate cosine of a PQ-code column vs literal LUTs → double. */
   def pqAdcCosine(codes: Column, dotLut: Column, norm2Lut: Column): Column =
     call_function("graft_pq_adc_cosine", codes, dotLut, norm2Lut)
+
+  /** Coarse-centroid residual of an embedding → array<float>. */
+  def vecResidual(embedding: Column, centroids: Column, cluster: Column): Column =
+    call_function("graft_vec_residual", embedding, centroids, cluster)
 
   /** Type/token profile of a text column → array<int>
     * `[n_tokens, n_distinct]`. */

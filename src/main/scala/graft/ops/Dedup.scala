@@ -48,6 +48,14 @@ object Dedup {
       .select(col("doc_id"), GraftFunctions.shingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
+  /** Content fingerprint per document: `(doc_id, norm_hash)` — the
+    * md5 of the normalized text. Alongside the MinHash signature table,
+    * this is the second corpus-derived column a 100 TB ingest pipeline
+    * materializes once (Store.saveDocFingerprints) so that admitting a
+    * batch never re-reads corpus text. */
+  def docFingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+
   /** Exact dedup by normalized content hash: keep the smallest doc_id per
     * group. One map-side-combined hash aggregate — the cheapest possible
     * dedup at 100 TB (the 128-bit hash shuffles, the text does not). */
@@ -243,31 +251,64 @@ object Dedup {
     *
     * Work is proportional to the BATCH and its collisions, never to
     * corpus × batch: the corpus side enters only through its fingerprint
-    * and signature columns, both of which a production deployment reads
-    * from the durable store (`Store.minhashSignatures` — materialized
-    * once, extended incrementally) rather than recomputing. τ defaults
-    * to 0.8 where 32×4 banding recall is ≈1, so the candidate path
-    * loses nothing vs all-pairs (the oracle checks exactly that). */
+    * and signature columns. This convenience form recomputes both from
+    * corpus text; a production deployment calls
+    * [[crossDedupFromSignatures]] with the durable store's tables
+    * (`Store.docFingerprints` / `Store.minhashSignatures` —
+    * materialized once, extended incrementally) so an ingest batch
+    * never re-reads corpus text. τ defaults to 0.8 where 32×4 banding
+    * recall is ≈1, so the candidate path loses nothing vs all-pairs
+    * (the oracle checks exactly that). */
   def crossDedup(corpus: DataFrame, batch: DataFrame, tau: Double = 0.8,
-                 bands: Int = 32): DataFrame = {
-    val cFp = corpus.select(col("doc_id").as("corpus_id"), md5(normText(col("text"))).as("h"))
-    val bFp = batch.select(col("doc_id").as("batch_id"), md5(normText(col("text"))).as("h"))
-    val exact = bFp.join(cFp, "h").select(col("batch_id"), col("corpus_id"))
+                 bands: Int = 32): DataFrame =
+    crossDedupFromSignatures(corpus, docFingerprints(corpus),
+      minhashSignatures(corpus), batch, tau, bands)
+
+  /** [[crossDedup]] served off PRECOMPUTED corpus fingerprint and
+    * signature frames (the durable `Store.docFingerprints` /
+    * `Store.minhashSignatures` tables, or the in-session Catalog
+    * caches). The corpus's raw rows are touched exactly once, by a
+    * broadcast semi-join that extracts only the CANDIDATE rows for
+    * Jaccard verification — everything else reads the compact derived
+    * columns.
+    *
+    * Join strategy: the batch side (fingerprints, band buckets,
+    * candidate ids) is explicitly `broadcast()` — an ingest batch is
+    * small relative to the corpus by contract, so the stored corpus
+    * side stays scan-only with ZERO exchanges (spec-proven,
+    * StoreSpec). A batch too large to broadcast should be split into
+    * admit-sized chunks (the streaming form does exactly that per
+    * micro-batch). */
+  def crossDedupFromSignatures(corpus: DataFrame, corpusFingerprints: DataFrame,
+                               corpusSignatures: DataFrame, batch: DataFrame,
+                               tau: Double = 0.8, bands: Int = 32): DataFrame = {
+    val cFp = corpusFingerprints.select(col("doc_id").as("corpus_id"), col("norm_hash").as("h"))
+    val bFp = docFingerprints(batch).select(col("doc_id").as("batch_id"), col("norm_hash").as("h"))
+    val exact = broadcast(bFp).join(cFp, "h").select(col("batch_id"), col("corpus_id"))
     val bBuckets = bandBuckets(minhashSignatures(batch), bands)
       .withColumnRenamed("doc_id", "batch_id")
-    val cBuckets = bandBuckets(minhashSignatures(corpus), bands)
+    val cBuckets = bandBuckets(corpusSignatures, bands)
       .withColumnRenamed("doc_id", "corpus_id")
-    val cand = bBuckets.join(cBuckets, Seq("band", "bhash"))
+    val cand = broadcast(bBuckets).join(cBuckets, Seq("band", "bhash"))
       .select(col("batch_id"), col("corpus_id")).distinct()
+    // Jaccard verify shingles ONLY the candidate corpus rows: at 100 TB
+    // the shingle table is ~corpus-sized (unlike the 1%-sized signature
+    // table), so it is cheaper to re-shingle the few collision rows than
+    // to materialize corpus shingles.
+    val candCorpus = corpus.join(
+      broadcast(cand.select(col("corpus_id").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
     val shB = shingled(batch).select(col("doc_id").as("batch_id"), col("shingles").as("sh_a"))
-    val shC = shingled(corpus).select(col("doc_id").as("corpus_id"), col("shingles").as("sh_b"))
+    val shC = shingled(candCorpus).select(col("doc_id").as("corpus_id"), col("shingles").as("sh_b"))
     val near = cand
       .join(shB, "batch_id")
       .join(shC, "corpus_id")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4) >= tau)
       .select(col("batch_id"), col("corpus_id"))
-      .join(exact, Seq("batch_id", "corpus_id"), "left_anti")
+      // exact-pair set is ≤ |batch| rows of two longs — broadcast the
+      // anti-join probe rather than shuffling both pair sets
+      .join(broadcast(exact), Seq("batch_id", "corpus_id"), "left_anti")
     exact.withColumn("kind", lit("exact"))
       .unionByName(near.withColumn("kind", lit("near")))
   }
@@ -451,8 +492,23 @@ object Dedup {
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
     "d_cross_dedup"      -> ((s, d) => {
+      // Served off the durable/cached derived tables (Store falls back
+      // to the Catalog cache when nothing has been persisted): corpus
+      // text is never re-fingerprinted or re-shingled per admitted
+      // batch — the whole point of the ingest gate at 100 TB.
       val docs = Tables(s, d).documents
-      crossDedup(docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"))
+      val corpus = docs.filter(col("source") =!= "src0")
+      val batch = docs.filter(col("source") === "src0")
+      // corpus-membership filter as a broadcast semi-join probe: the
+      // derived tables cover ALL docs in the dir, the gate vets against
+      // the corpus partition only — and the big derived side must not
+      // shuffle for it
+      val corpusIds = broadcast(corpus.select(col("doc_id")))
+      val fps = graft.core.Store.docFingerprints(s, d)
+        .join(corpusIds, Seq("doc_id"), "left_semi")
+      val sigs = graft.core.Store.minhashSignatures(s, d)
+        .join(corpusIds, Seq("doc_id"), "left_semi")
+      crossDedupFromSignatures(corpus, fps, sigs, batch)
     }))
 
   /** DuckDB mirror of `shingled` (1-based list indexing there). */

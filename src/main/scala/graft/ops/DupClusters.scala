@@ -49,7 +49,14 @@ object DupClusters {
     while (!converged && round < maxRounds) {
       val next = materialize(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
-      converged = nextSig == sig
+      // The checksum is a cheap fixpoint pre-filter; on a match, confirm
+      // EXACTLY once before declaring convergence — a 64-bit-sum
+      // collision between different edge sets would otherwise terminate
+      // early and persist a silently-wrong cluster map. Both frames are
+      // distinct row sets with equal counts (part of the checksum), so
+      // one-direction exceptAll proves set equality.
+      converged = nextSig == sig && next.exceptAll(edges).isEmpty
+      release(edges) // previous round's blocks; `next` is already materialized
       edges = next
       sig = nextSig
       round += 1
@@ -103,6 +110,22 @@ object DupClusters {
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** Release a finished round's checkpoint blocks. Each round's
+    * materialized frame is dead once the next round exists (the final
+    * converged frame is the one exception — it backs the returned
+    * assignment and stays); without this every clustering/refresh call
+    * leaks O(rounds) cached RDDs for the session lifetime. The blocks
+    * hang off the checkpointed Dataset's LogicalRDD, not the cache
+    * manager, so `Dataset.unpersist` cannot reach them. Reliable
+    * (checkpoint-dir) files are NOT deleted here — Spark only cleans
+    * them with `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+    * or by periodic directory cleanup. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => () // round-0 input before any materialize, or reliable-checkpoint plans
+    }
 
   /** Scalar convergence signature: (edge count, order-independent content
     * checksum). The only thing the driver ever sees per round. */

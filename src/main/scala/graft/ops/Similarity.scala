@@ -263,6 +263,103 @@ object Similarity {
     annPqFromIndex(books, pqCodes(embeddings, books), embeddings, queryVecId, k)
   }
 
+  // ---- IVF-PQ: coarse quantizer + product-quantized residuals ----
+
+  /** Every embedding with its coarse cluster and coarse RESIDUAL
+    * (embedding − assigned centroid) in place of the raw embedding —
+    * both scan-side codegen kernels, so building this is one pass. */
+  private def residualFrame(embeddings: DataFrame, cents: Seq[Seq[Double]]): DataFrame =
+    embeddings
+      .withColumn("cluster",
+        GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+      .withColumn("embedding",
+        GraftFunctions.vecResidual(col("embedding"), typedlit(cents), col("cluster")))
+
+  /** PQ codebooks fit on coarse RESIDUALS (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search", §IV: residuals carry far
+    * less energy than raw vectors, so the same code budget quantizes
+    * them much more precisely). One codebook shared across lists — the
+    * standard IVFADC layout. Deterministic for the same reasons as
+    * [[pqCodebooks]] (which does the actual fitting, over the residual
+    * frame). */
+  def ivfPqCodebooks(embeddings: DataFrame, cents: Seq[Seq[Double]], m: Int = 8,
+                     k: Int = 16, iters: Int = 2, dim: Int = 64,
+                     sampleDenom: Int = 1): Seq[Seq[Seq[Double]]] =
+    pqCodebooks(residualFrame(embeddings, cents), m, k, iters, dim, sampleDenom)
+
+  /** The IVF-PQ code table: `(vec_id, label, cluster, codes)` — the
+    * inverted-list id plus the m-byte residual code. At 100 TB this
+    * table is bucketed/partitioned by `cluster`, so an nProbe query
+    * scans only its probed lists' partitions. */
+  def ivfPqCodes(embeddings: DataFrame, cents: Seq[Seq[Double]],
+                 books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val r = residualFrame(embeddings, cents)
+    r.select(col("vec_id"), col("label"), col("cluster"),
+      GraftFunctions.pqEncode(col("embedding"), typedlit(books)).as("codes"))
+  }
+
+  /** IVF-PQ ANN served off a pre-fitted index: probe the query's
+    * `nProbe` nearest coarse lists; within each list, rank codes by ADC
+    * approximate cosine against PER-LIST lookup tables (x ≈ centroid_c
+    * + residual codeword decomposes per subspace, so the centroid folds
+    * straight into the LUTs and the existing `graft_pq_adc_cosine`
+    * kernel serves unchanged); exact-cosine rerank of the top k×rerank.
+    * The float corpus is touched only for the k×rerank rerank rows —
+    * the serving scan is nProbe/nlist of an already m-byte-per-row
+    * table. */
+  def annIvfPqFromIndex(cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+                        codes: DataFrame, embeddings: DataFrame,
+                        queryVecId: Long = 0L, k: Int = 10, nProbe: Int = 4,
+                        rerank: Int = 4): DataFrame = {
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).map(_.toDouble)
+    val qNorm = math.sqrt(qVec.map(v => v * v).sum)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = qVec(j) - c(j); d * d }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val m = books.length
+    val kk = books.head.length
+    val sub = qVec.length / m
+    val adcBranches = probes.map { c =>
+      val cent = cents(c)
+      val dotLut: Seq[Double] = for (j <- 0 until m; code <- 0 until kk) yield {
+        val b = books(j)(code)
+        val d = (0 until sub).map(i => qVec(j * sub + i) * (cent(j * sub + i) + b(i))).sum
+        if (qNorm == 0.0) 0.0 else d / qNorm
+      }
+      val norm2Lut: Seq[Double] = for (j <- 0 until m; code <- 0 until kk) yield
+        (0 until sub).map { i =>
+          val x = cent(j * sub + i) + books(j)(code)(i); x * x
+        }.sum
+      codes.filter(col("cluster") === c && col("vec_id") =!= queryVecId)
+        .withColumn("adc",
+          GraftFunctions.pqAdcCosine(col("codes"), typedlit(dotLut), typedlit(norm2Lut)))
+    }
+    val cand = adcBranches.reduce(_ unionByName _)
+      .orderBy(desc("adc"), asc("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"))
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    embeddings.join(broadcast(cand), "vec_id")
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** IVF-PQ ANN, self-contained (fit coarse + residual codebooks,
+    * encode, serve) — the one-off form. Repeated queries go through
+    * `Catalog.ivfPqIndex` so both fits and the encode are paid once. */
+  def annIvfPq(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+               nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(embeddings, nlist)
+    val books = ivfPqCodebooks(embeddings, cents)
+    annIvfPqFromIndex(cents, books, ivfPqCodes(embeddings, cents, books),
+      embeddings, queryVecId, k, nProbe)
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -277,6 +374,10 @@ object Similarity {
     "s_ann_pq"   -> ((s, d) => {
       val (books, codes) = graft.core.Catalog.pqIndex(s, d)
       annPqFromIndex(books, codes, Tables(s, d).embeddings)
+    }),
+    "s_ann_ivfpq" -> ((s, d) => {
+      val (cents, books, codes) = graft.core.Catalog.ivfPqIndex(s, d)
+      annIvfPqFromIndex(cents, books, codes, Tables(s, d).embeddings)
     }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.core.Store
+import graft.ops.Dedup
+
+/** Streaming cross-corpus dedup (SURVEY.md §2.4): the admit-or-reject
+  * ingest gate (`Dedup.crossDedupFromSignatures`) run continuously over
+  * a STREAM of arriving documents.
+  *
+  * Architecture: there is no streaming state store — the state IS the
+  * durable corpus (documents + fingerprint + signature tables in
+  * `core.Store`), which each micro-batch reads for vetting and extends
+  * by its ADMITTED rows only (the incremental `Store.refresh*` path:
+  * compute ∝ batch, never ∝ corpus). Decisions are appended to a
+  * decision-log table FIRST and the admitted set is derived by reading
+  * that log back — so the reject computation is never re-evaluated
+  * against tables it just mutated, and the log doubles as the gate's
+  * write-ahead record (a crashed batch re-runs idempotently: re-derived
+  * decisions for already-present doc_ids change nothing, and the
+  * signature refresh appends only missing rows).
+  *
+  * Sequencing semantics: batch N is vetted against the corpus AS OF
+  * batch N−1's admissions — a duplicate of a document admitted two
+  * minutes ago is rejected, which is exactly what an ingest gate is
+  * for. (The one-micro-batch case therefore equals the batch operator
+  * verbatim; StreamingSpec proves both.) In-batch duplicates are not
+  * this gate's business — compose with `Dedup.exactDedup` upstream,
+  * same as the batch pipeline.
+  */
+object IngestGate {
+
+  /** Streaming reads need an explicit schema (documents.parquet). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Raw document file stream. */
+  def documentStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  /** Seed the durable corpus: documents bucketed by doc_id plus their
+    * fingerprint and signature tables. Run once before starting the
+    * gate (an unseeded gate admits its first batch wholesale — an empty
+    * corpus rejects nothing, which is also correct). */
+  def seedCorpus(spark: SparkSession, corpus: DataFrame, corpusTable: String,
+                 fpTable: String, sigTable: String, buckets: Int = 8): Unit = {
+    corpus.write.mode("overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(corpusTable)
+    Store.refreshDocFingerprints(spark, spark.table(corpusTable), buckets, fpTable)
+    Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
+  }
+
+  /** One micro-batch through the gate — also directly callable as the
+    * batch-mode unit (StreamingSpec proves stream == batch with it). */
+  def admitBatch(batch: DataFrame, corpusTable: String, fpTable: String,
+                 sigTable: String, decisionsTable: String, buckets: Int = 8,
+                 tau: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    val haveCorpus = spark.catalog.tableExists(corpusTable)
+    // Vet against the corpus MINUS this batch's own doc_ids: on a
+    // crash-replay the batch's admitted rows are already in the stored
+    // tables, and excluding them reconstructs the exact corpus-as-of-
+    // before-the-batch — the replayed decisions equal the originals
+    // instead of every admitted doc "rejecting" against itself. (The
+    // anti-joins are broadcast batch-id probes; no-ops on a clean run.)
+    val batchIds = batch.select(col("doc_id"))
+    def sansBatch(t: String): DataFrame =
+      spark.table(t).join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+    val decisions =
+      if (!haveCorpus)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("batch_id", LongType),
+            StructField("corpus_id", LongType), StructField("kind", StringType))))
+      else
+        Dedup.crossDedupFromSignatures(sansBatch(corpusTable),
+          sansBatch(fpTable), sansBatch(sigTable), batch, tau)
+    // WAL first: land the decisions, then derive everything downstream
+    // from the written log — never from a plan that reads tables this
+    // batch is about to mutate. The log is at-least-once (a replayed
+    // batch appends its identical decisions again); consumers read it
+    // distinct, as [[rejected]] below does.
+    decisions.write.mode("append").saveAsTable(decisionsTable)
+    val rejected = spark.table(decisionsTable)
+      .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
+      .select(col("batch_id").as("doc_id")).distinct()
+    val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
+    admitted.write.mode(if (haveCorpus) "append" else "overwrite")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(corpusTable)
+    // incremental: derives rows only for the just-admitted doc_ids
+    Store.refreshDocFingerprints(spark, spark.table(corpusTable), buckets, fpTable)
+    Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
+  }
+
+  /** Start the continuous gate over a document stream. */
+  def start(docs: DataFrame, corpusTable: String, fpTable: String,
+            sigTable: String, decisionsTable: String, checkpointDir: String,
+            buckets: Int = 8, tau: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable, buckets, tau)
+      }
+      .start()
+}

@@ -7,15 +7,48 @@ import graft.core.GraftSession
   * key name as an argument to print that plan in full.
   *
   *   sbt "runMain graft.tools.Audit"            # summary table
+  *   sbt "runMain graft.tools.Audit --assert"   # gate mode: non-zero exit on violation
   *   sbt "runMain graft.tools.Audit q5_local_supplier"
+  *
+  * Gate rules (`--assert`):
+  *  - every key executes (no FAILED rows);
+  *  - ZERO CartesianProduct anywhere;
+  *  - BroadcastNestedLoopJoin only on the declared 1-row-broadcast
+  *    keys (ANN query vectors — a bnlj against a 1-row side is a scan,
+  *    not a blow-up);
+  *  - SortMergeJoin only on the declared fact×fact keys;
+  *  - exchange count per key within its declared budget (default
+  *    [[DefaultMaxExchanges]] — a loose tripwire for plan explosions;
+  *    tighter per-key budgets for the audited-hot keys).
   */
 object Audit {
+
+  /** Keys whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * every one is a crossJoin against a broadcast 1-row query vector. */
+  private val BnljAllowed = Set(
+    "s_ann_topk", "s_ann_ivf", "s_ann_pq", "s_ann_ivfpq")
+
+  /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
+    * of two comparably-sized distinct key sets). */
+  private val SmjAllowed = Set("q_set_ops", "q_full_outer")
+
+  /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
+    * of a small side, not a corpus shuffle — it doesn't count);
+    * multi-stage composites declare their real budget below. */
+  private val DefaultMaxExchanges = 7
+  private val MaxExchanges = Map(
+    "d_pipeline_funnel" -> 10, // 5 composed stages, key-columns only
+    "d_dup_clusters" -> 8,
+    "d_cluster_keep" -> 8)
+
   def main(args: Array[String]): Unit = {
+    val assertMode = args.contains("--assert")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.builder("local[8]", "graft-audit")
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var violations = List.empty[String]
     println(f"${"key"}%-22s ex  bhj smj shj  notes")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -23,6 +56,8 @@ object Audit {
         df.count()
         val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
         def c(s: String) = p.linesIterator.count(_.contains(s))
+        val shuffles = p.linesIterator
+          .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
         val notes = Seq(
           if (c("SortMergeJoin") > 0) Some("sort-merge join") else None,
           if (c("CartesianProduct") > 0) Some("CARTESIAN") else None,
@@ -30,10 +65,30 @@ object Audit {
         ).flatten.mkString(", ")
         println(f"$name%-22s ${c("Exchange")}%-3d ${c("BroadcastHashJoin")}%-3d ${c("SortMergeJoin")}%-3d ${c("ShuffledHashJoin")}%-3d  $notes")
         if (args.contains(name)) println(p)
+        if (assertMode) {
+          if (c("CartesianProduct") > 0)
+            violations ::= s"$name: CartesianProduct in executed plan"
+          if (c("BroadcastNestedLoopJoin") > 0 && !BnljAllowed(name))
+            violations ::= s"$name: BroadcastNestedLoopJoin outside the 1-row-broadcast whitelist"
+          if (c("SortMergeJoin") > 0 && !SmjAllowed(name))
+            violations ::= s"$name: SortMergeJoin outside the declared fact-join whitelist"
+          val budget = MaxExchanges.getOrElse(name, DefaultMaxExchanges)
+          if (shuffles > budget)
+            violations ::= s"$name: $shuffles shuffle exchanges exceeds budget $budget"
+        }
       } catch {
-        case e: Throwable => println(f"$name%-22s FAILED: ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          println(f"$name%-22s FAILED: ${e.getMessage.take(80)}")
+          if (assertMode) violations ::= s"$name: FAILED ${e.getMessage.take(80)}"
       }
     }
     spark.stop()
+    if (assertMode) {
+      if (violations.nonEmpty) {
+        System.err.println(s"[audit] ${violations.size} violation(s):")
+        violations.reverse.foreach(v => System.err.println(s"[audit]   $v"))
+        sys.exit(1)
+      } else println("[audit] PASS: plan-shape gate clean over all keys")
+    }
   }
 }

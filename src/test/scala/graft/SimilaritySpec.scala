@@ -169,4 +169,60 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("Broadcast"), plan)
   }
+
+  test("ivfPqCodebooks: residual codebooks bit-identical under repartitioning") {
+    val cents = Similarity.ivfCentroids(embs, k = 16)
+    val books = Similarity.ivfPqCodebooks(embs, cents)
+    assert(books.length == 8)
+    assert(books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val again = Similarity.ivfPqCodebooks(embs.repartition(13), cents)
+    assert(books == again)
+  }
+
+  test("annIvfPq: exact rerank cosines, recall@k at least the plain-PQ baseline") {
+    val k = 10
+    val brute = Similarity.annTopK(embs, queryVecId = 0L, k = 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val trueTop = Similarity.annTopK(embs, queryVecId = 0L, k = k).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pqTop = Similarity.annPq(embs, queryVecId = 0L, k = k).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfpq = Similarity.annIvfPq(embs, queryVecId = 0L, k = k).collect()
+    assert(ivfpq.length == k)
+    // rerank is exact: every returned cosine is the brute-force value
+    ivfpq.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") == brute(r.getAs[Long]("vec_id")))
+    }
+    // residual quantization must not lose recall vs whole-vector PQ
+    val recallIvfPq = (ivfpq.map(_.getAs[Long]("vec_id")).toSet & trueTop).size
+    val recallPq = (pqTop & trueTop).size
+    assert(recallIvfPq >= recallPq,
+      s"IVF-PQ recall@$k $recallIvfPq < plain-PQ baseline $recallPq")
+    // deterministic end to end
+    val again = Similarity.annIvfPq(embs, queryVecId = 0L, k = k).collect()
+    assert(ivfpq.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("annIvfPq: planted exact duplicate of the query is recalled at cos 1.0") {
+    val qRow = embs.filter($"vec_id" === 0L).select($"embedding").collect()(0).getSeq[Float](0)
+    val planted = embs.unionByName(
+      Seq((99999L, qRow, -1)).toDF("vec_id", "embedding", "label"))
+    // the duplicate lands in the query's own coarse list with a zero
+    // residual, so probe 1 already finds it
+    val hit = Similarity.annIvfPq(planted, queryVecId = 0L, k = 10).collect()
+    assert(hit.head.getAs[Long]("vec_id") == 99999L && hit.head.getAs[Double]("cos_sim") == 1.0)
+  }
+
+  test("Catalog.ivfPqIndex: cached; serve equals the self-contained path; codes carry lists") {
+    val (cents, books, codes) = graft.core.Catalog.ivfPqIndex(spark, TestSpark.sf0001)
+    val (cents2, books2, codes2) = graft.core.Catalog.ivfPqIndex(spark, TestSpark.sf0001)
+    assert((cents eq cents2) && (books eq books2) && (codes eq codes2))
+    val served = Similarity.annIvfPqFromIndex(cents, books, codes, embs).collect()
+    val inline = Similarity.annIvfPq(embs).collect()
+    assert(served.map(_.toString).sameElements(inline.map(_.toString)))
+    // every code row carries its inverted-list id and an m-length code
+    val row = codes.head()
+    assert(row.schema.fieldNames.contains("cluster"))
+    assert(row.getSeq[Int](row.fieldIndex("codes")).length == 8)
+  }
 }

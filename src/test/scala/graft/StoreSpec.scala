@@ -12,9 +12,11 @@ class StoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def dropTable(name: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(s"spark-warehouse/$name")
-    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Store.drop(spark, name)
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == name || f.getName.startsWith(name + "__v"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
   }
 
   test("saveVehicles round-trips the upserted table exactly; reads prefer the store") {
@@ -131,5 +133,59 @@ class StoreSpec extends SparkSpec {
     assert(finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
       s"compacted side should be exchange-free:\n$plan")
     dropTable("t_compact_sigs")
+  }
+
+  test("snapshot publish: a reader resolved before a rewrite keeps its version; crash-safe swap") {
+    dropTable("t_snap_sigs")
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    Store.refreshMinhashSignatures(spark, docs.filter($"doc_id" < 200),
+      buckets = 4, table = "t_snap_sigs")
+    Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_snap_sigs")
+    // the public name is a view over a versioned backing table
+    assert(spark.catalog.getTable("t_snap_sigs").tableType == "VIEW")
+    assert(spark.catalog.tableExists("t_snap_sigs__v1"))
+    val expected = spark.table("t_snap_sigs").count()
+    // a reader that resolves the view NOW (old version files on disk)…
+    val inFlight = spark.table("t_snap_sigs")
+    inFlight.head() // force resolution against the current version
+    // …survives one full rewrite: compact publishes v2 and repoints the
+    // view, but v1's files are retained for in-flight readers
+    Store.compact(spark, "t_snap_sigs", key = "doc_id", buckets = 4)
+    assert(inFlight.count() == expected, "reader straddling one rewrite must still scan cleanly")
+    assert(spark.table("t_snap_sigs").count() == expected)
+    assert(spark.catalog.tableExists("t_snap_sigs__v1"), "previous version is retained")
+    // a second rewrite retires v1 (readers must not straddle TWO rewrites)
+    Store.compact(spark, "t_snap_sigs", key = "doc_id", buckets = 4)
+    assert(!spark.catalog.tableExists("t_snap_sigs__v1"), "v1 retired after second publish")
+    assert(spark.catalog.tableExists("t_snap_sigs__v2") && spark.catalog.tableExists("t_snap_sigs__v3"))
+    assert(spark.table("t_snap_sigs").count() == expected)
+    dropTable("t_snap_sigs")
+  }
+
+  test("crossDedupFromSignatures off the store equals recompute; stored side is exchange-free") {
+    import graft.ops.Dedup
+    dropTable("t_xd_sigs"); dropTable("t_xd_fps")
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    val corpus = docs.filter($"source" =!= "src0")
+    val batch = docs.filter($"source" === "src0")
+    Store.refreshMinhashSignatures(spark, corpus, buckets = 4, table = "t_xd_sigs")
+    Store.refreshDocFingerprints(spark, corpus, buckets = 4, table = "t_xd_fps")
+    val fromStore = Dedup.crossDedupFromSignatures(corpus,
+      spark.table("t_xd_fps"), spark.table("t_xd_sigs"), batch)
+    val recompute = Dedup.crossDedup(corpus, batch)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))
+    assert(fromStore.collect().map(key).toSet == recompute.collect().map(key).toSet)
+    // the stored corpus side must never shuffle: the batch side is
+    // broadcast into both the fingerprint join and the band-bucket join,
+    // so every Exchange in the plan carries batch-derived rows only.
+    fromStore.collect()
+    val planned = fromStore.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(planned.contains("Bucketed: true"),
+      s"stored tables should be read as bucketed scans:\n$planned")
+    assert(!planned.contains("SortMergeJoin"),
+      s"stored side must stay broadcast-joined, never shuffled into an SMJ:\n$planned")
+    dropTable("t_xd_sigs"); dropTable("t_xd_fps")
   }
 }

@@ -270,4 +270,95 @@ class StreamingSpec extends SparkSpec {
         VehicleFeed.latest(batchVehicles).count())
     } finally q.stop()
   }
+
+  // ---- streaming cross-corpus dedup (IngestGate) ----
+
+  private def dropGateTables(names: String*): Unit = names.foreach { n =>
+    graft.core.Store.drop(spark, n)
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == n || f.getName.startsWith(n + "__v"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
+  /** The gate writes from the stream's cloned session; this session's
+    * relation cache is stale by Spark's documented semantics — refresh
+    * before reading (what any cross-session consumer must do). */
+  private def fresh(table: String) = {
+    spark.catalog.refreshTable(table)
+    spark.table(table)
+  }
+
+  test("ingest gate: one streamed micro-batch equals the batch crossDedup; tables grow by the batch only") {
+    import graft.streaming.IngestGate
+    val tables = Seq("t_gate_corpus", "t_gate_fps", "t_gate_sigs", "t_gate_log")
+    dropGateTables(tables: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val corpus = docs.filter($"source" =!= "src0")
+    val batch = docs.filter($"source" === "src0")
+    IngestGate.seedCorpus(spark, corpus, "t_gate_corpus", "t_gate_fps", "t_gate_sigs", buckets = 4)
+    val corpusN = corpus.count()
+    assert(spark.table("t_gate_corpus").count() == corpusN)
+    val streamDir = Files.createTempDirectory("graft-gate").toString
+    val ckpt = Files.createTempDirectory("graft-gate-ckpt").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val q = IngestGate.start(IngestGate.documentStream(spark, streamDir),
+      "t_gate_corpus", "t_gate_fps", "t_gate_sigs", "t_gate_log", ckpt, buckets = 4)
+    try q.processAllAvailable() finally q.stop()
+    // streamed decision log == the batch operator, row for row
+    val streamed = fresh("t_gate_log").distinct().collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))).toSet
+    val batchOp = graft.ops.Dedup.crossDedup(corpus, batch).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))).toSet
+    assert(streamed == batchOp)
+    // corpus grew by the admitted rows only; derived tables track it exactly
+    val rejectedIds = streamed.map(_._1)
+    val expectedCorpus = corpusN + batch.count() - rejectedIds.size
+    val corpusNow = fresh("t_gate_corpus")
+    assert(corpusNow.count() == expectedCorpus)
+    assert(fresh("t_gate_fps").count() == expectedCorpus)
+    assert(fresh("t_gate_sigs").count() ==
+      graft.ops.Dedup.minhashSignatures(corpusNow).count())
+    // no rejected doc made it into the corpus
+    assert(corpusNow.filter($"doc_id".isin(rejectedIds.toSeq: _*)).count() == 0)
+    dropGateTables(tables: _*)
+  }
+
+  test("ingest gate: a later batch is vetted against earlier admissions") {
+    import graft.streaming.IngestGate
+    val tables = Seq("t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", "t_gate2_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", buckets = 2)
+    val novel = "a brand new crawl document with twelve informative words in it"
+    val streamDir = Files.createTempDirectory("graft-gate2").toString
+    val ckpt = Files.createTempDirectory("graft-gate2-ckpt").toString
+    val q = IngestGate.start(IngestGate.documentStream(spark, streamDir),
+      "t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", "t_gate2_log", ckpt, buckets = 2)
+    try {
+      // batch 1: a novel doc — admitted
+      Seq((9001L, novel, "en", "crawl", novel.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      assert(fresh("t_gate2_log").count() == 0)
+      assert(fresh("t_gate2_corpus").count() == 2)
+      // batch 2: an exact copy of batch 1's admission + another novel doc —
+      // the copy must be rejected AGAINST THE STREAMED ADMISSION
+      Seq((9002L, novel, "en", "crawl", novel.length.toLong),
+          (9003L, "completely unrelated fresh content covering another topic entirely", "en", "crawl", 60L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val log = fresh("t_gate2_log").distinct().collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))).toSet
+      assert(log == Set((9002L, 9001L, "exact")))
+      val ids = fresh("t_gate2_corpus").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 9001L, 9003L))
+      assert(fresh("t_gate2_fps").count() == 3)
+    } finally q.stop()
+    dropGateTables(tables: _*)
+  }
 }

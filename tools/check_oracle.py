@@ -25,9 +25,16 @@ for name, sql in sorted(oracle.items()):
     got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
+        import datetime
         for c in df.columns:
             if df[c].dtype == object:
-                df[c] = df[c].astype(str)
+                nonnull = df[c].dropna()
+                # spark DATE columns arrive as object-of-datetime.date;
+                # align them with duckdb's datetime64 instead of str
+                if len(nonnull) and isinstance(nonnull.iloc[0], datetime.date):
+                    df[c] = pd.to_datetime(df[c])
+                else:
+                    df[c] = df[c].astype(str)
             if np.issubdtype(df[c].dtype, np.datetime64):
                 df[c] = df[c].astype("datetime64[us]")
         return df.sort_values(list(df.columns)).reset_index(drop=True)
