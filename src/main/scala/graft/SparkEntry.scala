@@ -16,7 +16,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VehicleQueries.queries ++ AnalyticsQueries.queries ++
-      graft.ops.Dedup.queries ++ graft.ops.DupClusters.queries ++
+      graft.ops.Dedup.queries ++ graft.ops.UrlDedup.queries ++
+      graft.ops.DupClusters.queries ++
       graft.ops.Funnel.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
       graft.ops.Multimodal.queries ++ graft.ops.Skew.queries ++
@@ -25,7 +26,8 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
     VehicleQueries.oracles ++ AnalyticsQueries.oracles ++
-      graft.ops.Dedup.oracles ++ graft.ops.DupClusters.oracles ++
+      graft.ops.Dedup.oracles ++ graft.ops.UrlDedup.oracles ++
+      graft.ops.DupClusters.oracles ++
       graft.ops.Funnel.oracles ++ graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
       graft.ops.Multimodal.oracles ++ graft.ops.Skew.oracles ++

@@ -925,6 +925,25 @@ object GraftFunctions {
       new FunctionIdentifier("graft_shingles_k"),
       new ExpressionInfo(classOf[WordShinglesK].getName, "graft_shingles_k"),
       (children: Seq[Expression]) => WordShinglesK(children(0), children(1))))
+    // Spark's own Bloom sketch expressions (public Catalyst classes,
+    // used internally for runtime row-level filtering) surfaced as
+    // graft functions: build with an aggregate over xxhash64(value),
+    // probe scan-side against the serialized filter literal.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))))
   }
 
   /** Cosine similarity of two Array[Float] columns → double. */
@@ -988,4 +1007,13 @@ object GraftFunctions {
   /** Distinct word k-gram shingles of a text column → array<string>. */
   def shinglesK(text: Column, k: Column): Column =
     call_function("graft_shingles_k", text, k)
+
+  /** Bloom-filter aggregate over a pre-hashed (xxhash64) long column →
+    * serialized sketch binary. */
+  def bloomAgg(hashed: Column, estimatedItems: Column, numBits: Column): Column =
+    call_function("graft_bloom_agg", hashed, estimatedItems, numBits)
+
+  /** Scan-side Bloom probe: might the sketch contain this xxhash64? */
+  def mightContain(bloom: Column, hashed: Column): Column =
+    call_function("graft_might_contain", bloom, hashed)
 }

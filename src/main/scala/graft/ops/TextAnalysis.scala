@@ -215,6 +215,47 @@ object TextAnalysis {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the shape for
+    * eval unions too big to broadcast as an exact set (a multi-GB
+    * benchmark union is a ~100 MB sketch at 1% fpp; the sketch is a
+    * fixed-size MODEL, so collecting it is not a data loop).
+    *
+    * Three stages: (1) build the sketch with one distributed
+    * `graft_bloom_agg` over the eval grams; (2) scan-side
+    * `graft_might_contain` probe drops ≈ all non-overlapping corpus
+    * grams BEFORE any join — Bloom filters have no false negatives, so
+    * nothing contaminated can slip through; (3) the few surviving grams
+    * are joined against the true eval set to kill the ≤fpp false
+    * positives. Result is therefore EXACTLY [[decontaminate]] (same
+    * oracle), but the join input shrinks from |corpus grams| to
+    * |overlap + fpp·corpus| — at 100 TB that is the difference between
+    * an eval-sized broadcast per corpus gram and a scan plus a
+    * negligible verify join. */
+  def decontaminateBloom(documents: DataFrame, evalSource: String = "src19",
+                         minHits: Int = 2, estimatedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalShingles = sh.filter(col("source") === evalSource)
+      .select(explode(col("sh")).as("g")).distinct()
+    val bloom = evalShingles
+      .agg(GraftFunctions.bloomAgg(xxhash64(col("g")),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val corpusGrams = sh.filter(col("source") =!= evalSource)
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+    val survivors =
+      if (bloom == null) corpusGrams.filter(lit(false)) // empty eval set: nothing can hit
+      else corpusGrams.filter(GraftFunctions.mightContain(lit(bloom), xxhash64(col("g"))))
+    survivors
+      .join(broadcast(evalShingles), "g") // exact verify on the tiny survivor set
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -225,6 +266,7 @@ object TextAnalysis {
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
     "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
+    "t_decontam_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)))
 
@@ -339,17 +381,22 @@ object TextAnalysis {
          |         AND ROUND(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) < 0.3
          |       THEN 'templated' ELSE 'ok' END AS div_flag
          |FROM m""".stripMargin,
-    "t_decontaminate" ->
-      s"""${Dedup.shingleCte},
-         |ev AS (SELECT DISTINCT g FROM (
-         |    SELECT unnest(d.sh) AS g
-         |    FROM d JOIN documents doc ON d.doc_id = doc.doc_id
-         |    WHERE doc.source = 'src19')),
-         |corpus AS (SELECT d.doc_id, doc.source, unnest(d.sh) AS g
-         |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
-         |  WHERE doc.source != 'src19')
-         |SELECT c.doc_id, c.source, COUNT(*) AS n_hits
-         |FROM corpus c JOIN ev ON c.g = ev.g
-         |GROUP BY 1, 2
-         |HAVING COUNT(*) >= 2""".stripMargin)
+    "t_decontaminate" -> decontaminateOracle,
+    // the Bloom path is exact (no false negatives by construction, false
+    // positives removed by the verify join) — same oracle, hash-checked
+    "t_decontam_bloom" -> decontaminateOracle)
+
+  private lazy val decontaminateOracle =
+    s"""${Dedup.shingleCte},
+       |ev AS (SELECT DISTINCT g FROM (
+       |    SELECT unnest(d.sh) AS g
+       |    FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+       |    WHERE doc.source = 'src19')),
+       |corpus AS (SELECT d.doc_id, doc.source, unnest(d.sh) AS g
+       |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+       |  WHERE doc.source != 'src19')
+       |SELECT c.doc_id, c.source, COUNT(*) AS n_hits
+       |FROM corpus c JOIN ev ON c.g = ev.g
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2""".stripMargin
 }

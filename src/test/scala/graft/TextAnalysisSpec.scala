@@ -163,6 +163,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_.getAs[String]("source") == "eval"))
   }
 
+  test("decontaminateBloom: equals the exact path (no false negatives, FPs verified away)") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_hits"))
+    // handcrafted corpus (incl. the planted contamination above)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "train"),
+      (2L, "completely unrelated corpus text goes here now", "train"),
+      (3L, "benchmark says the quick brown fox jumps high", "eval"),
+      (4L, "another benchmark question entirely", "eval")
+    ).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.decontaminateBloom(df, evalSource = "eval", minHits = 2)
+      .collect().map(key).toSet ==
+      TextAnalysis.decontaminate(df, evalSource = "eval", minHits = 2)
+        .collect().map(key).toSet)
+    // and on the full test corpus — including an UNDERSIZED sketch whose
+    // high fpp floods the prefilter with false positives: the verify
+    // join must still reduce to the exact answer
+    val exact = TextAnalysis.decontaminate(docs).collect().map(key).toSet
+    assert(exact.nonEmpty)
+    assert(TextAnalysis.decontaminateBloom(docs).collect().map(key).toSet == exact)
+    assert(TextAnalysis.decontaminateBloom(docs, estimatedItems = 64, numBits = 256)
+      .collect().map(key).toSet == exact)
+    // empty eval set: no hits, clean empty result
+    assert(TextAnalysis.decontaminateBloom(df, evalSource = "nosuch").collect().isEmpty)
+  }
+
   test("multimodal: binary assembly round-trips and decode features are consistent") {
     val media = Multimodal.assemble(docs)
     assert(media.schema("bytes").dataType.typeName == "binary")
