@@ -30,6 +30,7 @@ object Catalog {
   private val pqCache = TrieMap.empty[(SparkSession, String), (Seq[Seq[Seq[Double]]], DataFrame)]
   private val ivfPqCache =
     TrieMap.empty[(SparkSession, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)]
+  private val bloomCache = TrieMap.empty[(SparkSession, String), Option[Array[Byte]]]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -39,6 +40,7 @@ object Catalog {
     ccCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     ivfPqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bloomCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -66,6 +68,7 @@ object Catalog {
         if (!spark.sparkContext.isStopped) df.unpersist()
       }
     }
+    bloomCache.keys.filter(_._1 eq spark).foreach(bloomCache.remove)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -134,6 +137,16 @@ object Catalog {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (books, codes)
     })
+  }
+
+  /** The decontamination Bloom sketch for a dir's eval source (cached,
+    * shared): a fixed-size model built once per corpus, like the fitted
+    * ANN indexes — every t_decontam_bloom invocation probes the same
+    * sketch instead of re-aggregating the eval grams. */
+  def evalNgramBloom(spark: SparkSession, dir: String): Option[Array[Byte]] = {
+    evictStopped()
+    bloomCache.getOrElseUpdate((spark, dir),
+      graft.ops.TextAnalysis.evalNgramBloom(Tables(spark, dir).documents))
   }
 
   /** The fitted IVF-PQ index for a dir's embeddings (cached, shared):

@@ -62,6 +62,39 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
       .withColumn("kept_frac", round(col("n_kept") / col("n_docs"), 4))
 
+  /** Temperature-sampled mixture (α = 0.5 "square-root sampling" — the
+    * multilingual-training standard shape: kept mass per source
+    * ∝ n_s^α, so low-resource sources are upweighted relative to their
+    * raw share without flattening to uniform; α=1 is proportional,
+    * α→0 is uniform). `budgetDocs` fixes the expected total sample
+    * size; rate_s = min(1, budget·w_s/Σw/n_s) with w_s = √n_s.
+    *
+    * The rates are computed IN-PLAN from the source counts (a tiny
+    * aggregate, broadcast back — no driver-side model), and membership
+    * is the same scan-side 60-bit md5 threshold as [[sampleMixture]].
+    * Engine-portable by construction: √ is IEEE-correctly-rounded in
+    * every engine (unlike pow — which is why α is pinned at 0.5 on the
+    * oracle path), the weight sum goes through DECIMAL(28,10) so
+    * summation order cannot move a ulp, the rate is ROUND(,6)ed, and
+    * the threshold is integer hex from an exact power-of-two scale —
+    * DuckDB reproduces the exact row set. */
+  def sampleTemperature(documents: DataFrame, budgetDocs: Long = 150L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val weights = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+    val sw = weights.agg(sum(col("w").cast(DecimalType(28, 10))).cast("double").as("sw"))
+    val rates = weights.crossJoin(broadcast(sw))
+      .withColumn("rate",
+        least(lit(1.0), round(lit(budgetDocs.toDouble) * col("w") / col("sw") / col("n"), 6)))
+    val th = format_string("%015x",
+      least(floor(col("rate") * lit(math.pow(2, 60))).cast("long"), lit((1L << 60) - 1)))
+    documents
+      .join(broadcast(rates.select(col("source"), th.as("th"))), "source")
+      .filter(coord < col("th"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
     * chosen by the same 60-bit md5 coordinate (so the selection is a
     * deterministic, engine-portable function of the data, and the n=1
@@ -93,6 +126,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
+    "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)))
 
   val oracles: Map[String, String] = {
@@ -104,6 +138,17 @@ object Sampling {
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <
            |  CASE source $cases ELSE '${thresholdHex(MixDefault)}' END""".stripMargin,
+      "d_sample_temperature" ->
+        """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+          |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+          |sw AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS sw FROM w),
+          |r AS (SELECT source, LEAST(1.0, ROUND(150.0 * w / sw / n, 6)) AS rate FROM w, sw),
+          |t AS (SELECT source,
+          |    printf('%015x', LEAST(CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT),
+          |                          1152921504606846975)) AS th
+          |  FROM r)
+          |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+          |WHERE substr(md5(concat(d.source, ':', CAST(d.doc_id AS VARCHAR))), 1, 15) < t.th""".stripMargin,
       "d_stratified_sample" ->
         """SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank FROM (
           |  SELECT doc_id, source, row_number() OVER (PARTITION BY source

@@ -233,22 +233,42 @@ object TextAnalysis {
     * negligible verify join. */
   def decontaminateBloom(documents: DataFrame, evalSource: String = "src19",
                          minHits: Int = 2, estimatedItems: Long = 1L << 20,
-                         numBits: Long = 1L << 23): DataFrame = {
+                         numBits: Long = 1L << 23): DataFrame =
+    decontaminateWithBloom(documents,
+      evalNgramBloom(documents, evalSource, estimatedItems, numBits), evalSource, minHits)
+
+  /** Build the eval-set n-gram Bloom sketch: one distributed aggregate
+    * over the eval grams, collected as a fixed-size model (None when
+    * the eval source is empty). Build once per eval union and reuse —
+    * `Catalog.evalNgramBloom` caches it per (session, dir), the same
+    * fit-once contract as the ANN indexes. */
+  def evalNgramBloom(documents: DataFrame, evalSource: String = "src19",
+                     estimatedItems: Long = 1L << 20,
+                     numBits: Long = 1L << 23): Option[Array[Byte]] = {
+    val grams = documents.filter(col("source") === evalSource)
+      .select(explode(GraftFunctions.shingles(col("text"))).as("g")).distinct()
+    Option(grams
+      .agg(GraftFunctions.bloomAgg(xxhash64(col("g")),
+        lit(estimatedItems), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0))
+  }
+
+  /** The probe+verify stage of [[decontaminateBloom]], over a
+    * pre-built (possibly cached) sketch. */
+  def decontaminateWithBloom(documents: DataFrame, bloom: Option[Array[Byte]],
+                             evalSource: String = "src19", minHits: Int = 2): DataFrame = {
     val sh = documents
       .select(col("doc_id"), col("source"),
         GraftFunctions.shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     val evalShingles = sh.filter(col("source") === evalSource)
       .select(explode(col("sh")).as("g")).distinct()
-    val bloom = evalShingles
-      .agg(GraftFunctions.bloomAgg(xxhash64(col("g")),
-        lit(estimatedItems), lit(numBits)).as("bf"))
-      .collect()(0).getAs[Array[Byte]](0)
     val corpusGrams = sh.filter(col("source") =!= evalSource)
       .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
-    val survivors =
-      if (bloom == null) corpusGrams.filter(lit(false)) // empty eval set: nothing can hit
-      else corpusGrams.filter(GraftFunctions.mightContain(lit(bloom), xxhash64(col("g"))))
+    val survivors = bloom match {
+      case None     => corpusGrams.filter(lit(false)) // empty eval set: nothing can hit
+      case Some(bf) => corpusGrams.filter(GraftFunctions.mightContain(lit(bf), xxhash64(col("g"))))
+    }
     survivors
       .join(broadcast(evalShingles), "g") // exact verify on the tiny survivor set
       .groupBy(col("doc_id"), col("source"))
@@ -266,7 +286,8 @@ object TextAnalysis {
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
     "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
-    "t_decontam_bloom" -> ((s, d) => decontaminateBloom(Tables(s, d).documents)),
+    "t_decontam_bloom" -> ((s, d) => decontaminateWithBloom(Tables(s, d).documents,
+      graft.core.Catalog.evalNgramBloom(s, d))),
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)))
 

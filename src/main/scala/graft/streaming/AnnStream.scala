@@ -39,4 +39,17 @@ object AnnStream {
     * `Similarity.withSignatures` (one code path, two execution modes). */
   def signatureStream(embeddings: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame =
     Similarity.withSignatures(embeddings, nPlanes, dim)
+
+  /** Continuously-maintained IVF-PQ code table: each arriving vector is
+    * coarse-assigned and residual-encoded against the FITTED index
+    * (centroids + codebooks ship with the plan as literals) — a
+    * stateless scan projection, so the inverted-file code table grows by
+    * appending exactly like the LSH index above. The models themselves
+    * are refit out-of-band (`Catalog.ivfPqIndex`; a drifted refit
+    * republishes the code table via Store's versioned swap). One code
+    * path, two execution modes: values are identical to the batch
+    * `Similarity.ivfPqCodes` (spec-proven). */
+  def ivfPqCodeStream(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    Similarity.ivfPqCodes(embeddings, centroids, books)
 }

@@ -61,4 +61,31 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(0.0) == "000000000000000")
     assert(Sampling.thresholdHex(0.25) == "400000000000000")
   }
+
+  test("temperature sampling: sqrt-weighted rates, budget realized, deterministic") {
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val sample = Sampling.sampleTemperature(docs, budgetDocs = 150L)
+    val kept = sample.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // deterministic under repartitioning (membership is a pure hash)
+    val again = Sampling.sampleTemperature(docs.repartition(7), budgetDocs = 150L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == again)
+    // expected total ≈ budget (binomial tolerance)
+    assert(math.abs(kept.size - 150) < 50, s"kept ${kept.size}, budget 150")
+    // α = 0.5 upweights low-resource sources: on a skewed corpus the
+    // kept FRACTION of the small source must exceed the big one's
+    // (rate ∝ 1/√n), while the big source still contributes more docs
+    val skewed = ((1L to 400L).map(i => (i, "big")) ++ (1001L to 1020L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val sk = Sampling.sampleTemperature(skewed, budgetDocs = 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fBig = sk.count(_._2 == "big") / 400.0
+    val fSmall = sk.count(_._2 == "small") / 20.0
+    assert(fSmall > fBig, s"small kept frac $fSmall should exceed big $fBig")
+    assert(sk.count(_._2 == "big") > sk.count(_._2 == "small"))
+    // a bigger budget strictly contains the smaller one (monotone)
+    val larger = Sampling.sampleTemperature(docs, budgetDocs = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.subsetOf(larger))
+  }
 }
