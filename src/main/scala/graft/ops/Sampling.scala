@@ -79,12 +79,18 @@ object Sampling {
     * the threshold is integer hex from an exact power-of-two scale —
     * DuckDB reproduces the exact row set. */
   def sampleTemperature(documents: DataFrame, budgetDocs: Long = 150L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val weights = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", sqrt(col("n").cast("double")))
-    val sw = weights.agg(sum(col("w").cast(DecimalType(28, 10))).cast("double").as("sw"))
-    val rates = weights.crossJoin(broadcast(sw))
+    // Σw as a window over the per-source aggregate (≤ #sources rows, so
+    // the single-partition frame is bounded by construction) — DECIMAL
+    // sum is order-exact, and the plan stays join-free here (no 1-row
+    // crossJoin / BroadcastNestedLoopJoin).
+    val rates = weights
+      .withColumn("sw",
+        sum(col("w").cast(DecimalType(28, 10))).over(Window.partitionBy()).cast("double"))
       .withColumn("rate",
         least(lit(1.0), round(lit(budgetDocs.toDouble) * col("w") / col("sw") / col("n"), 6)))
     val th = format_string("%015x",
