@@ -62,11 +62,34 @@ object Store {
       .sortBy(_._1)
   }
 
-  /** The table a read of `table` currently resolves to: the newest
-    * versioned backing table when `table` is a published view, `table`
-    * itself when it is a plain (pre-versioning) table. */
+  /** The table a read of `table` currently resolves to: the backing
+    * table the published VIEW actually selects from (NOT simply the
+    * newest `__vN` — a crash between writing a new backing table and the
+    * view swap leaves an orphan version newer than the view's target,
+    * and resolving to it would append deltas invisibly / retire the
+    * version in-flight readers hold), or `table` itself when it is a
+    * plain (pre-versioning) table. */
   private def currentBacking(spark: SparkSession, table: String): String =
-    if (isView(spark, table)) versionsOf(spark, table).last._2 else table
+    if (isView(spark, table)) {
+      val prefix = table.toLowerCase(java.util.Locale.ROOT) + "__v"
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      meta.viewText
+        .flatMap("(?i)\\bfrom\\s+`?([\\w.]+)`?".r.findFirstMatchIn(_))
+        .map(_.group(1).split('.').last.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.startsWith(prefix))
+        .getOrElse(versionsOf(spark, table).last._2)
+    } else table
+
+  /** Versions of `table` NEWER than the view's current target — the
+    * debris of a publish that crashed between the backing-table write
+    * and the view swap. */
+  private def orphanVersions(spark: SparkSession, table: String): Seq[String] =
+    if (!isView(spark, table)) Seq.empty
+    else {
+      val cur = currentBacking(spark, table)
+      versionsOf(spark, table).map(_._2).dropWhile(_ != cur).drop(1)
+    }
 
   /** Publish `df` as the new current version of `table`: write a fresh
     * bucketed backing table, swap the public view to it, retire all but
@@ -74,6 +97,10 @@ object Store {
     * `table` — it resolves to the old version, which this never touches. */
   private def publish(spark: SparkSession, df: DataFrame, table: String,
                       buckets: Int, key: String): Unit = {
+    // Clear crash debris first: backing tables newer than the view's
+    // target were never published (no reader can hold them), and leaving
+    // them would make the retire pass below miscount "previous".
+    orphanVersions(spark, table).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val vs = versionsOf(spark, table)
     val next = vs.lastOption.map(_._1 + 1).getOrElse(1L)
     val backing = s"${table}__v$next"

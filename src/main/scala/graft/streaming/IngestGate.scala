@@ -21,8 +21,9 @@ import graft.ops.Dedup
   * that log back — so the reject computation is never re-evaluated
   * against tables it just mutated, and the log doubles as the gate's
   * write-ahead record (a crashed batch re-runs idempotently: re-derived
-  * decisions for already-present doc_ids change nothing, and the
-  * signature refresh appends only missing rows).
+  * decisions for already-present doc_ids change nothing, the corpus
+  * append anti-joins out doc_ids a crashed attempt already landed, and
+  * the fingerprint/signature refreshes append only missing rows).
   *
   * Sequencing semantics: batch N is vetted against the corpus AS OF
   * batch N−1's admissions — a duplicate of a document admitted two
@@ -92,7 +93,22 @@ object IngestGate {
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
       .select(col("batch_id").as("doc_id")).distinct()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
-    admitted.write.mode(if (haveCorpus) "append" else "overwrite")
+    // Crash-replay guard for the corpus append itself: a crashed attempt
+    // may already have landed this batch's admitted rows in corpusTable,
+    // and an unconditional re-append would duplicate those doc_ids. Probe
+    // which batch ids are already present and anti-join them out. The
+    // probe is MATERIALIZED (eager localCheckpoint — it is batch-sized,
+    // ∝ ids, not corpus-sized) BEFORE the append, so the write never
+    // re-reads the table it is appending to. No-op on a clean run.
+    val toAppend =
+      if (!haveCorpus) admitted
+      else {
+        val present = spark.table(corpusTable)
+          .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+          .select(col("doc_id")).localCheckpoint()
+        admitted.join(broadcast(present), Seq("doc_id"), "left_anti")
+      }
+    toAppend.write.mode(if (haveCorpus) "append" else "overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(corpusTable)
     // incremental: derives rows only for the just-admitted doc_ids
     Store.refreshDocFingerprints(spark, spark.table(corpusTable), buckets, fpTable)

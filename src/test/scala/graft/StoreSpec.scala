@@ -162,6 +162,30 @@ class StoreSpec extends SparkSpec {
     dropTable("t_snap_sigs")
   }
 
+  test("orphan backing table (crash between write and view swap) is ignored by refresh and cleared by publish") {
+    import graft.ops.Dedup
+    dropTable("t_orphan_sigs")
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    Store.refreshMinhashSignatures(spark, docs.filter($"doc_id" < 200),
+      buckets = 4, table = "t_orphan_sigs")
+    // simulate a publish that crashed AFTER writing the new backing table
+    // but BEFORE the view swap: a v9 orphan newer than the view's target
+    spark.table("t_orphan_sigs").limit(1).write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("t_orphan_sigs__v9")
+    // the incremental refresh must append to the VIEW's target (v1), not
+    // the orphan — readers of the view see the delta
+    Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_orphan_sigs")
+    val expected = Dedup.minhashSignatures(docs).count()
+    assert(spark.table("t_orphan_sigs").count() == expected,
+      "refresh delta must land in the version the view reads")
+    // the next publish clears the orphan instead of building on it, and
+    // the view still serves the full contents afterwards
+    Store.compact(spark, "t_orphan_sigs", key = "doc_id", buckets = 4)
+    assert(!spark.catalog.tableExists("t_orphan_sigs__v9"), "orphan dropped at publish")
+    assert(spark.table("t_orphan_sigs").count() == expected)
+    dropTable("t_orphan_sigs")
+  }
+
   test("crossDedupFromSignatures off the store equals recompute; stored side is exchange-free") {
     import graft.ops.Dedup
     dropTable("t_xd_sigs"); dropTable("t_xd_fps")

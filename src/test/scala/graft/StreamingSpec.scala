@@ -358,6 +358,34 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate: crash-replayed batch is idempotent (corpus and derived tables unchanged)") {
+    import graft.streaming.IngestGate
+    val tables = Seq("t_gate3_corpus", "t_gate3_fps", "t_gate3_sigs", "t_gate3_log")
+    dropGateTables(tables: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val corpus = docs.filter($"source" =!= "src0")
+    val batch = docs.filter($"source" === "src0")
+    IngestGate.seedCorpus(spark, corpus, "t_gate3_corpus", "t_gate3_fps", "t_gate3_sigs", buckets = 4)
+    IngestGate.admitBatch(batch, "t_gate3_corpus", "t_gate3_fps", "t_gate3_sigs", "t_gate3_log", buckets = 4)
+    val corpusAfter = spark.table("t_gate3_corpus").count()
+    val fpsAfter = spark.table("t_gate3_fps").count()
+    val sigsAfter = spark.table("t_gate3_sigs").count()
+    val decisionsAfter = spark.table("t_gate3_log").distinct()
+      .collect().map(_.toString).sorted.toSeq
+    // replay the SAME batch — what a foreachBatch attempt that crashed
+    // after (some of) its writes looks like on stream restart
+    IngestGate.admitBatch(batch, "t_gate3_corpus", "t_gate3_fps", "t_gate3_sigs", "t_gate3_log", buckets = 4)
+    assert(spark.table("t_gate3_corpus").count() == corpusAfter, "replay must not re-append admitted rows")
+    assert(spark.table("t_gate3_corpus").groupBy($"doc_id").count()
+      .filter($"count" > 1).count() == 0, "no duplicate doc_ids in the corpus")
+    assert(spark.table("t_gate3_fps").count() == fpsAfter)
+    assert(spark.table("t_gate3_sigs").count() == sigsAfter)
+    assert(spark.table("t_gate3_log").distinct()
+      .collect().map(_.toString).sorted.toSeq == decisionsAfter,
+      "replayed decisions are identical (log is read distinct)")
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate: a later batch is vetted against earlier admissions") {
     import graft.streaming.IngestGate
     val tables = Seq("t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", "t_gate2_log")
