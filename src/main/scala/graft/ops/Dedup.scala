@@ -369,6 +369,53 @@ object Dedup {
       .filter(col("n_shared_runs") >= minRuns)
   }
 
+  /** Span-level exact-substring DEDUP — the step that produces cleaned
+    * TEXT, not just pair flags (the actual output of Lee et al. 2022's
+    * "Deduplicating Training Data Makes Language Models Better", §4:
+    * duplicated spans are removed from the corpus; [[substringDupPairs]]
+    * only FLAGS the documents). Documents are cut into consecutive
+    * `k`-token spans; a span that occurred earlier anywhere in the
+    * corpus (global first occurrence, ordered by (doc_id, span_idx)) is
+    * REMOVED, and each document's surviving spans are reassembled in
+    * order. Catches copied passages and boilerplate inside
+    * otherwise-unique documents, where whole-document dedup keeps both
+    * copies in full.
+    *
+    * Plan shape at 100 TB: scan-side tokenize+chunk (explode ∝
+    * tokens/k — NOT per-token), ONE shuffle on the span text for the
+    * first-occurrence window, one shuffle back to doc_id for
+    * reassembly. No pair stage at all — cost is linear in corpus
+    * tokens, the same scaling class as exact dedup. The reassembly
+    * sort is per-document (array_sort over that doc's ≤ tokens/k
+    * spans), never a global sort; the post-aggregation `transform` to
+    * extract span strings runs once per OUTPUT row over that small
+    * array — it is not a per-row×per-element scan kernel, so the
+    * TextKernels rule doesn't apply. */
+  def spanDedup(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+    val spans = documents
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .withColumn("n_spans", ceil(size(col("t")).cast("double") / k).cast("int"))
+      .select(col("doc_id"), col("source"), col("t"), col("n_spans"),
+        explode(sequence(lit(0), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("span", array_join(slice(col("t"), col("span_idx") * k + 1, lit(k)), " "))
+      .drop("t")
+    val firstSeen = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
+    spans
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        max(col("n_spans")).as("n_spans"),
+        count(lit(1)).cast("int").as("n_kept"),
+        array_sort(collect_list(struct(col("span_idx"), col("span")))).as("ordered"))
+      .withColumn("clean_text", array_join(expr("transform(ordered, x -> x.span)"), " "))
+      .withColumn("n_dropped", col("n_spans") - col("n_kept"))
+      .select(col("doc_id"), col("source"), col("n_spans"), col("n_kept"),
+        col("n_dropped"), col("clean_text"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default
     * `label`). This is the ORACLE form — a semantic blocking key makes
     * the pair set SQL-expressible, but it is O(bucket²): with few labels
@@ -491,6 +538,7 @@ object Dedup {
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
+    "d_span_dedup"       -> ((s, d) => spanDedup(Tables(s, d).documents)),
     "d_cross_dedup"      -> ((s, d) => {
       // Served off the durable/cached derived tables (Store falls back
       // to the Catalog cache when nothing has been persisted): corpus
@@ -562,8 +610,37 @@ object Dedup {
       |FROM e2 a JOIN e2 b ON a.g = b.g AND a.doc_id < b.doc_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB mirror of spanDedup (k=20): identical tokenization, span
+    * cutting, first-occurrence window, and ORDER BY reassembly. */
+  private val spanDedupOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, source, t,
+      |    CAST(ceil(len(t) / 20.0) AS INTEGER) AS n_spans,
+      |    unnest(range(CAST(ceil(len(t) / 20.0) AS BIGINT))) AS span_idx
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, source, n_spans, span_idx,
+      |    array_to_string(t[(span_idx*20+1):(span_idx*20+20)], ' ') AS span
+      |  FROM sp),
+      |kept AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, n_spans, span_idx, span,
+      |      row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+      |    FROM spans)
+      |  WHERE rn = 1)
+      |SELECT doc_id, source, MAX(n_spans) AS n_spans,
+      |  CAST(COUNT(*) AS INTEGER) AS n_kept,
+      |  MAX(n_spans) - CAST(COUNT(*) AS INTEGER) AS n_dropped,
+      |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+      |FROM kept GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d_substring_dup" -> substringDupOracle,
+    "d_span_dedup" -> spanDedupOracle,
     "d_cross_dedup" ->
       """WITH f AS (SELECT doc_id, source,
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h

@@ -188,6 +188,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupPairs(boiler, k = 8, dfCap = 100).count() == 0)
   }
 
+  test("spanDedup: duplicated spans removed, first occurrence survives, unique text untouched") {
+    val k = 4
+    val shared = "alpha beta gamma delta" // one full span, verbatim
+    val input = Seq(
+      (1L, s"$shared unique one tail words here pad pad", "s"),
+      (2L, s"$shared totally different continuation words pad pad2", "s"), // shares span 0 with doc 1
+      (3L, "entirely fresh text with no overlap at all", "s"),
+      (4L, s"$shared unique one tail words here pad pad", "s")) // exact dup of doc 1
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.spanDedup(input, k).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"), r.getAs[String]("clean_text")))
+      .toMap
+    // doc 1 is the first occurrence of every one of its spans — untouched
+    assert(out(1L)._2 == 0 && out(1L)._3 == s"$shared unique one tail words here pad pad")
+    // doc 2 loses exactly the shared leading span, keeps the rest in order
+    assert(out(2L) == ((2, 1, "totally different continuation words pad pad2")))
+    // doc 3 has no duplicated spans
+    assert(out(3L)._2 == 0)
+    // doc 4 duplicates doc 1 verbatim: every span is removed, so the doc
+    // disappears from the surviving corpus entirely
+    assert(!out.contains(4L))
+    // global invariant on the real corpus: no span text survives twice
+    val survivors = Dedup.spanDedup(docs, k = 20)
+    val respan = survivors
+      .select(col("doc_id"), explode(split(col("clean_text"), " ")).as("w"))
+    assert(survivors.count() > 0 && respan.count() > 0)
+    val spansOut = Dedup.spanDedup(docs, k = 20)
+      .select(col("doc_id"), col("clean_text"))
+    // re-cutting survivors at the same k yields all-distinct spans only if
+    // removal never splits a span — which reassembly by whole spans
+    // guarantees; check duplicate full-doc texts are gone
+    val dupTexts = spansOut.groupBy(col("clean_text")).count().filter(col("count") > 1).count()
+    assert(dupTexts == 0, "no two surviving documents may be span-for-span identical")
+  }
+
   test("graft_shingles_k at k=3 equals graft_shingles") {
     val texts = docs.limit(50)
     val a = texts.select($"doc_id", graft.functions.GraftFunctions.shingles($"text").as("s"))
