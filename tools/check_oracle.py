@@ -48,5 +48,17 @@ for name, sql in sorted(oracle.items()):
         print(f"OK   {name} ({len(got_n)} rows)")
     except AssertionError as e:
         fails.append(name); print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} oracle-matched; fails: {fails}")
+import os
+all_keys = sorted(d for d in os.listdir(outdir)
+                  if os.path.isdir(os.path.join(outdir, d)))
+rows_only = sorted(set(all_keys) - set(oracle))
+for name in rows_only:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    status = "ROWS" if n > 0 else "FAIL"
+    if n == 0: fails.append(name)
+    print(f"{status} {name} ({n} rows, rows-only by design)")
+print(f"\n{len(oracle)-len([f for f in fails if f in oracle])}/{len(oracle)} "
+      f"oracle-matched; {len(all_keys)} keys total, {len(rows_only)} rows-only "
+      f"by design; fails: {fails}")
 sys.exit(1 if fails else 0)
