@@ -516,6 +516,65 @@ object Dedup {
         round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** SemDeDup-style semantic dedup — keep ONE representative per tight
+    * group of semantically-near-identical embeddings (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"). The pair miners above only FLAG near-dups; this is
+    * the operator that produces the pruned corpus.
+    *
+    * Composition (each stage already proven at scale on its own):
+    *   1. coarse blocking — either learned IVF clusters (scale path) or
+    *      the `label` column (oracle path);
+    *   2. within-block exact-cosine edges at `round(cos,4) >= tau`;
+    *   3. connected components over the edge graph
+    *      ([[DupClusters.connectedComponents]], large-star/small-star):
+    *      A≈B and B≈C collapse into one group even when cos(A,C) < τ —
+    *      the same closure the doc-level cluster dedup applies, so
+    *      "tight group" is well-defined and partitioning-independent;
+    *   4. survivor = min vec_id per component (deterministic; the paper
+    *      keeps a centroid-distance-ranked example — id-rank is the same
+    *      policy shape with a stable tie-break, matching d_exact_keep /
+    *      d_cluster_keep conventions).
+    *
+    * 100 TB shape: blocking is scan-side, edge work is O(Σ block²) with
+    * blocks sized by nlist (never all-pairs), CC is O(log n) bounded
+    * shuffles on the EDGE set only (≪ corpus; driver sees scalars), and
+    * the final keep is one join of the survivor ids back to the corpus. */
+  def semanticDedupFromPairs(embeddings: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = DupClusters.connectedComponents(
+      pairs.select(col("vec_a"), col("vec_b")),
+      embeddings.select(col("vec_id")))
+    // cluster_id = min reachable id, so the survivor set IS the distinct
+    // cluster ids — one aggregate for sizes, ONE join back to the corpus
+    // for the surviving rows (fact×fact equi-join: at scale both sides
+    // are corpus-order, which is exactly the sort-merge-join regime).
+    val groups = cc.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("int").as("group_size"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(groups, col("vec_id") === col("cluster_id"))
+      .select(col("vec_id"), col("label"), col("group_size"))
+  }
+
+  /** Oracle form: semantic blocking on `label` (SQL-expressible; the
+    * DuckDB mirror recomputes cosine edges + a recursive reachability
+    * closure). O(bucket²) within labels — fine at oracle scale, see
+    * [[semanticDedup]] for the corpus-scale blocker. */
+  def semanticDedupBuckets(embeddings: DataFrame, tau: Double = 0.3): DataFrame =
+    semanticDedupFromPairs(embeddings, embedNearDup(embeddings, tau))
+
+  /** Scale form: blocks on the fitted IVF coarse quantizer (canopy
+    * assignment to the `nAssign` nearest centroids, so near-dups
+    * straddling a cluster boundary still meet in ≥ 1 block). Centroids
+    * come Catalog-cached (`Catalog.ivfIndex` — one fit per (session,
+    * dir), shared with `s_ann_ivf`/`d_semantic_ivf` serving). Blocking is
+    * engine-side (k-means), so the key is rows-checked; semantics are
+    * spec-verified (planted-replica removal + agreement with the exact
+    * bucketed form on tight pairs). */
+  def semanticDedup(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                    tau: Double = 0.3, nAssign: Int = 2): DataFrame =
+    semanticDedupFromPairs(embeddings,
+      embedNearDupClusters(embeddings, centroids, tau, nAssign))
+
   // ---- driver wiring ----
 
   import org.apache.spark.sql.SparkSession
@@ -537,6 +596,11 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
+    "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),
+    "d_semantic_ivf"     -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      semanticDedup(assigned.drop("cluster"), cents)
+    }),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
     "d_span_dedup"       -> ((s, d) => spanDedup(Tables(s, d).documents)),
     "d_cross_dedup"      -> ((s, d) => {
@@ -675,6 +739,36 @@ object Dedup {
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
     "d_neardup_pipeline" -> ngramJaccardOracle,
     "d_ngram_jaccard" -> ngramJaccardOracle,
+    // Mirror of semanticDedupBuckets: label-blocked cosine edges at
+    // τ=0.3, min-reachable-id components via a recursive closure (the
+    // same fixpoint DupClusters' star contraction converges to), keep
+    // id = root, report component size.
+    "d_semantic_dedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id),
+        |edges AS (SELECT va, vb FROM p
+        |  WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3),
+        |e AS (SELECT va AS u, vb AS v FROM edges
+        |      UNION SELECT vb AS u, va AS v FROM edges),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+        |assign AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+        |sizes AS (SELECT root, CAST(COUNT(*) AS INTEGER) AS group_size
+        |          FROM assign GROUP BY root)
+        |SELECT emb.vec_id, emb.label, sizes.group_size
+        |FROM embeddings emb
+        |JOIN assign ON emb.vec_id = assign.id AND assign.id = assign.root
+        |JOIN sizes ON sizes.root = assign.root""".stripMargin,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -30,7 +30,11 @@ object Audit {
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
-  private val SmjAllowed = Set("q_set_ops", "q_full_outer")
+  private val SmjAllowed = Set("q_set_ops", "q_full_outer",
+    // corpus ⋈ per-component survivor summary: both sides corpus-order
+    // (the summary has one row per dup-group), a genuine fact×fact
+    // equi-join — broadcast would be wrong at scale
+    "d_semantic_dedup", "d_semantic_ivf")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

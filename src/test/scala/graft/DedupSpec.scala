@@ -274,4 +274,29 @@ class DedupSpec extends SparkSpec {
     assert(labelTruth.subsetOf(pairs(canopy)),
       s"canopy blocking missed ${(labelTruth -- pairs(canopy)).size} true replica pairs")
   }
+
+  test("semanticDedup (IVF blocking): one min-id survivor per planted replica group") {
+    val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
+    val out = Dedup.semanticDedup(replicaEmbs, cents, tau = 0.8, nAssign = 2).collect()
+    assert(out.length == 40, s"expected 40 survivors, got ${out.length}")
+    // survivor of group g is its min vec_id (= 3g), and every group fully merged
+    assert(out.map(_.getAs[Long]("vec_id")).toSet ==
+      (0 until 40).map(g => (g * 3).toLong).toSet)
+    assert(out.forall(_.getAs[Int]("group_size") == 3))
+  }
+
+  test("semanticDedupBuckets: connected-component closure — chains collapse to one survivor") {
+    // angles 0°/20°/40°: adjacent cosines ≈ 0.94 ≥ τ, but cos(0°,40°) ≈ 0.766 < τ.
+    // Closure must still collapse all three; the opposite vector stays a singleton.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val embs = Seq(
+      (10L, "x", at(0)), (11L, "x", at(20)), (12L, "x", at(40)), (13L, "x", at(180)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Dedup.semanticDedupBuckets(embs, tau = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("group_size")).toMap
+    assert(out == Map(10L -> 3, 13L -> 1))
+  }
 }
