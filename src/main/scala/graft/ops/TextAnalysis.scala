@@ -109,6 +109,70 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(k)
 
+  /** Bounded-memory Misra-Gries summary of one partition's shingle
+    * stream: at most `m` counters; on overflow every counter is
+    * decremented (amortized O(1)/item). Guarantee: any item with
+    * partition frequency > n_p/m survives — so by pigeonhole, any item
+    * with GLOBAL df > N/m survives in at least one partition's summary.
+    * Returns candidate keys only (MG counts are lower bounds; the exact
+    * df comes from the verify pass). */
+  private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      counts.get(x) match {
+        case Some(c) => counts.update(x, c + 1)
+        case None =>
+          if (counts.size < m) counts.update(x, 1L)
+          else {
+            // decrement-all; drop zeros (the classic MG step)
+            val dead = List.newBuilder[String]
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.foreach { case (k, c) => if (c <= 0) dead += k }
+            dead.result().foreach(counts.remove)
+          }
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** [[ngramStats]] with a 100 TB-servable plan: the exact form's
+    * groupBy shuffles EVERY distinct shingle (billions at corpus
+    * scale); this two-pass form shuffles only heavy-hitter CANDIDATES.
+    *
+    * Pass 1 — per-partition Misra-Gries summaries (bounded memory `m`
+    * per task; typed mapPartitions is the right tool here: a sketch is
+    * genuine per-partition imperative state, not a per-row kernel), so
+    * ≤ m × partitions candidate rows leave the scan. Pass 2 — exact df
+    * for the candidate set only (semi-join on the exploded stream —
+    * map-side combined, shuffle ∝ candidates), then the usual top-k.
+    *
+    * Output counts are EXACT (never sketch estimates). Completeness:
+    * while a partition's distinct count stays ≤ m the summary evicts
+    * nothing, so the result is IDENTICAL to the exact form (the regime
+    * the oracle checks); past that, every shingle with df >
+    * total_occurrences/m is still guaranteed a candidate, so the
+    * top-k is exact whenever the true top-k clears that threshold —
+    * the heavy-hitter regime this operator exists for, spec-proven on
+    * skewed data with m far below the distinct count. The m=2¹⁶
+    * default is ~4 MB of task state: per-task memory buys shuffle
+    * volume, the right trade at corpus scale. */
+  def ngramStatsSketch(documents: DataFrame, k: Int = 20, m: Int = 1 << 16): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val exploded = Dedup.shingled(documents)
+      .select(explode(col("shingles")).as("shingle"))
+    val candidates = exploded
+      .select(col("shingle")).as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, m))(Encoders.STRING)
+      .toDF("shingle")
+      .distinct()
+    exploded
+      .join(candidates, Seq("shingle"), "left_semi")
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+  }
+
   /** Content fingerprint: md5 of the text with everything except
     * lowercase alphanumerics removed — robust to punctuation/whitespace
     * edits, cheap to group on at any scale. */
@@ -283,6 +347,7 @@ object TextAnalysis {
     "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
     "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),
+    "t_ngram_topk"     -> ((s, d) => ngramStatsSketch(Tables(s, d).documents)),
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
     "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
@@ -343,6 +408,14 @@ object TextAnalysis {
          |    / COUNT(*), 4) AS avg_bpe_per_doc
          |FROM toks GROUP BY 1""".stripMargin,
     "t_ngram_stats" ->
+      s"""${Dedup.shingleCte}
+         |SELECT shingle, COUNT(*) AS df
+         |FROM (SELECT unnest(sh) AS shingle FROM d)
+         |GROUP BY 1 ORDER BY df DESC, shingle ASC LIMIT 20""".stripMargin,
+    // The sketch path must produce the exact top-k in the heavy-hitter
+    // regime (candidate threshold N/m ≪ the top-k dfs here), so it
+    // shares the exact form's oracle verbatim.
+    "t_ngram_topk" ->
       s"""${Dedup.shingleCte}
          |SELECT shingle, COUNT(*) AS df
          |FROM (SELECT unnest(sh) AS shingle FROM d)

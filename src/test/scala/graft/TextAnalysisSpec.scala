@@ -69,6 +69,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("misraGries: every item above the n/m threshold survives a partition stream") {
+    // 3 heavy items (freq 100) buried in 2000 distinct singletons, m=64:
+    // threshold n/m = 2300/64 ≈ 36 < 100, so all three MUST be candidates.
+    val rnd = new scala.util.Random(11)
+    val stream = rnd.shuffle(
+      Seq("hh a", "hh b", "hh c").flatMap(h => Seq.fill(100)(h)) ++
+        (0 until 2000).map(i => s"noise $i"))
+    val out = graft.ops.TextAnalysis.misraGries(stream.iterator, 64).toSet
+    assert(Set("hh a", "hh b", "hh c").subsetOf(out))
+    assert(out.size <= 64)
+  }
+
+  test("ngramStatsSketch equals the exact top-k on skewed data and on the corpus") {
+    // synthetic skew: 5 planted boilerplate trigram docs repeated heavily,
+    // long tail of unique docs — repartitioned so MG runs per-partition
+    val heavy = (0 until 5).flatMap(h =>
+      (0 until 40).map(r => (h * 1000L + r, s"planted boiler text number $h end")))
+    val tail = (0 until 800).map(i => (100000L + i, s"unique tail doc $i about topic $i"))
+    val skewed = (heavy ++ tail).toDF("doc_id", "text").repartition(8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows(graft.ops.TextAnalysis.ngramStatsSketch(skewed, k = 10, m = 256)) ==
+      rows(graft.ops.TextAnalysis.ngramStats(skewed, k = 10)))
+    // and on the real test corpus at the shipped defaults
+    assert(rows(graft.ops.TextAnalysis.ngramStatsSketch(docs)) ==
+      rows(graft.ops.TextAnalysis.ngramStats(docs)))
+  }
+
   test("fingerprint: invariant to case, punctuation and whitespace") {
     val out = TextAnalysis.fingerprint(Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO-WORLD"), (4L, "other")
