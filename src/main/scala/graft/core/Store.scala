@@ -115,6 +115,43 @@ object Store {
     vs.dropRight(1).foreach { case (_, t) => spark.sql(s"DROP TABLE IF EXISTS $t") }
   }
 
+  /** Observability for long-lived deployments: every backing version of
+    * `table`, oldest first, flagged with whether it is the one the
+    * published view currently serves. Non-current rows are either the
+    * retained previous version (in-flight-reader insurance) or crash
+    * debris — both reclaimable via [[vacuum]]. */
+  def versions(spark: SparkSession, table: String): Seq[(Long, String, Boolean)] = {
+    val cur =
+      if (spark.catalog.tableExists(table)) currentBacking(spark, table) else ""
+    versionsOf(spark, table).map { case (v, t) => (v, t, t == cur) }
+  }
+
+  /** Retention control: drop backing versions outside the newest
+    * `keepVersions` (counted back from the view's CURRENT target, which
+    * is always kept), plus any orphan versions newer than the target
+    * (crash debris — never published, no reader can hold them). Returns
+    * the dropped table names.
+    *
+    * The publish path itself retains current + previous, so the
+    * straddle property (a reader must survive TWO rewrites to lose its
+    * files) holds by default; `vacuum(keepVersions = 1)` is the
+    * explicit storage-over-insurance trade for a long-lived deployment
+    * that compacts often and wants old files reclaimed NOW. Same
+    * single-maintenance-writer contract as [[compact]]. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    if (!isView(spark, table)) Seq.empty
+    else {
+      val orphans = orphanVersions(spark, table)
+      val cur = currentBacking(spark, table)
+      val upToCur = versionsOf(spark, table).map(_._2).takeWhile(_ != cur) :+ cur
+      val stale = upToCur.dropRight(keepVersions)
+      val dropped = orphans ++ stale
+      dropped.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      dropped
+    }
+  }
+
   /** Drop a stored table: the public name (view or plain table) and
     * every versioned backing table, deleting their files. */
   def drop(spark: SparkSession, table: String): Unit = {

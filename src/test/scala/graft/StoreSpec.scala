@@ -162,6 +162,34 @@ class StoreSpec extends SparkSpec {
     dropTable("t_snap_sigs")
   }
 
+  test("vacuum: retains the straddle window by default, reclaims it on request, clears orphans") {
+    dropTable("t_vac_sigs")
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    Store.refreshMinhashSignatures(spark, docs, buckets = 4, table = "t_vac_sigs")
+    Store.compact(spark, "t_vac_sigs", key = "doc_id", buckets = 4) // v1 + v2
+    val expected = spark.table("t_vac_sigs").count()
+    assert(Store.versions(spark, "t_vac_sigs").map(v => (v._1, v._3)) == Seq((1L, false), (2L, true)))
+    // default window keeps current + previous: nothing to reclaim
+    assert(Store.vacuum(spark, "t_vac_sigs") == Seq.empty)
+    assert(spark.catalog.tableExists("t_vac_sigs__v1"))
+    // a reader resolved against the current version survives a vacuum
+    val inFlight = spark.table("t_vac_sigs")
+    inFlight.head()
+    // explicit keepVersions=1 reclaims the previous version's files now
+    assert(Store.vacuum(spark, "t_vac_sigs", keepVersions = 1) == Seq("t_vac_sigs__v1"))
+    assert(!spark.catalog.tableExists("t_vac_sigs__v1"))
+    assert(inFlight.count() == expected, "reader of the CURRENT version is untouched")
+    assert(spark.table("t_vac_sigs").count() == expected)
+    // crash debris (orphan newer than the view target) is reclaimed too
+    spark.table("t_vac_sigs").limit(1).write.mode("overwrite")
+      .bucketBy(4, "doc_id").sortBy("doc_id").saveAsTable("t_vac_sigs__v9")
+    assert(Store.vacuum(spark, "t_vac_sigs") == Seq("t_vac_sigs__v9"))
+    assert(spark.table("t_vac_sigs").count() == expected)
+    // vacuum never drops the current version
+    intercept[IllegalArgumentException](Store.vacuum(spark, "t_vac_sigs", keepVersions = 0))
+    dropTable("t_vac_sigs")
+  }
+
   test("orphan backing table (crash between write and view swap) is ignored by refresh and cleared by publish") {
     import graft.ops.Dedup
     dropTable("t_orphan_sigs")
