@@ -32,6 +32,15 @@ import graft.ops.Dedup
   * verbatim; StreamingSpec proves both.) In-batch duplicates are not
   * this gate's business — compose with `Dedup.exactDedup` upstream,
   * same as the batch pipeline.
+  *
+  * Optional second arm ([[EvalVet]]): every batch is also vetted
+  * against an evaluation union via the Bloom-prefiltered
+  * decontamination operator (`t_decontam_bloom` verbatim over
+  * batch ∪ eval — per-doc overlap is corpus-independent, so the
+  * streamed union of per-batch results equals the batch operator
+  * exactly; StreamingSpec proves it). Contamination rejections are
+  * WAL-logged in the same decision table with kind `contam` and a
+  * null corpus_id.
   */
 object IngestGate {
 
@@ -59,11 +68,20 @@ object IngestGate {
     Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
   }
 
+  /** Optional eval-decontamination arm of the gate: the Bloom sketch
+    * over the eval union's n-grams (build once via
+    * `TextAnalysis.evalNgramBloom` / `Catalog.evalNgramBloom` — a
+    * fixed-size model, exactly the t_decontam_bloom serving shape) plus
+    * the eval documents for the exact false-positive verify join.
+    * Batches must not carry `evalSource` as their own source tag. */
+  final case class EvalVet(evalDocs: DataFrame, bloom: Option[Array[Byte]],
+                           evalSource: String = "src19", minHits: Int = 2)
+
   /** One micro-batch through the gate — also directly callable as the
     * batch-mode unit (StreamingSpec proves stream == batch with it). */
   def admitBatch(batch: DataFrame, corpusTable: String, fpTable: String,
                  sigTable: String, decisionsTable: String, buckets: Int = 8,
-                 tau: Double = 0.8): Unit = {
+                 tau: Double = 0.8, eval: Option[EvalVet] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -83,12 +101,30 @@ object IngestGate {
       else
         Dedup.crossDedupFromSignatures(sansBatch(corpusTable),
           sansBatch(fpTable), sansBatch(sigTable), batch, tau)
+    // Decontamination arm: vet the batch against the eval union via the
+    // pre-built Bloom sketch (scan-side probe, exact verify join — the
+    // t_decontam_bloom operator verbatim over batch ∪ eval, so stream ≡
+    // batch by construction). Contamination is corpus-independent and
+    // deterministic per batch, so replays re-derive identical rows —
+    // the same at-least-once contract as the dedup decisions.
+    // `corpus_id` is null: the "duplicate of" is the eval set, not a
+    // corpus document.
+    val contam = eval match {
+      case None => Seq.empty[DataFrame]
+      case Some(ev) =>
+        val cols = Seq("doc_id", "text", "source").map(col)
+        Seq(graft.ops.TextAnalysis.decontaminateWithBloom(
+            batch.select(cols: _*).unionByName(ev.evalDocs.select(cols: _*)),
+            ev.bloom, ev.evalSource, ev.minHits)
+          .select(col("doc_id").as("batch_id"),
+            lit(null).cast("long").as("corpus_id"), lit("contam").as("kind")))
+    }
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    decisions.write.mode("append").saveAsTable(decisionsTable)
+    contam.foldLeft(decisions)(_ unionByName _).write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
       .select(col("batch_id").as("doc_id")).distinct()
@@ -115,14 +151,16 @@ object IngestGate {
     Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
   }
 
-  /** Start the continuous gate over a document stream. */
+  /** Start the continuous gate over a document stream; pass `eval` to
+    * also vet every batch against an eval union (Bloom-prefiltered). */
   def start(docs: DataFrame, corpusTable: String, fpTable: String,
             sigTable: String, decisionsTable: String, checkpointDir: String,
-            buckets: Int = 8, tau: Double = 0.8): StreamingQuery =
+            buckets: Int = 8, tau: Double = 0.8,
+            eval: Option[EvalVet] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable, buckets, tau)
+        admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable, buckets, tau, eval)
       }
       .start()
 }

@@ -386,6 +386,52 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with eval vetting: streamed contam rejections equal batch decontaminateBloom") {
+    import graft.streaming.IngestGate
+    val tables = Seq("t_gate4_corpus", "t_gate4_fps", "t_gate4_sigs", "t_gate4_log")
+    dropGateTables(tables: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val evalDocs = docs.filter($"source" === "src19")
+    val corpus = docs.filter($"source" =!= "src0" && $"source" =!= "src19")
+    val batchAll = docs.filter($"source" === "src0")
+    IngestGate.seedCorpus(spark, corpus, "t_gate4_corpus", "t_gate4_fps", "t_gate4_sigs", buckets = 4)
+    val vet = IngestGate.EvalVet(evalDocs,
+      graft.core.Catalog.evalNgramBloom(spark, TestSpark.sf0001))
+    // two micro-batches through the gate (split by doc_id parity)
+    val streamDir = Files.createTempDirectory("graft-gate4").toString
+    val ckpt = Files.createTempDirectory("graft-gate4-ckpt").toString
+    val q = IngestGate.start(IngestGate.documentStream(spark, streamDir),
+      "t_gate4_corpus", "t_gate4_fps", "t_gate4_sigs", "t_gate4_log", ckpt,
+      buckets = 4, eval = Some(vet))
+    try {
+      batchAll.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      batchAll.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = fresh("t_gate4_log").distinct().collect()
+      .map(r => (r.getAs[Long]("batch_id"),
+        if (r.isNullAt(r.fieldIndex("corpus_id"))) None else Some(r.getAs[Long]("corpus_id")),
+        r.getAs[String]("kind"))).toSet
+    // contamination decisions ≡ the batch operator restricted to the
+    // streamed source (per-doc eval overlap is corpus-independent, so
+    // the per-batch union must reassemble the batch result exactly)
+    val contamTruth = graft.ops.TextAnalysis.decontaminateBloom(docs)
+      .filter($"source" === "src0").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(contamTruth.nonEmpty, "fixture must contain contaminated src0 docs")
+    assert(log.collect { case (id, None, "contam") => id } == contamTruth)
+    // the admitted corpus excludes every rejected doc (either kind)
+    val rejectedIds = log.map(_._1)
+    val ids = fresh("t_gate4_corpus").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(rejectedIds).isEmpty)
+    assert(ids == corpus.select($"doc_id").collect().map(_.getLong(0)).toSet ++
+      batchAll.select($"doc_id").collect().map(_.getLong(0)).toSet -- rejectedIds)
+    // derived tables track the admitted corpus exactly
+    assert(fresh("t_gate4_fps").count() == ids.size)
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate: a later batch is vetted against earlier admissions") {
     import graft.streaming.IngestGate
     val tables = Seq("t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", "t_gate2_log")
