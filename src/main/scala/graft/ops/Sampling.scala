@@ -101,6 +101,37 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Token-budget-capped mixture — the form an actual training-data
+    * recipe specifies ("≤ N tokens from each source"): every source is
+    * sampled at rate_s = min(1, budget / tokens_s), so sources under
+    * the budget are kept whole and oversized sources are downsampled to
+    * ≈ budget expected tokens. Token totals are computed IN-PLAN (one
+    * scan with the codegen stopword-profile token kernel + a
+    * #sources-row aggregate — exact integer sums, no driver model),
+    * and membership is the same scan-side 60-bit md5 threshold as
+    * [[sampleMixture]] — deterministic, engine-portable (DuckDB
+    * reproduces the row set), monotone in the budget, and nested: a
+    * bigger budget's sample ⊇ a smaller one's, so recipe changes don't
+    * churn the corpus. Two scans of `documents` at 100 TB? No — the
+    * rate side reads only (source, text→count) and collapses to
+    * #sources rows before the broadcast join back; the data scan pays
+    * the filter only. */
+  def sampleTokenBudget(documents: DataFrame, budgetTokens: Long = 10000L): DataFrame = {
+    val tokCount = graft.functions.GraftFunctions
+      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
+    val rates = documents
+      .groupBy(col("source"))
+      .agg(sum(tokCount.cast("long")).as("n_toks"))
+      .withColumn("rate",
+        least(lit(1.0), round(lit(budgetTokens.toDouble) / col("n_toks"), 6)))
+    val th = format_string("%015x",
+      least(floor(col("rate") * lit(math.pow(2, 60))).cast("long"), lit((1L << 60) - 1)))
+    documents
+      .join(broadcast(rates.select(col("source"), th.as("th"))), "source")
+      .filter(coord < col("th"))
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
     * chosen by the same 60-bit md5 coordinate (so the selection is a
     * deterministic, engine-portable function of the data, and the n=1
@@ -133,6 +164,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
+    "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)))
 
   val oracles: Map[String, String] = {
@@ -149,6 +181,20 @@ object Sampling {
           |w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
           |sw AS (SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS sw FROM w),
           |r AS (SELECT source, LEAST(1.0, ROUND(150.0 * w / sw / n, 6)) AS rate FROM w, sw),
+          |t AS (SELECT source,
+          |    printf('%015x', LEAST(CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT),
+          |                          1152921504606846975)) AS th
+          |  FROM r)
+          |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
+          |WHERE substr(md5(concat(d.source, ':', CAST(d.doc_id AS VARCHAR))), 1, 15) < t.th""".stripMargin,
+      "d_sample_tokens" ->
+        """WITH toks AS (SELECT doc_id, source,
+          |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          |  FROM documents),
+          |tl AS (SELECT source,
+          |    CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS n_toks
+          |  FROM toks GROUP BY 1),
+          |r AS (SELECT source, LEAST(1.0, ROUND(500.0 / n_toks, 6)) AS rate FROM tl),
           |t AS (SELECT source,
           |    printf('%015x', LEAST(CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT),
           |                          1152921504606846975)) AS th

@@ -221,6 +221,54 @@ object TextAnalysis {
         when(col("n_tokens") >= minTokens && col("ttr") < tau, "templated")
           .otherwise("ok"))
 
+  /** Composite quality FILTER — the C4/Gopher-style keep/drop stage a
+    * training pipeline runs between dedup and sampling, with the
+    * individual signal operators' rules composed into one short-circuit
+    * verdict per document (first failing rule wins, signals carried
+    * alongside for auditing):
+    *
+    *   1. `too_short`    — fewer than `minTokens` tokens;
+    *   2. `no_stopwords` — zero hits across ALL stopword lists (no
+    *                       language signal at all — the [[langId]]
+    *                       'unknown' regime);
+    *   3. `repetitive`   — [[repetition]]'s dup/top trigram thresholds;
+    *   4. `templated`    — [[lexicalDiversity]]'s TTR threshold;
+    *   5. `keep`.
+    *
+    * ONE scan pass: three codegen kernels per row (stopword, repetition
+    * and TTR profiles), zero shuffles, zero joins — verdicts stream at
+    * scan speed at any corpus size, ready to feed d_sample_mix /
+    * Funnel downstream. */
+  def filterPipeline(documents: DataFrame, minTokens: Int = 20,
+                     dupTau: Double = 0.3, topTau: Double = 0.2,
+                     ttrTau: Double = 0.3): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"), profile.as("p"),
+        GraftFunctions.repetitionProfile(col("text")).as("r"),
+        GraftFunctions.ttrProfile(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        col("t").getItem(0).as("n_tokens"),
+        (col("p").getItem(1) + col("p").getItem(2) +
+         col("p").getItem(3) + col("p").getItem(4)).as("n_stop_all"),
+        col("r").getItem(0).as("n_trigrams"),
+        col("r").getItem(1).as("tri_distinct"),
+        col("r").getItem(2).as("max_freq"),
+        col("t").getItem(1).as("tok_distinct"))
+      .withColumn("dup_ratio", when(col("n_trigrams") > 0,
+        round(lit(1.0) - col("tri_distinct") / col("n_trigrams"), 4)).otherwise(lit(0.0)))
+      .withColumn("top_ratio", when(col("n_trigrams") > 0,
+        round(col("max_freq") / col("n_trigrams"), 4)).otherwise(lit(0.0)))
+      .withColumn("ttr",
+        round(col("tok_distinct") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("verdict",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_stop_all") === 0, "no_stopwords")
+          .when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
+          .when(col("ttr") < ttrTau, "templated")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("dup_ratio"), col("top_ratio"), col("ttr"), col("verdict"))
+
   /** PII patterns — deliberately plain ASCII regex (no lookaround, no
     * engine-specific classes) so Java regex (Spark) and RE2 (DuckDB,
     * and most data-plane scrubbers) agree character for character. */
@@ -354,7 +402,8 @@ object TextAnalysis {
     "t_decontam_bloom" -> ((s, d) => decontaminateWithBloom(Tables(s, d).documents,
       graft.core.Catalog.evalNgramBloom(s, d))),
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
-    "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)))
+    "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)),
+    "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -424,6 +473,45 @@ object TextAnalysis {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+    // Mirror of filterPipeline: the t_quality/t_langid/t_repetition/
+    // t_lexical_div formulas composed into the same ordered CASE.
+    "t_filter_pipeline" ->
+      s"""$toksCte,
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(list_filter(toks, t -> t != '')) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(list_filter(toks, t -> t != ''))) AS INT) AS tok_distinct,
+         |    len(list_filter(toks, t -> t IN (${inListSql("en")})))
+         |      + len(list_filter(toks, t -> t IN (${inListSql("de")})))
+         |      + len(list_filter(toks, t -> t IN (${inListSql("fr")})))
+         |      + len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS n_stop_all
+         |  FROM toks),
+         |tri AS (SELECT doc_id,
+         |    list_transform(generate_series(1, len(toks) - 2),
+         |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS tg
+         |  FROM toks WHERE len(toks) >= 3),
+         |mx AS (SELECT doc_id, MAX(c) AS max_freq FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c
+         |    FROM (SELECT doc_id, unnest(tg) AS g FROM tri) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |rep AS (SELECT t.doc_id, len(t.tg) AS n_trigrams,
+         |    len(list_distinct(t.tg)) AS n_distinct, mx.max_freq
+         |  FROM tri t JOIN mx ON t.doc_id = mx.doc_id),
+         |j AS (SELECT m.doc_id, m.source, m.n_tokens, m.n_stop_all,
+         |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
+         |         THEN ROUND(1.0 - CAST(rep.n_distinct AS DOUBLE) / rep.n_trigrams, 4)
+         |         ELSE 0.0 END AS dup_ratio,
+         |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
+         |         THEN ROUND(CAST(rep.max_freq AS DOUBLE) / rep.n_trigrams, 4)
+         |         ELSE 0.0 END AS top_ratio,
+         |    ROUND(CAST(m.tok_distinct AS DOUBLE) / greatest(m.n_tokens, 1), 4) AS ttr
+         |  FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id)
+         |SELECT doc_id, source, n_tokens, dup_ratio, top_ratio, ttr,
+         |  CASE WHEN n_tokens < 20 THEN 'too_short'
+         |       WHEN n_stop_all = 0 THEN 'no_stopwords'
+         |       WHEN dup_ratio > 0.3 OR top_ratio > 0.2 THEN 'repetitive'
+         |       WHEN ttr < 0.3 THEN 'templated'
+         |       ELSE 'keep' END AS verdict
+         |FROM j""".stripMargin,
     "t_repetition" ->
       s"""$toksCte,
          |tri AS (SELECT doc_id,

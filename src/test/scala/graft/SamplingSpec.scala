@@ -62,6 +62,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(0.25) == "400000000000000")
   }
 
+  test("token-budget sampling: under-budget sources kept whole, oversized capped, nested") {
+    def mk(src: String, n: Int, words: Int) = (1 to n).map(i =>
+      (src.hashCode.abs * 100000L + i, src, (1 to words).map(w => s"w$w").mkString(" ")))
+    // big: 200 docs × 50 tokens = 10k tokens → rate 0.2 at budget 2k;
+    // small: 10 docs × 20 tokens = 200 tokens → rate 1 (kept whole)
+    val corpus = (mk("big", 200, 50) ++ mk("small", 10, 20)).toDF("doc_id", "source", "text")
+    val out = Sampling.sampleTokenBudget(corpus, budgetTokens = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "small") == 10, "under-budget source is never downsampled")
+    val bigKept = out.count(_._2 == "big")
+    assert(math.abs(bigKept - 40) < 25, s"big kept $bigKept, expected ≈ 40 (rate 0.2)")
+    // deterministic under repartitioning; nested in the budget
+    val again = Sampling.sampleTokenBudget(corpus.repartition(7), budgetTokens = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == again.toSet)
+    val larger = Sampling.sampleTokenBudget(corpus, budgetTokens = 5000L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.toSet.subsetOf(larger))
+  }
+
   test("temperature sampling: sqrt-weighted rates, budget realized, deterministic") {
     val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
     val sample = Sampling.sampleTemperature(docs, budgetDocs = 150L)

@@ -69,6 +69,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("filterPipeline: first-failing rule wins, agrees with the individual signal operators") {
+    import graft.ops.TextAnalysis
+    val loop = Seq.fill(30)("spam spam spam").mkString(" ") // repetitive AND templated
+    val cases = Seq(
+      (1L, "s", "tiny doc"),                                            // too_short
+      (2L, "s", (1 to 25).map(i => s"tok$i").mkString(" ")),            // no stopword hit
+      (3L, "s", "the " + loop),                                         // repetitive (ordered before templated)
+      (4L, "s", "the quick brown fox jumps over a lazy dog and then " +
+        "walks to the old market where fresh bread is sold daily"))     // keep
+    val out = TextAnalysis.filterPipeline(cases.toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(out == Map(1L -> "too_short", 2L -> "no_stopwords",
+      3L -> "repetitive", 4L -> "keep"))
+    // corpus-level: every verdict's signal agrees with the stand-alone operator
+    val fp = TextAnalysis.filterPipeline(docs)
+    assert(fp.count() == docs.count(), "one verdict per document")
+    val repTruth = TextAnalysis.repetition(docs)
+      .filter($"rep_flag" === "repetitive").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flaggedRep = fp.filter($"verdict" === "repetitive")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(flaggedRep.subsetOf(repTruth),
+      "a 'repetitive' verdict must come with the stand-alone operator's flag")
+    // one scan pass: no exchange anywhere in the plan
+    val df = fp; df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "filterPipeline must be a pure scan-side pipeline")
+  }
+
   test("misraGries: every item above the n/m threshold survives a partition stream") {
     // 3 heavy items (freq 100) buried in 2000 distinct singletons, m=64:
     // threshold n/m = 2300/64 ≈ 36 < 100, so all three MUST be candidates.
