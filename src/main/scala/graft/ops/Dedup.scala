@@ -391,20 +391,25 @@ object Dedup {
     * extract span strings runs once per OUTPUT row over that small
     * array — it is not a per-row×per-element scan kernel, so the
     * TextKernels rule doesn't apply. */
-  def spanDedup(documents: DataFrame, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Stage 1 of [[spanDedup]]: cut documents into consecutive k-token
+    * spans — (doc_id, source, n_spans, span_idx, span). Scan-side;
+    * shared with the streaming gate (`streaming.SpanStream`). */
+  private[graft] def spanCut(documents: DataFrame, k: Int): DataFrame = {
     val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
-    val spans = documents
+    documents
       .select(col("doc_id"), col("source"), toks.as("t"))
       .withColumn("n_spans", ceil(size(col("t")).cast("double") / k).cast("int"))
       .select(col("doc_id"), col("source"), col("t"), col("n_spans"),
         explode(sequence(lit(0), col("n_spans") - 1)).as("span_idx"))
       .withColumn("span", array_join(slice(col("t"), col("span_idx") * k + 1, lit(k)), " "))
       .drop("t")
-    val firstSeen = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
-    spans
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
+  }
+
+  /** Stage 3 of [[spanDedup]]: reassemble each document's SURVIVING
+    * spans in order. Input must carry (doc_id, source, n_spans,
+    * span_idx, span); shared with the streaming gate. */
+  private[graft] def spanAssemble(kept: DataFrame): DataFrame =
+    kept
       .groupBy(col("doc_id"), col("source"))
       .agg(
         max(col("n_spans")).as("n_spans"),
@@ -414,6 +419,15 @@ object Dedup {
       .withColumn("n_dropped", col("n_spans") - col("n_kept"))
       .select(col("doc_id"), col("source"), col("n_spans"), col("n_kept"),
         col("n_dropped"), col("clean_text"))
+
+  def spanDedup(documents: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = Window.partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
+    spanAssemble(
+      spanCut(documents, k)
+        .withColumn("rn", row_number().over(firstSeen))
+        .filter(col("rn") === 1)
+        .drop("rn"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ τ within a bucket key (default

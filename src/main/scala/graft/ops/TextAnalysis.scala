@@ -327,6 +327,32 @@ object TextAnalysis {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Multi-benchmark contamination REPORT: [[decontaminate]] against a
+    * SET of eval sources at once, reporting hits per (document,
+    * eval set) — the audit artifact a training run publishes ("which
+    * benchmarks does this corpus leak, and how hard"). One shingle scan
+    * of the corpus; the eval side collapses to DISTINCT (eval_source,
+    * gram) pairs and broadcasts (benchmark unions are small by nature —
+    * for ones that aren't, the Bloom route of [[decontaminateBloom]]
+    * composes the same way); one aggregate keyed by (doc, eval_source).
+    * A doc contaminated by k benchmarks yields k rows. */
+  def contamReport(documents: DataFrame, evalSources: Seq[String] = Seq("src18", "src19"),
+                   minHits: Int = 2): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), col("source"),
+        GraftFunctions.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalShingles = sh.filter(col("source").isin(evalSources: _*))
+      .select(col("source").as("eval_source"), explode(col("sh")).as("g"))
+      .distinct()
+    sh.filter(!col("source").isin(evalSources: _*))
+      .select(col("doc_id"), col("source"), explode(col("sh")).as("g"))
+      .join(broadcast(evalShingles), "g")
+      .groupBy(col("doc_id"), col("source"), col("eval_source"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** [[decontaminate]] with a Bloom-filter prefilter — the shape for
     * eval unions too big to broadcast as an exact set (a multi-GB
     * benchmark union is a ~100 MB sketch at 1% fpp; the sketch is a
@@ -403,7 +429,8 @@ object TextAnalysis {
       graft.core.Catalog.evalNgramBloom(s, d))),
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)),
-    "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)))
+    "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
+    "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -566,7 +593,20 @@ object TextAnalysis {
     "t_decontaminate" -> decontaminateOracle,
     // the Bloom path is exact (no false negatives by construction, false
     // positives removed by the verify join) — same oracle, hash-checked
-    "t_decontam_bloom" -> decontaminateOracle)
+    "t_decontam_bloom" -> decontaminateOracle,
+    "t_contam_report" ->
+      s"""${Dedup.shingleCte},
+         |ev AS (SELECT DISTINCT doc.source AS eval_source, g FROM (
+         |    SELECT d.doc_id, unnest(d.sh) AS g FROM d) u
+         |  JOIN documents doc ON u.doc_id = doc.doc_id
+         |  WHERE doc.source IN ('src18', 'src19')),
+         |corpus AS (SELECT d.doc_id, doc.source, unnest(d.sh) AS g
+         |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+         |  WHERE doc.source NOT IN ('src18', 'src19'))
+         |SELECT c.doc_id, c.source, ev.eval_source, COUNT(*) AS n_hits
+         |FROM corpus c JOIN ev ON c.g = ev.g
+         |GROUP BY 1, 2, 3
+         |HAVING COUNT(*) >= 2""".stripMargin)
 
   private lazy val decontaminateOracle =
     s"""${Dedup.shingleCte},

@@ -432,6 +432,62 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("span gate: doc_id-ordered stream equals batch spanDedup; replay idempotent") {
+    import graft.streaming.SpanStream
+    val tables = Seq("t_span_reg", "t_span_out")
+    dropGateTables(tables: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val mid = 250L
+    // two doc_id-ordered micro-batches (the regime where streaming order
+    // equals the batch operator's global (doc_id, span_idx) order)
+    SpanStream.dedupBatch(docs.filter($"doc_id" < mid), "t_span_reg", "t_span_out", buckets = 4)
+    SpanStream.dedupBatch(docs.filter($"doc_id" >= mid), "t_span_reg", "t_span_out", buckets = 4)
+    def outRows = fresh("t_span_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toSet
+    val streamed = outRows
+    val batchOp = graft.ops.Dedup.spanDedup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toSet
+    assert(streamed == batchOp, "ordered streamed span dedup must equal the batch operator")
+    // crash-replay of the second batch: output and registry unchanged
+    val regN = fresh("t_span_reg").count()
+    SpanStream.dedupBatch(docs.filter($"doc_id" >= mid), "t_span_reg", "t_span_out", buckets = 4)
+    assert(outRows == batchOp, "replay must not change the cleaned output")
+    assert(fresh("t_span_reg").count() == regN, "replay must not grow the registry")
+    dropGateTables(tables: _*)
+  }
+
+  test("span gate: a later batch's duplicated spans are removed against earlier batches (stream API)") {
+    import graft.streaming.SpanStream
+    val tables = Seq("t_span2_reg", "t_span2_out")
+    dropGateTables(tables: _*)
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ") // exactly one 20-token span
+    val fresh1 = (1 to 20).map(i => s"new$i").mkString(" ")
+    val streamDir = Files.createTempDirectory("graft-span").toString
+    val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+    val q = SpanStream.start(
+      graft.streaming.IngestGate.documentStream(spark, streamDir),
+      "t_span2_reg", "t_span2_out", ckpt, buckets = 2)
+    try {
+      Seq((1L, run, "en", "crawl", run.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      // batch 2: one doc repeating batch 1's span + fresh content
+      Seq((2L, s"$run $fresh1", "en", "crawl", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      q.processAllAvailable()
+      val out = fresh("t_span2_out").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped"))).toMap
+      assert(out(1L) == (run, 0), "first carrier keeps its span")
+      assert(out(2L) == (fresh1, 1), "the repeated span is removed against the earlier batch")
+    } finally q.stop()
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate: a later batch is vetted against earlier admissions") {
     import graft.streaming.IngestGate
     val tables = Seq("t_gate2_corpus", "t_gate2_fps", "t_gate2_sigs", "t_gate2_log")

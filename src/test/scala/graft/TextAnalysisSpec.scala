@@ -98,6 +98,23 @@ class TextAnalysisSpec extends SparkSpec {
       "filterPipeline must be a pure scan-side pipeline")
   }
 
+  test("contamReport: per-eval-source breakdown, single-eval slice equals decontaminate") {
+    import graft.ops.TextAnalysis
+    val report = TextAnalysis.contamReport(docs, evalSources = Seq("src18", "src19"))
+    val slice19 = report.filter($"eval_source" === "src19")
+      .select($"doc_id", $"source", $"n_hits").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // src19-vs-rest from the report must equal the single-eval operator
+    // restricted to the same corpus side (docs not in ANY eval source)
+    val single = TextAnalysis.decontaminate(docs, evalSource = "src19")
+      .filter($"source" =!= "src18")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(slice19 == single)
+    // a doc contaminated by both benchmarks appears once per eval source
+    assert(report.groupBy($"doc_id", $"source", $"eval_source").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("misraGries: every item above the n/m threshold survives a partition stream") {
     // 3 heavy items (freq 100) buried in 2000 distinct singletons, m=64:
     // threshold n/m = 2300/64 ≈ 36 < 100, so all three MUST be candidates.
