@@ -269,6 +269,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("dup_ratio"), col("top_ratio"), col("ttr"), col("verdict"))
 
+  /** Per-source corpus card — the governance summary a dataset release
+    * ships: size, exact-dup rate, and quality-filter yield per source,
+    * in one row each. Two aggregating scans (the [[filterPipeline]]
+    * verdict projection; a norm-hash distinct count), each collapsing
+    * to #sources rows before one broadcast join — nothing doc-level
+    * ever shuffles. `n_unique_texts` is an exact two-level distinct
+    * (per-source hash cardinality), `dup_frac` its complement,
+    * `keep_frac` the filter yield. */
+  def corpusReport(documents: DataFrame): DataFrame = {
+    val verdicts = filterPipeline(documents)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"))
+    val hashes = documents
+      .select(col("source"), md5(Dedup.normText(col("text"))).as("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_unique_texts"))
+    verdicts.join(broadcast(hashes), "source")
+      .withColumn("dup_frac",
+        round(lit(1.0) - col("n_unique_texts") / col("n_docs"), 4))
+      .withColumn("keep_frac", round(col("n_keep") / col("n_docs"), 4))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_unique_texts"), col("dup_frac"), col("n_keep"), col("keep_frac"))
+  }
+
   /** PII patterns — deliberately plain ASCII regex (no lookaround, no
     * engine-specific classes) so Java regex (Spark) and RE2 (DuckDB,
     * and most data-plane scrubbers) agree character for character. */
@@ -430,7 +457,8 @@ object TextAnalysis {
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)),
     "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
-    "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)))
+    "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
+    "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -503,42 +531,25 @@ object TextAnalysis {
     // Mirror of filterPipeline: the t_quality/t_langid/t_repetition/
     // t_lexical_div formulas composed into the same ordered CASE.
     "t_filter_pipeline" ->
-      s"""$toksCte,
-         |m AS (SELECT doc_id, source,
-         |    CAST(len(list_filter(toks, t -> t != '')) AS INT) AS n_tokens,
-         |    CAST(len(list_distinct(list_filter(toks, t -> t != ''))) AS INT) AS tok_distinct,
-         |    len(list_filter(toks, t -> t IN (${inListSql("en")})))
-         |      + len(list_filter(toks, t -> t IN (${inListSql("de")})))
-         |      + len(list_filter(toks, t -> t IN (${inListSql("fr")})))
-         |      + len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS n_stop_all
-         |  FROM toks),
-         |tri AS (SELECT doc_id,
-         |    list_transform(generate_series(1, len(toks) - 2),
-         |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS tg
-         |  FROM toks WHERE len(toks) >= 3),
-         |mx AS (SELECT doc_id, MAX(c) AS max_freq FROM (
-         |    SELECT doc_id, g, COUNT(*) AS c
-         |    FROM (SELECT doc_id, unnest(tg) AS g FROM tri) GROUP BY 1, 2)
-         |  GROUP BY 1),
-         |rep AS (SELECT t.doc_id, len(t.tg) AS n_trigrams,
-         |    len(list_distinct(t.tg)) AS n_distinct, mx.max_freq
-         |  FROM tri t JOIN mx ON t.doc_id = mx.doc_id),
-         |j AS (SELECT m.doc_id, m.source, m.n_tokens, m.n_stop_all,
-         |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
-         |         THEN ROUND(1.0 - CAST(rep.n_distinct AS DOUBLE) / rep.n_trigrams, 4)
-         |         ELSE 0.0 END AS dup_ratio,
-         |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
-         |         THEN ROUND(CAST(rep.max_freq AS DOUBLE) / rep.n_trigrams, 4)
-         |         ELSE 0.0 END AS top_ratio,
-         |    ROUND(CAST(m.tok_distinct AS DOUBLE) / greatest(m.n_tokens, 1), 4) AS ttr
-         |  FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id)
-         |SELECT doc_id, source, n_tokens, dup_ratio, top_ratio, ttr,
-         |  CASE WHEN n_tokens < 20 THEN 'too_short'
-         |       WHEN n_stop_all = 0 THEN 'no_stopwords'
-         |       WHEN dup_ratio > 0.3 OR top_ratio > 0.2 THEN 'repetitive'
-         |       WHEN ttr < 0.3 THEN 'templated'
-         |       ELSE 'keep' END AS verdict
-         |FROM j""".stripMargin,
+      s"""$filterVerdictCte
+         |SELECT doc_id, source, n_tokens, dup_ratio, top_ratio, ttr, verdict
+         |FROM fv""".stripMargin,
+    // Mirror of corpusReport over the same verdict CTE + a per-source
+    // exact hash-distinct count.
+    "t_corpus_report" ->
+      s"""$filterVerdictCte,
+         |v AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  FROM fv GROUP BY 1),
+         |h AS (SELECT source,
+         |    COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_unique_texts
+         |  FROM documents GROUP BY 1)
+         |SELECT v.source, v.n_docs, v.total_tokens, h.n_unique_texts,
+         |  ROUND(1.0 - CAST(h.n_unique_texts AS DOUBLE) / v.n_docs, 4) AS dup_frac,
+         |  v.n_keep,
+         |  ROUND(CAST(v.n_keep AS DOUBLE) / v.n_docs, 4) AS keep_frac
+         |FROM v JOIN h USING (source)""".stripMargin,
     "t_repetition" ->
       s"""$toksCte,
          |tri AS (SELECT doc_id,
@@ -607,6 +618,47 @@ object TextAnalysis {
          |FROM corpus c JOIN ev ON c.g = ev.g
          |GROUP BY 1, 2, 3
          |HAVING COUNT(*) >= 2""".stripMargin)
+
+  /** Shared DuckDB CTE: per-doc filter verdict (`fv`) — the
+    * t_quality/t_langid/t_repetition/t_lexical_div formulas composed
+    * into filterPipeline's ordered CASE. */
+  private lazy val filterVerdictCte =
+    s"""$toksCte,
+       |m AS (SELECT doc_id, source,
+       |    CAST(len(list_filter(toks, t -> t != '')) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(list_filter(toks, t -> t != ''))) AS INT) AS tok_distinct,
+       |    len(list_filter(toks, t -> t IN (${inListSql("en")})))
+       |      + len(list_filter(toks, t -> t IN (${inListSql("de")})))
+       |      + len(list_filter(toks, t -> t IN (${inListSql("fr")})))
+       |      + len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS n_stop_all
+       |  FROM toks),
+       |tri AS (SELECT doc_id,
+       |    list_transform(generate_series(1, len(toks) - 2),
+       |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS tg
+       |  FROM toks WHERE len(toks) >= 3),
+       |mx AS (SELECT doc_id, MAX(c) AS max_freq FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(tg) AS g FROM tri) GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |rep AS (SELECT t.doc_id, len(t.tg) AS n_trigrams,
+       |    len(list_distinct(t.tg)) AS n_distinct, mx.max_freq
+       |  FROM tri t JOIN mx ON t.doc_id = mx.doc_id),
+       |j AS (SELECT m.doc_id, m.source, m.n_tokens, m.n_stop_all,
+       |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
+       |         THEN ROUND(1.0 - CAST(rep.n_distinct AS DOUBLE) / rep.n_trigrams, 4)
+       |         ELSE 0.0 END AS dup_ratio,
+       |    CASE WHEN COALESCE(rep.n_trigrams, 0) > 0
+       |         THEN ROUND(CAST(rep.max_freq AS DOUBLE) / rep.n_trigrams, 4)
+       |         ELSE 0.0 END AS top_ratio,
+       |    ROUND(CAST(m.tok_distinct AS DOUBLE) / greatest(m.n_tokens, 1), 4) AS ttr
+       |  FROM m LEFT JOIN rep ON m.doc_id = rep.doc_id),
+       |fv AS (SELECT doc_id, source, n_tokens, dup_ratio, top_ratio, ttr,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN n_stop_all = 0 THEN 'no_stopwords'
+       |       WHEN dup_ratio > 0.3 OR top_ratio > 0.2 THEN 'repetitive'
+       |       WHEN ttr < 0.3 THEN 'templated'
+       |       ELSE 'keep' END AS verdict
+       |FROM j)""".stripMargin
 
   private lazy val decontaminateOracle =
     s"""${Dedup.shingleCte},

@@ -98,6 +98,24 @@ class TextAnalysisSpec extends SparkSpec {
       "filterPipeline must be a pure scan-side pipeline")
   }
 
+  test("corpusReport: one row per source, counts reconcile with the underlying operators") {
+    import graft.ops.TextAnalysis
+    val report = TextAnalysis.corpusReport(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(report.size == docs.select($"source").distinct().count())
+    val srcDocs = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.map { case (s, r) => s -> r.getAs[Long]("n_docs") } == srcDocs)
+    // keep counts reconcile with filterPipeline; uniques with exactDedup's domain
+    val keeps = TextAnalysis.filterPipeline(docs).filter($"verdict" === "keep")
+      .groupBy($"source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    report.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_keep") == keeps.getOrElse(s, 0L), s"keep count for $s")
+      assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("keep_frac") >= 0.0 && r.getAs[Double]("keep_frac") <= 1.0)
+    }
+  }
+
   test("contamReport: per-eval-source breakdown, single-eval slice equals decontaminate") {
     import graft.ops.TextAnalysis
     val report = TextAnalysis.contamReport(docs, evalSources = Seq("src18", "src19"))
