@@ -139,10 +139,25 @@ object Multimodal {
     }
   }
 
+  /** Media-payload exact dedup: group on the decoded frame's
+    * content_md5 — byte-identical media collapse to one group with a
+    * min-doc_id keeper, the first stage of any multimodal dedup (the
+    * embedding/perceptual near-dup stages compose downstream exactly
+    * like the text family). Runs off the DECODED feature frame, so the
+    * shuffle carries ~100-byte rows — the payload bytes never move.
+    * Same group-keep convention as `Dedup.exactDedup`. */
+  def payloadDedup(documents: DataFrame): DataFrame =
+    pipeline(documents)
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(col("n_bytes")).as("n_bytes"))
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
+    "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
     "m_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
       resize(assemble(Tables(s, d).documents)).toDF()
@@ -152,6 +167,12 @@ object Multimodal {
     "m_frames" -> ((s, d) => sampleFrames(assemble(Tables(s, d).documents)).toDF()))
 
   val oracles: Map[String, String] = Map(
+    "m_payload_dedup" ->
+      """SELECT md5(COALESCE(text, '')) AS content_md5,
+        |  MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies,
+        |  CAST(MAX(octet_length(encode(COALESCE(text, '')))) AS INTEGER) AS n_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
     "m_multimodal" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

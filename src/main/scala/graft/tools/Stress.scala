@@ -28,6 +28,9 @@ object Stress {
     time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
     time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
     time("neardup_pipeline")(Dedup.nearDupPairs(docs).count())
+    // span dedup: replicas share almost every k-token span, so this is
+    // the worst-case duplication load — cost must stay ∝ corpus tokens
+    time("span_dedup")(Dedup.spanDedup(docs).count())
     val emb = t.embeddings
     time("ann_topk")(Similarity.annTopK(emb).count())
     time("embed_neardup")(Dedup.embedNearDup(emb).count())
@@ -46,6 +49,12 @@ object Stress {
     time("embed_canopy_pairs") {
       val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
       Dedup.embedNearDupClusters(embN, cents, tau = 0.99, nAssign = 2).count()
+    }
+    // full semantic dedup (canopy edges → CC closure → survivors): the
+    // replica groups must collapse to ≈ the original vector count
+    time("semantic_dedup") {
+      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      Dedup.semanticDedup(embN, cents, tau = 0.99, nAssign = 2).count()
     }
     spark.stop()
   }

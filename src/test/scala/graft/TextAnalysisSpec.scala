@@ -352,6 +352,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("multimodal payloadDedup: byte-identical media collapse, min doc_id keeps") {
+    import graft.ops.Multimodal
+    val dupes = Seq((7L, "same payload"), (3L, "same payload"), (9L, "unique payload"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.payloadDedup(dupes).collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(3L -> 2L, 9L -> 1L))
+    // corpus-level: group count equals distinct payload hashes, groups cover all docs
+    val corpus = Multimodal.payloadDedup(docs)
+    assert(corpus.agg(sum($"n_copies")).collect()(0).getLong(0) == docs.count())
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
