@@ -43,6 +43,21 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** Batch ANN serving: exact top-k for a SET of query vectors in ONE
+    * plan — a union of per-query `TakeOrderedAndProject` subplans (each
+    * per-partition heaps over a pruned scan; the k-row result per query
+    * reaches the driver, never a global sort). The correctness baseline
+    * for batch serving; at corpus scale a query batch serves off the
+    * shared IVF/PQ index instead (each query probes its nProbe lists,
+    * the batch amortizing the code-table scan) — same composition as
+    * the single-query keys. */
+  def annTopKBatch(embeddings: DataFrame, queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                   k: Int = 10): DataFrame =
+    queryVecIds.map { id =>
+      annTopK(embeddings, id, k).withColumn("query_id", lit(id))
+    }.reduce(_ unionByName _)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cos_sim"))
+
   /** The LSH index table: embeddings with their hyperplane bucket id.
     * bucket = Σ_p (dot(embedding, planes[p]) > 0) << p — scan-side via the
     * codegen'd graft_hyperplane_sig expression (the literal plane matrix
@@ -366,6 +381,7 @@ object Similarity {
     * (session, dir), like the shared MinHash signature table). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_topk" -> ((s, d) => annTopK(Tables(s, d).embeddings)),
+    "s_ann_batch" -> ((s, d) => annTopKBatch(Tables(s, d).embeddings)),
     "s_ann_lsh"  -> ((s, d) => annLsh(Tables(s, d).embeddings)),
     "s_ann_ivf"  -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
@@ -383,6 +399,24 @@ object Similarity {
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */
   val oracles: Map[String, String] = Map(
+    "s_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),
+        |s AS (SELECT q.query_id, e.vec_id, e.label,
+        |  list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |  sqrt(list_sum(list_transform(e.embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |  sqrt(list_sum(list_transform(q.qe,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+        |r AS (SELECT query_id, vec_id, label,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY (CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END) DESC,
+        |             vec_id ASC) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, label, cos_sim FROM r WHERE rn <= 10""".stripMargin,
     "s_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (SELECT e.vec_id, e.label,

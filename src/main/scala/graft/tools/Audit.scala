@@ -26,7 +26,9 @@ object Audit {
   /** Keys whose plan legitimately contains a BroadcastNestedLoopJoin:
     * every one is a crossJoin against a broadcast 1-row query vector. */
   private val BnljAllowed = Set(
-    "s_ann_topk", "s_ann_ivf", "s_ann_pq", "s_ann_ivfpq")
+    "s_ann_topk", "s_ann_ivf", "s_ann_pq", "s_ann_ivfpq",
+    // union of per-query 1-row-broadcast subplans (one BNLJ per query)
+    "s_ann_batch")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

@@ -58,6 +58,19 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("annTopKBatch: per-query slices equal the single-query operator") {
+    val ids = Seq(0L, 1L, 2L)
+    val batch = Similarity.annTopKBatch(embs, ids, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(batch.keySet == ids.toSet)
+    ids.foreach { id =>
+      val slice = batch(id).map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      val single = Similarity.annTopK(embs, id, k = 5).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+      assert(slice == single, s"batch slice for query $id")
+    }
+  }
+
   test("annLsh: returns candidates whose cosine matches brute force ranking") {
     val brute = Similarity.annTopK(embs, queryVecId = 0L, k = 500).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
