@@ -286,6 +286,36 @@ object AnalyticsQueries {
       .drop("order_epoch_us")
   }
 
+  /** Pearson correlation + OLS regression per group — with EXACT
+    * aggregation: `corr()`/`covar_*` accumulate doubles and are
+    * summation-order-dependent (different per partitioning, per
+    * engine); here every moment (Σx, Σy, Σx², Σxy, Σy²) is a
+    * DECIMAL-exact sum of ≤4-decimal products, converted once to
+    * double (all magnitudes stay inside the 2⁵³ exact-integer range at
+    * any realistic group size, so the conversion is value-exact), and
+    * corr/slope/intercept are each ONE closed-form double expression
+    * mirrored verbatim in the oracle. One map-side-combined hash
+    * aggregate — the same scan shape as q1. */
+  def corrRegression(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(18, 2))
+    val y = col("l_discount").cast(DecimalType(18, 2))
+    def m(c: Column) = sum(c.cast(DecimalType(38, 4))).cast(DoubleType)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        m(x * x).as("sxx"), m(x * y).as("sxy"), m(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qty_disc"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("intercept"))
+  }
+
   /** Argmax aggregate: the highest-value order per status via `max_by`
     * with a packed deterministic ordering key (cents ⊕ orderkey). */
   def argmaxOrder(t: Tables): DataFrame =
@@ -419,6 +449,7 @@ object AnalyticsQueries {
     "q_proximity_join"     -> ((s, d) => proximityPairs(Tables(s, d))),
     "q_moving_avg"         -> ((s, d) => movingAvg(Tables(s, d))),
     "q_argmax"             -> ((s, d) => argmaxOrder(Tables(s, d))),
+    "q_corr"               -> ((s, d) => corrRegression(Tables(s, d).lineitem)),
     "q_ntile"              -> ((s, d) => ntileCustomers(Tables(s, d))),
     "q_full_outer"         -> ((s, d) => fullOuter(Tables(s, d))),
     "q_cube"               -> ((s, d) => cubeOrders(Tables(s, d))),
@@ -501,6 +532,21 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY CAST(epoch_us(o_orderdate) AS BIGINT)
         |  RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_corr" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  ROUND((n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_disc,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept
+        |FROM a""".stripMargin,
     "q_argmax" ->
       """SELECT o_orderstatus,
         |  arg_max(o_orderkey,

@@ -14,6 +14,25 @@ class AnalyticsSpec extends SparkSpec {
 
   private lazy val t = Tables(spark, TestSpark.sf0001)
 
+  test("q_corr: partition-invariant exact moments, agrees with Spark's corr to 1e-3") {
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("corr_qty_disc"), r.getAs[Double]("slope"),
+         r.getAs[Double]("intercept"))).toMap
+    val rows = collectMap(AnalyticsQueries.corrRegression(t.lineitem))
+    // bit-identical under any repartitioning — the point vs corr()'s
+    // order-dependent double accumulation
+    val re = collectMap(AnalyticsQueries.corrRegression(t.lineitem.repartition(13)))
+    assert(rows == re)
+    // statistical sanity: within rounding noise of the built-in estimate
+    val builtin = t.lineitem.groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_discount").as("c")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (k, (c, _, _)) =>
+      assert(math.abs(c - builtin(k)) < 1e-3, s"corr for $k: $c vs builtin ${builtin(k)}")
+    }
+  }
+
   test("q1: aggregates only rows within the shipdate filter") {
     val out = AnalyticsQueries.pricingSummary(t)
     val total = out.agg(sum("count_order")).collect()(0).getLong(0)
