@@ -75,6 +75,40 @@ object StreamBench {
     run("windowed_counts", dir =>
       VehicleStream.windowedCounts(VehicleStream.ingest(spark, dir))
         .writeStream.format("noop").outputMode("update"))
+
+    // ---- durable-state gates (foreachBatch units, no state store):
+    // per-batch cost must stay FLAT as the durable corpus grows —
+    // batch b is a full near-dup replica of the corpus (worst-case
+    // vetting/dedup load), so a per-batch time growing with b would
+    // mean the gate re-pays corpus-sized work per ingest.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    def replica(b: Int) = docs.select(
+      (col("doc_id") + b * 10_000_000L).as("doc_id"),
+      concat(col("text"), lit(s" rep $b")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    def gateBench(label: String, tables: Seq[String])(seed: () => Unit)(admit: Int => Unit): Unit = {
+      tables.foreach(t => graft.core.Store.drop(spark, t))
+      seed()
+      val times = (1 until batches + 1).map { b =>
+        val t0 = System.nanoTime(); admit(b); (System.nanoTime() - t0) / 1e9
+      }
+      val line = times.zipWithIndex
+        .map { case (s, i) => f"""{"batch":${i + 1},"sec":$s%.2f}""" }
+        .mkString("[", ",", "]")
+      println(s"""{"bench":"$label","batches":$batches,"docs_per_batch":${docs.count()},"per_batch":$line}""")
+      tables.foreach(t => graft.core.Store.drop(spark, t))
+    }
+    val gt = Seq("sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs", "sb_gate_log")
+    gateBench("ingest_gate", gt)(
+      () => graft.streaming.IngestGate.seedCorpus(spark, docs,
+        "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs"))(
+      b => graft.streaming.IngestGate.admitBatch(replica(b),
+        "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs", "sb_gate_log"))
+    val st = Seq("sb_span_reg", "sb_span_out")
+    gateBench("span_gate", st)(
+      () => graft.streaming.SpanStream.dedupBatch(docs, "sb_span_reg", "sb_span_out"))(
+      b => graft.streaming.SpanStream.dedupBatch(replica(b), "sb_span_reg", "sb_span_out"))
     spark.stop()
   }
 }
