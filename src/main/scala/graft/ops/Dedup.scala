@@ -589,6 +589,67 @@ object Dedup {
     semanticDedupFromPairs(embeddings,
       embedNearDupClusters(embeddings, centroids, tau, nAssign))
 
+  /** Cross-corpus SEMANTIC vetting — the incremental form of
+    * [[semanticDedup]], with the ingest-gate contract: a batch vector is
+    * rejected iff it semantically duplicates (round(cos,4) ≥ τ) an
+    * EXISTING survivor; admitted vectors become survivors for later
+    * batches; survivors are never retro-merged by a batch bridge (batch
+    * N is vetted against the survivor set as of batch N−1 — exactly
+    * `IngestGate`'s sequencing semantics, for embeddings).
+    *
+    * Blocking: batch vectors probe their `nAssign` nearest coarse
+    * clusters (scan-side codegen assignment against the shared fitted
+    * centroids) and compare ONLY against survivors assigned to those
+    * clusters — work ∝ batch × bucket, never corpus². `dup_of` is the
+    * minimum matching survivor id (deterministic report).
+    *
+    * @param survivors (vec_id, label, embedding) of the current
+    *                  survivor set (e.g. [[semanticDedup]] output joined
+    *                  back to vectors, or the durable stored form)
+    * @param batch     arriving vectors, ids disjoint from survivors */
+  def crossSemanticDedup(survivors: DataFrame, batch: DataFrame,
+                         centroids: Seq[Seq[Double]], tau: Double = 0.3,
+                         nAssign: Int = 2): DataFrame = {
+    val s = survivors
+      .withColumn("cluster",
+        GraftFunctions.nearestCentroid(col("embedding"), typedlit(centroids)))
+      .select(col("vec_id").as("surv_id"), col("embedding").as("surv_embedding"),
+        col("cluster"))
+    val probed = batch
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("cluster"))
+    probed
+      .join(s, "cluster")
+      .withColumn("cos", round(GraftFunctions.cosine(col("embedding"),
+        col("surv_embedding")), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("surv_id")).as("dup_of"),
+        max(col("cos")).as("max_cos"))
+  }
+
+  /** Oracle form of [[crossSemanticDedup]]: blocking on `label`, the
+    * survivor set being [[semanticDedupBuckets]] of the corpus side
+    * (SQL-expressible end to end — the DuckDB mirror recomputes the
+    * corpus survivors with the recursive closure, then the batch×
+    * survivor cosine check). */
+  def crossSemanticDedupBuckets(corpus: DataFrame, batch: DataFrame,
+                                tau: Double = 0.3): DataFrame = {
+    val survivorIds = semanticDedupBuckets(corpus, tau).select(col("vec_id"))
+    val s = corpus.join(survivorIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("surv_id"), col("label"),
+        col("embedding").as("surv_embedding"))
+    batch
+      .join(s, "label")
+      .withColumn("cos", round(GraftFunctions.cosine(col("embedding"),
+        col("surv_embedding")), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("surv_id")).as("dup_of"),
+        max(col("cos")).as("max_cos"))
+  }
+
   // ---- driver wiring ----
 
   import org.apache.spark.sql.SparkSession
@@ -611,6 +672,11 @@ object Dedup {
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),
+    "d_semantic_cross"   -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      crossSemanticDedupBuckets(emb.filter(col("vec_id") < 400),
+        emb.filter(col("vec_id") >= 400))
+    }),
     "d_semantic_ivf"     -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       semanticDedup(assigned.drop("cluster"), cents)
@@ -783,6 +849,49 @@ object Dedup {
         |FROM embeddings emb
         |JOIN assign ON emb.vec_id = assign.id AND assign.id = assign.root
         |JOIN sizes ON sizes.root = assign.root""".stripMargin,
+    // Mirror of crossSemanticDedupBuckets at the vec_id<400 / ≥400
+    // split: corpus survivors via the same recursive closure as
+    // d_semantic_dedup (restricted to the corpus side), then the
+    // batch × survivor cosine check within label.
+    "d_semantic_cross" ->
+      """WITH RECURSIVE c AS (SELECT * FROM embeddings WHERE vec_id < 400),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(a.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(b.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |edges AS (SELECT va, vb FROM p
+        |  WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3),
+        |e AS (SELECT va AS u, vb AS v FROM edges
+        |      UNION SELECT vb AS u, va AS v FROM edges),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM c
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN e ON e.u = reach.id),
+        |assign AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+        |surv AS (SELECT c.* FROM c
+        |  JOIN assign ON c.vec_id = assign.id AND assign.id = assign.root),
+        |x AS (
+        |  SELECT b.vec_id, b.label, s.vec_id AS surv_id,
+        |    ROUND(CASE WHEN
+        |        sqrt(list_sum(list_transform(b.embedding,
+        |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |        * sqrt(list_sum(list_transform(s.embedding,
+        |          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) = 0 THEN 0
+        |      ELSE list_sum(list_transform(list_zip(b.embedding, s.embedding),
+        |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(b.embedding,
+        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(s.embedding,
+        |            v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) END, 4) AS cos
+        |  FROM embeddings b JOIN surv s ON b.label = s.label
+        |  WHERE b.vec_id >= 400)
+        |SELECT vec_id, label, MIN(surv_id) AS dup_of, MAX(cos) AS max_cos
+        |FROM x WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -36,7 +36,10 @@ object Audit {
     // corpus ⋈ per-component survivor summary: both sides corpus-order
     // (the summary has one row per dup-group), a genuine fact×fact
     // equi-join — broadcast would be wrong at scale
-    "d_semantic_dedup", "d_semantic_ivf")
+    "d_semantic_dedup", "d_semantic_ivf",
+    // recomputes the corpus survivor set inline (same join as above)
+    // before the batch×survivor check
+    "d_semantic_cross")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);
@@ -45,7 +48,10 @@ object Audit {
   private val MaxExchanges = Map(
     "d_pipeline_funnel" -> 10, // 5 composed stages, key-columns only
     "d_dup_clusters" -> 8,
-    "d_cluster_keep" -> 8)
+    "d_cluster_keep" -> 8,
+    // full corpus-side semantic dedup (pairs + CC closure) composed
+    // with the batch×survivor vetting join
+    "d_semantic_cross" -> 10)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

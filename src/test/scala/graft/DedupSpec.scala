@@ -285,6 +285,30 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("group_size") == 3))
   }
 
+  test("crossSemanticDedup: batch replicas rejected against survivors, novel vectors pass") {
+    val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
+    val keep = Dedup.semanticDedup(replicaEmbs, cents, tau = 0.8, nAssign = 2)
+      .select("vec_id")
+    val survVecs = replicaEmbs.join(keep, Seq("vec_id"), "left_semi")
+    val rnd = new scala.util.Random(23)
+    val survRows = survVecs.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getSeq[Float](2)))
+    val replicas = survRows.map { case (id, lbl, v) =>
+      (id + 1000L, lbl, v.map(x => x + (rnd.nextGaussian() * 0.005).toFloat).toSeq)
+    }
+    val novel = (0 until 5).map(i =>
+      (5000L + i, "novel", Seq.fill(32)(rnd.nextGaussian().toFloat)))
+    val batch = (replicas.toSeq ++ novel).toDF("vec_id", "label", "embedding")
+    val out = Dedup.crossSemanticDedup(survVecs, batch, cents, tau = 0.8, nAssign = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dup_of")).toMap
+    // every replica is rejected against exactly its own survivor...
+    survRows.foreach { case (id, _, _) =>
+      assert(out.get(id + 1000L).contains(id), s"replica of $id")
+    }
+    // ...and none of the novel vectors is flagged
+    assert(novel.forall { case (id, _, _) => !out.contains(id) })
+  }
+
   test("semanticDedupBuckets: connected-component closure — chains collapse to one survivor") {
     // angles 0°/20°/40°: adjacent cosines ≈ 0.94 ≥ τ, but cos(0°,40°) ≈ 0.766 < τ.
     // Closure must still collapse all three; the opposite vector stays a singleton.
