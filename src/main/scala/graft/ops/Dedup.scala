@@ -589,6 +589,43 @@ object Dedup {
     semanticDedupFromPairs(embeddings,
       embedNearDupClusters(embeddings, centroids, tau, nAssign))
 
+  /** [[semanticDedup]] with the SemDeDup paper's keep policy: within
+    * each duplicate component, keep the member with the LOWEST cosine
+    * to its coarse-cluster centroid (Abbas et al. 2023 §3 keep the
+    * low-similarity example to preserve diversity at the cluster
+    * boundary), tie-broken by vec_id. The min-id policy of
+    * [[semanticDedup]] stays the oracle-checked default — id-rank
+    * needs no extra column; this variant is the paper-faithful option
+    * (rows-checked, spec-verified: one survivor per planted group, and
+    * it is the argmin-(centroid-cos, id) member).
+    *
+    * Same plan shape plus one scan-side centroid-cosine projection
+    * (the k×dim centroid matrix ships as a literal; `element_at` picks
+    * the row — no join) and a `min_by` aggregate per component. */
+  def semanticDedupFarthest(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                            tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
+    val pairs = embedNearDupClusters(embeddings, centroids, tau, nAssign)
+    val cc = DupClusters.connectedComponents(
+      pairs.select(col("vec_a"), col("vec_b")),
+      embeddings.select(col("vec_id")))
+    val centLit = typedlit(centroids.map(_.map(_.toFloat)))
+    val scored = embeddings
+      .withColumn("cluster",
+        GraftFunctions.nearestCentroid(col("embedding"), typedlit(centroids)))
+      .withColumn("cent_cos",
+        round(GraftFunctions.cosine(col("embedding"),
+          element_at(centLit, col("cluster") + 1)), 6))
+      .select(col("vec_id"), col("label"), col("cent_cos"))
+    scored
+      .join(cc, col("vec_id") === col("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("min_by(struct(vec_id, label), struct(cent_cos, vec_id))").as("keep"),
+        count(lit(1)).cast("int").as("group_size"))
+      .select(col("keep.vec_id").as("vec_id"), col("keep.label").as("label"),
+        col("group_size"))
+  }
+
   /** Cross-corpus SEMANTIC vetting — the incremental form of
     * [[semanticDedup]], with the ingest-gate contract: a batch vector is
     * rejected iff it semantically duplicates (round(cos,4) ≥ τ) an

@@ -285,6 +285,31 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("group_size") == 3))
   }
 
+  test("semanticDedupFarthest: one survivor per group — the argmin-(centroid-cos, id) member") {
+    val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
+    val out = Dedup.semanticDedupFarthest(replicaEmbs, cents, tau = 0.8, nAssign = 2)
+      .collect().map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("group_size"))).toMap
+    assert(out.size == 40 && out.values.forall(_._2 == 3))
+    // recompute the expected keeper per group: lowest rounded cosine to
+    // its own nearest centroid, tie-broken by vec_id
+    def cos(a: Seq[Float], b: Seq[Double]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val rows = replicaEmbs.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getSeq[Float](2)))
+    rows.groupBy(_._2).foreach { case (lbl, members) =>
+      val expected = members.map { case (id, _, v) =>
+        val c = cents.minBy(ct => ct.indices.map { i => val d = v(i) - ct(i); d * d }.sum)
+        (BigDecimal(cos(v, c)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }.min._2
+      assert(out(lbl)._1 == expected, s"group $lbl")
+    }
+  }
+
   test("crossSemanticDedup: batch replicas rejected against survivors, novel vectors pass") {
     val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
     val keep = Dedup.semanticDedup(replicaEmbs, cents, tau = 0.8, nAssign = 2)
