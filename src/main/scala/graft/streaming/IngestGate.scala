@@ -41,6 +41,12 @@ import graft.ops.Dedup
   * exactly; StreamingSpec proves it). Contamination rejections are
   * WAL-logged in the same decision table with kind `contam` and a
   * null corpus_id.
+  *
+  * Optional third arm (`vetQuality = true`): batch docs failing the
+  * composite quality filter (`TextAnalysis.filterPipeline`) are
+  * rejected with kind `quality:<verdict>` — making the gate the full
+  * pipeline admission point: dedup + decontamination + quality, one
+  * WAL, one admitted set.
   */
 object IngestGate {
 
@@ -81,7 +87,8 @@ object IngestGate {
     * batch-mode unit (StreamingSpec proves stream == batch with it). */
   def admitBatch(batch: DataFrame, corpusTable: String, fpTable: String,
                  sigTable: String, decisionsTable: String, buckets: Int = 8,
-                 tau: Double = 0.8, eval: Option[EvalVet] = None): Unit = {
+                 tau: Double = 0.8, eval: Option[EvalVet] = None,
+                 vetQuality: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -119,12 +126,25 @@ object IngestGate {
           .select(col("doc_id").as("batch_id"),
             lit(null).cast("long").as("corpus_id"), lit("contam").as("kind")))
     }
+    // Quality arm: batch docs failing the composite filter are rejected
+    // with their verdict as the decision kind (quality:<reason>). Pure
+    // scan-side (filterPipeline — zero shuffles), corpus-independent and
+    // deterministic per batch: the same at-least-once replay contract
+    // as the other arms.
+    val quality =
+      if (!vetQuality) Seq.empty[DataFrame]
+      else Seq(graft.ops.TextAnalysis.filterPipeline(batch)
+        .filter(col("verdict") =!= "keep")
+        .select(col("doc_id").as("batch_id"),
+          lit(null).cast("long").as("corpus_id"),
+          concat(lit("quality:"), col("verdict")).as("kind")))
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    contam.foldLeft(decisions)(_ unionByName _).write.mode("append").saveAsTable(decisionsTable)
+    (contam ++ quality).foldLeft(decisions)(_ unionByName _)
+      .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
       .select(col("batch_id").as("doc_id")).distinct()
@@ -156,11 +176,12 @@ object IngestGate {
   def start(docs: DataFrame, corpusTable: String, fpTable: String,
             sigTable: String, decisionsTable: String, checkpointDir: String,
             buckets: Int = 8, tau: Double = 0.8,
-            eval: Option[EvalVet] = None): StreamingQuery =
+            eval: Option[EvalVet] = None, vetQuality: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable, buckets, tau, eval)
+        admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
+          buckets, tau, eval, vetQuality)
       }
       .start()
 }

@@ -432,6 +432,35 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with quality vetting: filter-failing docs rejected with their verdict") {
+    import graft.streaming.IngestGate
+    val tables = Seq("t_gate5_corpus", "t_gate5_fps", "t_gate5_sigs", "t_gate5_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gate5_corpus", "t_gate5_fps", "t_gate5_sigs", buckets = 2)
+    val good = "the quick brown fox jumps over a lazy dog and then walks " +
+      "to the old market where fresh bread is sold daily by the baker"
+    val batch = Seq(
+      (9001L, good, "en", "crawl", good.length.toLong),          // keep → admitted
+      (9002L, "tiny doc", "en", "crawl", 8L),                    // too_short
+      (9003L, ("the " + Seq.fill(30)("spam spam spam").mkString(" ")), "en", "crawl", 0L)) // repetitive
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.admitBatch(batch, "t_gate5_corpus", "t_gate5_fps", "t_gate5_sigs",
+      "t_gate5_log", buckets = 2, vetQuality = true)
+    val log = spark.table("t_gate5_log").distinct().collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[String]("kind")).toMap
+    assert(log == Map(9002L -> "quality:too_short", 9003L -> "quality:repetitive"))
+    val ids = spark.table("t_gate5_corpus").select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 9001L), "only the keep-verdict doc is admitted")
+    // replay idempotent with the quality arm on
+    IngestGate.admitBatch(batch, "t_gate5_corpus", "t_gate5_fps", "t_gate5_sigs",
+      "t_gate5_log", buckets = 2, vetQuality = true)
+    assert(spark.table("t_gate5_corpus").count() == 2)
+    assert(spark.table("t_gate5_log").distinct().count() == 2)
+    dropGateTables(tables: _*)
+  }
+
   test("span gate: doc_id-ordered stream equals batch spanDedup; replay idempotent") {
     import graft.streaming.SpanStream
     val tables = Seq("t_span_reg", "t_span_out")
