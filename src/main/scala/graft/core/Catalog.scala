@@ -31,6 +31,7 @@ object Catalog {
   private val ivfPqCache =
     TrieMap.empty[(SparkSession, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)]
   private val bloomCache = TrieMap.empty[(SparkSession, String), Option[Array[Byte]]]
+  private val semCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -41,6 +42,7 @@ object Catalog {
     pqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     ivfPqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bloomCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    semCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -69,6 +71,7 @@ object Catalog {
       }
     }
     bloomCache.keys.filter(_._1 eq spark).foreach(bloomCache.remove)
+    drop(semCache, (k: (SparkSession, String)) => k._1)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -163,6 +166,25 @@ object Catalog {
       val codes = graft.ops.Similarity.ivfPqCodes(emb, cents, books)
         .persist(StorageLevel.MEMORY_AND_DISK)
       (cents, books, codes)
+    })
+  }
+
+  /** The semantic-dedup SURVIVOR set for a dir's embeddings (cached,
+    * shared): IVF-canopy edges → CC closure → min-id survivors, joined
+    * back to their vectors with the single-nearest cluster attached —
+    * (vec_id, label, embedding, cluster). The in-session form of the
+    * durable survivor table (`Store.saveSemanticSurvivors`) that
+    * incremental semantic vetting serves from. */
+  def semanticSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    semCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.functions.col
+      val (cents, assigned) = ivfIndex(spark, dir)
+      val keep = graft.ops.Dedup
+        .semanticDedup(assigned.drop("cluster"), cents)
+        .select(col("vec_id"))
+      assigned.join(keep, Seq("vec_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     })
   }
 

@@ -46,6 +46,7 @@ object Store {
   val SignaturesTable = "graft_minhash_sigs"
   val FingerprintsTable = "graft_doc_fps"
   val ClustersTable = "graft_dup_clusters"
+  val SemanticSurvivorsTable = "graft_semantic_survivors"
 
   // ---- versioned publish machinery ----
 
@@ -194,6 +195,16 @@ object Store {
   def saveDupClusters(spark: SparkSession, dir: String, buckets: Int = 8,
                       table: String = ClustersTable): Unit =
     publish(spark, Catalog.dupClusters(spark, dir), table, buckets, "doc_id")
+
+  /** Persist the semantic-dedup survivor set (vec_id, label, embedding,
+    * cluster) bucketed by the coarse CLUSTER — the serving layout for
+    * incremental semantic vetting (`Dedup.crossSemanticDedup`): each
+    * arriving batch probes its nAssign nearest clusters, and the stored
+    * survivor side joins on `cluster` reading pre-partitioned buckets.
+    * Vetting a batch touches ~nAssign/nlist of the survivor table. */
+  def saveSemanticSurvivors(spark: SparkSession, dir: String, buckets: Int = 8,
+                            table: String = SemanticSurvivorsTable): Unit =
+    publish(spark, Catalog.semanticSurvivors(spark, dir), table, buckets, "cluster")
 
   // ---- incremental refreshes ----
 
@@ -349,4 +360,9 @@ object Store {
                       table: String = FingerprintsTable): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
     else Catalog.docFingerprints(spark, dir)
+
+  def semanticSurvivors(spark: SparkSession, dir: String,
+                        table: String = SemanticSurvivorsTable): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else Catalog.semanticSurvivors(spark, dir)
 }

@@ -647,9 +647,14 @@ object Dedup {
   def crossSemanticDedup(survivors: DataFrame, batch: DataFrame,
                          centroids: Seq[Seq[Double]], tau: Double = 0.3,
                          nAssign: Int = 2): DataFrame = {
-    val s = survivors
-      .withColumn("cluster",
+    // a survivor table that already carries its cluster (the durable
+    // Store layout, bucketed by cluster) is used as-is — the join then
+    // reads pre-partitioned buckets on the stored side
+    val assigned =
+      if (survivors.columns.contains("cluster")) survivors
+      else survivors.withColumn("cluster",
         GraftFunctions.nearestCentroid(col("embedding"), typedlit(centroids)))
+    val s = assigned
       .select(col("vec_id").as("surv_id"), col("embedding").as("surv_embedding"),
         col("cluster"))
     val probed = batch

@@ -214,6 +214,33 @@ class StoreSpec extends SparkSpec {
     dropTable("t_orphan_sigs")
   }
 
+  test("semantic survivors off the store: vetting equals the in-session path") {
+    import graft.core.{Catalog, Store}
+    import graft.ops.Dedup
+    dropTable("t_sem_surv")
+    val dir = TestSpark.sf0001
+    Store.saveSemanticSurvivors(spark, dir, buckets = 4, table = "t_sem_surv")
+    val stored = spark.table("t_sem_surv")
+    val session = Catalog.semanticSurvivors(spark, dir)
+    assert(stored.collect().map(_.getAs[Long]("vec_id")).toSet ==
+      session.collect().map(_.getAs[Long]("vec_id")).toSet)
+    // vet a replica batch (survivor embeddings under fresh ids) against
+    // the DURABLE table: every replica must be rejected against exactly
+    // its own survivor, same as the in-session path
+    val (cents, _) = Catalog.ivfIndex(spark, dir)
+    val batch = stored.select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    def vetted(surv: org.apache.spark.sql.DataFrame) =
+      Dedup.crossSemanticDedup(surv, batch, cents, tau = 0.99)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("dup_of")).toMap
+    val offStore = vetted(stored)
+    assert(offStore == vetted(session.drop("cluster")))
+    stored.collect().foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(offStore.get(id + 100000L).contains(id))
+    }
+    dropTable("t_sem_surv")
+  }
+
   test("crossDedupFromSignatures off the store equals recompute; stored side is exchange-free") {
     import graft.ops.Dedup
     dropTable("t_xd_sigs"); dropTable("t_xd_fps")
