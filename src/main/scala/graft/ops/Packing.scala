@@ -52,10 +52,76 @@ object Packing {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** One packed bin: documents assigned whole (never split), with the
+    * fill statistics a padding-aware trainer cares about. */
+  final case class PackedBin(shard: String, bin_id: Long, n_docs: Long,
+                             bin_tokens: Long, fill_frac: Double, oversize: Boolean)
+
+  /** Scan projection row for [[seqBins]] (public: Catalyst codegen
+    * instantiates it from generated code). */
+  final case class DocTokens(shard: String, doc_id: Long, n_tokens: Long)
+
+  /** NO-SPLIT bin packing — the fine-tuning-style packer: each document
+    * goes WHOLE into a `ctx`-token bin (padding fills the remainder),
+    * so [[seqPack]]'s concatenate-and-chunk split is replaced by
+    * next-fit-decreasing per shard: docs sorted by token count
+    * descending (then doc_id), a doc that would overflow the open bin
+    * closes it and opens the next; docs longer than `ctx` become
+    * flagged singleton oversize bins. Deterministic: the assignment is
+    * a pure function of the sorted sequence, independent of input
+    * partitioning (spec-proven).
+    *
+    * Bin packing is sequential WITHIN a shard by nature (the bound is
+    * classic: next-fit uses < 2× the optimal bin count) — parallelism
+    * comes from sharding, exactly as [[seqPack]] documents, so the
+    * per-shard scan is genuine per-partition imperative state: a typed
+    * repartition+sort+mapPartitions over (shard, doc_id, n_tokens)
+    * rows — the TEXT never leaves the scan projection. At 100 TB pass
+    * finer shards so each shard's (id, count) pairs stream through one
+    * task; output is one row per ~ctx tokens.
+    *
+    * Not SQL-expressible (the bin boundary is a sequential recurrence
+    * over the sorted stream) → rows-only key, semantics spec-proven:
+    * capacity respected, tokens conserved, < 2× optimal bins,
+    * partitioning-invariant. */
+  def seqBins(documents: DataFrame, ctx: Int = 512,
+              shardCol: Column = col("source")): DataFrame = {
+    require(ctx > 0, "context window must be positive")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents
+      .select(shardCol.cast("string").as("shard"), col("doc_id"),
+        regexp_count(col("text"), lit(TokenRegex)).cast("long").as("n_tokens"))
+      .as[DocTokens]
+    toks
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("n_tokens").desc, col("doc_id"))
+      .mapPartitions { it =>
+        val out = Iterator.newBuilder[PackedBin]
+        var shard: String = null
+        var binId = -1L; var used = 0L; var docs = 0L
+        def close(): Unit = if (docs > 0) {
+          out += PackedBin(shard, binId, docs, used,
+            math.min(1.0, used.toDouble / ctx), used > ctx)
+        }
+        it.foreach { d =>
+          if (d.shard != shard) { close(); shard = d.shard; binId = -1; used = 0; docs = 0 }
+          if (docs == 0 || used + d.n_tokens > ctx) {
+            close(); binId += 1; used = 0; docs = 0
+          }
+          used += d.n_tokens; docs += 1
+        }
+        close()
+        out.result()
+      }
+      .toDF()
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t_seq_pack" -> ((s, d) => seqPack(Tables(s, d).documents)))
+    "t_seq_pack" -> ((s, d) => seqPack(Tables(s, d).documents)),
+    "t_seq_bins" -> ((s, d) => seqBins(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = Map(
     "t_seq_pack" ->

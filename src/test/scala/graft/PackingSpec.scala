@@ -8,6 +8,38 @@ import graft.ops.Packing
 /** Sequence-packing semantics: chunk assignment, conservation, and
   * shard-parallel determinism. */
 class PackingSpec extends SparkSpec {
+
+  test("seqBins: capacity respected, tokens conserved, < 2× optimal, partition-invariant") {
+    import graft.ops.Packing
+    import graft.core.Tables
+    import spark.implicits._
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    val ctx = 512
+    val rows = Packing.seqBins(docs, ctx).collect()
+    // capacity: only flagged oversize bins exceed ctx, and they are singletons
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("oversize")) assert(r.getAs[Long]("n_docs") == 1L)
+      else assert(r.getAs[Long]("bin_tokens") <= ctx)
+    }
+    // token conservation against a direct count
+    val total = docs.select(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.regexp_count(
+        $"text", org.apache.spark.sql.functions.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("bin_tokens")).sum == total)
+    // next-fit bound per shard: bins < 2×⌈tokens/ctx⌉ + oversize count
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (s, bs) =>
+      val tok = bs.map(_.getAs[Long]("bin_tokens")).sum
+      val oversize = bs.count(_.getAs[Boolean]("oversize"))
+      assert(bs.length <= 2 * math.ceil(tok.toDouble / ctx).toLong + oversize,
+        s"shard $s: ${bs.length} bins for $tok tokens")
+    }
+    // deterministic under any input partitioning
+    val again = Packing.seqBins(docs.repartition(17), ctx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq)
+  }
+
   import spark.implicits._
 
   private lazy val docs = Tables(spark, TestSpark.sf0001).documents
