@@ -174,4 +174,45 @@ class KernelPropertySpec extends SparkSpec {
       assert(got == expected, s"round $round differs")
     }
   }
+
+  test("misraGries: seeded random streams — threshold completeness, size bound, subset of support") {
+    val rnd = new Random(31)
+    (1 to 100).foreach { round =>
+      val m = rnd.nextInt(40) + 8
+      // zipf-ish stream: small ids exponentially more frequent
+      val stream = Seq.fill(rnd.nextInt(3000) + 200)(
+        s"item${(math.pow(rnd.nextDouble(), 3) * 500).toInt}")
+      val out = graft.ops.TextAnalysis.misraGries(stream.iterator, m).toSet
+      assert(out.size <= m, s"round $round: summary exceeded m")
+      assert(out.subsetOf(stream.toSet), s"round $round: phantom candidate")
+      val counts = stream.groupBy(identity).view.mapValues(_.size)
+      val threshold = stream.size.toDouble / m
+      counts.foreach { case (item, c) =>
+        if (c > threshold)
+          assert(out.contains(item), s"round $round: lost heavy item $item ($c > $threshold)")
+      }
+    }
+  }
+
+  test("spanDedup: identity on duplicate-free corpora; idempotent on any corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(37)
+    // duplicate-free: every doc gets globally unique tokens → no span repeats
+    val unique = (0 until 40).map { d =>
+      (d.toLong, "s", (0 until rnd.nextInt(60) + 1).map(t => s"u${d}x$t").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val out = graft.ops.Dedup.spanDedup(unique, k = 7).collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_dropped") == 0)
+    }
+    // idempotence: running span dedup on its own cleaned output changes nothing
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val once = graft.ops.Dedup.spanDedup(docs, k = 20)
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    val twice = graft.ops.Dedup.spanDedup(once, k = 20)
+    assert(twice.filter(col("n_dropped") =!= 0).count() == 0,
+      "a cleaned corpus must contain no duplicated spans")
+  }
 }
