@@ -122,8 +122,11 @@ object Sampling {
     val rates = documents
       .groupBy(col("source"))
       .agg(sum(tokCount.cast("long")).as("n_toks"))
+      // greatest(n_toks, 1): an all-empty-text source has n_toks = 0, and
+      // x/0 is NULL in Spark but not in DuckDB — the guard (identical in
+      // the oracle) keeps such a source whole on both engines
       .withColumn("rate",
-        least(lit(1.0), round(lit(budgetTokens.toDouble) / col("n_toks"), 6)))
+        least(lit(1.0), round(lit(budgetTokens.toDouble) / greatest(col("n_toks"), lit(1L)), 6)))
     val th = format_string("%015x",
       least(floor(col("rate") * lit(math.pow(2, 60))).cast("long"), lit((1L << 60) - 1)))
     documents
@@ -194,7 +197,7 @@ object Sampling {
           |tl AS (SELECT source,
           |    CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS n_toks
           |  FROM toks GROUP BY 1),
-          |r AS (SELECT source, LEAST(1.0, ROUND(500.0 / n_toks, 6)) AS rate FROM tl),
+          |r AS (SELECT source, LEAST(1.0, ROUND(500.0 / greatest(n_toks, 1), 6)) AS rate FROM tl),
           |t AS (SELECT source,
           |    printf('%015x', LEAST(CAST(FLOOR(rate * 1152921504606846976.0) AS BIGINT),
           |                          1152921504606846975)) AS th

@@ -40,7 +40,9 @@ object Similarity {
       .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
       .orderBy(desc("cos"), asc("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
+      // `+ 0.0` kills IEEE −0.0 (a cosine in (−5e−5, 0) would round to
+      // −0.0 in DuckDB but +0.0 in Spark — same class as the q_corr fix)
+      .select(col("vec_id"), col("label"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
   }
 
   /** Batch ANN serving: exact top-k for a SET of query vectors in ONE
@@ -411,7 +413,7 @@ object Similarity {
         |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
         |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
         |r AS (SELECT query_id, vec_id, label,
-        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0 AS cos_sim,
         |  row_number() OVER (PARTITION BY query_id
         |    ORDER BY (CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END) DESC,
         |             vec_id ASC) AS rn
@@ -428,7 +430,7 @@ object Similarity {
         |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
         |  FROM embeddings e, q WHERE e.vec_id != 0)
         |SELECT vec_id, label,
-        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0 AS cos_sim
         |FROM s
         |ORDER BY (CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END) DESC, vec_id ASC
         |LIMIT 20""".stripMargin)

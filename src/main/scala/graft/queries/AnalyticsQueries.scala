@@ -294,12 +294,17 @@ object AnalyticsQueries {
     * double (all magnitudes stay inside the 2⁵³ exact-integer range at
     * any realistic group size, so the conversion is value-exact), and
     * corr/slope/intercept are each ONE closed-form double expression
-    * mirrored verbatim in the oracle. One map-side-combined hash
-    * aggregate — the same scan shape as q1. */
+    * mirrored verbatim in the oracle. The rounded ratios can cross zero
+    * from below, and `ROUND` keeps IEEE −0.0 in DuckDB but not in
+    * Spark's BigDecimal HALF_UP round — `+ 0.0` after the round
+    * (−0.0 + 0.0 = +0.0) normalizes the sign on BOTH sides so the
+    * byte-level hash compare can't diverge on a signed zero. One
+    * map-side-combined hash aggregate — the same scan shape as q1. */
   def corrRegression(lineitem: DataFrame): DataFrame = {
     val x = col("l_quantity").cast(DecimalType(18, 2))
     val y = col("l_discount").cast(DecimalType(18, 2))
     def m(c: Column) = sum(c.cast(DecimalType(38, 4))).cast(DoubleType)
+    def r4(c: Column) = round(c, 4) + lit(0.0)
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -307,13 +312,13 @@ object AnalyticsQueries {
         sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
         m(x * x).as("sxx"), m(x * y).as("sxy"), m(y * y).as("syy"))
       .select(col("l_returnflag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-               (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("corr_qty_disc"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
-        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("intercept"))
+               (col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r4((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("intercept"))
   }
 
   /** Argmax aggregate: the highest-value order per status via `max_by`
@@ -543,9 +548,9 @@ object AnalyticsQueries {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n,
         |  ROUND((n * sxy - sx * sy) /
-        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr_qty_disc,
-        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-        |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS intercept
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS corr_qty_disc,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + 0.0 AS slope,
+        |  ROUND((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) + 0.0 AS intercept
         |FROM a""".stripMargin,
     "q_argmax" ->
       """SELECT o_orderstatus,

@@ -50,7 +50,16 @@ import graft.ops.Dedup
 object SpanStream {
 
   /** One micro-batch through the span gate — also directly callable as
-    * the batch-mode unit. */
+    * the batch-mode unit.
+    *
+    * PRECONDITION (same contract as [[IngestGate]]): `doc_id` is
+    * globally unique across the stream's lifetime. The crash-replay
+    * idempotency below keys the cleaned-output anti-join on `doc_id`
+    * alone, so a LEGITIMATE re-ingest of an already-landed doc_id with
+    * different text is indistinguishable from a replayed crash and is
+    * silently dropped from the output. Re-ingested revisions must
+    * arrive under a fresh doc_id (or the output table must be compacted
+    * first). */
   def dedupBatch(batch: DataFrame, registryTable: String, outputTable: String,
                  k: Int = 20, buckets: Int = 8): Unit = {
     import org.apache.spark.sql.expressions.Window

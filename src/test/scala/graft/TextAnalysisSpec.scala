@@ -161,6 +161,22 @@ class TextAnalysisSpec extends SparkSpec {
       rows(graft.ops.TextAnalysis.ngramStats(docs)))
   }
 
+  test("t_ngram_topk oracle regime: verify-scale corpora stay eviction-free at default m") {
+    // The t_ngram_topk ORACLE equality is unconditional only while no MG
+    // eviction happens anywhere. Guard: GLOBAL distinct shingles < m
+    // implies per-partition distinct < m under ANY partitioning, so the
+    // gate cannot flip on a partition-count change. If a testdata regen
+    // breaks this, this spec fails loudly instead of the oracle flaking.
+    val m = 1 << 16
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val distinct = graft.ops.Dedup.shingled(Tables(spark, dir).documents)
+        .select(explode($"shingles").as("s")).distinct().count()
+      assert(distinct < m,
+        s"$dir has $distinct distinct shingles >= m=$m: t_ngram_topk oracle " +
+          "equality is no longer partition-independent — raise m or demote the key")
+    }
+  }
+
   test("fingerprint: invariant to case, punctuation and whitespace") {
     val out = TextAnalysis.fingerprint(Seq(
       (1L, "Hello, World!"), (2L, "hello world"), (3L, "HELLO-WORLD"), (4L, "other")

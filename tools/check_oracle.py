@@ -45,6 +45,20 @@ for name, sql in sorted(oracle.items()):
         fails.append(name); print(f"FAIL {name}: rows {len(got_n)} vs oracle {len(exp_n)}"); continue
     try:
         pd.testing.assert_frame_equal(got_n, exp_n, check_dtype=False, check_exact=True)
+        # assert_frame_equal (numpy ==) treats -0.0 == 0.0, but the
+        # driver's compare hashes bytes — enforce signbit agreement on
+        # float columns so the local gate is at least as strict (the
+        # r6 q_corr signed-zero escape can never pass locally again)
+        for c in got_n.columns:
+            if np.issubdtype(got_n[c].dtype, np.floating) and \
+               np.issubdtype(exp_n[c].dtype, np.floating):
+                g, e2 = got_n[c].to_numpy(), exp_n[c].to_numpy()
+                ok = np.isnan(g) | (np.signbit(g) == np.signbit(e2))
+                if not ok.all():
+                    i = int(np.argmin(ok))
+                    raise AssertionError(
+                        f"signed-zero/signbit mismatch in '{c}' row {i}: "
+                        f"spark {g[i]!r} vs oracle {e2[i]!r}")
         print(f"OK   {name} ({len(got_n)} rows)")
     except AssertionError as e:
         fails.append(name); print(f"FAIL {name}: value mismatch: {str(e)[:300]}")
