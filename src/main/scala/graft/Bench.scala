@@ -39,8 +39,15 @@ object Bench {
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.documents, t.embeddings).foreach(_.count())
 
+    // Optional comma-separated key filter (reproduce-protocol tooling:
+    // time one key in a fresh JVM without the 97-key battery context).
+    // Unset = the full battery, the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var failed = false
       var rep = 0

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity between two `Array[Float]` embedding columns, as a
@@ -462,6 +462,69 @@ object TextKernels {
     while (j < 64) { if (tally(j) > 0) fp |= (1L << j); j += 1 }
     fp
   }
+
+  /** 64-bit blockhash perceptual fingerprint of a binary payload
+    * (blockhash.io's method over the byte stream: the real image form
+    * runs the identical thresholding over decoded luminance — this IS
+    * that algorithm, applied at the byte seam where the stubbed decode
+    * hands off; see Multimodal.phashNearDup).
+    *
+    * The payload is cut into 64 contiguous blocks (byte j belongs to
+    * block j·64/n — integer division, total and deterministic for any
+    * n > 0); bit b is set iff block b's mean byte value exceeds the
+    * global mean, decided INTEGER-exactly by cross-multiplying
+    * (sum_b·n > total·len_b), so the oracle reproduces every bit with
+    * no float thresholds. Locality: editing a few bytes perturbs only
+    * the touched blocks' sums (plus marginal blocks whose mean sits at
+    * the global mean), so near-identical payloads land within a small
+    * hamming distance — the property the banded near-dup join exploits.
+    * Exact for payloads ≤ ~180 MB (255·n² must fit a signed 64-bit;
+    * chunk larger media upstream). Empty payload → 0L (callers filter
+    * n > 0 so the all-empty class never forms a dup blob). */
+  def phash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    var total = 0L
+    var j = 0
+    while (j < n) { total += (bytes(j) & 0xff); j += 1 }
+    val sums = new Array[Long](64)
+    val lens = new Array[Long](64)
+    j = 0
+    while (j < n) {
+      val b = ((j.toLong * 64L) / n).toInt
+      sums(b) += (bytes(j) & 0xff)
+      lens(b) += 1
+      j += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * n > total * lens(b)) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+}
+
+/** 64-bit blockhash perceptual fingerprint of a binary payload
+  * (scan-side, codegen — one static call per row). */
+case class PHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_phash64 expects binary, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+
+  override def nullSafeEval(b: Any): Any =
+    TextKernels.phash64(b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.TextKernels.phash64($b)")
 }
 
 /** Distinct word 3-gram shingles of normalized text (scan-side, codegen). */
@@ -925,6 +988,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_shingles_k"),
       new ExpressionInfo(classOf[WordShinglesK].getName, "graft_shingles_k"),
       (children: Seq[Expression]) => WordShinglesK(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_phash64"),
+      new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
+      (children: Seq[Expression]) => PHash64(children.head)))
     // Spark's own Bloom sketch expressions (public Catalyst classes,
     // used internally for runtime row-level filtering) surfaced as
     // graft functions: build with an aggregate over xxhash64(value),
@@ -1007,6 +1074,9 @@ object GraftFunctions {
   /** Distinct word k-gram shingles of a text column → array<string>. */
   def shinglesK(text: Column, k: Column): Column =
     call_function("graft_shingles_k", text, k)
+
+  /** 64-bit blockhash perceptual fingerprint of a binary column → bigint. */
+  def phash64(bytes: Column): Column = call_function("graft_phash64", bytes)
 
   /** Bloom-filter aggregate over a pre-hashed (xxhash64) long column →
     * serialized sketch binary. */

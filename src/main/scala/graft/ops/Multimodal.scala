@@ -153,11 +153,67 @@ object Multimodal {
         count(lit(1)).as("n_copies"),
         max(col("n_bytes")).as("n_bytes"))
 
+  /** Perceptual-hash media near-dup — the m_* analog of
+    * `Dedup.minhashLsh`: pairs of media whose 64-bit blockhash
+    * fingerprints (`graft_phash64`, computed scan-side at the decode
+    * seam) are within `maxHamming` bits. Real corpora duplicate media
+    * with re-encodes/crops/watermarks that break byte identity;
+    * [[payloadDedup]] collapses exact copies, this catches the near
+    * misses.
+    *
+    * Plan (multi-index hamming search, Norouzi et al. 2012's substring
+    * scheme): (1) exact-dup collapse FIRST — identical payloads share a
+    * fingerprint, so a g-copy group would otherwise cost g² candidate
+    * pairs; one hash aggregate on content_md5, payload bytes never
+    * shuffle. (2) split the 64-bit hash into `maxHamming + 1 = 4`
+    * disjoint 16-bit bands; by pigeonhole, two hashes within hamming 3
+    * agree EXACTLY on ≥ 1 band, so an equi-join on (band_id, band_val)
+    * finds every qualifying pair — no O(n²) stage, shuffle ∝
+    * candidates. (3) exact popcount verify (`graft_hamming64` on each
+    * 32-bit half) kills band collisions; `distinct` folds multi-band
+    * hits. Result is EXACTLY the brute-force hamming-≤-3 pair set
+    * (spec-proven), and the DuckDB oracle recomputes every fingerprint
+    * bit integer-exactly. At larger corpora the knobs scale the same
+    * way as MinHash bands: longer hashes (256-bit → 64-bit bands) keep
+    * band buckets sparse. */
+  def phashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val media = assemble(documents).toDF()
+      .filter(length(col("bytes")) > 0)
+      .select(col("doc_id"), md5(col("bytes")).as("content_md5"),
+        graft.functions.GraftFunctions.phash64(col("bytes")).as("ph"))
+    // lo/hi 32-bit halves: DuckDB BIGINT can't construct bit 63 by
+    // shift, so the oracle-visible unit is two 32-bit words
+    val reps = media.groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("ph")).as("ph"))
+      .select(col("doc_id"),
+        col("ph").bitwiseAND(lit(0xffffffffL)).as("lo"),
+        shiftrightunsigned(col("ph"), 32).as("hi"))
+    val bands = reps.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("lo"), 16),
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("hi"), 16))).as(Seq("band_id", "band_val")))
+    val a = bands.select(col("band_id"), col("band_val"), col("doc_id").as("doc_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = bands.select(col("band_id"), col("band_val"), col("doc_id").as("doc_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        graft.functions.GraftFunctions.hamming64(col("lo_a"), col("lo_b")) +
+          graft.functions.GraftFunctions.hamming64(col("hi_a"), col("hi_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
     "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
+    "m_phash_neardup" -> ((s, d) => phashNearDup(Tables(s, d).documents)),
     "m_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
       resize(assemble(Tables(s, d).documents)).toDF()
