@@ -159,31 +159,40 @@ object Multimodal {
     * seam) are within `maxHamming` bits. Real corpora duplicate media
     * with re-encodes/crops/watermarks that break byte identity;
     * [[payloadDedup]] collapses exact copies, this catches the near
-    * misses.
+    * misses. Input: a media frame with `doc_id` + binary `bytes`
+    * (e.g. `assemble(docs).toDF()`; the driver key uses
+    * [[mediaWithPlantedNearDups]]).
     *
     * Plan (multi-index hamming search, Norouzi et al. 2012's substring
     * scheme): (1) exact-dup collapse FIRST — identical payloads share a
     * fingerprint, so a g-copy group would otherwise cost g² candidate
     * pairs; one hash aggregate on content_md5, payload bytes never
-    * shuffle. (2) split the 64-bit hash into `maxHamming + 1 = 4`
-    * disjoint 16-bit bands; by pigeonhole, two hashes within hamming 3
-    * agree EXACTLY on ≥ 1 band, so an equi-join on (band_id, band_val)
-    * finds every qualifying pair — no O(n²) stage, shuffle ∝
-    * candidates. (3) exact popcount verify (`graft_hamming64` on each
-    * 32-bit half) kills band collisions; `distinct` folds multi-band
-    * hits. Result is EXACTLY the brute-force hamming-≤-3 pair set
-    * (spec-proven), and the DuckDB oracle recomputes every fingerprint
-    * bit integer-exactly. At larger corpora the knobs scale the same
-    * way as MinHash bands: longer hashes (256-bit → 64-bit bands) keep
-    * band buckets sparse. */
-  def phashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val media = assemble(documents).toDF()
+    * shuffle. (2) split the 64-bit hash into 4 disjoint 16-bit bands;
+    * by pigeonhole, two hashes within hamming 3 agree EXACTLY on ≥ 1
+    * band, so an equi-join on (band_id, band_val) finds every
+    * qualifying pair — no O(n²) stage, shuffle ∝ candidates. The
+    * completeness argument needs `maxHamming < #bands`, hence the
+    * `require` below: a larger radius would silently drop pairs. (3)
+    * exact popcount verify (`graft_hamming64` on each 32-bit half)
+    * kills band collisions; `distinct` folds multi-band hits. Result
+    * is EXACTLY the brute-force hamming-≤-maxHamming pair set over the
+    * min-doc_id REPRESENTATIVES of each exact-dup (md5) class — pairs
+    * involving a collapsed non-representative member are by design
+    * absent (spec: TextAnalysisSpec "phashNearDup"). The DuckDB oracle
+    * for the driver key recomputes every fingerprint bit
+    * integer-exactly via the same cross-multiply threshold. At larger
+    * corpora the knobs scale the same way as MinHash bands: longer
+    * hashes (256-bit → 64-bit bands) keep band buckets sparse. */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band pigeonhole scheme is complete only for maxHamming <= 3, got $maxHamming")
+    val fps = media
       .filter(length(col("bytes")) > 0)
       .select(col("doc_id"), md5(col("bytes")).as("content_md5"),
         graft.functions.GraftFunctions.phash64(col("bytes")).as("ph"))
     // lo/hi 32-bit halves: DuckDB BIGINT can't construct bit 63 by
     // shift, so the oracle-visible unit is two 32-bit words
-    val reps = media.groupBy(col("content_md5"))
+    val reps = fps.groupBy(col("content_md5"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("ph")).as("ph"))
       .select(col("doc_id"),
         col("ph").bitwiseAND(lit(0xffffffffL)).as("lo"),
@@ -208,12 +217,42 @@ object Multimodal {
       .distinct()
   }
 
+  /** Derived media corpus for the `m_phash_neardup` driver key: every
+    * document's payload PLUS, for every `every`-th doc, a planted
+    * near-dup variant (first two bytes swapped, doc_id offset by 10M).
+    *
+    * Why the swap: for payloads longer than 64 bytes, bytes 0 and 1
+    * fall in the SAME blockhash block (block of j = j·64/n = 0 for
+    * j ≤ 1, n > 64), so swapping them preserves every block sum →
+    * IDENTICAL fingerprint (hamming 0) but a different md5 — a
+    * guaranteed true near-dup pair that survives the exact-dup
+    * collapse at every scale factor. This keeps the driver's
+    * `spark_rows > 0` a live signal (an empty result would be
+    * indistinguishable from a broken operator) and is byte-for-byte
+    * reproducible in the DuckDB oracle (pure-ASCII corpus: char ops ==
+    * byte ops, same guarantee the m_resize oracle relies on). Docs
+    * whose first two bytes are equal are skipped — the swap would be
+    * an exact dup and collapse. */
+  def mediaWithPlantedNearDups(documents: DataFrame, every: Int = 41,
+                               offset: Long = 10000000L): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val base = documents.select(col("doc_id"), encode(t, "UTF-8").as("bytes"))
+    val planted = documents
+      .filter(col("doc_id") % every === 0 && length(t) > 64 &&
+        substring(t, 1, 1) =!= substring(t, 2, 1))
+      .select((col("doc_id") + lit(offset)).as("doc_id"),
+        encode(concat(substring(t, 2, 1), substring(t, 1, 1),
+          substring(t, 3, Int.MaxValue)), "UTF-8").as("bytes"))
+    base.unionByName(planted)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
     "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
-    "m_phash_neardup" -> ((s, d) => phashNearDup(Tables(s, d).documents)),
+    "m_phash_neardup" -> ((s, d) =>
+      phashNearDup(mediaWithPlantedNearDups(Tables(s, d).documents))),
     "m_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
       resize(assemble(Tables(s, d).documents)).toDF()
@@ -223,6 +262,49 @@ object Multimodal {
     "m_frames" -> ((s, d) => sampleFrames(assemble(Tables(s, d).documents)).toDF()))
 
   val oracles: Map[String, String] = Map(
+    // Recomputes every blockhash bit integer-exactly: byte j → block
+    // j*64//n, bit b set iff sum_b·n > total·len_b (the kernel's
+    // cross-multiply — no float thresholds), assembled as two 32-bit
+    // words (BIGINT can't build bit 63 by shift). Pure-ASCII corpus ⇒
+    // ascii(substring) == byte value (same guarantee as m_resize).
+    // Brute-force pair scan over md5-representatives is the oracle's
+    // privilege — the Spark plan uses the banded equi-join instead.
+    "m_phash_neardup" ->
+      """WITH raw AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |media AS (
+        |  SELECT doc_id, t FROM raw
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    substring(t, 2, 1) || substring(t, 1, 1) || substring(t, 3) AS t
+        |  FROM raw
+        |  WHERE doc_id % 41 = 0 AND octet_length(encode(t)) > 64
+        |    AND substring(t, 1, 1) <> substring(t, 2, 1)),
+        |m AS (SELECT doc_id, t, md5(t) AS content_md5,
+        |    CAST(octet_length(encode(t)) AS BIGINT) AS n
+        |  FROM media WHERE octet_length(encode(t)) > 0),
+        |b AS (SELECT doc_id, content_md5, n, t,
+        |    unnest(generate_series(0, n - 1)) AS j
+        |  FROM m),
+        |v AS (SELECT doc_id, content_md5, n, (j * 64) // n AS blk,
+        |    ascii(substring(t, CAST(j + 1 AS INT), 1)) AS val
+        |  FROM b),
+        |blocks AS (SELECT doc_id, content_md5, n, blk,
+        |    SUM(val) AS sum_b, COUNT(*) AS len_b
+        |  FROM v GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT doc_id, SUM(sum_b) AS total FROM blocks GROUP BY 1),
+        |hashes AS (SELECT k.doc_id, k.content_md5,
+        |    CAST(SUM(CASE WHEN k.blk < 32 AND k.sum_b * k.n > t.total * k.len_b
+        |      THEN CAST(1 AS BIGINT) << CAST(k.blk AS INT) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN k.blk >= 32 AND k.sum_b * k.n > t.total * k.len_b
+        |      THEN CAST(1 AS BIGINT) << CAST(k.blk - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM blocks k JOIN tot t ON k.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |reps AS (SELECT MIN(doc_id) AS doc_id, MIN(lo) AS lo, MIN(hi) AS hi
+        |  FROM hashes GROUP BY content_md5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+        |FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
     "m_payload_dedup" ->
       """SELECT md5(COALESCE(text, '')) AS content_md5,
         |  MIN(doc_id) AS keep_id,

@@ -380,6 +380,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.agg(sum($"n_copies")).collect()(0).getLong(0) == docs.count())
   }
 
+  test("phashNearDup: planted near-dups found, pair set equals brute force over md5-representatives") {
+    import graft.functions.TextKernels
+    val base = "the quick brown fox jumps over the lazy dog " * 8 // 360 ASCII chars
+    val swap = "" + base(1) + base(0) + base.substring(2)         // same-block swap: identical phash
+    val tweak = base.substring(0, base.length - 1) + (base.last + 1).toChar // one byte ±1: tiny hamming
+    val ortho = Array.tabulate(400)(i => (33 + (i * 7) % 94).toChar).mkString // unrelated block profile
+    val dupe = base                                               // exact copy: collapses into doc 1
+    val corpus = Seq((1L, base), (2L, swap), (3L, tweak), (4L, ortho), (5L, dupe))
+    val media = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("bytes"))
+    val got = Multimodal.phashNearDup(media).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming"))).toSet
+
+    // brute force over min-doc_id representatives of each exact-dup class
+    val reps = corpus.groupBy(_._2).map { case (_, grp) => grp.minBy(_._1) }.toSeq
+    val ph = reps.map { case (id, t) => id -> TextKernels.phash64(t.getBytes("UTF-8")) }.toMap
+    val ids = reps.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(ph(ids(i)) ^ ph(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    assert(got == expected)
+    // construction checks: the planted pairs are really in radius, the foils really out
+    assert(ph(1L) == ph(2L), "same-block swap must preserve every block sum")
+    assert(got.contains((1L, 2L, 0)))
+    val hTweak = java.lang.Long.bitCount(ph(1L) ^ ph(3L))
+    assert(hTweak <= 3, s"last-byte tweak drifted out of radius: $hTweak")
+    assert(got.contains((1L, 3L, hTweak)))
+    assert(java.lang.Long.bitCount(ph(1L) ^ ph(4L)) > 3, "orthogonal payload must be out of radius")
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "collapsed non-representative must never appear in pairs")
+    // the 4-band pigeonhole argument only covers radius <= 3
+    intercept[IllegalArgumentException](Multimodal.phashNearDup(media, maxHamming = 4))
+  }
+
+  test("m_phash_neardup key: planted variants pair at verify scale, equals brute force") {
+    import graft.functions.TextKernels
+    val out = SparkEntry.queries("m_phash_neardup")(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(out.nonEmpty, "verify-scale output must be a live signal, not empty")
+    // every eligible doc's swap variant lands at hamming 0
+    val t = coalesce(col("text"), lit(""))
+    val eligible = docs.filter(col("doc_id") % 41 === 0 && length(t) > 64 &&
+        substring(t, 1, 1) =!= substring(t, 2, 1))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(eligible.nonEmpty)
+    eligible.foreach { id =>
+      assert(out.exists(p => p._2 == id + 10000000L && p._3 == 0),
+        s"planted swap pair for doc $id missing")
+    }
+    // full brute force over the derived corpus' md5-representatives
+    val media = Multimodal.mediaWithPlantedNearDups(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("bytes"))
+      .filter(_._2.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val reps = media.groupBy { case (_, bs) => md.digest(bs).toSeq }
+      .map { case (_, grp) => grp.minBy(_._1) }.toSeq
+    val ph = reps.map { case (id, bs) => id -> TextKernels.phash64(bs) }.toMap
+    val ids = reps.map(_._1).sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(ph(ids(i)) ^ ph(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    assert(out.toSet == expected)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)

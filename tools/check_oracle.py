@@ -50,9 +50,14 @@ for name, sql in sorted(oracle.items()):
         # float columns so the local gate is at least as strict (the
         # r6 q_corr signed-zero escape can never pass locally again)
         for c in got_n.columns:
-            if np.issubdtype(got_n[c].dtype, np.floating) and \
-               np.issubdtype(exp_n[c].dtype, np.floating):
-                g, e2 = got_n[c].to_numpy(), exp_n[c].to_numpy()
+            gd, ed = got_n[c].dtype, exp_n[c].dtype
+            if (np.issubdtype(gd, np.floating) or np.issubdtype(ed, np.floating)) \
+               and np.issubdtype(gd, np.number) and np.issubdtype(ed, np.number):
+                # coerce BOTH sides: an int-vs-float dtype drift must not
+                # silently skip the signbit comparison (non-numeric object
+                # columns were already stringified and exact-compared above)
+                g = got_n[c].to_numpy().astype(np.float64)
+                e2 = exp_n[c].to_numpy().astype(np.float64)
                 ok = np.isnan(g) | (np.signbit(g) == np.signbit(e2))
                 if not ok.all():
                     i = int(np.argmin(ok))
