@@ -40,6 +40,81 @@ class PackingSpec extends SparkSpec {
     assert(again == rows.map(_.toString).sorted.toSeq)
   }
 
+  test("seqBinsBfd hand example: best-fit reopens earlier bins that next-fit closed") {
+    import spark.implicits._
+    // ctx=512, tokens desc 300,280,220,200: NFD = [300][280+220][200] = 3 bins;
+    // BFD packs 200 back into the first bin (tightest fit) = 2 bins
+    val d = Seq((1L, "s", ("a " * 300).trim), (2L, "s", ("a " * 280).trim),
+      (3L, "s", ("a " * 220).trim), (4L, "s", ("a " * 200).trim))
+      .toDF("doc_id", "source", "text")
+    val nfd = Packing.seqBins(d, 512).collect()
+    val bfd = Packing.seqBinsBfd(d, 512).collect()
+    assert(nfd.length == 3)
+    assert(bfd.length == 2)
+    assert(bfd.map(_.getAs[Long]("bin_tokens")).sorted.toSeq == Seq(500L, 500L))
+  }
+
+  test("seqBinsBfd: capacity, conservation, ≤ NFD bins, differential vs reference, partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val ctx = 512
+      // token profile exercises oversize (> ctx), exact-ctx, zero, and a long tail
+      val rows = (1 to 150 + trial * 50).map { i =>
+        val n = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(2 * ctx)          // anything incl. oversize
+          case 1 => ctx                            // exact fill
+          case 2 => 0                              // empty doc
+          case _ => rnd.nextInt(ctx / 2)           // tail
+        }
+        (i.toLong, "s" + rnd.nextInt(3), ("a " * n).trim)
+      }
+      val df = rows.toDF("doc_id", "source", "text")
+      val bfd = Packing.seqBinsBfd(df, ctx).collect()
+      // capacity: only flagged oversize bins exceed ctx, and they are singletons
+      bfd.foreach { r =>
+        if (r.getAs[Boolean]("oversize")) assert(r.getAs[Long]("n_docs") == 1L)
+        else assert(r.getAs[Long]("bin_tokens") <= ctx)
+      }
+      // conservation
+      val totalTokens = rows.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      assert(bfd.map(_.getAs[Long]("bin_tokens")).sum == totalTokens)
+      assert(bfd.map(_.getAs[Long]("n_docs")).sum == rows.length.toLong)
+      // fill never worse than next-fit-decreasing, per shard
+      val nfd = Packing.seqBins(df, ctx).collect()
+      val binsBy = (rs: Array[org.apache.spark.sql.Row]) =>
+        rs.groupBy(_.getAs[String]("shard")).view.mapValues(_.length).toMap
+      val (b, n) = (binsBy(bfd), binsBy(nfd))
+      b.keySet.foreach(s => assert(b(s) <= n(s), s"trial $trial shard $s: BFD ${b(s)} > NFD ${n(s)}"))
+      // differential: independent O(n·bins) reference best-fit (linear scan, lowest-id tie-break)
+      val expected = rows.map { case (id, s, t) => (s, id, t.split(" ").count(_.nonEmpty).toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (s, ds) =>
+          val sorted = ds.sortBy { case (_, id, n2) => (-n2, id) }
+          val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val open = scala.collection.mutable.ArrayBuffer.empty[Int]
+          sorted.foreach { case (_, _, n2) =>
+            if (n2 > ctx) { used += n2; docs += 1L }
+            else {
+              val fits = open.filter(i => ctx - used(i) >= n2)
+              if (fits.isEmpty) { used += n2; docs += 1L; open += used.length - 1 }
+              else {
+                val best = fits.minBy(i => (ctx - used(i), i))
+                used(best) += n2; docs(best) += 1
+              }
+            }
+          }
+          used.indices.map(i => (s, i.toLong, docs(i), used(i)))
+        }.toSet
+      val got = bfd.map(r => (r.getAs[String]("shard"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("bin_tokens"))).toSet
+      assert(got == expected, s"trial $trial: BFD differs from reference best-fit")
+      // deterministic under any input partitioning
+      val again = Packing.seqBinsBfd(df.repartition(13), ctx).collect().map(_.toString).sorted.toSeq
+      assert(again == bfd.map(_.toString).sorted.toSeq)
+    }
+  }
+
   import spark.implicits._
 
   private lazy val docs = Tables(spark, TestSpark.sf0001).documents
