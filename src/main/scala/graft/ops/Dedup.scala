@@ -626,6 +626,47 @@ object Dedup {
         col("group_size"))
   }
 
+  /** [[semanticDedup]] with a MEDOID keep policy: within each duplicate
+    * component, keep the member closest to the component's own mean
+    * embedding — the most REPRESENTATIVE example (the complement of
+    * [[semanticDedupFarthest]]'s diversity-preserving boundary policy;
+    * SemDeDup's keep-policy ablation (Abbas et al. 2023 §C) compares
+    * exactly these families). Survivor = argmax-(round(cos(member,
+    * component sum), 6)) per component, tie-broken by vec_id.
+    *
+    * Cosine is scale-invariant, so members score against the
+    * component's fixed-point SUM vector (`graft_vecsum`, the same
+    * order-independent aggregate the IVF fit uses — no division, no
+    * float-accumulation nondeterminism). Plan: CC as usual, then ONE
+    * vecsum aggregate per component and ONE join of members to their
+    * component sum — all linear in corpus size, no per-group pair
+    * stage (a true pairwise medoid would be O(g²); closest-to-mean is
+    * the standard linear-time medoid and coincides with it as groups
+    * tighten). Engine-side scoring (fixed-point rounding is not
+    * portably SQL-expressible) → rows-only key, spec-verified against
+    * a JVM reference on planted replica groups. */
+  def semanticDedupMedoid(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                          tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
+    val pairs = embedNearDupClusters(embeddings, centroids, tau, nAssign)
+    val cc = DupClusters.connectedComponents(
+      pairs.select(col("vec_a"), col("vec_b")),
+      embeddings.select(col("vec_id")))
+    val members = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .join(cc, col("vec_id") === col("doc_id"))
+    val sums = members.groupBy(col("cluster_id"))
+      .agg(GraftFunctions.vecSum(col("embedding")).as("gsum"))
+    members
+      .join(sums, Seq("cluster_id"))
+      .withColumn("medoid_cos",
+        round(GraftFunctions.cosine(col("embedding"), col("gsum").cast("array<float>")), 6))
+      .groupBy(col("cluster_id"))
+      .agg(
+        expr("min_by(struct(vec_id, label), struct(-medoid_cos, vec_id))").as("keep"),
+        count(lit(1)).cast("int").as("group_size"))
+      .select(col("keep.vec_id").as("vec_id"), col("keep.label").as("label"),
+        col("group_size"))
+  }
+
   /** Cross-corpus SEMANTIC vetting — the incremental form of
     * [[semanticDedup]], with the ingest-gate contract: a batch vector is
     * rejected iff it semantically duplicates (round(cos,4) ≥ τ) an
@@ -722,6 +763,10 @@ object Dedup {
     "d_semantic_ivf"     -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       semanticDedup(assigned.drop("cluster"), cents)
+    }),
+    "d_semantic_medoid"  -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      semanticDedupMedoid(assigned.drop("cluster"), cents)
     }),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
     "d_span_dedup"       -> ((s, d) => spanDedup(Tables(s, d).documents)),

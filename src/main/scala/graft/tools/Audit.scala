@@ -37,6 +37,11 @@ object Audit {
     // (the summary has one row per dup-group), a genuine fact×fact
     // equi-join — broadcast would be wrong at scale
     "d_semantic_dedup", "d_semantic_ivf",
+    // members ⋈ CC assignment and members ⋈ per-component vecsum:
+    // both corpus-order fact×fact equi-joins (the sum table has one
+    // row per component ≈ corpus survivors) — broadcast would be
+    // wrong at scale, exactly like the survivor-summary join above
+    "d_semantic_medoid",
     // recomputes the corpus survivor set inline (same join as above)
     // before the batch×survivor check
     "d_semantic_cross")

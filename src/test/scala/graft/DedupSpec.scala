@@ -310,6 +310,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupMedoid: one survivor per group — the argmax-(cos-to-group-sum, min id) member") {
+    val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
+    val out = Dedup.semanticDedupMedoid(replicaEmbs, cents, tau = 0.8, nAssign = 2)
+      .collect().map(r => r.getAs[String]("label") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Int]("group_size"))).toMap
+    assert(out.size == 40 && out.values.forall(_._2 == 3))
+    // JVM reference: fixed-point group sum (graft_vecsum semantics:
+    // round(f.toDouble * 1e9) per element), cast to float, cosine in
+    // doubles, round(,6) HALF_UP, argmax with min-id tie-break
+    val scale = graft.functions.VectorSumFixed.Scale
+    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    val rows = replicaEmbs.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("label"), r.getSeq[Float](2)))
+    rows.groupBy(_._2).foreach { case (lbl, members) =>
+      val dim = members.head._3.length
+      val gsum = new Array[Long](dim)
+      members.foreach { case (_, _, v) =>
+        v.indices.foreach(i => gsum(i) += math.round(v(i).toDouble * scale))
+      }
+      val gsumF = gsum.map(_.toFloat).toSeq
+      val expected = members.map { case (id, _, v) =>
+        (-BigDecimal(cosF(v, gsumF)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, id)
+      }.min._2
+      assert(out(lbl)._1 == expected, s"group $lbl")
+    }
+    // the medoid is the most-central member: its mean cosine to the rest
+    // of the group is maximal (sanity on one group)
+    val g0 = rows.filter(_._2 == "0")
+    val meanCos = g0.map { case (id, _, v) =>
+      id -> g0.filter(_._1 != id).map(o => cosF(v, o._3)).sum
+    }.toMap
+    assert(meanCos(out("0")._1) == meanCos.values.max)
+  }
+
   test("crossSemanticDedup: batch replicas rejected against survivors, novel vectors pass") {
     val cents = graft.ops.Similarity.ivfCentroids(replicaEmbs, k = 8, iters = 2)
     val keep = Dedup.semanticDedup(replicaEmbs, cents, tau = 0.8, nAssign = 2)
