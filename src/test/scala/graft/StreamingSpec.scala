@@ -182,6 +182,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("durable gates run under the RocksDB provider with results identical to the batch operators") {
+    // The gates keep their durable state in Store tables, not the Spark
+    // state store, so the provider MUST be behaviorally inert for them —
+    // this proves it by running the real streaming queries (foreachBatch
+    // machinery, checkpoints and all) in a RocksDB-provider session and
+    // comparing against the batch operators. The throughput side is the
+    // SPARK_GRAFT_STATE_STORE=rocksdb StreamBench pass (SCALING.md).
+    import graft.streaming.{IngestGate, SpanStream}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tables = Seq("t_rx_corpus", "t_rx_fps", "t_rx_sigs", "t_rx_log",
+      "t_rx_span_reg", "t_rx_span_out")
+    dropGateTables(tables: _*)
+    try {
+      val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+      val corpus = docs.filter($"source" =!= "src0")
+      val batch = docs.filter($"source" === "src0")
+      IngestGate.seedCorpus(spark, corpus, "t_rx_corpus", "t_rx_fps", "t_rx_sigs", buckets = 4)
+      val gateDir = Files.createTempDirectory("graft-rxgate").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(gateDir)
+      val gq = IngestGate.start(IngestGate.documentStream(spark, gateDir),
+        "t_rx_corpus", "t_rx_fps", "t_rx_sigs", "t_rx_log",
+        Files.createTempDirectory("graft-rxgate-ckpt").toString, buckets = 4)
+      try gq.processAllAvailable() finally gq.stop()
+      val streamedLog = fresh("t_rx_log").distinct().collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))).toSet
+      val batchLog = graft.ops.Dedup.crossDedup(corpus, batch).collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"), r.getAs[String]("kind"))).toSet
+      assert(streamedLog == batchLog, "RocksDB-session ingest gate must equal the batch operator")
+
+      val spanDir = Files.createTempDirectory("graft-rxspan").toString
+      val mid = 250L
+      val sq = SpanStream.start(IngestGate.documentStream(spark, spanDir),
+        "t_rx_span_reg", "t_rx_span_out",
+        Files.createTempDirectory("graft-rxspan-ckpt").toString, buckets = 4)
+      try {
+        docs.filter($"doc_id" < mid).coalesce(1).write.mode("append").parquet(spanDir)
+        sq.processAllAvailable()
+        docs.filter($"doc_id" >= mid).coalesce(1).write.mode("append").parquet(spanDir)
+        sq.processAllAvailable()
+      } finally sq.stop()
+      val streamedSpans = fresh("t_rx_span_out").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toSet
+      val batchSpans = graft.ops.Dedup.spanDedup(docs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+          r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toSet
+      assert(streamedSpans == batchSpans, "RocksDB-session span gate must equal the batch operator")
+    } finally {
+      dropGateTables(tables: _*)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming ANN index refresh: incremental signatures equal the batch index and serve identically") {
     import graft.ops.Similarity
     import graft.streaming.AnnStream
