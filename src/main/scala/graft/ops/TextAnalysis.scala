@@ -447,6 +447,55 @@ object TextAnalysis {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** In-corpus bigram language-model scoring — the perplexity-style
+    * quality filter of the CCNet/Gopher lineage: score each document by
+    * the mean log-probability of its word bigrams under a bigram model
+    * ESTIMATED FROM THE CORPUS ITSELF (P(w2|w1) = C(w1 w2) / C(w1 ·)).
+    * Low scorers are statistically surprising relative to the corpus
+    * (boilerplate, shuffled text, encoding damage); high scorers are
+    * built from common constructions. Training on the corpus being
+    * scored means every observed bigram has count ≥ 1 — no smoothing
+    * term, so every probability is a pure ratio of integer counts and
+    * the oracle reproduces it exactly (per-term DECIMAL(28,10) logs,
+    * ONE final double division, ROUND(,4)+0.0 per house float policy).
+    *
+    * Plan (two passes over the token stream, all linear): bigrams are
+    * generated SCAN-SIDE (split + posexplode over the leading slice +
+    * element_at — no window, no self-join); the model is two
+    * map-side-combined count aggregates (shuffle keyed on bigram /
+    * unigram — the standard distributed LM-count job, vocab²-bounded);
+    * scoring is an equi-join of the bigram stream against the model
+    * (auto-broadcast at small vocab, shuffle join at web vocab) and one
+    * per-doc aggregate. Docs with < 2 tokens have no bigrams and are
+    * absent from the output by definition. Buckets use fixed
+    * thresholds chosen at the corpus' observed tertiles. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val d = documents
+      .select(col("doc_id"),
+        split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+    val bg = d
+      .select(col("doc_id"), col("a"),
+        posexplode(slice(col("a"), lit(1), size(col("a")) - 1)).as(Seq("i0", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("a"), col("i0") + 2).as("w2"))
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val cug = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    bg.join(cbg, Seq("w1", "w2")).join(cug, Seq("w1"))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("n1").cast("double"))
+          .cast("decimal(28,10)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (round(sum(col("lp")).cast("double") / count(lit(1)), 4) + lit(0.0))
+          .as("avg_logprob"))
+      .withColumn("lm_bucket",
+        when(col("avg_logprob") >= -3.37, "fluent")
+          .when(col("avg_logprob") >= -3.40, "typical")
+          .otherwise("surprising"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,7 +513,8 @@ object TextAnalysis {
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)),
     "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
     "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
-    "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)))
+    "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
+    "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -475,6 +525,30 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Every probability is a ratio of integer bigram/unigram counts
+    // (the model trains on the corpus it scores, so c >= 1 always — no
+    // smoothing constant to diverge on); ln terms go through
+    // DECIMAL(28,10), one final double division, ROUND(,4)+0.0.
+    "t_perplexity" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
+        |  FROM documents),
+        |p AS (SELECT doc_id, a, unnest(generate_series(1, length(a) - 1)) AS i
+        |  FROM d WHERE length(a) >= 2),
+        |bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM p),
+        |cbg AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        |cug AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+        |scored AS (SELECT bg.doc_id,
+        |    CAST(ln(CAST(c AS DOUBLE) / CAST(n1 AS DOUBLE)) AS DECIMAL(28,10)) AS lp
+        |  FROM bg JOIN cbg USING (w1, w2) JOIN cug USING (w1)),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_logprob
+        |  FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logprob,
+        |  CASE WHEN avg_logprob >= -3.37 THEN 'fluent'
+        |       WHEN avg_logprob >= -3.40 THEN 'typical'
+        |       ELSE 'surprising' END AS lm_bucket
+        |FROM agg""".stripMargin,
     "t_langid" ->
       s"""$toksCte,
          |h AS (SELECT doc_id,

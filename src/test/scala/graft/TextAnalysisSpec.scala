@@ -380,6 +380,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.agg(sum($"n_copies")).collect()(0).getLong(0) == docs.count())
   }
 
+  test("lmScore hand example: in-corpus bigram probabilities, exact means, short docs excluded") {
+    // corpus: "a b a b" + "a b c" → C(a b)=3, C(b a)=1, C(b c)=1; C(a ·)=3, C(b ·)=2
+    // doc1 logprobs: ln(3/3), ln(1/2), ln(3/3) → mean = ln(1/2)/3 = -0.2310
+    // doc2 logprobs: ln(3/3), ln(1/2)          → mean = ln(1/2)/2 = -0.3466
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"), (4L, ""), (5L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob"), r.getAs[String]("lm_bucket"))).toMap
+    assert(out.keySet == Set(1L, 2L), "docs with < 2 tokens have no bigrams and are excluded")
+    assert(out(1L) == ((3L, -0.231, "fluent")))
+    assert(out(2L) == ((2L, -0.3466, "fluent")))
+  }
+
+  test("lmScore corpus invariants: coverage, bounds, bucket consistency, partition-invariant") {
+    val out = TextAnalysis.lmScore(docs)
+    val scoreable = docs.filter(size(split(trim(coalesce(col("text"), lit(""))), "\\s+")) >= 2).count()
+    assert(out.count() == scoreable)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val (lp, b) = (r.getAs[Double]("avg_logprob"), r.getAs[String]("lm_bucket"))
+      assert(lp <= 0.0, "log-probabilities are never positive")
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+      val expect = if (lp >= -3.37) "fluent" else if (lp >= -3.40) "typical" else "surprising"
+      assert(b == expect)
+    }
+    // model is global: scoring must not depend on input partitioning
+    val again = TextAnalysis.lmScore(docs.repartition(17)).collect().map(_.toString).sorted.toSeq
+    assert(again == rows.map(_.toString).sorted.toSeq)
+  }
+
   test("phashNearDup: planted near-dups found, pair set equals brute force over md5-representatives") {
     import graft.functions.TextKernels
     val base = "the quick brown fox jumps over the lazy dog " * 8 // 360 ASCII chars
