@@ -496,6 +496,41 @@ object TextAnalysis {
           .otherwise("surprising"))
   }
 
+  /** Cross-source content-overlap matrix — the governance artifact a
+    * mixture designer reads BEFORE setting sampling rates: for every
+    * source pair, the number of shared distinct word 3-grams and the
+    * Jaccard similarity of the two sources' shingle sets. Two sources
+    * with high overlap are near-copies (mirrors, re-crawls) and their
+    * mixture weights double-count; [[Sampling]] rates should be set on
+    * the deduplicated union instead.
+    *
+    * Plan: distinct (source, shingle) membership (shingles scan-side
+    * via the codegen kernel, one distinct shuffle — the corpus' text
+    * never moves again), then a self-equi-join on the shingle: each
+    * shared gram costs at most #sources² rows (membership is distinct
+    * per source, so per-gram fan-out is bounded by the SOURCE count,
+    * never document df), and one aggregate to #source-pair rows. The
+    * per-source set sizes broadcast back. All work is ∝ distinct
+    * grams × shared-source pairs — linear in corpus with a tiny
+    * quadratic factor in #sources (20 here; hundreds in production). */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val sg = documents
+      .select(col("source"), explode(GraftFunctions.shingles(col("text"))).as("g"))
+      .distinct()
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = sg.select(col("source").as("source_a"), col("g"))
+    val b = sg.select(col("source").as("source_b"), col("g"))
+    a.join(b, Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), Seq("source_b"))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4) + lit(0.0))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("na"), col("nb"), col("jaccard"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -514,7 +549,8 @@ object TextAnalysis {
     "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
     "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
     "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
-    "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)))
+    "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
+    "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -549,6 +585,22 @@ object TextAnalysis {
         |       WHEN avg_logprob >= -3.40 THEN 'typical'
         |       ELSE 'surprising' END AS lm_bucket
         |FROM agg""".stripMargin,
+    // Distinct (source, shingle) membership → per-gram fan-out bounded
+    // by #sources; same shingle definition as the dedup family.
+    "t_source_overlap" ->
+      s"""${Dedup.shingleCte},
+         |sg AS (SELECT DISTINCT source, g FROM (
+         |    SELECT doc.source, unnest(d.sh) AS g
+         |    FROM d JOIN documents doc ON d.doc_id = doc.doc_id)),
+         |sizes AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+         |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+         |  ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 4) + 0.0 AS jaccard
+         |FROM pairs JOIN sizes sa ON pairs.source_a = sa.source
+         |           JOIN sizes sb ON pairs.source_b = sb.source""".stripMargin,
     "t_langid" ->
       s"""$toksCte,
          |h AS (SELECT doc_id,

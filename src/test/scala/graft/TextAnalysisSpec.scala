@@ -411,6 +411,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == rows.map(_.toString).sorted.toSeq)
   }
 
+  test("sourceOverlap hand example: shared distinct shingles and jaccard per source pair") {
+    // s1 docs: "a b c d" → {abc, bcd}; "a b c" → {abc}  ⇒ s1 set = {abc, bcd}
+    // s2 doc:  "a b c x" → {abc, bcx}                   ⇒ shared {abc}: J = 1/3
+    // s3 doc:  "p q r s" → {pqr, qrs}                   ⇒ disjoint: no row
+    val df = Seq((1L, "s1", "a b c d"), (2L, "s1", "a b c"),
+      (3L, "s2", "a b c x"), (4L, "s3", "p q r s")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceOverlap(df).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(out.keySet == Set(("s1", "s2")), "disjoint pairs emit no row")
+    assert(out(("s1", "s2")) == ((1L, 2L, 2L, 0.3333)))
+  }
+
+  test("sourceOverlap corpus invariants: a<b only, bounds, shared counts consistent") {
+    val rows = TextAnalysis.sourceOverlap(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      val (sh, na, nb) = (r.getAs[Long]("n_shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      val j = r.getAs[Double]("jaccard")
+      assert(a < b, "pairs are emitted once, lexicographically ordered")
+      assert(sh >= 1 && sh <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - BigDecimal(sh.toDouble / (na + nb - sh))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // per-source set sizes match an independent distinct count
+    val sizes = docs.select(col("source"),
+        explode(graft.functions.GraftFunctions.shingles(col("text"))).as("g"))
+      .distinct().groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("na") == sizes(r.getAs[String]("source_a")))
+      assert(r.getAs[Long]("nb") == sizes(r.getAs[String]("source_b")))
+    }
+  }
+
   test("phashNearDup: planted near-dups found, pair set equals brute force over md5-representatives") {
     import graft.functions.TextKernels
     val base = "the quick brown fox jumps over the lazy dog " * 8 // 360 ASCII chars
