@@ -158,6 +158,63 @@ object Sampling {
 
   // ---- driver wiring ----
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * corpus document by how much more likely its content is under a
+    * TARGET domain than under the raw corpus, using hashed-bigram
+    * bag-of-features multinomials — the data-SELECTION step that picks
+    * "more like the target" documents before mixing. Target here = the
+    * `targetSource` documents (the same eval-source convention as
+    * decontamination); weight = mean over the doc's bigram occurrences
+    * of ln p̂_target(b) − ln p̂_corpus(b), add-1 smoothed over B=256
+    * hashed buckets.
+    *
+    * Engine-portable by construction: the feature bucket is the first
+    * 2 hex chars of md5(bigram) — a STRING key, no hex→int conversion
+    * to diverge on — and add-1 smoothing over integer counts makes
+    * every probability a ratio of integers, so the ln terms go through
+    * the house float policy (per-term DECIMAL(28,10), one final double
+    * division, ROUND(,4)+0.0) and DuckDB reproduces every weight.
+    *
+    * Plan: scan-side bigram+bucket generation (split + posexplode, as
+    * lmScore); ONE conditional-sum aggregate builds both arms' bucket
+    * counts (shuffle keyed on 256 buckets, map-side combined); the
+    * totals enter via an unpartitioned window over the 256-row model
+    * table (the documented tiny-aggregate window exception); the model
+    * broadcasts back into the feature stream and one per-doc aggregate
+    * finishes. Linear, two passes over the token stream. */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src19",
+                  buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents
+      .select(col("doc_id"), col("source"),
+        split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+    val feats = d
+      .select(col("doc_id"), col("source"), col("a"),
+        posexplode(slice(col("a"), lit(1), size(col("a")) - 1)).as(Seq("i0", "w1")))
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(col("w1"), lit(" "),
+          element_at(col("a"), col("i0") + 2))), 1, 2).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy() // ≤ `buckets` rows — documented exception
+    val model = counts
+      .withColumn("nt", sum(col("ct")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+          log((col("cc") + 1).cast("double") / (col("nc") + buckets).cast("double")))
+          .cast("decimal(28,10)").as("lw"))
+    feats.filter(col("source") =!= targetSource)
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"),
+        (round(sum(col("lw")).cast("double") / count(lit(1)), 4) + lit(0.0))
+          .as("dsir_weight"))
+  }
+
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
     * src2, downweight src3, 10% tail for everything else. */
   val MixRates: Map[String, Double] =
@@ -168,13 +225,41 @@ object Sampling {
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
-    "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)))
+    "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
+    "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
       .map { case (src, r) => s"WHEN '$src' THEN '${thresholdHex(r)}'" }
       .mkString(" ")
     Map(
+      // Add-1 smoothed hashed-bigram multinomial log-ratio: every
+      // probability is a ratio of integers (bucket key = 2 hex chars of
+      // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
+      // one final double division, ROUND(,4)+0.0.
+      "d_dsir_weights" ->
+        raw"""WITH d AS (SELECT doc_id, source,
+          |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
+          |  FROM documents),
+          |p AS (SELECT doc_id, source, a, unnest(generate_series(1, length(a) - 1)) AS i
+          |  FROM d WHERE length(a) >= 2),
+          |f AS (SELECT doc_id, source,
+          |    substring(md5(concat(a[i], ' ', a[i + 1])), 1, 2) AS b
+          |  FROM p),
+          |counts AS (SELECT b,
+          |    SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS ct,
+          |    SUM(CASE WHEN source <> 'src19' THEN 1 ELSE 0 END) AS cc
+          |  FROM f GROUP BY 1),
+          |model AS (SELECT b,
+          |    CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(SUM(ct) OVER () + 256 AS DOUBLE))
+          |       - ln(CAST(cc + 1 AS DOUBLE) / CAST(SUM(cc) OVER () + 256 AS DOUBLE))
+          |      AS DECIMAL(28,10)) AS lw
+          |  FROM counts)
+          |SELECT f.doc_id, f.source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+          |  ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) + 0.0 AS dsir_weight
+          |FROM f JOIN model USING (b)
+          |WHERE f.source <> 'src19'
+          |GROUP BY 1, 2""".stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

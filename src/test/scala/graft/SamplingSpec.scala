@@ -28,6 +28,54 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleMixture(docs, Map.empty, 1.0).count() == docs.count())
   }
 
+  test("dsirWeights: matches a JVM reference of the hashed-bigram log-ratio; target-like docs rank higher") {
+    import graft.ops.Sampling
+    // target domain: database prose; corpus: one target-like doc, one unrelated
+    val df = Seq(
+      (1L, "tgt", "query plan scan join query plan"),
+      (2L, "tgt", "scan join filter query plan scan"),
+      (10L, "web", "query plan scan join filter scan"), // target-like
+      (11L, "web", "cat dog bird fish cow horse goat")  // unrelated
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.dsirWeights(df, targetSource = "tgt").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_weight"))).toMap
+    assert(out.keySet == Set(10L, 11L), "only non-target docs are scored")
+    assert(out(10L)._2 > out(11L)._2, "target-like content must out-rank unrelated content")
+    // JVM reference: identical formula end-to-end
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): String =
+      md.digest(g.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    def bigrams(t: String): Seq[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      ws.zip(ws.drop(1)).map { case (x, y) => s"$x $y" }
+    }
+    val all = Seq((1L, "tgt", "query plan scan join query plan"),
+      (2L, "tgt", "scan join filter query plan scan"),
+      (10L, "web", "query plan scan join filter scan"),
+      (11L, "web", "cat dog bird fish cow horse goat"))
+    val fs = all.flatMap { case (id, s, t) => bigrams(t).map(g => (id, s, bucket(g))) }
+    val ct = fs.filter(_._2 == "tgt").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cc = fs.filter(_._2 != "tgt").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nt, nc) = (ct.values.sum, cc.values.sum)
+    def lw(b: String): BigDecimal = BigDecimal(
+      math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 256)) -
+        math.log((cc.getOrElse(b, 0L) + 1).toDouble / (nc + 256)))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    fs.filter(_._2 != "tgt").groupBy(_._1).foreach { case (id, rows) =>
+      // mirror the engine exactly: decimal SUM → double → ONE division → round
+      val mean = rows.map(r => lw(r._3)).sum.toDouble / rows.size
+      val expected = BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id)._1 == rows.size.toLong)
+      assert(out(id)._2 == expected, s"doc $id: ${out(id)._2} vs reference $expected")
+    }
+    // determinism under repartition, corpus coverage
+    val corpus = docs
+    val w1 = Sampling.dsirWeights(corpus).collect().map(_.toString).sorted.toSeq
+    val w2 = Sampling.dsirWeights(corpus.repartition(13)).collect().map(_.toString).sorted.toSeq
+    assert(w1 == w2)
+  }
+
   test("per-source rates are realized within binomial tolerance") {
     val summary = Sampling.mixtureSummary(docs, Sampling.MixRates, 0.1).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("kept_frac")).toMap
