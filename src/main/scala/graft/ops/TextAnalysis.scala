@@ -531,6 +531,33 @@ object TextAnalysis {
       .select(col("source_a"), col("source_b"), col("n_shared"), col("na"), col("nb"), col("jaccard"))
   }
 
+  /** Span-level decontamination SCRUB — the surgical form of
+    * [[decontaminate]]: instead of FLAGGING documents that overlap the
+    * eval set, remove exactly the overlapping `k`-token spans and keep
+    * the rest of the document (the 8-gram-overlap removal convention of
+    * published decontamination pipelines; k=8 default). A mostly-clean
+    * document with one quoted benchmark item keeps its clean content —
+    * whole-doc decontamination would discard it entirely.
+    *
+    * Composition of two proven stages: `Dedup.spanCut` cuts both sides
+    * into consecutive k-token spans (scan-side, explode ∝ tokens/k);
+    * the eval side collapses to a DISTINCT span set that broadcasts
+    * into a left-anti join (the same broadcast-the-eval-set shape as
+    * [[decontaminate]]; at multi-GB eval scale swap in the Bloom
+    * prefilter exactly as t_decontam_bloom does); `Dedup.spanAssemble`
+    * reassembles each document's surviving spans in order. Linear in
+    * corpus tokens, no pair stage. A document whose EVERY span is
+    * contaminated disappears from the output (fully scrubbed) — same
+    * convention as d_span_dedup's all-duplicate case. */
+  def decontamScrub(documents: DataFrame, evalSource: String = "src19",
+                    k: Int = 8): DataFrame = {
+    val corpusSpans = Dedup.spanCut(documents.filter(col("source") =!= evalSource), k)
+    val evalSpans = Dedup.spanCut(documents.filter(col("source") === evalSource), k)
+      .select(col("span")).distinct()
+    Dedup.spanAssemble(
+      corpusSpans.join(broadcast(evalSpans), Seq("span"), "left_anti"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -550,7 +577,8 @@ object TextAnalysis {
     "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
     "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
     "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
-    "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)))
+    "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
+    "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -585,6 +613,33 @@ object TextAnalysis {
         |       WHEN avg_logprob >= -3.40 THEN 'typical'
         |       ELSE 'surprising' END AS lm_bucket
         |FROM agg""".stripMargin,
+    // Same span CTE as d_span_dedup (k=8 here), eval side as a distinct
+    // span set, NOT EXISTS anti-join, ORDER BY span_idx reassembly.
+    "t_decontam_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source, t,
+        |    CAST(ceil(len(t) / 8.0) AS INTEGER) AS n_spans,
+        |    unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS span_idx
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, source, n_spans, span_idx,
+        |    array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span
+        |  FROM sp),
+        |ev AS (SELECT DISTINCT span FROM spans WHERE source = 'src19'),
+        |kept AS (
+        |  SELECT doc_id, source, n_spans, span_idx, span
+        |  FROM spans s
+        |  WHERE source <> 'src19'
+        |    AND NOT EXISTS (SELECT 1 FROM ev WHERE ev.span = s.span))
+        |SELECT doc_id, source, MAX(n_spans) AS n_spans,
+        |  CAST(COUNT(*) AS INTEGER) AS n_kept,
+        |  MAX(n_spans) - CAST(COUNT(*) AS INTEGER) AS n_dropped,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+        |FROM kept GROUP BY 1, 2""".stripMargin,
     // Distinct (source, shingle) membership → per-gram fan-out bounded
     // by #sources; same shingle definition as the dedup family.
     "t_source_overlap" ->

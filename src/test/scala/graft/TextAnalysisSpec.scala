@@ -411,6 +411,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again == rows.map(_.toString).sorted.toSeq)
   }
 
+  test("decontamScrub hand example: eval spans removed surgically, clean content survives") {
+    val evalSpan = "e1 e2 e3 e4 e5 e6 e7 e8"           // exactly one 8-token span
+    val cleanA = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val df = Seq(
+      (1L, "src19", evalSpan),                          // the eval doc
+      (10L, "web", s"$evalSpan $cleanA"),               // quotes the benchmark + clean content
+      (11L, "web", evalSpan),                           // fully contaminated
+      (12L, "web", "x1 x2 x3 x4 x5 x6 x7 x8")           // clean
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.decontamScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toMap
+    assert(out.keySet == Set(10L, 12L), "fully-contaminated docs vanish; eval docs are never output")
+    assert(out(10L) == ((cleanA, 1, 1)), "the quoted span is removed, the clean span kept")
+    assert(out(12L) == (("x1 x2 x3 x4 x5 x6 x7 x8", 1, 0)), "clean docs pass through intact")
+  }
+
+  test("decontamScrub corpus: dropped spans equal an independent overlap count; clean docs intact") {
+    import graft.ops.Dedup
+    val out = TextAnalysis.decontamScrub(docs).collect()
+    // independent count of contaminated corpus spans
+    val evalSpans = Dedup.spanCut(docs.filter(col("source") === "src19"), 8)
+      .select("span").distinct().collect().map(_.getString(0)).toSet
+    val corpusSpans = Dedup.spanCut(docs.filter(col("source") =!= "src19"), 8)
+      .select("span").collect().map(_.getString(0))
+    val contaminated = corpusSpans.count(evalSpans.contains)
+    assert(contaminated > 0, "testdata must exercise the scrub (live signal)")
+    assert(out.map(_.getAs[Int]("n_dropped")).sum == contaminated)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_kept") + r.getAs[Int]("n_dropped") == r.getAs[Int]("n_spans"))
+      assert(r.getAs[String]("source") != "src19")
+    }
+    // untouched docs keep their exact normalized text
+    val normByDoc = docs.filter(col("source") =!= "src19")
+      .select(col("doc_id"), lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("t")).toMap
+    out.filter(_.getAs[Int]("n_dropped") == 0).foreach { r =>
+      assert(r.getAs[String]("clean_text") == normByDoc(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("sourceOverlap hand example: shared distinct shingles and jaccard per source pair") {
     // s1 docs: "a b c d" → {abc, bcd}; "a b c" → {abc}  ⇒ s1 set = {abc, bcd}
     // s2 doc:  "a b c x" → {abc, bcx}                   ⇒ shared {abc}: J = 1/3
