@@ -211,6 +211,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup pairs — the EXCERPT detector (Broder 1997's
+    * containment measure): C(A,B) = |A∩B| / min(|A|,|B|) ≥ θ. A short
+    * document fully quoted inside a long one has containment ≈ 1 but
+    * LOW jaccard (the union is dominated by the long side), so
+    * jaccard-θ dedup keeps both copies; training corpora are full of
+    * exactly this shape (articles quoting abstracts, pages embedding
+    * snippets). Same certified-exact inverted-index plan as
+    * [[ngramJaccardPairs]] (same `dfCap` skew guard applies at corpus
+    * scale); only the denominator changes, and both measures are
+    * emitted so a consumer can separate true near-dups (both high)
+    * from excerpts (containment high, jaccard low). */
+  def containmentPairs(documents: DataFrame, theta: Double = 0.9): DataFrame = {
+    val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
+    val inverted = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
+    inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter") / least(col("la"), col("lb")))
+      .filter(round(col("containment"), 4) >= theta)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"),
+        round(col("inter") / (col("la") + col("lb") - col("inter")), 4).as("jaccard"))
+  }
+
   /** Exact 3-gram Jaccard evaluated ONLY on given candidate pairs
     * (doc_a, doc_b) — the verification stage of the production near-dup
     * pipeline. Work is O(candidates), independent of how much shingle
@@ -748,6 +775,7 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d))),
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
     "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
+    "d_containment"      -> ((s, d) => containmentPairs(Tables(s, d).documents)),
     "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
@@ -870,6 +898,18 @@ object Dedup {
       |FROM kept GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same all-pairs CTE as the jaccard oracle (O(n²) at oracle side
+    // only); containment denominator = the smaller set.
+    "d_containment" ->
+      s"""$shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  ROUND(CAST(inter AS DOUBLE) / least(la, lb), 4) AS containment,
+         |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |FROM p
+         |WHERE ROUND(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9""".stripMargin,
     "d_substring_dup" -> substringDupOracle,
     "d_span_dedup" -> spanDedupOracle,
     "d_cross_dedup" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -42,6 +42,32 @@ object Similarity {
       .limit(k)
       // `+ 0.0` kills IEEE −0.0 (a cosine in (−5e−5, 0) would round to
       // −0.0 in DuckDB but +0.0 in Spark — same class as the q_corr fix)
+      .select(col("vec_id"), col("label"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+  }
+
+  /** FILTERED exact ANN — vector search under a metadata predicate
+    * ("nearest neighbors among docs with label ∈ {…}" / "from source X"
+    * / "after date D"), the standard vector-DB filtered-search shape.
+    * The predicate composes into the SCAN (a plain `filter` before the
+    * cosine, so Catalyst pushes it to the parquet reader —
+    * `PushedFilters` carries it, spec-asserted): candidates are pruned
+    * before any distance math, which is exactly what pre-filtered
+    * vector search must do at scale. Top-k then runs per-partition
+    * heaps over the pruned scan (TakeOrderedAndProject), never a
+    * global sort. At corpus scale the same predicate composes in front
+    * of the IVF/PQ serving paths (their code/list tables carry the
+    * metadata columns) — this brute-force form is the correctness
+    * baseline, like [[annTopK]] for the unfiltered case. */
+  def annTopKFiltered(embeddings: DataFrame, pred: Column,
+                      queryVecId: Long = 0L, k: Int = 20): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    embeddings
+      .filter(pred && col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
       .select(col("vec_id"), col("label"), (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
   }
 
@@ -383,6 +409,8 @@ object Similarity {
     * (session, dir), like the shared MinHash signature table). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_ann_topk" -> ((s, d) => annTopK(Tables(s, d).embeddings)),
+    "s_ann_filtered" -> ((s, d) =>
+      annTopKFiltered(Tables(s, d).embeddings, col("label").isin(1, 3, 5))),
     "s_ann_batch" -> ((s, d) => annTopKBatch(Tables(s, d).embeddings)),
     "s_ann_lsh"  -> ((s, d) => annLsh(Tables(s, d).embeddings)),
     "s_ann_ivf"  -> ((s, d) => {
@@ -419,6 +447,21 @@ object Similarity {
         |             vec_id ASC) AS rn
         |  FROM s)
         |SELECT query_id, vec_id, label, cos_sim FROM r WHERE rn <= 10""".stripMargin,
+    "s_ann_filtered" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, e.label,
+        |  list_sum(list_transform(list_zip(e.embedding, q.qe),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |  sqrt(list_sum(list_transform(e.embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |  sqrt(list_sum(list_transform(q.qe,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings e, q WHERE e.vec_id != 0 AND e.label IN (1, 3, 5))
+        |SELECT vec_id, label,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0 AS cos_sim
+        |FROM s
+        |ORDER BY (CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END) DESC, vec_id ASC
+        |LIMIT 20""".stripMargin,
     "s_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |s AS (SELECT e.vec_id, e.label,

@@ -28,7 +28,9 @@ object Audit {
   private val BnljAllowed = Set(
     "s_ann_topk", "s_ann_ivf", "s_ann_pq", "s_ann_ivfpq",
     // union of per-query 1-row-broadcast subplans (one BNLJ per query)
-    "s_ann_batch")
+    "s_ann_batch",
+    // same 1-row query-vector crossJoin, over the predicate-pruned scan
+    "s_ann_filtered")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

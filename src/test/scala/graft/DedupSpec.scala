@@ -96,6 +96,29 @@ class DedupSpec extends SparkSpec {
     assert(fromTable == inline)
   }
 
+  test("containmentPairs: planted excerpt found at containment 1.0 where jaccard misses it") {
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val excerpt = (50 to 80).map(i => s"w$i").mkString(" ")   // contiguous slice of `long`
+    val other = (1000 to 1200).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))
+    assert(out.length == 1)
+    val (a, b, c, j) = out.head
+    assert((a, b) == ((1L, 2L)))
+    assert(c == 1.0, "every shingle of the excerpt appears in the source doc")
+    assert(j < 0.8, s"jaccard ($j) must miss the excerpt — that is the operator's point")
+    assert(Dedup.ngramJaccardPairs(df, tau = 0.8).collect().isEmpty)
+    // corpus invariants: containment >= jaccard on every pair, thresholds respected
+    val corpus = Dedup.containmentPairs(docs).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("containment") >= r.getAs[Double]("jaccard"))
+      assert(r.getAs[Double]("containment") >= 0.9)
+    }
+  }
+
   test("crossDedup: planted exact and near batch dups found with the right kind, clean docs pass") {
     // 40 distinct words → 38 distinct shingles; editing the final word
     // changes 3 of them: J = 35/41 ≈ 0.854 ≥ 0.8

@@ -58,6 +58,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("annTopKFiltered: predicate pushed to the scan, equals brute force over the filtered subset") {
+    val pred = col("label").isin(1, 3, 5)
+    val out = Similarity.annTopKFiltered(embs, pred, queryVecId = 0L, k = 20)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(r => Set(1, 3, 5)(r.getAs[Int]("label"))))
+    // equals the unfiltered operator applied to the pre-filtered corpus
+    val reference = Similarity.annTopK(embs.filter(pred || col("vec_id") === 0L),
+      queryVecId = 0L, k = 20).collect()
+    assert(rows.map(_.toString).toSeq == reference.map(_.toString).toSeq)
+    // the filter is live: unfiltered top-k differs
+    val unfiltered = Similarity.annTopK(embs, 0L, 20).collect()
+    assert(rows.map(_.toString).toSeq != unfiltered.map(_.toString).toSeq)
+    // the predicate reaches the parquet reader: candidate pruning is scan-side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label predicate should be pushed to the scan:\n$plan")
+  }
+
   test("annTopKBatch: per-query slices equal the single-query operator") {
     val ids = Seq(0L, 1L, 2L)
     val batch = Similarity.annTopKBatch(embs, ids, k = 5).collect()
