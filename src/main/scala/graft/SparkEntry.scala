@@ -21,7 +21,8 @@ object SparkEntry {
       graft.ops.Funnel.queries ++ graft.ops.Similarity.queries ++
       graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
       graft.ops.Multimodal.queries ++ graft.ops.Skew.queries ++
-      graft.ops.Profiler.queries ++ graft.ops.Sampling.queries
+      graft.ops.Profiler.queries ++ graft.ops.Sampling.queries ++
+      graft.ops.Search.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.ops.Funnel.oracles ++ graft.ops.Similarity.oracles ++
       graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
       graft.ops.Multimodal.oracles ++ graft.ops.Skew.oracles ++
-      graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles
+      graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles ++
+      graft.ops.Search.oracles
 }

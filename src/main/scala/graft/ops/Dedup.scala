@@ -65,6 +65,23 @@ object Dedup {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Duplicate-aware DOWNWEIGHTING (the SoftDeDup alternative to hard
+    * removal): every document stays in the corpus, but carries a
+    * sampling weight `1/n_copies` of its exact-dup (normalized-md5)
+    * class, so a 1000-copy boilerplate page contributes one document's
+    * worth of expected tokens while unique text keeps weight 1. The
+    * training sampler consumes the weight column directly; composing
+    * with [[Sampling]]'s md5-threshold membership keeps selection
+    * deterministic. One window count over the same hash shuffle as
+    * [[exactDedup]] — the text never moves, no second join pass. */
+  def softDedupWeights(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_hash"))
+    documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("norm_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("weight", round(lit(1.0) / col("n_copies"), 4) + lit(0.0))
+  }
+
   /** The dedup a pipeline actually applies: keep only each group's
     * surviving row (min doc_id per normalized-content hash). Implemented
     * as groupBy + min + semi-join back — two hash shuffles on compact
@@ -771,6 +788,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup"      -> ((s, d) => exactDedup(Tables(s, d).documents)),
     "d_exact_keep"       -> ((s, d) => dedupDocuments(Tables(s, d).documents)),
+    "d_soft_dedup"       -> ((s, d) => softDedupWeights(Tables(s, d).documents)),
     "d_minhash_lsh"      -> ((s, d) =>
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d))),
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
@@ -944,6 +962,14 @@ object Dedup {
       """SELECT * FROM documents WHERE doc_id IN (
         |  SELECT MIN(doc_id) FROM documents
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    "d_soft_dedup" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+        |  COUNT(*) OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS n_copies,
+        |  ROUND(CAST(1.0 AS DOUBLE) / COUNT(*) OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))), 4) + 0.0 AS weight
+        |FROM documents""".stripMargin,
     "d_neardup_pipeline" -> ngramJaccardOracle,
     "d_ngram_jaccard" -> ngramJaccardOracle,
     // Mirror of semanticDedupBuckets: label-blocked cosine edges at

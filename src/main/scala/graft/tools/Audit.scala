@@ -30,7 +30,13 @@ object Audit {
     // union of per-query 1-row-broadcast subplans (one BNLJ per query)
     "s_ann_batch",
     // same 1-row query-vector crossJoin, over the predicate-pruned scan
-    "s_ann_filtered")
+    "s_ann_filtered",
+    // crossJoin of the 1-row corpus-stats frame (N, Σdl, per-term df)
+    // into the scan — a broadcast of one row, not a blow-up
+    "t_bm25",
+    // both shapes: the 1-row stats frame on the lexical arm and the
+    // 1-row query vector on the cosine arm
+    "s_hybrid_rrf")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -46,7 +52,10 @@ object Audit {
     "d_semantic_medoid",
     // recomputes the corpus survivor set inline (same join as above)
     // before the batch×survivor check
-    "d_semantic_cross")
+    "d_semantic_cross",
+    // full-outer fusion of two ≤100-row rank lists (full outer has no
+    // broadcast strategy in Spark; an SMJ over two k-row sides is free)
+    "s_hybrid_rrf")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);
