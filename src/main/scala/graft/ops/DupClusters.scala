@@ -190,13 +190,30 @@ object DupClusters {
       assignment.where(col("doc_id") === col("cluster_id")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Duplicate-cluster SIZE DISTRIBUTION — the dedup governance summary
+    * a corpus release publishes (how much of the corpus sits in
+    * singletons vs 2-copies vs mega-clusters; a heavy tail here means
+    * boilerplate or a crawler loop): per component size s, the number
+    * of clusters and documents at that size. Two count aggregates over
+    * the (doc_id, cluster_id) assignment — key columns only, the
+    * second collapses to ≤ #distinct-sizes rows; n_docs = s ·
+    * n_clusters derives in-plan (no extra sum). */
+  def clusterSizes(assignment: DataFrame): DataFrame =
+    assignment.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   // ---- driver wiring ----
 
   import graft.core.{Catalog, Tables}
 
-  /** Both keys serve off the Catalog-cached assignment (clustering runs
+  /** All keys serve off the Catalog-cached assignment (clustering runs
     * once per (session, dir), like the signature table it feeds from). */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_cluster_sizes" -> ((s, d) => clusterSizes(Catalog.dupClusters(s, d))),
     "d_dup_clusters" -> ((s, d) => Catalog.dupClusters(s, d)),
     "d_cluster_keep" -> ((s, d) =>
       clusterKeep(Tables(s, d).documents, Catalog.dupClusters(s, d))))
@@ -236,5 +253,12 @@ object DupClusters {
       s"""$reachCte
          |SELECT doc.doc_id, doc.text, doc.lang, doc.source, doc.n_chars
          |FROM documents doc JOIN assign ON doc.doc_id = assign.id
-         |WHERE assign.id = assign.root""".stripMargin)
+         |WHERE assign.id = assign.root""".stripMargin,
+    "d_cluster_sizes" ->
+      s"""$reachCte,
+         |sizes AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM assign GROUP BY 1)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1""".stripMargin)
 }

@@ -215,6 +215,27 @@ object Sampling {
           .as("dsir_weight"))
   }
 
+  /** DSIR importance SELECTION — the second half of Xie et al. 2023:
+    * [[dsirWeights]] scores every raw-corpus doc by target-domain
+    * log-likelihood ratio; this keeps the top-`n` by that weight (the
+    * deterministic selection form of the paper's importance resampling
+    * — same ranking, no sampling noise, reproducible across runs and
+    * engines). Tie-break: dsir_weight is ROUND(,4) on both engines, so
+    * equal-weight ties are real and broken by doc_id — a total order,
+    * the convention every top-k key follows.
+    *
+    * Plan: the weights plan (two bucket aggregates + broadcast model +
+    * per-doc aggregate) followed by a global TakeOrdered(n) — no full
+    * sort, the driver holds n rows, never the corpus. At 100 TB the
+    * selection is usually expressed as a per-partition threshold
+    * instead (select where weight ≥ τ with τ from a quantile sketch);
+    * the top-n form is the oracle-exact contract for both. */
+  def dsirSelect(documents: DataFrame, n: Int = 100,
+                 targetSource: String = "src19"): DataFrame =
+    dsirWeights(documents, targetSource)
+      .orderBy(col("dsir_weight").desc, col("doc_id").asc)
+      .limit(n)
+
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
     * src2, downweight src3, 10% tail for everything else. */
   val MixRates: Map[String, Double] =
@@ -226,19 +247,20 @@ object Sampling {
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
-    "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)))
+    "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
+    "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
       .map { case (src, r) => s"WHEN '$src' THEN '${thresholdHex(r)}'" }
       .mkString(" ")
-    Map(
-      // Add-1 smoothed hashed-bigram multinomial log-ratio: every
-      // probability is a ratio of integers (bucket key = 2 hex chars of
-      // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
-      // one final double division, ROUND(,4)+0.0.
-      "d_dsir_weights" ->
-        raw"""WITH d AS (SELECT doc_id, source,
+    // Add-1 smoothed hashed-bigram multinomial log-ratio: every
+    // probability is a ratio of integers (bucket key = 2 hex chars of
+    // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
+    // one final double division, ROUND(,4)+0.0. Shared by the weights
+    // key and the top-n selection key.
+    val dsirSql =
+      raw"""WITH d AS (SELECT doc_id, source,
           |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
           |  FROM documents),
           |p AS (SELECT doc_id, source, a, unnest(generate_series(1, length(a) - 1)) AS i
@@ -259,7 +281,15 @@ object Sampling {
           |  ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) + 0.0 AS dsir_weight
           |FROM f JOIN model USING (b)
           |WHERE f.source <> 'src19'
-          |GROUP BY 1, 2""".stripMargin,
+          |GROUP BY 1, 2""".stripMargin
+    Map(
+      "d_dsir_weights" -> dsirSql,
+      // ROUND(,4) weights make equal-weight ties real on both engines;
+      // doc_id breaks them — a total order, so the top-100 SET is
+      // engine-independent.
+      "d_dsir_select" ->
+        s"""SELECT doc_id, source, n_feats, dsir_weight FROM ($dsirSql)
+           |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

@@ -403,6 +403,71 @@ object Similarity {
       embeddings, queryVecId, k, nProbe)
   }
 
+  /** Exact k-NN GRAPH construction (the all-vectors analog of
+    * [[annTopK]]'s one-query ranking): for EVERY vector, its `k`
+    * nearest neighbors by cosine within its `label` block. The k-NN
+    * graph is the substrate for semantic clustering, density-based
+    * curation (prototypes/outliers), and graph-walk dedup — a
+    * first-class corpus artifact, not a per-query answer.
+    *
+    * This is the ORACLE form: a semantic blocking key makes the
+    * neighbor set SQL-expressible, but it is O(bucket²) — the same
+    * declared trade as `Dedup.embedNearDup`, confined to blocks. The
+    * scale path is [[knnJoinCanopy]]: same top-k contract, candidates
+    * from the k-means canopy blocker instead of exhaustive blocks.
+    * Ranking is on the ROUNDED cosine (what the row emits) with an
+    * nbr_id tie-break — a total order both engines agree on; `+ 0.0`
+    * kills IEEE −0.0 (same class as the annTopK fix). */
+  def knnJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val pairs = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        col("a.label").as("label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    pairs.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
+  /** k-NN graph at scale: candidates from the k-means CANOPY blocker
+    * (every vector assigned to its `nAssign` nearest centroids,
+    * scan-side via `graft_nearest_centroids`; candidates share ≥ 1
+    * canopy — the `Dedup.embedNearDupClusters` blocking), each
+    * verified with exact cosine, then the same rounded-cosine top-k
+    * window per vector. Candidate work is O(Σ bucket²) bounded by
+    * sizing nlist ∝ corpus/target-bucket — never O(n²); vectors with
+    * fewer than k in-canopy candidates emit fewer rows (the standard
+    * approximate-kNN recall trade; raise nAssign/nProbe to trade
+    * candidates for recall). Centroids come from the Catalog-cached
+    * IVF fit shared with `s_ann_ivf` — no per-call fit. Rows-only by
+    * design (buckets follow the fitted centroids); spec-proven to
+    * recover planted replicas as rank-1 neighbors and to agree with
+    * [[knnJoin]] on high-cosine neighbors. */
+  def knnJoinCanopy(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                    k: Int = 5, nAssign: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("canopy"))
+    val cand = e.as("a")
+      .join(e.as("b"),
+        col("a.canopy") === col("b.canopy") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .distinct() // a pair can share up to nAssign canopies
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    cand.withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -424,6 +489,11 @@ object Similarity {
     "s_ann_ivfpq" -> ((s, d) => {
       val (cents, books, codes) = graft.core.Catalog.ivfPqIndex(s, d)
       annIvfPqFromIndex(cents, books, codes, Tables(s, d).embeddings)
+    }),
+    "s_knn_join" -> ((s, d) => knnJoin(Tables(s, d).embeddings)),
+    "s_knn_ivf" -> ((s, d) => {
+      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
+      knnJoinCanopy(Tables(s, d).embeddings, cents)
     }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
@@ -476,5 +546,27 @@ object Similarity {
         |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0 AS cos_sim
         |FROM s
         |ORDER BY (CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END) DESC, vec_id ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    // Ranking is on the ROUNDED + 0.0-normalized cosine (the emitted
+    // value) with an nbr_id tie-break — identical doubles on both
+    // engines, so the per-vector top-5 SET is engine-independent.
+    "s_knn_join" ->
+      """WITH p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, a.label AS label,
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+        |  sqrt(list_sum(list_transform(a.embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |  sqrt(list_sum(list_transform(b.embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |s AS (SELECT vec_id, nbr_id, label,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0 AS cos_sim
+        |  FROM p),
+        |r AS (SELECT vec_id, nbr_id, label, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos_sim DESC, nbr_id ASC) AS INT) AS knn_rank
+        |  FROM s)
+        |SELECT vec_id, nbr_id, label, cos_sim, knn_rank FROM r
+        |WHERE knn_rank <= 5""".stripMargin)
 }

@@ -558,6 +558,41 @@ object TextAnalysis {
       corpusSpans.join(broadcast(evalSpans), Seq("span"), "left_anti"))
   }
 
+  /** Shannon token-entropy quality signal — the information-theoretic
+    * member of the quality family (t_lexical_div's TTR counts types;
+    * entropy weighs their distribution — a doc cycling two tokens and a
+    * doc with one dominant token have the same TTR but very different
+    * entropy). Per doc: H = ln(n) − (Σ c·ln c)/n over unigram counts c,
+    * plus norm_entropy = H/ln(types) ∈ [0,1] (1 = uniform usage; 0 for
+    * single-type docs by convention).
+    *
+    * Oracle-exactness: the sum goes through DECIMAL(28,10)-cast per
+    * term (exact, order-free addition — the same trick as
+    * t_perplexity/d_dsir_weights), ONE final double division per
+    * output, ROUND(,4)+0.0. Plan: token fan-out scan-side
+    * (split+explode — columnar fan-out, not a HOF), one (doc, token)
+    * count aggregate with map-side partials, one per-doc aggregate —
+    * two shuffles on key columns only, linear in corpus tokens. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val t = trim(coalesce(col("text"), lit("")))
+    val toks = documents
+      .filter(length(t) > 0)
+      .select(col("doc_id"), explode(split(t, "\\s+")).as("w"))
+    val counts = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val h = log(col("n_tokens").cast("double")) -
+      col("s").cast("double") / col("n_tokens")
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(28,10)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (round(h, 4) + lit(0.0)).as("entropy"),
+        when(col("n_types") === 1, lit(0.0))
+          .otherwise(round(h / log(col("n_types").cast("double")), 4) + lit(0.0))
+          .as("norm_entropy"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,7 +613,8 @@ object TextAnalysis {
     "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
     "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
     "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
-    "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)))
+    "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)),
+    "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -589,6 +625,30 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Per-term c·ln(c) doubles are identical on both engines (ln of an
+    // integer-valued double); the DECIMAL(28,10) term cast makes the
+    // SUM exact and order-free; ONE final double division per output,
+    // ROUND(,4)+0.0 (entropy can be -0.0 from float error on
+    // single-type docs — the +0.0 normalizes, same as q_corr).
+    "t_token_entropy" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
+        |  FROM documents WHERE length(trim(COALESCE(text, ''))) > 0),
+        |t AS (SELECT doc_id, unnest(a) AS w FROM d),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      AS DECIMAL(28,10))) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  ROUND(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens, 4)
+        |    + 0.0 AS entropy,
+        |  CASE WHEN n_types = 1 THEN 0.0
+        |    ELSE ROUND((ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens)
+        |      / ln(CAST(n_types AS DOUBLE)), 4) + 0.0 END AS norm_entropy
+        |FROM agg""".stripMargin,
     // Every probability is a ratio of integer bigram/unigram counts
     // (the model trains on the corpus it scores, so c >= 1 always — no
     // smoothing constant to diverge on); ln terms go through

@@ -126,6 +126,20 @@ class DupClustersSpec extends SparkSpec {
     assert(out(4)._2 == (afterQ -- contaminated).size)
   }
 
+  test("clusterSizes: conserves every doc and matches a direct histogram") {
+    val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
+    val sizes = DupClusters.clusterSizes(assign).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // conservation: Σ n_docs = corpus size, Σ n_clusters = #components
+    assert(sizes.map(_._3).sum == assign.count())
+    assert(sizes.map(_._2).sum == assign.select("cluster_id").distinct().count())
+    // n_docs is size × count on every row; histogram matches a direct one
+    sizes.foreach { case (s, n, d) => assert(d == s * n) }
+    val direct = assign.collect().map(_.getLong(1)).groupBy(identity)
+      .map(_._2.length).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sizes.map(r => r._1.toInt -> r._2).toMap == direct)
+  }
+
   test("clusterKeep: exactly one survivor per cluster, min doc_id wins") {
     val assign = DupClusters.dupClusters(docs, Dedup.minhashCandidates(docs))
     val kept = DupClusters.clusterKeep(docs, assign)

@@ -156,4 +156,15 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(kept.subsetOf(larger))
   }
+
+  test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
+    val weights = Sampling.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val expect = weights.sortBy { case (id, w) => (-w, id) }.take(10).map(_._1).toSet
+    val got = Sampling.dsirSelect(docs, n = 10).collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    assert(got.size == 10)
+    // an over-large n degrades to the full weighted set, never errors
+    assert(Sampling.dsirSelect(docs, n = 100000).count() == weights.length)
+  }
 }

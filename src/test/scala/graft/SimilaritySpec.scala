@@ -256,4 +256,67 @@ class SimilaritySpec extends SparkSpec {
     assert(row.schema.fieldNames.contains("cluster"))
     assert(row.getSeq[Int](row.fieldIndex("codes")).length == 8)
   }
+
+  /** Replica corpus for the kNN-graph specs: 20 groups × 3 members,
+    * cos ≈ 0.9998 within a group (same construction as DedupSpec's). */
+  private lazy val knnReplicaEmbs = {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val rows = for {
+      g <- 0 until 20
+      base = Array.fill(dim)(rnd.nextGaussian())
+      r <- 0 until 3
+    } yield {
+      val noise = Array.fill(dim)(rnd.nextGaussian() * 0.01)
+      val v = base.indices.map(i => (base(i) + noise(i)).toFloat)
+      ((g * 3 + r).toLong, g, v)
+    }
+    rows.toDF("vec_id", "label", "embedding")
+  }
+
+  test("knnJoin: matches a brute-force JVM reference on the real embeddings") {
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    val all = embs.collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getSeq[Float](1))).toSeq
+    // Spark's ROUND on double is BigDecimal HALF_UP — mirror it exactly
+    def r4(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val expect = all.flatMap { case (id, lab, v) =>
+      all.filter(o => o._2 == lab && o._1 != id)
+        .map(o => (o._1, r4(cosine(v, o._3))))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, c), i) => (id, nid, c, i + 1) }
+    }.toSet
+    val got = Similarity.knnJoin(embs, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4))).toSet
+    assert(got == expect)
+  }
+
+  test("knnJoin + knnJoinCanopy: replica group-mates are the top-2 neighbors") {
+    def topTwo(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter($"knn_rank" <= 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def mates(id: Long): Set[Long] = {
+      val g = id / 3
+      (g * 3 until g * 3 + 3).map(_.toLong).toSet - id
+    }
+    val exact = topTwo(Similarity.knnJoin(knnReplicaEmbs, k = 2))
+    (0L until 60L).foreach(id => assert(exact(id) == mates(id),
+      s"exact kNN: $id's top-2 are not its group-mates"))
+    val cents = Similarity.ivfCentroids(knnReplicaEmbs, k = 8, iters = 2)
+    val canopy = topTwo(Similarity.knnJoinCanopy(knnReplicaEmbs, cents, k = 2))
+    (0L until 60L).foreach(id => assert(canopy(id) == mates(id),
+      s"canopy kNN: $id's top-2 are not its group-mates"))
+  }
 }

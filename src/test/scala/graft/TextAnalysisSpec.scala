@@ -556,6 +556,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSet == expected)
   }
 
+  test("tokenEntropy: hand-computed values; single-type → 0; uniform → norm 1; blank dropped") {
+    val df = Seq(
+      (1L, "a a a a"),       // one type: H = 0, norm 0 by convention
+      (2L, "a b c d"),       // uniform: H = ln 4, norm 1
+      (3L, "a a b"),         // H = ln 3 − (2·ln 2)/3 ≈ 0.6365
+      (4L, "   ")            // blank: dropped by the non-empty filter
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L))
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 1)
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 0.0)
+    val r2 = out(2L)
+    assert(r2.getLong(1) == 4 && r2.getLong(2) == 4)
+    assert(r2.getDouble(3) == 1.3863 && r2.getDouble(4) == 1.0)
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 3 && r3.getLong(2) == 2)
+    assert(r3.getDouble(3) == 0.6365 && r3.getDouble(4) == 0.9183)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
