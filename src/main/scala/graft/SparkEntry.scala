@@ -22,7 +22,7 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++ graft.ops.Packing.queries ++
       graft.ops.Multimodal.queries ++ graft.ops.Skew.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries ++
-      graft.ops.Search.queries
+      graft.ops.Search.queries ++ graft.ops.DomainGraph.queries
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =
@@ -33,5 +33,5 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracles ++ graft.ops.Packing.oracles ++
       graft.ops.Multimodal.oracles ++ graft.ops.Skew.oracles ++
       graft.ops.Profiler.oracles ++ graft.ops.Sampling.oracles ++
-      graft.ops.Search.oracles
+      graft.ops.Search.oracles ++ graft.ops.DomainGraph.oracles
 }

@@ -468,6 +468,54 @@ object Similarity {
       .filter(col("knn_rank") <= k)
   }
 
+  /** HARD-NEGATIVE triplet mining for embedding training (the
+    * in-batch-negatives upgrade every contrastive recipe reaches for):
+    * per anchor vector, its best same-label neighbor (the positive)
+    * and its most-similar DIFFERENT-label neighbor (the hard negative
+    * — geometrically close yet differently labeled, the examples that
+    * actually move a contrastive loss; random negatives are too easy
+    * to carry gradient). Output: (vec_id, label, pos_id, pos_cos,
+    * neg_id, neg_cos); anchors missing either arm in their canopies
+    * drop (both arms are required to form a triplet).
+    *
+    * Candidates come from the k-means canopy blocker (Catalog-cached
+    * IVF fit shared with s_ann_ivf/s_knn_ivf) — which is exactly the
+    * right candidate set semantically: a hard negative is by
+    * definition inside the anchor's geometric neighborhood, so canopy
+    * blocking is not an approximation trade here, it IS the
+    * definition. O(Σ bucket²) work bounded by nlist sizing, exact
+    * cosine verify, two row_number windows over the shared candidate
+    * frame, one join to pair the arms. Rows-only by design (buckets
+    * follow the fitted centroids); spec plants cross-label
+    * near-duplicates and asserts they are mined as the negatives. */
+  def hardNegatives(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                    nAssign: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("canopy"))
+    val cand = e.as("a")
+      .join(e.as("b"),
+        col("a.canopy") === col("b.canopy") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+      .distinct() // a pair can share up to nAssign canopies
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    def top1(arm: DataFrame): DataFrame =
+      arm.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val pos = top1(cand.filter(col("label") === col("nbr_label")))
+      .select(col("vec_id"), col("label"),
+        col("nbr_id").as("pos_id"), col("cos_sim").as("pos_cos"))
+    val neg = top1(cand.filter(col("label") =!= col("nbr_label")))
+      .select(col("vec_id"),
+        col("nbr_id").as("neg_id"), col("cos_sim").as("neg_cos"))
+    pos.join(neg, Seq("vec_id"))
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -494,6 +542,10 @@ object Similarity {
     "s_knn_ivf" -> ((s, d) => {
       val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
       knnJoinCanopy(Tables(s, d).embeddings, cents)
+    }),
+    "s_hard_negatives" -> ((s, d) => {
+      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
+      hardNegatives(Tables(s, d).embeddings, cents)
     }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane

@@ -593,6 +593,39 @@ object TextAnalysis {
           .as("norm_entropy"))
   }
 
+  /** Tokenizer-vocabulary coverage report — the OOV-rate audit a
+    * training run publishes before committing to a tokenizer: with the
+    * corpus' own top-`vocabSize` tokens standing in for the tokenizer
+    * vocabulary, per-doc token count, out-of-vocabulary count and OOV
+    * rate. Docs with high OOV against the intended vocabulary
+    * fragment into long byte-level token sequences (wasted context,
+    * degraded loss) — this is the signal that catches them before
+    * training. In production the vocab frame is the real tokenizer's
+    * vocab read from a file; the plan is identical.
+    *
+    * Plan: one token-count aggregate builds the vocab (TakeOrdered to
+    * `vocabSize` rows — a MODEL, broadcast back like the IVF
+    * centroids; tie-break (freq desc, token asc) makes it
+    * engine-deterministic), then one broadcast left-join membership
+    * over the token fan-out and one per-doc aggregate. Linear in
+    * corpus tokens; the corpus never shuffles on anything wider than
+    * (doc_id, token). */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 16): DataFrame = {
+    val t = trim(coalesce(col("text"), lit("")))
+    val toks = documents.filter(length(t) > 0)
+      .select(col("doc_id"), explode(split(t, "\\s+")).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNotNull, 0L).otherwise(1L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (round(col("n_oov").cast("double") / col("n_tokens"), 4) + lit(0.0))
+          .as("oov_rate"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -614,7 +647,8 @@ object TextAnalysis {
     "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
     "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
     "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)),
-    "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)))
+    "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)),
+    "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -625,6 +659,22 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Vocab = top-16 tokens by corpus frequency with the (freq desc,
+    // token asc) tie-break — a deterministic SET on both engines; OOV
+    // is a null-membership count, the rate ROUND(,4)+0.0.
+    "t_vocab_coverage" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
+        |  FROM documents WHERE length(trim(COALESCE(text, ''))) > 0),
+        |t AS (SELECT doc_id, unnest(a) AS w FROM d),
+        |v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM t GROUP BY 1
+        |  ORDER BY c DESC, w ASC LIMIT 16))
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) + 0.0 AS oov_rate
+        |FROM t LEFT JOIN v ON t.w = v.w
+        |GROUP BY 1""".stripMargin,
     // Per-term c·ln(c) doubles are identical on both engines (ln of an
     // integer-valued double); the DECIMAL(28,10) term cast makes the
     // SUM exact and order-free; ONE final double division per output,

@@ -55,7 +55,11 @@ object Audit {
     "d_semantic_cross",
     // full-outer fusion of two ≤100-row rank lists (full outer has no
     // broadcast strategy in Spark; an SMJ over two k-row sides is free)
-    "s_hybrid_rrf")
+    "s_hybrid_rrf",
+    // canopy-exploded embeddings self-join (candidates): both sides are
+    // the corpus × nAssign — a genuine fact×fact equi-join on the
+    // canopy id, same class as the d_semantic family above
+    "s_hard_negatives")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

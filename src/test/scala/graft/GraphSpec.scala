@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DomainGraph
+
+/** PageRank over the host graph: hand-checkable fixpoints, a JVM
+  * power-iteration reference, mass conservation, partition invariance. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domainRank: symmetric 2-cycle is the uniform fixpoint") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = DomainGraph.domainRank(edges).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("a") == 0.5 && r("b") == 0.5)
+  }
+
+  test("domainRank: a sink-hub star ranks the hub highest; mass ≈ 1") {
+    // spokes all link to hub; hub links back to one spoke
+    val edges = Seq(("s1", "hub"), ("s2", "hub"), ("s3", "hub"), ("hub", "s1"))
+      .toDF("src", "dst")
+    val r = DomainGraph.domainRank(edges).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    // hub out-degree 1 funnels its whole mass to s1, so s1 ends highest;
+    // hub (3 in-links) still dominates the unlinked spokes
+    assert(r("s1") > r("hub") && r("hub") > r("s2"))
+    assert(r("s2") == r("s3"), "symmetric spokes tie exactly")
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, s"mass ${r.values.sum}")
+  }
+
+  test("domainRank: matches a JVM power-iteration reference within round-6 slack") {
+    val rnd = new scala.util.Random(5)
+    val es = Seq.fill(200)((s"h${rnd.nextInt(12)}", s"h${rnd.nextInt(12)}"))
+    val got = DomainGraph.domainRank(es.toDF("src", "dst")).collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    // plain-double reference (no per-iteration decimal quantization);
+    // the emitted value is ROUND(,6), so agreement is bounded by the
+    // rounding half-ulp plus ~1e-9 of accumulated quantization drift
+    val w = es.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val outW = es.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 10) {
+      val in = w.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((u, _), wt) => 0.85 * r(u) * wt / outW(u)
+      }.sum).toMap
+      r = nodes.map(v => v -> (0.15 / n + in.getOrElse(v, 0.0))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (h, v) => assert(math.abs(v - r(h)) < 6e-7, s"$h: $v vs ${r(h)}") }
+  }
+
+  test("domainRank: partitioning-independent (decimal sums are order-free)") {
+    val rnd = new scala.util.Random(9)
+    val es = Seq.fill(300)((s"h${rnd.nextInt(15)}", s"h${rnd.nextInt(15)}"))
+      .toDF("src", "dst")
+    val a = DomainGraph.domainRank(es).collect()
+      .map(row => (row.getString(0), row.getDouble(1))).sortBy(_._1)
+    val b = DomainGraph.domainRank(es.repartition(13)).collect()
+      .map(row => (row.getString(0), row.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}

@@ -319,4 +319,36 @@ class SimilaritySpec extends SparkSpec {
     (0L until 60L).foreach(id => assert(canopy(id) == mates(id),
       s"canopy kNN: $id's top-2 are not its group-mates"))
   }
+
+  test("hardNegatives: planted cross-label near-dups are mined as the negatives") {
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Int, Seq[Float])]()
+    for (g <- 0 until 10) {
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      for (r <- 0 until 3)
+        rows += (((g * 3 + r).toLong, g,
+          base.indices.map(i => (base(i) + rnd.nextGaussian() * 0.01).toFloat)))
+      // for half the groups, plant a near-identical vector under a
+      // DIFFERENT label: the canonical hard negative
+      if (g < 5)
+        rows += ((100L + g, 100 + g,
+          base.indices.map(i => (base(i) + rnd.nextGaussian() * 0.01).toFloat)))
+    }
+    val embs = rows.toSeq.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.ivfCentroids(embs, k = 6, iters = 2)
+    val out = Similarity.hardNegatives(embs, cents).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    for (g <- 0 until 5; r <- 0 until 3) {
+      val id = (g * 3 + r).toLong
+      val (posId, posCos, negId, negCos) = out(id)
+      val mates = Set((g * 3).toLong, (g * 3 + 1).toLong, (g * 3 + 2).toLong) - id
+      assert(mates.contains(posId), s"anchor $id positive $posId not a group-mate")
+      assert(negId == 100L + g, s"anchor $id negative $negId is not the planted cross-label dup")
+      assert(posCos > 0.99 && negCos > 0.99)
+    }
+    // the plants have no same-label partner anywhere → no triplet row
+    (0 until 5).foreach(g => assert(!out.contains(100L + g)))
+  }
 }

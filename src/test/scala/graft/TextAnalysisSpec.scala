@@ -577,6 +577,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3.getDouble(3) == 0.6365 && r3.getDouble(4) == 0.9183)
   }
 
+  test("vocabCoverage: OOV vs the top-V corpus vocab; frequency tie broken by token asc") {
+    // corpus freqs: a:3, b:2, c:1, d:1
+    val df = Seq((1L, "a a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L) // vocab {a,b}: c is OOV → 1/4
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 1 && r1.getDouble(3) == 0.25)
+    val r2 = out(2L) // d is OOV → 1/3
+    assert(r2.getLong(1) == 3 && r2.getLong(2) == 1 && r2.getDouble(3) == 0.3333)
+    // c and d tie at freq 1: vocabSize=3 admits 'c' (token asc), not 'd'
+    val out3 = TextAnalysis.vocabCoverage(df, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out3(1L).getLong(2) == 0 && out3(2L).getLong(2) == 1)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
