@@ -43,12 +43,18 @@ object Sampling {
       case (acc, (src, r)) => when(col("source") === src, lit(thresholdHex(r))).otherwise(acc)
     }
 
+  /** Membership predicate of the deterministic mixture sample — exposed
+    * for composition (the streaming IngestGate's sampling arm applies
+    * it per batch; determinism makes the arm replay-idempotent). */
+  private[graft] def keepCol(rates: Map[String, Double], defaultRate: Double): Column =
+    coord < thresholdCol(rates, defaultRate)
+
   /** The sampled mixture: rows of `documents` kept under the per-source
     * rates. Pure scan-side filter. */
   def sampleMixture(documents: DataFrame, rates: Map[String, Double],
                     defaultRate: Double = 0.1): DataFrame =
     documents
-      .filter(coord < thresholdCol(rates, defaultRate))
+      .filter(keepCol(rates, defaultRate))
       .select(col("doc_id"), col("source"))
 
   /** Realized mixture summary: kept/total per source (exact integer

@@ -47,6 +47,16 @@ import graft.ops.Dedup
   * rejected with kind `quality:<verdict>` — making the gate the full
   * pipeline admission point: dedup + decontamination + quality, one
   * WAL, one admitted set.
+  *
+  * Optional fourth arm (`sampleRates`): the deterministic training
+  * mixture (`Sampling.sampleMixture`'s md5-threshold membership)
+  * applied at admission — docs outside their source's sampling rate
+  * are rejected with kind `sampled_out`. Membership is a pure function
+  * of (source, doc_id), so the arm is corpus-independent, identical
+  * under replay, and the streamed admitted set equals the batch
+  * operator's sample exactly (StreamingSpec proves it). With all four
+  * arms on, the gate is the complete corpus-preparation admission
+  * point: dedup + decontamination + quality + mixture, one WAL.
   */
 object IngestGate {
 
@@ -88,7 +98,8 @@ object IngestGate {
   def admitBatch(batch: DataFrame, corpusTable: String, fpTable: String,
                  sigTable: String, decisionsTable: String, buckets: Int = 8,
                  tau: Double = 0.8, eval: Option[EvalVet] = None,
-                 vetQuality: Boolean = false): Unit = {
+                 vetQuality: Boolean = false,
+                 sampleRates: Option[(Map[String, Double], Double)] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -138,12 +149,25 @@ object IngestGate {
         .select(col("doc_id").as("batch_id"),
           lit(null).cast("long").as("corpus_id"),
           concat(lit("quality:"), col("verdict")).as("kind")))
+    // Sampling arm: docs OUTSIDE the deterministic mixture membership
+    // are rejected at admission (kind sampled_out). Membership is a
+    // pure function of (source, doc_id) — scan-side, corpus-independent,
+    // bit-identical under replay — so the admitted set is exactly the
+    // batch operator's sample of whatever survives the other arms.
+    val sampling = sampleRates match {
+      case None => Seq.empty[DataFrame]
+      case Some((rates, dflt)) =>
+        Seq(batch.filter(!graft.ops.Sampling.keepCol(rates, dflt))
+          .select(col("doc_id").as("batch_id"),
+            lit(null).cast("long").as("corpus_id"),
+            lit("sampled_out").as("kind")))
+    }
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    (contam ++ quality).foldLeft(decisions)(_ unionByName _)
+    (contam ++ quality ++ sampling).foldLeft(decisions)(_ unionByName _)
       .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
@@ -176,12 +200,13 @@ object IngestGate {
   def start(docs: DataFrame, corpusTable: String, fpTable: String,
             sigTable: String, decisionsTable: String, checkpointDir: String,
             buckets: Int = 8, tau: Double = 0.8,
-            eval: Option[EvalVet] = None, vetQuality: Boolean = false): StreamingQuery =
+            eval: Option[EvalVet] = None, vetQuality: Boolean = false,
+            sampleRates: Option[(Map[String, Double], Double)] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
-          buckets, tau, eval, vetQuality)
+          buckets, tau, eval, vetQuality, sampleRates)
       }
       .start()
 }

@@ -519,6 +519,43 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with sampling arm: out-of-sample docs rejected; stream ≡ batch membership; replay idempotent") {
+    import graft.streaming.IngestGate
+    import graft.ops.Sampling
+    val tables = Seq("t_gate6_corpus", "t_gate6_fps", "t_gate6_sigs", "t_gate6_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gate6_corpus", "t_gate6_fps", "t_gate6_sigs", buckets = 2)
+    // distinct long texts so no dedup/quality arm interferes: the only
+    // rejections come from the mixture membership
+    val batch = graft.core.Tables(spark, TestSpark.sf0001).documents
+      .filter($"doc_id" >= 10L && $"doc_id" < 40L)
+    val rates = (Map("src0" -> 0.8, "src1" -> 0.2), 0.5)
+    IngestGate.admitBatch(batch, "t_gate6_corpus", "t_gate6_fps", "t_gate6_sigs",
+      "t_gate6_log", buckets = 2, sampleRates = Some(rates))
+    val inSample = Sampling.sampleMixture(batch, rates._1, rates._2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val sampledOut = spark.table("t_gate6_log").distinct()
+      .filter($"kind" === "sampled_out").collect().map(_.getAs[Long]("batch_id")).toSet
+    assert(sampledOut == batchIds -- inSample, "rejections = the membership complement")
+    assert(sampledOut.nonEmpty && inSample.nonEmpty, "fixture must exercise both sides")
+    val ids = spark.table("t_gate6_corpus").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val otherRejects = spark.table("t_gate6_log").distinct()
+      .filter($"kind" =!= "sampled_out").collect().map(_.getAs[Long]("batch_id")).toSet
+    assert(ids == Set(1L) ++ (inSample -- otherRejects),
+      "admitted = batch-operator sample minus other-arm rejections")
+    // replay idempotent with the sampling arm on
+    IngestGate.admitBatch(batch, "t_gate6_corpus", "t_gate6_fps", "t_gate6_sigs",
+      "t_gate6_log", buckets = 2, sampleRates = Some(rates))
+    assert(spark.table("t_gate6_corpus").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet == ids)
+    assert(spark.table("t_gate6_log").distinct()
+      .filter($"kind" === "sampled_out").count() == sampledOut.size)
+    dropGateTables(tables: _*)
+  }
+
   test("span gate: doc_id-ordered stream equals batch spanDedup; replay idempotent") {
     import graft.streaming.SpanStream
     val tables = Seq("t_span_reg", "t_span_out")
