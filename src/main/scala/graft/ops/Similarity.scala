@@ -516,6 +516,34 @@ object Similarity {
     pos.join(neg, Seq("vec_id"))
   }
 
+  /** Embedding-cohesion report per label — the embedding-quality
+    * governance artifact (is each class/source a tight cluster or a
+    * smear? a label whose cohesion drops after a re-embed run signals
+    * model drift; min_cos names the worst outlier's similarity): per
+    * label, member count, mean cosine-to-centroid and the minimum.
+    *
+    * Centroid = the label's fixed-point SUM vector (`graft_vecsum`, the
+    * order-independent aggregate the IVF fit and the medoid policy
+    * use — cosine is scale-invariant, so the unnormalized sum IS the
+    * mean direction, no division, no float-order nondeterminism). Plan:
+    * one vecsum aggregate to #labels rows, broadcast back, cosine
+    * scan-side, one final aggregate — two label-keyed shuffles, linear.
+    * Rows-only by design (fixed-point rounding is not portably
+    * SQL-expressible — the medoid precedent); spec-verified against a
+    * JVM reference and on planted identical-member labels. */
+  def centroidReport(embeddings: DataFrame): DataFrame = {
+    val sums = embeddings.groupBy(col("label"))
+      .agg(GraftFunctions.vecSum(col("embedding")).as("gsum"))
+    embeddings.join(broadcast(sums), Seq("label"))
+      .withColumn("c",
+        round(GraftFunctions.cosine(col("embedding"), col("gsum").cast("array<float>")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum(col("c").cast("decimal(28,10)")).cast("double") / count(lit(1)), 4)
+          + lit(0.0)).as("cohesion"),
+        (round(min(col("c")), 4) + lit(0.0)).as("min_cos"))
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -546,7 +574,8 @@ object Similarity {
     "s_hard_negatives" -> ((s, d) => {
       val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
       hardNegatives(Tables(s, d).embeddings, cents)
-    }))
+    }),
+    "s_centroid_report" -> ((s, d) => centroidReport(Tables(s, d).embeddings)))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

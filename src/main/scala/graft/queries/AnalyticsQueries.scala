@@ -175,6 +175,23 @@ object AnalyticsQueries {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total_price"))
 
+  /** Arbitrary GROUPING SETS — the non-hierarchical selection neither
+    * ROLLUP nor CUBE expresses: (status, priority) detail, a
+    * priority-only margin WITHOUT the status margin, and the grand
+    * total, in ONE Expand-based aggregate pass (one scan, one shuffle —
+    * the same plan class as rollup/cube; a UNION ALL of three
+    * aggregates would scan three times). */
+  def groupingSetsOrders(t: Tables): DataFrame =
+    t.orders.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total_price"))
+
   /** Pivot with an explicit value list (no collect-distinct pre-pass —
     * at 100 TB an implicit pivot would scan once just to enumerate). */
   def pivotStatus(t: Tables): DataFrame =
@@ -468,6 +485,7 @@ object AnalyticsQueries {
     "q_window_running"     -> ((s, d) => windowRunning(Tables(s, d))),
     "q_distinct_agg"       -> ((s, d) => distinctAgg(Tables(s, d))),
     "q_rollup"             -> ((s, d) => rollupOrders(Tables(s, d))),
+    "q_grouping_sets"      -> ((s, d) => groupingSetsOrders(Tables(s, d))),
     "q_pivot"              -> ((s, d) => pivotStatus(Tables(s, d))),
     "q_set_ops"            -> ((s, d) => setOps(Tables(s, d))),
     "q_string_date"        -> ((s, d) => stringDate(Tables(s, d))),
@@ -658,6 +676,14 @@ object AnalyticsQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderpriority), ())""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,

@@ -181,4 +181,20 @@ class AnalyticsSpec extends SparkSpec {
     val purchases = t.events.filter($"event_type" === "purchase").count()
     assert(AnalyticsQueries.asofJoin(t).count() == purchases)
   }
+
+  test("q_grouping_sets: exactly the three declared sets, margins consistent") {
+    val out = AnalyticsQueries.groupingSetsOrders(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val total = t.orders.count()
+    assert(out(("ALL", "ALL")) == total, "grand total")
+    // priority margins present and summing to the total…
+    val margins = out.collect { case (("ALL", p), n) if p != "ALL" => n }
+    assert(margins.sum == total)
+    // …but NO status-only margin (the set rollup/cube would add)
+    assert(!out.keys.exists { case (s, p) => s != "ALL" && p == "ALL" })
+    // detail rows sum to their priority margin
+    out.collect { case (("ALL", p), n) if p != "ALL" =>
+      assert(out.collect { case ((s, q), m) if q == p && s != "ALL" => m }.sum == n)
+    }
+  }
 }

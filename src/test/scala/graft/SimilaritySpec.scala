@@ -351,4 +351,46 @@ class SimilaritySpec extends SparkSpec {
     // the plants have no same-label partner anywhere → no triplet row
     (0 until 5).foreach(g => assert(!out.contains(100L + g)))
   }
+
+  test("centroidReport: matches a JVM fixed-point reference; identical members → cohesion 1") {
+    val out = Similarity.centroidReport(embs).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // JVM reference: same fixed-point sum (scale 1e9, math.round), same
+    // float-cast centroid, same round(,6) per-member cosine, decimal sum
+    val all = embs.collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1))).groupBy(_._1)
+    val scale = graft.functions.VectorSumFixed.Scale
+    all.foreach { case (label, members) =>
+      val dim = members.head._2.length
+      val gsum = Array.ofDim[Long](dim)
+      members.foreach { case (_, v) =>
+        v.indices.foreach(i => gsum(i) += math.round(v(i).toDouble * scale)) }
+      val cf = gsum.map(_.toFloat)
+      def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cs = members.map { case (_, v) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        v.indices.foreach { i =>
+          val (x, y) = (v(i).toDouble, cf(i).toDouble)
+          dot += x * y; na += x * x; nb += y * y
+        }
+        val d = math.sqrt(na) * math.sqrt(nb)
+        r6(if (d == 0) 0.0 else dot / d)
+      }
+      def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      val mean = r4(cs.map(BigDecimal(_)).sum.toDouble / cs.length)
+      val (n, cohesion, minCos) = out(label)
+      assert(n == members.length)
+      assert(cohesion == mean, s"label $label: $cohesion vs $mean")
+      assert(minCos == r4(cs.min))
+    }
+    // planted: a label whose members are identical vectors coheres at 1.0
+    val v = Seq.fill(8)(0.3f)
+    val planted = Seq((1L, 77, v), (2L, 77, v), (3L, 77, v))
+      .toDF("vec_id", "label", "embedding")
+    val p = Similarity.centroidReport(planted).collect()(0)
+    assert(p.getInt(0) == 77 && p.getLong(1) == 3 &&
+      p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0)
+  }
 }
