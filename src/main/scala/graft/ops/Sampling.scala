@@ -141,6 +141,34 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** SoftDeDup SAMPLING — dedup in expectation: every document is kept
+    * with probability 1/n_copies of its exact-dup class (the
+    * `Dedup.softDedupWeights` weight realized as membership instead of
+    * carried as a column), so each duplicate class contributes ONE
+    * surviving copy in expectation while which copy survives stays
+    * unbiased across classes — the stochastic alternative to
+    * min-doc_id keeps, for samplers that cannot thread a weight
+    * through. Membership is the same deterministic 60-bit md5
+    * threshold as every sampling key, with the rate computed IN-PLAN
+    * from the dup-class window count (ROUND(,6) rate → integer hex
+    * threshold — the d_sample_temperature conversion, mirrored in the
+    * oracle). One window count over the normalized-md5 hash shuffle +
+    * the scan-side membership filter — the d_soft_dedup plan plus a
+    * filter, nothing more. */
+  def softDedupSample(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("norm_hash"))
+    val withN = documents
+      .select(col("doc_id"), col("source"),
+        md5(Dedup.normText(col("text"))).as("norm_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+    val rate = round(lit(1.0) / col("n_copies"), 6)
+    val th = format_string("%015x",
+      least(floor(rate * lit(math.pow(2, 60))).cast("long"), lit((1L << 60) - 1)))
+    withN.filter(coord < th)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+  }
+
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
     * chosen by the same 60-bit md5 coordinate (so the selection is a
     * deterministic, engine-portable function of the data, and the n=1
@@ -254,7 +282,8 @@ object Sampling {
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
-    "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)))
+    "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)),
+    "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -289,6 +318,22 @@ object Sampling {
           |WHERE f.source <> 'src19'
           |GROUP BY 1, 2""".stripMargin
     Map(
+      // Rate = ROUND(1/n_copies, 6) from the dup-class window count,
+      // realized as the shared integer-hex md5 threshold (the
+      // d_sample_temperature conversion — exact power-of-two scale).
+      "d_soft_sample" ->
+        raw"""WITH h AS (SELECT doc_id, source,
+          |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash
+          |  FROM documents),
+          |n AS (SELECT doc_id, source,
+          |    CAST(COUNT(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS n_copies
+          |  FROM h),
+          |t AS (SELECT doc_id, source, n_copies,
+          |    printf('%015x', LEAST(CAST(FLOOR(ROUND(CAST(1.0 AS DOUBLE) / n_copies, 6)
+          |      * 1152921504606846976.0) AS BIGINT), 1152921504606846975)) AS th
+          |  FROM n)
+          |SELECT doc_id, source, n_copies FROM t
+          |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) < th""".stripMargin,
       "d_dsir_weights" -> dsirSql,
       // ROUND(,4) weights make equal-weight ties real on both engines;
       // doc_id breaks them — a total order, so the top-100 SET is

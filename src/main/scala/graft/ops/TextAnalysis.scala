@@ -626,6 +626,27 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Per-source document-length distribution (p50/p90/p99 of token
+    * counts) — the context-window sizing artifact: packing efficiency
+    * (t_seq_pack/t_seq_bins) and truncation losses are functions of
+    * these tails, and a source whose p99 shifts between crawls changed
+    * its content shape. Exact `percentile` (= DuckDB quantile_cont —
+    * the v_speed_percentiles convention); buffers one source's counts
+    * per group, fine at any corpus scale since groups are sources —
+    * swap in approx_percentile for a sketched form if sources ever
+    * stop fitting (report shape unchanged). One scan + one
+    * #sources-row aggregate. */
+  def lengthQuantiles(documents: DataFrame): DataFrame = {
+    val t = trim(coalesce(col("text"), lit("")))
+    documents.filter(length(t) > 0)
+      .select(col("source"), size(split(t, "\\s+")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n, 0.9)"), 4).as("p90"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -648,7 +669,8 @@ object TextAnalysis {
     "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
     "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)),
     "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)),
-    "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)))
+    "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
+    "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -659,6 +681,17 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Spark exact `percentile` ≡ DuckDB quantile_cont (the
+    // v_speed_percentiles convention), ROUND(,4).
+    "t_length_quantiles" ->
+      raw"""WITH d AS (SELECT source,
+        |    len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS n
+        |  FROM documents WHERE length(trim(COALESCE(text, ''))) > 0)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(quantile_cont(n, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(n, 0.99), 4) AS p99
+        |FROM d GROUP BY 1""".stripMargin,
     // Vocab = top-16 tokens by corpus frequency with the (freq desc,
     // token asc) tie-break — a deterministic SET on both engines; OOV
     // is a null-membership count, the rate ROUND(,4)+0.0.

@@ -157,6 +157,40 @@ class SamplingSpec extends SparkSpec {
     assert(kept.subsetOf(larger))
   }
 
+  test("softDedupSample: planted dup classes sampled at 1/n, singletons kept, JVM membership exact") {
+    val dup10 = "the same duplicated text body appearing many times in the corpus"
+    val dup4 = "another repeated passage of text that shows up a few times"
+    val rows =
+      (0 until 10).map(i => (100L + i, "srcA", dup10)) ++
+        (0 until 4).map(i => (200L + i, "srcB", dup4)) ++
+        (0 until 20).map(i => (300L + i, "srcC", s"unique document number $i with its own words"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val out = Sampling.softDedupSample(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // singletons: rate 1 → all kept, n_copies 1
+    (0 until 20).foreach(i => assert(out.get(300L + i).contains(1L)))
+    // JVM reference of the membership: 15-hex md5 coord < integer-hex
+    // threshold of ROUND(1/n, 6) at the exact 2^60 scale
+    def coord(src: String, id: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    def th(n: Int): String = {
+      val rate = java.math.BigDecimal.valueOf(1.0 / n)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      f"${math.min((rate * math.pow(2, 60)).toLong, (1L << 60) - 1)}%015x"
+    }
+    val expect10 = (0 until 10).map(i => 100L + i).filter(id => coord("srcA", id) < th(10)).toSet
+    val expect4 = (0 until 4).map(i => 200L + i).filter(id => coord("srcB", id) < th(4)).toSet
+    assert(out.keySet.filter(id => id >= 100L && id < 200L) == expect10)
+    assert(out.keySet.filter(id => id >= 200L && id < 300L) == expect4)
+    expect10.foreach(id => assert(out(id) == 10L))
+    expect4.foreach(id => assert(out(id) == 4L))
+    // partitioning-independent (pure function of the data)
+    val again = Sampling.softDedupSample(df.repartition(7)).collect()
+      .map(_.getLong(0)).toSet
+    assert(again == out.keySet)
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
