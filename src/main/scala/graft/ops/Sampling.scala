@@ -169,6 +169,32 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_copies"))
   }
 
+  /** Deterministic train/valid/test split assignment — the holdout
+    * contract every training run needs BEFORE mixing: each document's
+    * split is a pure function of (source, doc_id) via the same 60-bit
+    * md5 coordinate as every sampling key, cut at two hex thresholds
+    * (coord < t_train → train; < t_train+valid → valid; else test).
+    * Properties that matter operationally: (a) scan-side — a CASE in
+    * the projection, no shuffle, no RNG state; (b) stable — re-ingesting
+    * or re-partitioning the corpus can never move a doc across splits,
+    * so eval rows can never leak into training between runs; (c)
+    * stratified by construction — the hash is uniform within every
+    * source, so each source splits ≈ at the global fractions; (d)
+    * monotone — growing validFrac only ever moves docs train→valid,
+    * never across valid/test, so enlarging a holdout cannot contaminate
+    * the other one retroactively. */
+  def splitAssign(documents: DataFrame, validFrac: Double = 0.05,
+                  testFrac: Double = 0.05): DataFrame = {
+    require(validFrac >= 0 && testFrac >= 0 && validFrac + testFrac <= 1.0,
+      s"fractions must be non-negative and sum <= 1, got $validFrac/$testFrac")
+    val tTrain = thresholdHex(1.0 - validFrac - testFrac)
+    val tValid = thresholdHex(1.0 - testFrac)
+    documents.select(col("doc_id"), col("source"),
+      when(coord < lit(tTrain), "train")
+        .when(coord < lit(tValid), "valid")
+        .otherwise("test").as("split"))
+  }
+
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
     * chosen by the same 60-bit md5 coordinate (so the selection is a
     * deterministic, engine-portable function of the data, and the n=1
@@ -283,7 +309,8 @@ object Sampling {
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)),
-    "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)))
+    "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)),
+    "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -341,6 +368,17 @@ object Sampling {
       "d_dsir_select" ->
         s"""SELECT doc_id, source, n_feats, dsir_weight FROM ($dsirSql)
            |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin,
+      // The two split cuts are the same integer-hex thresholds the
+      // sampling keys use (exact power-of-two scale — nothing float to
+      // diverge on); the CASE mirrors splitAssign's default 90/5/5.
+      "d_split_assign" ->
+        s"""SELECT doc_id, source,
+           |  CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |         < '${thresholdHex(0.90)}' THEN 'train'
+           |       WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |         < '${thresholdHex(0.95)}' THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

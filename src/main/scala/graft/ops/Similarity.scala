@@ -544,6 +544,39 @@ object Similarity {
         (round(min(col("c")), 4) + lit(0.0)).as("min_cos"))
   }
 
+  /** K-means clustering report — the semantic-clustering governance
+    * artifact off the SAME deterministic Lloyd fit the IVF family uses
+    * (one fit per (session, dir) via `Catalog.ivfIndex`; this key adds
+    * zero fit cost): per cluster, member count, label diversity, the
+    * majority label and its purity. This is how a curation run reads
+    * its clusters — a low-purity cluster means the embedding space
+    * mixes concepts there (SemDeDup-style pruning inside it is risky);
+    * a tiny singleton cluster names outliers worth inspecting.
+    *
+    * Input contract: a cluster-assigned frame (vec_id, label, cluster)
+    * — the `Catalog.ivfIndex` assignment. Majority tie-break: (count
+    * desc, label asc) — a total order, deterministic on both engines.
+    * Plan: one (cluster, label) count aggregate (map-side combined),
+    * then the per-cluster window passes over ≤ k×|labels| rows — the
+    * tiny-aggregate window form, data never re-shuffles. Rows-only by
+    * design: the assignment depends on the JVM fixed-point fit (the
+    * s_knn_ivf precedent); spec-verified on planted well-separated
+    * clusters (purity 1 recovery) and against a JVM reference. */
+  def kmeansReport(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col("cluster"))
+    val top = byCluster.orderBy(col("n").desc, col("label").asc)
+    assigned
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(top))
+      .withColumn("n_vecs", sum(col("n")).over(byCluster))
+      .withColumn("n_labels", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("n_vecs"), col("n_labels"),
+        col("label").as("top_label"), col("n").as("top_label_n"),
+        (round(col("n") / col("n_vecs"), 4) + lit(0.0)).as("purity"))
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -575,7 +608,11 @@ object Similarity {
       val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
       hardNegatives(Tables(s, d).embeddings, cents)
     }),
-    "s_centroid_report" -> ((s, d) => centroidReport(Tables(s, d).embeddings)))
+    "s_centroid_report" -> ((s, d) => centroidReport(Tables(s, d).embeddings)),
+    "s_kmeans" -> ((s, d) => {
+      val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      kmeansReport(assigned)
+    }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

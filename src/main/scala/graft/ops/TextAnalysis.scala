@@ -558,6 +558,43 @@ object TextAnalysis {
       corpusSpans.join(broadcast(evalSpans), Seq("span"), "left_anti"))
   }
 
+  /** Corpus-frequency boilerplate removal — the C4 "three-page rule"
+    * (Raffel et al. 2020 §2.2: any line occurring ≥ 3 times in the
+    * corpus is removed from EVERY page) re-expressed on this corpus's
+    * segmentation: documents are cut into consecutive `k`-token spans
+    * (the d_span_dedup/t_decontam_scrub unit — this corpus has no
+    * newlines, so fixed-token spans stand in for lines), each span's
+    * document frequency is counted corpus-wide, and spans present in
+    * ≥ `minDf` DISTINCT documents are scrubbed from ALL documents —
+    * including the first occurrence, which is what distinguishes the
+    * frequency rule from d_span_dedup's keep-first convention
+    * (navigation chrome / license headers are boilerplate in every
+    * copy; there is no "original" worth keeping).
+    *
+    * Plan shape at 100 TB — the BLOCKLIST form (what C4's own pipeline
+    * materializes): the df count runs as two map-side-combinable
+    * aggregates over (span, doc_id) distinct pairs, collapses to the
+    * df ≥ minDf span set — small by nature (boilerplate is the
+    * repeated sliver of a corpus) — and that blocklist broadcasts into
+    * a left-anti join against the span stream. The big frame therefore
+    * NEVER shuffles on the span text: a d_span_dedup-style span-keyed
+    * window would buffer a mega-frequency span's every occurrence in
+    * one partition (boilerplate is precisely the key that skews), while
+    * here the heavy key collapses map-side to one row per partition
+    * before moving. Cost: the cut runs twice (blocklist arm + scrub
+    * arm — the sampleTokenBudget two-scan convention; the second arm's
+    * shuffle is only the doc_id reassembly). If a corpus's blocklist
+    * ever outgrows broadcast, swap the anti-join for the Bloom
+    * prefilter exactly as t_decontam_bloom does. */
+  def boilerplateScrub(documents: DataFrame, k: Int = 8, minDf: Int = 3): DataFrame = {
+    val spans = Dedup.spanCut(documents, k)
+    val blocklist = spans.select(col("span"), col("doc_id")).distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("span"))
+    Dedup.spanAssemble(spans.join(broadcast(blocklist), Seq("span"), "left_anti"))
+  }
+
   /** Shannon token-entropy quality signal — the information-theoretic
     * member of the quality family (t_lexical_div's TTR counts types;
     * entropy weighs their distribution — a doc cycling two tokens and a
@@ -668,6 +705,7 @@ object TextAnalysis {
     "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
     "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
     "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)),
+    "t_boilerplate"    -> ((s, d) => boilerplateScrub(Tables(s, d).documents)),
     "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)),
     "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)))
@@ -758,6 +796,32 @@ object TextAnalysis {
         |FROM agg""".stripMargin,
     // Same span CTE as d_span_dedup (k=8 here), eval side as a distinct
     // span set, NOT EXISTS anti-join, ORDER BY span_idx reassembly.
+    // Same span CTEs as t_decontam_scrub; the scrub set is the spans
+    // with ≥ 3 distinct-document occurrences (COUNT(DISTINCT doc_id)
+    // — integer, nothing float to diverge on), removed from EVERY doc.
+    "t_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, source, t,
+        |    CAST(ceil(len(t) / 8.0) AS INTEGER) AS n_spans,
+        |    unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS span_idx
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, source, n_spans, span_idx,
+        |    array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span
+        |  FROM sp),
+        |df AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY 1),
+        |kept AS (
+        |  SELECT s.doc_id, s.source, s.n_spans, s.span_idx, s.span
+        |  FROM spans s JOIN df USING (span) WHERE df.df < 3)
+        |SELECT doc_id, source, MAX(n_spans) AS n_spans,
+        |  CAST(COUNT(*) AS INTEGER) AS n_kept,
+        |  MAX(n_spans) - CAST(COUNT(*) AS INTEGER) AS n_dropped,
+        |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+        |FROM kept GROUP BY 1, 2""".stripMargin,
     "t_decontam_scrub" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

@@ -191,6 +191,40 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.keySet)
   }
 
+  test("splitAssign: total, disjoint, stable under repartitioning, monotone in validFrac") {
+    val out = Sampling.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == docs.count(), "every doc gets exactly one split")
+    assert(out.values.toSet.subsetOf(Set("train", "valid", "test")))
+    assert(out.values.count(_ == "train") > out.values.count(_ == "valid"),
+      "90/5/5 defaults: train dominates")
+    // pure function of the data: partitioning cannot move a doc
+    val again = Sampling.splitAssign(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == out)
+    // monotone: growing validFrac only moves docs train -> valid
+    val wider = Sampling.splitAssign(docs, validFrac = 0.20).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (id, s) =>
+      (s, wider(id)) match {
+        case ("train", w) => assert(w == "train" || w == "valid")
+        case (o, w)       => assert(o == w, s"doc $id moved $o -> $w across the valid cut")
+      }
+    }
+    // JVM reference of the cut: 15-hex md5 coord against the 2^60-scale thresholds
+    def coord(src: String, id: Long) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$src:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    def th(rate: Double) = f"${(rate * math.pow(2, 60)).toLong}%015x"
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, s) =>
+      val c = coord(srcOf(id), id)
+      val expect = if (c < th(0.90)) "train" else if (c < th(0.95)) "valid" else "test"
+      assert(s == expect)
+    }
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))

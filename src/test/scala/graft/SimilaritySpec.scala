@@ -393,4 +393,56 @@ class SimilaritySpec extends SparkSpec {
     assert(p.getInt(0) == 77 && p.getLong(1) == 3 &&
       p.getDouble(2) == 1.0 && p.getDouble(3) == 1.0)
   }
+
+  test("kmeansReport: recovers planted well-separated clusters at purity 1") {
+    // three tight groups on orthogonal axes; vec_ids 0,1,2 are one seed
+    // per group, so the deterministic init starts one centroid in each
+    def v(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 3) eps else 0.0f))
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 5).map { j =>
+        val id = if (j == 0) g.toLong else 10L + g * 5 + j
+        (id, g, v(g, 0.01f * j))
+      }
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.ivfCentroids(df, k = 3, iters = 2)
+    val assigned = df.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(cents)))
+    val out = Similarity.kmeansReport(assigned).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(out.size == 3)
+    assert(out.values.map(_._1).sum == 15, "every vector is in exactly one cluster")
+    out.foreach { case (_, (n, nLabels, _, topN, purity)) =>
+      assert(n == 5 && nLabels == 1 && topN == 5 && purity == 1.0,
+        "well-separated groups cluster pure")
+    }
+    assert(out.values.map(_._3).toSet == Set(0, 1, 2), "each group is some cluster's majority")
+  }
+
+  test("kmeansReport: matches a JVM group-by reference on the real fit; ties break (n desc, label asc)") {
+    val cents = Similarity.ivfCentroids(embs, k = 8, iters = 2)
+    val assigned = embs.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(cents)))
+    val rows = assigned.select("cluster", "label").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val expect = rows.groupBy(_._1).map { case (c, ms) =>
+      val byLabel = ms.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
+      val (topLabel, topN) = byLabel.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      c -> (ms.length.toLong, byLabel.size.toLong, topLabel, topN.toLong,
+        r4(topN.toDouble / ms.length))
+    }
+    val got = Similarity.kmeansReport(assigned).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(got == expect)
+    // stable under input repartitioning (counts are partition-free)
+    val again = Similarity.kmeansReport(assigned.repartition(7)).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5))).toMap
+    assert(again == got)
+  }
 }

@@ -428,6 +428,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(12L) == (("x1 x2 x3 x4 x5 x6 x7 x8", 1, 0)), "clean docs pass through intact")
   }
 
+  test("boilerplateScrub hand example: df>=3 spans removed from EVERY doc, including the first") {
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"             // exactly one 8-token span
+    val twice = "t1 t2 t3 t4 t5 t6 t7 t8"              // df = 2: under the threshold
+    val df = Seq(
+      (1L, "web", s"$boiler u1 u2 u3 u4 u5 u6 u7 u8"), // first occurrence — still scrubbed
+      (2L, "web", boiler),                             // all-boilerplate: vanishes
+      (3L, "web", s"$boiler $twice"),
+      (4L, "web", twice),
+      // same span twice in ONE doc: occurrences 2, distinct docs 1 — kept
+      (5L, "web", "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.boilerplateScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Int]("n_kept"), r.getAs[Int]("n_dropped"))).toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 5L), "the all-boilerplate doc vanishes")
+    assert(out(1L) == (("u1 u2 u3 u4 u5 u6 u7 u8", 1, 1)), "first occurrence is scrubbed too")
+    assert(out(3L) == ((twice, 1, 1)))
+    assert(out(4L) == ((twice, 1, 0)), "df=2 spans survive everywhere")
+    assert(out(5L)._2 == 2, "within-doc repetition does not count toward df")
+  }
+
+  test("boilerplateScrub corpus: dropped spans equal an independent df>=3 occurrence count") {
+    import graft.ops.Dedup
+    val out = TextAnalysis.boilerplateScrub(docs).collect()
+    val spans = Dedup.spanCut(docs, 8)
+      .select("doc_id", "span").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("span")))
+    val dfBySpan = spans.groupBy(_._2).map { case (s, occ) => s -> occ.map(_._1).distinct.size }
+    val boilerOccurrences = spans.count { case (_, s) => dfBySpan(s) >= 3 }
+    assert(boilerOccurrences > 0, "testdata must exercise the scrub (live signal)")
+    assert(out.map(_.getAs[Int]("n_dropped")).sum == boilerOccurrences)
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_kept") + r.getAs[Int]("n_dropped") == r.getAs[Int]("n_spans"))
+    }
+  }
+
   test("decontamScrub corpus: dropped spans equal an independent overlap count; clean docs intact") {
     import graft.ops.Dedup
     val out = TextAnalysis.decontamScrub(docs).collect()
