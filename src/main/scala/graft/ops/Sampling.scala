@@ -184,15 +184,139 @@ object Sampling {
     * never across valid/test, so enlarging a holdout cannot contaminate
     * the other one retroactively. */
   def splitAssign(documents: DataFrame, validFrac: Double = 0.05,
-                  testFrac: Double = 0.05): DataFrame = {
+                  testFrac: Double = 0.05): DataFrame =
+    documents.select(col("doc_id"), col("source"),
+      splitCase(coord, validFrac, testFrac).as("split"))
+
+  /** The split CASE over any 60-bit hex coordinate — shared by the
+    * identity-keyed [[splitAssign]], the content-keyed
+    * [[splitAssignByContent]], and the [[splitLeakage]] report. */
+  private def splitCase(c: Column, validFrac: Double, testFrac: Double): Column = {
     require(validFrac >= 0 && testFrac >= 0 && validFrac + testFrac <= 1.0,
       s"fractions must be non-negative and sum <= 1, got $validFrac/$testFrac")
     val tTrain = thresholdHex(1.0 - validFrac - testFrac)
     val tValid = thresholdHex(1.0 - testFrac)
+    when(c < lit(tTrain), "train").when(c < lit(tValid), "valid").otherwise("test")
+  }
+
+  /** CONTENT-keyed split assignment — the leakage-safe form of
+    * [[splitAssign]]: the coordinate is the md5 of the NORMALIZED TEXT
+    * (the exact-dedup key) instead of the (source, doc_id) identity, so
+    * two exact copies of a document land in the same split BY
+    * CONSTRUCTION — an identity-keyed split sends ~2·p·(1-p) of every
+    * dup class's mass across the holdout boundary (measured by
+    * [[splitLeakage]]), which is precisely train/test contamination.
+    * Same operational properties as splitAssign (scan-side CASE, zero
+    * shuffles, re-partitioning/re-ingest stable, monotone in the
+    * fractions); the one trade: membership is a function of content, so
+    * editing a document can move it across splits (the dedup-correct
+    * behavior — edited content IS new content). */
+  def splitAssignByContent(documents: DataFrame, validFrac: Double = 0.05,
+                           testFrac: Double = 0.05): DataFrame = {
+    val contentCoord = substring(md5(Dedup.normText(col("text"))), 1, 15)
     documents.select(col("doc_id"), col("source"),
-      when(coord < lit(tTrain), "train")
-        .when(coord < lit(tValid), "valid")
-        .otherwise("test").as("split"))
+      splitCase(contentCoord, validFrac, testFrac).as("split"))
+  }
+
+  /** Cross-split LEAKAGE report — measures what the identity-keyed
+    * split cannot prevent: for every holdout (valid/test) document,
+    * how much of its content is also visible to training. Two signals
+    * per doc: `n_leaked` / `leak_ratio` — how many of its `k`-token
+    * spans (the t_decontaminate unit) also occur in ANY train-split
+    * document — and `dup_in_train` — whether an EXACT copy (normalized
+    * md5) sits in train. This is eval decontamination turned inward:
+    * the same report a training run reads before trusting its
+    * validation loss (Lee et al. 2022 measured the dup-driven
+    * eval-overlap inflation this detects).
+    *
+    * Plan shape at 100 TB: the train span SET collapses to DISTINCT
+    * spans first (the mega-frequency boilerplate span becomes ONE row
+    * — map-side partial collapse, no skew), then the ~10% holdout span
+    * stream equi-joins it with fan-out exactly 1 per holdout span —
+    * never #train-occurrences. The corpus is scanned once for spans
+    * (split computed in the same scan) + once for the md5 fingerprint
+    * arm; both arms shuffle key columns only, never text payloads
+    * beyond the k-token spans themselves. The train set is ~90% of
+    * corpus spans — far beyond broadcast, so the span join is a
+    * shuffle join BY DESIGN (Audit budget declared); the fingerprint
+    * arm moves one 32-char hash per doc. */
+  def splitLeakage(documents: DataFrame, k: Int = 8, validFrac: Double = 0.05,
+                   testFrac: Double = 0.05): DataFrame = {
+    val spans = Dedup.spanCut(documents, k)
+      .withColumn("split", splitCase(coord, validFrac, testFrac))
+    val trainSpans = spans.filter(col("split") === "train")
+      .select(col("span")).distinct().withColumn("in_train", lit(1))
+    val spanLeak = spans.filter(col("split") =!= "train")
+      .join(trainSpans, Seq("span"), "left")
+      .groupBy(col("doc_id"), col("source"), col("split"))
+      .agg(max(col("n_spans")).as("n_spans"),
+        sum(coalesce(col("in_train"), lit(0))).cast("long").as("n_leaked"))
+    val trainHashes = documents
+      .withColumn("split", splitCase(coord, validFrac, testFrac))
+      .filter(col("split") === "train")
+      .select(md5(Dedup.normText(col("text"))).as("norm_hash")).distinct()
+      .withColumn("dup", lit(1))
+    val holdoutHashes = documents
+      .withColumn("split", splitCase(coord, validFrac, testFrac))
+      .filter(col("split") =!= "train")
+      .select(col("doc_id"), md5(Dedup.normText(col("text"))).as("norm_hash"))
+      .join(trainHashes, Seq("norm_hash"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0)).as("dup_in_train"))
+    spanLeak.join(holdoutHashes, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("split"), col("n_spans"),
+        col("n_leaked"), round(col("n_leaked") * lit(1.0) / col("n_spans"), 4).as("leak_ratio"),
+        col("dup_in_train"))
+  }
+
+  /** Integer "parts" of the target mixture for [[epochPlan]] — relative
+    * weights as ints so the in-plan normalizer Σw is an exact integer
+    * sum (order-free under any partitioning; a double Σ would be
+    * last-ulp partition-order-dependent). Mirrors the MixRates shape:
+    * upweight src0/src1, midweight src2, downweight src3, tail 1. */
+  val EpochParts: Map[String, Int] = Map("src0" -> 8, "src1" -> 8, "src2" -> 4, "src3" -> 2)
+  val EpochPartDefault: Int = 1
+
+  /** Data-constrained epoching plan (Muennighoff et al. 2023): given a
+    * total token budget and a target mixture, how many EPOCHS of each
+    * source must be repeated to serve its share — and how much of the
+    * share is unservable under the repeat cap (the paper's ~4-epoch
+    * point, beyond which repeated data stops substituting for new
+    * data). The pre-training-run governance artifact: `epochs_needed`
+    * > cap means the mixture over-asks this source; `deficit_tokens`
+    * is the gap to re-allocate.
+    *
+    * Determinism: weights are integer parts (exact Σ), token counts are
+    * exact longs from the codegen token kernel, target = ROUND(budget ×
+    * w/Σw) with ONE double division, epochs ROUND(,4) — engine-identical.
+    * Plan: one #sources-row aggregate off the scan (map-side partials),
+    * then a single-partition window over ≤ #sources rows. */
+  def epochPlan(documents: DataFrame, budgetTokens: Long = 100000L,
+                parts: Map[String, Int] = EpochParts,
+                defaultPart: Int = EpochPartDefault,
+                maxEpochs: Double = 4.0): DataFrame = {
+    val tokCount = graft.functions.GraftFunctions
+      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
+    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCount.cast("long")).as("n_tokens"))
+      .withColumn("weight", w)
+      .withColumn("wsum", sum(col("weight")).over(all))
+      .withColumn("target_tokens",
+        round(lit(budgetTokens.toDouble) * col("weight") / col("wsum"), 0).cast("long"))
+      .withColumn("epochs_needed",
+        round(col("target_tokens") * lit(1.0) / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("epochs_eff", least(col("epochs_needed"), lit(maxEpochs)))
+      .withColumn("deficit_tokens",
+        greatest(col("target_tokens") - round(col("n_tokens") * lit(maxEpochs), 0).cast("long"),
+          lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("epochs_needed"), col("epochs_eff"),
+        col("deficit_tokens"))
   }
 
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
@@ -310,7 +434,10 @@ object Sampling {
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)),
     "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)),
-    "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)))
+    "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)),
+    "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
+    "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
+    "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -379,6 +506,85 @@ object Sampling {
            |         < '${thresholdHex(0.95)}' THEN 'valid'
            |       ELSE 'test' END AS split
            |FROM documents""".stripMargin,
+      // Content-keyed split: the same two hex cuts over the md5 of the
+      // NORMALIZED TEXT (the exact-dedup key) — copies co-assign.
+      "d_split_content" ->
+        raw"""SELECT doc_id, source,
+           |  CASE WHEN substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 15)
+           |         < '${thresholdHex(0.90)}' THEN 'train'
+           |       WHEN substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 15)
+           |         < '${thresholdHex(0.95)}' THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM documents""".stripMargin,
+      // Same span CTEs as the t-family scrub keys (k=8), identity split
+      // CASE as d_split_assign; n_leaked counts holdout span POSITIONS
+      // whose span occurs in the DISTINCT train span set (fan-out 1 by
+      // construction), dup flag via the normalized-md5 membership.
+      "d_split_leakage" ->
+        raw"""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           |  FROM documents),
+           |sp AS (
+           |  SELECT doc_id, source, t,
+           |    CAST(ceil(len(t) / 8.0) AS INTEGER) AS n_spans,
+           |    unnest(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS span_idx
+           |  FROM toks),
+           |spans AS (
+           |  SELECT doc_id, source, n_spans, span_idx,
+           |    array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span
+           |  FROM sp),
+           |spl AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |           < '${thresholdHex(0.90)}' THEN 'train'
+           |         WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |           < '${thresholdHex(0.95)}' THEN 'valid'
+           |         ELSE 'test' END AS split
+           |  FROM documents),
+           |tr AS (SELECT DISTINCT span FROM spans JOIN spl USING (doc_id)
+           |       WHERE split = 'train'),
+           |leak AS (
+           |  SELECT s.doc_id, s.source, spl.split, MAX(s.n_spans) AS n_spans,
+           |    CAST(SUM(CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+           |  FROM spans s JOIN spl USING (doc_id) LEFT JOIN tr ON s.span = tr.span
+           |  WHERE spl.split <> 'train' GROUP BY 1, 2, 3),
+           |h AS (SELECT doc_id,
+           |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS nh
+           |  FROM documents),
+           |trh AS (SELECT DISTINCT nh FROM h JOIN spl USING (doc_id)
+           |        WHERE split = 'train')
+           |SELECT l.doc_id, l.source, l.split, l.n_spans, l.n_leaked,
+           |  ROUND(l.n_leaked * 1.0 / l.n_spans, 4) AS leak_ratio,
+           |  CASE WHEN trh.nh IS NOT NULL THEN 1 ELSE 0 END AS dup_in_train
+           |FROM leak l JOIN h ON l.doc_id = h.doc_id
+           |LEFT JOIN trh ON h.nh = trh.nh""".stripMargin,
+      // Integer weight parts (exact Σ), target = ROUND(budget·w/Σw)
+      // with one double division; epochs ROUND(,4); the 4-epoch cap and
+      // deficit are integer arithmetic on the rounded targets.
+      "d_epoch_plan" ->
+        raw"""WITH toks AS (SELECT doc_id, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           |  FROM documents),
+           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS n_tokens
+           |  FROM toks GROUP BY 1),
+           |w AS (SELECT source, n_docs, n_tokens,
+           |    CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
+           |                WHEN 'src3' THEN 2 ELSE 1 END AS weight
+           |  FROM agg),
+           |t AS (SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS wsum FROM w),
+           |p AS (SELECT source, n_docs, n_tokens, weight,
+           |    CAST(ROUND(100000.0 * weight / wsum, 0) AS BIGINT) AS target_tokens
+           |  FROM t),
+           |e AS (SELECT *,
+           |    ROUND(target_tokens * 1.0 / greatest(n_tokens, 1), 4) AS epochs_needed
+           |  FROM p)
+           |SELECT source, n_docs, n_tokens, weight, target_tokens, epochs_needed,
+           |  LEAST(epochs_needed, 4.0) AS epochs_eff,
+           |  GREATEST(target_tokens - CAST(ROUND(n_tokens * 4.0, 0) AS BIGINT),
+           |           CAST(0 AS BIGINT)) AS deficit_tokens
+           |FROM e""".stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

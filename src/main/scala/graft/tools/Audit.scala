@@ -59,7 +59,12 @@ object Audit {
     // canopy-exploded embeddings self-join (candidates): both sides are
     // the corpus × nAssign — a genuine fact×fact equi-join on the
     // canopy id, same class as the d_semantic family above
-    "s_hard_negatives")
+    "s_hard_negatives",
+    // holdout span stream ⋈ DISTINCT train span set: the train side is
+    // ~90% of corpus spans — broadcast is impossible at scale, so the
+    // span equi-join is a shuffle/SMJ join BY DESIGN (AQE picks
+    // broadcast only at tiny sf)
+    "d_split_leakage")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

@@ -225,6 +225,123 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  private def md5coord(src: String, id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$src:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+  private def hexTh(rate: Double) = f"${(rate * math.pow(2, 60)).toLong}%015x"
+  private def idSplit(src: String, id: Long): String = {
+    val c = md5coord(src, id)
+    if (c < hexTh(0.90)) "train" else if (c < hexTh(0.95)) "valid" else "test"
+  }
+  /** Smallest doc_id ≥ 1 that the identity split sends to `want`. */
+  private def idIn(want: String, src: String = "web"): Long =
+    (1L to 2000L).find(i => idSplit(src, i) == want)
+      .getOrElse(fail(s"no id lands in $want"))
+
+  test("splitAssignByContent: exact copies co-assign; normalization-invariant; scan-side") {
+    val text = "alpha beta gamma delta epsilon"
+    val trainId = idIn("train")
+    val testId = idIn("test")
+    val df = Seq((trainId, "web", text), (testId, "web", text)).toDF("doc_id", "source", "text")
+    // the identity split SEPARATES these exact copies (the leakage class)...
+    val byId = Sampling.splitAssign(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(trainId) == "train" && byId(testId) == "test")
+    // ...the content split cannot, by construction
+    val byContent = Sampling.splitAssignByContent(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byContent(trainId) == byContent(testId), "exact copies must co-assign")
+    // whitespace/case variants are the same content (exact-dedup key)
+    val noisy = Seq((999L, "other", "  ALPHA  beta   gamma delta EPSILON "))
+      .toDF("doc_id", "source", "text")
+    assert(Sampling.splitAssignByContent(noisy).collect().head.getString(2)
+      == byContent(trainId), "normalized variants share the content coordinate")
+    // scan-side: no exchange in the plan
+    val plan = Sampling.splitAssignByContent(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("splitLeakage hand example: span leaks counted against train, exact dups flagged") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val trainText = s"$shared x1 x2 x3 x4 x5 x6 x7 x8"
+    val t1 = idIn("train")
+    val ids = (1L to 5000L).filter(i => i != t1 && idSplit("web", i) != "train")
+    val (h1, h2, h3) = (ids(0), ids(1), ids(2))
+    val df = Seq(
+      (t1, "web", trainText),                          // train: spans {shared, x...}
+      (h1, "web", s"$shared h1 h2 h3 h4 h5 h6 h7 h8"), // holdout: half leaked
+      (h2, "web", trainText),                          // holdout: exact copy of a train doc
+      (h3, "web", "u1 u2 u3 u4 u5 u6 u7 u8")           // holdout: clean
+    ).toDF("doc_id", "source", "text")
+    val out = Sampling.splitLeakage(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(out.keySet == Set(h1, h2, h3), "one report row per holdout doc")
+    assert(out(h1) == ((2, 1L, 0.5, 0)), "half the spans leak, not an exact dup")
+    assert(out(h2) == ((2, 2L, 1.0, 1)), "exact train copy: full leak + dup flag")
+    assert(out(h3) == ((1, 0L, 0.0, 0)), "clean holdout doc")
+  }
+
+  test("splitLeakage corpus: matches a JVM reference; stable under repartitioning") {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val rows = docs.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def spansOf(text: String): Seq[String] = {
+      val t = norm(text).split(" ", -1).toSeq
+      val n = math.ceil(t.size / 8.0).toInt
+      (0 until n).map(i => t.slice(i * 8, i * 8 + 8).mkString(" "))
+    }
+    val bySplit = rows.groupBy { case (id, src, _) => idSplit(src, id) }
+    val trainSpans = bySplit.getOrElse("train", Array.empty).flatMap(r => spansOf(r._3)).toSet
+    val trainHashes = bySplit.getOrElse("train", Array.empty).map(r => norm(r._3)).toSet
+    val expect = rows.filter { case (id, src, _) => idSplit(src, id) != "train" }
+      .map { case (id, src, text) =>
+        val sp = spansOf(text)
+        val leaked = sp.count(trainSpans.contains)
+        def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+        id -> ((sp.size, leaked.toLong, r4(leaked.toDouble / sp.size),
+          if (trainHashes.contains(norm(text))) 1 else 0))
+      }.toMap
+    val got = Sampling.splitLeakage(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(got == expect)
+    val again = Sampling.splitLeakage(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    assert(again == got)
+  }
+
+  test("epochPlan: matches a JVM reference; budget conserved within rounding; cap binds") {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = rows.groupBy(_._1).map { case (src, rs) =>
+      src -> (rs.length.toLong,
+        rs.map(r => norm(r._2).split(" ").count(_.nonEmpty).toLong).sum)
+    }
+    val weight = toks.keys.map(s =>
+      s -> Sampling.EpochParts.getOrElse(s, Sampling.EpochPartDefault)).toMap
+    val wsum = weight.values.sum.toLong
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val budget = 100000.0
+    val expect = toks.map { case (src, (nDocs, nToks)) =>
+      val target = math.round(budget * weight(src) / wsum)
+      val needed = r4(target.toDouble / math.max(nToks, 1L))
+      src -> ((nDocs, nToks, weight(src), target, needed, math.min(needed, 4.0),
+        math.max(target - 4 * nToks, 0L)))
+    }
+    val got = Sampling.epochPlan(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getLong(7)))).toMap
+    assert(got == expect)
+    // conservation: targets sum to the budget within one rounding per source
+    val targets = got.values.map(_._4)
+    assert(math.abs(targets.sum - 100000L) <= got.size)
+    // the 100k budget over this tiny corpus MUST hit the 4-epoch cap somewhere
+    assert(got.values.exists(v => v._5 > 4.0 && v._7 > 0L), "cap + deficit exercised")
+    assert(got.values.forall(v => v._6 <= 4.0))
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
