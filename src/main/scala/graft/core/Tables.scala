@@ -1,8 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet tables under one scale-factor dir.
   *
@@ -21,21 +21,26 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 only reads
-    * via the nanosAsLong legacy conf (as a raw long). `GraftSession`
-    * sets it at session build; for sessions built elsewhere (e.g. a
-    * harness calling `SparkEntry.entry` with its own session) we set it
-    * defensively before the read — same value, so this is idempotent for
-    * graft sessions and only mutates foreign ones that would otherwise
-    * fail the read outright. Normalize to a microsecond timestamp so
-    * every downstream operator — and the DuckDB oracle, whose TIMESTAMP
-    * is also µs — sees identical values. */
+  /** `events.ts` has shipped in three parquet shapes across testdata
+    * generations: TIMESTAMP(NANOS) (readable only as a raw long under
+    * the nanosAsLong legacy conf — `GraftSession` sets it at session
+    * build; set defensively here for foreign sessions, idempotent for
+    * graft ones), TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ since Spark infers NTZ by default), and plain
+    * UTC-adjusted TIMESTAMP. Normalize all three to a microsecond
+    * instant timestamp so every downstream operator — and the DuckDB
+    * oracle, whose TIMESTAMP is also µs — sees identical values. The
+    * session timezone is UTC, so the NTZ→instant cast relabels the
+    * wall-clock value without shifting it, exactly matching DuckDB's
+    * naive read. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

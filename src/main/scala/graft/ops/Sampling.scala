@@ -420,6 +420,33 @@ object Sampling {
       .orderBy(col("dsir_weight").desc, col("doc_id").asc)
       .limit(n)
 
+  /** Deterministic corpus shuffle — the training-order step: every doc
+    * gets a shard (first hex nibble of its md5 coordinate → 16 shards)
+    * and a position within the shard (rank of the remaining 56 hash
+    * bits, doc_id tie-break — a total order). Reading shards 0..f each
+    * in position order IS the shuffled epoch order, and it is a pure
+    * function of (source, doc_id): reruns, engine swaps, and upstream
+    * repartitioning cannot change it, and a different epoch's order is
+    * one salt away (prepend the epoch to the hashed key).
+    *
+    * Plan: ONE hash shuffle on the 16 shard keys + a per-shard sort —
+    * exactly how the order materializes at 100 TB (each shard's sorted
+    * run writes independently; no global sort, no driver state). The
+    * 16-way key space is deliberately coarse here to keep the test
+    * battery cheap; production widens the nibble count, which only
+    * changes the substring length on both engines. */
+  def corpusShuffle(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws(":", col("source"), col("doc_id")))
+    documents
+      .select(col("doc_id"), col("source"),
+        substring(h, 1, 1).as("shard"), substring(h, 2, 14).as("ord"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("ord"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+  }
+
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
     * src2, downweight src3, 10% tail for everything else. */
   val MixRates: Map[String, Double] =
@@ -437,7 +464,8 @@ object Sampling {
     "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)),
     "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
-    "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)))
+    "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
+    "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -620,6 +648,17 @@ object Sampling {
           |    ORDER BY substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15),
           |             doc_id) AS sample_rank
           |  FROM documents)
-          |WHERE sample_rank <= 10""".stripMargin)
+          |WHERE sample_rank <= 10""".stripMargin,
+      // Mirror of corpusShuffle: same md5 coordinate split into the
+      // shard nibble and the 56-bit order key; rank is total (doc_id
+      // tie-break), so the (shard, pos) assignment is engine-exact.
+      "d_corpus_shuffle" ->
+        """WITH h AS (SELECT doc_id, source,
+          |    md5(concat(source, ':', CAST(doc_id AS VARCHAR))) AS hh
+          |  FROM documents)
+          |SELECT doc_id, source, substr(hh, 1, 1) AS shard,
+          |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1)
+          |    ORDER BY substr(hh, 2, 14), doc_id) AS BIGINT) AS pos
+          |FROM h""".stripMargin)
   }
 }

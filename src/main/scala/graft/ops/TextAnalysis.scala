@@ -684,6 +684,96 @@ object TextAnalysis {
         round(expr("percentile(n, 0.99)"), 4).as("p99"))
   }
 
+  /** Gopher-style structural quality rules (Rae et al. 2021 §A1.1) —
+    * the rule bundle web-corpus curation applies before any model-based
+    * scoring: word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+    * and a minimum stop-word count, folded into ONE ordered CASE verdict
+    * (first failing rule wins — same reporting shape as
+    * [[filterPipeline]]). Bounds are tuned to this corpus's 10-99-word
+    * documents (20/80 instead of the paper's 50/100k) so every verdict
+    * arm is exercised at test scale; the rule set and order are the
+    * paper's.
+    *
+    * Plan: pure projection — the stopword-profile kernel plus six
+    * `regexp_count` scans, all inside whole-stage codegen; no shuffle,
+    * no arrays in flight. Every ratio is one int/int division ROUND(,4)
+    * (IEEE-identical on both engines) and the CASE compares the ROUNDED
+    * values, so the verdict can never diverge on a ulp. At 100 TB this
+    * is scan-speed, and the verdict column is the partition-prunable
+    * admission key downstream writers bucket on. */
+  def gopherRules(documents: DataFrame,
+                  minWords: Int = 20, maxWords: Int = 80): DataFrame = {
+    // a whitespace-delimited run containing at least one ASCII letter —
+    // leftmost-greedy and leftmost-longest agree on maximal runs, so
+    // Java regex (here) and RE2 (oracle) count identically
+    val alphaWord = "[^\\s]*[A-Za-z][^\\s]*"
+    documents
+      .select(col("doc_id"), col("source"), col("text"), profile.as("p"))
+      .select(
+        col("doc_id"), col("source"),
+        col("p").getItem(0).as("n_words"),
+        col("p").getItem(1).as("n_stop"),
+        length(regexp_replace(col("text"), "\\s", "")).as("n_word_chars"),
+        regexp_count(col("text"), lit(alphaWord)).as("n_alpha_words"),
+        regexp_count(col("text"), lit("#|\\.\\.\\.")).as("n_symbols"),
+        (regexp_count(col("text"), lit("\n")) + lit(1)).as("n_lines"),
+        regexp_count(col("text"), lit("(^|\n)[ \t]*[-*] ")).as("n_bullet_lines"),
+        regexp_count(col("text"), lit("\\.\\.\\.(\n|$)")).as("n_ellipsis_lines"))
+      .withColumn("mean_word_len",
+        round(col("n_word_chars") / greatest(col("n_words"), lit(1)), 4))
+      .withColumn("alpha_frac",
+        round(col("n_alpha_words") / greatest(col("n_words"), lit(1)), 4))
+      .withColumn("symbol_ratio",
+        round(col("n_symbols") / greatest(col("n_words"), lit(1)), 4))
+      .withColumn("bullet_frac",
+        round(col("n_bullet_lines") / col("n_lines"), 4))
+      .withColumn("ellipsis_frac",
+        round(col("n_ellipsis_lines") / col("n_lines"), 4))
+      .withColumn("verdict",
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("n_words") > maxWords, "too_many_words")
+          .when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, "word_length")
+          .when(col("symbol_ratio") > 0.1, "symbol_heavy")
+          .when(col("bullet_frac") > 0.9, "bullet_heavy")
+          .when(col("ellipsis_frac") > 0.3, "ellipsis_heavy")
+          .when(col("alpha_frac") < 0.8, "low_alpha")
+          .when(col("n_stop") < 2, "few_stopwords")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("n_stop"), col("verdict"))
+  }
+
+  /** Flesch reading-ease + Flesch-Kincaid grade per document — the
+    * classic readability pair corpus cards report alongside the quality
+    * verdicts. Sentences = runs of terminal punctuation, syllables =
+    * vowel-group count (the standard regex approximation — exact
+    * syllabification needs a dictionary; the approximation is the one
+    * every at-scale pipeline ships). Three `regexp_count` scans, pure
+    * codegen projection, no shuffle.
+    *
+    * Determinism: both rates are int/int double divisions and the two
+    * formulas are evaluated in the same literal association
+    * `(c0 - c1*wps) - c2*spw` on both engines — bit-identical IEEE
+    * doubles — then ROUND(,4)+0.0 (the signed-zero convention; Flesch
+    * can legitimately round to -0.0). */
+  def readability(documents: DataFrame): DataFrame = {
+    val nWords = regexp_count(col("text"), lit("[^\\s]+"))
+    val nSents = regexp_count(col("text"), lit("[.!?]+"))
+    val nSyll  = regexp_count(col("text"), lit("[AEIOUYaeiouy]+"))
+    documents
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("wps", col("n_words") / greatest(col("n_sentences"), lit(1)))
+      .withColumn("spw", col("n_syllables") / greatest(col("n_words"), lit(1)))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (round(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 4)
+          + lit(0.0)).as("flesch"),
+        (round(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 4)
+          + lit(0.0)).as("fk_grade"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,7 +798,9 @@ object TextAnalysis {
     "t_boilerplate"    -> ((s, d) => boilerplateScrub(Tables(s, d).documents)),
     "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)),
     "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
-    "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)))
+    "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
+    "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
+    "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -730,6 +822,55 @@ object TextAnalysis {
         |  ROUND(quantile_cont(n, 0.9), 4) AS p90,
         |  ROUND(quantile_cont(n, 0.99), 4) AS p99
         |FROM d GROUP BY 1""".stripMargin,
+    // Mirror of gopherRules: same regex counts (plain ASCII classes —
+    // Java and RE2 agree), same int/int ROUND(,4) ratios, same ordered
+    // CASE over the ROUNDED values.
+    "t_gopher_rules" ->
+      raw"""$toksCte,
+        |m AS (SELECT doc_id, source,
+        |  len(list_filter(toks, t -> t != '')) AS n_words,
+        |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS n_stop,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+        |  len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*')) AS n_alpha_words,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+        |  len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+        |  len(regexp_extract_all(text, '(^|\n)[ \t]*[-*] ')) AS n_bullet_lines,
+        |  len(regexp_extract_all(text, '\.\.\.(\n|$$)')) AS n_ellipsis_lines
+        |FROM toks),
+        |r AS (SELECT doc_id, source, n_words, n_stop,
+        |  ROUND(CAST(n_word_chars AS DOUBLE) / greatest(n_words, 1), 4) AS mean_word_len,
+        |  ROUND(CAST(n_alpha_words AS DOUBLE) / greatest(n_words, 1), 4) AS alpha_frac,
+        |  ROUND(CAST(n_symbols AS DOUBLE) / greatest(n_words, 1), 4) AS symbol_ratio,
+        |  ROUND(CAST(n_bullet_lines AS DOUBLE) / n_lines, 4) AS bullet_frac,
+        |  ROUND(CAST(n_ellipsis_lines AS DOUBLE) / n_lines, 4) AS ellipsis_frac
+        |FROM m)
+        |SELECT doc_id, source, n_words, mean_word_len, alpha_frac, symbol_ratio,
+        |  bullet_frac, ellipsis_frac, n_stop,
+        |  CASE WHEN n_words < 20 THEN 'too_few_words'
+        |       WHEN n_words > 80 THEN 'too_many_words'
+        |       WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_length'
+        |       WHEN symbol_ratio > 0.1 THEN 'symbol_heavy'
+        |       WHEN bullet_frac > 0.9 THEN 'bullet_heavy'
+        |       WHEN ellipsis_frac > 0.3 THEN 'ellipsis_heavy'
+        |       WHEN alpha_frac < 0.8 THEN 'low_alpha'
+        |       WHEN n_stop < 2 THEN 'few_stopwords'
+        |       ELSE 'keep' END AS verdict
+        |FROM r""".stripMargin,
+    // Mirror of readability: identical regex counts and the SAME
+    // literal association of the two formulas, ROUND(,4)+0.0.
+    "t_readability" ->
+      raw"""WITH m AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[^\s]+')) AS n_words,
+        |  len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+        |  len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS n_syllables
+        |FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 4) + 0.0 AS flesch,
+        |  ROUND(0.39 * (CAST(n_words AS DOUBLE) / greatest(n_sentences, 1))
+        |      + 11.8 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)) - 15.59, 4) + 0.0
+        |    AS fk_grade
+        |FROM m""".stripMargin,
     // Vocab = top-16 tokens by corpus frequency with the (freq desc,
     // token asc) tie-break — a deterministic SET on both engines; OOV
     // is a null-membership count, the rate ROUND(,4)+0.0.

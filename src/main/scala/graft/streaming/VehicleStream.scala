@@ -25,13 +25,16 @@ case class Vehicle(id: String, label: String, latitude: Double, longitude: Doubl
   */
 object VehicleStream {
 
-  /** Streaming reads need an explicit schema. Under the session's
-    * nanosAsLong conf (GraftSession), the TIMESTAMP(NANOS) `ts` column
-    * arrives as a raw nanosecond long — declared as such here, then
-    * normalized to a µs timestamp in [[ingest]]. */
+  /** Streaming reads need an explicit schema. `ts` has shipped as
+    * TIMESTAMP(NANOS) (a raw long under the session's nanosAsLong conf)
+    * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ)
+    * across testdata generations — mirror of the `Tables.events`
+    * normalization. The declared default is the current µs-NTZ shape;
+    * [[eventStream]] probes the directory's real footer when one exists
+    * and normalizes either shape to a µs instant. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -55,13 +58,19 @@ object VehicleStream {
         col("window.end").as("window_end"),
         col("current_status"), col("n"))
 
-  /** Raw normalized event stream (µs timestamps) — input for
+  /** Raw normalized event stream (µs instant timestamps) — input for
     * event-level streaming operators. */
-  def eventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = scala.util.Try(spark.read.parquet(dir).schema).toOption
+      .filter(_.fieldNames.contains("ts"))
+      .getOrElse(eventsSchema)
+    val raw = spark.readStream.schema(schema).parquet(dir)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   /** Stream-stream interval join: each purchase ↔ the clicks of the same
     * user within the preceding hour. Watermarks on BOTH sides bound the

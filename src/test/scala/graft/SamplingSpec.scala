@@ -352,4 +352,26 @@ class SamplingSpec extends SparkSpec {
     // an over-large n degrades to the full weighted set, never errors
     assert(Sampling.dsirSelect(docs, n = 100000).count() == weights.length)
   }
+
+  test("corpusShuffle: (shard, pos) is a total order — a permutation of the corpus") {
+    val out = Sampling.corpusShuffle(docs).collect()
+    assert(out.length == docs.count())
+    // every (shard, pos) unique; positions within a shard are 1..n_shard
+    val byShard = out.groupBy(_.getString(2))
+    byShard.foreach { case (_, rows) =>
+      val ps = rows.map(_.getLong(3)).sorted
+      assert(ps.toSeq == (1L to rows.length).toSeq)
+    }
+    // shard is the first hex nibble of md5("source:doc_id") — JVM check
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.take(20).foreach { r =>
+      val hex = md.digest(s"${r.getString(1)}:${r.getLong(0)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(2) == hex.substring(0, 1))
+    }
+    // deterministic: a second run produces the identical assignment
+    val again = Sampling.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet)
+  }
 }

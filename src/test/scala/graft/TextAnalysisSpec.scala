@@ -628,6 +628,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out3(1L).getLong(2) == 0 && out3(2L).getLong(2) == 1)
   }
 
+  test("gopherRules: every verdict arm fires on its planted document, in rule order") {
+    val w4 = (1 to 25).map(i => f"wd$i%02d").mkString(" ") // 25 4+-char alpha words
+    val df = Seq(
+      (1L, "too few words here"),                                     // 4 words
+      (2L, (1 to 85).map(i => f"wd$i%02d").mkString(" ")),            // 85 words
+      (3L, (1 to 25).map(_ => "abcdefghijkl").mkString(" ")),         // mean len 12
+      (4L, w4 + " # # #"),                                            // 3/28 symbols
+      (5L, (1 to 10).map(_ => "- abcdefgh").mkString("\n")),          // all bullet lines
+      (6L, (1 to 4).map(_ => ("abcd " * 11) + "abcd...").mkString("\n")), // ellipsis ends
+      (7L, (1 to 21).map(_ => "1234").mkString(" ") + " " + "abcd abcd abcd abcd"), // 4/25 alpha
+      (8L, (1 to 25).map(_ => "zyxw").mkString(" ")),                 // no stopwords
+      (9L, "the cat and " + w4 + " of dog")                           // keep
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = TextAnalysis.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == Map(1L -> "too_few_words", 2L -> "too_many_words",
+      3L -> "word_length", 4L -> "symbol_heavy", 5L -> "bullet_heavy",
+      6L -> "ellipsis_heavy", 7L -> "low_alpha", 8L -> "few_stopwords",
+      9L -> "keep"))
+  }
+
+  test("gopherRules: ratios bounded, verdicts exhaustive, count preserved on real docs") {
+    val out = TextAnalysis.gopherRules(docs)
+    assert(out.count() == docs.count())
+    Seq("alpha_frac", "bullet_frac", "ellipsis_frac").foreach { c =>
+      assert(out.filter(col(c) < 0 || col(c) > 1).count() == 0, c)
+    }
+    val verdicts = Set("too_few_words", "too_many_words", "word_length",
+      "symbol_heavy", "bullet_heavy", "ellipsis_heavy", "low_alpha",
+      "few_stopwords", "keep")
+    assert(out.collect().forall(r => verdicts(r.getAs[String]("verdict"))))
+  }
+
+  test("readability: hand-computed Flesch and FK grade; zero-sentence guard") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, "no terminal punctuation here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L) // 6 words, 2 sentences, 6 vowel groups → wps 3, spw 1
+    assert(r1.getAs[Int]("n_words") == 6 && r1.getAs[Int]("n_sentences") == 2 &&
+      r1.getAs[Int]("n_syllables") == 6)
+    assert(r1.getAs[Double]("flesch") == 119.19)   // 206.835 − 3.045 − 84.6
+    assert(r1.getAs[Double]("fk_grade") == -2.62)  // 1.17 + 11.8 − 15.59
+    val r2 = got(2L) // sentences=0 → divisor 1
+    assert(r2.getAs[Int]("n_sentences") == 0)
+    assert(r2.getAs[Double]("flesch") ==
+      math.rint((206.835 - 1.015 * 4 - 84.6 * (9.0 / 4)) * 10000) / 10000)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
