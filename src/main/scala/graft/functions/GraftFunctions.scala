@@ -183,6 +183,38 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** All adjacent character pairs inside each word of the normalized
+    * text, WITH multiplicity ("a+b" per occurrence) — the corpus
+    * statistic one BPE merge step maximizes (Sennrich et al. 2016:
+    * merge the most frequent adjacent symbol pair; pairs never span a
+    * word boundary). Char = UTF-16 unit here vs DuckDB's codepoint
+    * substr — identical on ASCII corpora; the '+' separator keeps
+    * "ab"+"c" ≠ "a"+"bc". */
+  def bpePairs(text: UTF8String): ArrayData = {
+    val toks = tokenize(text)
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).length >= 2) n += toks(i).length - 1; i += 1 }
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder(3)
+    var m = 0
+    i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      var j = 0
+      while (j < w.length - 1) {
+        sb.setLength(0)
+        sb.append(w.charAt(j)).append('+').append(w.charAt(j + 1))
+        out(m) = UTF8String.fromString(sb.toString)
+        m += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 128-permutation MinHash signature of a shingle array: one FNV-1a
     * base hash per shingle, then 128 universal-hash permutations
     * `a_p * base + b_p` (odd multipliers), min per permutation. */
@@ -545,6 +577,26 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.shingles3($t)")
+}
+
+/** Adjacent char pairs per word with multiplicity (BPE merge stats). */
+case class BpePairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_bpe_pairs expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePairs =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.bpePairs(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.bpePairs($t)")
 }
 
 /** 128-perm MinHash signature of a shingle array (scan-side, codegen). */
@@ -992,6 +1044,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_phash64"),
       new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
       (children: Seq[Expression]) => PHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_pairs"),
+      new ExpressionInfo(classOf[BpePairs].getName, "graft_bpe_pairs"),
+      (children: Seq[Expression]) => BpePairs(children.head)))
     // Spark's own Bloom sketch expressions (public Catalyst classes,
     // used internally for runtime row-level filtering) surfaced as
     // graft functions: build with an aggregate over xxhash64(value),
@@ -1021,6 +1077,9 @@ object GraftFunctions {
 
   /** Distinct word 3-gram shingles of a text column → array<string>. */
   def shingles(text: Column): Column = call_function("graft_shingles", text)
+
+  /** Adjacent char pairs per word, with multiplicity (BPE merge stats). */
+  def bpePairs(text: Column): Column = call_function("graft_bpe_pairs", text)
 
   /** 128-perm MinHash signature of a shingle-array column → array<bigint>. */
   def minhash(shingles: Column): Column = call_function("graft_minhash", shingles)

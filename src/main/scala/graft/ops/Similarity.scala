@@ -577,6 +577,82 @@ object Similarity {
         (round(col("n") / col("n_vecs"), 4) + lit(0.0)).as("purity"))
   }
 
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the retrieval re-ranker that trades relevance
+    * against redundancy: greedily pick argmax of
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so a near-duplicate
+    * of an already-selected hit is deferred in favor of novel results
+    * (the RAG-context / eval-set-construction standard).
+    *
+    * Plan: candidate generation is the distributed [[annTopK]] plan
+    * (per-partition heaps, no global sort); the greedy loop then runs
+    * on the collected nCandidates×dim candidate MODEL — the same
+    * driver-scale object as the IVF centroids, never corpus data (the
+    * top-k result reaching the driver is already annTopK's contract).
+    * At 100 TB nothing changes: candidates stay O(k), the corpus work
+    * is all in the candidate scan. Determinism: relevance and pairwise
+    * sims are ROUND(,4) before scoring, ties by vec_id asc — the
+    * selection SET is engine- and partitioning-stable. Rows-only by
+    * design (iterative argmax is not SQL-expressible); spec-verified:
+    * dup-deferral, rank-1 = top relevance, JVM differential. */
+  def mmrDiversify(spark: SparkSession, embeddings: DataFrame,
+                   queryVecId: Long = 0L, k: Int = 5, nCandidates: Int = 20,
+                   lambda: Double = 0.5): DataFrame = {
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double = math.rint(x * 10000) / 10000 + 0.0
+    val cands = annTopK(embeddings, queryVecId, nCandidates)
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("label"), col("cos_sim"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getSeq[Float](3)))
+      .sortBy { case (id, _, rel, _) => (-rel, id) }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Seq[Float], Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer.from(cands)
+    while (selected.length < math.min(k, cands.length)) {
+      val scored = remaining.map { case c @ (id, _, rel, vec) =>
+        val maxSim = if (selected.isEmpty) 0.0
+          else selected.map(s => r4(cosine(vec, s._4))).max
+        (c, maxSim, lambda * rel - (1 - lambda) * maxSim)
+      }
+      val best = scored.minBy { case ((id, _, _, _), _, score) => (-score, id) }
+      selected += ((best._1._1, best._1._2, best._1._3, best._1._4, best._2, r4(best._3)))
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, label, rel, _, maxSim, score), i) =>
+      (i + 1, id, label, rel, r4(maxSim), score)
+    }.toSeq.toDF("rank", "vec_id", "label", "relevance", "max_sim_selected", "mmr_score")
+  }
+
+  /** ANN index quality report: recall@k of the IVF serving path against
+    * the exact brute-force top-k, per query — the evaluation artifact
+    * that justifies an index's nProbe/nlist settings before a corpus
+    * rollout (the FAISS-benchmark convention). Both arms are the
+    * existing plans ([[annTopK]] exact, [[annIvfFromIndex]] approx off
+    * the Catalog-cached fit); the join/count runs per query over ≤ k
+    * rows. Rows-only by design (the IVF arm depends on the JVM fit);
+    * spec proves recall = 1.0 when every list is probed and bounds
+    * recall in [0,1] otherwise. */
+  def recallReport(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                   assigned: DataFrame, queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                   k: Int = 10, nProbe: Int = 2): DataFrame =
+    queryVecIds.map { id =>
+      val exact = annTopK(embeddings, id, k).select(col("vec_id"))
+      val approx = annIvfFromIndex(centroids, assigned, id, k, nProbe)
+        .select(col("vec_id").as("a_vec_id"))
+      exact.join(approx, col("vec_id") === col("a_vec_id"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("a_vec_id")).as("n_hit"))
+        .select(lit(id).as("query_id"), col("n_exact"), col("n_hit"),
+          (round(col("n_hit") / col("n_exact"), 4) + lit(0.0)).as("recall"))
+    }.reduce(_ unionByName _)
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -612,6 +688,11 @@ object Similarity {
     "s_kmeans" -> ((s, d) => {
       val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
       kmeansReport(assigned)
+    }),
+    "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
+    "s_recall_report" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      recallReport(Tables(s, d).embeddings, cents, assigned)
     }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane

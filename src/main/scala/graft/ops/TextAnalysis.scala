@@ -774,6 +774,27 @@ object TextAnalysis {
           + lit(0.0)).as("fk_grade"))
   }
 
+  /** BPE merge statistics: the corpus-wide adjacent-symbol-pair counts
+    * whose argmax IS one byte-pair-encoding merge step (Sennrich et al.
+    * 2016) — the statistic tokenizer induction recomputes every merge
+    * round. Pairs are counted WITH multiplicity and never span a word
+    * boundary; top-k with (count desc, pair asc) tie-break so the merge
+    * choice is engine-deterministic.
+    *
+    * Plan: codegen `graft_bpe_pairs` kernel scan-side (the t_ngram_stats
+    * shape: explode → map-side-combined count → TakeOrdered(k)) —
+    * shuffle volume ∝ distinct pairs (≤ alphabet², tiny), never corpus
+    * size. Subsequent merge rounds re-run the same plan over the
+    * re-segmented corpus — each round is one scan, which is exactly how
+    * distributed BPE training iterates at 100 TB. */
+  def bpeMerges(documents: DataFrame, k: Int = 20): DataFrame =
+    documents
+      .select(explode(GraftFunctions.bpePairs(col("text"))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -800,7 +821,8 @@ object TextAnalysis {
     "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
     "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
-    "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)))
+    "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
+    "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -856,6 +878,18 @@ object TextAnalysis {
         |       WHEN n_stop < 2 THEN 'few_stopwords'
         |       ELSE 'keep' END AS verdict
         |FROM r""".stripMargin,
+    // Mirror of bpeMerges: per-word adjacent codepoint pairs with
+    // multiplicity (generate_series over positions), same '+' joiner
+    // and (count desc, pair asc) tie-break. ASCII corpus ⇒ DuckDB
+    // codepoint substr ≡ the kernel's UTF-16 charAt.
+    "t_bpe_merges" ->
+      s"""$toksCte,
+         |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
+         |p AS (SELECT substr(w, i, 1) || '+' || substr(w, i + 1, 1) AS pair
+         |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+         |        FROM w WHERE length(w) >= 2))
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     // Mirror of readability: identical regex counts and the SAME
     // literal association of the two formulas, ROUND(,4)+0.0.
     "t_readability" ->

@@ -36,7 +36,11 @@ object Audit {
     "t_bm25",
     // both shapes: the 1-row stats frame on the lexical arm and the
     // 1-row query vector on the cosine arm
-    "s_hybrid_rrf")
+    "s_hybrid_rrf",
+    // union of per-query (exact ⋈ approx) comparisons: the arms are
+    // the whitelisted 1-row-broadcast ANN subplans (one query-vector
+    // BNLJ per query); the recall join itself is a ≤ k-row equi-join
+    "s_recall_report")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

@@ -445,4 +445,50 @@ class SimilaritySpec extends SparkSpec {
         r.getDouble(5))).toMap
     assert(again == got)
   }
+
+  test("mmrDiversify: an exact duplicate of the first pick is deferred for a novel result") {
+    val s = math.sqrt(10).toFloat
+    val a = Seq(3f / s, 1f / s, 0f, 0f)   // rel ≈ 0.9487 to q
+    val c = Seq(3f / s, -1f / s, 0f, 0f)  // rel ≈ 0.9487, sim(a,c) = 0.8
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), // query
+      (1L, a, 1),
+      (2L, a, 2),                   // exact duplicate of vec 1
+      (3L, c, 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrDiversify(spark, df, queryVecId = 0L, k = 2,
+      nCandidates = 3, lambda = 0.5).collect()
+    assert(out.length == 2)
+    // rank 1 = top relevance with vec_id tie-break (1 over its dup 2)
+    assert(out(0).getAs[Int]("rank") == 1 && out(0).getAs[Long]("vec_id") == 1L)
+    // rank 2 skips the exact duplicate (max_sim 1.0) for the novel vector
+    assert(out(1).getAs[Long]("vec_id") == 3L)
+    assert(out(1).getAs[Double]("max_sim_selected") == 0.8)
+    // plain top-2 by relevance WOULD have returned the duplicate:
+    val plain = Similarity.annTopK(df, 0L, 2).collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 2L))
+  }
+
+  test("mmrDiversify: k capped by candidates; selection deterministic across runs") {
+    val once = Similarity.mmrDiversify(spark, embs, k = 5).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    val twice = Similarity.mmrDiversify(spark, embs, k = 5).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id")))
+    assert(once.toSeq == twice.toSeq && once.length == 5)
+  }
+
+  test("recallReport: full probing recovers the exact top-k (recall 1.0); partial probing bounded") {
+    val (cents, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val full = Similarity.recallReport(embs, cents, assigned,
+      queryVecIds = Seq(0L, 1L, 2L), k = 5, nProbe = cents.length).collect()
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 5L && r.getAs[Double]("recall") == 1.0)
+    }
+    val partial = Similarity.recallReport(embs, cents, assigned,
+      queryVecIds = Seq(0L, 1L, 2L), k = 5, nProbe = 1).collect()
+    partial.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
 }

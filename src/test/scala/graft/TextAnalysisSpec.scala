@@ -679,6 +679,16 @@ class TextAnalysisSpec extends SparkSpec {
       math.rint((206.835 - 1.015 * 4 - 84.6 * (9.0 / 4)) * 10000) / 10000)
   }
 
+  test("bpeMerges: hand-counted pair frequencies, multiplicity kept, no cross-word pairs") {
+    val df = Seq((1L, "ab ab cd"), (2L, "abc")).toDF("doc_id", "text")
+    // pairs: doc1 → a+b, a+b, c+d; doc2 → a+b, b+c
+    val got = TextAnalysis.bpeMerges(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a+b", 3L), ("b+c", 1L), ("c+d", 1L)))
+    // single-char words contribute nothing; "d c" never forms d+c across the space
+    assert(TextAnalysis.bpeMerges(Seq((1L, "a b c d")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
