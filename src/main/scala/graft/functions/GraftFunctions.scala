@@ -183,6 +183,57 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS local
+    * fingerprinting scheme): md5 each word k-gram (positional, with
+    * multiplicity), then keep the DISTINCT minima of every w-wide
+    * sliding window of consecutive gram hashes. Guarantees: any shared
+    * run of ≥ k+w−1 tokens between two documents shares at least one
+    * fingerprint, and fingerprint density is ~2/(w+1) — position-robust
+    * substring-dup detection at a fraction of d_span_dedup's span
+    * volume. Min is over the lowercase hex STRING (a total order both
+    * engines share); docs with fewer than k+w−1 tokens (no full
+    * window) emit nothing, by definition. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = tokenize(text)
+    val nGrams = toks.length - k + 1
+    if (k <= 0 || w <= 0 || nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder
+    val hashes = new Array[String](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new java.lang.StringBuilder(32)
+      var b = 0
+      while (b < dig.length) {
+        val v = dig(b) & 0xff
+        if (v < 16) hex.append('0')
+        hex.append(java.lang.Integer.toHexString(v))
+        b += 1
+      }
+      hashes(i) = hex.toString
+      md.reset()
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String](nGrams)
+    var j0 = 0
+    while (j0 <= nGrams - w) {
+      var min = hashes(j0)
+      var t = j0 + 1
+      while (t < j0 + w) { if (hashes(t).compareTo(min) < 0) min = hashes(t); t += 1 }
+      seen.add(min)
+      j0 += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new GenericArrayData(out)
+  }
+
   /** All adjacent character pairs inside each word of the normalized
     * text, WITH multiplicity ("a+b" per occurrence) — the corpus
     * statistic one BPE merge step maximizes (Sennrich et al. 2016:
@@ -577,6 +628,71 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.shingles3($t)")
+}
+
+/** Component-agreement count of two equal-length bigint signatures —
+  * the MinHash Jaccard estimator's numerator (est J = agree/perms). */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sig_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_sig_agree expects two array<bigint> columns, got ${l.sql} and ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SignatureAgreement =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var agree = 0; var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) agree += 1; i += 1 }
+    agree
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val agree = ctx.freshName("agree")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $agree = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
+         |}
+         |${ev.value} = $agree;
+         |""".stripMargin
+    })
+}
+
+/** Winnowing fingerprints of the k-gram hash stream (window w). */
+case class WinnowFingerprints(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects (string, int, int), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): WinnowFingerprints =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(text: Any, k: Any, w: Any): Any =
+    TextKernels.winnow(text.asInstanceOf[UTF8String], k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.functions.TextKernels.winnow($t, $k, $w)")
 }
 
 /** Adjacent char pairs per word with multiplicity (BPE merge stats). */
@@ -1048,6 +1164,14 @@ object GraftFunctions {
       new FunctionIdentifier("graft_bpe_pairs"),
       new ExpressionInfo(classOf[BpePairs].getName, "graft_bpe_pairs"),
       (children: Seq[Expression]) => BpePairs(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFingerprints(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => SignatureAgreement(children(0), children(1))))
     // Spark's own Bloom sketch expressions (public Catalyst classes,
     // used internally for runtime row-level filtering) surfaced as
     // graft functions: build with an aggregate over xxhash64(value),
@@ -1080,6 +1204,13 @@ object GraftFunctions {
 
   /** Adjacent char pairs per word, with multiplicity (BPE merge stats). */
   def bpePairs(text: Column): Column = call_function("graft_bpe_pairs", text)
+
+  /** Winnowing fingerprints of the k-gram stream, window w → array<string>. */
+  def winnow(text: Column, k: Column, w: Column): Column =
+    call_function("graft_winnow", text, k, w)
+
+  /** Equal-component count of two bigint signature arrays. */
+  def sigAgree(a: Column, b: Column): Column = call_function("graft_sig_agree", a, b)
 
   /** 128-perm MinHash signature of a shingle-array column → array<bigint>. */
   def minhash(shingles: Column): Column = call_function("graft_minhash", shingles)

@@ -777,6 +777,33 @@ object Dedup {
         max(col("cos")).as("max_cos"))
   }
 
+  /** MinHash calibration report: estimated vs exact Jaccard per LSH
+    * candidate pair — the artifact that validates the signature/banding
+    * parameters (128 perms, 32×4 bands) against ground truth before a
+    * corpus-scale dedup run trusts the estimate (|est−J| concentration
+    * is the whole justification for replacing the inverted index with
+    * signatures). est = equal-component count / 128 via the codegen
+    * `graft_sig_agree` kernel; exact = shingle-set Jaccard on the same
+    * candidate pairs ([[jaccardOnCandidates]] at τ=0 — candidates only,
+    * never all pairs). Two signature-table joins on the candidate frame
+    * (signatures ≈ 1% of corpus bytes); work ∝ candidates, the LSH
+    * guarantee. Rows-only by design (signatures are engine-side FNV
+    * permutations); spec: planted exact copies estimate 1.0 at error 0,
+    * corpus-wide error bounded. */
+  def jaccardCalibration(documents: DataFrame, signatures: DataFrame,
+                         bands: Int = 32): DataFrame = {
+    val cands = minhashCandidatesFromSignatures(signatures, bands)
+    jaccardOnCandidates(documents, cands, 0.0)
+      .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_agree", GraftFunctions.sigAgree(col("sig_a"), col("sig_b")))
+      .withColumn("est_jaccard", (round(col("n_agree") / lit(128.0), 4) + lit(0.0)))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"),
+        col("jaccard").as("exact_jaccard"),
+        (round(abs(col("n_agree") / lit(128.0) - col("jaccard")), 4) + lit(0.0))
+          .as("abs_err"))
+  }
+
   // ---- driver wiring ----
 
   import org.apache.spark.sql.SparkSession
@@ -798,6 +825,8 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
+    "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
+      graft.core.Catalog.minhashSignatures(s, d))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),

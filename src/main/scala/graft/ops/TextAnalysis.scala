@@ -795,6 +795,47 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
+    * md5 every word k-gram, keep the distinct minima of each w-wide
+    * sliding window of consecutive gram hashes. The guarantee: any
+    * shared token run of length ≥ k+w−1 between two documents shares at
+    * least one fingerprint, at ~2/(w+1) of the gram volume — the
+    * position-robust, storage-cheap substring-duplication index
+    * (d_span_dedup's fixed spans break on a one-token insertion; these
+    * don't). Docs with fewer than k+w−1 tokens emit nothing (no full
+    * window exists).
+    *
+    * Plan: the whole selection runs in the codegen `graft_winnow`
+    * kernel scan-side — ONE pass per doc, no gram explode, no window
+    * shuffle; only the selected fingerprints (a few per doc) leave the
+    * scan. This is the fingerprint TABLE a 100 TB pipeline materializes
+    * next to the MinHash signatures (Store-style); a dup query is then
+    * an equi-join on fp. Min is over the lowercase md5 hex STRING — a
+    * total order DuckDB shares, so the oracle recomputes every
+    * fingerprint byte-for-byte (window MIN over the same hashes). */
+  def winnowFingerprints(documents: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(GraftFunctions.winnow(col("text"), lit(k), lit(w))).as("fp"))
+
+  /** Language-ID confusion matrix: declared `lang` × predicted
+    * `lang_pred` counts + within-declared-language share — the
+    * governance artifact that validates the langid heuristic against
+    * upstream metadata before either is trusted for mixture design
+    * (big off-diagonal mass = mislabeled source or broken detector).
+    * One [[langId]] scan + a (lang, lang_pred) count aggregate; the
+    * share window runs over the ≤ |langs|² aggregate rows, never data. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langId(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        (round(col("n") / col("lang_total"), 4) + lit(0.0)).as("share"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -822,7 +863,9 @@ object TextAnalysis {
     "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
     "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
-    "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)))
+    "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
+    "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
+    "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -890,6 +933,45 @@ object TextAnalysis {
          |        FROM w WHERE length(w) >= 2))
          |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // Mirror of winnowFingerprints: same tokenization, the same md5 of
+    // every positional 3-gram, window MIN over the same hex-string
+    // total order, full windows only (i ≤ n_grams − (w−1)), DISTINCT.
+    "t_winnow" ->
+      raw"""$toksCte,
+         |tt AS (SELECT doc_id, list_filter(toks, t -> t != '') AS t FROM toks),
+         |g AS (SELECT doc_id, i,
+         |    md5(array_to_string(t[i:i+2], ' ')) AS h,
+         |    len(t) - 2 AS n_grams
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+         |        FROM tt WHERE len(t) >= 3)),
+         |wmin AS (SELECT doc_id, i, n_grams,
+         |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 3""".stripMargin,
+    // Mirror of langConfusion: the t_langid CASE joined back to the
+    // declared lang, counts + within-lang share over the tiny aggregate.
+    "t_lang_confusion" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS en_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("de")}))) AS de_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("fr")}))) AS fr_hits,
+         |  len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS es_hits
+         |FROM toks),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
+         |            AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+         |       WHEN es_hits > 0 THEN 'es'
+         |       ELSE 'unknown' END AS lang_pred
+         |FROM h),
+         |c AS (SELECT d.lang, p.lang_pred, COUNT(*) AS n
+         |  FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY 1, 2)
+         |SELECT lang, lang_pred, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 4) + 0.0 AS share
+         |FROM c""".stripMargin,
     // Mirror of readability: identical regex counts and the SAME
     // literal association of the two formulas, ROUND(,4)+0.0.
     "t_readability" ->

@@ -410,4 +410,23 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("group_size")).toMap
     assert(out == Map(10L -> 3, 13L -> 1))
   }
+
+  test("jaccardCalibration: planted exact copies estimate 1.0 at zero error; corpus error bounded") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val planted = Seq((100001L, dup, "sX"), (100002L, dup, "sX"))
+      .toDF("doc_id", "text", "source")
+    val corpus = docs.select($"doc_id", $"text", $"source").unionByName(planted)
+    val sigs = Dedup.minhashSignatures(corpus)
+    val out = Dedup.jaccardCalibration(corpus, sigs).collect()
+    val pair = out.find(r => r.getLong(0) == 100001L && r.getLong(1) == 100002L)
+    assert(pair.isDefined, "identical planted docs must surface as an LSH candidate")
+    assert(pair.get.getAs[Double]("est_jaccard") == 1.0)
+    assert(pair.get.getAs[Double]("exact_jaccard") == 1.0)
+    assert(pair.get.getAs[Double]("abs_err") == 0.0)
+    // 128 permutations: the estimate concentrates — every candidate pair
+    // within 0.3 of truth, mean error well under 0.1
+    val errs = out.map(_.getAs[Double]("abs_err"))
+    assert(errs.forall(_ <= 0.3), s"max abs_err ${errs.max}")
+    assert(errs.sum / errs.length <= 0.1)
+  }
 }

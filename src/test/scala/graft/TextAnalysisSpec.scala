@@ -689,6 +689,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(Seq((1L, "a b c d")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
+    import graft.ops.TextAnalysis
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 6 tokens, k=3 → 4 grams, w=4 → exactly one window: fp = min of the 4 gram md5s
+    val df1 = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(df1).collect().map(_.getString(1))
+    val expected = Seq("a b c", "b c d", "c d e", "d e f").map(md5hex).min
+    assert(got.toSeq == Seq(expected))
+    // any shared run of ≥ k+w−1 = 6 tokens shares at least one fingerprint
+    val df2 = Seq(
+      (1L, "x1 x2 a b c d e f y9"),
+      (2L, "z7 a b c d e f")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df2).collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // < k+w−1 tokens → no full window → nothing emitted
+    assert(TextAnalysis.winnowFingerprints(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("langConfusion: hand matrix — counts and within-language shares") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "en", "the cat and the dog"),
+      (2L, "en", "xyzzy qwerty"),
+      (3L, "de", "der hund und die katze")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.langConfusion(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("en", "en") -> ((1L, 0.5)),
+      ("en", "unknown") -> ((1L, 0.5)),
+      ("de", "de") -> ((1L, 1.0))))
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
