@@ -777,6 +777,31 @@ object Dedup {
         max(col("cos")).as("max_cos"))
   }
 
+  /** Per-document content novelty: the fraction of a doc's distinct
+    * 3-gram shingles that occur in NO other document (corpus df = 1) —
+    * the inverse of boilerplate/near-dup mass, and the positive signal
+    * novelty-weighted curation upsamples (a doc whose shingles are all
+    * corpus-unique contributes information no dedup pass can recover
+    * from its neighbors). Complements t_boilerplate (df ≥ 3 spans) and
+    * d_ngram_jaccard (pairwise overlap) with a per-doc scalar.
+    *
+    * Plan: the shingle fan-out keyed by shingle (one df aggregate with
+    * map-side partials — shingles are distinct per doc, so df is doc
+    * frequency), joined back to the fan-out, then one per-doc
+    * aggregate: linear in corpus shingle volume, never pairwise. The
+    * mega-frequency shingle is ONE aggregate row (df counting collapses
+    * map-side) — no skewed window anywhere. */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val ex = shingled(documents).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (round(col("n_unique") / col("n_shingles"), 4) + lit(0.0)).as("novelty"))
+  }
+
   /** MinHash calibration report: estimated vs exact Jaccard per LSH
     * candidate pair — the artifact that validates the signature/banding
     * parameters (128 perms, 32×4 bands) against ground truth before a
@@ -827,6 +852,7 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
+    "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),
@@ -1001,6 +1027,17 @@ object Dedup {
         |FROM documents""".stripMargin,
     "d_neardup_pipeline" -> ngramJaccardOracle,
     "d_ngram_jaccard" -> ngramJaccardOracle,
+    // Mirror of ngramNovelty: same distinct-per-doc shingles, df over
+    // the fan-out, one int/int ROUND(,4)+0.0 per doc.
+    "d_ngram_novelty" ->
+      s"""$shingleCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+         |f AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  ROUND(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) + 0.0
+         |    AS novelty
+         |FROM ex JOIN f USING (shingle) GROUP BY 1""".stripMargin,
     // Mirror of semanticDedupBuckets: label-blocked cosine edges at
     // τ=0.3, min-reachable-id components via a recursive closure (the
     // same fixpoint DupClusters' star contraction converges to), keep

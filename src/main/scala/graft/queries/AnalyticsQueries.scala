@@ -461,9 +461,32 @@ object AnalyticsQueries {
       last(col("c_custkey")).over(full).as("richest_key"))
   }
 
+  /** Key-distribution skew report: the top-k hottest keys of a fact
+    * table with their share of all rows and hotness (count / mean
+    * count) — the governance artifact behind every salting decision
+    * (q_skew_agg/q_skew_join pick their guards from exactly this
+    * shape; at 100 TB you run this BEFORE choosing a join strategy).
+    *
+    * Plan: one map-side-combined key count, then TakeOrdered(k) for
+    * the hot list and a 1-ROW global aggregate (total, n_keys)
+    * crossJoined onto the k rows — the t_bm25 corpus-stats shape, a
+    * broadcast of one row, never a single-partition window over the
+    * unbounded key-count frame. All-integer numerators, one double
+    * division each, ROUND(,4)+0.0. */
+  def skewReport(t: Tables, k: Int = 5): DataFrame = {
+    val counts = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("user_id").asc).limit(k)
+    val stats = counts.agg(sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    top.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n"),
+        (round(col("n") / col("total"), 4) + lit(0.0)).as("share"),
+        (round(col("n") * col("n_keys") / col("total"), 4) + lit(0.0)).as("hotness"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report"        -> ((s, d) => skewReport(Tables(s, d))),
     "q_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d))),
     "q_resample"           -> ((s, d) => resampleDaily(Tables(s, d))),
     "q_rank_suite"         -> ((s, d) => rankSuite(Tables(s, d))),
@@ -533,6 +556,18 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
         |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // Mirror of skewReport: integer count numerators, one double
+    // division each, the same (n desc, user_id asc) top-k total order.
+    "q_skew_report" ->
+      """WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |stats AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM counts),
+        |top AS (SELECT user_id, CAST(n AS BIGINT) AS n FROM counts
+        |        ORDER BY n DESC, user_id ASC LIMIT 5)
+        |SELECT user_id, n,
+        |  ROUND(CAST(n AS DOUBLE) / total, 4) + 0.0 AS share,
+        |  ROUND(CAST(n * n_keys AS DOUBLE) / total, 4) + 0.0 AS hotness
+        |FROM top CROSS JOIN stats""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_orders,

@@ -162,6 +162,38 @@ object VehicleQueries {
         col("delta_us"))
   }
 
+  /** Stop-dwell analytics over the FULL observation history (beyond the
+    * reference's latest-only view): consecutive same-status runs per
+    * vehicle become episodes (lag-change flag → cumulative sum — the
+    * q_sessionize pattern), and each STOPPED_AT episode's dwell is the
+    * exact µs span from its first to its last observation. Per vehicle:
+    * episode count, total and max dwell. All-integer µs arithmetic —
+    * nothing float to diverge on; single-observation episodes count
+    * with dwell 0 (a stop seen once is still a stop).
+    *
+    * One shuffle (the per-vehicle window) feeds both the episode
+    * assignment and the final aggregate — the same partitioning is
+    * reused, so at fleet scale this is one exchange + two local
+    * aggregations. */
+  def dwellTimes(feed: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("updated_at"), col("obs_id"))
+    feed
+      .select(col("id"), col("current_status"), col("updated_at"), col("obs_id"))
+      .withColumn("prev_status", lag(col("current_status"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_status").isNull ||
+             col("prev_status") =!= col("current_status"), 1L).otherwise(0L))
+      .withColumn("episode", sum(col("chg")).over(w))
+      .groupBy(col("id"), col("episode"), col("current_status"))
+      .agg((unix_micros(max(col("updated_at"))) -
+            unix_micros(min(col("updated_at")))).as("dwell_us"))
+      .filter(col("current_status") === "STOPPED_AT")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_stop_episodes"),
+        sum(col("dwell_us")).as("total_dwell_us"),
+        max(col("dwell_us")).as("max_dwell_us"))
+  }
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -186,6 +218,8 @@ object VehicleQueries {
       VehicleFeed.scd2History(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_gap_detection"  -> ((s, d) =>
       gapDetection(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_dwell_times"    -> ((s, d) =>
+      dwellTimes(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -313,6 +347,26 @@ object VehicleQueries {
          |  FROM vehicles_all
          |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id))
          |WHERE delta_us > 86400000000""".stripMargin,
+    // Mirror of dwellTimes: the same lag-change → cumulative-sum episode
+    // assignment and all-integer µs spans (epoch_us ≡ unix_micros).
+    "v_dwell_times" ->
+      s"""$VehiclesCte,
+         |e AS (SELECT id, current_status, updated_at, obs_id,
+         |    CASE WHEN lag(current_status) OVER w IS NULL
+         |           OR lag(current_status) OVER w <> current_status
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM vehicles_all
+         |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id)),
+         |ep AS (SELECT id, current_status, updated_at,
+         |    SUM(chg) OVER (PARTITION BY id ORDER BY updated_at, obs_id) AS episode
+         |  FROM e),
+         |dw AS (SELECT id, episode,
+         |    epoch_us(MAX(updated_at)) - epoch_us(MIN(updated_at)) AS dwell_us
+         |  FROM ep WHERE current_status = 'STOPPED_AT' GROUP BY id, episode)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_stop_episodes,
+         |  CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+         |  CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+         |FROM dw GROUP BY 1""".stripMargin,
     "v_bearing_filter" ->
       s"$VehiclesCte SELECT id, label, bearing, speed FROM vehicles WHERE bearing BETWEEN 75.0 AND 105.0",
     "v_geo_bbox" ->

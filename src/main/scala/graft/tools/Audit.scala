@@ -40,7 +40,10 @@ object Audit {
     // union of per-query (exact ⋈ approx) comparisons: the arms are
     // the whitelisted 1-row-broadcast ANN subplans (one query-vector
     // BNLJ per query); the recall join itself is a ≤ k-row equi-join
-    "s_recall_report")
+    "s_recall_report",
+    // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
+    // hot list — the t_bm25 corpus-stats shape
+    "q_skew_report")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

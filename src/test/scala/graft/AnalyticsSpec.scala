@@ -197,4 +197,20 @@ class AnalyticsSpec extends SparkSpec {
       assert(out.collect { case ((s, q), m) if q == p && s != "ALL" => m }.sum == n)
     }
   }
+
+  test("skewReport: JVM differential — top-5 hottest keys, exact shares and hotness") {
+    val t = Tables(spark, TestSpark.sf0001)
+    val counts = t.events.groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val nKeys = counts.length.toLong
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val expect = counts.sortBy { case (id, n) => (-n, id) }.take(5).map { case (id, n) =>
+      (id, n, r4(n.toDouble / total), r4(n.toDouble * nKeys / total))
+    }.toSeq
+    val got = AnalyticsQueries.skewReport(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
 }

@@ -411,6 +411,18 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(10L -> 3, 13L -> 1))
   }
 
+  test("ngramNovelty: hand corpus — shared shingles lower novelty, disjoint doc at 1.0") {
+    val df = Seq(
+      (1L, "a b c d"),   // shingles: "a b c"(df2), "b c d"(df1) → 1/2
+      (2L, "a b c x"),   // shingles: "a b c"(df2), "b c x"(df1) → 1/2
+      (3L, "p q r s")    // both shingles unique → 1.0
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)), 3L -> ((2L, 2L, 1.0))))
+  }
+
   test("jaccardCalibration: planted exact copies estimate 1.0 at zero error; corpus error bounded") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val planted = Seq((100001L, dup, "sX"), (100002L, dup, "sX"))

@@ -98,4 +98,30 @@ class VehicleQueriesSpec extends SparkSpec {
   test("upsert shrank the feed to one row per id") {
     assert(vehicles.groupBy("id").count().filter($"count" > 1).count() == 0)
   }
+
+  test("dwellTimes: hand-built episode chain — split on status change, exact µs dwell") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // R-1: STOPPED(0s,10s) → TRANSIT(20s) → STOPPED(30s): two stop
+    // episodes, dwells 10s and 0s. R-2: never stopped → absent.
+    val feed = Seq(
+      ("R-1", "STOPPED_AT", ts(0), 1L),
+      ("R-1", "STOPPED_AT", ts(10), 2L),
+      ("R-1", "IN_TRANSIT_TO", ts(20), 3L),
+      ("R-1", "STOPPED_AT", ts(30), 4L),
+      ("R-2", "IN_TRANSIT_TO", ts(0), 5L)
+    ).toDF("id", "current_status", "updated_at", "obs_id")
+    val got = VehicleQueries.dwellTimes(feed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("R-1" -> ((2L, 10000000L, 10000000L))))
+  }
+
+  test("dwellTimes: real feed — totals bounded by observation spans, max <= total") {
+    val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    val out = VehicleQueries.dwellTimes(feed).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_dwell_us") <= r.getAs[Long]("total_dwell_us"))
+      assert(r.getAs[Long]("n_stop_episodes") >= 1L)
+    }
+  }
 }
