@@ -630,6 +630,47 @@ case class WordShingles(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.shingles3($t)")
 }
 
+/** L2 norm of a float-array embedding: sqrt of the index-order double
+  * fold of squares — the same fold discipline as [[CosineSimilarity]],
+  * so DuckDB's `sqrt(list_sum(list_transform(v, x -> x*x)))` reproduces
+  * it bit-for-bit. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_vec_norm expects array<float>, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNorm =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+         |""".stripMargin
+    })
+}
+
 /** Component-agreement count of two equal-length bigint signatures —
   * the MinHash Jaccard estimator's numerator (est J = agree/perms). */
 case class SignatureAgreement(left: Expression, right: Expression)
@@ -1172,6 +1213,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_sig_agree"),
       new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
       (children: Seq[Expression]) => SignatureAgreement(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "graft_vec_norm"),
+      (children: Seq[Expression]) => VectorNorm(children.head)))
     // Spark's own Bloom sketch expressions (public Catalyst classes,
     // used internally for runtime row-level filtering) surfaced as
     // graft functions: build with an aggregate over xxhash64(value),
@@ -1211,6 +1256,9 @@ object GraftFunctions {
 
   /** Equal-component count of two bigint signature arrays. */
   def sigAgree(a: Column, b: Column): Column = call_function("graft_sig_agree", a, b)
+
+  /** L2 norm of a float-array embedding column → double. */
+  def vecNorm(a: Column): Column = call_function("graft_vec_norm", a)
 
   /** 128-perm MinHash signature of a shingle-array column → array<bigint>. */
   def minhash(shingles: Column): Column = call_function("graft_minhash", shingles)

@@ -777,6 +777,32 @@ object Dedup {
         max(col("cos")).as("max_cos"))
   }
 
+  /** Dedup yield curve: pair count and affected-document count at each
+    * candidate threshold τ — the governance artifact that PICKS the
+    * dedup threshold (the curve's knee separates "boilerplate overlap"
+    * from "true duplication"; running dedup blind at 0.8 because the
+    * paper did is how corpora lose diversity). ONE pass: the exact pair
+    * set at the loosest τ (certified inverted index), fanned out to the
+    * τ grid by a 3-element literal explode, then two tiny per-τ
+    * aggregates — the expensive pair mining is paid once for the whole
+    * curve, not once per threshold. Comparisons are on the ROUND(,4)
+    * jaccard both engines share. */
+  def dedupCurve(documents: DataFrame,
+                 taus: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, taus.min)
+    val fanned = pairs
+      .withColumn("tau", explode(typedlit(taus)))
+      .filter(col("jaccard") >= col("tau"))
+    val nPairs = fanned.groupBy(col("tau")).agg(count(lit(1)).as("n_pairs"))
+    val nDocs = fanned
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("tau")).agg(countDistinct(col("doc")).as("n_docs_affected"))
+    // both sides are ≤ |taus| rows — broadcast explicitly so the plan
+    // never degrades to a sort-merge join on the unknown-size aggregates
+    nPairs.join(broadcast(nDocs), Seq("tau"))
+      .select(col("tau"), col("n_pairs"), col("n_docs_affected"))
+  }
+
   /** Per-document content novelty: the fraction of a doc's distinct
     * 3-gram shingles that occur in NO other document (corpus df = 1) —
     * the inverse of boilerplate/near-dup mass, and the positive signal
@@ -853,6 +879,7 @@ object Dedup {
     "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
+    "d_dedup_curve"      -> ((s, d) => dedupCurve(Tables(s, d).documents)),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),
@@ -1027,6 +1054,22 @@ object Dedup {
         |FROM documents""".stripMargin,
     "d_neardup_pipeline" -> ngramJaccardOracle,
     "d_ngram_jaccard" -> ngramJaccardOracle,
+    // Mirror of dedupCurve: the same pair CTE at the loosest τ, the
+    // same τ-grid fan-out over the ROUND(,4) jaccard.
+    "d_dedup_curve" ->
+      s"""$shingleCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / (a.l + b.l - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id),
+         |f AS (SELECT doc_a, doc_b, jaccard, unnest([0.7, 0.8, 0.9]) AS tau
+         |      FROM p WHERE jaccard >= 0.7),
+         |ff AS (SELECT * FROM f WHERE jaccard >= tau),
+         |np AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ff GROUP BY 1),
+         |nd AS (SELECT tau, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_affected
+         |       FROM (SELECT tau, unnest([doc_a, doc_b]) AS doc FROM ff) GROUP BY 1)
+         |SELECT CAST(tau AS DOUBLE) AS tau, n_pairs, n_docs_affected
+         |FROM np JOIN nd USING (tau)""".stripMargin,
     // Mirror of ngramNovelty: same distinct-per-doc shingles, df over
     // the fan-out, one int/int ROUND(,4)+0.0 per doc.
     "d_ngram_novelty" ->

@@ -246,10 +246,31 @@ object Multimodal {
     base.unionByName(planted)
   }
 
+  /** Per-media-type corpus card: count, payload bytes, distinct-payload
+    * count and dup fraction — the media twin of t_corpus_report (the
+    * release-governance row a multimodal dataset ships per modality,
+    * and the sizing input for decode budgeting). One aggregate over the
+    * feature frame ([[pipeline]] — payload bytes already reduced to
+    * n_bytes/content_md5 scan-side, so nothing binary shuffles);
+    * collapses to #modalities rows. */
+  def mediaReport(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    pipeline(documents)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        countDistinct(col("content_md5")).as("n_unique_payloads"))
+      .select(col("media_type"), col("n_media"), col("total_bytes"),
+        col("n_unique_payloads"),
+        (round(lit(1.0) - col("n_unique_payloads") / col("n_media"), 4) + lit(0.0))
+          .as("dup_frac"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
+    "m_media_report" -> ((s, d) => mediaReport(Tables(s, d).documents)),
     "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
     "m_phash_neardup" -> ((s, d) =>
       phashNearDup(mediaWithPlantedNearDups(Tables(s, d).documents))),
@@ -311,6 +332,23 @@ object Multimodal {
         |  COUNT(*) AS n_copies,
         |  CAST(MAX(octet_length(encode(COALESCE(text, '')))) AS INTEGER) AS n_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+    // Mirror of mediaReport over the m_multimodal feature CTE: one
+    // aggregate per modality, exact integer sums, ROUND(,4)+0.0 dup
+    // fraction.
+    "m_media_report" ->
+      """WITH f AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  octet_length(encode(COALESCE(text, ''))) AS n_bytes,
+        |  md5(COALESCE(text, '')) AS content_md5
+        |FROM documents)
+        |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_media,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(COUNT(DISTINCT content_md5) AS BIGINT) AS n_unique_payloads,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT content_md5) AS DOUBLE) / COUNT(*), 4) + 0.0
+        |    AS dup_frac
+        |FROM f GROUP BY 1""".stripMargin,
     "m_multimodal" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

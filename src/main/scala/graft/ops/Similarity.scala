@@ -653,6 +653,28 @@ object Similarity {
           (round(col("n_hit") / col("n_exact"), 4) + lit(0.0)).as("recall"))
     }.reduce(_ unionByName _)
 
+  /** Embedding-norm quality report: per label, vector count,
+    * zero/degenerate-norm count, and p50/p90 of the L2 norm — the
+    * data-quality audit an embedding table gets before any cosine-based
+    * operator trusts it (a zero-norm vector silently scores 0 against
+    * everything; a norm-distribution shift between embedding-model
+    * versions invalidates every cached threshold). Norms are computed
+    * scan-side by the codegen `graft_vec_norm` kernel and ROUND(,4)
+    * BEFORE aggregation so both engines interpolate percentiles over
+    * identical values; one #labels-row aggregate (the
+    * t_length_quantiles shape — exact percentile buffers one label's
+    * norms per group, swap approx_percentile if labels ever outgrow an
+    * executor). */
+  def normReport(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        (round(GraftFunctions.vecNorm(col("embedding")), 4) + lit(0.0)).as("norm_r"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm_r") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        (round(expr("percentile(norm_r, 0.5)"), 4) + lit(0.0)).as("p50_norm"),
+        (round(expr("percentile(norm_r, 0.9)"), 4) + lit(0.0)).as("p90_norm"))
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -693,11 +715,25 @@ object Similarity {
     "s_recall_report" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       recallReport(Tables(s, d).embeddings, cents, assigned)
-    }))
+    }),
+    "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */
   val oracles: Map[String, String] = Map(
+    // Mirror of normReport: the same index-order square fold (list_sum
+    // over list_transform ≡ the kernel's loop), ROUND(,4)+0.0 BEFORE
+    // aggregation, quantile_cont ≡ percentile.
+    "s_norm_report" ->
+      """WITH n AS (SELECT label,
+        |  ROUND(sqrt(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 4) + 0.0 AS norm_r
+        |FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN norm_r = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  ROUND(quantile_cont(norm_r, 0.5), 4) + 0.0 AS p50_norm,
+        |  ROUND(quantile_cont(norm_r, 0.9), 4) + 0.0 AS p90_norm
+        |FROM n GROUP BY 1""".stripMargin,
     "s_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

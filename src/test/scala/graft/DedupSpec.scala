@@ -411,6 +411,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(10L -> 3, 13L -> 1))
   }
 
+  test("dedupCurve: monotone in tau, consistent with per-threshold pair counts") {
+    val out = Dedup.dedupCurve(docs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.nonEmpty)
+    // tighter τ can only shrink both counts
+    val taus = out.keys.toSeq.sorted
+    taus.zip(taus.tail).foreach { case (lo, hi) =>
+      assert(out(lo)._1 >= out(hi)._1 && out(lo)._2 >= out(hi)._2)
+    }
+    // each τ row equals an independent ngramJaccardPairs run at that τ
+    taus.foreach { tau =>
+      val pairs = Dedup.ngramJaccardPairs(docs, tau).collect()
+      assert(out(tau)._1 == pairs.length, s"n_pairs at $tau")
+      val docsAffected = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      assert(out(tau)._2 == docsAffected.size, s"n_docs at $tau")
+    }
+  }
+
   test("ngramNovelty: hand corpus — shared shingles lower novelty, disjoint doc at 1.0") {
     val df = Seq(
       (1L, "a b c d"),   // shingles: "a b c"(df2), "b c d"(df1) → 1/2

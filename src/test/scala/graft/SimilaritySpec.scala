@@ -491,4 +491,31 @@ class SimilaritySpec extends SparkSpec {
       assert(rec >= 0.0 && rec <= 1.0)
     }
   }
+
+  test("normReport: hand-built labels — zero-norm counted, exact percentiles") {
+    val df = Seq(
+      (1L, 7, Seq(3f, 4f, 0f, 0f)),   // norm 5
+      (2L, 7, Seq(0f, 0f, 0f, 0f)),   // norm 0 → zero-norm
+      (3L, 7, Seq(6f, 8f, 0f, 0f)),   // norm 10
+      (4L, 8, Seq(1f, 0f, 0f, 0f))    // norm 1
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.normReport(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // label 7: norms {0, 5, 10} → p50 = 5, p90 = 9 (linear interpolation)
+    assert(got(7) == ((3L, 1L, 5.0, 9.0)))
+    assert(got(8) == ((1L, 0L, 1.0, 1.0)))
+  }
+
+  test("normReport: graft_vec_norm matches a JVM fold on real embeddings") {
+    val rows = embs.limit(3).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      var s = 0.0
+      v.foreach { x => s += x.toDouble * x.toDouble }
+      val got = Seq(Tuple1(v)).toDF("e")
+        .select(GraftFunctions.vecNorm($"e")).collect()(0).getDouble(0)
+      assert(got == math.sqrt(s))
+    }
+  }
 }

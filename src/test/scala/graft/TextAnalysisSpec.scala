@@ -726,6 +726,23 @@ class TextAnalysisSpec extends SparkSpec {
       ("de", "de") -> ((1L, 1.0))))
   }
 
+  test("mediaReport: per-modality counts/bytes/dups match a JVM group-by of the feature frame") {
+    val feats = Multimodal.pipeline(docs).collect()
+      .map(r => (r.getAs[String]("media_type"), r.getAs[Int]("n_bytes"),
+        r.getAs[String]("content_md5")))
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val expect = feats.groupBy(_._1).map { case (mt, xs) =>
+      val uniq = xs.map(_._3).distinct.length.toLong
+      mt -> ((xs.length.toLong, xs.map(_._2.toLong).sum, uniq,
+        r4(1.0 - uniq.toDouble / xs.length)))
+    }
+    val got = Multimodal.mediaReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got == expect)
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
