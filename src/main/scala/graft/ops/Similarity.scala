@@ -653,6 +653,36 @@ object Similarity {
           (round(col("n_hit") / col("n_exact"), 4) + lit(0.0)).as("recall"))
     }.reduce(_ unionByName _)
 
+  /** Embedding drift monitor: per label, the cosine between the
+    * centroids of two corpus partitions (A = even vec_id, B = odd — the
+    * stand-in for "last ingest" vs "this ingest"; production passes any
+    * partition predicate). A label whose half-centroids diverge
+    * (drift_cos ≪ 1) moved in embedding space between batches — the
+    * signal that cached ANN thresholds, IVF fits, and SemDeDup τ need
+    * re-validation. Complements [[centroidReport]] (within-snapshot
+    * cohesion) with the across-snapshot comparison.
+    *
+    * Two fixed-point vecsum aggregates (map-side partials, k rows
+    * each — deterministic under any partitioning), joined on label (≤
+    * #labels rows), cosine between the sum vectors (scale-invariant: no
+    * division by counts needed). Rows-only by design (fixed-point sums
+    * are engine-side); spec: planted identical halves → drift 1.0,
+    * orthogonal halves → 0.0, plus a JVM differential. */
+  def centroidDrift(embeddings: DataFrame): DataFrame = {
+    def half(even: Boolean) = {
+      val side = if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0
+      embeddings.filter(side).groupBy(col("label"))
+        .agg(GraftFunctions.vecSum(col("embedding")).as(if (even) "sum_a" else "sum_b"),
+          count(lit(1)).as(if (even) "n_a" else "n_b"))
+    }
+    // both sides are ≤ #labels aggregate rows — broadcast explicitly so
+    // the plan never degrades to a sort-merge join on unknown sizes
+    half(even = true).join(broadcast(half(even = false)), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (round(GraftFunctions.cosine(col("sum_a").cast("array<float>"),
+          col("sum_b").cast("array<float>")), 4) + lit(0.0)).as("drift_cos"))
+  }
+
   /** Embedding-norm quality report: per label, vector count,
     * zero/degenerate-norm count, and p50/p90 of the L2 norm — the
     * data-quality audit an embedding table gets before any cosine-based
@@ -716,7 +746,8 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       recallReport(Tables(s, d).embeddings, cents, assigned)
     }),
-    "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)))
+    "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)),
+    "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

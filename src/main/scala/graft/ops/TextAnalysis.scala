@@ -836,6 +836,84 @@ object TextAnalysis {
         (round(col("n") / col("lang_total"), 4) + lit(0.0)).as("share"))
   }
 
+  /** Code keywords for [[codeDetect]] — whole-token matches via the
+    * same kernel the stopword profile uses (a second word-list, not a
+    * second scan). */
+  val CodeKeywords: Seq[String] = Seq(
+    "def", "class", "return", "import", "if", "else", "for", "while")
+
+  /** Code-vs-prose detection — the modality router every mixed web
+    * corpus needs before language-specific processing (code wants
+    * no stopword/repetition filtering; prose wants no brace-density
+    * scoring): symbol density ([{}();=<>[]]), indented-line fraction,
+    * code-keyword token hits, and English-stopword hits folded into an
+    * ordered verdict (code / mixed / prose). One kernel pass (both word
+    * lists ride the same stopword-profile call) + three regexp counts —
+    * pure codegen projection, zero shuffles. Ratios int/int ROUND(,4);
+    * the CASE compares rounded values. */
+  def codeDetect(documents: DataFrame): DataFrame = {
+    val p = GraftFunctions.stopwordProfile(col("text"),
+      typedlit(Seq(stopwords("en"), CodeKeywords)))
+    documents
+      .select(col("doc_id"), col("source"), col("text"), p.as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p").getItem(0).as("n_tokens"),
+        col("p").getItem(1).as("n_stop"),
+        col("p").getItem(2).as("n_keywords"),
+        regexp_count(col("text"), lit("[{}();=<>\\[\\]]")).as("n_symbols"),
+        length(col("text")).as("n_chars"),
+        (regexp_count(col("text"), lit("\n")) + lit(1)).as("n_lines"),
+        regexp_count(col("text"), lit("(^|\n)(  |\t)")).as("n_indent_lines"))
+      .withColumn("symbol_density",
+        round(col("n_symbols") / greatest(col("n_chars"), lit(1)), 4))
+      .withColumn("indent_frac", round(col("n_indent_lines") / col("n_lines"), 4))
+      .withColumn("keyword_frac",
+        round(col("n_keywords") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("verdict",
+        when(col("symbol_density") > 0.05 || col("keyword_frac") > 0.15 ||
+             col("indent_frac") > 0.3, "code")
+          .when(col("n_keywords") > 0 && col("n_stop") > 0, "mixed")
+          .otherwise("prose"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_keywords"),
+        col("n_stop"), col("symbol_density"), col("indent_frac"),
+        col("keyword_frac"), col("verdict"))
+  }
+
+  /** Per-source token-length outlier report: each source's mean token
+    * count as a z-score against the cross-source distribution — the
+    * drift tripwire a recurring crawl runs per ingest (a source whose
+    * mean length jumps two sigmas changed its extraction or its
+    * content). Determinism: the mean is quantized to an exact 1e-4
+    * INTEGER grid (`round(mean·10⁴)` — the same HALF-UP both engines
+    * share) and the cross-source moments are integer sums over those
+    * grid values — z is an affine-invariant of the quantized means, so
+    * every input to the final double expression is an exact integer and
+    * the z-scores are bit-identical under any partitioning or engine.
+    * σ is population std over the ≤ #sources rows (the
+    * sampleTemperature single-partition-window-over-an-aggregate
+    * shape); zero σ (all sources identical) yields z = 0. */
+  def sourceOutliers(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = documents
+      .select(col("source"),
+        GraftFunctions.stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]]))
+          .getItem(0).as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks").cast("long")).as("total_toks"))
+      .withColumn("m_i",
+        round((col("total_toks") / col("n_docs")) * 10000).cast("long"))
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("mu", sum(col("m_i")).over(w) / count(lit(1)).over(w))
+      .withColumn("m2", sum(col("m_i") * col("m_i")).over(w) / count(lit(1)).over(w))
+      .withColumn("sigma", sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
+      .select(col("source"), col("n_docs"), col("total_toks"),
+        (round(col("total_toks") / col("n_docs"), 4) + lit(0.0)).as("mean_toks"),
+        (when(col("sigma") === 0.0, lit(0.0))
+          .otherwise(round((col("m_i") - col("mu")) / col("sigma"), 4) + lit(0.0)))
+          .as("z_score"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -865,7 +943,9 @@ object TextAnalysis {
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
-    "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)))
+    "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
+    "t_code_detect"    -> ((s, d) => codeDetect(Tables(s, d).documents)),
+    "t_source_outliers" -> ((s, d) => sourceOutliers(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -933,6 +1013,56 @@ object TextAnalysis {
          |        FROM w WHERE length(w) >= 2))
          |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // Mirror of codeDetect: same kernel token counts (list_filter), the
+    // same ASCII regex classes, ratios ROUND(,4), ordered CASE over the
+    // ROUNDED values.
+    "t_code_detect" ->
+      raw"""$toksCte,
+         |m AS (SELECT doc_id, source,
+         |  len(list_filter(toks, t -> t != '')) AS n_tokens,
+         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS n_stop,
+         |  len(list_filter(toks, t -> t IN (${inList(CodeKeywords)}))) AS n_keywords,
+         |  len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS n_symbols,
+         |  length(text) AS n_chars,
+         |  len(regexp_extract_all(text, '\n')) + 1 AS n_lines,
+         |  len(regexp_extract_all(text, '(^|\n)(  |\t)')) AS n_indent_lines
+         |FROM toks),
+         |r AS (SELECT doc_id, source, n_tokens, n_keywords, n_stop,
+         |  ROUND(CAST(n_symbols AS DOUBLE) / greatest(n_chars, 1), 4) AS symbol_density,
+         |  ROUND(CAST(n_indent_lines AS DOUBLE) / n_lines, 4) AS indent_frac,
+         |  ROUND(CAST(n_keywords AS DOUBLE) / greatest(n_tokens, 1), 4) AS keyword_frac
+         |FROM m)
+         |SELECT doc_id, source, n_tokens, n_keywords, n_stop, symbol_density,
+         |  indent_frac, keyword_frac,
+         |  CASE WHEN symbol_density > 0.05 OR keyword_frac > 0.15
+         |            OR indent_frac > 0.3 THEN 'code'
+         |       WHEN n_keywords > 0 AND n_stop > 0 THEN 'mixed'
+         |       ELSE 'prose' END AS verdict
+         |FROM r""".stripMargin,
+    // Mirror of sourceOutliers: the same 1e-4 integer quantization and
+    // exact-integer moments — every double input identical by
+    // construction.
+    "t_source_outliers" ->
+      s"""$toksCte,
+         |per AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS total_toks
+         |  FROM toks GROUP BY 1),
+         |q AS (SELECT source, n_docs, total_toks,
+         |    CAST(ROUND((CAST(total_toks AS DOUBLE) / n_docs) * 10000) AS BIGINT) AS m_i
+         |  FROM per),
+         |g AS (SELECT CAST(SUM(m_i) AS BIGINT) AS sm,
+         |    CAST(SUM(m_i * m_i) AS BIGINT) AS sm2,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM q)
+         |SELECT source, n_docs, total_toks,
+         |  ROUND(CAST(total_toks AS DOUBLE) / n_docs, 4) + 0.0 AS mean_toks,
+         |  CASE WHEN sqrt(greatest(CAST(sm2 AS DOUBLE) / n
+         |           - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 0.0)) = 0.0
+         |       THEN 0.0
+         |       ELSE ROUND((m_i - CAST(sm AS DOUBLE) / n)
+         |              / sqrt(greatest(CAST(sm2 AS DOUBLE) / n
+         |                - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n), 0.0)), 4) + 0.0
+         |       END AS z_score
+         |FROM q CROSS JOIN g""".stripMargin,
     // Mirror of winnowFingerprints: same tokenization, the same md5 of
     // every positional 3-gram, window MIN over the same hex-string
     // total order, full windows only (i ≤ n_grams − (w−1)), DISTINCT.

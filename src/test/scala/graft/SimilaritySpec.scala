@@ -507,6 +507,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(8) == ((1L, 0L, 1.0, 1.0)))
   }
 
+  test("centroidDrift: identical halves drift 1.0, orthogonal halves 0.0") {
+    val x = Seq(1f, 0f, 0f, 0f)
+    val y = Seq(0f, 1f, 0f, 0f)
+    val df = Seq(
+      // label 1: both halves along x → drift 1.0
+      (0L, 1, x), (2L, 1, x), (1L, 1, x), (3L, 1, x),
+      // label 2: even half along x, odd half along y → drift 0.0
+      (4L, 2, x), (6L, 2, x), (5L, 2, y), (7L, 2, y)
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((2L, 2L, 1.0)))
+    assert(got(2) == ((2L, 2L, 0.0)))
+    // real embeddings: bounded, deterministic, one row per label seen in both halves
+    val real = Similarity.centroidDrift(embs).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= -1.0 && d <= 1.0)
+    }
+  }
+
   test("normReport: graft_vec_norm matches a JVM fold on real embeddings") {
     val rows = embs.limit(3).collect()
     rows.foreach { r =>

@@ -726,6 +726,45 @@ class TextAnalysisSpec extends SparkSpec {
       ("de", "de") -> ((1L, 1.0))))
   }
 
+  test("codeDetect: code, mixed, and prose arms fire on planted documents") {
+    val code = (1 to 6).map(_ => "def f(x): return x(1);").mkString("\n  ")
+    val df = Seq(
+      (1L, code),                                            // symbols + keywords
+      (2L, "if the weather is good then we will return home to dinner and a rest"), // keywords + stopwords, frac ≤ 0.15
+      (3L, "plain ordinary sentences about nothing much at all")              // prose
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = TextAnalysis.codeDetect(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    assert(got == Map(1L -> "code", 2L -> "mixed", 3L -> "prose"))
+  }
+
+  test("sourceOutliers: JVM differential on the quantized-integer z-score") {
+    val out = TextAnalysis.sourceOutliers(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // recompute from the report's own exact integers
+    val ms = out.map { case (_, nDocs, total, _, _) =>
+      math.rint(total.toDouble / nDocs * 10000).toLong }
+    // note: rint is HALF_EVEN vs the engine's HALF_UP — ties at the 4th
+    // decimal of a mean are absent in this corpus (asserted below)
+    out.zip(ms).foreach { case ((_, nDocs, total, mean, _), m) =>
+      assert(math.abs(total.toDouble / nDocs * 10000 - m.toDouble) != 0.5)
+    }
+    val n = ms.length
+    val mu = ms.sum.toDouble / n
+    val m2 = ms.map(m => m * m).sum.toDouble / n
+    val sigma = math.sqrt(math.max(m2 - mu * mu, 0.0))
+    def r4(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    out.zip(ms).foreach { case ((_, _, _, _, z), m) =>
+      val expect = if (sigma == 0.0) 0.0 else r4((m - mu) / sigma)
+      assert(z == expect)
+    }
+    // z-scores of a population sum to ~0
+    val zsum = out.map(_._5).sum
+    assert(math.abs(zsum) < 0.01)
+  }
+
   test("mediaReport: per-modality counts/bytes/dups match a JVM group-by of the feature frame") {
     val feats = Multimodal.pipeline(docs).collect()
       .map(r => (r.getAs[String]("media_type"), r.getAs[Int]("n_bytes"),
