@@ -266,11 +266,32 @@ object Multimodal {
           .as("dup_frac"))
   }
 
+  /** Cross-media duplicate FRAMES: sampled-frame hashes shared by two
+    * or more distinct media items — the sub-asset dedup layer between
+    * whole-payload dedup (m_payload_dedup: byte-identical files) and
+    * perceptual near-dup (m_phash_neardup): re-encoded compilations,
+    * clipped reposts, and shared intros collide at the frame level
+    * while neither whole-file test fires. One aggregate over the frame
+    * table (frame hashes computed scan-side by [[sampleFrames]], the
+    * payload never shuffles — ~50-byte hash rows do); groups with one
+    * distinct doc are dropped, keeper = min doc_id (the exactDedup
+    * convention). */
+  def frameDedup(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    sampleFrames(assemble(documents)).toDF()
+      .groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal" -> ((s, d) => pipeline(Tables(s, d).documents)),
     "m_media_report" -> ((s, d) => mediaReport(Tables(s, d).documents)),
+    "m_frame_dedup" -> ((s, d) => frameDedup(Tables(s, d).documents)),
     "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
     "m_phash_neardup" -> ((s, d) =>
       phashNearDup(mediaWithPlantedNearDups(Tables(s, d).documents))),
@@ -381,6 +402,23 @@ object Multimodal {
         |  CAST(nb AS INT) AS n_bytes,
         |  md5(substring(t, 1, CAST(nb AS INT))) AS thumb_md5
         |FROM r""".stripMargin,
+    // Mirror of frameDedup over the m_frames CTE: group by frame hash,
+    // keep multi-doc groups, min-doc keeper.
+    "m_frame_dedup" ->
+      """WITH m AS (SELECT doc_id, COALESCE(text, '') AS t,
+        |    octet_length(encode(COALESCE(text, ''))) AS n
+        |  FROM documents),
+        |f AS (SELECT doc_id, t, n,
+        |    unnest(generate_series(0, CAST((n + 255) // 256 AS INT) - 1)) AS i
+        |  FROM m WHERE n > 0),
+        |fr AS (SELECT doc_id,
+        |    md5(substring(t, CAST(i * 256 + 1 AS INT), 256)) AS frame_md5
+        |  FROM f WHERE i % 4 = 0)
+        |SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS keeper_doc
+        |FROM fr GROUP BY 1
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "m_frames" ->
       """WITH m AS (SELECT doc_id, COALESCE(text, '') AS t,
         |    octet_length(encode(COALESCE(text, ''))) AS n

@@ -194,6 +194,26 @@ object VehicleQueries {
         max(col("dwell_us")).as("max_dwell_us"))
   }
 
+  /** Route-level service headway over the full observation history: the
+    * time between CONSECUTIVE observations on a route (any vehicle —
+    * the rider-facing cadence, vs [[gapDetection]]'s per-vehicle
+    * silence), reported per route as observation count plus mean/max
+    * headway. Exact integer µs deltas, ONE double division for the
+    * mean, ROUND(,4)+0.0. One shuffle: the per-route window; the
+    * per-route aggregate reuses its partitioning. */
+  def headway(feed: DataFrame): DataFrame =
+    feed
+      .select(routeType(col("id")).as("route_type"), col("updated_at"), col("obs_id"))
+      .withColumn("prev_ts", lag(col("updated_at"), 1).over(
+        Window.partitionBy(col("route_type")).orderBy(col("updated_at"), col("obs_id"))))
+      .withColumn("delta_us", unix_micros(col("updated_at")) - unix_micros(col("prev_ts")))
+      .groupBy(col("route_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("delta_us")).as("span_us"),
+        (round(sum(col("delta_us")) / count(col("delta_us")), 4) + lit(0.0))
+          .as("mean_headway_us"),
+        max(col("delta_us")).as("max_headway_us"))
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -220,6 +240,8 @@ object VehicleQueries {
       gapDetection(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_dwell_times"    -> ((s, d) =>
       dwellTimes(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_headway"        -> ((s, d) =>
+      headway(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -347,6 +369,29 @@ object VehicleQueries {
          |  FROM vehicles_all
          |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id))
          |WHERE delta_us > 86400000000""".stripMargin,
+    // Mirror of headway: the reference's y-before-ynk CASE order, the
+    // same per-route window, integer µs deltas, one double division.
+    "v_headway" ->
+      s"""$VehiclesCte,
+         |rt AS (SELECT
+         |    CASE WHEN id LIKE 'R-%' THEN 'Red Line'
+         |         WHEN id LIKE 'O-%' THEN 'Orange Line'
+         |         WHEN id LIKE 'G-%' THEN 'Green Line'
+         |         WHEN id LIKE 'B-%' THEN 'Blue Line'
+         |         WHEN id LIKE 'y%' THEN 'Bus'
+         |         WHEN id LIKE 'ynk%' THEN 'Commuter Rail'
+         |         ELSE 'Other' END AS route_type,
+         |    updated_at, obs_id
+         |  FROM vehicles_all),
+         |dd AS (SELECT route_type,
+         |    epoch_us(updated_at) - epoch_us(lag(updated_at) OVER w) AS delta_us
+         |  FROM rt WINDOW w AS (PARTITION BY route_type ORDER BY updated_at, obs_id))
+         |SELECT route_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         |  CAST(SUM(delta_us) AS BIGINT) AS span_us,
+         |  ROUND(CAST(SUM(delta_us) AS DOUBLE) / COUNT(delta_us), 4) + 0.0
+         |    AS mean_headway_us,
+         |  CAST(MAX(delta_us) AS BIGINT) AS max_headway_us
+         |FROM dd GROUP BY 1""".stripMargin,
     // Mirror of dwellTimes: the same lag-change → cumulative-sum episode
     // assignment and all-integer µs spans (epoch_us ≡ unix_micros).
     "v_dwell_times" ->

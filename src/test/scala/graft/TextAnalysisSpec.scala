@@ -765,6 +765,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(zsum) < 0.01)
   }
 
+  test("frameDedup: shared frames across distinct media collide; unique media absent") {
+    val shared = "shared-frame-content"
+    val df = Seq(
+      (1L, shared), (2L, shared),          // same single frame in two docs
+      (3L, "completely different bytes")   // unique frame
+    ).toDF("doc_id", "text")
+    val out = Multimodal.frameDedup(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_frames") == 2L &&
+      out(0).getAs[Long]("n_docs") == 2L &&
+      out(0).getAs[Long]("keeper_doc") == 1L)
+  }
+
   test("mediaReport: per-modality counts/bytes/dups match a JVM group-by of the feature frame") {
     val feats = Multimodal.pipeline(docs).collect()
       .map(r => (r.getAs[String]("media_type"), r.getAs[Int]("n_bytes"),

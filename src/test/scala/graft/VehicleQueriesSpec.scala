@@ -115,6 +115,25 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(got == Map("R-1" -> ((2L, 10000000L, 10000000L))))
   }
 
+  test("headway: hand feed — cross-vehicle deltas per route, exact mean/max") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // Red Line: obs at 0s (R-1), 10s (R-2), 30s (R-1) → deltas 10s, 20s
+    // Bus: single observation → no deltas (mean over 0 deltas is null-free count 1 row)
+    val feed = Seq(
+      ("R-1", ts(0), 1L), ("R-2", ts(10), 2L), ("R-1", ts(30), 3L),
+      ("y9", ts(5), 4L)
+    ).toDF("id", "updated_at", "obs_id")
+    val got = VehicleQueries.headway(feed).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("span_us"),
+          Option(r.getAs[Any]("mean_headway_us")), r.getAs[Any]("max_headway_us"))))
+      .toMap
+    val red = got("Red Line")
+    assert(red._1 == 3L && red._2 == 30000000L)
+    assert(red._3.contains(15000000.0) && red._4 == 20000000L)
+    assert(got("Bus")._1 == 1L)
+  }
+
   test("dwellTimes: real feed — totals bounded by observation spans, max <= total") {
     val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
     val out = VehicleQueries.dwellTimes(feed).collect()
