@@ -106,8 +106,28 @@ object DomainGraph {
       concat(lit("src"), pmod(col("doc_id") * 7 + 3, lit(20)).cast("string"),
         lit(".example.com")).as("dst"))
 
+  /** Host-graph degree/weight profile: per host, distinct out/in
+    * neighbors and total out/in link weight — the structural companion
+    * to [[domainRank]] (a host with huge in-weight from ONE neighbor is
+    * a link-farm signature PageRank alone can hide; crawl schedulers
+    * read both). One union of the edge list's two orientations (a
+    * column swap, not a second scan of anything wider) → ONE host-keyed
+    * aggregate with conditional distinct/sum arms — all integer counts,
+    * nothing float. */
+  def domainDegree(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("host"), col("dst").as("other"), lit(1).as("is_out"))
+      .unionByName(
+        edges.select(col("dst").as("host"), col("src").as("other"), lit(0).as("is_out")))
+      .groupBy(col("host"))
+      .agg(
+        countDistinct(when(col("is_out") === 1, col("other"))).as("out_degree"),
+        sum(when(col("is_out") === 1, 1L).otherwise(0L)).as("out_links"),
+        countDistinct(when(col("is_out") === 0, col("other"))).as("in_degree"),
+        sum(when(col("is_out") === 0, 1L).otherwise(0L)).as("in_links"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_domain_rank" -> ((s, d) => domainRank(syntheticEdges(Tables(s, d).documents))))
+    "d_domain_rank" -> ((s, d) => domainRank(syntheticEdges(Tables(s, d).documents))),
+    "d_domain_degree" -> ((s, d) => domainDegree(syntheticEdges(Tables(s, d).documents))))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see
@@ -139,6 +159,21 @@ object DomainGraph {
            |r0 AS (SELECT host, CAST(CAST(1.0 AS DOUBLE) / c.n AS DECIMAL(28,10)) AS r
            |  FROM nodes CROSS JOIN cnt c),
            |$iterCtes
-           |SELECT host, ROUND(CAST(r AS DOUBLE), 6) + 0.0 AS pagerank FROM r10""".stripMargin)
+           |SELECT host, ROUND(CAST(r AS DOUBLE), 6) + 0.0 AS pagerank FROM r10""".stripMargin,
+      // Mirror of domainDegree: the same two-orientation union and
+      // conditional distinct/sum arms — all integer counts.
+      "d_domain_degree" ->
+        """WITH links AS (SELECT source || '.example.com' AS src,
+          |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.com' AS dst
+          |  FROM documents),
+          |u AS (SELECT src AS host, dst AS other, 1 AS is_out FROM links
+          |      UNION ALL
+          |      SELECT dst AS host, src AS other, 0 AS is_out FROM links)
+          |SELECT host,
+          |  CAST(COUNT(DISTINCT CASE WHEN is_out = 1 THEN other END) AS BIGINT) AS out_degree,
+          |  CAST(SUM(CASE WHEN is_out = 1 THEN 1 ELSE 0 END) AS BIGINT) AS out_links,
+          |  CAST(COUNT(DISTINCT CASE WHEN is_out = 0 THEN other END) AS BIGINT) AS in_degree,
+          |  CAST(SUM(CASE WHEN is_out = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in_links
+          |FROM u GROUP BY 1""".stripMargin)
   }
 }

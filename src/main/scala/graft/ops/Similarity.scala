@@ -705,6 +705,38 @@ object Similarity {
         (round(expr("percentile(norm_r, 0.5)"), 4) + lit(0.0)).as("p50_norm"),
         (round(expr("percentile(norm_r, 0.9)"), 4) + lit(0.0)).as("p90_norm"))
 
+  /** Per-DIMENSION embedding health report: mean, std, min, max for
+    * every coordinate of the embedding space — the dead/collapsed-
+    * dimension detector (a dimension with ~zero std carries no
+    * information and inflates every distance; a mean far from 0 on a
+    * supposedly-centered model flags a preprocessing bug). Sums go
+    * through DECIMAL(28,10) (the t_bm25 free-double discipline —
+    * order-free under any partitioning), ONE double division each,
+    * std from the exact moments, everything ROUND(,4)+0.0.
+    *
+    * Plan: posexplode of the embedding column → one `dim`-keyed
+    * aggregate with map-side partials — each task emits ≤ dim rows, so
+    * the shuffle is dim × tasks regardless of corpus size. */
+  def dimReport(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+      .select(col("dim"), col("vf").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(28, 10))).as("s1"),
+        sum((col("v") * col("v")).cast(DecimalType(28, 10))).as("s2"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2", col("s2").cast("double") / col("n"))
+      .select(col("dim"), col("n"),
+        (round(col("mu"), 4) + lit(0.0)).as("mean_v"),
+        (round(sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))), 4) + lit(0.0))
+          .as("std_v"),
+        (round(col("mn"), 4) + lit(0.0)).as("min_v"),
+        (round(col("mx"), 4) + lit(0.0)).as("max_v"))
+  }
+
   // ---- driver wiring ----
 
   /** s_ann_ivf serves off the Catalog-cached fitted index (fit once per
@@ -747,11 +779,29 @@ object Similarity {
       recallReport(Tables(s, d).embeddings, cents, assigned)
     }),
     "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)),
-    "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)))
+    "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)),
+    "s_dim_report" -> ((s, d) => dimReport(Tables(s, d).embeddings)))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */
   val oracles: Map[String, String] = Map(
+    // Mirror of dimReport: zipped unnest (value + position align
+    // positionally in DuckDB), the same DECIMAL(28,10) moment sums and
+    // double expression shapes.
+    "s_dim_report" ->
+      """WITH x AS (SELECT unnest(embedding) AS vf,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |m AS (SELECT CAST(pos - 1 AS INT) AS dim, CAST(vf AS DOUBLE) AS v FROM x),
+        |a AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mu,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m2,
+        |    MIN(v) AS mn, MAX(v) AS mx
+        |  FROM m GROUP BY 1)
+        |SELECT dim, n, ROUND(mu, 4) + 0.0 AS mean_v,
+        |  ROUND(sqrt(greatest(m2 - mu * mu, 0.0)), 4) + 0.0 AS std_v,
+        |  ROUND(mn, 4) + 0.0 AS min_v, ROUND(mx, 4) + 0.0 AS max_v
+        |FROM a""".stripMargin,
     // Mirror of normReport: the same index-order square fold (list_sum
     // over list_transform ≡ the kernel's loop), ROUND(,4)+0.0 BEFORE
     // aggregation, quantile_cont ≡ percentile.

@@ -62,4 +62,15 @@ class GraphSpec extends SparkSpec {
       .map(row => (row.getString(0), row.getDouble(1))).sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("domainDegree: hand graph — distinct neighbors vs link weights, both orientations") {
+    val es = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    val got = DomainGraph.domainDegree(es).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((2L, 3L, 1L, 1L)),   // out: {b,c}/3 links; in: {b}/1
+      "b" -> ((1L, 1L, 1L, 2L)),   // out: {a}/1; in: {a}/2 links
+      "c" -> ((0L, 0L, 1L, 1L))))  // sink: in only
+  }
 }

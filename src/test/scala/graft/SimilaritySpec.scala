@@ -529,6 +529,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dimReport: hand-computed per-dimension moments; full dim coverage on real embeddings") {
+    val df = Seq(
+      (1L, 0, Seq(1f, 2f)),
+      (2L, 0, Seq(3f, 4f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.dimReport(df).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0) == ((2L, 2.0, 1.0, 1.0, 3.0)))
+    assert(got(1) == ((2L, 3.0, 1.0, 2.0, 4.0)))
+    // real embeddings: one row per dimension, n = corpus size, std ≥ 0
+    val real = Similarity.dimReport(embs).collect()
+    assert(real.length == 64)
+    val n = embs.count()
+    real.foreach { r =>
+      assert(r.getLong(1) == n && r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("normReport: graft_vec_norm matches a JVM fold on real embeddings") {
     val rows = embs.limit(3).collect()
     rows.foreach { r =>
