@@ -914,6 +914,38 @@ object TextAnalysis {
           .as("z_score"))
   }
 
+  /** Top-k TF-IDF terms per document — the classic per-document
+    * keyword summary (corpus cards, cluster labeling, weak-supervision
+    * features); the DOCUMENT-centric complement of t_bm25's
+    * query-centric scoring. tf from one (doc, term) count, idf =
+    * ln(N/df) with df a distinct-doc count and N the tokenized-doc
+    * count computed IN-PLAN (1-row aggregate, broadcast crossJoin —
+    * the t_bm25 stats shape); score = tf·ln(N/df) is one double
+    * expression on exact integers, ROUND(,4)+0.0, and the per-doc
+    * rank orders by (ROUNDED score desc, term asc) — a total order,
+    * engine-identical. Shuffles: the (doc, term) count, the term-keyed
+    * df join, the per-doc rank window — all key-column rows, linear in
+    * corpus token volume. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val terms = documents.filter(length(norm) > 0)
+      .select(col("doc_id"), explode(split(norm, " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = terms.agg(countDistinct(col("doc_id")).as("nd"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (round(col("tf") * log(col("nd") / col("df")), 4) + lit(0.0)))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rank"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -945,7 +977,8 @@ object TextAnalysis {
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
     "t_code_detect"    -> ((s, d) => codeDetect(Tables(s, d).documents)),
-    "t_source_outliers" -> ((s, d) => sourceOutliers(Tables(s, d).documents)))
+    "t_source_outliers" -> ((s, d) => sourceOutliers(Tables(s, d).documents)),
+    "t_tfidf"          -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
 
@@ -1013,6 +1046,23 @@ object TextAnalysis {
          |        FROM w WHERE length(w) >= 2))
          |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
          |FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // Mirror of tfidfTopTerms: identical tf/df/N integers, the same
+    // single double expression tf·ln(N/df), rank over (ROUNDED score
+    // desc, term asc).
+    "t_tfidf" ->
+      s"""$toksCte,
+         |w AS (SELECT doc_id, unnest(list_filter(toks, t -> t != '')) AS term
+         |      FROM toks WHERE length(trim(COALESCE(text, ''))) > 0),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM w GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM w),
+         |s AS (SELECT doc_id, term, tf, df,
+         |    ROUND(tf * ln(CAST(nd AS DOUBLE) / df), 4) + 0.0 AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+         |SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rn FROM s)
+         |WHERE rn <= 3""".stripMargin,
     // Mirror of codeDetect: same kernel token counts (list_filter), the
     // same ASCII regex classes, ratios ROUND(,4), ordered CASE over the
     // ROUNDED values.

@@ -43,7 +43,10 @@ object Audit {
     "s_recall_report",
     // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
     // hot list — the t_bm25 corpus-stats shape
-    "q_skew_report")
+    "q_skew_report",
+    // the 1-row N (tokenized-doc count) frame crossJoined into the
+    // tf⋈df score — the t_bm25 corpus-stats shape
+    "t_tfidf")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

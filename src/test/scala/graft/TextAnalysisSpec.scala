@@ -765,6 +765,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(zsum) < 0.01)
   }
 
+  test("tfidfTopTerms: hand corpus — corpus-wide terms score 0, rare terms rank first") {
+    val df = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df).collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("rank")) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // N=2; df: apple 1, banana 2, cherry 1
+    assert(got((1L, 1)) == (("apple", 2L, 1L, 1.3863)))   // 2·ln2
+    assert(got((1L, 2)) == (("banana", 1L, 2L, 0.0)))     // ln1 = 0
+    assert(got((2L, 1)) == (("cherry", 1L, 1L, 0.6931)))  // ln2
+    assert(got((2L, 2)) == (("banana", 1L, 2L, 0.0)))
+  }
+
   test("frameDedup: shared frames across distinct media collide; unique media absent") {
     val shared = "shared-frame-content"
     val df = Seq(
