@@ -705,6 +705,31 @@ object Similarity {
         (round(expr("percentile(norm_r, 0.5)"), 4) + lit(0.0)).as("p50_norm"),
         (round(expr("percentile(norm_r, 0.9)"), 4) + lit(0.0)).as("p90_norm"))
 
+  /** Leave-one-out 1-NN label consistency off the canopy kNN graph —
+    * the cheapest meaningful probe of embedding quality against the
+    * label column (if nearest neighbors rarely share labels, the space
+    * does not separate the classes and every SemDeDup/clustering
+    * decision built on it is suspect; the classic kNN-probe eval).
+    * Per label: member count, top-1-neighbor-same-label count,
+    * accuracy ROUND(,4)+0.0. The kNN arm is [[knnJoinCanopy]] (shared
+    * Catalog fit); the neighbor's label arrives by one key join
+    * against the (vec_id, label) projection — key columns only, the
+    * embedding payload is not re-read. Rows-only by design (canopy
+    * buckets follow the JVM fit); spec: planted tight same-label
+    * clusters recover accuracy 1.0. */
+  def knnLabelAccuracy(embeddings: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val top1 = knnJoinCanopy(embeddings, centroids).filter(col("knn_rank") === 1)
+    top1
+      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+      .join(embeddings.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
+        "nbr_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L)).as("n_same"))
+      .select(col("label"), col("n_vecs"), col("n_same"),
+        (round(col("n_same") / col("n_vecs"), 4) + lit(0.0)).as("accuracy"))
+  }
+
   /** Per-DIMENSION embedding health report: mean, std, min, max for
     * every coordinate of the embedding space — the dead/collapsed-
     * dimension detector (a dimension with ~zero std carries no
@@ -780,7 +805,11 @@ object Similarity {
     }),
     "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)),
     "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)),
-    "s_dim_report" -> ((s, d) => dimReport(Tables(s, d).embeddings)))
+    "s_dim_report" -> ((s, d) => dimReport(Tables(s, d).embeddings)),
+    "s_knn_accuracy" -> ((s, d) => {
+      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
+      knnLabelAccuracy(Tables(s, d).embeddings, cents)
+    }))
 
   /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
     * literals); its semantics are spec-tested against annTopK. */

@@ -214,6 +214,33 @@ object VehicleQueries {
           .as("mean_headway_us"),
         max(col("delta_us")).as("max_headway_us"))
 
+  /** Snapshot delta report — the CDC artifact an incremental load
+    * publishes: compare the upserted table AS OF a watermark (here the
+    * in-plan median obs_id — the deterministic stand-in for "previous
+    * ingest's high-water mark") against the current upserted table,
+    * and count ids per change class (added / changed / unchanged;
+    * removed is structurally impossible under append-only upsert but
+    * the arm is kept for the general contract). Both sides are the
+    * same [[VehicleFeed.latest]] plan; the comparison is a FULL OUTER
+    * join on the key (no broadcast strategy exists for full outer —
+    * the q_full_outer precedent) collapsing to ≤ 4 rows. */
+  def snapshotDiff(feed: DataFrame): DataFrame = {
+    val cut = feed.agg(expr("percentile(obs_id, 0.5)").as("cut"))
+    val oldSnap = VehicleFeed.latest(
+        feed.crossJoin(broadcast(cut)).filter(col("obs_id") <= col("cut")).drop("cut"))
+      .select(col("id").as("old_id"), col("obs_id").as("old_obs"))
+    val newSnap = VehicleFeed.latest(feed)
+      .select(col("id").as("new_id"), col("obs_id").as("new_obs"))
+    newSnap.join(oldSnap, col("new_id") === col("old_id"), "full_outer")
+      .select(
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_obs") =!= col("new_obs"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -242,6 +269,8 @@ object VehicleQueries {
       dwellTimes(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_headway"        -> ((s, d) =>
       headway(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_snapshot_diff"  -> ((s, d) =>
+      snapshotDiff(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -369,6 +398,25 @@ object VehicleQueries {
          |  FROM vehicles_all
          |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id))
          |WHERE delta_us > 86400000000""".stripMargin,
+    // Mirror of snapshotDiff: the same median watermark (quantile_cont
+    // ≡ percentile), the same latest() row_number collapse per side,
+    // the same full-outer CASE.
+    "v_snapshot_diff" ->
+      s"""$VehiclesCte,
+         |cut AS (SELECT quantile_cont(obs_id, 0.5) AS c FROM vehicles_all),
+         |oldv AS (SELECT id, obs_id FROM (
+         |    SELECT v.id, v.obs_id, row_number() OVER (PARTITION BY v.id
+         |      ORDER BY v.updated_at DESC, v.obs_id DESC) AS rn
+         |    FROM vehicles_all v, cut WHERE v.obs_id <= cut.c)
+         |  WHERE rn = 1),
+         |newv AS (SELECT id, obs_id FROM vehicles)
+         |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN o.id IS NULL THEN 'added'
+         |              WHEN nv.id IS NULL THEN 'removed'
+         |              WHEN o.obs_id <> nv.obs_id THEN 'changed'
+         |              ELSE 'unchanged' END AS change_type
+         |  FROM newv nv FULL OUTER JOIN oldv o ON nv.id = o.id)
+         |GROUP BY 1""".stripMargin,
     // Mirror of headway: the reference's y-before-ynk CASE order, the
     // same per-route window, integer µs deltas, one double division.
     "v_headway" ->

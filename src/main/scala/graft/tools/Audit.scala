@@ -46,7 +46,10 @@ object Audit {
     "q_skew_report",
     // the 1-row N (tokenized-doc count) frame crossJoined into the
     // tf⋈df score — the t_bm25 corpus-stats shape
-    "t_tfidf")
+    "t_tfidf",
+    // the 1-row median-watermark frame crossJoined into the old-snapshot
+    // filter — the same corpus-stats shape
+    "v_snapshot_diff")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -74,7 +77,14 @@ object Audit {
     // ~90% of corpus spans — broadcast is impossible at scale, so the
     // span equi-join is a shuffle/SMJ join BY DESIGN (AQE picks
     // broadcast only at tiny sf)
-    "d_split_leakage")
+    "d_split_leakage",
+    // old-snapshot ⋈ new-snapshot FULL OUTER on the key: full outer has
+    // no broadcast strategy in Spark (the q_full_outer precedent)
+    "v_snapshot_diff",
+    // the canopy candidate self-join (s_knn_ivf's plan) + the
+    // neighbor-label key join against the corpus-order (vec_id, label)
+    // projection — both genuine fact×fact equi-joins
+    "s_knn_accuracy")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

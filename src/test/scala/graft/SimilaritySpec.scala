@@ -529,6 +529,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelAccuracy: planted tight same-label clusters recover accuracy 1.0") {
+    // two well-separated clusters, one per label: every top-1 neighbor
+    // shares the label
+    val rnd = new scala.util.Random(7)
+    def near(base: Array[Float]) =
+      base.zipWithIndex.map { case (v, _) => v + rnd.nextFloat() * 0.01f }.toSeq
+    val a = Array.fill(64)(0f); a(0) = 1f
+    val b = Array.fill(64)(0f); b(1) = 1f
+    val df = ((0 until 10).map(i => (i.toLong, 1, near(a))) ++
+      (10 until 20).map(i => (i.toLong, 2, near(b))))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.ivfCentroids(df, k = 4, iters = 2)
+    val got = Similarity.knnLabelAccuracy(df, cents).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(got(1) == 1.0 && got(2) == 1.0)
+    // real embeddings: accuracies bounded, labels covered
+    val (realCents, _) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val real = Similarity.knnLabelAccuracy(embs, realCents).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
   test("dimReport: hand-computed per-dimension moments; full dim coverage on real embeddings") {
     val df = Seq(
       (1L, 0, Seq(1f, 2f)),

@@ -134,6 +134,48 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(got("Bus")._1 == 1L)
   }
 
+  test("snapshotDiff: hand feed exercises added/changed/unchanged at the median watermark") {
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    // obs_ids {1,2,9,10} → median 5.5; old snapshot sees {A:1, B:2},
+    // new sees {A:10, B:2, C:9} → A changed, B unchanged, C added
+    val feed = Seq(
+      ("A", ts(1), 1L), ("A", ts(10), 10L),
+      ("B", ts(2), 2L),
+      ("C", ts(9), 9L)
+    ).toDF("id", "updated_at", "obs_id")
+    val got = VehicleQueries.snapshotDiff(feed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "changed" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("snapshotDiff: change classes partition the fleet; counts match a JVM replay") {
+    import graft.etl.VehicleFeed
+    val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    val got = VehicleQueries.snapshotDiff(feed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // JVM replay of the same median-watermark split
+    val rows = feed.select("id", "obs_id", "updated_at").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2).getTime))
+    val cut = {
+      val sorted = rows.map(_._2.toDouble).sorted
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+    }
+    def latest(rs: Array[(String, Long, Long)]) =
+      rs.groupBy(_._1).map { case (id, xs) => id -> xs.maxBy(x => (x._3, x._2))._2 }
+    val oldSnap = latest(rows.filter(_._2.toDouble <= cut))
+    val newSnap = latest(rows)
+    val expect = newSnap.keys.toSeq.map { id =>
+      oldSnap.get(id) match {
+        case None => "added"
+        case Some(o) if o != newSnap(id) => "changed"
+        case _ => "unchanged"
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expect)
+    assert(got.values.sum == newSnap.size)
+  }
+
   test("dwellTimes: real feed — totals bounded by observation spans, max <= total") {
     val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
     val out = VehicleQueries.dwellTimes(feed).collect()
