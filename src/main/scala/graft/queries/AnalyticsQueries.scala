@@ -483,9 +483,36 @@ object AnalyticsQueries {
         (round(col("n") * col("n_keys") / col("total"), 4) + lit(0.0)).as("hotness"))
   }
 
+  /** Incremental aggregate maintenance — the two-level rollup pattern
+    * every 100 TB ETL runs: the WEEKLY report is computed from the
+    * materialized DAILY partials (count/sum re-merge; avg recomposed
+    * from the merged sums at the end), never from raw history. The
+    * algebraic-merge property (partials of partials ≡ direct) is what
+    * makes a day's late data a one-partition patch instead of a
+    * full-history rescan — spec-proven equal to the direct weekly
+    * aggregate over raw events. Sums ride DECIMAL(18,2) end to end
+    * (exact merge, any order), ONE double division for the avg. */
+  def aggMerge(t: Tables): DataFrame = {
+    val daily = t.events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    daily
+      .groupBy(col("user_id"), date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("total")).as("total_value"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("week"), col("n_events"),
+        col("total_value").cast("double").as("total_value"), col("n_days"),
+        (round(col("total_value").cast("double") / col("n_events"), 4) + lit(0.0))
+          .as("avg_value"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_merge"          -> ((s, d) => aggMerge(Tables(s, d))),
     "q_skew_report"        -> ((s, d) => skewReport(Tables(s, d))),
     "q_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d))),
     "q_resample"           -> ((s, d) => resampleDaily(Tables(s, d))),
@@ -556,6 +583,18 @@ object AnalyticsQueries {
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
         |  wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // Mirror of aggMerge: the same daily-partial CTE re-merged weekly,
+    // DECIMAL sums end to end, one double division.
+    "q_agg_merge" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, CAST(date_trunc('week', day) AS DATE) AS week,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(total) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  ROUND(CAST(SUM(total) AS DOUBLE) / SUM(n), 4) + 0.0 AS avg_value
+        |FROM daily GROUP BY 1, 2""".stripMargin,
     // Mirror of skewReport: integer count numerators, one double
     // division each, the same (n desc, user_id asc) top-k total order.
     "q_skew_report" ->

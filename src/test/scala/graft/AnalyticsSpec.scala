@@ -198,6 +198,28 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("aggMerge: merged daily partials equal the direct weekly aggregate (IVM property)") {
+    val t = Tables(spark, TestSpark.sf0001)
+    val merged = AnalyticsQueries.aggMerge(t).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    // direct weekly aggregation over raw events — no daily intermediate
+    val direct = t.events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("week", to_date($"ts")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (k, (n, total, avg)) =>
+      assert(direct(k) == ((n, total)), s"partial-merge drift at $k")
+      val r4 = java.math.BigDecimal.valueOf(total / n)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      assert(avg == r4)
+    }
+  }
+
   test("skewReport: JVM differential — top-5 hottest keys, exact shares and hotness") {
     val t = Tables(spark, TestSpark.sf0001)
     val counts = t.events.groupBy($"user_id").count().collect()
