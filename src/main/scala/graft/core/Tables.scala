@@ -35,6 +35,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     * naive read. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→instant cast below relabels rather than shifts ONLY under a
+    // UTC session zone; set it defensively for foreign (non-Graft) sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

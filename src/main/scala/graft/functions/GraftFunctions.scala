@@ -238,28 +238,37 @@ object TextKernels {
     * text, WITH multiplicity ("a+b" per occurrence) — the corpus
     * statistic one BPE merge step maximizes (Sennrich et al. 2016:
     * merge the most frequent adjacent symbol pair; pairs never span a
-    * word boundary). Char = UTF-16 unit here vs DuckDB's codepoint
-    * substr — identical on ASCII corpora; the '+' separator keeps
+    * word boundary). Char = Unicode CODEPOINT, matching DuckDB's
+    * codepoint substr — a supplementary char is one symbol, never a
+    * surrogate pair split in half; the '+' separator keeps
     * "ab"+"c" ≠ "a"+"bc". */
   def bpePairs(text: UTF8String): ArrayData = {
     val toks = tokenize(text)
     var n = 0
     var i = 0
-    while (i < toks.length) { if (toks(i).length >= 2) n += toks(i).length - 1; i += 1 }
+    while (i < toks.length) {
+      val cps = toks(i).codePointCount(0, toks(i).length)
+      if (cps >= 2) n += cps - 1
+      i += 1
+    }
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
-    val sb = new java.lang.StringBuilder(3)
+    val sb = new java.lang.StringBuilder(5)
     var m = 0
     i = 0
     while (i < toks.length) {
       val w = toks(i)
       var j = 0
-      while (j < w.length - 1) {
-        sb.setLength(0)
-        sb.append(w.charAt(j)).append('+').append(w.charAt(j + 1))
-        out(m) = UTF8String.fromString(sb.toString)
-        m += 1
-        j += 1
+      while (j < w.length) {
+        val cp1 = w.codePointAt(j)
+        val next = j + Character.charCount(cp1)
+        if (next < w.length) {
+          sb.setLength(0)
+          sb.appendCodePoint(cp1).append('+').appendCodePoint(w.codePointAt(next))
+          out(m) = UTF8String.fromString(sb.toString)
+          m += 1
+        }
+        j = next
       }
       i += 1
     }

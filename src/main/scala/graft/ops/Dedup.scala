@@ -997,6 +997,36 @@ object Dedup {
       |  string_agg(span, ' ' ORDER BY span_idx) AS clean_text
       |FROM kept GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB mirror of [[embedNearDupLsh]]: the hyperplane literals are
+    * the SAME deterministic Random(42) Gaussians the Spark plan ships
+    * (shortest-repr doubles round-trip to the identical binary64), sig
+    * bits re-derived per plane with the same strict `> 0.0` test and
+    * index-order dot fold; candidates = hamming ≤ 1 pairs (the probe-set
+    * equi-join is EXACTLY that set — one xor popcount over all pairs is
+    * fine at oracle scale), then the same ROUND(,4) cosine gate. */
+  private def embedLshOracle: String = {
+    val sigExpr = Similarity.hyperplanes(6, 64).zipWithIndex.map { case (p, i) =>
+      val lit = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $lit), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH s AS (SELECT vec_id, label, embedding, $sigExpr AS sig FROM embeddings),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    a.label AS label_a, b.label AS label_b,
+       |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
+       |    sqrt(list_sum(list_transform(a.embedding,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+       |    sqrt(list_sum(list_transform(b.embedding,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+       |  FROM s a JOIN s b
+       |    ON a.vec_id < b.vec_id AND bit_count(xor(a.sig, b.sig)) <= 1)
+       |SELECT vec_a, vec_b, label_a, label_b,
+       |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim
+       |FROM p
+       |WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // Same all-pairs CTE as the jaccard oracle (O(n²) at oracle side
     // only); containment denominator = the smaller set.
@@ -1154,6 +1184,7 @@ object Dedup {
         |  WHERE b.vec_id >= 400)
         |SELECT vec_id, label, MIN(surv_id) AS dup_of, MAX(cos) AS max_cos
         |FROM x WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
+    "d_embed_lsh" -> embedLshOracle,
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -32,9 +32,12 @@ object Sampling {
   }
 
   /** The 60-bit hash coordinate of a document: first 15 hex chars of
-    * md5("source:doc_id") — mirrored verbatim in the oracle SQL. */
+    * md5("source:doc_id") — mirrored verbatim in the oracle SQL. NULL
+    * source coalesces to '' so the key matches DuckDB's NULL-skipping
+    * concat(source, ':', doc_id) (= ':123') instead of concat_ws's
+    * separator-dropping '123'. */
   private def coord: Column =
-    substring(md5(concat_ws(":", col("source"), col("doc_id"))), 1, 15)
+    substring(md5(concat(coalesce(col("source"), lit("")), lit(":"), col("doc_id").cast("string"))), 1, 15)
 
   /** Per-source threshold column from a rate map (unlisted sources get
     * `defaultRate`). */
@@ -437,7 +440,8 @@ object Sampling {
     * changes the substring length on both engines. */
   def corpusShuffle(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5(concat_ws(":", col("source"), col("doc_id")))
+    // NULL-source rows keep their ':' separator (see `coord`'s oracle-parity note).
+    val h = md5(concat(coalesce(col("source"), lit("")), lit(":"), col("doc_id").cast("string")))
     documents
       .select(col("doc_id"), col("source"),
         substring(h, 1, 1).as("shard"), substring(h, 2, 14).as("ord"))

@@ -528,15 +528,20 @@ object Similarity {
     * mean direction, no division, no float-order nondeterminism). Plan:
     * one vecsum aggregate to #labels rows, broadcast back, cosine
     * scan-side, one final aggregate — two label-keyed shuffles, linear.
-    * Rows-only by design (fixed-point rounding is not portably
-    * SQL-expressible — the medoid precedent); spec-verified against a
-    * JVM reference and on planted identical-member labels. */
+    * Oracle-checked: the fixed-point rounding IS portably expressible —
+    * DuckDB's exact floor(x)+[frac≥0.5] reproduces Java Math.round, the
+    * dim-ordered FLOAT list reproduces the array<bigint>→array<float>
+    * cast (see the oracle); plus spec coverage against a JVM reference
+    * and on planted identical-member labels. */
   def centroidReport(embeddings: DataFrame): DataFrame = {
     val sums = embeddings.groupBy(col("label"))
       .agg(GraftFunctions.vecSum(col("embedding")).as("gsum"))
+    // raw double cosines until the SINGLE final round — an intermediate
+    // round(,6) manufactures 4th-decimal ties where Spark (shortest-
+    // string BigDecimal) and DuckDB (exact binary) disagree
     embeddings.join(broadcast(sums), Seq("label"))
       .withColumn("c",
-        round(GraftFunctions.cosine(col("embedding"), col("gsum").cast("array<float>")), 6))
+        GraftFunctions.cosine(col("embedding"), col("gsum").cast("array<float>")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         (round(sum(col("c").cast("decimal(28,10)")).cast("double") / count(lit(1)), 4)
@@ -598,6 +603,10 @@ object Similarity {
   def mmrDiversify(spark: SparkSession, embeddings: DataFrame,
                    queryVecId: Long = 0L, k: Int = 5, nCandidates: Int = 20,
                    lambda: Double = 0.5): DataFrame = {
+    // Driver-model contract: the collect below is O(nCandidates·dim) MODEL
+    // data, never corpus data — the cap keeps an oversized argument from
+    // silently turning it into a data-row collect.
+    require(nCandidates <= 1000, s"nCandidates=$nCandidates exceeds the driver-model cap (1000)")
     def cosine(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -665,9 +674,10 @@ object Similarity {
     * Two fixed-point vecsum aggregates (map-side partials, k rows
     * each — deterministic under any partitioning), joined on label (≤
     * #labels rows), cosine between the sum vectors (scale-invariant: no
-    * division by counts needed). Rows-only by design (fixed-point sums
-    * are engine-side); spec: planted identical halves → drift 1.0,
-    * orthogonal halves → 0.0, plus a JVM differential. */
+    * division by counts needed). Oracle-checked via the same exact
+    * fixed-point DuckDB mirror as centroidReport; spec: planted
+    * identical halves → drift 1.0, orthogonal halves → 0.0, plus a JVM
+    * differential. */
   def centroidDrift(embeddings: DataFrame): DataFrame = {
     def half(even: Boolean) = {
       val side = if (even) col("vec_id") % 2 === 0 else col("vec_id") % 2 =!= 0
@@ -831,6 +841,75 @@ object Similarity {
         |  ROUND(sqrt(greatest(m2 - mu * mu, 0.0)), 4) + 0.0 AS std_v,
         |  ROUND(mn, 4) + 0.0 AS min_v, ROUND(mx, 4) + 0.0 AS max_v
         |FROM a""".stripMargin,
+    // Mirror of centroidReport: per-(label, dim) fixed-point sums via
+    // zipped unnest — the scaled addend is Java Math.round semantics,
+    // i.e. EXACT floor(x + 0.5), written floor(x) + [frac(x) >= 0.5]
+    // (frac is exact by Sterbenz; a literal floor(x + 0.5) FP-add could
+    // round across a boundary DuckDB-side and diverge by 1). Centroid
+    // rebuilt as a FLOAT list in dim order (list ORDER BY ≡ the kernel's
+    // array<bigint> → array<float> cast), then the s_ann_topk cosine
+    // fold, ROUND(,6) per member, DECIMAL(28,10) cohesion sum.
+    "s_centroid_report" ->
+      """WITH x AS (SELECT label, unnest(embedding) AS vf,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |f AS (SELECT label, CAST(pos - 1 AS INT) AS dim,
+        |    CAST(vf AS DOUBLE) * 1000000000 AS sc FROM x),
+        |s AS (SELECT label, dim,
+        |    SUM(CAST(floor(sc) AS BIGINT) +
+        |        CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv
+        |  FROM f GROUP BY 1, 2),
+        |c AS (SELECT label, list(CAST(sv AS FLOAT) ORDER BY dim) AS cent
+        |  FROM s GROUP BY 1),
+        |e AS (SELECT e.label,
+        |    list_sum(list_transform(list_zip(e.embedding, c.cent),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(c.cent,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM embeddings e JOIN c USING (label)),
+        |r AS (SELECT label,
+        |    CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END AS cv
+        |  FROM e)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  ROUND(CAST(SUM(CAST(cv AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0.0
+        |    AS cohesion,
+        |  ROUND(MIN(cv), 4) + 0.0 AS min_cos
+        |FROM r GROUP BY 1""".stripMargin,
+    // Mirror of centroidDrift: the same fixed-point sums split by vec_id
+    // parity, FLOAT centroid lists joined even×odd per label (inner, as
+    // the Spark join), counts from one parity-conditional aggregate.
+    "s_centroid_drift" ->
+      """WITH x AS (SELECT label, vec_id % 2 = 0 AS ev, unnest(embedding) AS vf,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |f AS (SELECT label, ev, CAST(pos - 1 AS INT) AS dim,
+        |    CAST(vf AS DOUBLE) * 1000000000 AS sc FROM x),
+        |s AS (SELECT label, ev, dim,
+        |    SUM(CAST(floor(sc) AS BIGINT) +
+        |        CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv
+        |  FROM f GROUP BY 1, 2, 3),
+        |c AS (SELECT label, ev, list(CAST(sv AS FLOAT) ORDER BY dim) AS cent
+        |  FROM s GROUP BY 1, 2),
+        |n AS (SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY 1),
+        |j AS (SELECT a.label AS label, a.cent AS ca, b.cent AS cb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.ev AND NOT b.ev),
+        |d AS (SELECT label,
+        |    list_sum(list_transform(list_zip(ca, cb),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(ca,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
+        |    sqrt(list_sum(list_transform(cb,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
+        |  FROM j)
+        |SELECT n.label, n.n_a, n.n_b,
+        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) + 0.0
+        |    AS drift_cos
+        |FROM n JOIN d USING (label)""".stripMargin,
     // Mirror of normReport: the same index-order square fold (list_sum
     // over list_transform ≡ the kernel's loop), ROUND(,4)+0.0 BEFORE
     // aggregation, quantile_cont ≡ percentile.

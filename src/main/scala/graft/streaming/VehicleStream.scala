@@ -61,6 +61,8 @@ object VehicleStream {
   /** Raw normalized event stream (µs instant timestamps) — input for
     * event-level streaming operators. */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // NTZ→instant relabel below is only shift-free under UTC (see Tables.events).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = scala.util.Try(spark.read.parquet(dir).schema).toOption
       .filter(_.fieldNames.contains("ts"))
       .getOrElse(eventsSchema)

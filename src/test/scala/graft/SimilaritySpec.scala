@@ -356,7 +356,9 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.centroidReport(embs).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
     // JVM reference: same fixed-point sum (scale 1e9, math.round), same
-    // float-cast centroid, same round(,6) per-member cosine, decimal sum
+    // float-cast centroid, RAW per-member cosine, DECIMAL(28,10) sum
+    // (Spark's double→decimal cast = shortest-string BigDecimal at
+    // scale-10 HALF_UP), ONE final round
     val all = embs.collect()
       .map(r => (r.getInt(2), r.getSeq[Float](1))).groupBy(_._1)
     val scale = graft.functions.VectorSumFixed.Scale
@@ -366,8 +368,6 @@ class SimilaritySpec extends SparkSpec {
       members.foreach { case (_, v) =>
         v.indices.foreach(i => gsum(i) += math.round(v(i).toDouble * scale)) }
       val cf = gsum.map(_.toFloat)
-      def r6(d: Double) = java.math.BigDecimal.valueOf(d)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       val cs = members.map { case (_, v) =>
         var dot = 0.0; var na = 0.0; var nb = 0.0
         v.indices.foreach { i =>
@@ -375,11 +375,13 @@ class SimilaritySpec extends SparkSpec {
           dot += x * y; na += x * x; nb += y * y
         }
         val d = math.sqrt(na) * math.sqrt(nb)
-        r6(if (d == 0) 0.0 else dot / d)
+        if (d == 0) 0.0 else dot / d
       }
+      def d10(d: Double) = BigDecimal(java.math.BigDecimal.valueOf(d)
+        .setScale(10, java.math.RoundingMode.HALF_UP))
       def r4(d: Double) = java.math.BigDecimal.valueOf(d)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-      val mean = r4(cs.map(BigDecimal(_)).sum.toDouble / cs.length)
+      val mean = r4(cs.map(d10).sum.toDouble / cs.length)
       val (n, cohesion, minCos) = out(label)
       assert(n == members.length)
       assert(cohesion == mean, s"label $label: $cohesion vs $mean")
