@@ -423,6 +423,39 @@ object Sampling {
       .orderBy(col("dsir_weight").desc, col("doc_id").asc)
       .limit(n)
 
+  /** DSIR threshold-form selection — the 100 TB shape of [[dsirSelect]]:
+    * keep every doc whose dsir_weight ≥ τ, with τ read from ONE
+    * approx-quantile sketch over the weight column at
+    * q = 1 − budgetFraction. Top-n needs a global TakeOrdered whose n
+    * grows with the corpus (at a fixed budget FRACTION, n = f·N — the
+    * driver's heap scales with N); the threshold form keeps the driver
+    * at one scalar: the sketch aggregates to a single τ (Greenwald-
+    * Khanna partials merge map-side), broadcasts back, and selection is
+    * a scan-side filter. Rank guarantee: |rank(τ) − q·N| ≤ N/accuracy,
+    * so the realized budget is within N/accuracy docs of the target —
+    * at accuracy 10⁴ that is 0.01% of the corpus, and the selected SET
+    * is exactly { weight ≥ τ } either way (ties at τ all kept: the
+    * deterministic closure of the budget, no tie lottery).
+    *
+    * Gate exactness: below `accuracy` observations the GK sketch
+    * retains every sample, so τ is the EXACT lower-neighbor quantile
+    * (rank ⌈q·N⌉ of the sorted weights) — the DuckDB oracle reproduces
+    * it by explicit rank, making this key hash-checkable at test SF
+    * while the production path is the sketch itself. Spec adds the
+    * top-n equivalence at matched budget and the sketch-error bound. */
+  def dsirThreshold(documents: DataFrame, budgetFraction: Double = 0.2,
+                    targetSource: String = "src19",
+                    accuracy: Int = 10000): DataFrame = {
+    val w = dsirWeights(documents, targetSource)
+    val tau = broadcast(w.agg(
+      percentile_approx(col("dsir_weight"), lit(1.0 - budgetFraction), lit(accuracy))
+        .as("tau")))
+    w.crossJoin(tau)
+      .filter(col("dsir_weight") >= col("tau"))
+      .select(col("doc_id"), col("source"), col("dsir_weight"),
+        (col("tau") + lit(0.0)).as("tau"))
+  }
+
   /** Deterministic corpus shuffle — the training-order step: every doc
     * gets a shard (first hex nibble of its md5 coordinate → 16 shards)
     * and a position within the shard (rank of the remaining 56 hash
@@ -464,6 +497,7 @@ object Sampling {
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
     "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)),
+    "d_dsir_threshold" -> ((s, d) => dsirThreshold(Tables(s, d).documents)),
     "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)),
     "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)),
     "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
@@ -527,6 +561,20 @@ object Sampling {
       "d_dsir_select" ->
         s"""SELECT doc_id, source, n_feats, dsir_weight FROM ($dsirSql)
            |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin,
+      // τ by EXPLICIT rank ⌈q·N⌉ over the ascending weights — the GK
+      // sketch's exact regime (N < accuracy retains every sample), so
+      // this reproduces percentile_approx at gate scale; ties at τ all
+      // selected on both engines (the set is { weight ≥ τ }).
+      "d_dsir_threshold" ->
+        s"""WITH w AS (SELECT doc_id, source, dsir_weight FROM ($dsirSql)),
+           |r AS (SELECT dsir_weight,
+           |    row_number() OVER (ORDER BY dsir_weight ASC) AS rn,
+           |    COUNT(*) OVER () AS n
+           |  FROM w),
+           |t AS (SELECT dsir_weight AS tau FROM r
+           |  WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
+           |SELECT w.doc_id, w.source, w.dsir_weight, t.tau + 0.0 AS tau
+           |FROM w, t WHERE w.dsir_weight >= t.tau""".stripMargin,
       // The two split cuts are the same integer-hex thresholds the
       // sampling keys use (exact power-of-two scale — nothing float to
       // diverge on); the CASE mirrors splitAssign's default 90/5/5.

@@ -49,7 +49,10 @@ object Audit {
     "t_tfidf",
     // the 1-row median-watermark frame crossJoined into the old-snapshot
     // filter — the same corpus-stats shape
-    "v_snapshot_diff")
+    "v_snapshot_diff",
+    // the 1-row τ (approx-quantile scalar) frame crossJoined into the
+    // weight filter — the t_bm25 corpus-stats shape
+    "d_dsir_threshold")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */

@@ -353,6 +353,36 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.dsirSelect(docs, n = 100000).count() == weights.length)
   }
 
+  test("dsirThreshold: selection ≡ top-n at matched budget; τ is the exact ⌈q·N⌉ rank below sketch capacity") {
+    val sel = Sampling.dsirThreshold(docs, budgetFraction = 0.2).collect()
+    val tau = sel.head.getDouble(3)
+    assert(sel.forall(_.getDouble(3) == tau), "one scalar τ broadcast to every row")
+    assert(sel.forall(_.getDouble(2) >= tau), "selection is exactly { weight >= tau }")
+    // matched-budget equivalence: |S| docs with weight >= τ means the
+    // top-|S| under (weight desc, doc_id) is the SAME set — the
+    // threshold form loses nothing vs top-n at the budget it realizes
+    val weights = Sampling.dsirWeights(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val topN = weights.sortBy { case (id, w) => (-w, id) }.take(sel.length).map(_._1).toSet
+    assert(sel.map(_.getLong(0)).toSet == topN)
+    // exact regime: N < accuracy ⇒ the GK sketch keeps every sample and
+    // τ is the 1-based rank ⌈q·N⌉ of the ascending weights (the oracle's
+    // formula); also the declared rank-error bound holds trivially
+    val ws = weights.map(_._2).sorted
+    val n = ws.length
+    val exact = ws(math.ceil(0.8 * n).toInt - 1)
+    assert(tau == exact, s"sketch τ $tau vs exact-rank $exact")
+    val rankOfTau = ws.count(_ < tau) + 1
+    assert(math.abs(rankOfTau - 0.8 * n) <= n / 10000.0 + 1)
+    // sketch-vs-exact differential at a LOWERED accuracy (forces the
+    // compressed regime): τ' must stay within the declared rank error
+    val coarse = Sampling.dsirThreshold(docs, budgetFraction = 0.2, accuracy = 50)
+      .collect().head.getDouble(3)
+    val rankCoarse = ws.count(_ < coarse) + 1
+    assert(math.abs(rankCoarse - 0.8 * n) <= n / 50.0 + 1,
+      s"coarse-sketch rank $rankCoarse vs target ${0.8 * n} beyond N/accuracy")
+  }
+
   test("corpusShuffle: (shard, pos) is a total order — a permutation of the corpus") {
     val out = Sampling.corpusShuffle(docs).collect()
     assert(out.length == docs.count())
