@@ -41,8 +41,16 @@ object Profiler {
 
   // ---- driver wiring ----
 
+  /** q_profile_hll is the AT-SCALE mode of the same profile: HLL++
+    * distinct sketches (rsd 0.01) replace the Expand-based exact
+    * multi-distinct, so the single pass stays Expand-free (one row per
+    * input row per aggregate, not per distinct column — spec-asserted)
+    * and sketch partials merge map-side. Rows-only by declared design
+    * (HLL++ bucket estimates are engine-specific); the differential
+    * spec bounds every column's estimate against the exact mode. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_profile" -> ((s, d) => profile(Tables(s, d).orders, exact = true)))
+    "q_profile" -> ((s, d) => profile(Tables(s, d).orders, exact = true)),
+    "q_profile_hll" -> ((s, d) => profile(Tables(s, d).orders, exact = false)))
 
   val oracles: Map[String, String] = Map(
     "q_profile" ->

@@ -67,9 +67,24 @@ class ScaleOpsSpec extends SparkSpec {
     // sketch mode stays close on a real table
     val exact = graft.ops.Profiler.profile(t.lineitem, exact = true).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
-    graft.ops.Profiler.profile(t.lineitem, exact = false).collect().foreach { r =>
+    val hll = graft.ops.Profiler.profile(t.lineitem, exact = false)
+    hll.collect().foreach { r =>
       val e = exact(r.getString(0))
       if (e > 100) assert(math.abs(r.getAs[Long]("n_distinct") - e).toDouble / e < 0.02)
+    }
+    // plan shape: the HLL mode must stay a single Expand-free pass
+    // (exact multi-distinct plans an Expand that multiplies every input
+    // row by #distinct-columns — the thing the sketch mode exists to
+    // avoid at 100 TB); small columns stay exact on the sketch too
+    assert(!hll.queryExecution.executedPlan.toString.contains("Expand"),
+      "HLL profile must not plan an Expand")
+    assert(graft.ops.Profiler.profile(t.lineitem, exact = true)
+      .queryExecution.executedPlan.toString.contains("Expand"),
+      "exact profile is the Expand-based plan (the contrast this spec pins)")
+    hll.collect().foreach { r =>
+      val e = exact(r.getString(0))
+      if (e <= 100) assert(r.getAs[Long]("n_distinct") == e,
+        s"${r.getString(0)}: tiny cardinalities are exact under HLL++")
     }
   }
 
