@@ -715,6 +715,24 @@ object Similarity {
         (round(expr("percentile(norm_r, 0.5)"), 4) + lit(0.0)).as("p50_norm"),
         (round(expr("percentile(norm_r, 0.9)"), 4) + lit(0.0)).as("p90_norm"))
 
+  /** The 100 TB mode of [[normReport]]: GK approx-percentile sketches
+    * (fixed-size mergeable partials) replace the exact percentile,
+    * whose buffer holds one LABEL's entire norm population per group.
+    * Quantiles are actual data values (already ROUND(,4) scan-side) at
+    * rank error ≤ N/accuracy; below `accuracy` observations per label
+    * the sketch is exact (rank ⌈q·N⌉ — the d_dsir_threshold regime),
+    * so the key is hash-checked against a DuckDB explicit-rank mirror
+    * at test SF. */
+  def normReportApprox(embeddings: DataFrame, accuracy: Int = 10000): DataFrame =
+    embeddings
+      .select(col("label"),
+        (round(GraftFunctions.vecNorm(col("embedding")), 4) + lit(0.0)).as("norm_r"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm_r") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        (percentile_approx(col("norm_r"), lit(0.5), lit(accuracy)) + lit(0.0)).as("p50_norm"),
+        (percentile_approx(col("norm_r"), lit(0.9), lit(accuracy)) + lit(0.0)).as("p90_norm"))
+
   /** Leave-one-out 1-NN label consistency off the canopy kNN graph —
     * the cheapest meaningful probe of embedding quality against the
     * label column (if nearest neighbors rarely share labels, the space
@@ -814,6 +832,7 @@ object Similarity {
       recallReport(Tables(s, d).embeddings, cents, assigned)
     }),
     "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)),
+    "s_norm_report_approx" -> ((s, d) => normReportApprox(Tables(s, d).embeddings)),
     "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)),
     "s_dim_report" -> ((s, d) => dimReport(Tables(s, d).embeddings)),
     "s_knn_accuracy" -> ((s, d) => {
@@ -923,6 +942,24 @@ object Similarity {
         |  ROUND(quantile_cont(norm_r, 0.5), 4) + 0.0 AS p50_norm,
         |  ROUND(quantile_cont(norm_r, 0.9), 4) + 0.0 AS p90_norm
         |FROM n GROUP BY 1""".stripMargin,
+    // Approx mode: GK exact regime below sketch capacity ⇒ value at
+    // 1-based rank ⌈q·N⌉ of the ascending per-label norms — the
+    // d_dsir_threshold explicit-rank formula; norms ROUND(,4)+0.0
+    // scan-side exactly as the exact mode.
+    "s_norm_report_approx" ->
+      """WITH n AS (SELECT label,
+        |  ROUND(sqrt(list_sum(list_transform(embedding,
+        |    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 4) + 0.0 AS norm_r
+        |FROM embeddings),
+        |r AS (SELECT label, norm_r,
+        |    row_number() OVER (PARTITION BY label ORDER BY norm_r ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label) AS cnt
+        |  FROM n)
+        |SELECT label, CAST(MAX(cnt) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN norm_r = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN norm_r END) + 0.0 AS p50_norm,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN norm_r END) + 0.0 AS p90_norm
+        |FROM r GROUP BY 1""".stripMargin,
     "s_ann_batch" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
         |  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)),

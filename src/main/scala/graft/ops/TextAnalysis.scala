@@ -684,6 +684,27 @@ object TextAnalysis {
         round(expr("percentile(n, 0.99)"), 4).as("p99"))
   }
 
+  /** The 100 TB mode of [[lengthQuantiles]]: GK approx-percentile
+    * sketches (fixed-size mergeable partials) replace the exact
+    * percentile, whose buffer holds one SOURCE's entire length
+    * population per group — unbounded when sources are web-scale.
+    * Quantiles come back as actual data values (no interpolation) with
+    * rank error ≤ N/accuracy per source. Below `accuracy` observations
+    * per source the sketch is EXACT (value at rank ⌈q·N⌉ — the
+    * d_dsir_threshold regime), which makes this key hash-checkable
+    * against a DuckDB explicit-rank mirror at test SF while the
+    * production path is the sketch itself. */
+  def lengthQuantilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val t = trim(coalesce(col("text"), lit("")))
+    documents.filter(length(t) > 0)
+      .select(col("source"), size(split(t, "\\s+")).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("n"), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col("n"), lit(0.99), lit(accuracy)).as("p99"))
+  }
+
   /** Gopher-style structural quality rules (Rae et al. 2021 §A1.1) —
     * the rule bundle web-corpus curation applies before any model-based
     * scoring: word-count bounds, mean-word-length bounds, symbol-to-word
@@ -971,6 +992,7 @@ object TextAnalysis {
     "t_token_entropy"  -> ((s, d) => tokenEntropy(Tables(s, d).documents)),
     "t_vocab_coverage" -> ((s, d) => vocabCoverage(Tables(s, d).documents)),
     "t_length_quantiles" -> ((s, d) => lengthQuantiles(Tables(s, d).documents)),
+    "t_length_quantiles_approx" -> ((s, d) => lengthQuantilesApprox(Tables(s, d).documents)),
     "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
@@ -1000,6 +1022,22 @@ object TextAnalysis {
         |  ROUND(quantile_cont(n, 0.9), 4) AS p90,
         |  ROUND(quantile_cont(n, 0.99), 4) AS p99
         |FROM d GROUP BY 1""".stripMargin,
+    // Approx mode: GK exact regime below sketch capacity ⇒ value at
+    // 1-based rank ⌈q·N⌉ of the ascending per-source lengths — the
+    // d_dsir_threshold explicit-rank formula, per source and quantile.
+    "t_length_quantiles_approx" ->
+      raw"""WITH d AS (SELECT source,
+        |    CAST(len(string_split_regex(trim(COALESCE(text, '')), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE length(trim(COALESCE(text, ''))) > 0),
+        |r AS (SELECT source, n,
+        |    row_number() OVER (PARTITION BY source ORDER BY n ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d)
+        |SELECT source, CAST(MAX(cnt) AS BIGINT) AS n_docs,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS BIGINT) AS p50,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS BIGINT) AS p90,
+        |  CAST(MAX(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN n END) AS BIGINT) AS p99
+        |FROM r GROUP BY 1""".stripMargin,
     // Mirror of gopherRules: same regex counts (plain ASCII classes —
     // Java and RE2 agree), same int/int ROUND(,4) ratios, same ordered
     // CASE over the ROUNDED values.

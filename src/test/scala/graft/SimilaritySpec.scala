@@ -509,6 +509,38 @@ class SimilaritySpec extends SparkSpec {
     assert(got(8) == ((1L, 0L, 1.0, 1.0)))
   }
 
+  test("normReportApprox: exact-regime rank values; coarse sketch stays within the rank-error bound") {
+    val norms = embs.select(
+        (round(graft.functions.GraftFunctions.vecNorm(col("embedding")), 4) + lit(0.0)).as("nr"),
+        col("label"))
+      .collect().map(r => (r.getInt(1), r.getDouble(0))).groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._2).sorted }
+    val got = Similarity.normReportApprox(embs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    norms.foreach { case (label, ws) =>
+      val n = ws.length
+      val (nv, nz, p50, p90) = got(label)
+      assert(nv == n && nz == ws.count(_ == 0.0))
+      // exact regime (n < accuracy): value at 1-based rank ⌈q·n⌉
+      assert(p50 == ws(math.ceil(0.5 * n).toInt - 1))
+      assert(p90 == ws(math.ceil(0.9 * n).toInt - 1))
+    }
+    // compressed regime at accuracy 20: every reported quantile is a
+    // real data value whose rank INTERVAL (ties occupy [count(<v)+1,
+    // count(≤v)] — these norms are mostly 1.0) meets the GK bound
+    Similarity.normReportApprox(embs, accuracy = 20).collect().foreach { r =>
+      val ws = norms(r.getInt(0)); val n = ws.length
+      Seq((r.getDouble(3), 0.5), (r.getDouble(4), 0.9)).foreach { case (v, q) =>
+        assert(ws.contains(v), s"quantile $v must be a data value")
+        val lo = ws.count(_ < v) + 1
+        val hi = ws.count(_ <= v)
+        val err = if (q * n >= lo && q * n <= hi) 0.0
+          else math.min(math.abs(lo - q * n), math.abs(hi - q * n))
+        assert(err <= n / 20.0 + 1, s"label ${r.getInt(0)} q=$q rank [$lo,$hi] vs ${q * n}")
+      }
+    }
+  }
+
   test("centroidDrift: identical halves drift 1.0, orthogonal halves 0.0") {
     val x = Seq(1f, 0f, 0f, 0f)
     val y = Seq(0f, 1f, 0f, 0f)

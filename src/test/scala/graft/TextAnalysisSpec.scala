@@ -807,6 +807,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("lengthQuantilesApprox: exact-regime rank values vs the exact mode; coarse sketch within the rank bound") {
+    import org.apache.spark.sql.functions.{coalesce, col, length, lit, size, split, trim}
+    val t = trim(coalesce(col("text"), lit("")))
+    val lens = docs.filter(length(t) > 0)
+      .select(col("source"), size(split(t, "\\s+")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val got = TextAnalysis.lengthQuantilesApprox(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    lens.foreach { case (src, ws) =>
+      val n = ws.length
+      val (nd, p50, p90, p99) = got(src)
+      assert(nd == n)
+      // exact regime: the sketch returns the value at 1-based rank ⌈q·n⌉
+      assert(p50 == ws(math.ceil(0.5 * n).toInt - 1), s"$src p50")
+      assert(p90 == ws(math.ceil(0.9 * n).toInt - 1), s"$src p90")
+      assert(p99 == ws(math.ceil(0.99 * n).toInt - 1), s"$src p99")
+    }
+    // compressed regime: data-value quantiles whose rank INTERVAL
+    // (ties occupy [count(<v)+1, count(≤v)]) meets the GK bound
+    TextAnalysis.lengthQuantilesApprox(docs, accuracy = 10).collect().foreach { r =>
+      val ws = lens(r.getString(0)); val n = ws.length
+      Seq((r.getLong(2), 0.5), (r.getLong(3), 0.9), (r.getLong(4), 0.99)).foreach { case (v, q) =>
+        assert(ws.contains(v), s"quantile $v must be a data value")
+        val lo = ws.count(_ < v) + 1
+        val hi = ws.count(_ <= v)
+        val err = if (q * n >= lo && q * n <= hi) 0.0
+          else math.min(math.abs(lo - q * n), math.abs(hi - q * n))
+        assert(err <= n / 10.0 + 1, s"${r.getString(0)} q=$q rank [$lo,$hi] vs ${q * n}")
+      }
+    }
+  }
+
   test("multimodal: md5 of bytes equals md5 of the source text utf-8") {
     val one = Multimodal.pipeline(docs.limit(1)).collect()(0)
     val txt = docs.limit(1).select("text").collect()(0).getString(0)
