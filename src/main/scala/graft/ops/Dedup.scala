@@ -413,6 +413,38 @@ object Dedup {
       .filter(col("n_shared_runs") >= minRuns)
   }
 
+  /** Winnowing-composed substring-dup pair mining — the position-robust
+    * form of [[substringDupPairs]]: pairs of documents sharing at least
+    * `minShared` winnowing fingerprints (Schleimer et al. 2003). The
+    * winnow guarantee turns into a pair guarantee: any shared token run
+    * of length ≥ k+w−1 (= 6 at the defaults, vs the 8-gram index's 8)
+    * contributes at least one shared fingerprint REGARDLESS of where
+    * the run sits in either document — so a one-token insertion that
+    * splits a long verbatim block into two sub-8-token halves (invisible
+    * to the 8-gram index AND to d_span_dedup's fixed spans) still
+    * collides here on both halves. Spec plants exactly that case.
+    *
+    * Plan: identical inverted-index shape as [[substringDupPairs]] but
+    * over the ~2/(w+1)-density fingerprint table (the winnow kernel
+    * selects scan-side — no gram explode): df-cap broadcast anti-join
+    * kills site-wide boilerplate fingerprints, self-equi-join on fp,
+    * pair work ∝ Σ df² over TRUE shared content, never all-pairs. At
+    * 100 TB this runs off the materialized t_winnow fingerprint table
+    * (Store-style), making the mining incremental per ingest batch. */
+  def winnowDupPairs(documents: DataFrame, k: Int = 3, w: Int = 4,
+                     minShared: Int = 2, dfCap: Int = 100): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(documents, k, w)
+    val frequent = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("fp"))
+    val kept = fps.join(broadcast(frequent), Seq("fp"), "left_anti")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   /** Span-level exact-substring DEDUP — the step that produces cleaned
     * TEXT, not just pair flags (the actual output of Lee et al. 2022's
     * "Deduplicating Training Data Makes Language Models Better", §4:
@@ -897,6 +929,7 @@ object Dedup {
       semanticDedupMedoid(assigned.drop("cluster"), cents)
     }),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
+    "d_winnow_dup"       -> ((s, d) => winnowDupPairs(Tables(s, d).documents)),
     "d_span_dedup"       -> ((s, d) => spanDedup(Tables(s, d).documents)),
     "d_cross_dedup"      -> ((s, d) => {
       // Served off the durable/cached derived tables (Store falls back
@@ -1041,6 +1074,35 @@ object Dedup {
          |FROM p
          |WHERE ROUND(CAST(inter AS DOUBLE) / least(la, lb), 4) >= 0.9""".stripMargin,
     "d_substring_dup" -> substringDupOracle,
+    // Mirror of winnowDupPairs: the t_winnow fingerprint CTE
+    // byte-for-byte (same tokenization, positional 3-gram md5, window
+    // MIN over the hex-string total order, full windows, DISTINCT),
+    // then the same df-cap anti-join + self-join + >= minShared gate.
+    "d_winnow_dup" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |tt AS (SELECT doc_id, list_filter(toks, t -> t != '') AS t FROM toks),
+        |g AS (SELECT doc_id, i,
+        |    md5(array_to_string(t[i:i+2], ' ')) AS h,
+        |    len(t) - 2 AS n_grams
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tt WHERE len(t) >= 3)),
+        |wmin AS (SELECT doc_id, i, n_grams,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i <= n_grams - 3),
+        |freq AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 100),
+        |kept AS (SELECT f.doc_id, f.fp FROM fps f
+        |  LEFT JOIN freq q ON f.fp = q.fp WHERE q.fp IS NULL),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS n_shared_fps
+        |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_shared_fps AS BIGINT) AS n_shared_fps
+        |FROM p WHERE n_shared_fps >= 2""".stripMargin,
     "d_span_dedup" -> spanDedupOracle,
     "d_cross_dedup" ->
       """WITH f AS (SELECT doc_id, source,

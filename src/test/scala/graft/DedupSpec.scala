@@ -211,6 +211,42 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupPairs(boiler, k = 8, dfCap = 100).count() == 0)
   }
 
+  test("winnowDupPairs: catches the insertion-shifted dup the 8-gram index misses; unrelated docs silent") {
+    // doc 2 = doc 1 with ONE token inserted mid-passage: the 14-token
+    // verbatim block splits into two 7-token halves — every 8-gram
+    // spans the edit, so substringDupPairs(k=8) is blind; winnowing
+    // (guarantee: any shared run ≥ k+w−1 = 6 tokens shares ≥ 1
+    // fingerprint) collides on BOTH halves
+    val half1 = "crimson anchor velvet morning thunder quiet ember"
+    val half2 = "lantern drifting canyon whisper granite sudden voyage"
+    val df = Seq(
+      (1L, s"$half1 $half2"),
+      (2L, s"$half1 INSERTED $half2"),
+      (3L, "totally unrelated text with nothing shared here at all beyond plain words")
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(df, k = 8).count() == 0,
+      "the fixed 8-gram index must miss the insertion-shifted dup (the case this key exists for)")
+    val got = Dedup.winnowDupPairs(df).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("doc_a") == 1L && got(0).getAs[Long]("doc_b") == 2L)
+    assert(got(0).getAs[Long]("n_shared_fps") >= 2L, "one fingerprint per shared half, at least")
+    // JVM differential on real docs: pairs from a collected-fingerprint
+    // reference (same df-cap, same >= minShared gate) match exactly
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    val fps = graft.ops.TextAnalysis.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df100 = fps.groupBy(_._2).filter(_._2.length > 100).keySet
+    val byFp = fps.filterNot(p => df100(p._2)).groupBy(_._2)
+    val expect = byFp.values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 2L)
+    val real = Dedup.winnowDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(real == expect, s"${real.size} pairs vs reference ${expect.size}")
+  }
+
   test("spanDedup: duplicated spans removed, first occurrence survives, unique text untouched") {
     val k = 4
     val shared = "alpha beta gamma delta" // one full span, verbatim
