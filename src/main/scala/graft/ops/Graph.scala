@@ -100,7 +100,7 @@ object DomainGraph {
     * 20-node graph with data-dependent weights (self-loops included;
     * PageRank is well-defined with them), mirrored verbatim in the
     * oracle SQL. */
-  private def syntheticEdges(documents: DataFrame): DataFrame =
+  private[graft] def syntheticEdges(documents: DataFrame): DataFrame =
     documents.select(
       concat(col("source"), lit(".example.com")).as("src"),
       concat(lit("src"), pmod(col("doc_id") * 7 + 3, lit(20)).cast("string"),

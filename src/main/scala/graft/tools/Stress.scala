@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, DomainGraph, Search, Similarity}
 /** Scale stress: replicate the sf0.1 corpus N× with distinct doc_ids and
   * run the dedup/similarity family. Verifies pair generation stays
   * bounded by real collisions (not corpus²) as rows grow. */
@@ -31,6 +31,18 @@ object Stress {
     // span dedup: replicas share almost every k-token span, so this is
     // the worst-case duplication load — cost must stay ∝ corpus tokens
     time("span_dedup")(Dedup.spanDedup(docs).count())
+    // bm25: cost must stay ∝ corpus (scan-side tf/dl kernel + 1-row
+    // stats broadcast + per-partition heaps) — replicas multiply the
+    // scan, never the shuffle (top-k and stats are fixed-size)
+    time("bm25_topk")(Search.bm25TopK(docs).count())
+    // domain rank: replicas multiply the EDGE list n×; the aggregated
+    // (src,dst) weight table, degree table, and rank vector stay at the
+    // ORIGINAL host cardinality — iteration cost must scale with the
+    // host table, not the raw edge count (weights collapse in the first
+    // aggregate), so 10 iterations should cost ≈ the sf0.1 run + one
+    // bigger initial aggregate
+    time("domain_rank")(DomainGraph.domainRank(
+      DomainGraph.syntheticEdges(docs)).count())
     val emb = t.embeddings
     time("ann_topk")(Similarity.annTopK(emb).count())
     time("embed_neardup")(Dedup.embedNearDup(emb).count())
@@ -55,6 +67,14 @@ object Stress {
     time("semantic_dedup") {
       val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
       Dedup.semanticDedup(embN, cents, tau = 0.99, nAssign = 2).count()
+    }
+    // canopy kNN graph over the replicated vectors: candidate work is
+    // O(Σ bucket²) with buckets sized by nlist — k scaled with n keeps
+    // bucket width ≈ constant, so the graph build must stay near-linear
+    // in vectors (never vectors²)
+    time("knn_ivf") {
+      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      Similarity.knnJoinCanopy(embN, cents).count()
     }
     spark.stop()
   }
