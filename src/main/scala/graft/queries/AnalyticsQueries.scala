@@ -492,12 +492,24 @@ object AnalyticsQueries {
     * full-history rescan — spec-proven equal to the direct weekly
     * aggregate over raw events. Sums ride DECIMAL(18,2) end to end
     * (exact merge, any order), ONE double division for the avg. */
-  def aggMerge(t: Tables): DataFrame = {
-    val daily = t.events
+  def aggMerge(t: Tables): DataFrame =
+    weeklyFromDaily(dailyPartials(t.events))
+
+  /** First level of [[aggMerge]]: per-(user, day) purchase partials —
+    * the unit the streaming maintainer ([[graft.streaming.AggMergeStream]])
+    * appends per micro-batch. Algebraic (count/sum), so partials of
+    * partials re-merge exactly. */
+  def dailyPartials(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).as("total"))
+
+  /** Second level of [[aggMerge]]: the weekly report off (merged) daily
+    * partials. Input contract: ONE row per (user_id, day) — re-merge
+    * multi-batch partials first (`AggMergeStream.daily`). */
+  def weeklyFromDaily(daily: DataFrame): DataFrame =
     daily
       .groupBy(col("user_id"), date_trunc("week", col("day")).cast("date").as("week"))
       .agg(sum(col("n")).as("n_events"),
@@ -507,7 +519,6 @@ object AnalyticsQueries {
         col("total_value").cast("double").as("total_value"), col("n_days"),
         (round(col("total_value").cast("double") / col("n_events"), 4) + lit(0.0))
           .as("avg_value"))
-  }
 
   // ---- driver wiring ----
 

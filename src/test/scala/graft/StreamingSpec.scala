@@ -649,4 +649,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     dropGateTables(tables: _*)
   }
+
+  test("agg-merge maintainer: streamed weekly == batch q_agg_merge under out-of-order batches; replay idempotent") {
+    import graft.streaming.AggMergeStream
+    dropGateTables("t_aggm_partials")
+    val t = graft.core.Tables(spark, TestSpark.sf0001)
+    val batchOp = graft.queries.AnalyticsQueries.aggMerge(t)
+      .collect().map(_.toString).sorted.toSeq
+    // interleave event_ids across batches so EVERY batch carries "late"
+    // rows for days earlier batches already covered — the worst-case
+    // arrival order for an incremental rollup
+    val chunks = (0 until 3).map(i => t.events.filter(pmod($"event_id", lit(3)) === i))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      AggMergeStream.mergeBatch(c, i.toLong, "t_aggm_partials", buckets = 4) }
+    assert(AggMergeStream.weekly(spark, "t_aggm_partials")
+      .collect().map(_.toString).sorted.toSeq == batchOp,
+      "re-merged partials must equal the direct two-level rollup exactly")
+    // crash replay: foreachBatch re-delivers under the SAME batch_id —
+    // the WAL skip keeps partials (and therefore the report) unchanged
+    val before = fresh("t_aggm_partials").count()
+    AggMergeStream.mergeBatch(chunks(1), 1L, "t_aggm_partials", buckets = 4)
+    assert(fresh("t_aggm_partials").count() == before, "replayed batch_id must be a no-op")
+    assert(AggMergeStream.weekly(spark, "t_aggm_partials")
+      .collect().map(_.toString).sorted.toSeq == batchOp)
+    dropGateTables("t_aggm_partials")
+    // real stream wiring: the same events through readStream/foreachBatch
+    val streamDir = Files.createTempDirectory("graft-aggm").toString
+    val ckpt = Files.createTempDirectory("graft-aggm-ckpt").toString
+    t.events.coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val q = AggMergeStream.start(VehicleStream.eventStream(spark, streamDir),
+      "t_aggm2_partials", ckpt, buckets = 4)
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshTable("t_aggm2_partials")
+    assert(AggMergeStream.weekly(spark, "t_aggm2_partials")
+      .collect().map(_.toString).sorted.toSeq == batchOp,
+      "streamed maintainer must serve the exact batch report")
+    dropGateTables("t_aggm2_partials")
+  }
 }
