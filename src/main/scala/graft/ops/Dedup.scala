@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextKernels}
 
 /** Deduplication operators for a large-scale training-data pipeline
   * (SURVEY.md §2.3 / §5), over a `documents(doc_id, text, …)` table.
@@ -870,9 +870,17 @@ object Dedup {
     * candidate pairs ([[jaccardOnCandidates]] at τ=0 — candidates only,
     * never all pairs). Two signature-table joins on the candidate frame
     * (signatures ≈ 1% of corpus bytes); work ∝ candidates, the LSH
-    * guarantee. Rows-only by design (signatures are engine-side FNV
-    * permutations); spec: planted exact copies estimate 1.0 at error 0,
-    * corpus-wide error bounded. */
+    * guarantee. DuckDB-oracled via the portable FNV/splitmix64
+    * reproduction (see `minhashSigCte`); spec: planted exact copies
+    * estimate 1.0 at error 0, corpus-wide error bounded.
+    *
+    * `abs_err` is |est − exact| at REPORT precision (both operands are
+    * the already-rounded 4-decimal columns): the raw `n/128 − jaccard`
+    * difference lands on exact 5th-decimal ties (n ≡ 4 mod 8 makes
+    * n/128·10⁴ an exact half), where HALF_UP on a binary double is
+    * engine lottery — differencing the rounded columns keeps every
+    * intermediate a near-multiple of 10⁻⁴, which no engine rounds
+    * differently. */
   def jaccardCalibration(documents: DataFrame, signatures: DataFrame,
                          bands: Int = 32): DataFrame = {
     val cands = minhashCandidatesFromSignatures(signatures, bands)
@@ -883,7 +891,7 @@ object Dedup {
       .withColumn("est_jaccard", (round(col("n_agree") / lit(128.0), 4) + lit(0.0)))
       .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"),
         col("jaccard").as("exact_jaccard"),
-        (round(abs(col("n_agree") / lit(128.0) - col("jaccard")), 4) + lit(0.0))
+        (round(abs(col("est_jaccard") - col("jaccard")), 4) + lit(0.0))
           .as("abs_err"))
   }
 
@@ -964,10 +972,81 @@ object Dedup {
       |  FROM toks WHERE len(toks) >= 3),
       |d AS (SELECT doc_id, sh, len(sh) AS l FROM sh WHERE len(sh) > 0)""".stripMargin
 
-  /** Oracles for the SQL-expressible keys. `d_minhash_lsh` / `d_simhash`
-    * are rows-checked: their buckets depend on Spark's Murmur3/xxhash64,
-    * which DuckDB cannot reproduce; their SEMANTICS are spec-tested
-    * against the exact `ngramJaccardPairs` instead (DedupSpec). */
+  /** Portable DuckDB reproduction of the MinHash signature/banding
+    * pipeline — what moves `d_minhash_lsh` / `d_fuzzy` /
+    * `d_jaccard_calibration` from rows-only to hash-checked.
+    *
+    * Three observations make it expressible:
+    *  1. The kernel's hashing is engine-independent arithmetic (FNV-1a
+    *     base per shingle, 128 `a·h+b mod 2⁶⁴` permutations with
+    *     splitmix64-derived constants — TextKernels), NOT a Spark
+    *     hash: DuckDB replays FNV byte-exactly with a HUGEINT
+    *     `list_reduce` (docs are enforced-ASCII-safe: `ord` per char ==
+    *     UTF-8 byte for codepoints < 128, and the corpus is ASCII;
+    *     a non-ASCII corpus would need byte-level expansion).
+    *  2. The kernel's per-permutation MIN uses SIGNED long order; the
+    *     oracle works in the shifted domain u = v XOR 2⁶³ (top-bit
+    *     flip == +2⁶³ mod 2⁶⁴), where UNSIGNED HUGEINT order equals the
+    *     kernel's signed order — the shift constant is folded into the
+    *     `b` literals, so per-element work is two 32-bit-split
+    *     multiplies + adds, no sign CASE. Equality (band keys,
+    *     agreement counts) is invariant under the shift.
+    *  3. Band buckets need no Murmur3: two docs share a Spark bucket
+    *     iff their 4-perm slices are EQUAL (`hash()` is deterministic
+    *     on equal inputs), so the oracle joins on the slice values
+    *     directly. A murmur collision of UNEQUAL slices could add a
+    *     Spark-side pair the oracle lacks (p ≈ 2⁻⁶⁴ per bucket pair;
+    *     the hash compare would surface it — accepted risk).
+    *
+    * 64×64→mod-2⁶⁴ multiply under INT128: `a·(h mod 2³²) +
+    * ((a·(h div 2³²)) mod 2³²)·2³² + c`, every term < 2⁹⁷. */
+  private def huge(x: Long): String =
+    java.lang.Long.toUnsignedString(x) + "::HUGEINT"
+  private def minhashALit: String =
+    (0 until 128).map(p => huge(TextKernels.splitmix64(2L * p + 1L) | 1L))
+      .mkString("[", ", ", "]")
+  private def minhashCLit: String =
+    (0 until 128).map(p => huge(TextKernels.splitmix64(1000L + p) ^ Long.MinValue))
+      .mkString("[", ", ", "]")
+
+  /** CTE chain `documents → candm` (LSH candidate pairs) + `vm` (the
+    * per-(doc, perm) shifted signature components, for calibration). */
+  private def minhashSigCte: String =
+    raw"""WITH toksm AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |  FROM documents),
+      |shm AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS sh
+      |  FROM toksm WHERE len(toks) >= 3),
+      |dm AS (SELECT doc_id, sh FROM shm WHERE len(sh) > 0),
+      |exm AS (SELECT doc_id, unnest(sh) AS s FROM dm),
+      |basem AS (SELECT doc_id, list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      list_transform(generate_series(1, len(s)), i -> ord(substr(s, i, 1))::HUGEINT)),
+      |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
+      |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS base
+      |  FROM exm),
+      |pvm AS (SELECT p, ($minhashALit)[p+1] AS a, ($minhashCLit)[p+1] AS c
+      |        FROM (SELECT unnest(generate_series(0, 127)) AS p)),
+      |vm AS (SELECT doc_id, p,
+      |    MIN((a * (base % 4294967296::HUGEINT)
+      |         + ((a * (base // 4294967296::HUGEINT)) % 4294967296::HUGEINT)
+      |           * 4294967296::HUGEINT
+      |         + c) % 18446744073709551616::HUGEINT) AS u
+      |  FROM basem CROSS JOIN pvm
+      |  GROUP BY doc_id, p),
+      |bandm AS (SELECT doc_id, p // 4 AS band,
+      |    string_agg(u::VARCHAR, ',' ORDER BY p) AS bkey
+      |  FROM vm GROUP BY doc_id, p // 4),
+      |candm AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandm a JOIN bandm b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Oracles. Every dedup key including the LSH family is DuckDB-checked;
+    * the signature pipeline itself is replayed portably (`minhashSigCte`),
+    * and `d_simhash` replays the FNV bit-vote fingerprint the same way. */
   /** The ngram-jaccard oracle SQL also serves d_neardup_pipeline: the
     * candidates+verify pipeline must produce the IDENTICAL pair set
     * (banding recall at J≈0.98 is 1−(1−J⁴)³² ≈ 1−10⁻⁴⁶). */
@@ -1146,6 +1225,79 @@ object Dedup {
         |FROM documents""".stripMargin,
     "d_neardup_pipeline" -> ngramJaccardOracle,
     "d_ngram_jaccard" -> ngramJaccardOracle,
+    "d_minhash_lsh" -> s"$minhashSigCte\nSELECT doc_a, doc_b FROM candm",
+    // Candidates + DuckDB's exact levenshtein (Spark's thresholded
+    // levenshtein(a,b,k) returns −1 above k; `≤ maxDist` is the same
+    // predicate). The length prefilter is semantically redundant
+    // (edit distance ≥ length difference) — kept for plan parity.
+    "d_fuzzy" ->
+      s"""$minhashSigCte,
+         |nt AS (SELECT doc_id,
+         |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+         |  FROM documents)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.t, b.t) AS INTEGER) AS edit_distance
+         |FROM candm c
+         |JOIN nt a ON a.doc_id = c.doc_a
+         |JOIN nt b ON b.doc_id = c.doc_b
+         |WHERE abs(len(a.t) - len(b.t)) <= 10 AND levenshtein(a.t, b.t) <= 10""".stripMargin,
+    // est_jaccard: round4(n/128) computed in INTEGERS — round_half_up
+    // (n·625/8)/10⁴ = (n·625+4) div 8 over 10⁴ — because n ≡ 4 mod 8
+    // makes the double form an exact decimal tie (HALF_UP lottery);
+    // abs_err differs the two ROUNDED columns (see jaccardCalibration).
+    "d_jaccard_calibration" ->
+      s"""$minhashSigCte,
+         |sigl AS (SELECT doc_id, list(u ORDER BY p) AS sig FROM vm GROUP BY doc_id),
+         |shl AS (SELECT doc_id, sh, len(sh) AS l FROM dm),
+         |j AS (SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(x.sh, y.sh)) AS inter, x.l AS la, y.l AS lb,
+         |    len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS n_agree
+         |  FROM candm c
+         |  JOIN shl x ON x.doc_id = c.doc_a
+         |  JOIN shl y ON y.doc_id = c.doc_b
+         |  JOIN sigl sa ON sa.doc_id = c.doc_a
+         |  JOIN sigl sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, CAST(n_agree AS INTEGER) AS n_agree,
+         |  CAST((n_agree * 625 + 4) // 8 AS DOUBLE) / 10000.0 + 0.0 AS est_jaccard,
+         |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS exact_jaccard,
+         |  ROUND(ABS(CAST((n_agree * 625 + 4) // 8 AS DOUBLE) / 10000.0
+         |        - ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4)), 4) + 0.0 AS abs_err
+         |FROM j
+         |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.0""".stripMargin,
+    // SimHash: FNV per DISTINCT (doc, token) weighted by count (the
+    // kernel hashes every occurrence — hash(t)·cnt votes identically),
+    // bit j via div-by-2^j literals (HUGEINT ** is DOUBLE — unusable),
+    // strict `tally > 0` sign, and an all-pairs hamming at oracle scale
+    // only: the engine's 16-bit-chunk blocking is EXACT for hamming ≤ 3
+    // (pigeonhole), so the sets coincide.
+    "d_simhash" -> {
+      val pw = (0 until 64).map(j => huge(1L << j)).mkString("[", ", ", "]")
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t FROM toks
+        |       WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, unnest(t) AS tok FROM tf) GROUP BY 1, 2),
+        |th AS (SELECT doc_id, cnt, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(generate_series(1, len(tok)), i -> ord(substr(tok, i, 1))::HUGEINT)),
+        |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM tc),
+        |bits AS (SELECT doc_id, j,
+        |    SUM(CASE WHEN (h // ($pw)[j+1]) % 2 = 1 THEN cnt ELSE -cnt END) AS tally
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) AS INTEGER)
+        |    AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) <= 3""".stripMargin
+    },
     // Mirror of dedupCurve: the same pair CTE at the loosest τ, the
     // same τ-grid fan-out over the ROUND(,4) jaccard.
     "d_dedup_curve" ->
