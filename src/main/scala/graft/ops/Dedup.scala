@@ -580,8 +580,9 @@ object Dedup {
     * the random-similarity tail" is intrinsically an all-pairs problem;
     * use [[embedNearDup]]'s exact bucketed path for that regime, this or
     * [[embedNearDupClusters]] for actual near-duplicate mining at scale.
-    * Signatures are engine-side hashes, so this key is rows-checked; its
-    * semantics are spec-verified against exact truths (DedupSpec). */
+    * The hyperplane literals round-trip to DuckDB (embedLshOracle), so
+    * the key is hash-checked; semantics are additionally spec-verified
+    * against exact truths (DedupSpec). */
   def embedNearDupLsh(embeddings: DataFrame, tau: Double = 0.3,
                       nPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planesCol = typedlit(Similarity.hyperplanes(nPlanes, dim))
@@ -656,10 +657,11 @@ object Dedup {
     * assignment to the `nAssign` nearest centroids, so near-dups
     * straddling a cluster boundary still meet in ≥ 1 block). Centroids
     * come Catalog-cached (`Catalog.ivfIndex` — one fit per (session,
-    * dir), shared with `s_ann_ivf`/`d_semantic_ivf` serving). Blocking is
-    * engine-side (k-means), so the key is rows-checked; semantics are
-    * spec-verified (planted-replica removal + agreement with the exact
-    * bucketed form on tight pairs). */
+    * dir), shared with `s_ann_ivf`/`d_semantic_ivf` serving). The fit
+    * replays portably (Similarity.ivfFitCte), so the key is
+    * hash-checked end to end (canopy edges + recursive closure);
+    * semantics are additionally spec-verified (planted-replica removal
+    * + agreement with the exact bucketed form on tight pairs). */
   def semanticDedup(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                     tau: Double = 0.3, nAssign: Int = 2): DataFrame =
     semanticDedupFromPairs(embeddings,
@@ -718,9 +720,10 @@ object Dedup {
     * component sum — all linear in corpus size, no per-group pair
     * stage (a true pairwise medoid would be O(g²); closest-to-mean is
     * the standard linear-time medoid and coincides with it as groups
-    * tighten). Engine-side scoring (fixed-point rounding is not
-    * portably SQL-expressible) → rows-only key, spec-verified against
-    * a JVM reference on planted replica groups. */
+    * tighten). Oracle-checked: the fixed-point vecsum IS portably
+    * expressible (the s_centroid_report floor+frac idiom), so the
+    * mirror replays fit, closure, and medoid scoring; spec adds a JVM
+    * reference on planted replica groups. */
   def semanticDedupMedoid(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                           tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
     val pairs = embedNearDupClusters(embeddings, centroids, tau, nAssign)
@@ -1043,6 +1046,23 @@ object Dedup {
       |candm AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bandm a JOIN bandm b
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Canopy-blocked cosine edges (vec_a < vec_b, round(cos,4) ≥ 0.3)
+    * over Similarity's `can` CTE + the min-reachable closure — the
+    * shared tail of the `d_semantic_ivf` / `d_semantic_medoid` mirrors
+    * (same closure as the d_semantic_dedup oracle, canopy-blocked). */
+  private def semanticCanopyClosureCte: String =
+    s"""cpp AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM can a JOIN can b ON a.canopy = b.canopy AND a.vec_id < b.vec_id
+       |  WHERE ROUND(${graft.ops.Similarity.cosSql("a.embedding", "b.embedding")}, 4) >= 0.3),
+       |eun AS (SELECT vec_a AS u, vec_b AS v FROM cpp
+       |        UNION SELECT vec_b AS u, vec_a AS v FROM cpp),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM eiv
+       |  UNION
+       |  SELECT eun.v, reach.r FROM reach JOIN eun ON eun.u = reach.id),
+       |assign AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+       |sizes AS (SELECT root, CAST(COUNT(*) AS INTEGER) AS group_size FROM assign GROUP BY root)""".stripMargin
 
   /** Oracles. Every dedup key including the LSH family is DuckDB-checked;
     * the signature pipeline itself is replayed portably (`minhashSigCte`),
@@ -1399,6 +1419,39 @@ object Dedup {
         |SELECT vec_id, label, MIN(surv_id) AS dup_of, MAX(cos) AS max_cos
         |FROM x WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
     "d_embed_lsh" -> embedLshOracle,
+    // The IVF-blocked scale forms, hash-checked off Similarity's
+    // portable Lloyd-fit CTE: canopy pairs at round(cos,4) >= 0.3, the
+    // same min-reachable recursive closure as d_semantic_dedup.
+    "d_semantic_ivf" ->
+      (s"WITH RECURSIVE ${graft.ops.Similarity.ivfFitCte},\n" + semanticCanopyClosureCte +
+        """
+          |SELECT e.vec_id, e.label, sizes.group_size
+          |FROM eiv e JOIN assign ON e.vec_id = assign.id AND assign.id = assign.root
+          |JOIN sizes ON sizes.root = assign.root""".stripMargin),
+    // Medoid keep: per component, fixed-point SUM vector (the
+    // s_centroid_report Math.round idiom) cast to FLOAT, argmax of
+    // round(cos(member, sum), 6) with vec_id tie-break.
+    "d_semantic_medoid" ->
+      (s"WITH RECURSIVE ${graft.ops.Similarity.ivfFitCte},\n" + semanticCanopyClosureCte +
+        s""",
+          |mx AS (SELECT assign.root AS cluster_id, CAST(pos - 1 AS INT) AS dim,
+          |    CAST(vf AS DOUBLE) * 1000000000 AS sc
+          |  FROM (SELECT vec_id, unnest(embedding) AS vf,
+          |          unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u
+          |  JOIN assign ON assign.id = u.vec_id),
+          |ms AS (SELECT cluster_id, dim,
+          |    SUM(CAST(floor(sc) AS BIGINT) + CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv
+          |  FROM mx GROUP BY 1, 2),
+          |mc AS (SELECT cluster_id, list(CAST(sv AS FLOAT) ORDER BY dim) AS gsum FROM ms GROUP BY 1),
+          |scored AS (SELECT assign.root AS cluster_id, e.vec_id, e.label,
+          |    ROUND(${graft.ops.Similarity.cosSql("e.embedding", "mc.gsum")}, 6) AS medoid_cos
+          |  FROM eiv e JOIN assign ON assign.id = e.vec_id
+          |  JOIN mc ON mc.cluster_id = assign.root),
+          |keep AS (SELECT cluster_id, vec_id, label FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+          |        ORDER BY medoid_cos DESC, vec_id ASC) AS rn FROM scored) WHERE rn = 1)
+          |SELECT keep.vec_id, keep.label, sizes.group_size
+          |FROM keep JOIN sizes ON sizes.root = keep.cluster_id""".stripMargin),
     "d_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -444,9 +444,10 @@ object Similarity {
     * fewer than k in-canopy candidates emit fewer rows (the standard
     * approximate-kNN recall trade; raise nAssign/nProbe to trade
     * candidates for recall). Centroids come from the Catalog-cached
-    * IVF fit shared with `s_ann_ivf` — no per-call fit. Rows-only by
-    * design (buckets follow the fitted centroids); spec-proven to
-    * recover planted replicas as rank-1 neighbors and to agree with
+    * IVF fit shared with `s_ann_ivf` — no per-call fit.
+    * Oracle-checked: the fit replays portably (`ivfFitCte`), so the
+    * canopy graph is hash-compared end to end; spec additionally proves
+    * planted replicas are rank-1 neighbors and agreement with
     * [[knnJoin]] on high-cosine neighbors. */
   def knnJoinCanopy(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                     k: Int = 5, nAssign: Int = 2): DataFrame = {
@@ -485,9 +486,9 @@ object Similarity {
     * blocking is not an approximation trade here, it IS the
     * definition. O(Σ bucket²) work bounded by nlist sizing, exact
     * cosine verify, two row_number windows over the shared candidate
-    * frame, one join to pair the arms. Rows-only by design (buckets
-    * follow the fitted centroids); spec plants cross-label
-    * near-duplicates and asserts they are mined as the negatives. */
+    * frame, one join to pair the arms. Oracle-checked off the
+    * portable fit CTE; spec plants cross-label near-duplicates and
+    * asserts they are mined as the negatives. */
   def hardNegatives(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                     nAssign: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -563,10 +564,12 @@ object Similarity {
     * desc, label asc) — a total order, deterministic on both engines.
     * Plan: one (cluster, label) count aggregate (map-side combined),
     * then the per-cluster window passes over ≤ k×|labels| rows — the
-    * tiny-aggregate window form, data never re-shuffles. Rows-only by
-    * design: the assignment depends on the JVM fixed-point fit (the
-    * s_knn_ivf precedent); spec-verified on planted well-separated
-    * clusters (purity 1 recovery) and against a JVM reference. */
+    * tiny-aggregate window form, data never re-shuffles.
+    * Oracle-checked: the deterministic Lloyd fit unrolls into portable
+    * SQL (`ivfFitCte` — strict-< argmin assignment, Math.round
+    * fixed-point sums, sum/1e9/n division, COALESCE for empty
+    * clusters); spec additionally verifies planted well-separated
+    * clusters (purity 1 recovery) and a JVM reference. */
   def kmeansReport(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCluster = Window.partitionBy(col("cluster"))
@@ -646,9 +649,9 @@ object Similarity {
     * rollout (the FAISS-benchmark convention). Both arms are the
     * existing plans ([[annTopK]] exact, [[annIvfFromIndex]] approx off
     * the Catalog-cached fit); the join/count runs per query over ≤ k
-    * rows. Rows-only by design (the IVF arm depends on the JVM fit);
-    * spec proves recall = 1.0 when every list is probed and bounds
-    * recall in [0,1] otherwise. */
+    * rows. Oracle-checked off the portable fit CTE (both arms
+    * replayed per query); spec proves recall = 1.0 when every list is
+    * probed and bounds recall in [0,1] otherwise. */
   def recallReport(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                    assigned: DataFrame, queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
                    k: Int = 10, nProbe: Int = 2): DataFrame =
@@ -742,9 +745,9 @@ object Similarity {
     * accuracy ROUND(,4)+0.0. The kNN arm is [[knnJoinCanopy]] (shared
     * Catalog fit); the neighbor's label arrives by one key join
     * against the (vec_id, label) projection — key columns only, the
-    * embedding payload is not re-read. Rows-only by design (canopy
-    * buckets follow the JVM fit); spec: planted tight same-label
-    * clusters recover accuracy 1.0. */
+    * embedding payload is not re-read. Oracle-checked off the
+    * portable fit CTE; spec: planted tight same-label clusters recover
+    * accuracy 1.0. */
   def knnLabelAccuracy(embeddings: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val top1 = knnJoinCanopy(embeddings, centroids).filter(col("knn_rank") === 1)
     top1
@@ -840,9 +843,199 @@ object Similarity {
       knnLabelAccuracy(Tables(s, d).embeddings, cents)
     }))
 
-  /** s_ann_lsh is rows-checked (buckets depend on JVM-side hyperplane
-    * literals); its semantics are spec-tested against annTopK. */
+  // ---- portable SQL reproduction of the IVF fit (oracle support) ----
+  //
+  // The deterministic Lloyd fit is two UNROLLABLE iterations of pure,
+  // engine-independent arithmetic: init = embeddings of the k smallest
+  // vec_ids, assignment = strict-< argmin of an index-order double
+  // accumulation (ties → lowest index == ORDER BY d2, c), update = the
+  // fixed-point vecsum (Java Math.round ≡ floor(x)+[frac≥0.5], the
+  // s_centroid_report-proven idiom) with `sum/1e9/n` double division
+  // and empty clusters keeping their previous centroid (COALESCE).
+  // That moves the whole fit-dependent key family — s_kmeans, the IVF
+  // serving paths, canopy kNN, hard negatives, recall, and the
+  // semantic-dedup scale forms — from rows-only to hash-checked.
+  // DuckDB's `list_sum(list_transform(...))` is the same sequential
+  // index-order fold as the kernels' loops (proven by the hash-green
+  // embedding-family oracles since d_embed_lsh / s_centroid_report).
+
+  /** Squared-L2 between a FLOAT[] column expr and a DOUBLE[] centroid
+    * expr — the `graft_nearest_centroid(s)` distance, index-order. */
+  private[ops] def d2Sql(e: String, c: String): String =
+    s"list_sum(list_transform(list_zip($e, $c), " +
+      s"p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+
+  /** `graft_cosine` between two FLOAT[] exprs (zero-norm → 0). */
+  private[ops] def cosSql(a: String, b: String): String =
+    s"(CASE WHEN sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) = 0 THEN 0" +
+      s" ELSE list_sum(list_transform(list_zip($a, $b)," +
+      s" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))" +
+      s" / (sqrt(list_sum(list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) END)"
+
+  /** One Lloyd iteration: assignment vs `prev` → `a$i`, fixed-point
+    * per-(cluster, dim) sums → `c$i` (empty clusters keep `prev`). */
+  private def lloydIterSql(i: Int, prev: String): String =
+    s"""a$i AS (SELECT vec_id, c AS cluster FROM (
+       |    SELECT e.vec_id, $prev.c,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", prev + ".cent")} ASC, $prev.c ASC) AS rn
+       |    FROM eiv e CROSS JOIN $prev) WHERE rn = 1),
+       |x$i AS (SELECT a$i.cluster, CAST(pos - 1 AS INT) AS dim,
+       |    CAST(vf AS DOUBLE) * 1000000000 AS sc
+       |  FROM (SELECT vec_id, unnest(embedding) AS vf,
+       |          unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u
+       |  JOIN a$i USING (vec_id)),
+       |s$i AS (SELECT cluster, dim,
+       |    SUM(CAST(floor(sc) AS BIGINT) + CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv,
+       |    COUNT(*) AS n
+       |  FROM x$i GROUP BY 1, 2),
+       |c${i}n AS (SELECT cluster, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
+       |  FROM s$i GROUP BY 1),
+       |c$i AS (SELECT $prev.c AS c, COALESCE(c${i}n.cent, $prev.cent) AS cent
+       |  FROM $prev LEFT JOIN c${i}n ON c${i}n.cluster = $prev.c)""".stripMargin
+
+  /** CTE chain `embeddings → c2` (fitted centroids), `af` (final
+    * cluster-assigned corpus — `Catalog.ivfIndex`'s second half) and
+    * `can` (the nAssign=2 canopy assignment). */
+  private[ops] def ivfFitCte: String =
+    s"""eiv AS (SELECT vec_id, label, embedding FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
+       |  FROM (SELECT vec_id, embedding FROM eiv ORDER BY vec_id LIMIT 16)),
+       |${lloydIterSql(1, "c0")},
+       |${lloydIterSql(2, "c1")},
+       |af AS (SELECT e.vec_id, e.label, e.embedding, a.cluster FROM eiv e
+       |  JOIN (SELECT vec_id, c AS cluster FROM (
+       |    SELECT e.vec_id, c2.c,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM eiv e CROSS JOIN c2) WHERE rn = 1) a USING (vec_id)),
+       |can AS (SELECT e.vec_id, e.label, e.embedding, c AS canopy FROM (
+       |    SELECT e.vec_id, c2.c AS c,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM eiv e CROSS JOIN c2) x
+       |  JOIN eiv e USING (vec_id) WHERE rn <= 2)""".stripMargin
+
+  /** Canopy candidate pairs with their rounded cosines (directed — both
+    * (a,b) and (b,a)), the shared stage of the kNN-graph keys. */
+  private def canopyCandCte: String =
+    s"""cp AS (SELECT DISTINCT a.vec_id AS vec_id, a.label AS label,
+       |    b.vec_id AS nbr_id, b.label AS nbr_label,
+       |    ROUND(${cosSql("a.embedding", "b.embedding")}, 4) + 0.0 AS cos_sim
+       |  FROM can a JOIN can b ON a.canopy = b.canopy AND a.vec_id != b.vec_id)""".stripMargin
+
+  /** Per-query CTEs for the recall report: exact brute-force top-k +
+    * the IVF serving arm at nProbe=2, both with (cos desc, id) order. */
+  private def recallQueryCte(qid: Int): String =
+    s"""q$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
+       |ex$qid AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", s"q$qid.qe")} AS cos
+       |    FROM eiv e CROSS JOIN q$qid WHERE e.vec_id != $qid
+       |    ORDER BY cos DESC, vec_id ASC LIMIT 10)),
+       |pr$qid AS (SELECT c FROM (
+       |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql(s"q$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM c2 CROSS JOIN q$qid) WHERE rn <= 2),
+       |ap$qid AS (SELECT vec_id FROM (
+       |    SELECT af.vec_id, ${cosSql("af.embedding", s"q$qid.qe")} AS cos
+       |    FROM af CROSS JOIN q$qid
+       |    WHERE af.cluster IN (SELECT c FROM pr$qid) AND af.vec_id != $qid
+       |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+
+  private def recallQuerySelect(qid: Int): String =
+    s"""SELECT CAST($qid AS BIGINT) AS query_id,
+       |  CAST((SELECT COUNT(*) FROM ex$qid) AS BIGINT) AS n_exact,
+       |  CAST((SELECT COUNT(*) FROM ex$qid e JOIN ap$qid a ON e.vec_id = a.vec_id) AS BIGINT) AS n_hit,
+       |  ROUND(CAST((SELECT COUNT(*) FROM ex$qid e JOIN ap$qid a ON e.vec_id = a.vec_id) AS DOUBLE)
+       |        / (SELECT COUNT(*) FROM ex$qid), 4) + 0.0 AS recall""".stripMargin
+
+  /** The 8-plane hyperplane signature as portable SQL — the same
+    * shortest-repr double-literal shipping as Dedup's embedLshOracle
+    * (round-trips to the identical binary64), strict `> 0.0` bit test. */
+  private def annLshSigExpr: String =
+    hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+      val lit = p.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(list_zip(embedding, $lit), " +
+        s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    // The fitted-index family: every key below replays the Lloyd fit
+    // via ivfFitCte — see the block comment above it.
+    "s_kmeans" ->
+      s"""WITH $ivfFitCte,
+         |cl AS (SELECT cluster, label, COUNT(*) AS n FROM af GROUP BY 1, 2),
+         |w AS (SELECT cluster, label, n,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label ASC) AS rn,
+         |    SUM(n) OVER (PARTITION BY cluster) AS n_vecs,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS n_labels
+         |  FROM cl)
+         |SELECT cluster, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(n_labels AS BIGINT) AS n_labels,
+         |  label AS top_label, CAST(n AS BIGINT) AS top_label_n,
+         |  ROUND(CAST(n AS DOUBLE) / n_vecs, 4) + 0.0 AS purity
+         |FROM w WHERE rn = 1""".stripMargin,
+    "s_ann_ivf" ->
+      s"""WITH $ivfFitCte,
+         |q AS (SELECT embedding AS qe FROM eiv WHERE vec_id = 0),
+         |pr AS (SELECT c FROM (
+         |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql("q.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+         |    FROM c2 CROSS JOIN q) WHERE rn <= 2),
+         |cand AS (SELECT af.vec_id, af.label, af.cluster,
+         |    ${cosSql("af.embedding", "q.qe")} AS cos
+         |  FROM af CROSS JOIN q
+         |  WHERE af.cluster IN (SELECT c FROM pr) AND af.vec_id != 0)
+         |SELECT vec_id, label, cluster, ROUND(cos, 4) AS cos_sim
+         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "s_knn_ivf" ->
+      s"""WITH $ivfFitCte,
+         |$canopyCandCte,
+         |r AS (SELECT vec_id, nbr_id, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS knn_rank
+         |  FROM cp)
+         |SELECT vec_id, nbr_id, cos_sim, CAST(knn_rank AS INTEGER) AS knn_rank
+         |FROM r WHERE knn_rank <= 5""".stripMargin,
+    "s_knn_accuracy" ->
+      s"""WITH $ivfFitCte,
+         |$canopyCandCte,
+         |t1 AS (SELECT vec_id, nbr_id FROM (
+         |    SELECT vec_id, nbr_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |    FROM cp) WHERE rn = 1),
+         |j AS (SELECT e.label, CASE WHEN ne.label = e.label THEN 1 ELSE 0 END AS same
+         |  FROM t1 JOIN eiv e ON e.vec_id = t1.vec_id JOIN eiv ne ON ne.vec_id = t1.nbr_id)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(same) AS BIGINT) AS n_same,
+         |  ROUND(CAST(SUM(same) AS DOUBLE) / COUNT(*), 4) + 0.0 AS accuracy
+         |FROM j GROUP BY 1""".stripMargin,
+    "s_hard_negatives" ->
+      s"""WITH $ivfFitCte,
+         |$canopyCandCte,
+         |pos AS (SELECT vec_id, label, nbr_id AS pos_id, cos_sim AS pos_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |    FROM cp WHERE label = nbr_label) WHERE rn = 1),
+         |neg AS (SELECT vec_id, nbr_id AS neg_id, cos_sim AS neg_cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id ASC) AS rn
+         |    FROM cp WHERE label != nbr_label) WHERE rn = 1)
+         |SELECT pos.vec_id, pos.label, pos.pos_id, pos.pos_cos, neg.neg_id, neg.neg_cos
+         |FROM pos JOIN neg USING (vec_id)""".stripMargin,
+    "s_recall_report" ->
+      ("WITH " + ivfFitCte + ",\n" +
+        (0 until 5).map(recallQueryCte).mkString(",\n") + "\n" +
+        (0 until 5).map(recallQuerySelect).mkString("\nUNION ALL\n")),
+    "s_ann_lsh" ->
+      s"""WITH s AS (SELECT vec_id, label, embedding, $annLshSigExpr AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qe, bucket AS qb FROM s WHERE vec_id = 0),
+         |probes AS (SELECT qb AS probe FROM q
+         |  UNION ALL SELECT xor(qb, (1::BIGINT << p))
+         |  FROM q CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS p)),
+         |cand AS (SELECT s.vec_id, s.label, s.bucket,
+         |    ${cosSql("s.embedding", "q.qe")} AS cos
+         |  FROM s CROSS JOIN q
+         |  WHERE s.bucket IN (SELECT probe FROM probes) AND s.vec_id != 0)
+         |SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket,
+         |  ROUND(cos, 4) AS cos_sim
+         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // Mirror of dimReport: zipped unnest (value + position align
     // positionally in DuckDB), the same DECIMAL(28,10) moment sums and
     // double expression shapes.
