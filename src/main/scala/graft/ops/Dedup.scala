@@ -674,8 +674,8 @@ object Dedup {
     * boundary), tie-broken by vec_id. The min-id policy of
     * [[semanticDedup]] stays the oracle-checked default — id-rank
     * needs no extra column; this variant is the paper-faithful option
-    * (rows-checked, spec-verified: one survivor per planted group, and
-    * it is the argmin-(centroid-cos, id) member).
+    * (spec-verified: one survivor per planted group, and it is the
+    * argmin-(centroid-cos, id) member).
     *
     * Same plan shape plus one scan-side centroid-cosine projection
     * (the k×dim centroid matrix ships as a literal; `element_at` picks

@@ -599,10 +599,13 @@ object Similarity {
     * top-k result reaching the driver is already annTopK's contract).
     * At 100 TB nothing changes: candidates stay O(k), the corpus work
     * is all in the candidate scan. Determinism: relevance and pairwise
-    * sims are ROUND(,4) before scoring, ties by vec_id asc — the
-    * selection SET is engine- and partitioning-stable. Rows-only by
-    * design (iterative argmax is not SQL-expressible); spec-verified:
-    * dup-deferral, rank-1 = top relevance, JVM differential. */
+    * sims are ROUND(,4) before scoring, then the greedy loop runs in
+    * integer BASIS POINTS (see the bp note below) — the selection
+    * order and every reported score are exact, engine- and
+    * partitioning-stable. Oracle-checked: the fixed-k greedy loop
+    * UNROLLS into five argmax CTEs replaying the same integer
+    * arithmetic; spec adds dup-deferral, rank-1 = top relevance, and a
+    * JVM differential. */
   def mmrDiversify(spark: SparkSession, embeddings: DataFrame,
                    queryVecId: Long = 0L, k: Int = 5, nCandidates: Int = 20,
                    lambda: Double = 0.5): DataFrame = {
@@ -619,27 +622,36 @@ object Similarity {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     }
     def r4(x: Double): Double = math.rint(x * 10000) / 10000 + 0.0
+    // Scoring runs in integer BASIS POINTS of the already-4-decimal
+    // inputs (score×10⁵ = λ·10·relBp − (1−λ)·10·msBp for λ = 0.5):
+    // `0.5·rel − 0.5·maxSim` on doubles lands on exact 5th-decimal
+    // ties whenever (rel − maxSim)·10⁴ is odd, where half-even
+    // (math.rint) and half-away (other engines) diverge — integer
+    // arithmetic makes both the SELECTION ORDER and the reported score
+    // exact and engine-portable (this is what lets the key carry a
+    // DuckDB oracle).
+    def bp(x: Double): Long = math.rint(x * 10000).toLong
     val cands = annTopK(embeddings, queryVecId, nCandidates)
       .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("label"), col("cos_sim"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getSeq[Float](3)))
       .sortBy { case (id, _, rel, _) => (-rel, id) }
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Seq[Float], Double, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double, Seq[Float], Long, Long)]
     val remaining = scala.collection.mutable.ArrayBuffer.from(cands)
     while (selected.length < math.min(k, cands.length)) {
       val scored = remaining.map { case c @ (id, _, rel, vec) =>
-        val maxSim = if (selected.isEmpty) 0.0
-          else selected.map(s => r4(cosine(vec, s._4))).max
-        (c, maxSim, lambda * rel - (1 - lambda) * maxSim)
+        val msBp = if (selected.isEmpty) 0L
+          else selected.map(s => bp(r4(cosine(vec, s._4)))).max
+        (c, msBp, 5L * bp(rel) - 5L * msBp)
       }
-      val best = scored.minBy { case ((id, _, _, _), _, score) => (-score, id) }
-      selected += ((best._1._1, best._1._2, best._1._3, best._1._4, best._2, r4(best._3)))
+      val best = scored.minBy { case ((id, _, _, _), _, scoreBp) => (-scoreBp, id) }
+      selected += ((best._1._1, best._1._2, best._1._3, best._1._4, best._2, best._3))
       remaining -= best._1
     }
     import spark.implicits._
-    selected.zipWithIndex.map { case ((id, label, rel, _, maxSim, score), i) =>
-      (i + 1, id, label, rel, r4(maxSim), score)
+    selected.zipWithIndex.map { case ((id, label, rel, _, msBp, scoreBp), i) =>
+      (i + 1, id, label, rel, msBp.toDouble / 10000.0 + 0.0, scoreBp.toDouble / 100000.0 + 0.0)
     }.toSeq.toDF("rank", "vec_id", "label", "relevance", "max_sim_selected", "mmr_score")
   }
 
@@ -958,7 +970,163 @@ object Similarity {
         s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) > 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** One fused per-subspace Lloyd iteration of the PQ fit over the
+    * `sl` slice frame (same portable arithmetic as `lloydIterSql`,
+    * keyed by (sub, code)); iteration 3's `pa3` is the ENCODE step
+    * (assignment against the final books — unreferenced fit CTEs are
+    * pruned by the engine). */
+  private def pqIterSql(i: Int, prev: String): String =
+    s"""pa$i AS (SELECT vec_id, sub, c AS code FROM (
+       |    SELECT sl.vec_id, sl.sub, $prev.c,
+       |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub
+       |        ORDER BY ${d2Sql("sl.svec", prev + ".cent")} ASC, $prev.c ASC) AS rn
+       |    FROM sl JOIN $prev ON $prev.sub = sl.sub) WHERE rn = 1),
+       |px$i AS (SELECT pa$i.sub, pa$i.code, CAST(pos AS INT) AS dim,
+       |    CAST(vf AS DOUBLE) * 1000000000 AS sc
+       |  FROM (SELECT vec_id, sub, unnest(svec) AS vf,
+       |          unnest(generate_series(1, len(svec))) AS pos FROM sl) u
+       |  JOIN pa$i USING (vec_id, sub)),
+       |ps$i AS (SELECT sub, code, dim,
+       |    SUM(CAST(floor(sc) AS BIGINT) + CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv,
+       |    COUNT(*) AS n
+       |  FROM px$i GROUP BY 1, 2, 3),
+       |pb${i}n AS (SELECT sub, code, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
+       |  FROM ps$i GROUP BY 1, 2),
+       |pb$i AS (SELECT $prev.sub, $prev.c, COALESCE(pb${i}n.cent, $prev.cent) AS cent
+       |  FROM $prev LEFT JOIN pb${i}n ON pb${i}n.sub = $prev.sub AND pb${i}n.code = $prev.c)""".stripMargin
+
+  /** PQ codebook fit + encode over `frame` (vec_id, embedding — raw
+    * vectors for s_ann_pq, coarse residuals for s_ann_ivfpq): m=8
+    * subspaces of 8 dims, k=16 codes, 2 iterations, init = the slices
+    * of the 16 smallest vec_ids — `pqCodebooks` replayed portably. */
+  private def pqFitCte(frame: String): String =
+    s"""subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |sl AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS svec
+       |  FROM $frame CROSS JOIN subs),
+       |pinit AS (SELECT vec_id, embedding,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
+       |  FROM (SELECT vec_id, embedding FROM $frame ORDER BY vec_id LIMIT 16)),
+       |pb0 AS (SELECT subs.sub, pinit.c,
+       |    list_transform(pinit.embedding[subs.sub*8+1 : subs.sub*8+8], v -> CAST(v AS DOUBLE)) AS cent
+       |  FROM pinit CROSS JOIN subs),
+       |${pqIterSql(1, "pb0")},
+       |${pqIterSql(2, "pb1")},
+       |${pqIterSql(3, "pb2")}""".stripMargin
+
+  /** Query-vector CTE shared by the PQ serving mirrors. */
+  private def pqQueryCte: String =
+    """q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qd,
+      |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qnorm,
+      |    embedding AS qe
+      |  FROM eiv WHERE vec_id = 0)""".stripMargin
+
+  /** ADC ranking + exact rerank tail shared by the PQ serving mirrors:
+    * the kernel folds LUT entries in SUBSPACE ORDER, so the SQL sums
+    * `list(x ORDER BY sub)` — a bare SUM() has no guaranteed order. */
+  private def pqServeTail: String =
+    s"""cand AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id ASC LIMIT 40),
+       |rr AS (SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qe")} AS cos
+       |  FROM eiv e JOIN cand USING (vec_id) CROSS JOIN q)
+       |SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
+       |FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** One unrolled MMR greedy step (i ≥ 2): max basis-point similarity
+    * against every already-selected row, score×10⁵ in integers (the
+    * same arithmetic the driver loop runs), (score desc, id) argmax. */
+  private def mmrStepCte(i: Int): String = {
+    val prev = (1 until i).map(j => s"s$j")
+    val joins = prev.map(p => s"CROSS JOIN $p").mkString(" ")
+    val notSel = prev.map(p => s"c.vec_id != $p.vec_id").mkString(" AND ")
+    val msbp =
+      if (prev.size == 1)
+        s"CAST(round((ROUND(${cosSql("c.embedding", "s1.embedding")}, 4) + 0.0) * 10000) AS BIGINT)"
+      else "greatest(" + prev.map(p =>
+        s"CAST(round((ROUND(${cosSql("c.embedding", s"$p.embedding")}, 4) + 0.0) * 10000) AS BIGINT)")
+        .mkString(", ") + ")"
+    s"""s$i AS (SELECT vec_id, label, rel, relbp, embedding, msbp,
+       |    5 * relbp - 5 * msbp AS scorebp FROM (
+       |    SELECT c.vec_id, c.label, c.rel, c.relbp, c.embedding, $msbp AS msbp
+       |    FROM cand c $joins WHERE $notSel)
+       |  ORDER BY 5 * relbp - 5 * msbp DESC, vec_id ASC LIMIT 1)""".stripMargin
+  }
+
+  private def mmrRowSelect(i: Int): String =
+    s"""SELECT $i AS rank, vec_id, label, rel AS relevance,
+       |  CAST(msbp AS DOUBLE) / 10000.0 + 0.0 AS max_sim_selected,
+       |  CAST(scorebp AS DOUBLE) / 100000.0 + 0.0 AS mmr_score FROM s$i""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Mirror of mmrDiversify: annTopK's 20 candidates, then the greedy
+    // loop UNROLLED five times — each step an argmax over the not-yet-
+    // selected candidates with the integer basis-point score the driver
+    // loop itself computes (see mmrDiversify: that integerization is
+    // what makes this key oracle-able at all).
+    "s_mmr_diversify" -> {
+      val q = "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)"
+      val cand =
+        s"""cand AS (SELECT vec_id, label, ROUND(cos, 4) + 0.0 AS rel,
+           |    CAST(round((ROUND(cos, 4) + 0.0) * 10000) AS BIGINT) AS relbp, embedding
+           |  FROM (SELECT e.vec_id, e.label, e.embedding,
+           |      ${cosSql("e.embedding", "q.qe")} AS cos
+           |    FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+           |    ORDER BY cos DESC, vec_id ASC LIMIT 20))""".stripMargin
+      val s1 =
+        """s1 AS (SELECT vec_id, label, rel, relbp, embedding,
+          |    0::BIGINT AS msbp, 5 * relbp AS scorebp
+          |  FROM cand ORDER BY relbp DESC, vec_id ASC LIMIT 1)""".stripMargin
+      "WITH " + (Seq(q, cand, s1) ++ (2 to 5).map(mmrStepCte)).mkString(",\n") + "\n" +
+        (1 to 5).map(mmrRowSelect).mkString("\nUNION ALL\n")
+    },
+    // Mirror of annPq (Catalog.pqIndex fit + encode + ADC serve +
+    // exact rerank): the per-subspace Lloyd fit replays portably
+    // (pqFitCte), LUT entries are index-order list folds over the
+    // final books, ADC = Σdot/√Σnorm2 in subspace order.
+    "s_ann_pq" ->
+      ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        pqFitCte("eiv") + ",\n" + pqQueryCte + ",\n" +
+        s"""lut AS (SELECT pb2.sub, pb2.c AS code,
+           |    CASE WHEN q.qnorm = 0.0 THEN 0.0 ELSE
+           |      list_sum(list_transform(generate_series(1, 8), i -> q.qd[pb2.sub*8 + i] * pb2.cent[i])) / q.qnorm END AS dot,
+           |    list_sum(list_transform(pb2.cent, v -> v * v)) AS n2
+           |  FROM pb2 CROSS JOIN q),
+           |adc AS (SELECT vec_id,
+           |    CASE WHEN list_sum(list(n2 ORDER BY lut.sub)) <= 0.0 THEN 0.0
+           |         ELSE list_sum(list(dot ORDER BY lut.sub)) / sqrt(list_sum(list(n2 ORDER BY lut.sub))) END AS adc
+           |  FROM pa3 JOIN lut ON lut.sub = pa3.sub AND lut.code = pa3.code
+           |  WHERE pa3.vec_id != 0
+           |  GROUP BY vec_id),
+           |""".stripMargin + pqServeTail),
+    // Mirror of annIvfPq: coarse fit (ivfFitCte) → residual frame
+    // (the vecResidual FLOAT cast is CAST(double − cent AS FLOAT)) →
+    // PQ fit on residuals → per-probe LUTs with the centroid folded
+    // into each codeword (the IVFADC decomposition) → ADC → rerank.
+    "s_ann_ivfpq" ->
+      ("WITH " + ivfFitCte + ",\n" +
+        s"""rf AS (SELECT af.vec_id, af.label, af.cluster,
+           |    list_transform(generate_series(1, len(af.embedding)),
+           |      i -> CAST(CAST(af.embedding[i] AS DOUBLE) - cc.cent[i] AS FLOAT)) AS embedding
+           |  FROM af JOIN c2 cc ON cc.c = af.cluster),
+           |""".stripMargin +
+        pqFitCte("rf") + ",\n" + pqQueryCte + ",\n" +
+        s"""pr AS (SELECT c FROM (
+           |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql("q.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+           |    FROM c2 CROSS JOIN q) WHERE rn <= 4),
+           |lut AS (SELECT cc.c AS probe, pb2.sub, pb2.c AS code,
+           |    CASE WHEN q.qnorm = 0.0 THEN 0.0 ELSE
+           |      list_sum(list_transform(generate_series(1, 8),
+           |        i -> q.qd[pb2.sub*8 + i] * (cc.cent[pb2.sub*8 + i] + pb2.cent[i]))) / q.qnorm END AS dot,
+           |    list_sum(list_transform(generate_series(1, 8),
+           |      i -> (cc.cent[pb2.sub*8 + i] + pb2.cent[i]) * (cc.cent[pb2.sub*8 + i] + pb2.cent[i]))) AS n2
+           |  FROM pb2 CROSS JOIN q JOIN (SELECT c2.c, c2.cent FROM c2 JOIN pr ON pr.c = c2.c) cc ON TRUE),
+           |codes AS (SELECT rf.vec_id, rf.cluster, pa3.sub, pa3.code
+           |  FROM rf JOIN pa3 ON pa3.vec_id = rf.vec_id
+           |  WHERE rf.cluster IN (SELECT c FROM pr) AND rf.vec_id != 0),
+           |adc AS (SELECT codes.vec_id,
+           |    CASE WHEN list_sum(list(n2 ORDER BY lut.sub)) <= 0.0 THEN 0.0
+           |         ELSE list_sum(list(dot ORDER BY lut.sub)) / sqrt(list_sum(list(n2 ORDER BY lut.sub))) END AS adc
+           |  FROM codes JOIN lut ON lut.probe = codes.cluster AND lut.sub = codes.sub AND lut.code = codes.code
+           |  GROUP BY codes.vec_id),
+           |""".stripMargin + pqServeTail),
     // The fitted-index family: every key below replays the Lloyd fit
     // via ivfFitCte — see the block comment above it.
     "s_kmeans" ->
