@@ -80,9 +80,10 @@ object Packing {
     * finer shards so each shard's (id, count) pairs stream through one
     * task; output is one row per ~ctx tokens.
     *
-    * Not SQL-expressible (the bin boundary is a sequential recurrence
-    * over the sorted stream) → rows-only key, semantics spec-proven:
-    * capacity respected, tokens conserved, < 2× optimal bins,
+    * Oracle-checked: the recurrence carries ONE scalar state, so a
+    * recursive CTE replays it exactly at oracle scale (see the
+    * t_seq_bins mirror); semantics additionally spec-proven: capacity
+    * respected, tokens conserved, < 2× optimal bins,
     * partitioning-invariant. */
   def seqBins(documents: DataFrame, ctx: Int = 512,
               shardCol: Column = col("source")): DataFrame = {
@@ -132,8 +133,11 @@ object Packing {
     * tightest-fit lookup is a TreeMap keyed by remaining capacity —
     * O(log bins) per doc). Same scale rule as [[seqBins]]: parallelism
     * comes from sharding; pass finer `shardCol` so one shard's bin
-    * directory fits a task comfortably. Same rows-only rationale: the
-    * bin assignment is a sequential recurrence, not SQL-expressible. */
+    * directory fits a task comfortably. Oracle-checked: the bin
+    * directory itself is the recursive-CTE state (a per-shard fill
+    * list), best-fit = lowest id at minimum sufficient remaining —
+    * the TreeMap order as a list_min (see the t_seq_bins_bfd
+    * mirror). */
   def seqBinsBfd(documents: DataFrame, ctx: Int = 512,
                  shardCol: Column = col("source")): DataFrame = {
     require(ctx > 0, "context window must be positive")
@@ -210,5 +214,80 @@ object Packing {
         |SELECT source, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk_id,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM o GROUP BY 1, 2""".stripMargin)
+        |FROM o GROUP BY 1, 2""".stripMargin,
+    // Mirror of seqBins: the next-fit recurrence carries ONE scalar
+    // state (open-bin fill), so a recursive CTE replays it exactly —
+    // one recursion step per (shard, rank), all shards advancing in
+    // parallel; depth = max docs/shard (oracle scale; the engine side
+    // stays mapPartitions — recursion is the ORACLE's tool, not the
+    // 100 TB plan). fill_frac = tokens/2⁹ is exact in binary, so the
+    // double division is portable with no rounding discipline needed.
+    "t_seq_bins" ->
+      raw"""WITH RECURSIVE $packTokCte,
+        |st(shard, rn, bin_id, used) AS (
+        |  SELECT shard, rn, 0::BIGINT, n_tokens FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn,
+        |    CASE WHEN st.used + o.n_tokens > 512 THEN st.bin_id + 1 ELSE st.bin_id END,
+        |    CASE WHEN st.used + o.n_tokens > 512 THEN o.n_tokens ELSE st.used + o.n_tokens END
+        |  FROM st JOIN ord o ON o.shard = st.shard AND o.rn = st.rn + 1),
+        |asg AS (SELECT st.shard, st.bin_id, o.n_tokens
+        |  FROM st JOIN ord o ON o.shard = st.shard AND o.rn = st.rn)
+        |SELECT shard, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  least(1.0, CAST(SUM(n_tokens) AS DOUBLE) / 512) AS fill_frac,
+        |  SUM(n_tokens) > 512 AS oversize
+        |FROM asg GROUP BY 1, 2""".stripMargin,
+    // Mirror of seqBinsBfd: the bin DIRECTORY itself is the recursive
+    // state — a per-shard list of bin fills (index = bin_id + 1), one
+    // doc-count list alongside. Best-fit = the lowest index among open
+    // (fill ≤ ctx) bins at the minimum sufficient remaining capacity
+    // (exactly the TreeMap's (remaining, id) order); NULL fit appends
+    // a bin; oversize docs append unconditionally and, being > ctx,
+    // never match the fit filter again — the "never indexed" rule for
+    // free. List-min of an empty filter is NULL, which IS the no-fit
+    // signal.
+    "t_seq_bins_bfd" ->
+      raw"""WITH RECURSIVE $packTokCte,
+        |nmax AS (SELECT shard, MAX(rn) AS mx FROM ord GROUP BY 1),
+        |st(shard, rn, b, d) AS (
+        |  SELECT shard, rn, [n_tokens], [1::BIGINT] FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn,
+        |    CASE WHEN fit.i IS NULL THEN list_append(st.b, o.n_tokens)
+        |         ELSE list_transform(generate_series(1, len(st.b)),
+        |                j -> CASE WHEN j = fit.i THEN st.b[j] + o.n_tokens ELSE st.b[j] END) END,
+        |    CASE WHEN fit.i IS NULL THEN list_append(st.d, 1::BIGINT)
+        |         ELSE list_transform(generate_series(1, len(st.d)),
+        |                j -> CASE WHEN j = fit.i THEN st.d[j] + 1 ELSE st.d[j] END) END
+        |  FROM st
+        |  JOIN ord o ON o.shard = st.shard AND o.rn = st.rn + 1
+        |  LEFT JOIN LATERAL (
+        |    SELECT CASE WHEN o.n_tokens > 512 THEN NULL ELSE
+        |      list_min(list_filter(generate_series(1, len(st.b)),
+        |        j -> st.b[j] <= 512 AND 512 - st.b[j] >= o.n_tokens
+        |             AND 512 - st.b[j] = list_min(list_transform(
+        |               list_filter(generate_series(1, len(st.b)),
+        |                 jj -> st.b[jj] <= 512 AND 512 - st.b[jj] >= o.n_tokens),
+        |               jj -> 512 - st.b[jj])))) END AS i
+        |  ) fit ON TRUE),
+        |fin AS (SELECT st.shard, st.b, st.d
+        |  FROM st JOIN nmax ON nmax.shard = st.shard AND nmax.mx = st.rn),
+        |ex AS (SELECT shard, CAST(i - 1 AS BIGINT) AS bin_id, b[i] AS bin_tokens, d[i] AS n_docs
+        |  FROM (SELECT shard, b, d, unnest(generate_series(1, len(b))) AS i FROM fin))
+        |SELECT shard, bin_id, n_docs, bin_tokens,
+        |  least(1.0, CAST(bin_tokens AS DOUBLE) / 512) AS fill_frac,
+        |  bin_tokens > 512 AS oversize
+        |FROM ex""".stripMargin)
+
+  /** Shared (shard, rank, token-count) projection of both bin-packing
+    * mirrors: the descending (n_tokens, doc_id) order both packers
+    * consume. */
+  private def packTokCte: String =
+    raw"""toks AS (SELECT CAST(source AS VARCHAR) AS shard, doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |ord AS (SELECT shard, doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY shard ORDER BY n_tokens DESC, doc_id ASC) AS rn
+      |  FROM toks)""".stripMargin
 }
