@@ -147,7 +147,11 @@ object AnalyticsQueries {
     * partials, mergeable map-side, no Expand blow-up). The engine API
     * for 100 TB interactive use; `rsd` 0.01 ⇒ ~1% relative error with
     * a few KB of state per group. The exact variant stays as the
-    * oracle-checked path. */
+    * oracle-checked path; this mode is a first-class benched key
+    * (`q_distinct_agg_approx`, the q_profile_hll convention) —
+    * rows-only by design (HLL++ register values are engine-side), with
+    * the ScaleOpsSpec differential bounding every column within 2% of
+    * exact. */
   def distinctAggApprox(t: Tables, rsd: Double = 0.01): DataFrame =
     t.lineitem.groupBy(col("l_returnflag")).agg(
       approx_count_distinct(col("l_partkey"), rsd).as("nd_parts"),
@@ -545,6 +549,7 @@ object AnalyticsQueries {
     "q_window_topn"        -> ((s, d) => windowTopN(Tables(s, d))),
     "q_window_running"     -> ((s, d) => windowRunning(Tables(s, d))),
     "q_distinct_agg"       -> ((s, d) => distinctAgg(Tables(s, d))),
+    "q_distinct_agg_approx" -> ((s, d) => distinctAggApprox(Tables(s, d))),
     "q_rollup"             -> ((s, d) => rollupOrders(Tables(s, d))),
     "q_grouping_sets"      -> ((s, d) => groupingSetsOrders(Tables(s, d))),
     "q_pivot"              -> ((s, d) => pivotStatus(Tables(s, d))),

@@ -46,7 +46,7 @@ class ScaleOpsSpec extends SparkSpec {
     assert(saltedSum == directSum)
   }
 
-  test("distinctAggApprox: within 2% of exact counts") {
+  test("distinctAggApprox: within 2% of exact counts; plan avoids the Expand blow-up") {
     val exact = AnalyticsQueries.distinctAgg(t).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = AnalyticsQueries.distinctAggApprox(t).collect()
@@ -54,6 +54,15 @@ class ScaleOpsSpec extends SparkSpec {
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n).toDouble / n < 0.02, s"$k: $n vs ${approx(k)}")
     }
+    // the q_profile_hll plan-contrast convention: multi-column exact
+    // distinct plans an Expand (map output × #distinct-columns); the
+    // sketch mode must not
+    val exactDf = AnalyticsQueries.distinctAgg(t); exactDf.collect()
+    val approxDf = AnalyticsQueries.distinctAggApprox(t); approxDf.collect()
+    def hasExpand(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Expand")
+    assert(hasExpand(exactDf), "exact multi-distinct should plan an Expand")
+    assert(!hasExpand(approxDf), "HLL mode must be Expand-free")
   }
 
   test("profiler: one pass, correct nulls/distincts, sketch within 2% of exact") {
