@@ -123,6 +123,11 @@ object TextKernels {
     h
   }
 
+  /** FNV-1a 64 of a string's UTF-8 bytes — the engine-portable scalar
+    * hash (DuckDB replays it with the HUGEINT `list_reduce` used by the
+    * MinHash oracles; for ASCII keys `ord` per char == the UTF-8 byte). */
+  def fnv64Str(s: UTF8String): Long = fnv64(s.getBytes)
+
   /** splitmix64 — derives the per-permutation multipliers/addends. */
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -340,6 +345,34 @@ object TextKernels {
       c += 1
     }
     best
+  }
+
+  /** Squared-L2 to the nearest and second-nearest centroid — `[d2_1st,
+    * d2_2nd]` in one pass (strict-< tracking, so ties resolve exactly
+    * like [[nearestCentroid]]'s first-argmin and the oracle's
+    * `(d2 ASC, c ASC)` rank). The pair behind simplified-silhouette
+    * clustering quality: a = √d2_1st (own centroid — assignment IS the
+    * argmin), b = √d2_2nd (best other cluster). */
+  def nearestTwoDist2(embedding: ArrayData, centroids: ArrayData): ArrayData = {
+    val k = centroids.numElements()
+    var best = Double.MaxValue
+    var second = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val cent = centroids.getArray(c)
+      val dim = math.min(cent.numElements(), embedding.numElements())
+      var d2 = 0.0
+      var j = 0
+      while (j < dim) {
+        val diff = embedding.getFloat(j).toDouble - cent.getDouble(j)
+        d2 += diff * diff
+        j += 1
+      }
+      if (d2 < best) { second = best; best = d2 }
+      else if (d2 < second) { second = d2 }
+      c += 1
+    }
+    new GenericArrayData(Array[Any](best, second))
   }
 
   /** Per-literal compiled stopword sets, keyed by the literal's ArrayData
@@ -884,6 +917,54 @@ case class NearestCentroids(first: Expression, second: Expression, third: Expres
       (a, b, c) => s"graft.functions.TextKernels.nearestCentroids($a, $b, $c)")
 }
 
+/** FNV-1a 64 of a string (scan-side, codegen) — the engine-portable
+  * scalar hash as a first-class column function (weighted-sampling
+  * scores, portable bucketing; DuckDB oracles replay it byte-exactly
+  * with the HUGEINT `list_reduce` the MinHash family established). */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fnv64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_fnv64 expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.fnv64Str(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.fnv64Str($c)")
+}
+
+/** Squared-L2 to the nearest and second-nearest centroid as `[d2_1st,
+  * d2_2nd]` (scan-side, codegen) — the simplified-silhouette distance
+  * pair against a literal centroid matrix. */
+case class CentroidDist2s(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_dist2s"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_centroid_dist2s expects (array<float>, array<array<double>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CentroidDist2s =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(emb: Any, cents: Any): Any =
+    TextKernels.nearestTwoDist2(emb.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextKernels.nearestTwoDist2($a, $b)")
+}
+
 /** Distinct word k-gram shingles of normalized text (scan-side,
   * codegen) — the parameterized [[WordShingles]] for long-run
   * (exact-substring) duplication detection. */
@@ -1223,6 +1304,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
       (children: Seq[Expression]) => SignatureAgreement(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_fnv64"),
+      new ExpressionInfo(classOf[Fnv64].getName, "graft_fnv64"),
+      (children: Seq[Expression]) => Fnv64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_centroid_dist2s"),
+      new ExpressionInfo(classOf[CentroidDist2s].getName, "graft_centroid_dist2s"),
+      (children: Seq[Expression]) => CentroidDist2s(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vec_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "graft_vec_norm"),
       (children: Seq[Expression]) => VectorNorm(children.head)))
@@ -1249,6 +1338,13 @@ object GraftFunctions {
 
   /** Cosine similarity of two Array[Float] columns → double. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** FNV-1a 64 of a string column → signed long (engine-portable hash). */
+  def fnv64(s: Column): Column = call_function("graft_fnv64", s)
+
+  /** `[d2_nearest, d2_second]` squared-L2 pair vs a centroid matrix. */
+  def centroidDist2s(embedding: Column, centroids: Column): Column =
+    call_function("graft_centroid_dist2s", embedding, centroids)
 
   /** Hamming distance of two int64 fingerprint columns → int. */
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)

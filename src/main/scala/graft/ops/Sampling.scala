@@ -484,6 +484,47 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
   }
 
+  /** Deterministic WEIGHTED sample without replacement (Efraimidis &
+    * Spirtakis 2006 "A-ES" exponential-sort): every doc gets the score
+    * ln(u)/w — the log of the classic u^(1/w) sort key — with weight
+    * w = its char length and u a deterministic uniform derived from the
+    * doc's own FNV-1a hash; the top-k scores ARE a weighted sample
+    * without replacement (P(selection) ∝ w, exactly the reservoir-
+    * sampling result, but with zero reservoir state). The
+    * length-weighted form is the standard pretraining shape: long
+    * documents carry more tokens, so a doc-uniform sample under-weights
+    * their token mass.
+    *
+    * Scale: the score is a pure scan-side projection (codegen FNV +
+    * one ln), selection is a TakeOrdered top-k (per-partition heaps
+    * merge k rows — no global sort, no RNG state, no reservoir); reruns
+    * and repartitionings are idempotent by construction. At a fixed
+    * RATE rather than fixed k, the same score compares against a
+    * quantile threshold (the d_dsir_threshold pattern) — top-k and
+    * threshold are the two ends of one design.
+    *
+    * Engine-portable determinism: u = (low-53-bits(fnv64) + 1) / (2⁵³+1)
+    * — an exact-integer-valued double on both engines (DuckDB replays
+    * FNV with the MinHash family's HUGEINT list_reduce; low 53 bits of
+    * the signed long == mod 2⁵³ of the unsigned value); the score is
+    * compared as DECIMAL(28,10) (sub-1e-10 libm ln differences cannot
+    * reorder), doc_id breaks exact ties, and the reported score is ONE
+    * final ROUND(,4). */
+  def weightedSample(documents: DataFrame, k: Int = 200): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val key = concat(coalesce(col("source"), lit("")), lit(":"), col("doc_id").cast("string"))
+    val w = greatest(coalesce(col("n_chars"), lit(0L)), lit(1L))
+    val u53 = graft.functions.GraftFunctions.fnv64(key).bitwiseAND(lit((1L << 53) - 1))
+    val u = (u53.cast("double") + lit(1.0)) / lit(9007199254740993.0)
+    documents
+      .select(col("doc_id"), col("source"), w.as("w"),
+        (log(u) / w.cast("double")).cast(DecimalType(28, 10)).as("sc"))
+      .orderBy(desc("sc"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("w"),
+        (round(col("sc").cast("double"), 4) + lit(0.0)).as("score"))
+  }
+
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
     * src2, downweight src3, 10% tail for everything else. */
   val MixRates: Map[String, Double] =
@@ -503,7 +544,8 @@ object Sampling {
     "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
-    "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)))
+    "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
+    "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -711,6 +753,27 @@ object Sampling {
           |SELECT doc_id, source, substr(hh, 1, 1) AS shard,
           |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1)
           |    ORDER BY substr(hh, 2, 14), doc_id) AS BIGINT) AS pos
-          |FROM h""".stripMargin)
+          |FROM h""".stripMargin,
+      // A-ES mirror: FNV-1a replayed with the MinHash family's HUGEINT
+      // list_reduce, u from the low 53 bits, ln-score compared as
+      // DECIMAL(28,10) (sub-1e-10 libm differences cannot reorder),
+      // doc_id tie-break, ONE final ROUND(,4).
+      "d_weighted_sample" ->
+        raw"""WITH dws AS (SELECT doc_id, source,
+           |    GREATEST(COALESCE(n_chars, 0), 1) AS w,
+           |    concat(COALESCE(source, ''), ':', CAST(doc_id AS VARCHAR)) AS key
+           |  FROM documents),
+           |fws AS (SELECT doc_id, source, w, list_reduce(
+           |    list_prepend(14695981039346656037::HUGEINT,
+           |      list_transform(generate_series(1, len(key)), i -> ord(substr(key, i, 1))::HUGEINT)),
+           |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
+           |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hv
+           |  FROM dws),
+           |sws AS (SELECT doc_id, source, CAST(w AS BIGINT) AS w,
+           |    CAST(ln((CAST(hv % 9007199254740992::HUGEINT AS DOUBLE) + 1.0)
+           |            / 9007199254740993.0) / CAST(w AS DOUBLE) AS DECIMAL(28,10)) AS sc
+           |  FROM fws)
+           |SELECT doc_id, source, w, ROUND(CAST(sc AS DOUBLE), 4) + 0.0 AS score
+           |FROM sws ORDER BY sc DESC, doc_id ASC LIMIT 200""".stripMargin)
   }
 }

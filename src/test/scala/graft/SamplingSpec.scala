@@ -408,4 +408,39 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
     assert(again == out.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet)
   }
+
+  test("weightedSample: matches a JVM A-ES reference exactly; partition-invariant; weight-biased") {
+    val k = 200
+    val out = Sampling.weightedSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == k)
+    // JVM reference: same FNV-1a / low-53-bit / ln-score arithmetic
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    val ref = docs.select("doc_id", "source", "n_chars").collect().map { r =>
+      val (id, src, nc) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val w = math.max(nc, 1L)
+      val u53 = fnv(s"${Option(src).getOrElse("")}:$id") & ((1L << 53) - 1)
+      val u = (u53.toDouble + 1.0) / 9007199254740993.0
+      val sc = BigDecimal(math.log(u) / w)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      (id, src, w, sc)
+    }.sortBy { case (id, _, _, sc) => (-sc, id) }.take(k)
+    assert(out.map(_._1).toSeq == ref.map(_._1).toSeq, "selected set + order must match the JVM reference")
+    out.zip(ref).foreach { case ((_, _, wOut, scOut), (_, _, wRef, scRef)) =>
+      assert(wOut == wRef)
+      assert(math.abs(scOut - scRef.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // partition-invariant (pure scan-side score + TakeOrdered)
+    val again = Sampling.weightedSample(docs.repartition(7), k).collect().map(_.getLong(0))
+    assert(again.toSeq == out.map(_._1).toSeq)
+    // P(selection) ∝ weight: the sampled docs must be longer on average
+    // than the corpus (docs weights span ~3 orders of magnitude)
+    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    val sampleMean = out.map(_._3.toDouble).sum / out.length
+    assert(sampleMean > corpusMean, s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
 }
