@@ -898,6 +898,71 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** Banding design card — the governance artifact behind the 32×4
+    * choice every MinHash key inherits (the q_skew_report /
+    * s_recall_report genre: justify the config BEFORE a 100 TB
+    * rollout). For each candidate banding of the 128-perm signature
+    * (b bands × r rows, b·r = 128), reports:
+    *
+    *  - `s50`: the S-curve crossover (1 − 0.5^(1/b))^(1/r) — the
+    *    Jaccard at which a pair has a 50% candidate probability
+    *    (Leskovec/Rajaraman/Ullman, MMDS ch.3);
+    *  - expected retention of the corpus's OBSERVED near-dup mass:
+    *    the shipped config's candidate pairs, binned by exact Jaccard
+    *    (1 decimal), weighted by each config's analytic candidate
+    *    probability p(s) = 1 − (1 − s^r)^b. Retention is relative to
+    *    the observed (shipped-config) pair set — the right comparison
+    *    for "would switching bandings lose the dups we catch today".
+    *
+    * Engine-portable by construction: p(s) and s50 use ONLY IEEE
+    * multiplications and square roots (r and b are powers of two, so
+    * s^r and (1−s^r)^b are repeated squarings and the roots are nested
+    * sqrt — bit-identical in any IEEE engine; no pow, which is not
+    * correctly rounded); the retention sum is the DECIMAL(28,10)
+    * convention. Plan: the calibration frame collapses to a ≤ 11-row
+    * Jaccard histogram, then a literal 4-config explode — the analytic
+    * grid never touches the corpus again. */
+  def lshTuning(documents: DataFrame, signatures: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def log2(n: Int): Int = Integer.numberOfTrailingZeros(n)
+    def nroot(x: Double, times: Int): Double =
+      (1 to times).foldLeft(x)((acc, _) => math.sqrt(acc))
+    val configs = Seq((64, 2), (32, 4), (16, 8), (8, 16))
+    val cfgs = configs.map { case (b, r) =>
+      (b, r, nroot(1.0 - nroot(0.5, log2(b)), log2(r)))
+    }
+    val hist = jaccardCalibration(documents, signatures)
+      .select((round(col("exact_jaccard"), 1) + lit(0.0)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+    def sq(c: Column): Column = c * c
+    val s2 = sq(col("s")); val s4 = sq(s2); val s8 = sq(s4); val s16 = sq(s8)
+    val sr = when(col("rows_per_band") === 2, s2)
+      .when(col("rows_per_band") === 4, s4)
+      .when(col("rows_per_band") === 8, s8)
+      .otherwise(s16)
+    hist
+      .select(col("s"), col("n"), explode(typedlit(cfgs)).as("cfg"))
+      .select(col("s"), col("n"), col("cfg._1").as("n_bands"),
+        col("cfg._2").as("rows_per_band"), col("cfg._3").as("s50"))
+      .withColumn("q", lit(1.0) - sr)
+      .withColumn("q2", sq(col("q"))).withColumn("q4", sq(col("q2")))
+      .withColumn("q8", sq(col("q4"))).withColumn("q16", sq(col("q8")))
+      .withColumn("q32", sq(col("q16"))).withColumn("q64", sq(col("q32")))
+      .withColumn("p", lit(1.0) - when(col("n_bands") === 8, col("q8"))
+        .when(col("n_bands") === 16, col("q16"))
+        .when(col("n_bands") === 32, col("q32"))
+        .otherwise(col("q64")))
+      .groupBy(col("n_bands"), col("rows_per_band"), col("s50"))
+      .agg(sum(col("n")).as("n_pairs"),
+        (round(sum((col("n") * col("p")).cast(DecimalType(28, 10))).cast("double"), 2)
+          + lit(0.0)).as("exp_retained"),
+        (round(sum((col("n") * col("p")).cast(DecimalType(28, 10))).cast("double")
+          / sum(col("n")), 4) + lit(0.0)).as("retained_frac"))
+      .select(col("n_bands"), col("rows_per_band"),
+        (round(col("s50"), 4) + lit(0.0)).as("s50"),
+        col("n_pairs"), col("exp_retained"), col("retained_frac"))
+  }
+
   // ---- driver wiring ----
 
   import org.apache.spark.sql.SparkSession
@@ -920,6 +985,8 @@ object Dedup {
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
     "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
+      graft.core.Catalog.minhashSignatures(s, d))),
+    "d_lsh_tuning"       -> ((s, d) => lshTuning(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "d_dedup_curve"      -> ((s, d) => dedupCurve(Tables(s, d).documents)),
@@ -1265,6 +1332,48 @@ object Dedup {
     // (n·625/8)/10⁴ = (n·625+4) div 8 over 10⁴ — because n ≡ 4 mod 8
     // makes the double form an exact decimal tie (HALF_UP lottery);
     // abs_err differs the two ROUNDED columns (see jaccardCalibration).
+    // lshTuning mirror: same candidate pairs + exact-Jaccard bin, the
+    // analytic p(s)/s50 via the SAME repeated-squaring / nested-sqrt
+    // association order (IEEE mult/sqrt are bit-identical across
+    // engines; pow would not be), DECIMAL(28,10) retention sum.
+    "d_lsh_tuning" -> {
+      def sqrtN(x: String, n: Int): String =
+        (1 to n).foldLeft(x)((a, _) => s"sqrt($a)")
+      def log2(n: Int): Int = Integer.numberOfTrailingZeros(n)
+      val cfgVals = Seq((64, 2), (32, 4), (16, 8), (8, 16)).map { case (b, r) =>
+        s"($b, $r, ROUND(${sqrtN(s"(1.0 - ${sqrtN("0.5", log2(b))})", log2(r))}, 4) + 0.0)"
+      }.mkString(", ")
+      s"""$minhashSigCte,
+         |shlt AS (SELECT doc_id, sh, len(sh) AS l FROM dm),
+         |jxt AS (SELECT ROUND(ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |      / (x.l + y.l - len(list_intersect(x.sh, y.sh))), 4), 1) + 0.0 AS s
+         |  FROM candm c
+         |  JOIN shlt x ON x.doc_id = c.doc_a
+         |  JOIN shlt y ON y.doc_id = c.doc_b),
+         |histt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM jxt GROUP BY s),
+         |gridt AS (SELECT * FROM histt CROSS JOIN (VALUES $cfgVals) AS cfg(b, r, s50)),
+         |t1 AS (SELECT *, s * s AS s2 FROM gridt),
+         |t2 AS (SELECT *, s2 * s2 AS s4 FROM t1),
+         |t3 AS (SELECT *, s4 * s4 AS s8 FROM t2),
+         |t4 AS (SELECT *, s8 * s8 AS s16 FROM t3),
+         |t5 AS (SELECT *, 1.0 - (CASE r WHEN 2 THEN s2 WHEN 4 THEN s4
+         |                                WHEN 8 THEN s8 ELSE s16 END) AS q FROM t4),
+         |u1 AS (SELECT *, q * q AS q2 FROM t5),
+         |u2 AS (SELECT *, q2 * q2 AS q4 FROM u1),
+         |u3 AS (SELECT *, q4 * q4 AS q8 FROM u2),
+         |u4 AS (SELECT *, q8 * q8 AS q16 FROM u3),
+         |u5 AS (SELECT *, q16 * q16 AS q32 FROM u4),
+         |u6 AS (SELECT *, q32 * q32 AS q64 FROM u5),
+         |ppt AS (SELECT s, n, b, r, s50,
+         |    1.0 - (CASE b WHEN 8 THEN q8 WHEN 16 THEN q16
+         |                  WHEN 32 THEN q32 ELSE q64 END) AS p
+         |  FROM u6)
+         |SELECT CAST(b AS INT) AS n_bands, CAST(r AS INT) AS rows_per_band, s50,
+         |  CAST(SUM(n) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(SUM(CAST(n * p AS DECIMAL(28,10))) AS DOUBLE), 2) + 0.0 AS exp_retained,
+         |  ROUND(CAST(SUM(CAST(n * p AS DECIMAL(28,10))) AS DOUBLE) / SUM(n), 4) + 0.0 AS retained_frac
+         |FROM ppt GROUP BY 1, 2, 3""".stripMargin
+    },
     "d_jaccard_calibration" ->
       s"""$minhashSigCte,
          |sigl AS (SELECT doc_id, list(u ORDER BY p) AS sig FROM vm GROUP BY doc_id),

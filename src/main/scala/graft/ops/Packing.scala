@@ -52,6 +52,47 @@ object Packing {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Sliding-window chunk plan — the RAG / long-context preprocessing
+    * step [[seqPack]] does NOT cover: instead of concatenating docs
+    * end-to-end, each document is cut ALONE into overlapping
+    * `window`-token chunks every `stride` tokens (stride < window ⇒
+    * adjacent chunks share window−stride tokens of context, the
+    * retrieval-embedding standard; stride = window ⇒ disjoint splits).
+    * Emits one row per chunk with its token extent — the downstream
+    * slicer/embedder consumes (doc_id, start_tok, chunk_tokens) without
+    * this plan ever shuffling text.
+    *
+    * Every doc yields ≥ 1 chunk (an empty doc yields one empty chunk —
+    * corpus coverage is exactly Σ n_chunks ≥ n_docs, no silent drops);
+    * chunk i covers token [i·stride, min(i·stride+window, n_tokens)),
+    * and only the LAST chunk may be short (proven: (n_chunks−1)·stride
+    * ≥ n_tokens − window).
+    *
+    * Scale: pure scan-side — one codegen `regexp_count` token count +
+    * an integer-arithmetic `sequence` explode; fan-out per doc is
+    * ⌈(len−window)/stride⌉+1 ≈ len/stride, bounded and proportional to
+    * the doc's own size (the same budget as reading it); NO shuffle,
+    * NO aggregate — the plan parallelizes as the scan does at any
+    * corpus size. All-integer arithmetic makes the chunk grid
+    * engine-exact. */
+  def chunkPlan(documents: DataFrame, window: Int = 256, stride: Int = 128): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val nTok = regexp_count(col("text"), lit(TokenRegex)).cast("long")
+    documents
+      .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= window, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("n_tokens") - lit(window.toLong) + lit(stride.toLong) - lit(1L)) /
+              lit(stride.toDouble)).cast("long")))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(window.toLong), col("n_tokens") - col("chunk_id") * stride).as("chunk_tokens"))
+  }
+
   /** One packed bin: documents assigned whole (never split), with the
     * fill statistics a padding-aware trainer cares about. */
   final case class PackedBin(shard: String, bin_id: Long, n_docs: Long,
@@ -198,9 +239,26 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_seq_pack" -> ((s, d) => seqPack(Tables(s, d).documents)),
     "t_seq_bins" -> ((s, d) => seqBins(Tables(s, d).documents)),
-    "t_seq_bins_bfd" -> ((s, d) => seqBinsBfd(Tables(s, d).documents)))
+    "t_seq_bins_bfd" -> ((s, d) => seqBinsBfd(Tables(s, d).documents)),
+    "t_chunk" -> ((s, d) => chunkPlan(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = Map(
+    // chunkPlan mirror: same token regexp, same integer chunk grid via
+    // generate_series (all-integer arithmetic — nothing to round).
+    "t_chunk" ->
+      raw"""WITH tc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |nc AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CASE WHEN n_tokens <= 256 THEN 1
+        |         ELSE 1 + CAST(FLOOR((n_tokens - 256 + 127) / 128.0) AS BIGINT) END AS n_chunks
+        |  FROM tc)
+        |SELECT doc_id, source, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(cid * 128 AS BIGINT) AS start_tok,
+        |  CAST(LEAST(256, n_tokens - cid * 128) AS BIGINT) AS chunk_tokens
+        |FROM nc, unnest(generate_series(0, n_chunks - 1)) AS t(cid)""".stripMargin,
     "t_seq_pack" ->
       """WITH tk AS (
         |  SELECT source, doc_id,

@@ -585,6 +585,43 @@ object Similarity {
         (round(col("n") / col("n_vecs"), 4) + lit(0.0)).as("purity"))
   }
 
+  /** Simplified-silhouette clustering quality (the centroid form of
+    * Rousseeuw 1987, the standard at scale — pairwise silhouette is
+    * O(n²), this is O(n·k)): per point, a = distance to its OWN
+    * centroid (assignment IS the argmin, so a is the nearest-centroid
+    * distance) and b = distance to the best OTHER centroid (the
+    * second-nearest); s = (b−a)/max(a,b) ∈ [0,1] here (a ≤ b by
+    * construction). Per cluster: mean and worst silhouette — the
+    * go/no-go companion to [[kmeansReport]]'s purity: low mean_sil
+    * says the cluster overlaps a neighbor (SemDeDup pruning inside it
+    * is risky), min_sil ≈ 0 names boundary points.
+    *
+    * Runs off the SAME Catalog-cached deterministic Lloyd fit as the
+    * whole IVF family (zero added fit cost). Plan: ONE scan-side
+    * codegen pass (`graft_centroid_dist2s` — the [d²₁st, d²₂nd] pair
+    * in one centroid sweep, never a per-centroid explode) + one 16-row
+    * aggregate; scales exactly as assignment does.
+    *
+    * Engine-exact: the kernel folds each d² in index order (the
+    * DuckDB mirror's `list_sum` is the same fold — proven by the
+    * hash-green fit family), √ is IEEE-correctly-rounded everywhere,
+    * per-point sil is raw double arithmetic, and the cluster mean is
+    * the DECIMAL(28,10)-sum / ONE-division / ROUND(,4) convention. */
+  def silhouetteReport(centroids: Seq[Seq[Double]], assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dd = GraftFunctions.centroidDist2s(col("embedding"), typedlit(centroids))
+    assigned
+      .select(col("cluster"), sqrt(dd.getItem(0)).as("a"), sqrt(dd.getItem(1)).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum(col("sil").cast(DecimalType(28, 10))).cast("double") / count(lit(1)), 4)
+          + lit(0.0)).as("mean_sil"),
+        (round(min(col("sil")), 4) + lit(0.0)).as("min_sil"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell &
     * Goldstein 1998) — the retrieval re-ranker that trades relevance
     * against redundancy: greedily pick argmax of
@@ -840,6 +877,10 @@ object Similarity {
     "s_kmeans" -> ((s, d) => {
       val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
       kmeansReport(assigned)
+    }),
+    "s_silhouette" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      silhouetteReport(cents, assigned)
     }),
     "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
     "s_recall_report" -> ((s, d) => {
@@ -1142,6 +1183,28 @@ object Similarity {
          |  label AS top_label, CAST(n AS BIGINT) AS top_label_n,
          |  ROUND(CAST(n AS DOUBLE) / n_vecs, 4) + 0.0 AS purity
          |FROM w WHERE rn = 1""".stripMargin,
+    // silhouetteReport mirror: the same unrolled Lloyd fit, per-point
+    // d² to every centroid ranked (d2 ASC, c ASC) — rn=1/rn=2 are the
+    // kernel's strict-< nearest/second pair — then the DECIMAL(28,10)
+    // mean convention.
+    "s_silhouette" ->
+      s"""WITH $ivfFitCte,
+         |sdd AS (SELECT af.vec_id, af.cluster, ${d2Sql("af.embedding", "c2.cent")} AS d2, c2.c
+         |  FROM af CROSS JOIN c2),
+         |srk AS (SELECT vec_id, cluster, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS rn
+         |  FROM sdd),
+         |sab AS (SELECT vec_id, MAX(cluster) AS cluster,
+         |    MAX(CASE WHEN rn = 1 THEN sqrt(d2) END) AS a,
+         |    MAX(CASE WHEN rn = 2 THEN sqrt(d2) END) AS b
+         |  FROM srk WHERE rn <= 2 GROUP BY vec_id),
+         |ssv AS (SELECT cluster,
+         |    CASE WHEN GREATEST(a, b) = 0 THEN 0.0 ELSE (b - a) / GREATEST(a, b) END AS sil
+         |  FROM sab)
+         |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mean_sil,
+         |  ROUND(MIN(sil), 4) + 0.0 AS min_sil
+         |FROM ssv GROUP BY cluster""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $ivfFitCte,
          |q AS (SELECT embedding AS qe FROM eiv WHERE vec_id = 0),

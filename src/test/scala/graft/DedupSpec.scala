@@ -495,4 +495,42 @@ class DedupSpec extends SparkSpec {
     assert(errs.forall(_ <= 0.3), s"max abs_err ${errs.max}")
     assert(errs.sum / errs.length <= 0.1)
   }
+
+  test("lshTuning: S-curve law (s50 rises, retention falls as rows/band grow); JVM differential") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val out = Dedup.lshTuning(docs, sigs).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._2)
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((64, 2), (32, 4), (16, 8), (8, 16)), "one row per 128-perm banding")
+    // finer rows/band = steeper curve: crossover right, retention down
+    assert(out.map(_._3).toSeq == out.map(_._3).sorted.toSeq, "s50 monotone in r")
+    assert(out.map(_._6).toSeq == out.map(_._6).sorted.reverse.toSeq, "retained_frac anti-monotone in r")
+    assert(out.forall(x => x._4 == out.head._4), "same observed pair mass for every config")
+    // shipped config sanity: s50 of 32x4 in the published ~0.32 region
+    val s50_32x4 = out.find(_._1 == 32).get._3
+    assert(math.abs(s50_32x4 - math.pow(1.0 - math.pow(0.5, 1.0 / 32), 1.0 / 4)) < 1e-3)
+    // JVM differential: recompute expected retention from the
+    // calibration pairs with plain-double repeated squaring
+    val pairs = Dedup.jaccardCalibration(docs, sigs).collect()
+      .map(r => BigDecimal(r.getAs[Double]("exact_jaccard"))
+        .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    out.foreach { case (b, r, _, nPairs, expRet, retFrac) =>
+      assert(nPairs == pairs.length)
+      def p(s: Double): Double = {
+        var sr = s; (1 to Integer.numberOfTrailingZeros(r)).foreach(_ => sr *= sr)
+        var q = 1.0 - sr; (1 to Integer.numberOfTrailingZeros(b)).foreach(_ => q *= q)
+        1.0 - q
+      }
+      val hist = pairs.groupBy(identity).view.mapValues(_.length).toMap
+      val exp = hist.map { case (s, n) =>
+        BigDecimal(n * p(s)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(expRet - exp.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"config ${b}x$r expected retention")
+      assert(math.abs(retFrac -
+        BigDecimal(exp.toDouble / nPairs).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }

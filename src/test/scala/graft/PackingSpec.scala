@@ -162,4 +162,41 @@ class PackingSpec extends SparkSpec {
     assert(sharded.agg(sum("chunk_tokens")).collect()(0).getLong(0) ==
       Packing.seqPack(docs).agg(sum("chunk_tokens")).collect()(0).getLong(0))
   }
+
+  test("chunkPlan: hand-grid exact; full coverage; only the last chunk short; scan-side (no Exchange)") {
+    // hand corpus: 700 'a' tokens → chunks at 0/128/256/384/512 with the
+    // last covering [512, 700); 100 tokens → one chunk; empty → one empty chunk
+    val d = Seq(
+      (1L, "s", ("a " * 700).trim),
+      (2L, "s", ("b " * 100).trim),
+      (3L, "s", "")).toDF("doc_id", "source", "text")
+    val out = Packing.chunkPlan(d).orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_tokens")))
+    val expect1 = Seq((0L, 0L, 256L), (1L, 128L, 256L), (2L, 256L, 256L),
+      (3L, 384L, 256L), (4L, 512L, 188L)).map { case (c, s, n) => (1L, c, s, n) }
+    assert(out.filter(_._1 == 1L).toSeq == expect1)
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 100L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 0L, 0L)))
+
+    // corpus-wide invariants at test SF
+    val full = Packing.chunkPlan(docs).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_tokens")))
+    assert(full.map(_._1).distinct.length == docs.count(), "every doc yields >= 1 chunk")
+    full.groupBy(_._1).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq, "contiguous chunk ids")
+      sorted.init.foreach { case (_, _, _, n) => assert(n == 256L, "only the last chunk may be short") }
+      // coverage: last chunk reaches the end of the doc
+      val (_, _, st, n) = sorted.last
+      val totalTok = st + n
+      assert(sorted.head._3 == 0L && n >= 0L)
+      // stride grid + window cap: end of every non-last chunk is start+256 <= total
+      sorted.init.foreach { case (_, c, s, _) => assert(s == c * 128 && s + 256 <= totalTok) }
+    }
+    // scan-side plan: generate + explode only, no shuffle
+    val plan = Packing.chunkPlan(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk plan must not shuffle:\n$plan")
+  }
 }

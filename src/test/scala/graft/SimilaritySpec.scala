@@ -618,4 +618,83 @@ class SimilaritySpec extends SparkSpec {
       assert(got == math.sqrt(s))
     }
   }
+
+  test("graft_centroid_dist2s: [d2_1st, d2_2nd] matches a JVM two-min fold; duplicate centroid ties land in slot 2") {
+    val cents: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(1.0, 0.0, 0.0, 0.0)) // duplicate of centroid 0
+    val v = Seq(0.9f, 0.1f, 0f, 0f)
+    val got = Seq(Tuple1(v)).toDF("e")
+      .select(GraftFunctions.centroidDist2s($"e", typedlit(cents))).collect()(0).getSeq[Double](0)
+    def d2(c: Seq[Double]): Double = {
+      var s = 0.0
+      v.indices.foreach { i => val d = v(i).toDouble - c(i); s += d * d }
+      s
+    }
+    val expect = d2(cents(0))
+    assert(got(0) == expect && got(1) == expect,
+      "a duplicated nearest centroid must fill BOTH slots (strict-< tracking)")
+    // general case against the real fit: both slots equal the sorted d² pair
+    val realCents = Similarity.ivfCentroids(embs, k = 8, iters = 2)
+    embs.limit(5).collect().foreach { r =>
+      val e = r.getSeq[Float](r.fieldIndex("embedding"))
+      val ds = realCents.map { c =>
+        var s = 0.0
+        e.indices.foreach { i => val d = e(i).toDouble - c(i); s += d * d }
+        s
+      }.sorted
+      val pair = Seq(Tuple1(e)).toDF("e")
+        .select(GraftFunctions.centroidDist2s($"e", typedlit(realCents)))
+        .collect()(0).getSeq[Double](0)
+      assert(pair(0) == ds(0) && pair(1) == ds(1))
+    }
+  }
+
+  test("silhouetteReport: planted well-separated clusters score near 1; overlapping clusters score low") {
+    def v(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 3) eps else 0.0f))
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 5).map { j =>
+        val id = if (j == 0) g.toLong else 10L + g * 5 + j
+        (id, g, v(g, 0.01f * j))
+      }
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val cents = Similarity.ivfCentroids(df, k = 3, iters = 2)
+    val assigned = df.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(cents)))
+    val out = Similarity.silhouetteReport(cents, assigned).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.size == 3 && out.values.map(_._1).sum == 15)
+    out.values.foreach { case (_, meanSil, minSil) =>
+      assert(meanSil > 0.9 && minSil > 0.9,
+        s"well-separated clusters must silhouette near 1, got mean=$meanSil min=$minSil")
+    }
+    // JVM differential on the REAL fit (the shipped key's shape)
+    val realCents = Similarity.ivfCentroids(embs, k = 8, iters = 2)
+    val realAssigned = embs.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(realCents)))
+    val got = Similarity.silhouetteReport(realCents, realAssigned).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = realAssigned.select("cluster", "embedding").collect().map { r =>
+      val e = r.getSeq[Float](1)
+      val ds = realCents.map { c =>
+        var s = 0.0
+        e.indices.foreach { i => val d = e(i).toDouble - c(i); s += d * d }
+        s
+      }.sorted
+      val (a, b) = (math.sqrt(ds(0)), math.sqrt(ds(1)))
+      val sil = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      r.getInt(0) -> sil
+    }.groupBy(_._1)
+    ref.foreach { case (cl, xs) =>
+      val (n, meanSil, minSil) = got(cl)
+      assert(n == xs.length)
+      val mean = xs.map(x => BigDecimal(x._2).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+      assert(math.abs(meanSil - BigDecimal(mean).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(minSil - BigDecimal(xs.map(_._2).min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
