@@ -519,6 +519,39 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-subspace squared quantization error of the NEAREST codeword —
+    * `[min_c d²(slice_j, book_j[c])]` for each of the m subspaces, the
+    * same argmin sweep as [[pqEncode]] but reporting the distance
+    * VALUE (what PQ loses), not the code. One pass, no fan-out. */
+  def pqErrors(embedding: ArrayData, books: ArrayData): ArrayData = {
+    val m = books.numElements()
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val book = books.getArray(j)
+      val k = book.numElements()
+      val sub = if (k == 0) 0 else book.getArray(0).numElements()
+      val off = j * sub
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cent = book.getArray(c)
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = embedding.getFloat(off + i).toDouble - cent.getDouble(i)
+          d2 += diff * diff
+          i += 1
+        }
+        if (d2 < bestDist) { bestDist = d2 }
+        c += 1
+      }
+      out(j) = if (k == 0) 0.0 else bestDist
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Asymmetric-distance (ADC) approximate cosine from PQ codes: with
     * per-(subspace, code) lookup tables `dotLut[j*k + c] = dot(q_j,
     * centroid_jc) / |q|` and `norm2Lut[j*k + c] = |centroid_jc|²`,
@@ -1034,6 +1067,30 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (e, b) => s"graft.functions.TextKernels.pqEncode($e, $b)")
 }
 
+/** Per-subspace PQ quantization error `[min_c d²(slice_j, book_j[c])]`
+  * against a literal codebook tensor (scan-side, codegen) — the
+  * distance-VALUE twin of [[PqEncode]]'s argmin. */
+case class PqErrors(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_errors"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_errors expects (array<float>, array<array<array<double>>>), got ${l.sql}, ${r.sql}")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqErrors =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(emb: Any, books: Any): Any =
+    TextKernels.pqErrors(emb.asInstanceOf[ArrayData], books.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, b) => s"graft.functions.TextKernels.pqErrors($e, $b)")
+}
+
 /** ADC approximate cosine from PQ codes against literal per-(subspace,
   * code) lookup tables (scan-side, codegen): m array lookups per row. */
 case class PqAdcCosine(first: Expression, second: Expression, third: Expression)
@@ -1304,6 +1361,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignatureAgreement].getName, "graft_sig_agree"),
       (children: Seq[Expression]) => SignatureAgreement(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pq_errors"),
+      new ExpressionInfo(classOf[PqErrors].getName, "graft_pq_errors"),
+      (children: Seq[Expression]) => PqErrors(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "graft_fnv64"),
       (children: Seq[Expression]) => Fnv64(children.head)))
@@ -1345,6 +1406,10 @@ object GraftFunctions {
   /** `[d2_nearest, d2_second]` squared-L2 pair vs a centroid matrix. */
   def centroidDist2s(embedding: Column, centroids: Column): Column =
     call_function("graft_centroid_dist2s", embedding, centroids)
+
+  /** Per-subspace PQ quantization error vs a literal codebook tensor. */
+  def pqErrors(embedding: Column, books: Column): Column =
+    call_function("graft_pq_errors", embedding, books)
 
   /** Hamming distance of two int64 fingerprint columns → int. */
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)

@@ -898,6 +898,47 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** Cross-source duplication matrix — the mixture-governance artifact
+    * behind dedup POLICY: the verified near-dup pair set (the
+    * [[nearDupPairs]] production pipeline; exact copies are its
+    * jaccard = 1 stratum) broken down by WHICH sources duplicate
+    * which. Off-diagonal (src_a < src_b): cross-source dup flow —
+    * non-zero exactly where "dedup within source, then union" would
+    * silently keep cross-source copies. Diagonal: the source's own
+    * internal duplication burden. mean_jaccard says how close the
+    * copies are (1.0 = verbatim mirroring, ~0.8 = templated rewrites)
+    * — the difference between dropping a mirror source and span-level
+    * cleanup.
+    *
+    * Plan: the shared cached-signature near-dup mining (work ∝ LSH
+    * collisions, never all pairs) + two slim (doc_id, source)
+    * projections joined onto the ≤ |pairs|-row frame, then a
+    * ≤ |sources|²-row aggregate. The pairs⋈docs joins are equi-joins
+    * whose small side is the verified pair set — at test SF they
+    * broadcast; at corpus scale they are the same fact×fact shape as
+    * the d_semantic survivor joins. Source pair is canonicalized
+    * (least, greatest) so the matrix is symmetric-free. */
+  def dupMatrix(documents: DataFrame, tau: Double = 0.8, bands: Int = 32): DataFrame =
+    dupMatrixFromPairs(nearDupPairs(documents, tau, bands), documents)
+
+  /** [[dupMatrix]] over an already-mined verified pair frame (doc_a,
+    * doc_b, jaccard) — the form the driver key uses so the
+    * Catalog-cached signature table is reused, like every LSH key. */
+  def dupMatrixFromPairs(pairs: DataFrame, documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val srcs = documents.select(col("doc_id"),
+      coalesce(col("source"), lit("")).as("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (round(sum(col("jaccard").cast(DecimalType(28, 10))).cast("double") / count(lit(1)), 4)
+          + lit(0.0)).as("mean_jaccard"))
+  }
+
   /** Banding design card — the governance artifact behind the 32×4
     * choice every MinHash key inherits (the q_skew_report /
     * s_recall_report genre: justify the config BEFORE a 100 TB
@@ -988,6 +1029,10 @@ object Dedup {
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_lsh_tuning"       -> ((s, d) => lshTuning(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
+    "d_dup_matrix"       -> ((s, d) => dupMatrixFromPairs(
+      jaccardOnCandidates(Tables(s, d).documents,
+        minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8),
+      Tables(s, d).documents)),
     "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "d_dedup_curve"      -> ((s, d) => dedupCurve(Tables(s, d).documents)),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
@@ -1332,6 +1377,28 @@ object Dedup {
     // (n·625/8)/10⁴ = (n·625+4) div 8 over 10⁴ — because n ≡ 4 mod 8
     // makes the double form an exact decimal tie (HALF_UP lottery);
     // abs_err differs the two ROUNDED columns (see jaccardCalibration).
+    // dupMatrix mirror: the verified pair set via the same all-pairs
+    // exact form that serves d_neardup_pipeline (identical set at
+    // τ=0.8 — LSH recall certified there), canonicalized source pair,
+    // DECIMAL(28,10) mean convention.
+    "d_dup_matrix" ->
+      s"""$shingleCte,
+         |pdm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
+         |      FROM d a JOIN d b ON a.doc_id < b.doc_id),
+         |vpdm AS (SELECT doc_a, doc_b,
+         |    ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |  FROM pdm
+         |  WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
+         |sdm AS (SELECT doc_id, COALESCE(source, '') AS source FROM documents),
+         |ldm AS (SELECT LEAST(sa.source, sb.source) AS src_a,
+         |    GREATEST(sa.source, sb.source) AS src_b, v.jaccard
+         |  FROM vpdm v
+         |  JOIN sdm sa ON sa.doc_id = v.doc_a
+         |  JOIN sdm sb ON sb.doc_id = v.doc_b)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mean_jaccard
+         |FROM ldm GROUP BY 1, 2""".stripMargin,
     // lshTuning mirror: same candidate pairs + exact-Jaccard bin, the
     // analytic p(s)/s50 via the SAME repeated-squaring / nested-sqrt
     // association order (IEEE mult/sqrt are bit-identical across

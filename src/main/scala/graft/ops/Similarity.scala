@@ -622,6 +622,35 @@ object Similarity {
         (round(min(col("sil")), 4) + lit(0.0)).as("min_sil"))
   }
 
+  /** PQ quantization-error report — the "is m×k enough" card a PQ
+    * rollout needs BEFORE trusting ADC ranking at 100 TB (the
+    * s_recall_report genre, but measuring the CODEBOOK itself rather
+    * than one serving path): per subspace, the mean and worst squared
+    * distance between a vector's slice and its nearest codeword (what
+    * compression loses), off the SAME Catalog-cached PQ fit the
+    * serving keys use. A subspace whose mse dwarfs the others is where
+    * reconstruction error concentrates — re-slice, raise k, or OPQ-
+    * rotate there; max_err names outlier vectors PQ serves worst.
+    *
+    * Plan: ONE scan-side codegen sweep (`graft_pq_errors` — the
+    * [min_c d²] per subspace in one pass, the distance-value twin of
+    * `graft_pq_encode`), a bounded m-wide posexplode, one m-row
+    * aggregate. Error folds in index order (the DuckDB mirror's
+    * list_sum is the same fold); mean is the DECIMAL(28,10) sum / ONE
+    * division / ROUND(,6) convention, max is a ROUND(,6) of an exact
+    * min-over-codes value. */
+  def pqErrorReport(books: Seq[Seq[Seq[Double]]], embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    embeddings
+      .select(posexplode(GraftFunctions.pqErrors(col("embedding"), typedlit(books)))
+        .as(Seq("sub", "err")))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum(col("err").cast(DecimalType(28, 10))).cast("double") / count(lit(1)), 6)
+          + lit(0.0)).as("mse"),
+        (round(max(col("err")), 6) + lit(0.0)).as("max_err"))
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell &
     * Goldstein 1998) — the retrieval re-ranker that trades relevance
     * against redundancy: greedily pick argmax of
@@ -882,6 +911,10 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       silhouetteReport(cents, assigned)
     }),
+    "s_pq_error" -> ((s, d) => {
+      val (books, _) = graft.core.Catalog.pqIndex(s, d)
+      pqErrorReport(books, Tables(s, d).embeddings)
+    }),
     "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
     "s_recall_report" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
@@ -1122,6 +1155,20 @@ object Similarity {
     // exact rerank): the per-subspace Lloyd fit replays portably
     // (pqFitCte), LUT entries are index-order list folds over the
     // final books, ADC = Σdot/√Σnorm2 in subspace order.
+    // pqErrorReport mirror: the same PQ fit, per-(vec, sub) min-d² over
+    // the final codebook (the kernel's min VALUE — tie order
+    // irrelevant), then the DECIMAL(28,10) mean convention.
+    "s_pq_error" ->
+      ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        pqFitCte("eiv") + ",\n" +
+        s"""pe AS (SELECT vec_id, sub, MIN(dd) AS err FROM (
+           |    SELECT sl.vec_id, sl.sub, ${d2Sql("sl.svec", "pb2.cent")} AS dd
+           |    FROM sl JOIN pb2 ON pb2.sub = sl.sub) x
+           |  GROUP BY 1, 2)
+           |SELECT CAST(sub AS INT) AS sub, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |  ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse,
+           |  ROUND(MAX(err), 6) + 0.0 AS max_err
+           |FROM pe GROUP BY 1""".stripMargin),
     "s_ann_pq" ->
       ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
         pqFitCte("eiv") + ",\n" + pqQueryCte + ",\n" +

@@ -496,6 +496,29 @@ class DedupSpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.1)
   }
 
+  test("dupMatrix: hand corpus exact (diagonal + cross-source flow); pair mass conserves vs nearDupPairs") {
+    val d = Seq(
+      (1L, "x", "alpha beta gamma delta epsilon"),
+      (2L, "x", "ALPHA beta  gamma delta epsilon"), // x-internal exact dup (normalized)
+      (3L, "y", "alpha beta gamma delta epsilon"),  // cross-source copy
+      (4L, "y", "totally different words over here now")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.dupMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // pairs (1,2) → (x,x) j=1; (1,3) and (2,3) → (x,y) j=1
+    assert(out == Map(("x", "x") -> ((1L, 1.0)), ("x", "y") -> ((2L, 1.0))))
+    // corpus-level conservation on real docs: matrix pair mass equals
+    // the verified near-dup pair count, and means sit in [0.8, 1]
+    val full = Dedup.dupMatrix(docs).collect()
+    val matrixPairs = full.map(_.getLong(2)).sum
+    assert(matrixPairs == Dedup.nearDupPairs(docs).count())
+    full.foreach { r =>
+      val mj = r.getDouble(3)
+      assert(mj >= 0.8 && mj <= 1.0, s"mean_jaccard $mj out of the verified band")
+      assert(r.getString(0) <= r.getString(1), "canonicalized source pair")
+    }
+  }
+
   test("lshTuning: S-curve law (s50 rises, retention falls as rows/band grow); JVM differential") {
     val sigs = Dedup.minhashSignatures(docs)
     val out = Dedup.lshTuning(docs, sigs).collect()

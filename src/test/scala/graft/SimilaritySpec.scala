@@ -651,6 +651,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqErrorReport: kernel matches a JVM min-d2 fold; exact codeword slice → zero error; report differential") {
+    // hand codebook: 2 subspaces × 2 codes × 2 dims
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(2.0, 2.0), Seq(-1.0, 0.0)))
+    val v = Seq(1.0f, 0.0f, -1.0f, 0.5f) // sub0 = exact codeword 0; sub1 nearest code 1 at d²=0.25
+    val errs = Seq(Tuple1(v)).toDF("e")
+      .select(GraftFunctions.pqErrors($"e", typedlit(books))).collect()(0).getSeq[Double](0)
+    assert(errs(0) == 0.0 && errs(1) == 0.25)
+    // report differential against a JVM fold on the real fit
+    val realBooks = Similarity.pqCodebooks(embs)
+    val got = Similarity.pqErrorReport(realBooks, embs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val m = realBooks.length
+    val sub = 64 / m
+    val ref = embs.select("embedding").collect().map(_.getSeq[Float](0)).map { e =>
+      (0 until m).map { j =>
+        realBooks(j).map { cent =>
+          var s = 0.0
+          (0 until sub).foreach { i => val d = e(j * sub + i).toDouble - cent(i); s += d * d }
+          s
+        }.min
+      }
+    }
+    (0 until m).foreach { j =>
+      val xs = ref.map(_(j))
+      val (n, mse, maxErr) = got(j)
+      assert(n == xs.length)
+      val mean = xs.map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / xs.length
+      assert(math.abs(mse - BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(maxErr - BigDecimal(xs.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("silhouetteReport: planted well-separated clusters score near 1; overlapping clusters score low") {
     def v(axis: Int, eps: Float): Seq[Float] =
       Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 3) eps else 0.0f))
