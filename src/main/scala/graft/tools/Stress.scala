@@ -17,6 +17,7 @@ object Stress {
       .select((col("doc_id") * n + col("rep")).as("doc_id"),
               concat(col("text"), lit(" rep"), col("rep")).as("text"),
               col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(16)
     println(s"[stress] corpus: ${docs.count()} docs")
     def time[T](label: String)(f: => T): Unit = {
@@ -24,6 +25,12 @@ object Stress {
       println(f"[stress] $label: ${(System.nanoTime()-t0)/1e9}%.1f s = $r")
     }
     time("exact_dedup")(Dedup.exactDedup(docs).count())
+    // chunk plan: pure scan-side explode — cost must stay ∝ corpus
+    // tokens (fan-out len/stride per doc, no shuffle at any size)
+    time("chunk_plan")(graft.ops.Packing.chunkPlan(docs).count())
+    // weighted sample: scan-side score + TakeOrdered(k) — cost ∝ scan,
+    // result stays k rows regardless of corpus size
+    time("weighted_sample")(graft.ops.Sampling.weightedSample(docs).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
     time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
@@ -31,6 +38,10 @@ object Stress {
     // span dedup: replicas share almost every k-token span, so this is
     // the worst-case duplication load — cost must stay ∝ corpus tokens
     time("span_dedup")(Dedup.spanDedup(docs).count())
+    // dup matrix: pair mining is the neardup_pipeline cost (bounded by
+    // LSH collisions); the matrix adds two source joins + a
+    // ≤ sources²-row aggregate — must track neardup_pipeline, not pairs²
+    time("dup_matrix")(Dedup.dupMatrix(docs).count())
     // bm25: cost must stay ∝ corpus (scan-side tf/dl kernel + 1-row
     // stats broadcast + per-partition heaps) — replicas multiply the
     // scan, never the shuffle (top-k and stats are fixed-size)
