@@ -189,6 +189,39 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cluster"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** FILTERED IVF serving — [[annTopKFiltered]]'s predicate composed
+    * into the [[annIvfFromIndex]] scale path (filtered ANN is how
+    * retrieval actually runs: "nearest WITHIN a language / license /
+    * date range"). The predicate lands on the assigned-table SCAN
+    * (before any cosine — pushdown-eligible exactly like
+    * annTopKFiltered's spec-asserted PushedFilters), so a selective
+    * filter prunes candidates at the reader and the probe set still
+    * bounds the scan to ~nProbe/nlist of the corpus. Post-filtering a
+    * top-k would instead return < k rows whenever the filter is
+    * selective — this is the pre-filter form, the correct semantics
+    * ("top-k of the filtered corpus" restricted to probed lists).
+    * Caveat at scale (documented, measured by s_recall_report's
+    * convention): a filter CORRELATED with cluster geometry can empty
+    * probed lists — raise nProbe with filter selectivity. */
+  def annIvfFilteredFromIndex(centroids: Seq[Seq[Double]], assigned: DataFrame,
+                              pred: Column, queryVecId: Long = 0L, k: Int = 10,
+                              nProbe: Int = 2): DataFrame = {
+    val qVec = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = qVec(j).toDouble - c(j); d * d }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    assigned
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryVecId && pred)
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"), round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** IVF ANN, self-contained (fits, assigns, then serves): the
     * convenience form for one-off use. The complement of [[annLsh]]: IVF
     * adapts to the data distribution (clusters), LSH is data-independent.
@@ -885,6 +918,10 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       annIvfFromIndex(cents, assigned)
     }),
+    "s_ann_ivf_filtered" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      annIvfFilteredFromIndex(cents, assigned, col("label").isin(1, 3, 5))
+    }),
     "s_ann_pq"   -> ((s, d) => {
       val (books, codes) = graft.core.Catalog.pqIndex(s, d)
       annPqFromIndex(books, codes, Tables(s, d).embeddings)
@@ -1252,6 +1289,21 @@ object Similarity {
          |  ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mean_sil,
          |  ROUND(MIN(sil), 4) + 0.0 AS min_sil
          |FROM ssv GROUP BY cluster""".stripMargin,
+    // annIvfFilteredFromIndex mirror: the s_ann_ivf serve with the
+    // label predicate applied BEFORE ranking (pre-filter semantics).
+    "s_ann_ivf_filtered" ->
+      s"""WITH $ivfFitCte,
+         |q AS (SELECT embedding AS qe FROM eiv WHERE vec_id = 0),
+         |pr AS (SELECT c FROM (
+         |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql("q.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+         |    FROM c2 CROSS JOIN q) WHERE rn <= 2),
+         |cand AS (SELECT af.vec_id, af.label, af.cluster,
+         |    ${cosSql("af.embedding", "q.qe")} AS cos
+         |  FROM af CROSS JOIN q
+         |  WHERE af.cluster IN (SELECT c FROM pr) AND af.vec_id != 0
+         |    AND af.label IN (1, 3, 5))
+         |SELECT vec_id, label, cluster, ROUND(cos, 4) AS cos_sim
+         |FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "s_ann_ivf" ->
       s"""WITH $ivfFitCte,
          |q AS (SELECT embedding AS qe FROM eiv WHERE vec_id = 0),

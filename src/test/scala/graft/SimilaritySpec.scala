@@ -651,6 +651,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvfFilteredFromIndex: pre-filter semantics — top-k of the FILTERED probed lists, k rows kept") {
+    val cents = Similarity.ivfCentroids(embs, k = 16, iters = 2)
+    val assigned = embs.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(cents)))
+    val pred = col("label").isin(1, 3, 5)
+    val out = Similarity.annIvfFilteredFromIndex(cents, assigned, pred).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    assert(out.length == 10, "pre-filter must still fill k when candidates exist")
+    assert(out.forall(r => Set(1, 3, 5)(r._2)), "every row satisfies the predicate")
+    // JVM reference: brute-force cosine over the probed+filtered candidate set
+    val q = embs.filter($"vec_id" === 0L).select("embedding").collect()(0).getSeq[Float](0)
+    val probes = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = q(j).toDouble - c(j); d * d }.sum)
+    }.sortBy(_._2).take(2).map(_._1).toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val ref = assigned.filter(pred && $"vec_id" =!= 0L)
+      .select("vec_id", "label", "cluster", "embedding").collect()
+      .filter(r => probes(r.getInt(2)))
+      .map(r => (r.getLong(0), r.getInt(1), cos(r.getSeq[Float](3), q)))
+      .sortBy { case (id, _, c) => (-c, id) }.take(10)
+    assert(out.map(_._1).toSeq == ref.map(_._1).toSeq, "selection must equal the JVM reference")
+    out.zip(ref).foreach { case ((_, _, got), (_, _, exp)) =>
+      assert(math.abs(got - BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // the filtered result is NOT just a post-filter of the unfiltered serve
+    // (that would under-fill k whenever the filter is selective)
+    val unfiltered = Similarity.annIvfFromIndex(cents, assigned).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(unfiltered.count(r => Set(1, 3, 5)(r._2)) < 10,
+      "fixture: the unfiltered top-10 must not already satisfy the predicate 10 times")
+  }
+
   test("pqErrorReport: kernel matches a JVM min-d2 fold; exact codeword slice → zero error; report differential") {
     // hand codebook: 2 subspaces × 2 codes × 2 dims
     val books: Seq[Seq[Seq[Double]]] = Seq(
