@@ -524,9 +524,50 @@ object AnalyticsQueries {
         (round(col("total_value").cast("double") / col("n_events"), 4) + lit(0.0))
           .as("avg_value"))
 
+  /** Grouped ROBUST statistics — median / MAD / outlier count per
+    * market segment (the outlier-resistant complement of the moment
+    * family: one corrupt feed can move a mean/std arbitrarily, median
+    * and MAD have a 50% breakdown point — Hampel's rule `|x − med| >
+    * 3·MAD` is the standard data-quality cut). Median and MAD are
+    * PICKED data values (lower-neighbor rank ⌈n/2⌉ under the total
+    * (value, key) order — the house percentile convention), so no
+    * float arithmetic is manufactured: `|x − med|` and the 3·MAD
+    * compare are the same IEEE ops in any engine, hash-exact with no
+    * rounding discipline needed.
+    *
+    * Plan: two (rank-pass) windows + one aggregate, all partitioned by
+    * the segment key — 3 shuffles on a #groups-bounded key (segments).
+    * At 100 TB over an UNBOUNDED group key or raw populations, switch
+    * to the sketch convention (`percentile_approx`, the
+    * normReportApprox protocol) — MAD then needs two sketch passes
+    * (med first, then |x−med|), same shape. */
+  def robustStats(customer: DataFrame): DataFrame = {
+    val seg = col("c_mktsegment")
+    val wn = Window.partitionBy(seg)
+    val w1 = wn.orderBy(asc("c_acctbal"), asc("c_custkey"))
+    val firstPass = customer
+      .select(seg, col("c_acctbal"), col("c_custkey"))
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("med",
+        max(when(col("rn") === expr("(n + 1) div 2"), col("c_acctbal"))).over(wn))
+      .withColumn("absdev", abs(col("c_acctbal") - col("med")))
+    val w2 = wn.orderBy(asc("absdev"), asc("c_custkey"))
+    firstPass
+      .withColumn("rn2", row_number().over(w2))
+      .withColumn("mad",
+        max(when(col("rn2") === expr("(n + 1) div 2"), col("absdev"))).over(wn))
+      .groupBy(seg)
+      .agg(count(lit(1)).as("n_customers"),
+        max(col("med")).as("median"),
+        max(col("mad")).as("mad"),
+        sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_robust_stats"       -> ((s, d) => robustStats(Tables(s, d).customer)),
     "q_agg_merge"          -> ((s, d) => aggMerge(Tables(s, d))),
     "q_skew_report"        -> ((s, d) => skewReport(Tables(s, d))),
     "q_cohort_retention"   -> ((s, d) => cohortRetention(Tables(s, d))),
@@ -563,6 +604,27 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // robustStats mirror: the same lower-neighbor ⌈n/2⌉ picks under
+    // the same total orders — median/MAD are DATA values, |x−med| and
+    // 3·MAD are identical IEEE ops, nothing to round.
+    "q_robust_stats" ->
+      """WITH rc AS (SELECT c_mktsegment AS seg, c_acctbal AS bal, c_custkey AS k FROM customer),
+        |rr1 AS (SELECT seg, bal, k,
+        |    row_number() OVER (PARTITION BY seg ORDER BY bal, k) AS rn,
+        |    COUNT(*) OVER (PARTITION BY seg) AS n FROM rc),
+        |rm AS (SELECT seg, MAX(CASE WHEN rn = (n + 1) // 2 THEN bal END) AS med
+        |  FROM rr1 GROUP BY 1),
+        |rd AS (SELECT rr1.seg, rr1.bal, rr1.k, rr1.n, rm.med,
+        |    ABS(rr1.bal - rm.med) AS absdev
+        |  FROM rr1 JOIN rm ON rm.seg = rr1.seg),
+        |rr2 AS (SELECT seg, bal, k, n, med, absdev,
+        |    row_number() OVER (PARTITION BY seg ORDER BY absdev, k) AS rn2 FROM rd),
+        |rmm AS (SELECT seg, MAX(CASE WHEN rn2 = (n + 1) // 2 THEN absdev END) AS mad
+        |  FROM rr2 GROUP BY 1)
+        |SELECT rr2.seg AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  MAX(rr2.med) AS median, MAX(rmm.mad) AS mad,
+        |  CAST(SUM(CASE WHEN rr2.absdev > 3.0 * rmm.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM rr2 JOIN rmm ON rmm.seg = rr2.seg GROUP BY 1""".stripMargin,
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk

@@ -235,4 +235,34 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == expect)
   }
+
+  test("robustStats: hand groups — lower median, MAD, Hampel outliers; JVM differential on real data") {
+    import spark.implicits._
+    val hand = Seq(
+      // A: med = 2 (rank 3 of 5), absdev sorted [0,1,1,2,98] → mad = 1,
+      // outliers |x−2| > 3 → only 100
+      (1L, "A", 0.0), (2L, "A", 1.0), (3L, "A", 2.0), (4L, "A", 3.0), (5L, "A", 100.0),
+      // B (even n): lower median = 0, mad = 0, outliers absdev > 0 → the 10
+      (6L, "B", 0.0), (7L, "B", 10.0)
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val got = AnalyticsQueries.robustStats(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    assert(got("A") == ((5L, 2.0, 1.0, 1L)))
+    assert(got("B") == ((2L, 0.0, 0.0, 1L)))
+    // JVM differential on the real table
+    val rows = t.customer.select("c_mktsegment", "c_acctbal", "c_custkey").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val real = AnalyticsQueries.robustStats(t.customer).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (seg, xs) =>
+      val n = xs.length
+      val med = xs.sortBy(x => (x._2, x._3)).apply((n + 1) / 2 - 1)._2
+      val devs = xs.map(x => (math.abs(x._2 - med), x._3))
+      val mad = devs.sortBy(identity).apply((n + 1) / 2 - 1)._1
+      val outliers = devs.count(_._1 > 3.0 * mad).toLong
+      assert(real(seg) == ((n.toLong, med, mad, outliers)), s"segment $seg")
+    }
+  }
 }
