@@ -969,7 +969,57 @@ object TextAnalysis {
 
   // ---- driver wiring ----
 
+  /** Zipf-law corpus-health card — per source, an OLS fit of
+    * ln(frequency) against ln(rank) over the top-`topK` tokens:
+    * natural language sits near slope −1 (Zipf 1949); a flat slope
+    * (≫ −1) or low r² flags templated/synthetic/boilerplate text and
+    * a steep slope flags degenerate repetition — the corpus-level
+    * complement of the per-doc t_repetition / t_lexical_div filters,
+    * read per SOURCE before mixing (the t_source_outliers genre).
+    *
+    * Determinism: ln of exact integer ranks/counts rounded through
+    * DECIMAL(28,10) (the DSIR ln convention — sub-1e-10 libm
+    * differences cannot move a moment), products as IEEE doubles of
+    * those rounded values, moment sums DECIMAL(28,10) (order-exact),
+    * ONE closed-form double expression per output (the q_corr shape),
+    * ROUND(,4). Rank order is total ((count desc, token asc)).
+    *
+    * Plan: one (source, token) count aggregate (map-side combined),
+    * one per-source rank window over the VOCABULARY (≪ corpus; the
+    * q_window_topn shape), then a topK-row-per-source moment
+    * aggregate — scales with vocabulary, never corpus rows. */
+  def zipfReport(documents: DataFrame, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val counts = documents
+      .select(col("source"),
+        explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(desc("c"), asc("tok"))
+    def lnDec(c: Column) = log(c.cast("double")).cast(DecimalType(28, 10)).cast(DoubleType)
+    def ms(c: Column) = sum(c.cast(DecimalType(28, 10))).cast(DoubleType)
+    def r4(c: Column) = round(c, 4) + lit(0.0)
+    val moments = counts
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= topK)
+      .select(col("source"), lnDec(col("r")).as("x"), lnDec(col("c")).as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        ms(col("x")).as("sx"), ms(col("y")).as("sy"),
+        ms(col("x") * col("x")).as("sxx"), ms(col("x") * col("y")).as("sxy"),
+        ms(col("y") * col("y")).as("syy"))
+    val num = col("n_ranks") * col("sxy") - col("sx") * col("sy")
+    val den1 = col("n_ranks") * col("sxx") - col("sx") * col("sx")
+    val den2 = col("n_ranks") * col("syy") - col("sy") * col("sy")
+    moments.select(col("source"), col("n_ranks"),
+      r4(num / den1).as("zipf_slope"),
+      r4((col("sy") * col("sxx") - col("sx") * col("sxy")) / den1).as("intercept"),
+      r4((num * num) / (den1 * den2)).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_zipf"           -> ((s, d) => zipfReport(Tables(s, d).documents)),
     "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
     "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
@@ -1011,6 +1061,34 @@ object TextAnalysis {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // zipfReport mirror: same tokenization, same total rank order,
+    // ln-through-DECIMAL(28,10) values, double products, DECIMAL
+    // moment sums, one closed-form double expression per output.
+    "t_zipf" ->
+      raw"""WITH ztk AS (SELECT source,
+         |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM documents),
+         |zc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ztk WHERE tok != '' GROUP BY 1, 2),
+         |zr AS (SELECT source, c,
+         |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS r FROM zc),
+         |zt AS (SELECT source,
+         |    CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,10)) AS DOUBLE) AS x,
+         |    CAST(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,10)) AS DOUBLE) AS y
+         |  FROM zr WHERE r <= 100),
+         |zm AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+         |  FROM zt GROUP BY 1)
+         |SELECT source, n_ranks,
+         |  ROUND((n_ranks * sxy - sx * sy) / (n_ranks * sxx - sx * sx), 4) + 0.0 AS zipf_slope,
+         |  ROUND((sy * sxx - sx * sxy) / (n_ranks * sxx - sx * sx), 4) + 0.0 AS intercept,
+         |  ROUND(((n_ranks * sxy - sx * sy) * (n_ranks * sxy - sx * sy))
+         |        / ((n_ranks * sxx - sx * sx) * (n_ranks * syy - sy * sy)), 4) + 0.0 AS r2
+         |FROM zm""".stripMargin,
     // Spark exact `percentile` ≡ DuckDB quantile_cont (the
     // v_speed_percentiles convention), ROUND(,4).
     "t_length_quantiles" ->

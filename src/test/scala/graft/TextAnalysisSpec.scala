@@ -847,4 +847,30 @@ class TextAnalysisSpec extends SparkSpec {
     val expected = md.digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(one.getAs[String]("content_md5") == expected)
   }
+
+  test("zipfReport: exact-Zipf corpus fits slope −1 / r² 1; uniform counts fit slope 0; natural corpus near −1") {
+    import spark.implicits._
+    // counts exactly C/r for r = 1..6 (all integral for C = 120):
+    // y = ln C − ln r is exactly linear in x = ln r → slope −1, r² = 1
+    val zipfText = (1 to 6).map(r => (s"w$r " * (120 / r)).trim).mkString(" ")
+    val uniText = (1 to 5).map(r => (s"u$r " * 10).trim).mkString(" ")
+    val hand = Seq((1L, "z", zipfText), (2L, "u", uniText)).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.zipfReport(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(got("z")._1 == 6L)
+    assert(math.abs(got("z")._2 - (-1.0)) < 1e-9, s"exact-Zipf slope ${got("z")._2}")
+    assert(math.abs(got("z")._3 - 1.0) < 1e-9, s"exact-Zipf r2 ${got("z")._3}")
+    assert(got("u")._2 == 0.0, "uniform counts → slope 0")
+    // the test corpus is SYNTHETIC — r² varies by source (measured
+    // 0.22–0.77 at sf0.001, vs ≈0.9+ for natural text): the card
+    // separates sources exactly as designed; assert only the
+    // invariants (negative slope, r² well-formed, per-source rows)
+    val real = TextAnalysis.zipfReport(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(4)))
+    assert(real.nonEmpty)
+    real.foreach { case (src, slope, r2) =>
+      assert(slope < 0.0, s"$src slope $slope must be negative")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$src r2 $r2 out of range")
+    }
+  }
 }
