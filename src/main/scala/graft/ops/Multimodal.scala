@@ -217,6 +217,28 @@ object Multimodal {
       .distinct()
   }
 
+  /** Perceptual-dup CLUSTERS — the transitive closure of
+    * [[phashNearDup]]'s pair graph (a re-encode chain A≈B≈C is ONE
+    * asset even when A and C drift past the pairwise radius), read off
+    * as a per-cluster card: cluster id (min member) + member count.
+    * The media twin of d_dup_clusters, and the input to a keep-one
+    * policy per visual asset.
+    *
+    * Plan: the banded pair mining (∝ collisions), then the SAME
+    * large-star/small-star CC the text clusters use
+    * ([[DupClusters.connectedComponents]] — O(log n) rounds, driver
+    * sees one checksum scalar per round); vertices are the pair
+    * endpoints, so every emitted cluster has ≥ 2 members by
+    * construction (singletons are exactly the non-colliding reps —
+    * uninteresting rows the card omits). */
+  def phashClusters(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val pairs = phashNearDup(media, maxHamming).select(col("doc_a"), col("doc_b"))
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    DupClusters.connectedComponents(pairs, verts)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_media"))
+  }
+
   /** Derived media corpus for the `m_phash_neardup` driver key: every
     * document's payload PLUS, for every `every`-th doc, a planted
     * near-dup variant (first two bytes swapped, doc_id offset by 10M).
@@ -295,6 +317,8 @@ object Multimodal {
     "m_payload_dedup" -> ((s, d) => payloadDedup(Tables(s, d).documents)),
     "m_phash_neardup" -> ((s, d) =>
       phashNearDup(mediaWithPlantedNearDups(Tables(s, d).documents))),
+    "m_phash_clusters" -> ((s, d) =>
+      phashClusters(mediaWithPlantedNearDups(Tables(s, d).documents))),
     "m_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
       resize(assemble(Tables(s, d).documents)).toDF()
@@ -303,50 +327,69 @@ object Multimodal {
     }),
     "m_frames" -> ((s, d) => sampleFrames(assemble(Tables(s, d).documents)).toDF()))
 
+  /** Shared oracle CTE chain: planted media → integer-exact blockhash
+    * fingerprints → md5-representatives → the brute-force hamming-≤3
+    * pair set (`ppairs`). Recomputes every blockhash bit
+    * integer-exactly: byte j → block j*64//n, bit b set iff
+    * sum_b·n > total·len_b (the kernel's cross-multiply — no float
+    * thresholds), assembled as two 32-bit words (BIGINT can't build
+    * bit 63 by shift). Pure-ASCII corpus ⇒ ascii(substring) == byte
+    * value (same guarantee as m_resize). Brute-force pair scan over
+    * representatives is the oracle's privilege — the Spark plan uses
+    * the banded equi-join instead. */
+  private def phashPairsCte: String =
+    """raw AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+      |media AS (
+      |  SELECT doc_id, t FROM raw
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id,
+      |    substring(t, 2, 1) || substring(t, 1, 1) || substring(t, 3) AS t
+      |  FROM raw
+      |  WHERE doc_id % 41 = 0 AND octet_length(encode(t)) > 64
+      |    AND substring(t, 1, 1) <> substring(t, 2, 1)),
+      |m AS (SELECT doc_id, t, md5(t) AS content_md5,
+      |    CAST(octet_length(encode(t)) AS BIGINT) AS n
+      |  FROM media WHERE octet_length(encode(t)) > 0),
+      |b AS (SELECT doc_id, content_md5, n, t,
+      |    unnest(generate_series(0, n - 1)) AS j
+      |  FROM m),
+      |v AS (SELECT doc_id, content_md5, n, (j * 64) // n AS blk,
+      |    ascii(substring(t, CAST(j + 1 AS INT), 1)) AS val
+      |  FROM b),
+      |blocks AS (SELECT doc_id, content_md5, n, blk,
+      |    SUM(val) AS sum_b, COUNT(*) AS len_b
+      |  FROM v GROUP BY 1, 2, 3, 4),
+      |tot AS (SELECT doc_id, SUM(sum_b) AS total FROM blocks GROUP BY 1),
+      |hashes AS (SELECT k.doc_id, k.content_md5,
+      |    CAST(SUM(CASE WHEN k.blk < 32 AND k.sum_b * k.n > t.total * k.len_b
+      |      THEN CAST(1 AS BIGINT) << CAST(k.blk AS INT) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN k.blk >= 32 AND k.sum_b * k.n > t.total * k.len_b
+      |      THEN CAST(1 AS BIGINT) << CAST(k.blk - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM blocks k JOIN tot t ON k.doc_id = t.doc_id
+      |  GROUP BY 1, 2),
+      |reps AS (SELECT MIN(doc_id) AS doc_id, MIN(lo) AS lo, MIN(hi) AS hi
+      |  FROM hashes GROUP BY content_md5),
+      |ppairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+      |  FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Recomputes every blockhash bit integer-exactly: byte j → block
-    // j*64//n, bit b set iff sum_b·n > total·len_b (the kernel's
-    // cross-multiply — no float thresholds), assembled as two 32-bit
-    // words (BIGINT can't build bit 63 by shift). Pure-ASCII corpus ⇒
-    // ascii(substring) == byte value (same guarantee as m_resize).
-    // Brute-force pair scan over md5-representatives is the oracle's
-    // privilege — the Spark plan uses the banded equi-join instead.
-    "m_phash_neardup" ->
-      """WITH raw AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
-        |media AS (
-        |  SELECT doc_id, t FROM raw
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id,
-        |    substring(t, 2, 1) || substring(t, 1, 1) || substring(t, 3) AS t
-        |  FROM raw
-        |  WHERE doc_id % 41 = 0 AND octet_length(encode(t)) > 64
-        |    AND substring(t, 1, 1) <> substring(t, 2, 1)),
-        |m AS (SELECT doc_id, t, md5(t) AS content_md5,
-        |    CAST(octet_length(encode(t)) AS BIGINT) AS n
-        |  FROM media WHERE octet_length(encode(t)) > 0),
-        |b AS (SELECT doc_id, content_md5, n, t,
-        |    unnest(generate_series(0, n - 1)) AS j
-        |  FROM m),
-        |v AS (SELECT doc_id, content_md5, n, (j * 64) // n AS blk,
-        |    ascii(substring(t, CAST(j + 1 AS INT), 1)) AS val
-        |  FROM b),
-        |blocks AS (SELECT doc_id, content_md5, n, blk,
-        |    SUM(val) AS sum_b, COUNT(*) AS len_b
-        |  FROM v GROUP BY 1, 2, 3, 4),
-        |tot AS (SELECT doc_id, SUM(sum_b) AS total FROM blocks GROUP BY 1),
-        |hashes AS (SELECT k.doc_id, k.content_md5,
-        |    CAST(SUM(CASE WHEN k.blk < 32 AND k.sum_b * k.n > t.total * k.len_b
-        |      THEN CAST(1 AS BIGINT) << CAST(k.blk AS INT) ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(SUM(CASE WHEN k.blk >= 32 AND k.sum_b * k.n > t.total * k.len_b
-        |      THEN CAST(1 AS BIGINT) << CAST(k.blk - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
-        |  FROM blocks k JOIN tot t ON k.doc_id = t.doc_id
-        |  GROUP BY 1, 2),
-        |reps AS (SELECT MIN(doc_id) AS doc_id, MIN(lo) AS lo, MIN(hi) AS hi
-        |  FROM hashes GROUP BY content_md5)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
-        |FROM reps a JOIN reps b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+    "m_phash_neardup" -> s"WITH $phashPairsCte\nSELECT doc_a, doc_b, hamming FROM ppairs",
+    // phashClusters mirror: min-over-reachable closure of the same
+    // pair set, vertices = pair endpoints (every cluster ≥ 2 members).
+    "m_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCte,
+         |e0m AS (SELECT doc_a AS u, doc_b AS v FROM ppairs),
+         |em AS (SELECT u, v FROM e0m UNION SELECT v AS u, u AS v FROM e0m),
+         |vm AS (SELECT DISTINCT u AS id FROM em),
+         |reachm(id, r) AS (
+         |  SELECT id, id FROM vm
+         |  UNION
+         |  SELECT em.v, reachm.r FROM reachm JOIN em ON em.u = reachm.id),
+         |assignm AS (SELECT id, MIN(r) AS root FROM reachm GROUP BY id)
+         |SELECT root AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_media
+         |FROM assignm GROUP BY 1""".stripMargin,
     "m_payload_dedup" ->
       """SELECT md5(COALESCE(text, '')) AS content_md5,
         |  MIN(doc_id) AS keep_id,

@@ -90,7 +90,12 @@ object Audit {
     // the canopy candidate self-join (s_knn_ivf's plan) + the
     // neighbor-label key join against the corpus-order (vec_id, label)
     // projection — both genuine fact×fact equi-joins
-    "s_knn_accuracy")
+    "s_knn_accuracy",
+    // the CC closure's star read-off joins over the (already
+    // materialized) edge-fixpoint frame — edge⋈assignment equi-joins,
+    // the same class as the d_semantic survivor joins; AQE can't size
+    // the persisted intermediate, so SMJ is the planned strategy
+    "m_phash_clusters")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);
@@ -100,6 +105,11 @@ object Audit {
     "d_pipeline_funnel" -> 10, // 5 composed stages, key-columns only
     "d_dup_clusters" -> 8,
     "d_cluster_keep" -> 8,
+    // banded phash pair mining + the CC closure's final-round star
+    // read-off (the iterative rounds run to a materialized fixpoint
+    // outside this executed plan; what remains is pairs → distinct →
+    // assignment join → count over the tiny edge frame)
+    "m_phash_clusters" -> 11,
     // full corpus-side semantic dedup (pairs + CC closure) composed
     // with the batch×survivor vetting join
     "d_semantic_cross" -> 10)

@@ -561,6 +561,31 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.phashNearDup(media, maxHamming = 4))
   }
 
+  test("phashClusters: a re-encode CHAIN collapses to one cluster; singletons omitted; id = min member") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val swap12 = "" + base(1) + base(0) + base.substring(2)            // same-block swap of bytes 0,1
+    val swap34 = base.substring(0, 2) + base(3) + base(2) + base.substring(4) // same-block swap of bytes 2,3
+    val ortho = Array.tabulate(400)(i => (33 + (i * 7) % 94).toChar).mkString
+    val media = Seq((1L, base), (2L, swap12), (3L, swap34), (4L, ortho))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("bytes"))
+    val out = Multimodal.phashClusters(media).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_media")))
+    // 1≈2 and 1≈3 (identical fingerprints) chain into ONE cluster of 3,
+    // rooted at the min member; the orthogonal payload is a singleton → omitted
+    assert(out.toSeq == Seq((1L, 3L)), s"got ${out.toSeq}")
+    // corpus scale: every planted (doc, doc+10M) pair lands in a shared
+    // cluster and every emitted cluster has ≥ 2 members
+    val corpus = Multimodal.mediaWithPlantedNearDups(docs)
+    val pairs = Multimodal.phashNearDup(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = Multimodal.phashClusters(corpus).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_media")))
+    assert(clusters.forall(_._2 >= 2L))
+    assert(clusters.map(_._2).sum == (pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong),
+      "cluster membership must cover exactly the pair endpoints")
+  }
+
   test("m_phash_neardup key: planted variants pair at verify scale, equals brute force") {
     import graft.functions.TextKernels
     val out = SparkEntry.queries("m_phash_neardup")(spark, TestSpark.sf0001).collect()
