@@ -189,6 +189,38 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cluster"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** BATCH IVF serving — the offline-inference shape: N queries
+    * through the cached index in ONE plan. [[annTopKBatch]] is the
+    * brute-force union-of-subplans baseline; this is the shape a
+    * 100 TB batch job actually wants: the probe set for EVERY query is
+    * computed scan-side against the literal centroid matrix
+    * (`graft_nearest_centroids`, no driver round-trip per query), the
+    * (query, cluster) probe frame broadcasts, and candidate generation
+    * is ONE equi-join on the cluster id for all queries — the corpus
+    * is scanned once regardless of |queries|, work ∝ Σ probed-list
+    * sizes. Per-query top-k is a window over each query's ≤
+    * nProbe-list candidates (bounded partitions), not a global sort.
+    * Same serving semantics as [[annIvfFromIndex]] per query
+    * (spec-proven equal). */
+  def annIvfBatchFromIndex(centroids: Seq[Seq[Double]], assigned: DataFrame,
+                           queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                           k: Int = 10, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = assigned.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"), typedlit(centroids),
+          lit(nProbe))).as("cluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), asc("vec_id"))
+    assigned
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("cluster"),
+        round(col("cos"), 4).as("cos_sim"))
+  }
+
   /** FILTERED IVF serving — [[annTopKFiltered]]'s predicate composed
     * into the [[annIvfFromIndex]] scale path (filtered ANN is how
     * retrieval actually runs: "nearest WITHIN a language / license /
@@ -922,6 +954,10 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       annIvfFilteredFromIndex(cents, assigned, col("label").isin(1, 3, 5))
     }),
+    "s_ann_ivf_batch" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      annIvfBatchFromIndex(cents, assigned)
+    }),
     "s_ann_pq"   -> ((s, d) => {
       val (books, codes) = graft.core.Catalog.pqIndex(s, d)
       annPqFromIndex(books, codes, Tables(s, d).embeddings)
@@ -1289,6 +1325,27 @@ object Similarity {
          |  ROUND(CAST(SUM(CAST(sil AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 4) + 0.0 AS mean_sil,
          |  ROUND(MIN(sil), 4) + 0.0 AS min_sil
          |FROM ssv GROUP BY cluster""".stripMargin,
+    // annIvfBatchFromIndex mirror: per query, the same probe-rank +
+    // candidate-rank CTEs the recall report uses, unioned — the oracle
+    // unions per-query subplans (its privilege); the Spark plan is the
+    // single-join batch form, spec-proven equal per query.
+    "s_ann_ivf_batch" -> {
+      def one(qid: Int): String =
+        s"""bq$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
+           |bp$qid AS (SELECT c FROM (
+           |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql(s"bq$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+           |    FROM c2 CROSS JOIN bq$qid) WHERE rn <= 2),
+           |bs$qid AS (SELECT * FROM (
+           |    SELECT CAST($qid AS BIGINT) AS query_id, af.vec_id, af.label, af.cluster,
+           |      ${cosSql("af.embedding", s"bq$qid.qe")} AS cosr
+           |    FROM af CROSS JOIN bq$qid
+           |    WHERE af.cluster IN (SELECT c FROM bp$qid) AND af.vec_id != $qid)
+           |  ORDER BY cosr DESC, vec_id ASC LIMIT 10)""".stripMargin
+      val ids = Seq(0, 1, 2, 3, 4)
+      s"WITH $ivfFitCte,\n" + ids.map(one).mkString(",\n") + "\n" +
+        ids.map(q => s"SELECT query_id, vec_id, label, cluster, ROUND(cosr, 4) AS cos_sim FROM bs$q")
+          .mkString("\nUNION ALL\n")
+    },
     // annIvfFilteredFromIndex mirror: the s_ann_ivf serve with the
     // label predicate applied BEFORE ranking (pre-filter semantics).
     "s_ann_ivf_filtered" ->

@@ -689,6 +689,31 @@ class SimilaritySpec extends SparkSpec {
       "fixture: the unfiltered top-10 must not already satisfy the predicate 10 times")
   }
 
+  test("annIvfBatchFromIndex: single-join batch serve equals the per-query serve for every query") {
+    val cents = Similarity.ivfCentroids(embs, k = 16, iters = 2)
+    val assigned = embs.withColumn("cluster",
+      GraftFunctions.nearestCentroid($"embedding", typedlit(cents)))
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val batch = Similarity.annIvfBatchFromIndex(cents, assigned, ids).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    ids.foreach { id =>
+      val single = Similarity.annIvfFromIndex(cents, assigned, queryVecId = id).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+      assert(batch(id) == single, s"query $id: batch serve must equal the per-query serve")
+    }
+    // probe selection parity: the kernel's scan-side nProbe list equals
+    // the driver-side sort the per-query path uses (tie → lower index)
+    val q0 = embs.filter($"vec_id" === 0L).select("embedding").collect()(0).getSeq[Float](0)
+    val driverProbes = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = q0(j).toDouble - c(j); d * d }.sum)
+    }.sortBy(_._2).take(2).map(_._1)
+    val kernelProbes = Seq(Tuple1(q0)).toDF("e")
+      .select(GraftFunctions.nearestCentroids($"e", typedlit(cents), lit(2)))
+      .collect()(0).getSeq[Int](0)
+    assert(kernelProbes.toSeq == driverProbes.toSeq)
+  }
+
   test("pqErrorReport: kernel matches a JVM min-d2 fold; exact codeword slice → zero error; report differential") {
     // hand codebook: 2 subspaces × 2 codes × 2 dims
     val books: Seq[Seq[Seq[Double]]] = Seq(
