@@ -564,9 +564,40 @@ object AnalyticsQueries {
         sum(when(col("absdev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
   }
 
+  /** Year-over-year growth per month — the comparative time-series
+    * report every revenue dashboard ships: monthly order count +
+    * DECIMAL-exact revenue, each month LEFT-joined to itself 12 months
+    * back, yoy_pct = (rev − prev)/prev. A self-join on the month KEY
+    * rather than lag(12) over a dense window: a missing month (data
+    * gap) must yield NULL, not silently compare against the 12th
+    * PRESENT row back — correctness over a sparse calendar.
+    *
+    * Plan: one month aggregate (map-side combined, ≤ #months rows),
+    * then a self-join of that tiny frame on an integer month index
+    * (year·12+month — engine-exact arithmetic, no interval coercion);
+    * cost is the scan + one #months-row join at any corpus size.
+    * Revenue sums DECIMAL(18,2); ONE double division, ROUND(,4). */
+  def yoyRevenue(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val mo = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      .withColumn("mix", year(col("month")) * 12 + month(col("month")))
+    val prev = mo.select(col("mix").as("pmix"), col("rev").as("prev_rev"))
+    mo.join(prev, col("mix") === col("pmix") + 12, "left")
+      .select(col("month"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        col("prev_rev").cast("double").as("prev_revenue"),
+        when(col("prev_rev").isNull || col("prev_rev") === 0, lit(null).cast("double"))
+          .otherwise(round((col("rev") - col("prev_rev")).cast("double")
+            / col("prev_rev").cast("double"), 4) + lit(0.0)).as("yoy_pct"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yoy"                -> ((s, d) => yoyRevenue(Tables(s, d).orders)),
     "q_robust_stats"       -> ((s, d) => robustStats(Tables(s, d).customer)),
     "q_agg_merge"          -> ((s, d) => aggMerge(Tables(s, d))),
     "q_skew_report"        -> ((s, d) => skewReport(Tables(s, d))),
@@ -604,6 +635,20 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // yoyRevenue mirror: same month key, DECIMAL(18,2) sums, integer
+    // month-index self-join, ONE double division, ROUND(,4).
+    "q_yoy" ->
+      """WITH ymo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |ymi AS (SELECT *, year(month) * 12 + month(month) AS mix FROM ymo)
+        |SELECT a.month, a.n_orders, CAST(a.rev AS DOUBLE) AS revenue,
+        |  CAST(b.rev AS DOUBLE) AS prev_revenue,
+        |  CASE WHEN b.rev IS NULL OR b.rev = 0 THEN NULL
+        |       ELSE ROUND(CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 4) + 0.0
+        |  END AS yoy_pct
+        |FROM ymi a LEFT JOIN ymi b ON a.mix = b.mix + 12""".stripMargin,
     // robustStats mirror: the same lower-neighbor ⌈n/2⌉ picks under
     // the same total orders — median/MAD are DATA values, |x−med| and
     // 3·MAD are identical IEEE ops, nothing to round.

@@ -236,6 +236,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("yoyRevenue: hand calendar — growth vs 12-months-back by KEY; a gap month yields NULL, not the 12th present row") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val hand = Seq(
+      (1L, ts("2020-01-05"), 60.0), (2L, ts("2020-01-20"), 40.0), // 2020-01: 100
+      (3L, ts("2020-02-10"), 200.0),                              // 2020-02: 200
+      (4L, ts("2021-01-07"), 150.0),                              // 2021-01: 150 → +50%
+      (5L, ts("2021-03-01"), 50.0)                                // 2021-03: prev missing → NULL
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = AnalyticsQueries.yoyRevenue(hand).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(got("2020-01-01") == ((2L, 100.0, None)))
+    assert(got("2021-01-01") == ((1L, 150.0, Some(0.5))))
+    assert(got("2021-03-01") == ((1L, 50.0, None)), "gap month must NOT compare against the 12th present row")
+    // JVM differential on the real table
+    val months = t.orders.select(date_trunc("month", col("o_orderdate")).cast("date"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getDate(0).toString, BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val real = AnalyticsQueries.yoyRevenue(t.orders).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getDouble(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(real.size == months.size)
+    months.foreach { case (m, (n, rev)) =>
+      val prevKey = f"${m.substring(0, 4).toInt - 1}%04d${m.substring(4)}"
+      val (gn, grev, gyoy) = real(m)
+      assert(gn == n && math.abs(grev - rev.toDouble) < 1e-6)
+      months.get(prevKey) match {
+        case Some((_, prev)) if prev != 0 =>
+          val exp = BigDecimal((rev - prev).toDouble / prev.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(gyoy.isDefined && math.abs(gyoy.get - exp) < 1e-9, s"month $m")
+        case _ => assert(gyoy.isEmpty, s"month $m should have no prior year")
+      }
+    }
+  }
+
   test("robustStats: hand groups — lower median, MAD, Hampel outliers; JVM differential on real data") {
     import spark.implicits._
     val hand = Seq(
