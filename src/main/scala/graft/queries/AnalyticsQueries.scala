@@ -594,9 +594,36 @@ object AnalyticsQueries {
             / col("prev_rev").cast("double"), 4) + lit(0.0)).as("yoy_pct"))
   }
 
+  /** Cumulative unique users per week — growth-curve reporting WITHOUT
+    * a distinct-over-window (which Spark cannot express and a naive
+    * engine computes as an O(weeks × users) rescan): a user's first
+    * active week is a plain min-aggregate, new-user counts per week
+    * follow, and the cumulative curve is a running sum over the
+    * ≤ #weeks-row aggregate (the documented tiny-frame unpartitioned
+    * window). n_active (distinct users that week) rides the same
+    * user-week frame for the new-vs-returning read.
+    *
+    * Plan: one DISTINCT user-week collapse (the q_cohort_retention
+    * first stage — events collapse before anything else), one min per
+    * user, two tiny aggregates, one ≤ #weeks window. Every shuffle key
+    * is user_id or week; nothing rescans history. */
+  def cumeUsers(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val active = uw.groupBy(col("week")).agg(count(lit(1)).as("n_active"))
+    val firstWeek = uw.groupBy(col("user_id")).agg(min(col("week")).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("week")).rowsBetween(Window.unboundedPreceding, 0)
+    active.join(firstWeek, Seq("week"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("n_cume", sum(col("n_new")).over(w))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cume_users"         -> ((s, d) => cumeUsers(Tables(s, d).events)),
     "q_yoy"                -> ((s, d) => yoyRevenue(Tables(s, d).orders)),
     "q_robust_stats"       -> ((s, d) => robustStats(Tables(s, d).customer)),
     "q_agg_merge"          -> ((s, d) => aggMerge(Tables(s, d))),
@@ -635,6 +662,19 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // cumeUsers mirror: the same user-week collapse, min-week
+    // new-user counts, running sum over the week frame.
+    "q_cume_users" ->
+      """WITH cuw AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |ca AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active FROM cuw GROUP BY 1),
+        |cf AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+        |    SELECT user_id, MIN(week) AS week FROM cuw GROUP BY 1) GROUP BY 1)
+        |SELECT ca.week, ca.n_active, COALESCE(cf.n_new, 0) AS n_new,
+        |  CAST(SUM(COALESCE(cf.n_new, 0)) OVER (ORDER BY ca.week
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_cume
+        |FROM ca LEFT JOIN cf USING (week)""".stripMargin,
     // yoyRevenue mirror: same month key, DECIMAL(18,2) sums, integer
     // month-index self-join, ONE double division, ROUND(,4).
     "q_yoy" ->

@@ -236,6 +236,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("cumeUsers: hand stream — new/active/cumulative agree; cumulative equals distinct-so-far everywhere") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    // week starts (Mon): 2024-01-01, 01-08, 01-15
+    val hand = Seq(
+      (1L, ts("2024-01-02")), (2L, ts("2024-01-03")), (1L, ts("2024-01-04")), // wk1: u1,u2 new
+      (1L, ts("2024-01-09")),                                                  // wk2: u1 returns
+      (3L, ts("2024-01-16")), (1L, ts("2024-01-17"))                           // wk3: u3 new, u1 active
+    ).toDF("user_id", "ts")
+    val got = AnalyticsQueries.cumeUsers(hand).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 2L)))
+    assert(got("2024-01-08") == ((1L, 0L, 2L)), "returning-only week adds no new users")
+    assert(got("2024-01-15") == ((2L, 1L, 3L)))
+    // real events: n_cume at each week equals the brute-force distinct
+    // count of users first seen up to that week
+    val uw = t.events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct().collect().map(r => (r.getLong(0), r.getDate(1).toString))
+    val real = AnalyticsQueries.cumeUsers(t.events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    real.foreach { case (wk, nActive, _, nCume) =>
+      assert(nActive == uw.filter(_._2 == wk).map(_._1).distinct.length.toLong)
+      assert(nCume == uw.filter(_._2 <= wk).map(_._1).distinct.length.toLong, s"week $wk")
+    }
+    assert(real.map(_._4).toSeq == real.map(_._4).sorted.toSeq, "cumulative curve is monotone")
+  }
+
   test("yoyRevenue: hand calendar — growth vs 12-months-back by KEY; a gap month yields NULL, not the 12th present row") {
     import spark.implicits._
     import java.sql.Timestamp
