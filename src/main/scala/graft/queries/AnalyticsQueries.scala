@@ -620,9 +620,37 @@ object AnalyticsQueries {
       .withColumn("n_cume", sum(col("n_new")).over(w))
   }
 
+  /** DAU / WAU stickiness per day — the engagement ratio every product
+    * dashboard tracks, and the OTHER windowed-distinct trap ([[q_cume_users]]
+    * avoids the cumulative one): WAU(d) = distinct users over [d−6, d]
+    * is a distinct-over-sliding-window, inexpressible as a Spark
+    * window and an O(days × users) rescan if computed naively. The
+    * scalable form inverts it: each distinct user-DAY supports the 7
+    * window ends d..d+6, so a bounded ×7 explode + one distinct +
+    * one count aggregate computes every window in one pass.
+    *
+    * Plan: user-day collapse (the cohort first stage), DAU aggregate,
+    * the ×7 date explode (integer fan-out, key columns only) →
+    * distinct → WAU aggregate, inner join (drops past-corpus phantom
+    * window ends). stickiness = DAU/WAU, ONE division, ROUND(,4). */
+  def stickiness(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (round(col("dau").cast("double") / col("wau"), 4) + lit(0.0)).as("stickiness"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stickiness"         -> ((s, d) => stickiness(Tables(s, d).events)),
     "q_cume_users"         -> ((s, d) => cumeUsers(Tables(s, d).events)),
     "q_yoy"                -> ((s, d) => yoyRevenue(Tables(s, d).orders)),
     "q_robust_stats"       -> ((s, d) => robustStats(Tables(s, d).customer)),
@@ -662,6 +690,18 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // stickiness mirror: same user-day collapse, the same ×7 window-end
+    // explode, inner join drops phantom window ends past the corpus.
+    "q_stickiness" ->
+      """WITH sud AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |sda AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM sud GROUP BY 1),
+        |swa AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau FROM (
+        |    SELECT user_id, day + CAST(i AS INTEGER) AS day
+        |    FROM sud, unnest(generate_series(0, 6)) AS t(i)) GROUP BY 1)
+        |SELECT sda.day, sda.dau, swa.wau,
+        |  ROUND(CAST(sda.dau AS DOUBLE) / swa.wau, 4) + 0.0 AS stickiness
+        |FROM sda JOIN swa USING (day)""".stripMargin,
     // cumeUsers mirror: the same user-week collapse, min-week
     // new-user counts, running sum over the week frame.
     "q_cume_users" ->

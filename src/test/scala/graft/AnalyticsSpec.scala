@@ -236,6 +236,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("stickiness: hand stream exact; WAU equals brute-force 7-day distinct on real events") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 12:00:00")
+    val hand = Seq(
+      (1L, ts("2024-01-01")), (2L, ts("2024-01-01")),
+      (1L, ts("2024-01-03")),
+      (3L, ts("2024-01-08"))
+    ).toDF("user_id", "ts")
+    val got = AnalyticsQueries.stickiness(hand).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 1: dau {1,2}, wau [dec26..jan1] = {1,2} → 1.0
+    assert(got("2024-01-01") == ((2L, 2L, 1.0)))
+    // day 3: dau {1}, wau [dec28..jan3] = {1,2} → 0.5
+    assert(got("2024-01-03") == ((1L, 2L, 0.5)))
+    // day 8: dau {3}, wau [jan2..jan8] = {1,3} → 0.5 (jan-1 users aged out)
+    assert(got("2024-01-08") == ((1L, 2L, 0.5)))
+    assert(got.size == 3, "only days with activity are reported")
+    // real events: WAU at each reported day equals the brute-force
+    // distinct over the trailing 7 days
+    val ud = t.events.select(col("user_id"), col("ts").cast("date")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    AnalyticsQueries.stickiness(t.events).collect().foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val brute = ud.filter { case (_, ud_) =>
+        !ud_.isAfter(d) && !ud_.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getLong(2) == brute, s"day $d WAU")
+      assert(r.getLong(1) <= r.getLong(2), "DAU <= WAU")
+    }
+  }
+
   test("cumeUsers: hand stream — new/active/cumulative agree; cumulative equals distinct-so-far everywhere") {
     import spark.implicits._
     import java.sql.Timestamp
