@@ -525,6 +525,31 @@ object Sampling {
         (round(col("sc").cast("double"), 4) + lit(0.0)).as("score"))
   }
 
+  /** Rendezvous (HRW) shard assignment (Thaler & Ravishankar 1998) —
+    * the topology-stable sharding [[corpusShuffle]]'s fixed nibble is
+    * not: each doc goes to the shard with the MINIMUM md5(shard|key)
+    * score, so adding a shard moves ONLY the docs whose new score wins
+    * (≈ 1/(n+1) of the corpus, spec-proven) — every other assignment
+    * is untouched. That minimal-movement property is what lets a
+    * 100 TB corpus re-shard incrementally: a resize re-writes one new
+    * shard's worth of data instead of re-dealing everything (modulo
+    * hashing moves (n−1)/n of all docs on the same change).
+    *
+    * Pure scan-side: the per-shard scores are an `array_min` over a
+    * literal struct array (score, shard) — total order, no explode, no
+    * shuffle, no driver state; assignment is a deterministic function
+    * of (shard list, source, doc_id) on any engine (the DuckDB mirror
+    * ranks the same md5 strings). */
+  def shardAssign(documents: DataFrame,
+                  shards: Seq[String] = (0 until 8).map(i => s"shard$i")): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size, "shards must be distinct")
+    val key = concat(coalesce(col("source"), lit("")), lit(":"), col("doc_id").cast("string"))
+    val entries = array(shards.map(s =>
+      struct(md5(concat(lit(s), lit("|"), key)).as("score"), lit(s).as("shard"))): _*)
+    documents.select(col("doc_id"), col("source"),
+      array_min(entries).getField("shard").as("shard"))
+  }
+
   /** The mixture the d_sample_mix key pins: upweight src0/src1, midweight
     * src2, downweight src3, 10% tail for everything else. */
   val MixRates: Map[String, Double] =
@@ -545,7 +570,8 @@ object Sampling {
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
     "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
-    "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)))
+    "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
+    "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -754,6 +780,21 @@ object Sampling {
           |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1)
           |    ORDER BY substr(hh, 2, 14), doc_id) AS BIGINT) AS pos
           |FROM h""".stripMargin,
+      // shardAssign mirror: the same md5(shard|key) strings ranked
+      // (score, shard) — HRW argmin as an explicit rank.
+      "d_shard_assign" -> {
+        val shardVals = (0 until 8).map(i => s"('shard$i')").mkString(", ")
+        s"""WITH sha AS (SELECT doc_id, source,
+           |    concat(COALESCE(source, ''), ':', CAST(doc_id AS VARCHAR)) AS k
+           |  FROM documents),
+           |she AS (SELECT doc_id, source, s.shard,
+           |    md5(concat(s.shard, '|', k)) AS score
+           |  FROM sha, (VALUES $shardVals) AS s(shard)),
+           |shr AS (SELECT doc_id, source, shard,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score, shard) AS rn
+           |  FROM she)
+           |SELECT doc_id, source, shard FROM shr WHERE rn = 1""".stripMargin
+      },
       // A-ES mirror: FNV-1a replayed with the MinHash family's HUGEINT
       // list_reduce, u from the low 53 bits, ln-score compared as
       // DECIMAL(28,10) (sub-1e-10 libm differences cannot reorder),

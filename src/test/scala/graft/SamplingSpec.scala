@@ -409,6 +409,38 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet)
   }
 
+  test("shardAssign: JVM HRW differential; adding a shard moves ONLY winners of the new shard (~1/(n+1))") {
+    val shards8 = (0 until 8).map(i => s"shard$i")
+    val shards9 = shards8 :+ "shard8"
+    val a8 = Sampling.shardAssign(docs, shards8).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a9 = Sampling.shardAssign(docs, shards9).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // JVM reference: argmin of md5(shard|source:doc_id) hex by (score, shard)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def score(s: String, key: String): String =
+      md.digest(s"$s|$key".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    rows.take(50).foreach { case (id, src) =>
+      val key = s"$src:$id"
+      val expect = shards8.map(s => (score(s, key), s)).min._2
+      assert(a8(id) == expect, s"doc $id")
+    }
+    // minimal movement: every moved doc moved TO the new shard, and the
+    // moved fraction concentrates near 1/9
+    val moved = rows.filter { case (id, _) => a8(id) != a9(id) }
+    assert(moved.nonEmpty)
+    moved.foreach { case (id, _) => assert(a9(id) == "shard8", s"doc $id moved to an old shard") }
+    val frac = moved.length.toDouble / rows.length
+    assert(math.abs(frac - 1.0 / 9) < 0.03, s"moved fraction $frac should be ≈ 1/9")
+    // balance: no shard holds more than 2× the fair share
+    val byShard = a8.values.groupBy(identity).view.mapValues(_.size)
+    byShard.foreach { case (s, n) =>
+      assert(n < 2.0 * rows.length / 8, s"$s holds $n of ${rows.length}")
+    }
+  }
+
   test("weightedSample: matches a JVM A-ES reference exactly; partition-invariant; weight-biased") {
     val k = 200
     val out = Sampling.weightedSample(docs, k).collect()
