@@ -647,9 +647,49 @@ object AnalyticsQueries {
         (round(col("dau").cast("double") / col("wau"), 4) + lit(0.0)).as("stickiness"))
   }
 
+  /** ORDERED event funnel — view → click → purchase conversion with
+    * the time-ordering constraint (a purchase BEFORE the first view
+    * does not convert): per user, the FIRST timestamp of each step is
+    * one conditional min-aggregate; the user reaches step k iff every
+    * prior first-timestamp exists and is non-decreasing (ties count —
+    * exact µs integers compare identically everywhere). The
+    * user-journey complement of d_pipeline_funnel's document funnel
+    * and q_cohort_retention's calendar retention.
+    *
+    * Plan: ONE user-keyed aggregate (conditional mins, map-side
+    * combined), ONE 1-row global aggregate of the reach flags, then a
+    * literal |steps|-row explode — no self-joins, no window over raw
+    * events, cost = the scan at any history size. Counts exact
+    * integers; conversion = ONE division, ROUND(,4). */
+  def eventFunnel(events: DataFrame,
+                  steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs steps")
+    val firsts = events.filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === steps.head, col("ts"))).as("t0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col("event_type") === s, col("ts"))).as(s"t${i + 1}")
+        }: _*)
+    val reached: Seq[Column] = steps.indices.scanLeft(lit(true)) { (acc, k) =>
+      if (k == 0) col("t0").isNotNull
+      else acc && col(s"t$k").isNotNull && col(s"t${k - 1}") <= col(s"t$k")
+    }.tail
+    val totals = firsts.agg(
+      sum(reached.head.cast("long")).as("n0"),
+      reached.tail.zipWithIndex.map { case (e, i) =>
+        sum(e.cast("long")).as(s"n${i + 1}")
+      }: _*)
+    totals.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"n$i").as("n_users"),
+        (round(col(s"n$i").cast("double") / col("n0"), 4) + lit(0.0)).as("frac"))
+    }: _*)).as("x")).select(col("x.*"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_funnel"       -> ((s, d) => eventFunnel(Tables(s, d).events)),
     "q_stickiness"         -> ((s, d) => stickiness(Tables(s, d).events)),
     "q_cume_users"         -> ((s, d) => cumeUsers(Tables(s, d).events)),
     "q_yoy"                -> ((s, d) => yoyRevenue(Tables(s, d).orders)),
@@ -690,6 +730,27 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // eventFunnel mirror: conditional first-timestamp mins, the same
+    // non-decreasing reach chain, one division per step.
+    "q_event_funnel" ->
+      """WITH efm AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t0,
+        |    MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t2
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase') GROUP BY 1),
+        |efr AS (SELECT
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 <= t1
+        |      AND t2 IS NOT NULL AND t1 <= t2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM efm)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step, n0 AS n_users,
+        |  ROUND(CAST(n0 AS DOUBLE) / n0, 4) + 0.0 AS frac FROM efr
+        |UNION ALL SELECT CAST(2 AS INT), 'click', n1,
+        |  ROUND(CAST(n1 AS DOUBLE) / n0, 4) + 0.0 FROM efr
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase', n2,
+        |  ROUND(CAST(n2 AS DOUBLE) / n0, 4) + 0.0 FROM efr""".stripMargin,
     // stickiness mirror: same user-day collapse, the same ×7 window-end
     // explode, inner join drops phantom window ends past the corpus.
     "q_stickiness" ->

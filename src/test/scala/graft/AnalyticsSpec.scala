@@ -236,6 +236,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("eventFunnel: ordering constraint enforced (purchase before first view does not convert); JVM differential") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val hand = Seq(
+      // u1: ordered view→click→purchase → reaches all 3
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: purchase BEFORE the first view → stops at click
+      (2L, "purchase", ts("2024-01-02 09:00:00")), (2L, "view", ts("2024-01-02 10:00:00")),
+      (2L, "click", ts("2024-01-02 11:00:00")),
+      // u3: view only
+      (3L, "view", ts("2024-01-03 10:00:00")),
+      // u4: click without any view → reaches nothing (step 1 missing)
+      (4L, "click", ts("2024-01-04 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = AnalyticsQueries.eventFunnel(hand).collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == (("view", 3L, 1.0)))
+    assert(got(2) == (("click", 2L, 0.6667)))
+    assert(got(3) == (("purchase", 1L, 0.3333)), "u2's early purchase must not convert")
+    // JVM differential on real events
+    val rows = t.events.filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val byUser = rows.groupBy(_._1).view.mapValues { xs =>
+      def first(s: String) = xs.filter(_._2 == s).map(_._3).minOption
+      (first("view"), first("click"), first("purchase"))
+    }.toMap
+    val n0 = byUser.values.count(_._1.isDefined).toLong
+    val n1 = byUser.values.count(v => v._1.isDefined && v._2.isDefined && v._1.get <= v._2.get).toLong
+    val n2 = byUser.values.count(v => v._1.isDefined && v._2.isDefined && v._1.get <= v._2.get
+      && v._3.isDefined && v._2.get <= v._3.get).toLong
+    val real = AnalyticsQueries.eventFunnel(t.events).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(real(1) == n0 && real(2) == n1 && real(3) == n2)
+    assert(n0 >= n1 && n1 >= n2, "funnel must be monotone")
+  }
+
   test("stickiness: hand stream exact; WAU equals brute-force 7-day distinct on real events") {
     import spark.implicits._
     import java.sql.Timestamp
