@@ -686,9 +686,48 @@ object AnalyticsQueries {
     }: _*)).as("x")).select(col("x.*"))
   }
 
+  /** Market-basket co-occurrence with LIFT — association mining's
+    * first report (Agrawal et al. 1993 lineage): for part pairs bought
+    * in the same order, support = P(a,b) and lift =
+    * P(a,b)/(P(a)·P(b)) — lift ≫ 1 is a real affinity, ≈ 1 is
+    * coincidence of two popular items (what raw co-counts can't
+    * separate). Top-k pairs by lift over a minimum pair count.
+    *
+    * Plan: the (order, part) DISTINCT collapse first, then a self-join
+    * ON THE ORDER KEY — per-order fan-out is C(items/order, 2), a
+    * BOUNDED constant (TPC-H ≤ 7 items ⇒ ≤ 21 pairs), never corpus²
+    * (the q_proximity_join genre); pair counts aggregate map-side; the
+    * 1-row order-count frame crossJoins on (the t_bm25 stats shape);
+    * ranking is TakeOrdered on the raw double lift (IEEE-identical
+    * from exact integer counts) with a (part_a, part_b) tie-break.
+    * Counts exact integers; support/lift ROUND once at the end. */
+  def basketLift(lineitem: DataFrame, minPairCount: Long = 3L, k: Int = 20): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = broadcast(op.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders")))
+    val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= minPairCount)
+    pairs
+      .join(pc.select(col("p").as("part_a"), col("c").as("ca")), "part_a")
+      .join(pc.select(col("p").as("part_b"), col("c").as("cb")), "part_b")
+      .crossJoin(nOrders)
+      .withColumn("lift_raw",
+        (col("nab").cast("double") * col("n_orders")) / (col("ca") * col("cb")))
+      .orderBy(desc("lift_raw"), asc("part_a"), asc("part_b"))
+      .limit(k)
+      .select(col("part_a"), col("part_b"), col("nab"),
+        (round(col("nab").cast("double") / col("n_orders"), 6) + lit(0.0)).as("support"),
+        (round(col("lift_raw"), 4) + lit(0.0)).as("lift"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift"        -> ((s, d) => basketLift(Tables(s, d).lineitem)),
     "q_event_funnel"       -> ((s, d) => eventFunnel(Tables(s, d).events)),
     "q_stickiness"         -> ((s, d) => stickiness(Tables(s, d).events)),
     "q_cume_users"         -> ((s, d) => cumeUsers(Tables(s, d).events)),
@@ -730,6 +769,26 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // basketLift mirror: same distinct collapse, order-key self-join,
+    // raw-double lift ranking with (part_a, part_b) tie-break, ROUND
+    // only in the outer select.
+    "q_basket_lift" ->
+      """WITH bop AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |bn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM bop),
+        |bpc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM bop GROUP BY 1),
+        |bpp AS (SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS nab
+        |  FROM bop a JOIN bop b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |bl AS (SELECT part_a, part_b, nab, bn.n_orders,
+        |    (CAST(nab AS DOUBLE) * bn.n_orders) / (ca.c * cb.c) AS lift_raw
+        |  FROM bpp CROSS JOIN bn
+        |  JOIN bpc ca ON ca.p = bpp.part_a
+        |  JOIN bpc cb ON cb.p = bpp.part_b
+        |  ORDER BY lift_raw DESC, part_a, part_b LIMIT 20)
+        |SELECT part_a, part_b, nab,
+        |  ROUND(CAST(nab AS DOUBLE) / n_orders, 6) + 0.0 AS support,
+        |  ROUND(lift_raw, 4) + 0.0 AS lift
+        |FROM bl""".stripMargin,
     // eventFunnel mirror: conditional first-timestamp mins, the same
     // non-decreasing reach chain, one division per step.
     "q_event_funnel" ->

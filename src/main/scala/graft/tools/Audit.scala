@@ -55,7 +55,10 @@ object Audit {
     "v_snapshot_diff",
     // the 1-row τ (approx-quantile scalar) frame crossJoined into the
     // weight filter — the t_bm25 corpus-stats shape
-    "d_dsir_threshold")
+    "d_dsir_threshold",
+    // the 1-row order-count frame crossJoined onto the pair-count
+    // aggregate — the t_bm25 corpus-stats shape
+    "q_basket_lift")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -95,7 +98,12 @@ object Audit {
     // materialized) edge-fixpoint frame — edge⋈assignment equi-joins,
     // the same class as the d_semantic survivor joins; AQE can't size
     // the persisted intermediate, so SMJ is the planned strategy
-    "m_phash_clusters")
+    "m_phash_clusters",
+    // the (order, part) self-join on the order key: both sides the
+    // same distinct collapse of the fact table — per-order fan-out is
+    // C(items/order, 2), bounded, but the sides are corpus-order so
+    // broadcast would be wrong at scale (the q_proximity_join class)
+    "q_basket_lift")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

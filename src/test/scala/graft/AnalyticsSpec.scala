@@ -236,6 +236,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("basketLift: hand baskets — lift separates affinity from popularity; JVM differential on real lineitem") {
+    import spark.implicits._
+    // parts 1,2 co-occur in ALL their orders (affinity, lift high);
+    // part 9 is popular but independent of 1 (lift ≈ 1)
+    val hand = Seq(
+      (100L, 1L), (100L, 2L), (100L, 9L),
+      (101L, 1L), (101L, 2L),
+      (102L, 1L), (102L, 2L), (102L, 9L),
+      (103L, 9L), (104L, 9L), (105L, 9L), (106L, 7L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = AnalyticsQueries.basketLift(hand, minPairCount = 2L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // N=7 orders; c1=3, c2=3, c9=5; n12=3 → lift 7·3/9 = 2.3333; n19=2 → 7·2/15 = 0.9333
+    assert(got((1L, 2L)) == ((3L, 0.428571, 2.3333)))
+    assert(got((1L, 9L))._3 == 0.9333, "popular-but-independent pair sits at lift ≈ 1")
+    // JVM differential on the real table: recompute the full top-20
+    val op = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val n = op.map(_._1).distinct.length.toLong
+    val pc = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nab = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 3L)
+    val expect = nab.map { case ((a, b), c) =>
+      (a, b, c, c.toDouble * n / (pc(a) * pc(b)))
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    val real = AnalyticsQueries.basketLift(t.lineitem).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(real.map(x => (x._1, x._2, x._3)).toSeq == expect.map(x => (x._1, x._2, x._3)),
+      "top-20 selection must match the JVM reference")
+    real.zip(expect).foreach { case ((_, _, _, gl), (_, _, _, el)) =>
+      assert(math.abs(gl - BigDecimal(el).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("eventFunnel: ordering constraint enforced (purchase before first view does not convert); JVM differential") {
     import spark.implicits._
     import java.sql.Timestamp
