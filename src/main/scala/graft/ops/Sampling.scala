@@ -525,6 +525,28 @@ object Sampling {
         (round(col("sc").cast("double"), 4) + lit(0.0)).as("score"))
   }
 
+  /** Realized-mixture audit — the governance card that CLOSES the
+    * sampling loop: per source, what the deterministic mixture
+    * actually kept vs the declared target rate, with the absolute
+    * deviation. The md5-threshold sampler is exact-in-expectation but
+    * each source realizes a binomial draw; this is where a mixture
+    * rollout checks that no source drifted (a big abs_dev at large n
+    * means the KEY SPACE is biased — e.g. doc_ids correlated with the
+    * hash — not sampling noise). One aggregation over the flagged
+    * scan ([[mixtureSummary]]); the target column is the same literal
+    * CASE the sampler uses, so the report can never disagree with the
+    * sampler about intent. */
+  def mixReport(documents: DataFrame, rates: Map[String, Double],
+                defaultRate: Double): DataFrame = {
+    val target = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+        when(col("source") === src, lit(r)).otherwise(acc)
+      }
+    mixtureSummary(documents, rates, defaultRate)
+      .withColumn("target_rate", target + lit(0.0))
+      .withColumn("abs_dev", round(abs(col("kept_frac") - col("target_rate")), 4) + lit(0.0))
+  }
+
   /** Rendezvous (HRW) shard assignment (Thaler & Ravishankar 1998) —
     * the topology-stable sharding [[corpusShuffle]]'s fixed nibble is
     * not: each doc goes to the shard with the MINIMUM md5(shard|key)
@@ -571,7 +593,8 @@ object Sampling {
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
     "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
     "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
-    "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)))
+    "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)),
+    "d_mix_report" -> ((s, d) => mixReport(Tables(s, d).documents, MixRates, MixDefault)))
 
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
@@ -780,6 +803,24 @@ object Sampling {
           |  CAST(row_number() OVER (PARTITION BY substr(hh, 1, 1)
           |    ORDER BY substr(hh, 2, 14), doc_id) AS BIGINT) AS pos
           |FROM h""".stripMargin,
+      // mixReport mirror: the same hex-threshold membership counted
+      // per source, the same numeric target CASE, nested ROUND parity.
+      "d_mix_report" -> {
+        val targetCases = MixRates.toSeq.sortBy(_._1)
+          .map { case (src, r) => s"WHEN '$src' THEN $r" }.mkString(" ")
+        s"""WITH mr AS (SELECT source,
+           |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <
+           |      CASE source $cases ELSE '${thresholdHex(MixDefault)}' END
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           |  FROM documents GROUP BY 1)
+           |SELECT source, n_docs, n_kept,
+           |  ROUND(CAST(n_kept AS DOUBLE) / n_docs, 4) AS kept_frac,
+           |  CAST(CASE source $targetCases ELSE $MixDefault END AS DOUBLE) + 0.0 AS target_rate,
+           |  ROUND(ABS(ROUND(CAST(n_kept AS DOUBLE) / n_docs, 4)
+           |        - CAST(CASE source $targetCases ELSE $MixDefault END AS DOUBLE)), 4) + 0.0 AS abs_dev
+           |FROM mr""".stripMargin
+      },
       // shardAssign mirror: the same md5(shard|key) strings ranked
       // (score, shard) — HRW argmin as an explicit rank.
       "d_shard_assign" -> {

@@ -724,9 +724,42 @@ object AnalyticsQueries {
         (round(col("lift_raw"), 4) + lit(0.0)).as("lift"))
   }
 
+  /** Revenue-concentration (Gini) report per order priority — the
+    * inequality measure behind "does 1% of orders carry 50% of
+    * revenue": G = 2·Σᵢ(i·xᵢ)/(n·Σx) − (n+1)/n over values sorted
+    * ascending with rank i (the exact sample Gini from the Lorenz
+    * order statistic; 0 = perfectly even, (n−1)/n = one order carries
+    * everything). Concentration drives skew-handling policy — a
+    * high-Gini key is exactly where salting and AQE skew splits pay.
+    *
+    * Determinism: the rank order is total ((value, orderkey)), the
+    * moment sums are exact DECIMAL (rank·price is integer×2dp), and G
+    * is one closed-form double expression ROUND(,4) — nothing to
+    * drift. Plan: one rank window + one aggregate per priority
+    * (#groups bounded); at unbounded group keys the rank pass needs
+    * the same sharding rules as any per-key sort. */
+  def giniReport(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(asc("x"), asc("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("x"), col("o_orderkey"))
+      .withColumn("r", row_number().over(w))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("x")).as("s0"),
+        sum(col("r") * col("x")).as("s1"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("s0").cast("double").as("total_revenue"),
+        (round((lit(2.0) * col("s1").cast("double")) / (col("n_orders") * col("s0").cast("double"))
+          - (col("n_orders") + 1).cast("double") / col("n_orders"), 4) + lit(0.0)).as("gini"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini"               -> ((s, d) => giniReport(Tables(s, d).orders)),
     "q_basket_lift"        -> ((s, d) => basketLift(Tables(s, d).lineitem)),
     "q_event_funnel"       -> ((s, d) => eventFunnel(Tables(s, d).events)),
     "q_stickiness"         -> ((s, d) => stickiness(Tables(s, d).events)),
@@ -769,6 +802,21 @@ object AnalyticsQueries {
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // giniReport mirror: same total rank order, exact DECIMAL moment
+    // sums, the same closed-form double expression.
+    "q_gini" ->
+      """WITH gr AS (SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS r
+        |  FROM orders),
+        |gm AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    SUM(x) AS s0, SUM(r * x) AS s1
+        |  FROM gr GROUP BY 1)
+        |SELECT o_orderpriority, n_orders, CAST(s0 AS DOUBLE) AS total_revenue,
+        |  ROUND((2.0 * CAST(s1 AS DOUBLE)) / (n_orders * CAST(s0 AS DOUBLE))
+        |        - CAST(n_orders + 1 AS DOUBLE) / n_orders, 4) + 0.0 AS gini
+        |FROM gm""".stripMargin,
     // basketLift mirror: same distinct collapse, order-key self-join,
     // raw-double lift ranking with (part_a, part_b) tie-break, ROUND
     // only in the outer select.

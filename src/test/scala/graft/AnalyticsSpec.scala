@@ -236,6 +236,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("giniReport: uniform values → 0, one-carries-all → (n−1)/n; JVM differential per priority") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "E", 10.0), (2L, "E", 10.0), (3L, "E", 10.0), (4L, "E", 10.0),
+      (5L, "U", 0.01), (6L, "U", 0.01), (7L, "U", 0.01), (8L, "U", 400.0)
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val got = AnalyticsQueries.giniReport(hand).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(got("E") == ((4L, 0.0)), "perfectly even → Gini 0")
+    // near-maximal: G = 2·(1·.01+2·.01+3·.01+4·400)/(4·400.03) − 5/4 ≈ 0.7499
+    assert(math.abs(got("U")._2 - 0.7499) < 1e-4, s"got ${got("U")._2}")
+    // JVM differential on real orders
+    val rows = t.orders.select("o_orderpriority", "o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP), r.getLong(2)))
+    val real = AnalyticsQueries.giniReport(t.orders).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (prio, xs) =>
+      val sorted = xs.sortBy(x => (x._2, x._3)).zipWithIndex
+      val n = xs.length
+      val s0 = xs.map(_._2).sum
+      val s1 = sorted.map { case ((_, x, _), i) => BigDecimal(i + 1) * x }.sum
+      val g = (2.0 * s1.toDouble) / (n * s0.toDouble) - (n + 1).toDouble / n
+      val (gn, grev, ggini) = real(prio)
+      assert(gn == n && math.abs(grev - s0.toDouble) < 1e-6)
+      assert(math.abs(ggini - BigDecimal(g).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(ggini >= 0.0 && ggini < 1.0)
+    }
+  }
+
   test("basketLift: hand baskets — lift separates affinity from popularity; JVM differential on real lineitem") {
     import spark.implicits._
     // parts 1,2 co-occur in ALL their orders (affinity, lift high);

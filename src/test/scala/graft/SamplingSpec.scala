@@ -409,6 +409,28 @@ class SamplingSpec extends SparkSpec {
     assert(again == out.map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet)
   }
 
+  test("mixReport: realized fractions reconcile with the sampler exactly; targets echo the declared rates") {
+    val report = Sampling.mixReport(docs, Sampling.MixRates, Sampling.MixDefault).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // the report's kept counts must equal the ACTUAL sampler output
+    val kept = Sampling.sampleMixture(docs, Sampling.MixRates, Sampling.MixDefault)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.keySet == totals.keySet, "every source gets a row")
+    report.foreach { case (src, (nDocs, nKept, frac, target, dev)) =>
+      assert(nDocs == totals(src))
+      assert(nKept == kept.getOrElse(src, 0L), s"$src kept count must reconcile with the sampler")
+      val expTarget = Sampling.MixRates.getOrElse(src, Sampling.MixDefault)
+      assert(target == expTarget)
+      assert(math.abs(frac - BigDecimal(nKept.toDouble / nDocs)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(dev - BigDecimal(math.abs(frac - target))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
   test("shardAssign: JVM HRW differential; adding a shard moves ONLY winners of the new shard (~1/(n+1))") {
     val shards8 = (0 until 8).map(i => s"shard$i")
     val shards9 = shards8 :+ "shard8"
