@@ -162,6 +162,42 @@ object VehicleQueries {
         col("delta_us"))
   }
 
+  /** GPS-glitch ("teleport") detector over the full observation
+    * history — the positional-plausibility twin of [[gapDetection]]'s
+    * temporal check: consecutive same-vehicle observations whose
+    * implied speed exceeds `maxDegPerHour` degrees/hour flag a
+    * receiver glitch, a stale-cache replay, or an id collision.
+    * Distance is the PLANAR degree metric √(Δlat²+Δlon²) — at transit
+    * scale the detector needs an order-of-magnitude discriminator,
+    * not geodesy, and the planar form keeps every operation
+    * IEEE-exact (no trig — libm sin/cos are not correctly rounded;
+    * sqrt is). The flag compare is CROSS-MULTIPLIED (d²·3600e6² >
+    * max²·Δus²) so no division participates in the predicate; the
+    * reported speed is ONE sqrt + ONE division, ROUND(,4).
+    *
+    * One per-vehicle window shuffle (shared order with gapDetection);
+    * all-integer µs deltas; zero-Δt pairs (same-timestamp obs) are
+    * excluded — they are duplicate-feed artifacts, not motion. */
+  def teleportDetection(feed: DataFrame, maxDegPerHour: Double = 0.5): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("updated_at"), col("obs_id"))
+    feed
+      .select(col("id"), col("updated_at"), col("obs_id"),
+        col("latitude"), col("longitude"))
+      .withColumn("prev_ts", lag(col("updated_at"), 1).over(w))
+      .withColumn("dlat", col("latitude") - lag(col("latitude"), 1).over(w))
+      .withColumn("dlon", col("longitude") - lag(col("longitude"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("delta_us", unix_micros(col("updated_at")) - unix_micros(col("prev_ts")))
+      .filter(col("delta_us") > 0)
+      .withColumn("d2", col("dlat") * col("dlat") + col("dlon") * col("dlon"))
+      .filter(col("d2") * lit(3600.0e6) * lit(3600.0e6) >
+        lit(maxDegPerHour * maxDegPerHour) * col("delta_us").cast("double") * col("delta_us").cast("double"))
+      .select(col("id"), col("prev_ts").as("from_ts"), col("updated_at").as("to_ts"),
+        col("delta_us"),
+        (round(sqrt(col("d2")) * lit(3600.0e6) / col("delta_us"), 4) + lit(0.0))
+          .as("deg_per_hour"))
+  }
+
   /** Stop-dwell analytics over the FULL observation history (beyond the
     * reference's latest-only view): consecutive same-status runs per
     * vehicle become episodes (lag-change flag → cumulative sum — the
@@ -265,6 +301,8 @@ object VehicleQueries {
       VehicleFeed.scd2History(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_gap_detection"  -> ((s, d) =>
       gapDetection(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_teleport"       -> ((s, d) =>
+      teleportDetection(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_dwell_times"    -> ((s, d) =>
       dwellTimes(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_headway"        -> ((s, d) =>
@@ -389,6 +427,23 @@ object VehicleQueries {
          |  ROUND(quantile_cont(speed, 0.9), 4) AS p90,
          |  COUNT(*) AS n_moving
          |FROM vehicles WHERE speed > 0 GROUP BY 1""".stripMargin,
+    // teleportDetection mirror: same window order, planar degree
+    // metric, cross-multiplied flag predicate, one sqrt + one division
+    // at the end.
+    "v_teleport" ->
+      s"""$VehiclesCte SELECT id, from_ts, to_ts, delta_us,
+         |  ROUND(sqrt(d2) * 3600.0e6 / delta_us, 4) + 0.0 AS deg_per_hour
+         |FROM (
+         |  SELECT id,
+         |    lag(updated_at) OVER w AS from_ts,
+         |    updated_at AS to_ts,
+         |    epoch_us(updated_at) - epoch_us(lag(updated_at) OVER w) AS delta_us,
+         |    (latitude - lag(latitude) OVER w) * (latitude - lag(latitude) OVER w)
+         |      + (longitude - lag(longitude) OVER w) * (longitude - lag(longitude) OVER w) AS d2
+         |  FROM vehicles_all
+         |  WINDOW w AS (PARTITION BY id ORDER BY updated_at, obs_id))
+         |WHERE delta_us > 0
+         |  AND d2 * 3600.0e6 * 3600.0e6 > 0.25 * CAST(delta_us AS DOUBLE) * CAST(delta_us AS DOUBLE)""".stripMargin,
     "v_gap_detection" ->
       s"""$VehiclesCte SELECT id, gap_start, gap_end, delta_us FROM (
          |  SELECT id,

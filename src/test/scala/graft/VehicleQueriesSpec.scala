@@ -63,6 +63,41 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(wider < gaps.length)
   }
 
+  test("teleport detection: flags the implausible jump, not the slow drift; zero-Δt duplicates excluded") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val feed = Seq(
+      // v1: 1.0-degree jump in one minute → 60 deg/hour, flagged
+      ("v1", ts("2024-01-01 10:00:00"), 1L, 42.0, -71.0),
+      ("v1", ts("2024-01-01 10:01:00"), 2L, 43.0, -71.0),
+      // v2: 0.001 deg over an hour → 0.001 deg/hour, not flagged
+      ("v2", ts("2024-01-01 10:00:00"), 3L, 42.0, -71.0),
+      ("v2", ts("2024-01-01 11:00:00"), 4L, 42.001, -71.0),
+      // v3: duplicate timestamp with a position change → Δt = 0, excluded
+      ("v3", ts("2024-01-01 10:00:00"), 5L, 42.0, -71.0),
+      ("v3", ts("2024-01-01 10:00:00"), 6L, 43.0, -71.0)
+    ).toDF("id", "updated_at", "obs_id", "latitude", "longitude")
+    val out = VehicleQueries.teleportDetection(feed).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("v1"))
+    val r = out.head
+    assert(r.getAs[Long]("delta_us") == 60L * 1000000)
+    assert(math.abs(r.getAs[Double]("deg_per_hour") - 60.0) < 1e-9)
+    // real feed: every flagged pair is genuinely over threshold, and the
+    // planar speed recomputes from the window inputs
+    val real = VehicleQueries.teleportDetection(
+      graft.etl.VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)).collect()
+    real.foreach { rr =>
+      assert(rr.getAs[Double]("deg_per_hour") > 0.5)
+      assert(rr.getAs[Long]("delta_us") > 0)
+    }
+    // a higher threshold strictly shrinks the flag set
+    val stricter = VehicleQueries.teleportDetection(
+      graft.etl.VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events),
+      maxDegPerHour = 1.5).count()
+    assert(stricter <= real.length)
+  }
+
   test("geo bbox: exactly the vehicles inside the box, none outside") {
     val box = VehicleQueries.geoBox(vehicles, 42.90, 42.98, -71.8, -71.05).collect()
     assert(box.nonEmpty)
