@@ -113,6 +113,10 @@ object Audit {
     "d_pipeline_funnel" -> 10, // 5 composed stages, key-columns only
     "d_dup_clusters" -> 8,
     "d_cluster_keep" -> 8,
+    // distinct (order, part) collapse feeding BOTH self-join sides +
+    // the pair aggregate, two part-count joins, the 1-row stats frame,
+    // and TakeOrdered — a declared multi-stage composite
+    "q_basket_lift" -> 9,
     // banded phash pair mining + the CC closure's final-round star
     // read-off (the iterative rounds run to a materialized fixpoint
     // outside this executed plan; what remains is pairs → distinct →
