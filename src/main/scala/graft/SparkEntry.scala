@@ -5,6 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.VehicleFeed
 import graft.queries.{AnalyticsQueries, VehicleQueries}
 
+/** A tolerance spec for a sketch-valued key: `exactSql` recomputes the
+  * same report with exact aggregates in DuckDB; the checker matches
+  * rows on `keyCols`, demands exact equality outside `approxCols`, and
+  * |approx − exact| ≤ tol·exact inside them. */
+final case class SpecBound(exactSql: String, tol: Double,
+                           approxCols: Seq[String], keyCols: Seq[String])
+
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -23,6 +30,28 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++ graft.ops.Skew.queries ++
       graft.ops.Profiler.queries ++ graft.ops.Sampling.queries ++
       graft.ops.Search.queries ++ graft.ops.DomainGraph.queries
+
+  /** Machine-checked tolerance specs for the two keys whose values are
+    * engine-side sketches (Spark HLL++ registers have no DuckDB replay
+    * by construction — unlike the FNV/MinHash keys there is no shared
+    * hash to re-derive): per key, the EXACT-mode DuckDB SQL, the join
+    * keys, the sketch-valued columns and the declared relative
+    * tolerance. Verify dumps this as `spec_bounds.json`; the oracle
+    * checker joins the Spark dump to the exact result on `keyCols`,
+    * requires every non-sketch column to match exactly, and every
+    * sketch column to sit within `tol` of exact — so these keys are
+    * positively machine-checked each round instead of rows-only. */
+  def specBounds: Map[String, SpecBound] = Map(
+    "q_profile_hll" -> SpecBound(
+      exactSql = graft.ops.Profiler.oracles("q_profile"),
+      tol = 0.02,
+      approxCols = Seq("n_distinct"),
+      keyCols = Seq("column_name")),
+    "q_distinct_agg_approx" -> SpecBound(
+      exactSql = AnalyticsQueries.oracles("q_distinct_agg"),
+      tol = 0.02,
+      approxCols = Seq("nd_parts", "nd_supps", "nd_orders"),
+      keyCols = Seq("l_returnflag")))
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =

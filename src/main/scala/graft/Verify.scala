@@ -38,6 +38,18 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Tolerance specs for the sketch-valued keys (no hash oracle exists
+    // by construction): the checker runs exact_sql in DuckDB and bounds
+    // the sketch columns within tol of exact — machine-checked, not
+    // rows-only.
+    val specJson = SparkEntry.specBounds.filter(kv => keep(kv._1))
+      .map { case (k, b) =>
+        val ac = b.approxCols.map(q).mkString("[", ",", "]")
+        val kc = b.keyCols.map(q).mkString("[", ",", "]")
+        s"${q(k)}: {${q("exact_sql")}: ${q(b.exactSql)}, ${q("tol")}: ${b.tol}, " +
+          s"${q("approx_cols")}: $ac, ${q("key_cols")}: $kc}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spec_bounds.json"), specJson)
     spark.stop()
   }
 }

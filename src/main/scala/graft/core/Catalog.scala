@@ -32,6 +32,10 @@ object Catalog {
     TrieMap.empty[(SparkSession, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)]
   private val bloomCache = TrieMap.empty[(SparkSession, String), Option[Array[Byte]]]
   private val semCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  // resolved auto-nlist per corpus (one count() each — a scalar, no frame to unpersist)
+  private val nlistCache = TrieMap.empty[(SparkSession, String), Int]
+  private val opqCache =
+    TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]])]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -43,6 +47,8 @@ object Catalog {
     ivfPqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bloomCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     semCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    nlistCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -72,6 +78,8 @@ object Catalog {
     }
     bloomCache.keys.filter(_._1 eq spark).foreach(bloomCache.remove)
     drop(semCache, (k: (SparkSession, String)) => k._1)
+    nlistCache.keys.filter(_._1 eq spark).foreach(nlistCache.remove)
+    opqCache.keys.filter(_._1 eq spark).foreach(opqCache.remove)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -142,6 +150,22 @@ object Catalog {
     })
   }
 
+  /** The permutation-OPQ model for a dir's embeddings (cached, shared):
+    * the variance-balancing dimension permutation plus the PQ codebooks
+    * fitted on the PERMUTED corpus — both driver-scale model objects
+    * (dim ints + dim×k doubles), built once per (session, dir) like
+    * every other fit. */
+  def opqIndex(spark: SparkSession, dir: String): (Seq[Int], Seq[Seq[Seq[Double]]]) = {
+    evictStopped()
+    opqCache.getOrElseUpdate((spark, dir), {
+      val emb = Tables(spark, dir).embeddings
+      val perm = graft.ops.Similarity.opqPermutation(emb)
+      val books = graft.ops.Similarity.pqCodebooks(
+        graft.ops.Similarity.opqPermute(emb, perm))
+      (perm, books)
+    })
+  }
+
   /** The decontamination Bloom sketch for a dir's eval source (cached,
     * shared): a fixed-size model built once per corpus, like the fitted
     * ANN indexes — every t_decontam_bloom invocation probes the same
@@ -188,12 +212,24 @@ object Catalog {
     })
   }
 
-  def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 16): (Seq[Seq[Double]], DataFrame) = {
+  /** `nlist <= 0` (the default) resolves the list count from the corpus
+    * via [[graft.ops.Similarity.autoNlist]] — the SCALING.md sizing rule
+    * (bucket width held ≈ constant as the corpus grows) applied
+    * automatically instead of left as a manual knob. The resolved size
+    * is itself memoized per (session, dir): ONE metadata-cheap count()
+    * per corpus, then every fit-family consumer shares the same fitted
+    * index. An explicit positive `nlist` still pins the size (tests,
+    * recall/latency tuning). */
+  def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 0): (Seq[Seq[Double]], DataFrame) = {
     evictStopped()
-    ivfCache.getOrElseUpdate((spark, dir, nlist), {
+    val k =
+      if (nlist > 0) nlist
+      else nlistCache.getOrElseUpdate((spark, dir),
+        graft.ops.Similarity.autoNlist(Tables(spark, dir).embeddings.count()))
+    ivfCache.getOrElseUpdate((spark, dir, k), {
       import org.apache.spark.sql.functions.{col, typedlit}
       val emb = Tables(spark, dir).embeddings
-      val cents = graft.ops.Similarity.ivfCentroids(emb, nlist)
+      val cents = graft.ops.Similarity.ivfCentroids(emb, k)
       val assigned = emb
         .withColumn("cluster",
           graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))

@@ -1272,6 +1272,73 @@ object VectorSumFixed {
   val Scale: Long = 1000000000L
 }
 
+/** Element-wise fixed-point sum of SQUARES of an `array<float>` column —
+  * the second moment to [[VectorSumFixed]]'s first: together they give
+  * exact per-dimension variance ranks (n·Σx²·S − (Σx)² in integer
+  * arithmetic), which is what the permutation-OPQ dimension allocation
+  * sorts on. Accumulates `round(v²·1e9)` in longs — exact,
+  * order-independent, and portably replayable in SQL with the same
+  * floor+carry rounding as the vecsum oracles. */
+case class VectorSumSqFixed(child: Expression,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vecsum_sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_vecsum_sq expects array<float>, got ${t.sql}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val b = if (buffer.length < n) java.util.Arrays.copyOf(buffer, n) else buffer
+    var i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      b(i) += math.round(x * x * VectorSumFixed.Scale)
+      i += 1
+    }
+    b
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
+    var i = 0
+    while (i < small.length) { big(i) += small(i); i += 1 }
+    big
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumSqFixed =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorSumSqFixed =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorSumSqFixed =
+    copy(child = newChild)
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
   * `GraftSession.builder` has every `graft_*` function registered here
@@ -1320,6 +1387,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_vecsum"),
       new ExpressionInfo(classOf[VectorSumFixed].getName, "graft_vecsum"),
       (children: Seq[Expression]) => VectorSumFixed(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vecsum_sq"),
+      new ExpressionInfo(classOf[VectorSumSqFixed].getName, "graft_vecsum_sq"),
+      (children: Seq[Expression]) => VectorSumSqFixed(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_repetition_profile"),
       new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
@@ -1457,6 +1528,12 @@ object GraftFunctions {
   /** Fixed-point element-wise sum aggregate of an array<float> column →
     * array<bigint> (scaled by [[VectorSumFixed.Scale]]). */
   def vecSum(embedding: Column): Column = call_function("graft_vecsum", embedding)
+
+  /** Fixed-point element-wise sum of SQUARES aggregate of an
+    * array<float> column → array<bigint> (scaled by
+    * [[VectorSumFixed.Scale]]) — the second moment for exact
+    * per-dimension variance ranking. */
+  def vecSumSq(embedding: Column): Column = call_function("graft_vecsum_sq", embedding)
 
   /** PQ-encode an embedding vs a literal codebook tensor → array<int>. */
   def pqEncode(embedding: Column, books: Column): Column =

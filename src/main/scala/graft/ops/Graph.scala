@@ -62,6 +62,7 @@ object DomainGraph {
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("host"),
       lit(1.0 / n).cast("decimal(28,10)").as("r"))
+    var lastMat: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = w.join(out, "src")
         .join(ranks.withColumnRenamed("host", "src"), "src")
@@ -69,18 +70,25 @@ object DomainGraph {
           (lit(damping) * col("r").cast("double") * col("w") / col("out_w"))
             .cast("decimal(28,10)").as("t"))
         .groupBy(col("dst")).agg(sum(col("t")).as("in_r"))
-      // Materialize each round's rank vector (one row per host): keeps
-      // the final plan a single iteration deep (bounded optimizer time,
-      // bounded executed-plan shuffles) — the GraphX-style discipline
-      // for iterative jobs. Previous rounds' blocks are released as in
-      // the connected-components loop.
-      val next = DupClusters.materialize(nodes
+      val next = nodes
         .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
         .select(col("host"),
           (lit(teleport).cast("decimal(28,10)") +
-            coalesce(col("in_r"), lit(0).cast("decimal(28,10)"))).as("r")))
-      if (i > 1) DupClusters.release(ranks)
-      ranks = next
+            coalesce(col("in_r"), lit(0).cast("decimal(28,10)"))).as("r"))
+      // Materialize every SECOND round's rank vector (one row per host,
+      // plus the final one): the composed plan stays ≤ 2 iterations
+      // deep — still bounded optimizer/shuffle growth, the GraphX-style
+      // discipline for iterative jobs — while halving the
+      // checkpoint round-trips, which dominate wall time at test SF
+      // (each eager localCheckpoint is a full job). At cluster scale
+      // the cost per iteration is the two key shuffles either way.
+      // Previous rounds' blocks are released as in the CC loop.
+      if (i % 2 == 0 || i == iters) {
+        val m = DupClusters.materialize(next)
+        if (lastMat != null) DupClusters.release(lastMat)
+        lastMat = m
+        ranks = m
+      } else ranks = next
     }
     // the returned frame reads only the (materialized) final rank
     // vector — the loop inputs' blocks can go

@@ -124,6 +124,23 @@ object Similarity {
              nPlanes: Int = 8, dim: Int = 64): DataFrame =
     annLshFromSignatures(withSignatures(embeddings, nPlanes, dim), queryVecId, k, nPlanes)
 
+  /** SCALING.md's "size nlist ∝ corpus" rule as code:
+    * `nlist = max(16, ⌈n / targetBucket⌉)` holds the EXPECTED IVF bucket
+    * width ≈ `targetBucket` as the corpus grows — which is exactly what
+    * keeps every O(Σ bucket²) consumer (canopy pair mining, semantic
+    * dedup, the kNN-graph build) LINEAR in corpus size: with
+    * nAssign-nearest canopies, Σ bucket² ≈ nAssign²·n·targetBucket.
+    * The floor of 16 covers the test corpora (≤ 2000 vectors at
+    * sf ≤ 0.1 → 16), so Catalog fits and every unrolled-Lloyd oracle are
+    * bit-unchanged at gate scale; the rule only bites when the corpus
+    * outgrows 16 × targetBucket. Trade to know at extreme scale: Lloyd
+    * ASSIGNMENT is O(n·nlist·dim), so with nlist ∝ n the fit goes
+    * quadratic around n ≈ 10⁷ — the standard remediation is a two-level
+    * coarse quantizer (assign to √nlist super-clusters first), which
+    * changes the fit, not the serving layout this rule sizes. */
+  def autoNlist(n: Long, targetBucket: Long = 256L): Int =
+    math.max(16L, (n + targetBucket - 1) / targetBucket).toInt
+
   /** IVF coarse quantizer: k-means with deterministic init (embeddings
     * of the k smallest vec_ids) and fixed-point-exact centroid means, so
     * the index is identical across runs AND partitionings. Each Lloyd
@@ -315,6 +332,78 @@ object Similarity {
       }
     }
     books
+  }
+
+  /** Permutation-OPQ dimension allocation (Ge et al. 2013, "Optimized
+    * Product Quantization", CVPR — the parametric/permutation variant,
+    * a.k.a. eigenvalue allocation restricted to coordinate permutations):
+    * PQ quantizes each subspace independently, so reconstruction error
+    * concentrates in whichever subspace happens to carry the most
+    * variance; re-ordering dimensions so every subspace receives a
+    * BALANCED share of the variance spectrum reduces the worst
+    * subspace's mse with zero serving-time cost (the permutation is a
+    * free relabeling — ADC lookups are unchanged).
+    *
+    * Allocation: rank dimensions by variance (descending), then deal
+    * them to the m subspaces in SERPENTINE order (1..m, m..1, …) — the
+    * standard greedy-balance dealing, fully order-arithmetic.
+    *
+    * Determinism: the variance rank uses the exact integer score
+    * n·Σ⟦S·x²⟧·S − (Σ⟦S·x⟧)² from the fixed-point first/second moment
+    * aggregates (`graft_vecsum` / `graft_vecsum_sq` — ONE map-side-
+    * combined pass, 2·dim longs to the driver: that IS the model), tie
+    * broken by dimension index — bit-identical across runs,
+    * partitionings, and engines (the DuckDB mirror replays the same
+    * integer arithmetic in HUGEINT). Returns perm where `perm(p)` is
+    * the source dimension feeding permuted position p. */
+  def opqPermutation(embeddings: DataFrame, m: Int = 8, dim: Int = 64): Seq[Int] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val row = embeddings.agg(
+      GraftFunctions.vecSum(col("embedding")).as("a"),
+      GraftFunctions.vecSumSq(col("embedding")).as("b"),
+      count(lit(1)).as("n")).collect()(0)
+    val a = row.getSeq[Long](0)
+    val b = row.getSeq[Long](1)
+    val n = BigInt(row.getLong(2))
+    val s = BigInt(graft.functions.VectorSumFixed.Scale)
+    val score = (0 until dim).map(j => n * BigInt(b(j)) * s - BigInt(a(j)) * BigInt(a(j)))
+    val order = (0 until dim).sortBy(j => (-score(j), j))
+    val sub = dim / m
+    val perm = new Array[Int](dim)
+    for (r <- 0 until dim) {
+      val round = r / m
+      val posn = r % m
+      val j = if (round % 2 == 0) posn else m - 1 - posn
+      perm(j * sub + round) = order(r)
+    }
+    perm.toSeq
+  }
+
+  /** The permuted frame: embedding re-ordered by `perm` — dim literal
+    * GetArrayItem projections (codegen, no HOF), so the permutation is
+    * a zero-shuffle scan-side relabeling. */
+  def opqPermute(embeddings: DataFrame, perm: Seq[Int]): DataFrame =
+    embeddings.withColumn("embedding",
+      array(perm.map(d => col("embedding").getItem(d)): _*))
+
+  /** The OPQ delta card for [[pqErrorReport]]: per subspace, the plain
+    * PQ fit's error next to the permutation-OPQ fit's error on the SAME
+    * corpus — the "does rotating help" evidence s_pq_error's own
+    * remediation note calls for, as a first-class measured artifact
+    * (worst-subspace mse is the number to watch: permutation-OPQ exists
+    * to pull it down toward the mean). Plan: two independent
+    * scan-side error sweeps (each the s_pq_error plan) joined on the
+    * m-row subspace id — broadcast, report-sized. */
+  def opqErrorReport(embeddings: DataFrame, booksPq: Seq[Seq[Seq[Double]]],
+                     perm: Seq[Int], booksOpq: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val pq = pqErrorReport(booksPq, embeddings)
+      .select(col("sub"), col("n_vecs"),
+        col("mse").as("mse_pq"), col("max_err").as("max_err_pq"))
+    val opq = pqErrorReport(booksOpq, opqPermute(embeddings, perm))
+      .select(col("sub"), col("mse").as("mse_opq"), col("max_err").as("max_err_opq"))
+    pq.join(opq, "sub")
+      .select(col("sub"), col("n_vecs"), col("mse_pq"), col("mse_opq"),
+        col("max_err_pq"), col("max_err_opq"))
   }
 
   /** The PQ code table: every embedding compressed to m small ints
@@ -988,6 +1077,11 @@ object Similarity {
       val (books, _) = graft.core.Catalog.pqIndex(s, d)
       pqErrorReport(books, Tables(s, d).embeddings)
     }),
+    "s_opq_error" -> ((s, d) => {
+      val (booksPq, _) = graft.core.Catalog.pqIndex(s, d)
+      val (perm, booksOpq) = graft.core.Catalog.opqIndex(s, d)
+      opqErrorReport(Tables(s, d).embeddings, booksPq, perm, booksOpq)
+    }),
     "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
     "s_recall_report" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
@@ -1122,43 +1216,43 @@ object Similarity {
     * keyed by (sub, code)); iteration 3's `pa3` is the ENCODE step
     * (assignment against the final books — unreferenced fit CTEs are
     * pruned by the engine). */
-  private def pqIterSql(i: Int, prev: String): String =
-    s"""pa$i AS (SELECT vec_id, sub, c AS code FROM (
+  private def pqIterSql(i: Int, prev: String, p: String = ""): String =
+    s"""${p}pa$i AS (SELECT vec_id, sub, c AS code FROM (
        |    SELECT sl.vec_id, sl.sub, $prev.c,
        |      row_number() OVER (PARTITION BY sl.vec_id, sl.sub
        |        ORDER BY ${d2Sql("sl.svec", prev + ".cent")} ASC, $prev.c ASC) AS rn
-       |    FROM sl JOIN $prev ON $prev.sub = sl.sub) WHERE rn = 1),
-       |px$i AS (SELECT pa$i.sub, pa$i.code, CAST(pos AS INT) AS dim,
+       |    FROM ${p}sl sl JOIN $prev ON $prev.sub = sl.sub) WHERE rn = 1),
+       |${p}px$i AS (SELECT pa.sub, pa.code, CAST(pos AS INT) AS dim,
        |    CAST(vf AS DOUBLE) * 1000000000 AS sc
        |  FROM (SELECT vec_id, sub, unnest(svec) AS vf,
-       |          unnest(generate_series(1, len(svec))) AS pos FROM sl) u
-       |  JOIN pa$i USING (vec_id, sub)),
-       |ps$i AS (SELECT sub, code, dim,
+       |          unnest(generate_series(1, len(svec))) AS pos FROM ${p}sl) u
+       |  JOIN ${p}pa$i pa USING (vec_id, sub)),
+       |${p}ps$i AS (SELECT sub, code, dim,
        |    SUM(CAST(floor(sc) AS BIGINT) + CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv,
        |    COUNT(*) AS n
-       |  FROM px$i GROUP BY 1, 2, 3),
-       |pb${i}n AS (SELECT sub, code, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
-       |  FROM ps$i GROUP BY 1, 2),
-       |pb$i AS (SELECT $prev.sub, $prev.c, COALESCE(pb${i}n.cent, $prev.cent) AS cent
-       |  FROM $prev LEFT JOIN pb${i}n ON pb${i}n.sub = $prev.sub AND pb${i}n.code = $prev.c)""".stripMargin
+       |  FROM ${p}px$i GROUP BY 1, 2, 3),
+       |${p}pb${i}n AS (SELECT sub, code, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
+       |  FROM ${p}ps$i GROUP BY 1, 2),
+       |${p}pb$i AS (SELECT $prev.sub, $prev.c, COALESCE(nb.cent, $prev.cent) AS cent
+       |  FROM $prev LEFT JOIN ${p}pb${i}n nb ON nb.sub = $prev.sub AND nb.code = $prev.c)""".stripMargin
 
   /** PQ codebook fit + encode over `frame` (vec_id, embedding — raw
     * vectors for s_ann_pq, coarse residuals for s_ann_ivfpq): m=8
     * subspaces of 8 dims, k=16 codes, 2 iterations, init = the slices
     * of the 16 smallest vec_ids — `pqCodebooks` replayed portably. */
-  private def pqFitCte(frame: String): String =
-    s"""subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-       |sl AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS svec
-       |  FROM $frame CROSS JOIN subs),
-       |pinit AS (SELECT vec_id, embedding,
+  private def pqFitCte(frame: String, p: String = ""): String =
+    s"""${p}subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+       |${p}sl AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS svec
+       |  FROM $frame CROSS JOIN ${p}subs),
+       |${p}pinit AS (SELECT vec_id, embedding,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
        |  FROM (SELECT vec_id, embedding FROM $frame ORDER BY vec_id LIMIT 16)),
-       |pb0 AS (SELECT subs.sub, pinit.c,
+       |${p}pb0 AS (SELECT subs.sub, pinit.c,
        |    list_transform(pinit.embedding[subs.sub*8+1 : subs.sub*8+8], v -> CAST(v AS DOUBLE)) AS cent
-       |  FROM pinit CROSS JOIN subs),
-       |${pqIterSql(1, "pb0")},
-       |${pqIterSql(2, "pb1")},
-       |${pqIterSql(3, "pb2")}""".stripMargin
+       |  FROM ${p}pinit pinit CROSS JOIN ${p}subs subs),
+       |${pqIterSql(1, s"${p}pb0", p)},
+       |${pqIterSql(2, s"${p}pb1", p)},
+       |${pqIterSql(3, s"${p}pb2", p)}""".stripMargin
 
   /** Query-vector CTE shared by the PQ serving mirrors. */
   private def pqQueryCte: String =
@@ -1242,6 +1336,57 @@ object Similarity {
            |  ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse,
            |  ROUND(MAX(err), 6) + 0.0 AS max_err
            |FROM pe GROUP BY 1""".stripMargin),
+    // Mirror of opqErrorReport: the plain PQ fit + error sweep (as
+    // s_pq_error), then the permutation-OPQ side — per-dim first/second
+    // fixed-point moments with the kernels' floor+carry rounding, the
+    // exact HUGEINT variance score n·B·S − A² (tie → dim asc), the
+    // serpentine dealing as pure rank arithmetic, the permuted frame as
+    // an ordered list() rebuild, and a SECOND (prefixed) Lloyd replay +
+    // error sweep over it; m-row join on sub.
+    "s_opq_error" ->
+      ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        pqFitCte("eiv") + ",\n" +
+        s"""pe AS (SELECT vec_id, sub, MIN(dd) AS err FROM (
+           |    SELECT sl.vec_id, sl.sub, ${d2Sql("sl.svec", "pb2.cent")} AS dd
+           |    FROM sl JOIN pb2 ON pb2.sub = sl.sub) x
+           |  GROUP BY 1, 2),
+           |perr AS (SELECT sub, COUNT(*) AS n_vecs,
+           |    ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse_pq,
+           |    ROUND(MAX(err), 6) + 0.0 AS max_err_pq
+           |  FROM pe GROUP BY 1),
+           |vs AS (SELECT CAST(pos AS INT) - 1 AS dim,
+           |    SUM(CAST(floor(sa) AS BIGINT) + CASE WHEN sa - floor(sa) >= 0.5 THEN 1 ELSE 0 END) AS a,
+           |    SUM(CAST(floor(sb) AS BIGINT) + CASE WHEN sb - floor(sb) >= 0.5 THEN 1 ELSE 0 END) AS b,
+           |    COUNT(*) AS n
+           |  FROM (SELECT pos, CAST(vf AS DOUBLE) * 1000000000 AS sa,
+           |          CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE) * 1000000000 AS sb
+           |        FROM (SELECT unnest(embedding) AS vf,
+           |                unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u0) u
+           |  GROUP BY 1),
+           |rk AS (SELECT dim,
+           |    row_number() OVER (ORDER BY
+           |      CAST(n AS HUGEINT) * CAST(b AS HUGEINT) * 1000000000
+           |        - CAST(a AS HUGEINT) * CAST(a AS HUGEINT) DESC, dim ASC) - 1 AS r
+           |  FROM vs),
+           |perm AS (SELECT
+           |    (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8 + (r // 8) AS pos,
+           |    dim FROM rk),
+           |pm AS (SELECT vec_id, label,
+           |    list(embedding[dim + 1] ORDER BY pos) AS embedding
+           |  FROM eiv CROSS JOIN perm GROUP BY vec_id, label),
+           |""".stripMargin +
+        pqFitCte("pm", "o") + ",\n" +
+        s"""ope AS (SELECT vec_id, sub, MIN(dd) AS err FROM (
+           |    SELECT sl.vec_id, sl.sub, ${d2Sql("sl.svec", "opb2.cent")} AS dd
+           |    FROM osl sl JOIN opb2 ON opb2.sub = sl.sub) x
+           |  GROUP BY 1, 2),
+           |operr AS (SELECT sub,
+           |    ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse_opq,
+           |    ROUND(MAX(err), 6) + 0.0 AS max_err_opq
+           |  FROM ope GROUP BY 1)
+           |SELECT CAST(perr.sub AS INT) AS sub, CAST(n_vecs AS BIGINT) AS n_vecs,
+           |  mse_pq, mse_opq, max_err_pq, max_err_opq
+           |FROM perr JOIN operr ON operr.sub = perr.sub""".stripMargin),
     "s_ann_pq" ->
       ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
         pqFitCte("eiv") + ",\n" + pqQueryCte + ",\n" +

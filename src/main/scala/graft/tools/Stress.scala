@@ -67,24 +67,31 @@ object Stress {
       .select((col("vec_id") * n + col("rep")).as("vec_id"),
               col("label"), jitter.as("embedding"))
       .repartition(16)
-    println(s"[stress] embeddings: ${embN.count()} vectors")
+    val nVec = embN.count()
+    // the SCALING rule applied as code (Similarity.autoNlist): nlist
+    // grows ∝ vectors so bucket width stays ≈ targetBucket — the r9
+    // ladder CONFIRMED the quadratic blow-up when this knob was held
+    // fixed (embed_canopy 5.9 → 49.7 s at 2×); with auto sizing the
+    // same arms must go ≈ linear
+    val autoK = Similarity.autoNlist(nVec)
+    println(s"[stress] embeddings: $nVec vectors, auto nlist: $autoK")
     time("embed_lsh_pairs")(Dedup.embedNearDupLsh(embN, tau = 0.99, nPlanes = 12).count())
     time("embed_canopy_pairs") {
-      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      val cents = Similarity.ivfCentroids(embN, k = autoK, iters = 1, sampleDenom = 4)
       Dedup.embedNearDupClusters(embN, cents, tau = 0.99, nAssign = 2).count()
     }
     // full semantic dedup (canopy edges → CC closure → survivors): the
     // replica groups must collapse to ≈ the original vector count
     time("semantic_dedup") {
-      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      val cents = Similarity.ivfCentroids(embN, k = autoK, iters = 1, sampleDenom = 4)
       Dedup.semanticDedup(embN, cents, tau = 0.99, nAssign = 2).count()
     }
     // canopy kNN graph over the replicated vectors: candidate work is
-    // O(Σ bucket²) with buckets sized by nlist — k scaled with n keeps
+    // O(Σ bucket²) with buckets sized by nlist — auto-scaled k keeps
     // bucket width ≈ constant, so the graph build must stay near-linear
     // in vectors (never vectors²)
     time("knn_ivf") {
-      val cents = Similarity.ivfCentroids(embN, k = 64, iters = 1, sampleDenom = 4)
+      val cents = Similarity.ivfCentroids(embN, k = autoK, iters = 1, sampleDenom = 4)
       Similarity.knnJoinCanopy(embN, cents).count()
     }
     spark.stop()

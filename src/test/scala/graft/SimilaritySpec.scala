@@ -117,6 +117,89 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("autoNlist: floors the test corpora at 16, then holds bucket width ≈ targetBucket") {
+    // gate-scale corpora resolve to the floor — Catalog fits and every
+    // unrolled-Lloyd oracle stay bit-unchanged (sf0.01 = 500 vectors,
+    // sf0.1 = 2000)
+    assert(Similarity.autoNlist(500) == 16)
+    assert(Similarity.autoNlist(2000) == 16)
+    assert(Similarity.autoNlist(16 * 256) == 16) // last floor point
+    // past the floor: nlist ∝ n, so expected bucket width stays within
+    // [targetBucket/2, targetBucket] and Σ bucket² stays linear in n
+    for (n <- Seq(10000L, 20000L, 40000L, 200000L, 1000000L)) {
+      val k = Similarity.autoNlist(n)
+      val bucket = n.toDouble / k
+      assert(bucket <= 256.0 && bucket > 128.0,
+        s"n=$n k=$k bucket=$bucket outside (128, 256]")
+    }
+    // monotone: a bigger corpus never gets a smaller index
+    val ks = Seq(100L, 4096L, 5000L, 50000L, 500000L).map(Similarity.autoNlist(_))
+    assert(ks == ks.sorted)
+    // doubling the corpus ≈ doubles the lists (the linearity the ladder checks)
+    assert(math.abs(Similarity.autoNlist(80000) - 2 * Similarity.autoNlist(40000)) <= 1)
+  }
+
+  test("Catalog.ivfIndex: auto-sized default resolves to the floor fit at test scale") {
+    // the auto default (nlist <= 0) must serve the SAME fit as the
+    // explicit 16 the oracles replay — same cache entry, same centroids
+    val (cAuto, aAuto) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val (c16, a16) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001, 16)
+    assert(cAuto == c16)
+    assert(aAuto eq a16) // memoized: one persisted frame, not two fits
+  }
+
+  test("opqPermutation: a valid permutation, deterministic under repartitioning, matches a JVM rank") {
+    val perm = Similarity.opqPermutation(embs)
+    assert(perm.sorted == (0 until 64), "must be a permutation of 0..63")
+    assert(perm == Similarity.opqPermutation(embs.repartition(7)),
+      "fixed-point moments must make the allocation partition-stable")
+    // JVM differential: recompute the integer variance scores from the
+    // collected vectors with the kernels' exact rounding and replay the
+    // serpentine dealing
+    val vecs = embs.select($"embedding").collect().map(_.getSeq[Float](0))
+    val n = BigInt(vecs.length)
+    val s = BigInt(graft.functions.VectorSumFixed.Scale)
+    val a = (0 until 64).map(j => BigInt(vecs.map(v => math.round(v(j).toDouble * s.toDouble)).sum))
+    val b = (0 until 64).map(j =>
+      BigInt(vecs.map(v => math.round(v(j).toDouble * v(j).toDouble * s.toDouble)).sum))
+    val score = (0 until 64).map(j => n * b(j) * s - a(j) * a(j))
+    val order = (0 until 64).sortBy(j => (-score(j), j))
+    val ref = new Array[Int](64)
+    for (r <- 0 until 64) {
+      val (round, posn) = (r / 8, r % 8)
+      val j = if (round % 2 == 0) posn else 7 - posn
+      ref(j * 8 + round) = order(r)
+    }
+    assert(perm == ref.toSeq)
+    // serpentine balance: each subspace gets exactly one dim from each
+    // variance octile (ranks r, r+8.. spread one per subspace)
+    val rankOf = order.zipWithIndex.toMap
+    val bySub = perm.grouped(8).toSeq
+    bySub.foreach { dims =>
+      assert(dims.map(d => rankOf(d) / 8).sorted == (0 until 8),
+        "every subspace must draw one dimension per variance octile")
+    }
+  }
+
+  test("opqErrorReport: permutation-OPQ reduces worst-subspace mse and tightens the spread") {
+    val emb = embs
+    val (booksPq, _) = graft.core.Catalog.pqIndex(spark, TestSpark.sf0001)
+    val (perm, booksOpq) = graft.core.Catalog.opqIndex(spark, TestSpark.sf0001)
+    val rows = Similarity.opqErrorReport(emb, booksPq, perm, booksOpq).collect()
+    assert(rows.length == 8)
+    val msePq = rows.map(_.getAs[Double]("mse_pq"))
+    val mseOpq = rows.map(_.getAs[Double]("mse_opq"))
+    // the claim the key exists to evidence: variance-balanced dealing
+    // pulls the WORST subspace toward the mean and tightens the spread
+    assert(mseOpq.max < msePq.max,
+      s"worst-subspace mse must drop: pq=${msePq.max} opq=${mseOpq.max}")
+    assert(mseOpq.max - mseOpq.min < msePq.max - msePq.min,
+      "per-subspace mse spread must tighten under the balanced permutation")
+    // total reconstruction error stays in the same regime (permutation
+    // relabels dims; it must not blow up the overall fit)
+    assert(mseOpq.sum < msePq.sum * 1.05)
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))
