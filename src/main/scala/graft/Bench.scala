@@ -38,6 +38,25 @@ object Bench {
     val t = graft.core.Tables(spark, sfDir)
     Seq(t.region, t.nation, t.customer, t.supplier, t.part, t.orders,
       t.lineitem, t.documents, t.embeddings).foreach(_.count())
+    // Make the shared-fit warm-up EXPLICIT (BASELINE.json's declared
+    // "warm Catalog" config): whichever fit-family key happened to run
+    // first used to pay the one-time Lloyd/PQ/signature/CC build, so
+    // battery flags tracked key ORDER instead of plan changes (the r9
+    // s_hybrid_rrf / s_hard_negatives / s_kmeans adjudications). The
+    // builds are timed and reported as their own `warm_fits_sec` JSON
+    // field — visible, never folded into (or hidden from) a per-key
+    // median.
+    val tw0 = System.nanoTime()
+    graft.core.Catalog.minhashSignatures(spark, sfDir).count()
+    graft.core.Catalog.docFingerprints(spark, sfDir).count()
+    graft.core.Catalog.dupClusters(spark, sfDir).count()
+    graft.core.Catalog.ivfIndex(spark, sfDir)._2.count()
+    graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
+    graft.core.Catalog.ivfPqIndex(spark, sfDir)._3.count()
+    graft.core.Catalog.opqIndex(spark, sfDir)
+    graft.core.Catalog.evalNgramBloom(spark, sfDir)
+    graft.core.Catalog.semanticSurvivors(spark, sfDir).count()
+    val warmFitsSec = (System.nanoTime() - tw0) / 1e9
 
     // Optional comma-separated key filter (reproduce-protocol tooling:
     // time one key in a fresh JVM without the 97-key battery context).
@@ -73,7 +92,7 @@ object Bench {
     // a failure must never make the total look faster
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but log pipelines truncate
     // (r4's per-query map survived only in a cut-off tail) — also land

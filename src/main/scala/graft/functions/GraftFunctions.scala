@@ -280,6 +280,48 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** One symbol per Unicode CODEPOINT of a word — the round-0 BPE
+    * segmentation (matches DuckDB's codepoint substr: a supplementary
+    * char is one symbol, never a split surrogate pair). */
+  def charSyms(word: UTF8String): ArrayData = {
+    val w = word.toString
+    val n = w.codePointCount(0, w.length)
+    val out = new Array[Any](n)
+    var j = 0
+    var m = 0
+    while (j < w.length) {
+      val cp = w.codePointAt(j)
+      val next = j + Character.charCount(cp)
+      out(m) = UTF8String.fromString(w.substring(j, next))
+      m += 1
+      j = next
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One BPE merge application: replace adjacent (a, b) symbol pairs by
+    * their concatenation, GREEDY LEFTMOST non-overlapping (the Sennrich
+    * et al. 2016 convention) — a left fold where a freshly merged
+    * symbol never re-matches within the same round (|a·b| > |a|, so the
+    * merged token cannot equal the pair's left element). */
+  def bpeMerge(syms: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2) return syms
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      if (i + 1 < n && s.equals(a) && syms.getUTF8String(i + 1).equals(b)) {
+        out.add(UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(s)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** 128-permutation MinHash signature of a shingle array: one FNV-1a
     * base hash per shingle, then 128 universal-hash permutations
     * `a_p * base + b_p` (odd multipliers), min per permutation. */
@@ -829,6 +871,51 @@ case class BpePairs(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.bpePairs($t)")
+}
+
+/** One symbol per codepoint of a word (round-0 BPE segmentation). */
+case class CharSyms(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_syms"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_char_syms expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharSyms =
+    copy(child = newChild)
+
+  override def nullSafeEval(word: Any): Any =
+    TextKernels.charSyms(word.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w => s"graft.functions.TextKernels.charSyms($w)")
+}
+
+/** Greedy leftmost non-overlapping merge of adjacent (a, b) symbols. */
+case class BpeMergePair(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_merge expects (array<string>, string, string), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BpeMergePair =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(syms: Any, a: Any, b: Any): Any =
+    TextKernels.bpeMerge(syms.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, a, b) => s"graft.functions.TextKernels.bpeMerge($s, $a, $b)")
 }
 
 /** 128-perm MinHash signature of a shingle array (scan-side, codegen). */
@@ -1420,6 +1507,14 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
       (children: Seq[Expression]) => PHash64(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_syms"),
+      new ExpressionInfo(classOf[CharSyms].getName, "graft_char_syms"),
+      (children: Seq[Expression]) => CharSyms(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_merge"),
+      new ExpressionInfo(classOf[BpeMergePair].getName, "graft_bpe_merge"),
+      (children: Seq[Expression]) => BpeMergePair(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bpe_pairs"),
       new ExpressionInfo(classOf[BpePairs].getName, "graft_bpe_pairs"),
       (children: Seq[Expression]) => BpePairs(children.head)))
@@ -1490,6 +1585,13 @@ object GraftFunctions {
 
   /** Adjacent char pairs per word, with multiplicity (BPE merge stats). */
   def bpePairs(text: Column): Column = call_function("graft_bpe_pairs", text)
+
+  /** One symbol per codepoint of a word (round-0 BPE segmentation). */
+  def charSyms(word: Column): Column = call_function("graft_char_syms", word)
+
+  /** Greedy leftmost merge of adjacent (a, b) symbols → concatenation. */
+  def bpeMerge(syms: Column, a: Column, b: Column): Column =
+    call_function("graft_bpe_merge", syms, a, b)
 
   /** Winnowing fingerprints of the k-gram stream, window w → array<string>. */
   def winnow(text: Column, k: Column, w: Column): Column =

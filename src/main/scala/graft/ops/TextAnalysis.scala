@@ -816,6 +816,77 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Iterated BPE merge training (Sennrich et al. 2016, Algorithm 1) —
+    * the merge TABLE a tokenizer-training user actually wants, driven
+    * off [[bpeMerges]]'s statistic: `rounds` greedy rounds of
+    * (count adjacent symbol pairs → merge the argmax everywhere).
+    *
+    * Scale shape — the standard distributed-BPE factoring: the corpus
+    * collapses to the WORD-FREQUENCY table first (ONE corpus-wide
+    * shuffle; pair counts are Σ word_freq × in-word occurrences, so
+    * every merge round after that runs on the vocab table, whose size
+    * is bounded by distinct words, not corpus tokens). Each round is
+    * one vocab-scan aggregate (map-side-combined, shuffle ∝ distinct
+    * pairs) + one argmax `limit(1).collect()` — a 1-row MODEL scalar
+    * per round (the merge table IS the model; the CC-checksum
+    * precedent), never data rows. Re-segmentation is the scan-side
+    * codegen `graft_bpe_merge` kernel; each round's vocab frame is
+    * persisted and the previous released, so round r never re-runs
+    * rounds 1..r−1. The merge loop is inherently SEQUENTIAL (round
+    * r+1's counts depend on round r's argmax) — `rounds` bounds it.
+    *
+    * Determinism: pair counts are exact integers; the argmax tie-break
+    * is (n desc, "a+b" string asc) on both engines; the merge kernel
+    * is greedy-leftmost-non-overlapping, mirrored in the oracle by
+    * candidate islands with alternate-position keeps. Output: one row
+    * per round — (round, pair, n) with n the pre-merge count. */
+  def bpeTrain(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = documents.sparkSession
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val words = documents.filter(length(norm) > 0)
+      .select(explode(split(norm, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    var syms = words
+      .select(col("word"), col("f"), GraftFunctions.charSyms(col("word")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // adjacent pairs of the CURRENT segmentation: zip(syms[1..n-1],
+      // syms[2..n]) — all codegen built-ins; explode fans out to
+      // in-word pair occurrences over the vocab table only
+      val zipped = arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1))
+      val best = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(zipped).as("pr"))
+        .select(col("f"), col("pr").getField("0").as("a"), col("pr").getField("1").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, concat(col("a"), lit("+"), col("b")).asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a + "+" + b, n))
+        val next = syms
+          .select(col("word"), col("f"),
+            GraftFunctions.bpeMerge(col("syms"), lit(a), lit(b)).as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        syms.unpersist(blocking = false)
+        syms = next
+      }
+      r += 1
+    }
+    syms.unpersist(blocking = false)
+    import spark.implicits._
+    merges.result().toDF("round", "pair", "n")
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
     * md5 every word k-gram, keep the distinct minima of each w-wide
     * sliding window of consecutive gram hashes. The guarantee: any
@@ -1046,6 +1117,7 @@ object TextAnalysis {
     "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
+    "t_bpe_train"      -> ((s, d) => bpeTrain(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
     "t_code_detect"    -> ((s, d) => codeDetect(Tables(s, d).documents)),
@@ -1060,7 +1132,58 @@ object TextAnalysis {
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
       |  FROM documents)""".stripMargin
 
+  /** One unrolled BPE training round (the d_domain_rank technique): the
+    * round's pair counts off the previous segmentation (word-frequency-
+    * weighted, lead-window adjacency), the (n desc, "a+b" asc) argmax,
+    * and the merge applied via candidate ISLANDS — consecutive candidate
+    * runs (which only arise when a = b) keep alternate positions from
+    * the run start, exactly the kernel's greedy-leftmost scan. */
+  private def bpeRoundCte(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""e$r AS MATERIALIZED (SELECT word, f, unnest(syms) AS sym,
+       |    unnest(generate_series(1, len(syms))) AS p FROM $prev),
+       |pc$r AS (SELECT a, b, CAST(SUM(f) AS BIGINT) AS n FROM (
+       |    SELECT f, sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY p) AS b
+       |    FROM e$r) x
+       |  WHERE b IS NOT NULL GROUP BY 1, 2),
+       |bs$r AS MATERIALIZED (SELECT a, b, n FROM pc$r
+       |  ORDER BY n DESC, a || '+' || b ASC LIMIT 1),
+       |cd$r AS (SELECT e.word, e.p FROM e$r e
+       |  JOIN e$r e2 ON e2.word = e.word AND e2.p = e.p + 1
+       |  CROSS JOIN bs$r bb WHERE e.sym = bb.a AND e2.sym = bb.b),
+       |ck$r AS MATERIALIZED (SELECT word, p FROM (
+       |    SELECT word, p, min(p) OVER (PARTITION BY word, g) AS rs FROM (
+       |      SELECT word, p, p - row_number() OVER (PARTITION BY word ORDER BY p) AS g
+       |      FROM cd$r) gg) ii
+       |  WHERE (p - rs) % 2 = 0),
+       |s$r AS MATERIALIZED (SELECT word, f, list(ns ORDER BY p) AS syms FROM (
+       |    SELECT e.word, e.f, e.p,
+       |      CASE WHEN k.p IS NOT NULL THEN e.sym || e2.sym ELSE e.sym END AS ns,
+       |      k2.p AS skipme
+       |    FROM e$r e
+       |    LEFT JOIN ck$r k ON k.word = e.word AND k.p = e.p
+       |    LEFT JOIN ck$r k2 ON k2.word = e.word AND k2.p = e.p - 1
+       |    LEFT JOIN e$r e2 ON e2.word = e.word AND e2.p = e.p + 1) z
+       |  WHERE skipme IS NULL
+       |  GROUP BY word, f)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Mirror of bpeTrain: word-frequency collapse, codepoint round-0
+    // segmentation, then 8 unrolled (count → argmax → island-merge)
+    // rounds; one (round, pair, n) row per round.
+    "t_bpe_train" ->
+      (s"""$toksCte,
+          |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
+          |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+          |s0 AS (SELECT word, f,
+          |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+          |  FROM wf),
+          |""".stripMargin +
+        (1 to 8).map(bpeRoundCte).mkString(",\n") + "\n" +
+        (1 to 8).map(r =>
+          s"SELECT CAST($r AS INT) AS round, a || '+' || b AS pair, n FROM bs$r")
+          .mkString("\nUNION ALL\n")),
     // zipfReport mirror: same tokenization, same total rank order,
     // ln-through-DECIMAL(28,10) values, double products, DECIMAL
     // moment sums, one closed-form double expression per output.

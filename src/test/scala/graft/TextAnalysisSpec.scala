@@ -714,6 +714,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(Seq((1L, "a b c d")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("bpeTrain: hand-traced merge rounds, greedy-leftmost overlap rule, partition-stable") {
+    // corpus: "abab" ×3, "ab" ×2, "aaa" ×1
+    // round 1: pairs a+b f=3·2+2=8, b+a f=3, a+a f=2 → merge (a,b)
+    // round 2: syms abab→[ab,ab], ab→[ab], aaa→[a,a,a];
+    //          pairs ab+ab f=3, a+a f=2 → merge (ab,ab)
+    // round 3: abab→[abab]; remaining pairs a+a f=2 (aaa: leftmost pair
+    //          only after merge → [aa,a]) → merge (a,a)
+    // round 4: aaa→[aa,a] → pairs aa+a f=1 → merge (aa,a)
+    // round 5: no pairs anywhere → training exhausts early
+    val df = Seq((1L, "abab abab abab ab ab aaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, rounds = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a+b", 8L), (2, "ab+ab", 3L), (3, "a+a", 2L), (4, "aa+a", 1L)),
+      s"got $got")
+    // real corpus: deterministic under repartitioning, rounds distinct,
+    // counts non-increasing is NOT required (re-segmentation can expose
+    // new pairs), but every round must report a positive count
+    val a = TextAnalysis.bpeTrain(docs, rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val b = TextAnalysis.bpeTrain(docs.repartition(7), rounds = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(a == b, "merge table must be partition-stable")
+    assert(a.map(_._1) == Seq(1, 2, 3, 4) && a.forall(_._3 > 0))
+  }
+
   test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
     import graft.ops.TextAnalysis
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
