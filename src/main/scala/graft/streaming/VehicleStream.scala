@@ -13,6 +13,10 @@ case class Vehicle(id: String, label: String, latitude: Double, longitude: Doubl
                    occupancy_status: String, bearing: Int,
                    updated_at: java.sql.Timestamp, obs_id: Long)
 
+/** One per-key change-class emission of the continuous CDC stream
+  * (streaming record of [[VehicleStream.cdcPerKey]]). */
+case class CdcChange(id: String, change_type: String, obs_id: Long)
+
 /** Structured-Streaming equivalent of the reference's periodic ingest
   * loop (`pipeline.go:63-93 Run()`): instead of poll → transform → SQLite
   * upsert every N seconds, the same dataflow runs continuously as
@@ -160,6 +164,47 @@ object VehicleStream {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("stage_order"), col("stage"), col("n"))
+  }
+
+  /** Continuous CDC — the streaming form of the batch `v_snapshot_diff`
+    * artifact (the reference's load loop IS a stream; its snapshot
+    * delta should be too): per micro-batch, every key with arrivals is
+    * classified against the upsert state AS OF the previous batch —
+    * `added` (no prior state), `changed` (the (updated_at, obs_id)
+    * argmax winner moved), `unchanged` (arrivals lost to the retained
+    * winner). Keys with no arrivals are trivially unchanged and emit
+    * nothing — the standard CDC contract (a change feed carries
+    * changes, not the full keyspace per tick; `removed` never fires
+    * under append-only upsert but the class is part of the emitted
+    * domain for sinks that switch on it).
+    *
+    * Stream ≡ batch: feeding the cut-half of the feed as batch 1 and
+    * the rest as batch 2 makes batch 2's added/changed ID SETS exactly
+    * the batch snapshotDiff's classes (StreamingSpec proves set
+    * equality, not just counts). State = one record per key (the
+    * [[latestPerKey]] bound); per-change-class COUNTS are a stateless
+    * foreachBatch aggregate downstream of this stream (stacking a
+    * second stateful aggregate over an Update-mode state operator is
+    * unsupported by design). */
+  def cdcPerKey(vehicles: DataFrame): Dataset[CdcChange] = {
+    val spark = vehicles.sparkSession
+    import spark.implicits._
+    vehicles.as[Vehicle]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Vehicle, CdcChange](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: String, obs: Iterator[Vehicle], state: GroupState[Vehicle]) =>
+          val prev = state.getOption
+          val latest = (prev.iterator ++ obs)
+            .maxBy(v => (v.updated_at.getTime, v.updated_at.getNanos, v.obs_id))
+          state.update(latest)
+          val changeType = prev match {
+            case None => "added"
+            case Some(p) if p.obs_id != latest.obs_id => "changed"
+            case _ => "unchanged"
+          }
+          Iterator.single(CdcChange(id, changeType, latest.obs_id))
+      }
   }
 
   /** [[latestPerKey]] with BOUNDED state for unbounded key domains: a

@@ -650,6 +650,64 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("streaming CDC: batch-2 added/changed ID SETS equal batch snapshotDiff's classes") {
+    import graft.queries.VehicleQueries
+    // the batch artifact's cut: old snapshot = upsert of obs_id <= median
+    val cut = batchVehicles.agg(expr("percentile(obs_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    // batch reference classes, per id (the full-outer classification
+    // inside snapshotDiff, before its count collapse)
+    val oldSnap = VehicleFeed.latest(batchVehicles.filter($"obs_id" <= cut))
+      .select($"id".as("old_id"), $"obs_id".as("old_obs"))
+    val newSnap = VehicleFeed.latest(batchVehicles)
+      .select($"id".as("new_id"), $"obs_id".as("new_obs"))
+    val classed = newSnap.join(oldSnap, $"new_id" === $"old_id", "full_outer")
+      .select(coalesce($"new_id", $"old_id").as("id"),
+        when($"old_id".isNull, "added")
+          .when($"new_id".isNull, "removed")
+          .when($"old_obs" =!= $"new_obs", "changed")
+          .otherwise("unchanged").as("ct"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // stream: batch 1 = events up to the cut (obs_id == event_id),
+    // batch 2 = the rest
+    val events = graft.core.Tables(spark, TestSpark.sf0001).events
+    val dir = Files.createTempDirectory("graft-stream-cdc").toString
+    events.filter($"event_id" <= cut).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = VehicleStream.cdcPerKey(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("cdc")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("cdc").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(b1.nonEmpty && b1.forall(_._2 == "added"),
+        "an empty state classifies every first-batch key as added")
+      // second batch arrives: a distinct part file of the remaining events
+      val tmp = Files.createTempDirectory("graft-stream-cdc2")
+      events.filter($"event_id" > cut).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, Paths.get(dir, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val b2 = spark.table("cdc").collect()
+        .map(r => (r.getString(0), r.getString(1))).drop(b1.length)
+      def ids(ct: String) = b2.collect { case (id, c) if c == ct => id }.toSet
+      // set equality, not just counts: stream's batch-2 classes ARE the
+      // batch artifact's classes
+      assert(ids("added") == classed.collect { case (id, "added") => id }.toSet)
+      assert(ids("changed") == classed.collect { case (id, "changed") => id }.toSet)
+      // every streamed "unchanged" arrival is unchanged in the batch diff
+      assert(ids("unchanged").forall(classed(_) == "unchanged"))
+      // ...and the batch unchanged class is the old-snapshot remainder
+      // (keys without batch-2 arrivals simply don't emit — CDC contract)
+      val counts = VehicleQueries.snapshotDiff(batchVehicles).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.getOrElse("added", 0L) == ids("added").size.toLong)
+      assert(counts.getOrElse("changed", 0L) == ids("changed").size.toLong)
+      assert(!counts.contains("removed"), "append-only upsert cannot remove keys")
+    } finally q.stop()
+  }
+
   test("agg-merge maintainer: streamed weekly == batch q_agg_merge under out-of-order batches; replay idempotent") {
     import graft.streaming.AggMergeStream
     dropGateTables("t_aggm_partials")
