@@ -1381,11 +1381,19 @@ object Dedup {
     // exact form that serves d_neardup_pipeline (identical set at
     // τ=0.8 — LSH recall certified there), canonicalized source pair,
     // DECIMAL(28,10) mean convention.
+    // Pair set drawn from the SAME LSH candidate CTE the other MinHash
+    // oracles replay (candm) + exact-Jaccard verification — so this key
+    // tests the matrix AGGREGATION, not LSH recall: a future banding
+    // recall miss shows up in d_lsh_tuning's retention metric, not as a
+    // confusing hash mismatch here (ADVICE r9).
     "d_dup_matrix" ->
-      s"""$shingleCte,
-         |pdm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
-         |      FROM d a JOIN d b ON a.doc_id < b.doc_id),
+      s"""$minhashSigCte,
+         |shdm AS (SELECT doc_id, sh, len(sh) AS l FROM dm),
+         |pdm AS (SELECT c.doc_a, c.doc_b,
+         |        len(list_intersect(x.sh, y.sh)) AS inter, x.l AS la, y.l AS lb
+         |      FROM candm c
+         |      JOIN shdm x ON x.doc_id = c.doc_a
+         |      JOIN shdm y ON y.doc_id = c.doc_b),
          |vpdm AS (SELECT doc_a, doc_b,
          |    ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |  FROM pdm

@@ -78,7 +78,10 @@ object Packing {
   def chunkPlan(documents: DataFrame, window: Int = 256, stride: Int = 128): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val nTok = regexp_count(col("text"), lit(TokenRegex)).cast("long")
+    // NULL text counts as the empty doc (one empty chunk) — without the
+    // coalesce, a NULL row's n_tokens/n_chunks go NULL and the sequence
+    // explode silently DROPS the doc, breaking the coverage guarantee
+    val nTok = regexp_count(coalesce(col("text"), lit("")), lit(TokenRegex)).cast("long")
     documents
       .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
       .withColumn("n_chunks",
@@ -243,12 +246,13 @@ object Packing {
     "t_chunk" -> ((s, d) => chunkPlan(Tables(s, d).documents)))
 
   val oracles: Map[String, String] = Map(
-    // chunkPlan mirror: same token regexp, same integer chunk grid via
-    // generate_series (all-integer arithmetic — nothing to round).
+    // chunkPlan mirror: same token regexp (NULL text coalesced to the
+    // empty doc on both engines — coverage, no silent drops), same
+    // integer chunk grid via generate_series (all-integer arithmetic).
     "t_chunk" ->
       raw"""WITH tc AS (
         |  SELECT doc_id, source,
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |nc AS (
         |  SELECT doc_id, source, n_tokens,

@@ -837,9 +837,12 @@ object Sampling {
            |SELECT doc_id, source, shard FROM shr WHERE rn = 1""".stripMargin
       },
       // A-ES mirror: FNV-1a replayed with the MinHash family's HUGEINT
-      // list_reduce, u from the low 53 bits, ln-score compared as
-      // DECIMAL(28,10) (sub-1e-10 libm differences cannot reorder),
-      // doc_id tie-break, ONE final ROUND(,4).
+      // list_reduce over the key's true UTF-8 BYTES (hex-pair accessor —
+      // ord() would yield codepoints and diverge from Spark's byte hash
+      // on any non-ASCII source name; ADVICE r9), u from the low 53
+      // bits, ln-score compared as DECIMAL(28,10) (sub-1e-10 libm
+      // differences cannot reorder), doc_id tie-break, ONE final
+      // ROUND(,4).
       "d_weighted_sample" ->
         raw"""WITH dws AS (SELECT doc_id, source,
            |    GREATEST(COALESCE(n_chars, 0), 1) AS w,
@@ -847,7 +850,8 @@ object Sampling {
            |  FROM documents),
            |fws AS (SELECT doc_id, source, w, list_reduce(
            |    list_prepend(14695981039346656037::HUGEINT,
-           |      list_transform(generate_series(1, len(key)), i -> ord(substr(key, i, 1))::HUGEINT)),
+           |      list_transform(generate_series(1, octet_length(encode(key))),
+           |        i -> CAST(concat('0x', substr(hex(encode(key)), 2*i-1, 2)) AS INT)::HUGEINT)),
            |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
            |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS hv
            |  FROM dws),

@@ -763,6 +763,12 @@ object Similarity {
     * the DECIMAL(28,10)-sum / ONE-division / ROUND(,4) convention. */
   def silhouetteReport(centroids: Seq[Seq[Double]], assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // silhouette needs a SECOND-nearest centroid to exist: with k = 1
+    // the kernel's d²₂nd stays sentinel (sil → 1 vacuously) while the
+    // SQL mirror's rn=2 pick is absent (sil → NULL) — reject the
+    // degenerate config instead of diverging between engines
+    require(centroids.length >= 2,
+      s"silhouette is undefined for k=${centroids.length} (< 2 clusters)")
     val dd = GraftFunctions.centroidDist2s(col("embedding"), typedlit(centroids))
     assigned
       .select(col("cluster"), sqrt(dd.getItem(0)).as("a"), sqrt(dd.getItem(1)).as("b"))

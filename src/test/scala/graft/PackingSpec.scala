@@ -170,6 +170,14 @@ class PackingSpec extends SparkSpec {
       (1L, "s", ("a " * 700).trim),
       (2L, "s", ("b " * 100).trim),
       (3L, "s", "")).toDF("doc_id", "source", "text")
+    // NULL text = the empty doc: one empty chunk, never a silent drop
+    // (the documented coverage guarantee — ADVICE r9)
+    val nullDoc = Seq((9L, "s")).toDF("doc_id", "source")
+      .withColumn("text", lit(null).cast("string"))
+    val nullOut = Packing.chunkPlan(nullDoc).collect()
+    assert(nullOut.length == 1 &&
+      nullOut(0).getAs[Long]("chunk_tokens") == 0L &&
+      nullOut(0).getAs[Long]("chunk_id") == 0L)
     val out = Packing.chunkPlan(d).orderBy("doc_id", "chunk_id").collect()
       .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
         r.getAs[Long]("start_tok"), r.getAs[Long]("chunk_tokens")))

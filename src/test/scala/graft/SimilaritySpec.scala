@@ -848,6 +848,11 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.silhouetteReport(cents, assigned).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
     assert(out.size == 3 && out.values.map(_._1).sum == 15)
+    // k = 1 has no second-nearest centroid — rejected, not divergent
+    // between engines (ADVICE r9)
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteReport(cents.take(1), assigned)
+    }
     out.values.foreach { case (_, meanSil, minSil) =>
       assert(meanSil > 0.9 && minSil > 0.9,
         s"well-separated clusters must silhouette near 1, got mean=$meanSil min=$minSil")
