@@ -53,7 +53,7 @@ object Bench {
     graft.core.Catalog.ivfIndex(spark, sfDir)._2.count()
     graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
     graft.core.Catalog.ivfPqIndex(spark, sfDir)._3.count()
-    graft.core.Catalog.opqIndex(spark, sfDir)
+    graft.core.Catalog.opqIndex(spark, sfDir)._3.count()
     graft.core.Catalog.evalNgramBloom(spark, sfDir)
     graft.core.Catalog.semanticSurvivors(spark, sfDir).count()
     val warmFitsSec = (System.nanoTime() - tw0) / 1e9

@@ -35,7 +35,7 @@ object Catalog {
   // resolved auto-nlist per corpus (one count() each — a scalar, no frame to unpersist)
   private val nlistCache = TrieMap.empty[(SparkSession, String), Int]
   private val opqCache =
-    TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]])]
+    TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]], DataFrame)]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -79,7 +79,11 @@ object Catalog {
     bloomCache.keys.filter(_._1 eq spark).foreach(bloomCache.remove)
     drop(semCache, (k: (SparkSession, String)) => k._1)
     nlistCache.keys.filter(_._1 eq spark).foreach(nlistCache.remove)
-    opqCache.keys.filter(_._1 eq spark).foreach(opqCache.remove)
+    opqCache.keys.filter(_._1 eq spark).foreach { k =>
+      opqCache.remove(k).foreach { case (_, _, df) =>
+        if (!spark.sparkContext.isStopped) df.unpersist()
+      }
+    }
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -150,19 +154,23 @@ object Catalog {
     })
   }
 
-  /** The permutation-OPQ model for a dir's embeddings (cached, shared):
-    * the variance-balancing dimension permutation plus the PQ codebooks
-    * fitted on the PERMUTED corpus — both driver-scale model objects
-    * (dim ints + dim×k doubles), built once per (session, dir) like
-    * every other fit. */
-  def opqIndex(spark: SparkSession, dir: String): (Seq[Int], Seq[Seq[Seq[Double]]]) = {
+  /** The permutation-OPQ index for a dir's embeddings (cached, shared):
+    * the variance-balancing dimension permutation, the PQ codebooks
+    * fitted on the PERMUTED corpus (both driver-scale model objects —
+    * dim ints + dim×k doubles), and the persisted OPQ code table the
+    * `s_ann_opq` serve scans — built once per (session, dir) like every
+    * other fit. */
+  def opqIndex(spark: SparkSession, dir: String)
+      : (Seq[Int], Seq[Seq[Seq[Double]]], DataFrame) = {
     evictStopped()
     opqCache.getOrElseUpdate((spark, dir), {
       val emb = Tables(spark, dir).embeddings
       val perm = graft.ops.Similarity.opqPermutation(emb)
-      val books = graft.ops.Similarity.pqCodebooks(
-        graft.ops.Similarity.opqPermute(emb, perm))
-      (perm, books)
+      val permuted = graft.ops.Similarity.opqPermute(emb, perm)
+      val books = graft.ops.Similarity.pqCodebooks(permuted)
+      val codes = graft.ops.Similarity.pqCodes(permuted, books)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (perm, books, codes)
     })
   }
 

@@ -36,6 +36,12 @@ object DupClusters {
     * that serve many queries should persist the assignment itself
     * (see `Catalog.dupClusters`).
     */
+  /** Star-round count of the most recent [[connectedComponents]]
+    * convergence in this JVM — instrumentation for the stress ladder's
+    * O(log n) rounds claim (read by tools/Stress after a clustering
+    * arm; never part of a query plan). */
+  @volatile var lastRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
                           maxRounds: Int = 25): DataFrame = {
     val Array(pa, pb) = pairs.columns.take(2)
@@ -62,6 +68,7 @@ object DupClusters {
       round += 1
     }
     require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    lastRounds = round
     // Fixpoint of both star operations = stars rooted at each component's
     // minimum: every remaining edge is (member, root). The groupBy-min is
     // the star read-off (and guards the u > v invariant).

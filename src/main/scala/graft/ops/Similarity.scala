@@ -452,6 +452,20 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** OPQ-permuted PQ ANN served off the Catalog-cached OPQ index — the
+    * end-to-end proof that adopting the permutation costs the serve
+    * NOTHING: the query vector is permuted once (driver-side, like the
+    * query collect every single-query serve already does), then the
+    * plan IS [[annPqFromIndex]] over the permuted frame — same ADC
+    * LUTs, same code-table-only ranking, same exact-cosine rerank
+    * (cosine is permutation-invariant; the rerank folds in the permuted
+    * layout on both engines, and the ROUND(,4) output convention makes
+    * the reassociation moot). */
+  def annOpqFromIndex(perm: Seq[Int], books: Seq[Seq[Seq[Double]]], codes: DataFrame,
+                      embeddings: DataFrame, queryVecId: Long = 0L,
+                      k: Int = 10): DataFrame =
+    annPqFromIndex(books, codes, opqPermute(embeddings, perm), queryVecId, k)
+
   /** PQ ANN, self-contained (fit + encode + serve) — the one-off form.
     * Repeated queries go through `Catalog.pqIndex` so fit and encode are
     * paid once per corpus. */
@@ -1085,8 +1099,12 @@ object Similarity {
     }),
     "s_opq_error" -> ((s, d) => {
       val (booksPq, _) = graft.core.Catalog.pqIndex(s, d)
-      val (perm, booksOpq) = graft.core.Catalog.opqIndex(s, d)
+      val (perm, booksOpq, _) = graft.core.Catalog.opqIndex(s, d)
       opqErrorReport(Tables(s, d).embeddings, booksPq, perm, booksOpq)
+    }),
+    "s_ann_opq" -> ((s, d) => {
+      val (perm, books, codes) = graft.core.Catalog.opqIndex(s, d)
+      annOpqFromIndex(perm, books, codes, Tables(s, d).embeddings)
     }),
     "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
     "s_recall_report" -> ((s, d) => {
@@ -1246,6 +1264,34 @@ object Similarity {
     * vectors for s_ann_pq, coarse residuals for s_ann_ivfpq): m=8
     * subspaces of 8 dims, k=16 codes, 2 iterations, init = the slices
     * of the 16 smallest vec_ids — `pqCodebooks` replayed portably. */
+  /** The permutation-OPQ model as portable SQL over `eiv`: exact
+    * integer variance scores from the kernels' fixed-point moments
+    * (floor+carry rounding = Java Math.round), HUGEINT rank arithmetic,
+    * serpentine dealing as pure rank arithmetic, and the permuted
+    * frame `pm` as an ordered list() rebuild — shared by the
+    * s_opq_error and s_ann_opq mirrors. */
+  private def opqPermCte: String =
+    """vs AS (SELECT CAST(pos AS INT) - 1 AS dim,
+      |    SUM(CAST(floor(sa) AS BIGINT) + CASE WHEN sa - floor(sa) >= 0.5 THEN 1 ELSE 0 END) AS a,
+      |    SUM(CAST(floor(sb) AS BIGINT) + CASE WHEN sb - floor(sb) >= 0.5 THEN 1 ELSE 0 END) AS b,
+      |    COUNT(*) AS n
+      |  FROM (SELECT pos, CAST(vf AS DOUBLE) * 1000000000 AS sa,
+      |          CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE) * 1000000000 AS sb
+      |        FROM (SELECT unnest(embedding) AS vf,
+      |                unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u0) u
+      |  GROUP BY 1),
+      |rk AS (SELECT dim,
+      |    row_number() OVER (ORDER BY
+      |      CAST(n AS HUGEINT) * CAST(b AS HUGEINT) * 1000000000
+      |        - CAST(a AS HUGEINT) * CAST(a AS HUGEINT) DESC, dim ASC) - 1 AS r
+      |  FROM vs),
+      |perm AS (SELECT
+      |    (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8 + (r // 8) AS pos,
+      |    dim FROM rk),
+      |pm AS (SELECT vec_id, label,
+      |    list(embedding[dim + 1] ORDER BY pos) AS embedding
+      |  FROM eiv CROSS JOIN perm GROUP BY vec_id, label)""".stripMargin
+
   private def pqFitCte(frame: String, p: String = ""): String =
     s"""${p}subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
        |${p}sl AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS svec
@@ -1360,27 +1406,7 @@ object Similarity {
            |    ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse_pq,
            |    ROUND(MAX(err), 6) + 0.0 AS max_err_pq
            |  FROM pe GROUP BY 1),
-           |vs AS (SELECT CAST(pos AS INT) - 1 AS dim,
-           |    SUM(CAST(floor(sa) AS BIGINT) + CASE WHEN sa - floor(sa) >= 0.5 THEN 1 ELSE 0 END) AS a,
-           |    SUM(CAST(floor(sb) AS BIGINT) + CASE WHEN sb - floor(sb) >= 0.5 THEN 1 ELSE 0 END) AS b,
-           |    COUNT(*) AS n
-           |  FROM (SELECT pos, CAST(vf AS DOUBLE) * 1000000000 AS sa,
-           |          CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE) * 1000000000 AS sb
-           |        FROM (SELECT unnest(embedding) AS vf,
-           |                unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u0) u
-           |  GROUP BY 1),
-           |rk AS (SELECT dim,
-           |    row_number() OVER (ORDER BY
-           |      CAST(n AS HUGEINT) * CAST(b AS HUGEINT) * 1000000000
-           |        - CAST(a AS HUGEINT) * CAST(a AS HUGEINT) DESC, dim ASC) - 1 AS r
-           |  FROM vs),
-           |perm AS (SELECT
-           |    (CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) * 8 + (r // 8) AS pos,
-           |    dim FROM rk),
-           |pm AS (SELECT vec_id, label,
-           |    list(embedding[dim + 1] ORDER BY pos) AS embedding
-           |  FROM eiv CROSS JOIN perm GROUP BY vec_id, label),
-           |""".stripMargin +
+           |""".stripMargin + opqPermCte + ",\n" +
         pqFitCte("pm", "o") + ",\n" +
         s"""ope AS (SELECT vec_id, sub, MIN(dd) AS err FROM (
            |    SELECT sl.vec_id, sl.sub, ${d2Sql("sl.svec", "opb2.cent")} AS dd
@@ -1393,6 +1419,35 @@ object Similarity {
            |SELECT CAST(perr.sub AS INT) AS sub, CAST(n_vecs AS BIGINT) AS n_vecs,
            |  mse_pq, mse_opq, max_err_pq, max_err_opq
            |FROM perr JOIN operr ON operr.sub = perr.sub""".stripMargin),
+    // Mirror of annOpqFromIndex: the shared permutation CTEs build the
+    // permuted frame, a prefixed Lloyd replay fits the OPQ books, and
+    // the serve is the s_ann_pq mirror verbatim over (pm, opb2, opa3) —
+    // permuted query LUTs, code-table-only ADC ranking, exact-cosine
+    // rerank in the permuted layout (permutation-invariant).
+    "s_ann_opq" ->
+      ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        opqPermCte + ",\n" +
+        pqFitCte("pm", "o") + ",\n" +
+        s"""oq AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qd,
+           |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qnorm,
+           |    embedding AS qe
+           |  FROM pm WHERE vec_id = 0),
+           |olut AS (SELECT opb2.sub, opb2.c AS code,
+           |    CASE WHEN q.qnorm = 0.0 THEN 0.0 ELSE
+           |      list_sum(list_transform(generate_series(1, 8), i -> q.qd[opb2.sub*8 + i] * opb2.cent[i])) / q.qnorm END AS dot,
+           |    list_sum(list_transform(opb2.cent, v -> v * v)) AS n2
+           |  FROM opb2 CROSS JOIN oq q),
+           |oadc AS (SELECT vec_id,
+           |    CASE WHEN list_sum(list(n2 ORDER BY l.sub)) <= 0.0 THEN 0.0
+           |         ELSE list_sum(list(dot ORDER BY l.sub)) / sqrt(list_sum(list(n2 ORDER BY l.sub))) END AS adc
+           |  FROM opa3 JOIN olut l ON l.sub = opa3.sub AND l.code = opa3.code
+           |  WHERE opa3.vec_id != 0
+           |  GROUP BY vec_id),
+           |ocand AS (SELECT vec_id FROM oadc ORDER BY adc DESC, vec_id ASC LIMIT 40),
+           |orr AS (SELECT e.vec_id, e.label, ${cosSql("e.embedding", "q.qe")} AS cos
+           |  FROM pm e JOIN ocand USING (vec_id) CROSS JOIN oq q)
+           |SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
+           |FROM orr ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin),
     "s_ann_pq" ->
       ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
         pqFitCte("eiv") + ",\n" + pqQueryCte + ",\n" +

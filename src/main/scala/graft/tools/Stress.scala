@@ -8,6 +8,11 @@ import graft.ops.{Dedup, DomainGraph, Search, Similarity}
 object Stress {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
+    // "noexact" skips the certified-exact inverted-index arm
+    // (ngram_jaccard) — the DOCUMENTED quadratic baseline the LSH
+    // pipeline replaces; at the 200k ladder point it alone costs tens of
+    // minutes and its cost model is already confirmed at 50k/100k.
+    val noExact = args.drop(1).contains("noexact")
     val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -33,8 +38,24 @@ object Stress {
     time("weighted_sample")(graft.ops.Sampling.weightedSample(docs).count())
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
-    time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
+    if (!noExact) time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
     time("neardup_pipeline")(Dedup.nearDupPairs(docs).count())
+    // CC closure over the LSH dedup graph: cost ∝ edges per round, and
+    // the ROUND COUNT is the O(log n) claim — star-contraction rounds
+    // must stay flat-ish as the corpus doubles (they track component
+    // diameter, not corpus size)
+    time("dup_clusters") {
+      val cc = graft.ops.DupClusters
+        .dupClusters(docs, Dedup.minhashCandidates(docs)).count()
+      s"$cc assigned, ${graft.ops.DupClusters.lastRounds} CC rounds"
+    }
+    // pHash near-dup clusters over the replicated synthetic media —
+    // the second CC consumer (hamming-ball edges); same rounds claim
+    time("phash_clusters") {
+      val cc = graft.ops.Multimodal
+        .phashClusters(graft.ops.Multimodal.mediaWithPlantedNearDups(docs)).count()
+      s"$cc clustered, ${graft.ops.DupClusters.lastRounds} CC rounds"
+    }
     // span dedup: replicas share almost every k-token span, so this is
     // the worst-case duplication load — cost must stay ∝ corpus tokens
     time("span_dedup")(Dedup.spanDedup(docs).count())

@@ -181,10 +181,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annOpqFromIndex: planted exact duplicate recalled at 1.0; rerank scores are original-space cosines") {
+    val planted = embs.select($"vec_id", $"label", $"embedding").unionByName(
+      embs.filter($"vec_id" === 0)
+        .select(lit(9999L).as("vec_id"), $"label", $"embedding"))
+    val perm = Similarity.opqPermutation(planted)
+    val permuted = Similarity.opqPermute(planted, perm)
+    val books = Similarity.pqCodebooks(permuted)
+    val codes = Similarity.pqCodes(permuted, books)
+    val out = Similarity.annOpqFromIndex(perm, books, codes, planted).collect()
+    assert(out.length == 10)
+    assert(out.head.getLong(0) == 9999L && out.head.getAs[Double]("cos_sim") == 1.0,
+      "the exact duplicate must be recalled first at cosine 1.0")
+    // permutation-invariance: every reported cos_sim equals the
+    // ORIGINAL-space cosine of the raw vectors (rounded per contract)
+    val raw = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    out.foreach { r =>
+      val expect = BigDecimal(cos(raw(0L), raw(r.getLong(0))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cos_sim") - expect) <= 1e-4,
+        s"vec ${r.getLong(0)}: reported ${r.getAs[Double]("cos_sim")} vs original-space $expect")
+    }
+    // deterministic across invocations
+    val again = Similarity.annOpqFromIndex(perm, books, codes, planted).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("opqErrorReport: permutation-OPQ reduces worst-subspace mse and tightens the spread") {
     val emb = embs
     val (booksPq, _) = graft.core.Catalog.pqIndex(spark, TestSpark.sf0001)
-    val (perm, booksOpq) = graft.core.Catalog.opqIndex(spark, TestSpark.sf0001)
+    val (perm, booksOpq, _) = graft.core.Catalog.opqIndex(spark, TestSpark.sf0001)
     val rows = Similarity.opqErrorReport(emb, booksPq, perm, booksOpq).collect()
     assert(rows.length == 8)
     val msePq = rows.map(_.getAs[Double]("mse_pq"))
