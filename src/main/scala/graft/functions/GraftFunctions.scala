@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Cosine similarity between two `Array[Float]` embedding columns, as a
@@ -1426,6 +1426,110 @@ case class VectorSumSqFixed(child: Expression,
     copy(child = newChild)
 }
 
+/** Bounded top-k neighbor heap aggregate: keeps the k best
+  * (score desc, id asc) pairs per group, TRUNCATED MAP-SIDE — the
+  * shuffle ships ≤ k entries per (group, map partition) instead of the
+  * full candidate fan-out, which is what makes a k-NN-graph build's
+  * final aggregation shuffle O(n·k) rather than O(Σ bucket²) (the
+  * row_number-window form it replaces sorts and shuffles every
+  * candidate row). Ordering on (rounded) doubles with an id tie-break
+  * is exact, so the result is identical to the window form. Output:
+  * `array<struct<nbr_id bigint, cos_sim double>>` in rank order. */
+case class TopKPairsAgg(first: Expression, second: Expression, third: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.ArrayList[Array[Long]]]
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("nbr_id", LongType, nullable = false),
+      StructField("cos_sim", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_topk_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, DoubleType, IntegerType) if third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_pairs expects (bigint, double, int literal k), got ${a.sql}, ${b.sql}, ${c.sql}")
+    }
+
+  private lazy val k: Int = third.eval().asInstanceOf[Int]
+
+  // buffer entries are [id, doubleToLongBits(score)]; kept sorted by
+  // (score desc, id asc), capped at k — insert/merge are O(k), k tiny
+  private def better(idA: Long, sA: Double, idB: Long, sB: Double): Boolean =
+    sA > sB || (sA == sB && idA < idB)
+
+  private def insert(buf: java.util.ArrayList[Array[Long]], id: Long, s: Double): Unit = {
+    var i = 0
+    while (i < buf.size() &&
+      better(buf.get(i)(0), java.lang.Double.longBitsToDouble(buf.get(i)(1)), id, s)) i += 1
+    if (i < k) {
+      buf.add(i, Array(id, java.lang.Double.doubleToLongBits(s)))
+      if (buf.size() > k) buf.remove(k)
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.ArrayList[Array[Long]] =
+    new java.util.ArrayList[Array[Long]](k + 1)
+
+  override def update(buf: java.util.ArrayList[Array[Long]], input: InternalRow)
+      : java.util.ArrayList[Array[Long]] = {
+    val idv = first.eval(input)
+    val sv = second.eval(input)
+    if (idv != null && sv != null)
+      insert(buf, idv.asInstanceOf[Long], sv.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: java.util.ArrayList[Array[Long]],
+                     b2: java.util.ArrayList[Array[Long]]): java.util.ArrayList[Array[Long]] = {
+    var i = 0
+    while (i < b2.size()) {
+      val e = b2.get(i)
+      insert(b1, e(0), java.lang.Double.longBitsToDouble(e(1)))
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buf: java.util.ArrayList[Array[Long]]): Any = {
+    val out = new Array[Any](buf.size())
+    var i = 0
+    while (i < buf.size()) {
+      val e = buf.get(i)
+      out(i) = InternalRow(e(0), java.lang.Double.longBitsToDouble(e(1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.ArrayList[Array[Long]]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size() * 16)
+    var i = 0
+    while (i < buf.size()) { bb.putLong(buf.get(i)(0)); bb.putLong(buf.get(i)(1)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Array[Long]] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new java.util.ArrayList[Array[Long]](bytes.length / 16 + 1)
+    var i = 0
+    while (i < bytes.length / 16) { out.add(Array(bb.getLong(), bb.getLong())); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKPairsAgg =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Registration (via `SparkSessionExtensions`, wired in `GraftSession`)
   * plus Column-API wrappers. Any session built through
   * `GraftSession.builder` has every `graft_*` function registered here
@@ -1478,6 +1582,10 @@ object GraftFunctions {
       new FunctionIdentifier("graft_vecsum_sq"),
       new ExpressionInfo(classOf[VectorSumSqFixed].getName, "graft_vecsum_sq"),
       (children: Seq[Expression]) => VectorSumSqFixed(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairsAgg].getName, "graft_topk_pairs"),
+      (children: Seq[Expression]) => TopKPairsAgg(children(0), children(1), children(2))))
     ext.injectFunction((
       new FunctionIdentifier("graft_repetition_profile"),
       new ExpressionInfo(classOf[RepetitionProfile].getName, "graft_repetition_profile"),
@@ -1636,6 +1744,11 @@ object GraftFunctions {
     * [[VectorSumFixed.Scale]]) — the second moment for exact
     * per-dimension variance ranking. */
   def vecSumSq(embedding: Column): Column = call_function("graft_vecsum_sq", embedding)
+
+  /** Bounded top-k (score desc, id asc) neighbor heap aggregate —
+    * map-side-truncated; → array<struct<nbr_id, cos_sim>> rank-ordered. */
+  def topkPairs(nbrId: Column, score: Column, k: Column): Column =
+    call_function("graft_topk_pairs", nbrId, score, k)
 
   /** PQ-encode an embedding vs a literal codebook tensor → array<int>. */
   def pqEncode(embedding: Column, books: Column): Column =

@@ -587,19 +587,24 @@ object Similarity {
     * nbr_id tie-break — a total order both engines agree on; `+ 0.0`
     * kills IEEE −0.0 (same class as the annTopK fix). */
   def knnJoin(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
-    val pairs = e.as("a")
+    // bounded `graft_topk_pairs` heap instead of a row_number window:
+    // the per-vector top-k truncates MAP-SIDE, so the only shuffle of
+    // the O(Σ block²) pair frame is the label join itself (see
+    // knnJoinCanopy's r10 note; result identical by the same ordering)
+    e.as("a")
       .join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         col("a.label").as("label"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    pairs.withColumn("knn_rank", row_number().over(w))
-      .filter(col("knn_rank") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(GraftFunctions.topkPairs(col("nbr_id"), col("cos_sim"), lit(k)).as("nn"))
+      .select(col("vec_id"), col("label"), posexplode(col("nn")).as(Seq("off", "s")))
+      .select(col("vec_id"), col("s.nbr_id").as("nbr_id"), col("label"),
+        col("s.cos_sim").as("cos_sim"),
+        (col("off") + 1).cast("int").as("knn_rank"))
   }
 
   /** k-NN graph at scale: candidates from the k-means CANOPY blocker
@@ -620,21 +625,38 @@ object Similarity {
   def knnJoinCanopy(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                     k: Int = 5, nAssign: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r10 shuffle diet: the naive form shuffled the CANDIDATE frame
+    // (O(Σ bucket²) rows, embeddings attached) three times — canopy
+    // join, a distinct to collapse pairs sharing both canopies, and the
+    // row_number window sort. Now: (1) pair-dedup happens SCAN-SIDE —
+    // each row carries its tiny canopies array, and a pair is emitted
+    // only from its LEAST shared canopy (array_intersect/array_min of
+    // two nAssign-length arrays, codegen); (2) the per-vector top-k is
+    // the bounded `graft_topk_pairs` heap aggregate, truncated
+    // MAP-SIDE — the final shuffle ships ≤ k entries per (vec,
+    // partition) instead of every candidate row. Candidate rows now
+    // never leave their canopy partition; result identical (same
+    // (cos_sim desc, nbr_id asc) order on the same deduped pair set).
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
-        explode(GraftFunctions.nearestCentroids(col("embedding"),
-          typedlit(centroids), lit(nAssign))).as("canopy"))
-    val cand = e.as("a")
+        GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign)).as("canopies"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("canopies"),
+        explode(col("canopies")).as("canopy"))
+    e.as("a")
       .join(e.as("b"),
         col("a.canopy") === col("b.canopy") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.canopy") ===
+        array_min(array_intersect(col("a.canopies"), col("b.canopies"))))
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .distinct() // a pair can share up to nAssign canopies
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    cand.withColumn("knn_rank", row_number().over(w))
-      .filter(col("knn_rank") <= k)
+      .groupBy(col("vec_id"))
+      .agg(GraftFunctions.topkPairs(col("nbr_id"), col("cos_sim"), lit(k)).as("nn"))
+      .select(col("vec_id"), posexplode(col("nn")).as(Seq("off", "s")))
+      .select(col("vec_id"), col("s.nbr_id").as("nbr_id"),
+        col("s.cos_sim").as("cos_sim"),
+        (col("off") + 1).cast("int").as("knn_rank"))
   }
 
   /** HARD-NEGATIVE triplet mining for embedding training (the

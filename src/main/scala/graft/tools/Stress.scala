@@ -13,6 +13,9 @@ object Stress {
     // pipeline replaces; at the 200k ladder point it alone costs tens of
     // minutes and its cost model is already confirmed at 50k/100k.
     val noExact = args.drop(1).contains("noexact")
+    // "embonly" re-runs just the embedding arms (plan-change A/B without
+    // repaying the 10+-minute document arms)
+    val embOnly = args.drop(1).contains("embonly")
     val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -29,6 +32,7 @@ object Stress {
       val t0 = System.nanoTime(); val r = f
       println(f"[stress] $label: ${(System.nanoTime()-t0)/1e9}%.1f s = $r")
     }
+    if (!embOnly) {
     time("exact_dedup")(Dedup.exactDedup(docs).count())
     // chunk plan: pure scan-side explode — cost must stay ∝ corpus
     // tokens (fan-out len/stride per doc, no shuffle at any size)
@@ -75,6 +79,7 @@ object Stress {
     // bigger initial aggregate
     time("domain_rank")(DomainGraph.domainRank(
       DomainGraph.syntheticEdges(docs)).count())
+    }
     val emb = t.embeddings
     time("ann_topk")(Similarity.annTopK(emb).count())
     time("embed_neardup")(Dedup.embedNearDup(emb).count())

@@ -391,6 +391,28 @@ class SimilaritySpec extends SparkSpec {
     rows.toDF("vec_id", "label", "embedding")
   }
 
+  test("graft_topk_pairs: equals the row_number-window form; map-side truncation safe under repartitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // synthetic candidate frame with score ties (the tie-break path)
+    val rows = for (v <- 0L until 50L; n <- 0L until 30L if n != v)
+      yield (v, n, math.rint(((v * 31 + n * 17) % 13).toDouble) / 13.0)
+    val cand = rows.toDF("vec_id", "nbr_id", "cos_sim")
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"vec_id")
+      .agg(GraftFunctions.topkPairs($"nbr_id", $"cos_sim", lit(5)).as("nn"))
+      .select($"vec_id", posexplode($"nn").as(Seq("off", "s")))
+      .select($"vec_id", $"s.nbr_id".as("nbr_id"), $"s.cos_sim".as("cos_sim"),
+        ($"off" + 1).cast("int").as("knn_rank"))
+      .collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nbr_id".asc)
+    val viaWindow = cand.withColumn("knn_rank", row_number().over(w))
+      .filter($"knn_rank" <= 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaAgg(cand) == viaWindow)
+    // partial aggregation (map-side heaps) must not change the result
+    assert(viaAgg(cand.repartition(13)) == viaWindow)
+  }
+
   test("knnJoin: matches a brute-force JVM reference on the real embeddings") {
     def cosine(a: Seq[Float], b: Seq[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
