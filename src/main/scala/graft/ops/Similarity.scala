@@ -681,30 +681,40 @@ object Similarity {
     * asserts they are mined as the negatives. */
   def hardNegatives(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                     nAssign: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // r10 shuffle diet (the knnJoinCanopy note, applied to the two-arm
+    // shape): pair-dedup is scan-side (least-shared-canopy rule), and
+    // BOTH arms come from ONE conditional `graft_topk_pairs` aggregate
+    // — the heap skips the other arm's rows via the when()-null inputs,
+    // so the candidate frame is aggregated once, map-side-truncated,
+    // with no distinct, no window sort, no pos⋈neg arm join.
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
-        explode(GraftFunctions.nearestCentroids(col("embedding"),
-          typedlit(centroids), lit(nAssign))).as("canopy"))
-    val cand = e.as("a")
+        GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign)).as("canopies"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("canopies"),
+        explode(col("canopies")).as("canopy"))
+    val same = col("label") === col("nbr_label")
+    e.as("a")
       .join(e.as("b"),
         col("a.canopy") === col("b.canopy") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.canopy") ===
+        array_min(array_intersect(col("a.canopies"), col("b.canopies"))))
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
       .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
         col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
-      .distinct() // a pair can share up to nAssign canopies
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
-    def top1(arm: DataFrame): DataFrame =
-      arm.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val pos = top1(cand.filter(col("label") === col("nbr_label")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        GraftFunctions.topkPairs(when(same, col("nbr_id")),
+          when(same, col("cos_sim")), lit(1)).as("pos"),
+        GraftFunctions.topkPairs(when(!same, col("nbr_id")),
+          when(!same, col("cos_sim")), lit(1)).as("neg"))
+      .filter(size(col("pos")) === 1 && size(col("neg")) === 1)
       .select(col("vec_id"), col("label"),
-        col("nbr_id").as("pos_id"), col("cos_sim").as("pos_cos"))
-    val neg = top1(cand.filter(col("label") =!= col("nbr_label")))
-      .select(col("vec_id"),
-        col("nbr_id").as("neg_id"), col("cos_sim").as("neg_cos"))
-    pos.join(neg, Seq("vec_id"))
+        col("pos").getItem(0).getField("nbr_id").as("pos_id"),
+        col("pos").getItem(0).getField("cos_sim").as("pos_cos"),
+        col("neg").getItem(0).getField("nbr_id").as("neg_id"),
+        col("neg").getItem(0).getField("cos_sim").as("neg_cos"))
   }
 
   /** Embedding-cohesion report per label — the embedding-quality
