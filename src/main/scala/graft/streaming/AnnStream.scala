@@ -52,4 +52,15 @@ object AnnStream {
   def ivfPqCodeStream(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                       books: Seq[Seq[Seq[Double]]]): DataFrame =
     Similarity.ivfPqCodes(embeddings, centroids, books)
+
+  /** Continuously-maintained OPQ code table: each arriving vector is
+    * PERMUTED (dim literal GetArrayItem projections — the permutation
+    * ships with the plan) and PQ-encoded against the fitted OPQ books —
+    * stateless, append-only, exactly like [[ivfPqCodeStream]]; the
+    * permutation + books refit out-of-band (`Catalog.opqIndex`). One
+    * code path, two execution modes: values identical to the batch
+    * OPQ code table the `s_ann_opq` serve scans (spec-proven). */
+  def opqCodeStream(embeddings: DataFrame, perm: Seq[Int],
+                    books: Seq[Seq[Seq[Double]]]): DataFrame =
+    Similarity.pqCodes(Similarity.opqPermute(embeddings, perm), books)
 }

@@ -363,6 +363,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OPQ encode: streamed code table equals the batch OPQ index and serves identically") {
+    import graft.ops.Similarity
+    import graft.streaming.AnnStream
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val (perm, books, batchCodes) = graft.core.Catalog.opqIndex(spark, TestSpark.sf0001)
+    val streamDir = Files.createTempDirectory("graft-opq-stream")
+    def arrive(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-opq-half").toString
+      embs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = AnnStream.opqCodeStream(
+        AnnStream.embeddingStream(spark, streamDir.toString), perm, books)
+      .writeStream.format("memory").queryName("opq_codes")
+      .outputMode("append").start()
+    try {
+      arrive($"vec_id" % 2 === 0, "b0.parquet")
+      arrive($"vec_id" % 2 === 1, "b1.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("opq_codes")
+      assert(streamed.count() == embs.count())
+      assert(streamed.exceptAll(batchCodes).count() == 0)
+      assert(batchCodes.exceptAll(streamed).count() == 0)
+      // serving off the streamed code table gives the exact batch answer
+      val served = Similarity.annOpqFromIndex(perm, books, spark.table("opq_codes"), embs)
+        .collect().map(_.toString).toSeq
+      val direct = Similarity.annOpqFromIndex(perm, books, batchCodes, embs)
+        .collect().map(_.toString).toSeq
+      assert(served == direct)
+    } finally q.stop()
+  }
+
   // ---- streaming cross-corpus dedup (IngestGate) ----
 
   private def dropGateTables(names: String*): Unit = names.foreach { n =>
