@@ -280,6 +280,24 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Canonical text cleanup — the C4/RefinedWeb-style normalization
+    * every web-corpus pipeline runs before hashing/dedup/tokenizing:
+    * Unicode NFC (so "é" composed and "e"+combining-accent hash alike),
+    * C0/DEL control stripping (keeping \t \n \r, which the collapse
+    * then folds), whitespace-run collapse, trim. Each step is defined
+    * by the Unicode standard or an ASCII regex both engines implement
+    * identically (Java \s's extra \x0B case is dead — \x0B is stripped
+    * as a control first), so the DuckDB mirror
+    * (nfc_normalize + the same two regexes + trim) is byte-identical. */
+  def normalizeText(text: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(text.toString, java.text.Normalizer.Form.NFC)
+    val cleaned = nfc
+      .replaceAll("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      .replaceAll("\\s+", " ")
+      .trim
+    UTF8String.fromString(cleaned)
+  }
+
   /** One symbol per Unicode CODEPOINT of a word — the round-0 BPE
     * segmentation (matches DuckDB's codepoint substr: a supplementary
     * char is one symbol, never a split surrogate pair). */
@@ -871,6 +889,26 @@ case class BpePairs(child: Expression) extends UnaryExpression {
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.bpePairs($t)")
+}
+
+/** NFC + control-strip + whitespace-collapse canonical text cleanup. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_normalize_text expects string, got ${t.sql}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.normalizeText(text.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.normalizeText($t)")
 }
 
 /** One symbol per codepoint of a word (round-0 BPE segmentation). */
@@ -1615,6 +1653,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PHash64].getName, "graft_phash64"),
       (children: Seq[Expression]) => PHash64(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (children: Seq[Expression]) => NormalizeText(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_char_syms"),
       new ExpressionInfo(classOf[CharSyms].getName, "graft_char_syms"),
       (children: Seq[Expression]) => CharSyms(children.head)))
@@ -1693,6 +1735,9 @@ object GraftFunctions {
 
   /** Adjacent char pairs per word, with multiplicity (BPE merge stats). */
   def bpePairs(text: Column): Column = call_function("graft_bpe_pairs", text)
+
+  /** NFC + control-strip + whitespace-collapse canonical cleanup. */
+  def normalizeText(text: Column): Column = call_function("graft_normalize_text", text)
 
   /** One symbol per codepoint of a word (round-0 BPE segmentation). */
   def charSyms(word: Column): Column = call_function("graft_char_syms", word)

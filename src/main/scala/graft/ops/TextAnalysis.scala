@@ -816,6 +816,30 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
 
+  /** Canonical-form normalization report — the C4/RefinedWeb-style
+    * cleanup stage a web corpus runs BEFORE hashing/dedup/tokenizing,
+    * as a first-class measured artifact: per doc, raw vs cleaned
+    * codepoint counts, whether normalization changed anything (the
+    * corpus-health number: a high changed-rate flags a mojibake/control
+    * -char-ridden source), and the md5 of the CANONICAL text — the
+    * fingerprint exact-dedup should key on, so "é" composed and
+    * "e"+combining-accent collide as the duplicates they are.
+    *
+    * Cleanup = Unicode NFC → C0/DEL control strip → whitespace-run
+    * collapse → trim, all inside the codegen `graft_normalize_text`
+    * kernel (ONE scan, no shuffle; each step is Unicode-standard or
+    * ASCII-regex so the DuckDB nfc_normalize mirror is
+    * byte-identical). */
+  def normalizeReport(documents: DataFrame): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val clean = GraftFunctions.normalizeText(raw)
+    documents.select(col("doc_id"), col("source"),
+      length(raw).cast("long").as("n_chars_raw"),
+      length(clean).cast("long").as("n_chars_clean"),
+      (raw =!= clean).as("changed"),
+      md5(clean).as("clean_md5"))
+  }
+
   /** Iterated BPE merge training (Sennrich et al. 2016, Algorithm 1) —
     * the merge TABLE a tokenizer-training user actually wants, driven
     * off [[bpeMerges]]'s statistic: `rounds` greedy rounds of
@@ -1118,6 +1142,7 @@ object TextAnalysis {
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
     "t_bpe_train"      -> ((s, d) => bpeTrain(Tables(s, d).documents)),
+    "t_normalize"      -> ((s, d) => normalizeReport(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
     "t_code_detect"    -> ((s, d) => codeDetect(Tables(s, d).documents)),
@@ -1169,6 +1194,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirror of normalizeReport: nfc_normalize + the same two ASCII
+    // regexes + trim (byte-identical chain; Java \s's extra \x0B case
+    // is dead because \x0B is stripped as a control first).
+    "t_normalize" ->
+      raw"""WITH cn AS (SELECT doc_id, source, COALESCE(text, '') AS raw,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(COALESCE(text, '')),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS t2
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(t2) AS BIGINT) AS n_chars_clean,
+        |  raw != t2 AS changed,
+        |  md5(t2) AS clean_md5
+        |FROM cn""".stripMargin,
     // Mirror of bpeTrain: word-frequency collapse, codepoint round-0
     // segmentation, then 8 unrolled (count → argmax → island-merge)
     // rounds; one (round, pair, n) row per round.

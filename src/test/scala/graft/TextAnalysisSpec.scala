@@ -714,6 +714,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeMerges(Seq((1L, "a b c d")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("normalizeReport: NFC composition, control strip, whitespace collapse — hand-checked") {
+    val nfd = "He\u0301llo"         // e + combining acute (6 codepoints)
+    val nfc = "H\u00e9llo"          // é composed (5 codepoints)
+    val df = Seq(
+      (1L, "s", nfd + "\u0007 world"),      // NFD + BEL control
+      (2L, "s", nfc + " world"),            // already canonical
+      (3L, "s", "  a\t\tb\n\nc  "),         // whitespace mess
+      (4L, "s", "clean text")               // untouched
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.normalizeReport(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5)))).toMap
+    // doc1 and doc2 normalize to the SAME canonical text → same md5
+    // (the fingerprint collision the stage exists to create)
+    assert(out(1L)._4 == out(2L)._4)
+    assert(out(1L)._3, "NFD + control input must report changed")
+    assert(!out(2L)._3 && out(2L)._1 == out(2L)._2,
+      "already-canonical text must be untouched")
+    assert(out(2L)._2 == 11) // "Héllo world" = 11 codepoints
+    // whitespace mess collapses to "a b c" (5 chars), changed
+    assert(out(3L)._2 == 5 && out(3L)._3)
+    assert(!out(4L)._3)
+    // NULL text = empty doc, not a crash/drop
+    val nullOut = TextAnalysis.normalizeReport(
+      Seq((9L, "s")).toDF("doc_id", "source")
+        .withColumn("text", lit(null).cast("string"))).collect()
+    assert(nullOut.length == 1 && nullOut(0).getLong(3) == 0L)
+  }
+
   test("bpeTrain: hand-traced merge rounds, greedy-leftmost overlap rule, partition-stable") {
     // corpus: "abab" ×3, "ab" ×2, "aaa" ×1
     // round 1: pairs a+b f=3·2+2=8, b+a f=3, a+a f=2 → merge (a,b)
