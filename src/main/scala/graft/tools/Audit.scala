@@ -27,6 +27,9 @@ object Audit {
     * every one is a crossJoin against a broadcast 1-row query vector. */
   private val BnljAllowed = Set(
     "s_ann_topk", "s_ann_ivf", "s_ann_pq", "s_ann_ivfpq",
+    // the s_ann_pq serve over the OPQ-permuted frame: the identical
+    // 1-row query-vector crossJoin in the exact-cosine rerank
+    "s_ann_opq",
     // the s_ann_ivf serve (1-row query-vector crossJoin) over the
     // predicate-filtered probed lists
     "s_ann_ivf_filtered",

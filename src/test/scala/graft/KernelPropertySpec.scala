@@ -194,6 +194,54 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("normalizeText: idempotent; NFC-equivalent spellings collide; never grows") {
+    val rnd = new Random(17)
+    def norm(s: String): String =
+      TextKernels.normalizeText(UTF8String.fromString(s)).toString
+    (1 to 200).foreach { _ =>
+      val s = rnd.nextString(rnd.nextInt(60))
+      val once = norm(s)
+      assert(norm(once) == once, s"not idempotent on ${s.toSeq.map(_.toInt)}")
+      // (no length law: NFC may legitimately EXPAND -- e.g. U+0344's
+      // canonical decomposition has no recomposition)
+      assert(!once.exists(c => c < ' '), "no control chars survive")
+      assert(!once.contains("  "), "no double spaces survive")
+    }
+    // canonical equivalence: composed and decomposed spellings normalize alike
+    assert(norm("He\u0301llo") == norm("H\u00e9llo"))
+  }
+
+  test("charSyms + bpeMerge: syms concatenate back to the word; merge conserves content, never grows") {
+    val rnd = new Random(19)
+    (1 to 200).foreach { _ =>
+      val w = Seq.fill(rnd.nextInt(12) + 1)(('a' + rnd.nextInt(3)).toChar).mkString
+      val syms = TextKernels.charSyms(UTF8String.fromString(w))
+      val symSeq = (0 until syms.numElements()).map(syms.getUTF8String(_).toString)
+      assert(symSeq.mkString == w, "round-0 segmentation must cover the word")
+      val a = ('a' + rnd.nextInt(3)).toChar.toString
+      val b = ('a' + rnd.nextInt(3)).toChar.toString
+      val merged = TextKernels.bpeMerge(syms,
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val mergedSeq = (0 until merged.numElements()).map(merged.getUTF8String(_).toString)
+      assert(mergedSeq.mkString == w, "merging must conserve the text")
+      assert(mergedSeq.length <= symSeq.length)
+      // the no-survivor law: an adjacent (a, b) of ORIGINAL single
+      // symbols cannot survive the merge pass (if both appear unmerged
+      // in the output, the greedy scan would have consumed them)
+      if (mergedSeq.length >= 2)
+        mergedSeq.sliding(2).foreach {
+          case Seq(x, y) => assert(!(x == a && y == b),
+            s"unmerged adjacent ($a,$b) survived in $mergedSeq of word $w")
+          case _ =>
+        }
+    }
+    // hand case: greedy leftmost on "abcabab" merging (a,b)
+    val syms = TextKernels.charSyms(UTF8String.fromString("abcabab"))
+    val m = TextKernels.bpeMerge(syms, UTF8String.fromString("a"), UTF8String.fromString("b"))
+    val out = (0 until m.numElements()).map(m.getUTF8String(_).toString)
+    assert(out == Seq("ab", "c", "ab", "ab"))
+  }
+
   test("spanDedup: identity on duplicate-free corpora; idempotent on any corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
