@@ -540,13 +540,22 @@ object Dedup {
     * rather than one pretending to be a shared bucket key. */
   def embedNearDupClusters(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                            tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
+    // r10: pair-dedup is SCAN-SIDE (each row carries its nAssign-length
+    // canopies array; a pair is emitted only from its least shared
+    // canopy — array_intersect/array_min of two tiny arrays, codegen)
+    // instead of a .distinct() that re-shuffled every surviving pair;
+    // the emitted pair set is identical (the knnJoinCanopy note).
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
-        explode(GraftFunctions.nearestCentroids(col("embedding"),
-          typedlit(centroids), lit(nAssign))).as("canopy"))
+        GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign)).as("canopies"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("canopies"),
+        explode(col("canopies")).as("canopy"))
     e.as("a")
       .join(e.as("b"),
         col("a.canopy") === col("b.canopy") && col("a.vec_id") < col("b.vec_id"))
+      .filter(col("a.canopy") ===
+        array_min(array_intersect(col("a.canopies"), col("b.canopies"))))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label_a"), col("b.label").as("label_b"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"))
@@ -554,7 +563,6 @@ object Dedup {
       .filter(round(col("cos"), 4) >= tau)
       .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
         round(col("cos"), 4).as("cos_sim"))
-      .distinct() // a pair can share up to nAssign canopies
   }
 
   /** Embedding near-dup pairs at scale: block on random-hyperplane LSH
