@@ -169,13 +169,23 @@ object Dedup {
     val chunks = simhashFingerprints(documents)
       .select(col("doc_id"), col("simhash"), explode(expr(chunkSql)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.cv").as("cv"))
+    // r10: pairs agreeing on SEVERAL chunks used to be collapsed by a
+    // .distinct() that re-shuffled the whole pair frame; the least
+    // matching chunk is derivable scan-side from the two fingerprints
+    // (a codegen when-chain over the four 16-bit comparisons), so each
+    // pair is emitted from exactly one chunk and the join output never
+    // re-shuffles (the knnJoinCanopy least-shared-block note).
+    def chunkEq(i: Int) =
+      shiftright(col("a.simhash"), 16 * i).bitwiseAND(lit(65535L)) ===
+        shiftright(col("b.simhash"), 16 * i).bitwiseAND(lit(65535L))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.cv") === col("b.cv") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.c") ===
+        when(chunkEq(0), 0L).when(chunkEq(1), 1L).when(chunkEq(2), 2L).otherwise(3L))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
       .withColumn("hamming", GraftFunctions.hamming64(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
