@@ -65,6 +65,22 @@ object Dedup {
       .groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** [[exactDedup]] keyed on the CANONICAL fingerprint — Unicode NFC +
+    * control strip + whitespace collapse (`graft_normalize_text`) +
+    * case fold, so "é" composed and "e"+combining-accent, control-char
+    * -padded copies, and reformatted whitespace all land in ONE dup
+    * class (the plain norm_hash treats them as distinct documents —
+    * exactly the mojibake-duplication web corpora carry). Same plan
+    * shape as [[exactDedup]]: one scan-side codegen hash, one
+    * map-side-combined aggregate. */
+  def exactDedupCanonical(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        md5(lower(GraftFunctions.normalizeText(coalesce(col("text"), lit("")))))
+          .as("canon_hash"))
+      .groupBy(col("canon_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Duplicate-aware DOWNWEIGHTING (the SoftDeDup alternative to hard
     * removal): every document stays in the corpus, but carries a
     * sampling weight `1/n_copies` of its exact-dup (normalized-md5)
@@ -1032,6 +1048,7 @@ object Dedup {
     * signature table documented in SCALING.md. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup"      -> ((s, d) => exactDedup(Tables(s, d).documents)),
+    "d_exact_canonical"  -> ((s, d) => exactDedupCanonical(Tables(s, d).documents)),
     "d_exact_keep"       -> ((s, d) => dedupDocuments(Tables(s, d).documents)),
     "d_soft_dedup"       -> ((s, d) => softDedupWeights(Tables(s, d).documents)),
     "d_minhash_lsh"      -> ((s, d) =>
@@ -1365,6 +1382,15 @@ object Dedup {
       """SELECT * FROM documents WHERE doc_id IN (
         |  SELECT MIN(doc_id) FROM documents
         |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))""".stripMargin,
+    // exactDedupCanonical mirror: the t_normalize chain (nfc_normalize +
+    // control strip + whitespace collapse + trim) under the same case
+    // fold and md5 as d_exact_dedup.
+    "d_exact_canonical" ->
+      raw"""SELECT md5(lower(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(COALESCE(text, '')),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')))) AS canon_hash,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
     "d_soft_dedup" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,

@@ -24,6 +24,26 @@ class DedupSpec extends SparkSpec {
     assert(g.find(_.getAs[Long]("n_dups") == 3).get.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exactDedupCanonical: NFD/NFC and control-padded copies collapse where the plain hash cannot") {
+    val variants = Seq(
+      (1L, "H\u00e9llo world"),          // composed e-acute
+      (2L, "He\u0301llo world"),         // decomposed e + combining acute
+      (3L, "H\u00e9llo\u0007 world"),   // composed + a BEL control
+      (4L, "other text")
+    ).toDF("doc_id", "text")
+    val canon = Dedup.exactDedupCanonical(variants).collect()
+    assert(canon.length == 2, "three spellings of one text must share a canonical class")
+    assert(canon.find(_.getAs[Long]("n_dups") == 3).get.getAs[Long]("keep_id") == 1L)
+    // the plain norm_hash treats all three as distinct — the gap this
+    // operator exists to close
+    assert(Dedup.exactDedup(variants).count() == 4)
+    // on the (ASCII) test corpus the two keys agree class-for-class
+    assert(Dedup.exactDedupCanonical(docs).count() == Dedup.exactDedup(docs).count())
+    // coverage law holds
+    assert(Dedup.exactDedupCanonical(docs).agg(sum("n_dups")).collect()(0).getLong(0)
+      == docs.count())
+  }
+
   test("dedupDocuments: keeps one survivor per group, min doc_id wins") {
     val variants = Seq((5L, "Hello  World"), (2L, "hello world"), (9L, "other"))
       .toDF("doc_id", "text")
