@@ -138,13 +138,28 @@ object Dedup {
     val numPerms = 128
     require(bands > 0 && numPerms % bands == 0, "bands must be positive and divide 128")
     val r = numPerms / bands
-    val bandSql =
+    // each exploded row also carries the doc's FULL band-hash vector
+    // (`bkeys`, bands ints): the least-shared-band rule below needs both
+    // sides' vectors to emit a colliding pair exactly once scan-side
+    val arrSql =
       s"""transform(sequence(0, ${bands - 1}),
-         |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
+         |  b -> hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}))""".stripMargin
     signatures
-      .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      .select(col("doc_id"), expr(arrSql).as("bkeys"))
+      .select(col("doc_id"), col("bkeys"),
+        posexplode(col("bkeys")).as(Seq("band", "bhash")))
   }
+
+  /** The smallest band index on which two band-hash vectors agree — a
+    * `bands`-term codegen when-chain (no HOF). A pair that collides in
+    * several bands is emitted only from this band, so candidate
+    * generation needs NO distinct pass: true near-dups collide in MOST
+    * bands (J=0.9 → ~21 of 32), so the distinct this replaces was
+    * re-shuffling ~20× the final candidate volume. */
+  private def leastSharedBand(a: Column, b: Column, bands: Int): Column =
+    (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, acc) =>
+      when(a.getItem(i) === b.getItem(i), lit(i)).otherwise(acc)
+    }
 
   /** Candidate generation off a (possibly materialized) signature table. */
   def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
@@ -153,8 +168,9 @@ object Dedup {
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") ===
+        leastSharedBand(col("a.bkeys"), col("b.bkeys"), bands))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
   }
 
   def minhashCandidates(documents: DataFrame, bands: Int = 32): DataFrame =
@@ -357,10 +373,16 @@ object Dedup {
     val exact = broadcast(bFp).join(cFp, "h").select(col("batch_id"), col("corpus_id"))
     val bBuckets = bandBuckets(minhashSignatures(batch), bands)
       .withColumnRenamed("doc_id", "batch_id")
+      .withColumnRenamed("bkeys", "bkeys_b")
     val cBuckets = bandBuckets(corpusSignatures, bands)
       .withColumnRenamed("doc_id", "corpus_id")
+      .withColumnRenamed("bkeys", "bkeys_c")
+    // least-shared-band emission instead of a distinct: each colliding
+    // (batch, corpus) pair surfaces exactly once, scan-side — the
+    // corpus side stays zero-exchange (StoreSpec)
     val cand = broadcast(bBuckets).join(cBuckets, Seq("band", "bhash"))
-      .select(col("batch_id"), col("corpus_id")).distinct()
+      .filter(col("band") === leastSharedBand(col("bkeys_b"), col("bkeys_c"), bands))
+      .select(col("batch_id"), col("corpus_id"))
     // Jaccard verify shingles ONLY the candidate corpus rows: at 100 TB
     // the shingle table is ~corpus-sized (unlike the 1%-sized signature
     // table), so it is cheaper to re-shingle the few collision rows than

@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Tables}
-import graft.ops.{Dedup, DomainGraph, Search, Similarity}
+import graft.ops.{Dedup, DomainGraph, Search, Similarity, TextAnalysis}
 /** Scale stress: replicate the sf0.1 corpus N× with distinct doc_ids and
   * run the dedup/similarity family. Verifies pair generation stays
   * bounded by real collisions (not corpus²) as rows grow. */
@@ -34,6 +34,14 @@ object Stress {
     }
     if (!embOnly) {
     time("exact_dedup")(Dedup.exactDedup(docs).count())
+    // canonical (NFC) dedup: must track exact_dedup — same one-hash
+    // one-aggregate shape, the normalize kernel adds scan cost only
+    time("canonical_dedup")(Dedup.exactDedupCanonical(docs).count())
+    // iterated BPE: cost is bound by the VOCAB table, and the replica
+    // construction barely grows vocab (replicas repeat the same words
+    // plus one new repN token each) — rounds must stay ≈ flat as the
+    // corpus doubles, proving the word-frequency factoring
+    time("bpe_train")(TextAnalysis.bpeTrain(docs, rounds = 4).count())
     // chunk plan: pure scan-side explode — cost must stay ∝ corpus
     // tokens (fan-out len/stride per doc, no shuffle at any size)
     time("chunk_plan")(graft.ops.Packing.chunkPlan(docs).count())
@@ -101,6 +109,14 @@ object Stress {
     // same arms must go ≈ linear
     val autoK = Similarity.autoNlist(nVec)
     println(s"[stress] embeddings: $nVec vectors, auto nlist: $autoK")
+    // OPQ fit: ONE fixed-point moment pass (2·dim longs to the driver)
+    // + the sampled per-subspace PQ fit — scan-linear, fit decoupled
+    // from corpus size by the hash-sample
+    time("opq_fit") {
+      val perm = Similarity.opqPermutation(embN)
+      Similarity.pqCodebooks(Similarity.opqPermute(embN, perm),
+        sampleDenom = 4).length
+    }
     time("embed_lsh_pairs")(Dedup.embedNearDupLsh(embN, tau = 0.99, nPlanes = 12).count())
     time("embed_canopy_pairs") {
       val cents = Similarity.ivfCentroids(embN, k = autoK, iters = 1, sampleDenom = 4)
