@@ -138,39 +138,34 @@ object Dedup {
     val numPerms = 128
     require(bands > 0 && numPerms % bands == 0, "bands must be positive and divide 128")
     val r = numPerms / bands
-    // each exploded row also carries the doc's FULL band-hash vector
-    // (`bkeys`, bands ints): the least-shared-band rule below needs both
-    // sides' vectors to emit a colliding pair exactly once scan-side
-    val arrSql =
+    val bandSql =
       s"""transform(sequence(0, ${bands - 1}),
-         |  b -> hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}))""".stripMargin
+         |  b -> struct(b AS band, hash(${(0 until r).map(i => s"sig[$r * b + $i]").mkString(", ")}) AS bhash))""".stripMargin
     signatures
-      .select(col("doc_id"), expr(arrSql).as("bkeys"))
-      .select(col("doc_id"), col("bkeys"),
-        posexplode(col("bkeys")).as(Seq("band", "bhash")))
+      .select(col("doc_id"), explode(expr(bandSql)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
   }
 
-  /** The smallest band index on which two band-hash vectors agree — a
-    * `bands`-term codegen when-chain (no HOF). A pair that collides in
-    * several bands is emitted only from this band, so candidate
-    * generation needs NO distinct pass: true near-dups collide in MOST
-    * bands (J=0.9 → ~21 of 32), so the distinct this replaces was
-    * re-shuffling ~20× the final candidate volume. */
-  private def leastSharedBand(a: Column, b: Column, bands: Int): Column =
-    (0 until bands - 1).foldRight(lit(bands - 1): Column) { (i, acc) =>
-      when(a.getItem(i) === b.getItem(i), lit(i)).otherwise(acc)
-    }
-
-  /** Candidate generation off a (possibly materialized) signature table. */
+  /** Candidate generation off a (possibly materialized) signature table.
+    *
+    * The multi-band collision fan-in is collapsed by `.distinct()` — and
+    * that is the RIGHT plan here, measured: the distinct's partial
+    * aggregation dedups the ~20×-collided pair stream MAP-SIDE before
+    * its narrow (16-byte) rows ever shuffle. An r10 experiment replaced
+    * it with least-shared-band emission (each row carrying the 32-int
+    * band vector, the knnJoinCanopy trick): pushing those arrays through
+    * the self-join's build side read 7.5 → 233 s at the 100k stress
+    * point — REVERTED. The trick only pays when the carried block key
+    * is tiny (canopies: 2 ints; simhash: the fingerprint already on the
+    * row); with 32 bands the map-side-combined distinct wins. */
   def minhashCandidatesFromSignatures(signatures: DataFrame, bands: Int = 32): DataFrame = {
     val buckets = bandBuckets(signatures, bands)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.band") ===
-        leastSharedBand(col("a.bkeys"), col("b.bkeys"), bands))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   def minhashCandidates(documents: DataFrame, bands: Int = 32): DataFrame =
@@ -373,16 +368,10 @@ object Dedup {
     val exact = broadcast(bFp).join(cFp, "h").select(col("batch_id"), col("corpus_id"))
     val bBuckets = bandBuckets(minhashSignatures(batch), bands)
       .withColumnRenamed("doc_id", "batch_id")
-      .withColumnRenamed("bkeys", "bkeys_b")
     val cBuckets = bandBuckets(corpusSignatures, bands)
       .withColumnRenamed("doc_id", "corpus_id")
-      .withColumnRenamed("bkeys", "bkeys_c")
-    // least-shared-band emission instead of a distinct: each colliding
-    // (batch, corpus) pair surfaces exactly once, scan-side — the
-    // corpus side stays zero-exchange (StoreSpec)
     val cand = broadcast(bBuckets).join(cBuckets, Seq("band", "bhash"))
-      .filter(col("band") === leastSharedBand(col("bkeys_b"), col("bkeys_c"), bands))
-      .select(col("batch_id"), col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
     // Jaccard verify shingles ONLY the candidate corpus rows: at 100 TB
     // the shingle table is ~corpus-sized (unlike the 1%-sized signature
     // table), so it is cheaper to re-shingle the few collision rows than
