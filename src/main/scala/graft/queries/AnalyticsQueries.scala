@@ -519,10 +519,20 @@ object AnalyticsQueries {
       .agg(sum(col("n")).as("n_events"),
         sum(col("total")).as("total_value"),
         count(lit(1)).as("n_days"))
+      // avg rounded HALF-UP in EXACT integer arithmetic: the previous
+      // ROUND(dbl-quotient, 4) hit decimal TIES at sf0.1 (a total of
+      // 282.59 over 8 events = 35.32375 — Java BigDecimal sees the
+      // binary expansion just below the tie while DuckDB's scaled
+      // multiply lands on it, so 3 of 6644 rows hash-mismatched).
+      // `total` is DECIMAL(·,2), so total×100 is an exact integer of
+      // cents and round(total/n, 4) = (200·cents + n) div (2n) / 10⁴
+      // for the non-negative purchase domain — tie-free on both
+      // engines by construction.
+      .withColumn("__cents", (col("total_value") * 100).cast("long"))
       .select(col("user_id"), col("week"), col("n_events"),
         col("total_value").cast("double").as("total_value"), col("n_days"),
-        (round(col("total_value").cast("double") / col("n_events"), 4) + lit(0.0))
-          .as("avg_value"))
+        (expr("CAST((200 * __cents + n_events) DIV (2 * n_events) AS DOUBLE)")
+          / lit(10000.0) + lit(0.0)).as("avg_value"))
 
   /** Grouped ROBUST statistics — median / MAD / outlier count per
     * market segment (the outlier-resistant complement of the moment
@@ -964,7 +974,8 @@ object AnalyticsQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(total) AS DOUBLE) AS total_value,
         |  CAST(COUNT(*) AS BIGINT) AS n_days,
-        |  ROUND(CAST(SUM(total) AS DOUBLE) / SUM(n), 4) + 0.0 AS avg_value
+        |  CAST((200 * CAST(SUM(total) * 100 AS BIGINT) + SUM(n))
+        |       // (2 * SUM(n)) AS DOUBLE) / 10000.0 + 0.0 AS avg_value
         |FROM daily GROUP BY 1, 2""".stripMargin,
     // Mirror of skewReport: integer count numerators, one double
     // division each, the same (n desc, user_id asc) top-k total order.
