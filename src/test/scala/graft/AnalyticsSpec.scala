@@ -214,10 +214,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(merged.keySet == direct.keySet)
     merged.foreach { case (k, (n, total, avg)) =>
       assert(direct(k) == ((n, total)), s"partial-merge drift at $k")
-      val r4 = java.math.BigDecimal.valueOf(total / n)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-      assert(avg == r4)
+      // EXACT decimal reference: cents / (100·n) at scale 4 HALF_UP —
+      // a double-quotient reference would itself sit on the wrong side
+      // of a …5 tie (the r10 q_agg_merge cross-engine bug)
+      val cents = java.math.BigDecimal.valueOf(math.round(total * 100))
+      val r4 = cents
+        .divide(java.math.BigDecimal.valueOf(100L * n), 4, java.math.RoundingMode.HALF_UP)
+        .doubleValue() + 0.0
+      assert(avg == r4, s"avg at $k: got $avg expected $r4")
     }
+    // planted TIE: 282.59 over 8 purchases = 35.32375 exactly — must
+    // round HALF-UP to 35.3238 (the double-rounding path said .3237)
+    val tie = Seq(
+      (7L, java.sql.Date.valueOf("2024-01-03"), 5L, BigDecimal("200.00")),
+      (7L, java.sql.Date.valueOf("2024-01-04"), 3L, BigDecimal("82.59")))
+      .toDF("user_id", "day", "n", "total")
+    val tieOut = AnalyticsQueries.weeklyFromDaily(tie).collect()
+    assert(tieOut.length == 1)
+    assert(tieOut(0).getAs[Double]("avg_value") == 35.3238,
+      s"decimal tie must round half-up, got ${tieOut(0).getAs[Double]("avg_value")}")
   }
 
   test("skewReport: JVM differential — top-5 hottest keys, exact shares and hotness") {
