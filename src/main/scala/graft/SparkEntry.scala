@@ -8,9 +8,14 @@ import graft.queries.{AnalyticsQueries, VehicleQueries}
 /** A tolerance spec for a sketch-valued key: `exactSql` recomputes the
   * same report with exact aggregates in DuckDB; the checker matches
   * rows on `keyCols`, demands exact equality outside `approxCols`, and
-  * |approx − exact| ≤ tol·exact inside them. */
+  * |approx − exact| ≤ tol·exact inside them. `exactKey` names the
+  * EXACT-mode sibling in [[SparkEntry.queries]] so Verify can also run
+  * the bound entirely in-engine and emit a positive pass/fail artifact
+  * (`spec_bounds_result.json`) with the round's dump — machine-checked
+  * even by a downstream checker that does not speak the spec protocol. */
 final case class SpecBound(exactSql: String, tol: Double,
-                           approxCols: Seq[String], keyCols: Seq[String])
+                           approxCols: Seq[String], keyCols: Seq[String],
+                           exactKey: String)
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -46,12 +51,14 @@ object SparkEntry {
       exactSql = graft.ops.Profiler.oracles("q_profile"),
       tol = 0.02,
       approxCols = Seq("n_distinct"),
-      keyCols = Seq("column_name")),
+      keyCols = Seq("column_name"),
+      exactKey = "q_profile"),
     "q_distinct_agg_approx" -> SpecBound(
       exactSql = AnalyticsQueries.oracles("q_distinct_agg"),
       tol = 0.02,
       approxCols = Seq("nd_parts", "nd_supps", "nd_orders"),
-      keyCols = Seq("l_returnflag")))
+      keyCols = Seq("l_returnflag"),
+      exactKey = "q_distinct_agg"))
 
   /** DuckDB-equivalent SQL per query key (column names aligned). */
   def oracleSql: Map[String, String] =

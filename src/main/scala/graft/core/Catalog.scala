@@ -227,7 +227,20 @@ object Catalog {
     * is itself memoized per (session, dir): ONE metadata-cheap count()
     * per corpus, then every fit-family consumer shares the same fitted
     * index. An explicit positive `nlist` still pins the size (tests,
-    * recall/latency tuning). */
+    * recall/latency tuning).
+    *
+    * Two regimes, switched on [[graft.ops.Similarity.TwoLevelMinNlist]]:
+    * up to nlist = 256 (n ≤ 65 536 — every oracle-gated corpus) the fit
+    * is the EXACT flat Lloyd the DuckDB mirrors replay byte-for-byte;
+    * past it the fit would go quadratic (nlist ∝ n, full-corpus
+    * assignment per iteration), so the index switches to the scale
+    * regime — hash-sampled hierarchical fit ([[graft.ops.Similarity
+    * .autoSampleDenom]] + [[graft.ops.Similarity.ivfCentroidsHier]],
+    * O(fitN·√nlist·dim)) and two-level routing ([[graft.ops.Similarity
+    * .twoLevelAssign]], O(n·√nlist·dim)). The returned centroid matrix
+    * is the hierarchical fit's in-order flattening, so every serving
+    * consumer (probe selection, canopies, recall cards) reads the same
+    * flat (cluster id → centroid) layout in both regimes. */
   def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 0): (Seq[Seq[Double]], DataFrame) = {
     evictStopped()
     val k =
@@ -237,12 +250,21 @@ object Catalog {
     ivfCache.getOrElseUpdate((spark, dir, k), {
       import org.apache.spark.sql.functions.{col, typedlit}
       val emb = Tables(spark, dir).embeddings
-      val cents = graft.ops.Similarity.ivfCentroids(emb, k)
-      val assigned = emb
-        .withColumn("cluster",
-          graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      (cents, assigned)
+      if (k <= graft.ops.Similarity.TwoLevelMinNlist) {
+        val cents = graft.ops.Similarity.ivfCentroids(emb, k)
+        val assigned = emb
+          .withColumn("cluster",
+            graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (cents, assigned)
+      } else {
+        val denom = graft.ops.Similarity.autoSampleDenom(emb.count(), k)
+        val (supers, grouped) = graft.ops.Similarity.ivfCentroidsHier(emb, k, 2, denom)
+        val assigned = emb
+          .withColumn("cluster", graft.ops.Similarity.twoLevelAssign(supers, grouped))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (grouped.flatten, assigned)
+      }
     })
   }
 }

@@ -133,13 +133,139 @@ object Similarity {
     * The floor of 16 covers the test corpora (≤ 2000 vectors at
     * sf ≤ 0.1 → 16), so Catalog fits and every unrolled-Lloyd oracle are
     * bit-unchanged at gate scale; the rule only bites when the corpus
-    * outgrows 16 × targetBucket. Trade to know at extreme scale: Lloyd
-    * ASSIGNMENT is O(n·nlist·dim), so with nlist ∝ n the fit goes
-    * quadratic around n ≈ 10⁷ — the standard remediation is a two-level
-    * coarse quantizer (assign to √nlist super-clusters first), which
-    * changes the fit, not the serving layout this rule sizes. */
+    * outgrows 16 × targetBucket. With nlist ∝ n, a flat Lloyd fit and a
+    * flat nearest-of-nlist assignment are both O(n·nlist·dim) =
+    * quadratic around n ≈ 10⁷ — remediated past [[TwoLevelMinNlist]] by
+    * [[autoSampleDenom]] (bounds the FIT set) + [[ivfCentroidsHier]] /
+    * [[twoLevelAssign]] (√nlist-routed fit and assignment), which
+    * `Catalog.ivfIndex` switches to automatically. */
   def autoNlist(n: Long, targetBucket: Long = 256L): Int =
     math.max(16L, (n + targetBucket - 1) / targetBucket).toInt
+
+  /** nlist above which `Catalog.ivfIndex` leaves the exact flat regime
+    * (full-corpus Lloyd, flat nearest-of-nlist assignment — the form the
+    * DuckDB oracles replay, `ivfFitCte`) for the SCALE regime
+    * (hash-sampled hierarchical fit + two-level routing). With
+    * autoNlist's 256-wide buckets this is n > 65 536 vectors — far above
+    * every oracle-gated corpus (sf0.1 ≈ 2 000), so the switch can never
+    * silently flip a CORRECTNESS key; past it the unrolled SQL replay is
+    * impractical anyway and verification hands off to the planted-replica
+    * specs + the Stress fit ladder. */
+  val TwoLevelMinNlist: Int = 256
+
+  /** Deterministic fit-sample sizing, the companion of [[autoNlist]]:
+    * fit the coarse quantizer on the 1/denom xxhash64 sample of vec_ids
+    * with an EXPECTED fit set of max(65 536, perCentroid·nlist) — at
+    * least `perCentroid` (default 64) training points per centroid, so
+    * the sample stays statistically sound while the fit cost drops from
+    * O(n·nlist·dim) to O(n·√nlist·dim) under the hierarchical fit
+    * (denom saturates near perCentroid/targetBucket·... ≈ 4 once
+    * perCentroid·nlist dominates the floor). Returns 1 (no sampling —
+    * byte-identical fit, oracle-replayable) whenever the corpus is
+    * within the floor, which covers every gate corpus. */
+  def autoSampleDenom(n: Long, nlist: Int, perCentroid: Long = 64L): Int = {
+    val target = math.max(1L << 16, perCentroid * nlist)
+    math.max(1L, n / target).toInt
+  }
+
+  /** Hierarchical (two-level) IVF coarse fit — the 100-TB form of
+    * [[ivfCentroids]]: k1 = ⌈√nlist⌉ SUPER-centroids are fitted first
+    * (plain deterministic Lloyd on the fit sample), the sample is routed
+    * to its nearest super once, and then ALL super-groups' sub-centroids
+    * (k2 = ⌈nlist/k1⌉ each) are fitted in FUSED Lloyd iterations — one
+    * distributed job per iteration where each point only evaluates its
+    * own group's k2 candidates (the `pqCodebooks` trick keyed by group).
+    * Per-iteration cost is O(fitN·(k1+k2)·dim) = O(fitN·√nlist·dim),
+    * never O(fitN·nlist·dim); with [[autoSampleDenom]] bounding fitN the
+    * whole fit is subquadratic in the corpus even with nlist ∝ n.
+    *
+    * Returns (supers, grouped): the k1×dim super matrix and the ragged
+    * per-group sub-centroid lists whose in-order flattening
+    * (`grouped.flatten`) is the flat centroid matrix serving code
+    * consumes — global cluster id = group offset + local index, exactly
+    * what [[twoLevelAssign]] emits. Determinism matches [[ivfCentroids]]:
+    * vec_id-ordered inits, fixed-point `graft_vecsum` means, empty
+    * clusters keep their previous centroid; only model-sized rows reach
+    * the driver (k1·k2 init embeddings + per-iteration (group, local,
+    * sum, count) rows — the codebook, not data). A super-group that
+    * captures no fit point keeps its super centroid as a lone
+    * sub-centroid so routing stays total. */
+  def ivfCentroidsHier(embeddings: DataFrame, nlist: Int, iters: Int = 2,
+                       sampleDenom: Int = 1): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(nlist >= 1, s"need nlist >= 1, got $nlist")
+    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val k2 = math.ceil(nlist.toDouble / k1).toInt
+    // the training sample is scanned 2·iters+2 times (super fit, init,
+    // sub iterations) — persist it once instead of re-reading the corpus
+    // per pass; it is bounded by autoSampleDenom (≈ max(65 536,
+    // 64·nlist) rows), the standard cache-the-training-set shape
+    val fitSet =
+      (if (sampleDenom <= 1) embeddings
+       else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleDenom)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      ivfCentroidsHierOn(fitSet, k1, k2, iters)
+    } finally fitSet.unpersist(blocking = false)
+  }
+
+  private def ivfCentroidsHierOn(fitSet: DataFrame, k1: Int, k2: Int,
+                                 iters: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    import org.apache.spark.sql.expressions.Window
+    val supers = ivfCentroids(fitSet, k1, iters)
+    val routed = fitSet.withColumn("sup",
+      GraftFunctions.nearestCentroid(col("embedding"), typedlit(supers)))
+    // init: per group, the k2 smallest vec_ids routed to it (k1·k2 rows
+    // to the driver — the codebook init, same budget class as the flat
+    // fit's k-row init)
+    val w = Window.partitionBy(col("sup")).orderBy(col("vec_id"))
+    val initRows = routed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k2)
+      .select(col("sup"), col("rn"), col("embedding")).collect()
+    var grouped: Seq[Seq[Seq[Double]]] = (0 until k1).map { g =>
+      val own = initRows.filter(_.getInt(0) == g).sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).map(_.toDouble).toSeq).toSeq
+      if (own.nonEmpty) own else Seq(supers(g)) // empty group: route to the super itself
+    }
+    val scale = graft.functions.VectorSumFixed.Scale.toDouble
+    for (_ <- 1 to iters) {
+      val sums = routed
+        .withColumn("loc", GraftFunctions.nearestCentroid(col("embedding"),
+          element_at(typedlit(grouped), col("sup") + 1)))
+        .groupBy(col("sup"), col("loc"))
+        .agg(GraftFunctions.vecSum(col("embedding")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      grouped = grouped.indices.map { g =>
+        grouped(g).indices.map { c =>
+          byKey.get((g, c)) match {
+            case Some(row) =>
+              val n = row.getLong(3).toDouble
+              row.getSeq[Long](2).map(s => s.toDouble / scale / n).toSeq
+            case None => grouped(g)(c) // empty sub-cluster keeps its previous centroid
+          }
+        }
+      }
+    }
+    (supers, grouped)
+  }
+
+  /** Two-level cluster-assignment column over a hierarchical fit:
+    * nearest super (k1 candidates) → nearest sub-centroid within that
+    * group (≤ k2 candidates) → GLOBAL cluster id (group offset + local
+    * index, matching `grouped.flatten`'s flat layout). O(√nlist·dim)
+    * per row instead of the flat rule's O(nlist·dim) — the assignment
+    * side of the two-level remediation; routing is approximate at group
+    * boundaries exactly as in every two-level IVF (recall is measured,
+    * not assumed: s_recall_report's convention). All three stages are
+    * codegen kernels on a literal model — scan-side, no shuffle. */
+  def twoLevelAssign(supers: Seq[Seq[Double]], grouped: Seq[Seq[Seq[Double]]],
+                     vec: Column = col("embedding")): Column = {
+    val offsets = grouped.scanLeft(0)(_ + _.length).init
+    val sup = GraftFunctions.nearestCentroid(vec, typedlit(supers))
+    val loc = GraftFunctions.nearestCentroid(vec, element_at(typedlit(grouped), sup + 1))
+    element_at(typedlit(offsets), sup + 1) + loc
+  }
 
   /** IVF coarse quantizer: k-means with deterministic init (embeddings
     * of the k smallest vec_ids) and fixed-point-exact centroid means, so
@@ -1206,12 +1332,21 @@ object Similarity {
 
   /** CTE chain `embeddings → c2` (fitted centroids), `af` (final
     * cluster-assigned corpus — `Catalog.ivfIndex`'s second half) and
-    * `can` (the nAssign=2 canopy assignment). */
+    * `can` (the nAssign=2 canopy assignment). The init LIMIT replays
+    * [[autoNlist]] as SQL (GREATEST(16, CEIL(n/256)) — a scalar-subquery
+    * LIMIT, DuckDB-legal), so the mirror tracks the Spark fit for ANY
+    * corpus in the exact regime, not only ≤ 16×256 rows; the replay
+    * contract ends at n = 65 536 ([[TwoLevelMinNlist]]), where
+    * `Catalog.ivfIndex` switches to the sampled hierarchical fit the
+    * unrolled SQL cannot (and at that row count practically could not)
+    * follow — past it, fit verification is the planted-replica specs +
+    * the Stress ladder. */
   private[ops] def ivfFitCte: String =
     s"""eiv AS (SELECT vec_id, label, embedding FROM embeddings),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
-       |  FROM (SELECT vec_id, embedding FROM eiv ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, embedding FROM eiv ORDER BY vec_id
+       |        LIMIT GREATEST(16, CAST(CEIL(CAST((SELECT COUNT(*) FROM eiv) AS DOUBLE) / 256) AS BIGINT)))),
        |${lloydIterSql(1, "c0")},
        |${lloydIterSql(2, "c1")},
        |af AS (SELECT e.vec_id, e.label, e.embedding, a.cluster FROM eiv e

@@ -860,7 +860,9 @@ object TextAnalysis {
     * r+1's counts depend on round r's argmax) — `rounds` bounds it.
     *
     * Determinism: pair counts are exact integers; the argmax tie-break
-    * is (n desc, "a+b" string asc) on both engines; the merge kernel
+    * is (n desc, a asc, b asc) on both engines — a TOTAL order over
+    * pairs (a "a+b" string key is not one once merged symbols contain
+    * '+' themselves: ("x","+y") and ("x+","y") collide); the merge kernel
     * is greedy-leftmost-non-overlapping, mirrored in the oracle by
     * candidate islands with alternate-position keeps. Output: one row
     * per round — (round, pair, n) with n the pre-merge count. */
@@ -890,7 +892,7 @@ object TextAnalysis {
         .select(col("f"), explode(zipped).as("pr"))
         .select(col("f"), col("pr").getField("0").as("a"), col("pr").getField("1").as("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, concat(col("a"), lit("+"), col("b")).asc)
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
@@ -1159,7 +1161,7 @@ object TextAnalysis {
 
   /** One unrolled BPE training round (the d_domain_rank technique): the
     * round's pair counts off the previous segmentation (word-frequency-
-    * weighted, lead-window adjacency), the (n desc, "a+b" asc) argmax,
+    * weighted, lead-window adjacency), the (n desc, a asc, b asc) argmax,
     * and the merge applied via candidate ISLANDS — consecutive candidate
     * runs (which only arise when a = b) keep alternate positions from
     * the run start, exactly the kernel's greedy-leftmost scan. */
@@ -1172,7 +1174,7 @@ object TextAnalysis {
        |    FROM e$r) x
        |  WHERE b IS NOT NULL GROUP BY 1, 2),
        |bs$r AS MATERIALIZED (SELECT a, b, n FROM pc$r
-       |  ORDER BY n DESC, a || '+' || b ASC LIMIT 1),
+       |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
        |cd$r AS (SELECT e.word, e.p FROM e$r e
        |  JOIN e$r e2 ON e2.word = e.word AND e2.p = e.p + 1
        |  CROSS JOIN bs$r bb WHERE e.sym = bb.a AND e2.sym = bb.b),

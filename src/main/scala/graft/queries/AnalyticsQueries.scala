@@ -525,13 +525,19 @@ object AnalyticsQueries {
       // binary expansion just below the tie while DuckDB's scaled
       // multiply lands on it, so 3 of 6644 rows hash-mismatched).
       // `total` is DECIMAL(·,2), so total×100 is an exact integer of
-      // cents and round(total/n, 4) = (200·cents + n) div (2n) / 10⁴
-      // for the non-negative purchase domain — tie-free on both
-      // engines by construction.
+      // cents and round-half-away(total/n, 4) =
+      // sign(cents)·((200·|cents| + n) div (2n)) / 10⁴ — tie-free on
+      // both engines by construction. SIGN-STABLE: the division runs on
+      // the absolute value only, so it never depends on an engine's
+      // negative-operand convention (both Spark DIV and DuckDB //
+      // truncate toward zero, measured, but nothing here relies on it)
+      // — a refund/credit row with a negative weekly total rounds half
+      // AWAY FROM ZERO identically on both engines.
       .withColumn("__cents", (col("total_value") * 100).cast("long"))
       .select(col("user_id"), col("week"), col("n_events"),
         col("total_value").cast("double").as("total_value"), col("n_days"),
-        (expr("CAST((200 * __cents + n_events) DIV (2 * n_events) AS DOUBLE)")
+        (expr("CAST(CAST(SIGN(__cents) AS BIGINT) * " +
+            "((200 * ABS(__cents) + n_events) DIV (2 * n_events)) AS DOUBLE)")
           / lit(10000.0) + lit(0.0)).as("avg_value"))
 
   /** Grouped ROBUST statistics — median / MAD / outlier count per
@@ -974,8 +980,9 @@ object AnalyticsQueries {
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(total) AS DOUBLE) AS total_value,
         |  CAST(COUNT(*) AS BIGINT) AS n_days,
-        |  CAST((200 * CAST(SUM(total) * 100 AS BIGINT) + SUM(n))
-        |       // (2 * SUM(n)) AS DOUBLE) / 10000.0 + 0.0 AS avg_value
+        |  CAST(CAST(SIGN(CAST(SUM(total) * 100 AS BIGINT)) AS BIGINT) *
+        |       ((200 * ABS(CAST(SUM(total) * 100 AS BIGINT)) + SUM(n))
+        |        // (2 * SUM(n))) AS DOUBLE) / 10000.0 + 0.0 AS avg_value
         |FROM daily GROUP BY 1, 2""".stripMargin,
     // Mirror of skewReport: integer count numerators, one double
     // division each, the same (n desc, user_id asc) top-k total order.

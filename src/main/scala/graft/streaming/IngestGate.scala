@@ -54,9 +54,25 @@ import graft.ops.Dedup
   * are rejected with kind `sampled_out`. Membership is a pure function
   * of (source, doc_id), so the arm is corpus-independent, identical
   * under replay, and the streamed admitted set equals the batch
-  * operator's sample exactly (StreamingSpec proves it). With all four
+  * operator's sample exactly (StreamingSpec proves it).
+  *
+  * Optional fifth arm ([[SemanticVet]]): EMBEDDING-space vetting — the
+  * streaming form of `Dedup.crossSemanticDedup` over the durable
+  * semantic-survivor table (`Store.saveSemanticSurvivors` layout:
+  * (vec_id, label, embedding, cluster) bucketed by the coarse cluster).
+  * Each batch doc's vector (vec_id = doc_id) probes its nAssign nearest
+  * coarse clusters scan-side and compares ONLY against survivors in
+  * those lists — work ∝ batch × bucket, never ∝ survivors; a semantic
+  * duplicate of an existing survivor is rejected with kind `semantic`
+  * and the minimum matching survivor as corpus_id. Admitted docs'
+  * vectors are appended to the survivor table (single-nearest cluster,
+  * the stored layout) so batch N+1 is vetted against batch N's
+  * admissions — the same sequencing contract as the signature arm, in
+  * embedding space. Replay-idempotent by the same two guards (vet
+  * against survivors-sans-batch; presence-probed append). With all five
   * arms on, the gate is the complete corpus-preparation admission
-  * point: dedup + decontamination + quality + mixture, one WAL.
+  * point: exact/near dedup + semantic dedup + decontamination +
+  * quality + mixture, one WAL.
   */
 object IngestGate {
 
@@ -93,13 +109,34 @@ object IngestGate {
   final case class EvalVet(evalDocs: DataFrame, bloom: Option[Array[Byte]],
                            evalSource: String = "src19", minHits: Int = 2)
 
+  /** Optional semantic arm of the gate: `embeddings` is the vector
+    * lookup for arriving docs (vec_id = doc_id — at 100 TB this is the
+    * embedding column/table the inference stage maintains next to the
+    * text), `survivorTable` the durable semantic-survivor set in the
+    * `Store.saveSemanticSurvivors` layout, `centroids` the SHARED coarse
+    * quantizer every semantic operator uses (Catalog-cached fit). */
+  final case class SemanticVet(embeddings: DataFrame, survivorTable: String,
+                               centroids: Seq[Seq[Double]], tau: Double = 0.3,
+                               nAssign: Int = 2)
+
+  /** Seed the durable semantic-survivor table (plain bucketed-by-cluster
+    * table — the gate appends to it per batch, unlike the versioned
+    * `Store.publish` views). Run once with the corpus's current survivor
+    * set; an unseeded gate admits every first-batch vector (an empty
+    * survivor set rejects nothing — correct, like [[seedCorpus]]). */
+  def seedSemantic(survivors: DataFrame, survivorTable: String,
+                   buckets: Int = 8): Unit =
+    survivors.write.mode("overwrite")
+      .bucketBy(buckets, "cluster").sortBy("vec_id").saveAsTable(survivorTable)
+
   /** One micro-batch through the gate — also directly callable as the
     * batch-mode unit (StreamingSpec proves stream == batch with it). */
   def admitBatch(batch: DataFrame, corpusTable: String, fpTable: String,
                  sigTable: String, decisionsTable: String, buckets: Int = 8,
                  tau: Double = 0.8, eval: Option[EvalVet] = None,
                  vetQuality: Boolean = false,
-                 sampleRates: Option[(Map[String, Double], Double)] = None): Unit = {
+                 sampleRates: Option[(Map[String, Double], Double)] = None,
+                 semantic: Option[SemanticVet] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -162,12 +199,32 @@ object IngestGate {
             lit(null).cast("long").as("corpus_id"),
             lit("sampled_out").as("kind")))
     }
+    // Semantic arm: the batch docs' vectors vetted against the durable
+    // survivor table MINUS this batch's own ids (the same crash-replay
+    // reconstruction as the signature arm — a replayed batch's own
+    // appended survivors must not reject it). Blocking is the nAssign-
+    // nearest-cluster probe against the stored bucketed-by-cluster
+    // layout; work ∝ batch × bucket, never ∝ survivors.
+    val semRejects = semantic match {
+      case None => Seq.empty[DataFrame]
+      case Some(sem) if !spark.catalog.tableExists(sem.survivorTable) =>
+        Seq.empty[DataFrame] // unseeded: empty survivor set rejects nothing
+      case Some(sem) =>
+        val vecIds = batchIds.select(col("doc_id").as("vec_id"))
+        val batchEmb = sem.embeddings.join(broadcast(vecIds), Seq("vec_id"), "left_semi")
+        val survSans = spark.table(sem.survivorTable)
+          .join(broadcast(vecIds), Seq("vec_id"), "left_anti")
+        Seq(Dedup.crossSemanticDedup(survSans, batchEmb, sem.centroids,
+            sem.tau, sem.nAssign)
+          .select(col("vec_id").as("batch_id"), col("dup_of").as("corpus_id"),
+            lit("semantic").as("kind")))
+    }
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    (contam ++ quality ++ sampling).foldLeft(decisions)(_ unionByName _)
+    (contam ++ quality ++ sampling ++ semRejects).foldLeft(decisions)(_ unionByName _)
       .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
@@ -193,6 +250,30 @@ object IngestGate {
     // incremental: derives rows only for the just-admitted doc_ids
     Store.refreshDocFingerprints(spark, spark.table(corpusTable), buckets, fpTable)
     Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
+    // Semantic arm state growth: the ADMITTED docs' vectors become
+    // survivors for later batches (single-nearest cluster — the stored
+    // serving layout), with the same presence-probe replay guard as the
+    // corpus append. Rejected docs never enter the survivor set.
+    semantic.foreach { sem =>
+      import org.apache.spark.sql.functions.typedlit
+      val admittedVecIds = admitted.select(col("doc_id").as("vec_id"))
+      val newSurv = sem.embeddings
+        .join(broadcast(admittedVecIds), Seq("vec_id"), "left_semi")
+        .withColumn("cluster", graft.functions.GraftFunctions.nearestCentroid(
+          col("embedding"), typedlit(sem.centroids)))
+      val haveSurv = spark.catalog.tableExists(sem.survivorTable)
+      val guarded =
+        if (!haveSurv) newSurv
+        else {
+          val present = spark.table(sem.survivorTable)
+            .join(broadcast(batchIds.select(col("doc_id").as("vec_id"))),
+              Seq("vec_id"), "left_semi")
+            .select(col("vec_id")).localCheckpoint()
+          newSurv.join(broadcast(present), Seq("vec_id"), "left_anti")
+        }
+      guarded.write.mode(if (haveSurv) "append" else "overwrite")
+        .bucketBy(buckets, "cluster").sortBy("vec_id").saveAsTable(sem.survivorTable)
+    }
   }
 
   /** Start the continuous gate over a document stream; pass `eval` to
@@ -201,12 +282,13 @@ object IngestGate {
             sigTable: String, decisionsTable: String, checkpointDir: String,
             buckets: Int = 8, tau: Double = 0.8,
             eval: Option[EvalVet] = None, vetQuality: Boolean = false,
-            sampleRates: Option[(Map[String, Double], Double)] = None): StreamingQuery =
+            sampleRates: Option[(Map[String, Double], Double)] = None,
+            semantic: Option[SemanticVet] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
-          buckets, tau, eval, vetQuality, sampleRates)
+          buckets, tau, eval, vetQuality, sampleRates, semantic)
       }
       .start()
 }

@@ -109,6 +109,26 @@ object Stress {
     // same arms must go ≈ linear
     val autoK = Similarity.autoNlist(nVec)
     println(s"[stress] embeddings: $nVec vectors, auto nlist: $autoK")
+    // r11 fit ladder: the two-level remediation of the quadratic flat
+    // fit. Per-iteration hier cost is O(fitN·√nlist·dim) with fitN
+    // bounded by autoSampleDenom, so fit time must grow ≈ LINEARLY in
+    // vectors even though nlist ∝ n; the two-level assignment of the
+    // FULL corpus is O(n·√nlist·dim) — also ≈ linear. "flatfit" adds
+    // the unbounded O(n·nlist·dim) flat fit for the quadratic contrast
+    // (expensive by construction — that is the point).
+    var hier: (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = null
+    time("ivf_fit_hier") {
+      val denom = Similarity.autoSampleDenom(nVec, autoK)
+      hier = Similarity.ivfCentroidsHier(embN, autoK, iters = 2, sampleDenom = denom)
+      s"nlist=$autoK denom=$denom lists=${hier._2.map(_.length).sum}"
+    }
+    time("ivf_assign_two_level")(
+      embN.select(Similarity.twoLevelAssign(hier._1, hier._2).as("c"))
+        .groupBy("c").count().count())
+    if (args.drop(1).contains("flatfit"))
+      time("ivf_fit_flat_UNBOUNDED")(
+        Similarity.ivfCentroids(embN, k = autoK, iters = 2,
+          sampleDenom = Similarity.autoSampleDenom(nVec, autoK)).length)
     // OPQ fit: ONE fixed-point moment pass (2·dim longs to the driver)
     // + the sampled per-subspace PQ fit — scan-linear, fit decoupled
     // from corpus size by the hash-sample

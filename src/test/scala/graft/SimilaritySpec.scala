@@ -939,4 +939,87 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(minSil - BigDecimal(xs.map(_._2).min).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+
+  test("autoSampleDenom: 1 inside the exact regime, bounds the fit set past it") {
+    // every oracle-gated corpus: no sampling, byte-identical fit
+    assert(Similarity.autoSampleDenom(1000L, 16) == 1)
+    assert(Similarity.autoSampleDenom(65536L, 256) == 1)
+    // past the floor: denom grows so E[fit set] ≈ max(65536, 64·nlist)
+    assert(Similarity.autoSampleDenom(1L << 17, 512) == 2)
+    assert(Similarity.autoSampleDenom(1L << 20, 4096) == 4)
+    // with nlist ∝ n/256 and perCentroid=64, denom saturates at 4 —
+    // fitN ≈ n/4 but each hier iteration is O(fitN·√nlist·dim)
+    assert(Similarity.autoSampleDenom(1L << 24, 1 << 16) == 4)
+  }
+
+  test("ivfCentroidsHier + twoLevelAssign: planted separated clusters route exactly; layout matches the flat flattening; partition-invariant") {
+    val dim = 16
+    val nPlanted = 9 // k1 = 3 supers × k2 = 3 subs
+    // HIERARCHICAL planted geometry — the data shape a two-level
+    // quantizer models: 3 regions 1000 apart on dim 0, each holding 3
+    // sub-clusters 10 apart on dim 1. Members of a cluster are IDENTICAL
+    // (routing exactness, not noise robustness, is under test — the
+    // replica test covers non-degenerate data), and ids interleave the
+    // clusters region-first so every vec_id-ordered init draws one point
+    // per region / per sub-cluster (init quality is not under test).
+    val rows = for {
+      c <- 0 until nPlanted // region g = c % 3, sub-cluster j = c / 3
+      i <- 0 until 12
+    } yield {
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 1000.0f * (c % 3 + 1)
+      v(1) = 10.0f * (c / 3 + 1)
+      ((i * nPlanted + c).toLong, c, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val (supers, grouped) = Similarity.ivfCentroidsHier(emb, nlist = nPlanted)
+    assert(supers.length == 3 && grouped.length == 3)
+    val flat = grouped.flatten
+    assert(flat.length == nPlanted)
+    // two-level routing == flat nearest-of-all for well-separated data,
+    // and the global ids follow the flatten layout
+    val both = emb
+      .withColumn("two", Similarity.twoLevelAssign(supers, grouped))
+      .withColumn("flatc", GraftFunctions.nearestCentroid($"embedding", typedlit(flat)))
+      .select($"label", $"two", $"flatc").collect()
+    assert(both.forall(r => r.getInt(1) == r.getInt(2)),
+      "two-level routing must equal flat nearest on separated clusters")
+    // each planted cluster lands whole in exactly one list (identical
+    // vectors can never split) and every cluster gets its own list
+    val byLabel = both.groupBy(_.getInt(0)).view.mapValues(_.map(_.getInt(1)).distinct).toMap
+    assert(byLabel.values.forall(_.length == 1))
+    assert(byLabel.values.map(_.head).toSet.size == nPlanted)
+    // the fit is a pure function of the data, not its partitioning
+    val (s7, g7) = Similarity.ivfCentroidsHier(emb.repartition(7), nlist = nPlanted)
+    val (s3, g3) = Similarity.ivfCentroidsHier(emb.repartition(3), nlist = nPlanted)
+    assert(s7 == s3 && g7 == g3, "hier fit must be partition-invariant")
+  }
+
+  test("ivfCentroidsHier: SAMPLED fit still serves planted replicas at recall 1.0 through the standard IVF serve") {
+    val dim = 16
+    val nBases = 40
+    val rows = for {
+      b <- 0 until nBases
+      r <- 0 until 3 // 3 identical replicas per base
+    } yield {
+      val v = Array.tabulate(dim)(j => (((b * 131 + j * 17) % 97) / 97.0f) - 0.5f)
+      ((b * 3 + r).toLong, b % 7, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    // fit on HALF the corpus (hash sample), serve the WHOLE corpus
+    val (supers, grouped) = Similarity.ivfCentroidsHier(emb, nlist = 9, sampleDenom = 2)
+    val flat = grouped.flatten
+    val assigned = emb.withColumn("cluster", Similarity.twoLevelAssign(supers, grouped))
+    // identical replicas always share a cluster, so the query's own-list
+    // probe must surface both siblings at cosine 1.0 — the planted
+    // replica recall the sampled fit has to preserve
+    for (qBase <- Seq(0L, 11L, 39L)) {
+      val q = qBase * 3 // replica 0 of the base
+      val got = Similarity.annIvfFromIndex(flat, assigned, queryVecId = q, k = 2)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      assert(got.map(_._1).toSet == Set(q + 1, q + 2),
+        s"replicas of base $qBase must be the top-2, got ${got.mkString(",")}")
+      assert(got.forall(_._2 == 1.0))
+    }
+  }
 }

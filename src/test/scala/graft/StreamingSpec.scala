@@ -590,6 +590,85 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with semantic arm: vector dups of survivors rejected; admitted vectors become survivors; arm ≡ batch operator; replay idempotent") {
+    import graft.streaming.IngestGate
+    import graft.ops.{Dedup, Similarity}
+    val tables = Seq("t_gate7_corpus", "t_gate7_fps", "t_gate7_sigs",
+      "t_gate7_log", "t_gate7_surv")
+    dropGateTables(tables: _*)
+    val dim = 8
+    def oneHot(i: Int, scale: Float = 1.0f): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    // corpus: 6 docs, mutually ORTHOGONAL vectors (cos 0 — no intra-corpus
+    // dups at any τ), long distinct texts so no text arm interferes
+    def doc(id: Long, tag: String) =
+      (id, s"wholly distinct narrative $tag" +
+        (0 until 12).map(k => s" token${tag}x$k").mkString, "en",
+        if (id < 100) "srcC" else "src0", 80L)
+    val corpusDocs = (0 until 6).map(i => doc(i.toLong, s"corpus$i"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpusEmb = (0 until 6).map(i => (i.toLong, i % 3, oneHot(i)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.ivfCentroids(corpusEmb, k = 2, iters = 2)
+    IngestGate.seedCorpus(spark, corpusDocs, "t_gate7_corpus", "t_gate7_fps",
+      "t_gate7_sigs", buckets = 2)
+    IngestGate.seedSemantic(corpusEmb.withColumn("cluster",
+      graft.functions.GraftFunctions.nearestCentroid($"embedding", typedlit(cents))),
+      "t_gate7_surv", buckets = 2)
+    // batch 1: 100/101 are EXACT vector copies of survivors 0/1 (cos 1.0);
+    // 102/103 are new orthogonal directions
+    val b1Docs = Seq(100L, 101L, 102L, 103L).map(id => doc(id, s"batch1v$id"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1Emb = Seq((100L, 0, oneHot(0)), (101L, 1, oneHot(1)),
+      (102L, 2, oneHot(6)), (103L, 0, oneHot(7)))
+      .toDF("vec_id", "label", "embedding")
+    val allEmb = corpusEmb.unionByName(b1Emb)
+    val sem1 = IngestGate.SemanticVet(allEmb, "t_gate7_surv", cents, tau = 0.9)
+    IngestGate.admitBatch(b1Docs, "t_gate7_corpus", "t_gate7_fps", "t_gate7_sigs",
+      "t_gate7_log", buckets = 2, semantic = Some(sem1))
+    val semDecisions = spark.table("t_gate7_log").distinct()
+      .filter($"kind" === "semantic").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(semDecisions == Set((100L, 0L), (101L, 1L)),
+      s"vector copies must reject against their survivors, got $semDecisions")
+    // the arm ≡ the batch operator over the same survivor set
+    val batchOp = Dedup.crossSemanticDedup(corpusEmb, b1Emb, cents, tau = 0.9)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))).toSet
+    assert(semDecisions == batchOp)
+    // admitted vectors joined the survivor set (6 + 2), rejected did not
+    val survIds = fresh("t_gate7_surv").select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survIds == Set(0L, 1L, 2L, 3L, 4L, 5L, 102L, 103L))
+    // batch 2: 200 copies ADMITTED 102's vector — rejected against batch
+    // 1's admission (sequencing); 201 is a mixed direction (cos ≤ 0.71
+    // to every survivor) — admitted
+    val b2Docs = Seq(200L, 201L).map(id => doc(id, s"batch2v$id"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mixed = Seq.tabulate(dim)(j => if (j >= 6) 1.0f else 0.0f)
+    val b2Emb = Seq((200L, 2, oneHot(6)), (201L, 1, mixed))
+      .toDF("vec_id", "label", "embedding")
+    val sem2 = IngestGate.SemanticVet(allEmb.unionByName(b2Emb), "t_gate7_surv",
+      cents, tau = 0.9)
+    IngestGate.admitBatch(b2Docs, "t_gate7_corpus", "t_gate7_fps", "t_gate7_sigs",
+      "t_gate7_log", buckets = 2, semantic = Some(sem2))
+    val sem2Decisions = spark.table("t_gate7_log").distinct()
+      .filter($"kind" === "semantic" && $"batch_id" >= 200L).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(sem2Decisions == Set((200L, 102L)),
+      s"batch 2 must be vetted against batch 1's admissions, got $sem2Decisions")
+    val survAfter2 = fresh("t_gate7_surv").select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(survAfter2 == survIds + 201L)
+    // crash-replay: identical decisions, no duplicate survivors
+    IngestGate.admitBatch(b2Docs, "t_gate7_corpus", "t_gate7_fps", "t_gate7_sigs",
+      "t_gate7_log", buckets = 2, semantic = Some(sem2))
+    assert(fresh("t_gate7_surv").count() == survAfter2.size,
+      "replay must not re-append survivors")
+    assert(spark.table("t_gate7_log").distinct()
+      .filter($"kind" === "semantic").count() == 3)
+    dropGateTables(tables: _*)
+  }
+
   test("span gate: doc_id-ordered stream equals batch spanDedup; replay idempotent") {
     import graft.streaming.SpanStream
     val tables = Seq("t_span_reg", "t_span_out")
