@@ -43,12 +43,25 @@ object DomainGraph {
     * contribute nothing — their mass exits through the teleport term,
     * the standard simplification for crawl ranking. */
   def domainRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    // The edge aggregation, out-degree table and node set are read by
-    // EVERY iteration — materialize them once (DupClusters.materialize:
-    // checkpoint-dir if configured, executor-local otherwise). Without
-    // this, lineage re-derives the full edge groupBy per iteration —
-    // the audit gate measured 73 shuffles for the naive chain vs ~4
-    // with materialization.
+    val (w, out, nodes, n) = edgeTables(edges)
+    val ranks0 = nodes.select(col("host"),
+      lit(1.0 / n).cast("decimal(28,10)").as("r"))
+    val ranks = powerIterations(w, out, nodes, n, ranks0, iters, damping)
+    // the returned frame reads only the (materialized) final rank
+    // vector — the loop inputs' blocks can go
+    DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    ranks.select(col("host"),
+      (round(col("r").cast("double"), 6) + lit(0.0)).as("pagerank"))
+  }
+
+  /** The edge aggregation, out-degree table and node set are read by
+    * EVERY iteration — materialize them once (DupClusters.materialize:
+    * checkpoint-dir if configured, executor-local otherwise). Without
+    * this, lineage re-derives the full edge groupBy per iteration —
+    * the audit gate measured 73 shuffles for the naive chain vs ~4
+    * with materialization. The node COUNT is the one scalar to the
+    * driver (the teleport constant), never a data row. */
+  private def edgeTables(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
     val w = DupClusters.materialize(
       edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
     val out = DupClusters.materialize(
@@ -56,12 +69,18 @@ object DomainGraph {
     val nodes = DupClusters.materialize(
       w.select(col("src").as("host"))
         .union(w.select(col("dst").as("host"))).distinct())
-    // ONE scalar to the driver (node count — the teleport constant),
-    // never a data row; the rank vector itself stays distributed.
-    val n = nodes.count()
+    (w, out, nodes, nodes.count())
+  }
+
+  /** `iters` exact-decimal power iterations from `ranks0` — the shared
+    * loop of [[domainRank]] (cold uniform start) and [[domainRankDelta]]
+    * (warm start from previous ranks). Returns the final (host, r)
+    * decimal rank vector, materialized. */
+  private def powerIterations(w: DataFrame, out: DataFrame, nodes: DataFrame,
+                              n: Long, ranks0: DataFrame, iters: Int,
+                              damping: Double): DataFrame = {
     val teleport = (1.0 - damping) / n
-    var ranks = nodes.select(col("host"),
-      lit(1.0 / n).cast("decimal(28,10)").as("r"))
+    var ranks = ranks0
     var lastMat: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = w.join(out, "src")
@@ -90,11 +109,50 @@ object DomainGraph {
         ranks = m
       } else ranks = next
     }
-    // the returned frame reads only the (materialized) final rank
-    // vector — the loop inputs' blocks can go
+    ranks
+  }
+
+  /** INCREMENTAL PageRank refresh — the 100-TB companion of
+    * [[domainRank]]: instead of a cold 10-iteration recompute after
+    * every crawl/ingest delta, WARM-START the power iteration from the
+    * previous rank vector over the UPDATED edge set and run a few
+    * iterations (default 3). Convergence of power iteration is
+    * geometric from any start, so a small edge perturbation (the normal
+    * delta case — ingest touches few hosts) is absorbed in 2–3 rounds;
+    * hosts new to the graph start at the uniform 1/n mass. Per-round
+    * cost and plan shape are IDENTICAL to the cold form (two key-column
+    * shuffles over one-row-per-host tables) — the saving is the
+    * iteration count, which is what dominates a scheduled refresh. The
+    * report carries (pagerank, prev_rank, delta) so the refresh doubles
+    * as the drift card: which hosts actually moved this delta.
+    *
+    * Oracle-exact like [[domainRank]]: the warm start is the PREVIOUS
+    * key's ROUND(,6) output (a double both engines hold bit-identically)
+    * cast back to DECIMAL(28,10), and each refresh iteration is the
+    * same exact-decimal contribution sum — so rank vectors stay
+    * bit-identical per iteration and the final delta is the same IEEE
+    * subtraction of identical doubles.
+    *
+    * @param edges     the FULL updated edge list (old ∪ delta)
+    * @param prevRanks (host, pagerank) — [[domainRank]]'s output on the
+    *                  pre-delta graph */
+  def domainRankDelta(edges: DataFrame, prevRanks: DataFrame, iters: Int = 3,
+                      damping: Double = 0.85): DataFrame = {
+    val (w, out, nodes, n) = edgeTables(edges)
+    val prev = prevRanks.select(col("host"), col("pagerank").as("prev_rank"))
+    val ranks0 = nodes
+      .join(prev, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("prev_rank"), lit(1.0 / n))
+          .cast("decimal(28,10)").as("r"))
+    val ranks = powerIterations(w, out, nodes, n, ranks0, iters, damping)
     DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
-    ranks.select(col("host"),
-      (round(col("r").cast("double"), 6) + lit(0.0)).as("pagerank"))
+    ranks
+      .select(col("host"), (round(col("r").cast("double"), 6) + lit(0.0)).as("pagerank"))
+      .join(prev, Seq("host"), "left")
+      .select(col("host"), col("pagerank"),
+        (coalesce(col("prev_rank"), lit(0.0)) + lit(0.0)).as("prev_rank"),
+        (col("pagerank") - coalesce(col("prev_rank"), lit(0.0)) + lit(0.0)).as("delta"))
   }
 
   // ---- driver wiring ----
@@ -135,7 +193,17 @@ object DomainGraph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_domain_rank" -> ((s, d) => domainRank(syntheticEdges(Tables(s, d).documents))),
-    "d_domain_degree" -> ((s, d) => domainDegree(syntheticEdges(Tables(s, d).documents))))
+    "d_domain_degree" -> ((s, d) => domainDegree(syntheticEdges(Tables(s, d).documents))),
+    // incremental refresh fixture: the pre-delta graph is the corpus
+    // minus every 50th document (the "yesterday" crawl); the delta
+    // restores them — prev ranks are the cold 10-iter rank on the old
+    // graph, the refresh is 3 warm-start iterations on the full graph
+    "d_rank_delta" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val prev = domainRank(syntheticEdges(
+        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)))
+      domainRankDelta(syntheticEdges(docs), prev)
+    }))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see
@@ -144,17 +212,30 @@ object DomainGraph {
     * before dividing: a bare `1.0` is a DECIMAL literal in DuckDB and
     * would divide in decimal, not IEEE double. */
   val oracles: Map[String, String] = {
-    val iterCtes = (1 to 10).map { i =>
-      s"""r$i AS (SELECT n.host,
+    // One power iteration as a CTE, parameterized over the chain's
+    // table names so the same generator serves the cold chain
+    // (d_domain_rank) and BOTH chains of the delta key.
+    def iterCte(cur: String, prev: String, e: String, o: String,
+                nodes: String, cnt: String): String =
+      s"""$cur AS (SELECT n.host,
          |    CAST((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / c.n AS DECIMAL(28,10))
          |      + COALESCE(s.in_r, CAST(0 AS DECIMAL(28,10))) AS r
-         |  FROM nodes n CROSS JOIN cnt c LEFT JOIN (
+         |  FROM $nodes n CROSS JOIN $cnt c LEFT JOIN (
          |    SELECT e.dst AS host,
          |      SUM(CAST(CAST(0.85 AS DOUBLE) * CAST(p.r AS DOUBLE) * e.w / o.out_w
          |        AS DECIMAL(28,10))) AS in_r
-         |    FROM e JOIN o USING (src) JOIN r${i - 1} p ON p.host = e.src
+         |    FROM $e e JOIN $o o USING (src) JOIN $prev p ON p.host = e.src
          |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
-    }.mkString(",\n")
+    val iterCtes = (1 to 10)
+      .map(i => iterCte(s"r$i", s"r${i - 1}", "e", "o", "nodes", "cnt"))
+      .mkString(",\n")
+    // graph CTEs (edge weights, out-degrees, node set, count) over a
+    // given links table, with a name suffix
+    def graphCtes(links: String, sfx: String): String =
+      s"""e$sfx AS (SELECT src, dst, COUNT(*) AS w FROM $links GROUP BY 1, 2),
+         |o$sfx AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e$sfx GROUP BY 1),
+         |nodes$sfx AS (SELECT src AS host FROM e$sfx UNION SELECT dst FROM e$sfx),
+         |cnt$sfx AS (SELECT COUNT(*) AS n FROM nodes$sfx)""".stripMargin
     Map(
       "d_domain_rank" ->
         s"""WITH links AS (SELECT source || '.example.com' AS src,
@@ -168,6 +249,39 @@ object DomainGraph {
            |  FROM nodes CROSS JOIN cnt c),
            |$iterCtes
            |SELECT host, ROUND(CAST(r AS DOUBLE), 6) + 0.0 AS pagerank FROM r10""".stripMargin,
+      // domainRankDelta mirror: the cold 10-iter chain on the pre-delta
+      // graph (suffix `od`) → prev ranks at ROUND(,6) (the exact warm
+      // start both engines hold bit-identically), then 3 refresh
+      // iterations on the full graph from d0 = COALESCE(prev, 1/n).
+      "d_rank_delta" ->
+        (s"""WITH linksod AS (SELECT source || '.example.com' AS src,
+            |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.com' AS dst
+            |  FROM documents WHERE doc_id % 50 <> 0),
+            |${graphCtes("linksod", "od")},
+            |rod0 AS (SELECT host, CAST(CAST(1.0 AS DOUBLE) / c.n AS DECIMAL(28,10)) AS r
+            |  FROM nodesod CROSS JOIN cntod c),
+            |""".stripMargin +
+          (1 to 10).map(i =>
+            iterCte(s"rod$i", s"rod${i - 1}", "eod", "ood", "nodesod", "cntod"))
+            .mkString(",\n") + ",\n" +
+          s"""prevd AS (SELECT host, ROUND(CAST(r AS DOUBLE), 6) + 0.0 AS prev_rank
+             |  FROM rod10),
+             |linksnw AS (SELECT source || '.example.com' AS src,
+             |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.com' AS dst
+             |  FROM documents),
+             |${graphCtes("linksnw", "nw")},
+             |dnw0 AS (SELECT n.host,
+             |    CAST(COALESCE(p.prev_rank, CAST(1.0 AS DOUBLE) / c.n) AS DECIMAL(28,10)) AS r
+             |  FROM nodesnw n CROSS JOIN cntnw c LEFT JOIN prevd p ON p.host = n.host),
+             |""".stripMargin +
+          (1 to 3).map(i =>
+            iterCte(s"dnw$i", s"dnw${i - 1}", "enw", "onw", "nodesnw", "cntnw"))
+            .mkString(",\n") + "\n" +
+          """SELECT f.host, ROUND(CAST(f.r AS DOUBLE), 6) + 0.0 AS pagerank,
+            |  COALESCE(p.prev_rank, CAST(0.0 AS DOUBLE)) + 0.0 AS prev_rank,
+            |  ROUND(CAST(f.r AS DOUBLE), 6) + 0.0
+            |    - COALESCE(p.prev_rank, CAST(0.0 AS DOUBLE)) + 0.0 AS delta
+            |FROM dnw3 f LEFT JOIN prevd p ON p.host = f.host""".stripMargin),
       // Mirror of domainDegree: the same two-orientation union and
       // conditional distinct/sum arms — all integer counts.
       "d_domain_degree" ->

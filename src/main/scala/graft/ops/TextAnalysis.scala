@@ -867,8 +867,22 @@ object TextAnalysis {
     * candidate islands with alternate-position keeps. Output: one row
     * per round — (round, pair, n) with n the pre-merge count. */
   def bpeTrain(documents: DataFrame, rounds: Int = 8): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val spark = documents.sparkSession
+    val (merges, syms) = bpeLoop(documents, rounds)
+    syms.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toDF("round", "pair", "n")
+  }
+
+  /** The shared training loop: returns the merge list AND the final
+    * vocab segmentation (persisted — callers that don't read it
+    * unpersist immediately; its lineage is a pure chain of `rounds`
+    * codegen `graft_bpe_merge` kernels over the word table with the
+    * learned pairs baked as literals, so a post-unpersist re-evaluation
+    * is ONE scan-side pass, no re-training jobs). */
+  private def bpeLoop(documents: DataFrame,
+                      rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val words = documents.filter(length(norm) > 0)
       .select(explode(split(norm, " ")).as("word"))
@@ -908,9 +922,43 @@ object TextAnalysis {
       }
       r += 1
     }
-    syms.unpersist(blocking = false)
-    import spark.implicits._
-    merges.result().toDF("round", "pair", "n")
+    (merges.result(), syms)
+  }
+
+  /** Tokenizer APPLY — the corpus-wide companion of [[bpeTrain]] that
+    * closes the loop to token budgeting (`d_sample_tokens` /
+    * `t_seq_pack` consume token counts; this is where a LEARNED
+    * tokenizer's counts come from): per document, the word count and
+    * the total BPE token count under the trained merge table.
+    *
+    * The distributed-tokenizer factoring, both directions: TRAINING
+    * collapses the corpus to the word-frequency table once (bpeTrain);
+    * APPLICATION segments the VOCAB (the final `syms` table — a chain
+    * of `rounds` codegen `graft_bpe_merge` kernels with the learned
+    * pairs as literals, scan-side, no shuffle), and documents then join
+    * word → token-count on the word key: the corpus-side work is one
+    * token explode + one equi-join + one per-doc aggregate — corpus
+    * text is never re-segmented char by char. At gate scale the vocab
+    * side auto-broadcasts (AQE); at web scale it becomes a shuffle join
+    * on the word key — same plan shape, no driver involvement either
+    * way. Docs with no tokens (empty/NULL text) keep a (0, 0) row —
+    * the t_chunk coverage convention. */
+  def bpeApply(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val (_, syms) = bpeLoop(documents, rounds)
+    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    syms.unpersist(blocking = false) // re-evaluation is one scan-side kernel chain
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val docWords = documents
+      .select(col("doc_id"), explode(split(norm, " ")).as("word"))
+      .filter(col("word") =!= "")
+    val perDoc = docWords.join(vocabToks, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
   /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
@@ -1144,6 +1192,7 @@ object TextAnalysis {
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
     "t_bpe_train"      -> ((s, d) => bpeTrain(Tables(s, d).documents)),
+    "t_bpe_apply"      -> ((s, d) => bpeApply(Tables(s, d).documents)),
     "t_normalize"      -> ((s, d) => normalizeReport(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
@@ -1225,6 +1274,25 @@ object TextAnalysis {
         (1 to 8).map(r =>
           s"SELECT CAST($r AS INT) AS round, a || '+' || b AS pair, n FROM bs$r")
           .mkString("\nUNION ALL\n")),
+    // bpeApply mirror: the same 8-round chain, then the FINAL
+    // segmentation s8 keys word → len(syms) and per-doc word fan-out
+    // joins it; empty/NULL-text docs keep their (0, 0) row (coverage).
+    "t_bpe_apply" ->
+      (s"""$toksCte,
+          |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
+          |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+          |s0 AS (SELECT word, f,
+          |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+          |  FROM wf),
+          |""".stripMargin +
+        (1 to 8).map(bpeRoundCte).mkString(",\n") + "\n" +
+        """,dwb AS (SELECT doc_id, unnest(list_filter(toks, t -> t != '')) AS word FROM toks),
+          |awb AS (SELECT dwb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+          |    CAST(SUM(len(s8.syms)) AS BIGINT) AS n_bpe_tokens
+          |  FROM dwb JOIN s8 USING (word) GROUP BY 1)
+          |SELECT d.doc_id, COALESCE(awb.n_words, 0) AS n_words,
+          |  COALESCE(awb.n_bpe_tokens, 0) AS n_bpe_tokens
+          |FROM documents d LEFT JOIN awb USING (doc_id)""".stripMargin),
     // zipfReport mirror: same tokenization, same total rank order,
     // ln-through-DECIMAL(28,10) values, double products, DECIMAL
     // moment sums, one closed-form double expression per output.

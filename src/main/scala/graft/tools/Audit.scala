@@ -93,6 +93,13 @@ object Audit {
     // old-snapshot ⋈ new-snapshot FULL OUTER on the key: full outer has
     // no broadcast strategy in Spark (the q_full_outer precedent)
     "v_snapshot_diff",
+    // refreshed-ranks ⋈ previous-ranks on the host key: two one-row-
+    // per-host rank vectors (the v_snapshot_diff class — at web host
+    // cardinality both sides are fact tables, broadcast would be
+    // wrong; the warm-start init join is the same pair). AQE can't
+    // size the materialized chain output, so SMJ is the planned
+    // strategy
+    "d_rank_delta",
     // the canopy candidate self-join (s_knn_ivf's plan) + the
     // neighbor-label key join against the corpus-order (vec_id, label)
     // projection — both genuine fact×fact equi-joins

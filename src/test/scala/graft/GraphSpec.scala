@@ -63,6 +63,41 @@ class GraphSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("domainRankDelta: warm refresh converges to the cold recompute; new hosts enter at prev 0; delta is the exact difference") {
+    val rnd = new scala.util.Random(21)
+    val oldEs = Seq.fill(300)((s"h${rnd.nextInt(15)}", s"h${rnd.nextInt(15)}"))
+    // delta: a handful of new links, including a NEW host h99
+    val deltaEs = Seq(("h0", "h99"), ("h99", "h1"), ("h2", "h3"), ("h2", "h3"))
+    val prev = DomainGraph.domainRank(oldEs.toDF("src", "dst"))
+    val full = (oldEs ++ deltaEs).toDF("src", "dst")
+    val got = DomainGraph.domainRankDelta(full, prev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // one row per host of the NEW graph, including the new one
+    assert(got.contains("h99") && got.size == 16)
+    assert(got("h99")._2 == 0.0, "a new host has no previous rank")
+    // delta is the exact IEEE difference of the two reported doubles
+    got.values.foreach { case (pr, prev0, d) => assert(d == pr - prev0 + 0.0) }
+    // the 3-iteration warm refresh lands near the cold 10-iteration
+    // recompute, and STRICTLY closer than the stale ranks were — the
+    // geometric-convergence property the operator exists for
+    val cold = DomainGraph.domainRank(full).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val warmErr = cold.map { case (h, c) => math.abs(got(h)._1 - c) }.max
+    val staleErr = cold.map { case (h, c) => math.abs(got(h)._2 - c) }.max
+    // a new host shifts EVERY rank (teleport goes 1/15 → 1/16), so the
+    // stale error is structural ~1e-2; three warm rounds shrink it
+    // geometrically (damping³ ≈ 0.61 per-round factor on the residual)
+    assert(warmErr < 5e-3, s"warm refresh must approximate cold, err=$warmErr")
+    assert(warmErr < staleErr / 2,
+      s"refresh must shrink the stale error (warm=$warmErr stale=$staleErr)")
+    // mass is only conserved AT the fixed point — a warm start injects
+    // the new host's uniform share and three rounds haven't fully
+    // re-normalized; sanity-bound it rather than assert convergence
+    val mass = got.values.map(_._1).sum
+    assert(mass > 0.9 && mass < 1.1, s"mass $mass")
+  }
+
   test("domainDegree: hand graph — distinct neighbors vs link weights, both orientations") {
     val es = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
     val got = DomainGraph.domainDegree(es).collect()

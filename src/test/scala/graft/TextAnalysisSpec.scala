@@ -767,6 +767,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.map(_._1) == Seq(1, 2, 3, 4) && a.forall(_._3 > 0))
   }
 
+  test("bpeApply: hand-traced token counts; NULL-text coverage row; bounded by chars and words on the real corpus") {
+    // corpus: "aa aa b" + "aaa" — round 1 merges (a,a) (n = 2+2 = 4);
+    // apply: "aa"→[aa] (1 tok ×2), "b"→[b] (1), "aaa"→greedy [aa,a] (2)
+    val df = Seq((1L, "aa aa b"), (2L, "aaa"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(3L).toDF("doc_id").withColumn("text", lit(null).cast("string")))
+    val got = TextAnalysis.bpeApply(df, rounds = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 2L -> ((1L, 2L)), 3L -> ((0L, 0L))),
+      s"got $got")
+    // real corpus invariants: merging only ever SHRINKS the char-level
+    // segmentation and can never go below one token per word
+    val applied = TextAnalysis.bpeApply(docs, rounds = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val charRef = docs
+      .select(col("doc_id"), explode(split(norm, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(applied.size == docs.count())
+    charRef.foreach { case (id, (nw, nc)) =>
+      val (gw, gt) = applied(id)
+      assert(gw == nw, s"doc $id word count $gw != $nw")
+      assert(gt >= nw && gt <= nc, s"doc $id tokens $gt outside [$nw, $nc]")
+    }
+    // some merge must actually fire corpus-wide
+    assert(applied.values.map(_._2).sum < charRef.values.map(_._2).sum)
+  }
+
   test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
     import graft.ops.TextAnalysis
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
