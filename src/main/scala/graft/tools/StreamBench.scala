@@ -109,6 +109,32 @@ object StreamBench {
     gateBench("span_gate", st)(
       () => graft.streaming.SpanStream.dedupBatch(docs, "sb_span_reg", "sb_span_out"))(
       b => graft.streaming.SpanStream.dedupBatch(replica(b), "sb_span_reg", "sb_span_out"))
+    // full gate + the r11 SEMANTIC arm: every batch carries a jittered
+    // copy of each base vector, so all vetted vectors are semantic dups
+    // of the seeded survivors — the survivor table stays ≈ corpus size
+    // and per-batch cost must stay flat (work ∝ batch × bucket)
+    import org.apache.spark.sql.functions.{expr, typedlit}
+    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    val cents = graft.ops.Similarity.ivfCentroids(emb, k = 16, iters = 2)
+    def embFor(b: Int) = emb.select(
+      (col("vec_id") + b * 10_000_000L).as("vec_id"), col("label"),
+      expr(s"transform(embedding, (v, i) -> " +
+        s"cast(v + 0.0001 * ((hash(vec_id, $b, i) % 100) / 100.0) as float))")
+        .as("embedding"))
+    val gs = Seq("sb_sgate_corpus", "sb_sgate_fps", "sb_sgate_sigs",
+      "sb_sgate_log", "sb_sgate_surv")
+    gateBench("ingest_gate_semantic", gs)(
+      () => {
+        graft.streaming.IngestGate.seedCorpus(spark, docs,
+          "sb_sgate_corpus", "sb_sgate_fps", "sb_sgate_sigs")
+        graft.streaming.IngestGate.seedSemantic(emb.withColumn("cluster",
+          graft.functions.GraftFunctions.nearestCentroid(col("embedding"),
+            typedlit(cents))), "sb_sgate_surv")
+      })(
+      b => graft.streaming.IngestGate.admitBatch(replica(b),
+        "sb_sgate_corpus", "sb_sgate_fps", "sb_sgate_sigs", "sb_sgate_log",
+        semantic = Some(graft.streaming.IngestGate.SemanticVet(
+          embFor(b), "sb_sgate_surv", cents))))
     spark.stop()
   }
 }

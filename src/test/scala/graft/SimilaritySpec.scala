@@ -995,6 +995,25 @@ class SimilaritySpec extends SparkSpec {
     assert(s7 == s3 && g7 == g3, "hier fit must be partition-invariant")
   }
 
+  test("Catalog.ivfIndex: the scale regime (nlist > TwoLevelMinNlist) produces a servable flat layout over the full corpus") {
+    // force the two-level branch with an explicit oversized nlist; the
+    // test corpus is far smaller than 256 lists need, so many groups
+    // collapse — the contract is a CONSISTENT flat layout, not fullness
+    val (cents, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001, nlist = 300)
+    val n = embs.count()
+    assert(assigned.count() == n, "every vector must be assigned")
+    val ids = assigned.select($"cluster").distinct().collect().map(_.getInt(0))
+    assert(ids.forall(c => c >= 0 && c < cents.length),
+      s"cluster ids must index the flat centroid matrix (len ${cents.length})")
+    // the flat layout serves through the standard probe path; with 300
+    // lists over a ~600-vector corpus the probed lists are tiny, so
+    // raise nProbe rather than expect 2 lists to fill k (the standard
+    // recall ↔ nProbe trade, not a defect)
+    val out = Similarity.annIvfFromIndex(cents, assigned, queryVecId = 0L,
+      k = 5, nProbe = 25).collect()
+    assert(out.length == 5 && !out.exists(_.getAs[Long]("vec_id") == 0L))
+  }
+
   test("ivfCentroidsHier: SAMPLED fit still serves planted replicas at recall 1.0 through the standard IVF serve") {
     val dim = 16
     val nBases = 40
