@@ -36,6 +36,8 @@ object Catalog {
   private val nlistCache = TrieMap.empty[(SparkSession, String), Int]
   private val opqCache =
     TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]], DataFrame)]
+  private val bpeCache =
+    TrieMap.empty[(SparkSession, String), (Seq[(Int, String, Long)], DataFrame)]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -49,6 +51,7 @@ object Catalog {
     semCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     nlistCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bpeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -81,6 +84,11 @@ object Catalog {
     nlistCache.keys.filter(_._1 eq spark).foreach(nlistCache.remove)
     opqCache.keys.filter(_._1 eq spark).foreach { k =>
       opqCache.remove(k).foreach { case (_, _, df) =>
+        if (!spark.sparkContext.isStopped) df.unpersist()
+      }
+    }
+    bpeCache.keys.filter(_._1 eq spark).foreach { k =>
+      bpeCache.remove(k).foreach { case (_, df) =>
         if (!spark.sparkContext.isStopped) df.unpersist()
       }
     }
@@ -217,6 +225,23 @@ object Catalog {
         .select(col("vec_id"))
       assigned.join(keep, Seq("vec_id"), "left_semi")
         .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** The trained BPE model for a dir's documents (cached, shared): the
+    * merge table (driver-scale — `rounds` rows) plus the PERSISTED
+    * final vocab segmentation. The tokenizer is a MODEL exactly like
+    * the IVF/PQ fits — trained once per (session, dir), then
+    * `t_bpe_train` reports the merges and `t_bpe_apply` serves
+    * corpus-wide token counts off the segmentation table without
+    * re-running the 8 sequential training rounds per invocation. */
+  def bpeModel(spark: SparkSession, dir: String,
+               rounds: Int = 8): (Seq[(Int, String, Long)], DataFrame) = {
+    evictStopped()
+    bpeCache.getOrElseUpdate((spark, dir), {
+      val (merges, syms) =
+        graft.ops.TextAnalysis.bpeLoop(Tables(spark, dir).documents, rounds)
+      (merges, syms) // syms is already persisted + materialized by the loop
     })
   }
 

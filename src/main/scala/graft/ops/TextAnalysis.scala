@@ -867,9 +867,15 @@ object TextAnalysis {
     * candidate islands with alternate-position keeps. Output: one row
     * per round — (round, pair, n) with n the pre-merge count. */
   def bpeTrain(documents: DataFrame, rounds: Int = 8): DataFrame = {
-    val spark = documents.sparkSession
     val (merges, syms) = bpeLoop(documents, rounds)
     syms.unpersist(blocking = false)
+    mergesToDF(documents.sparkSession, merges)
+  }
+
+  /** The merge table as a DataFrame (driver-scale model data — rounds
+    * rows). */
+  private[graft] def mergesToDF(spark: SparkSession,
+                                merges: Seq[(Int, String, Long)]): DataFrame = {
     import spark.implicits._
     merges.toDF("round", "pair", "n")
   }
@@ -880,8 +886,8 @@ object TextAnalysis {
     * codegen `graft_bpe_merge` kernels over the word table with the
     * learned pairs baked as literals, so a post-unpersist re-evaluation
     * is ONE scan-side pass, no re-training jobs). */
-  private def bpeLoop(documents: DataFrame,
-                      rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+  private[graft] def bpeLoop(documents: DataFrame,
+                             rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val words = documents.filter(length(norm) > 0)
@@ -945,8 +951,16 @@ object TextAnalysis {
     * the t_chunk coverage convention. */
   def bpeApply(documents: DataFrame, rounds: Int = 8): DataFrame = {
     val (_, syms) = bpeLoop(documents, rounds)
-    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
     syms.unpersist(blocking = false) // re-evaluation is one scan-side kernel chain
+    bpeApplyFromModel(documents, syms)
+  }
+
+  /** The apply half alone, over an already-trained segmentation table
+    * (the `Catalog.bpeModel` serving path — training paid once per
+    * corpus like every other fit): word fan-out ⋈ vocab(word →
+    * n_tokens) + one per-doc aggregate. */
+  def bpeApplyFromModel(documents: DataFrame, syms: DataFrame): DataFrame = {
+    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val docWords = documents
       .select(col("doc_id"), explode(split(norm, " ")).as("word"))
@@ -1191,8 +1205,13 @@ object TextAnalysis {
     "t_gopher_rules"   -> ((s, d) => gopherRules(Tables(s, d).documents)),
     "t_readability"    -> ((s, d) => readability(Tables(s, d).documents)),
     "t_bpe_merges"     -> ((s, d) => bpeMerges(Tables(s, d).documents)),
-    "t_bpe_train"      -> ((s, d) => bpeTrain(Tables(s, d).documents)),
-    "t_bpe_apply"      -> ((s, d) => bpeApply(Tables(s, d).documents)),
+    // both BPE keys serve off the Catalog-cached model (trained once
+    // per corpus — the IVF-fit precedent): train reports the merge
+    // table, apply tokenizes off the persisted segmentation
+    "t_bpe_train"      -> ((s, d) =>
+      mergesToDF(s, graft.core.Catalog.bpeModel(s, d)._1)),
+    "t_bpe_apply"      -> ((s, d) =>
+      bpeApplyFromModel(Tables(s, d).documents, graft.core.Catalog.bpeModel(s, d)._2)),
     "t_normalize"      -> ((s, d) => normalizeReport(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),

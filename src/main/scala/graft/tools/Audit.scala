@@ -100,6 +100,13 @@ object Audit {
     // size the materialized chain output, so SMJ is the planned
     // strategy
     "d_rank_delta",
+    // corpus word fan-out ⋈ the Catalog-cached vocab segmentation on
+    // the word key: at web scale the vocab is itself a fact table
+    // (the documented d_split_leakage class — broadcast impossible),
+    // and AQE cannot size the cached model frame at gate scale, so
+    // the word-keyed shuffle join is the planned strategy; the
+    // doc_id left-join back is the same corpus-order pair
+    "t_bpe_apply",
     // the canopy candidate self-join (s_knn_ivf's plan) + the
     // neighbor-label key join against the corpus-order (vec_id, label)
     // projection — both genuine fact×fact equi-joins
