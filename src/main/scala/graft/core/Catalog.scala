@@ -38,6 +38,7 @@ object Catalog {
     TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]], DataFrame)]
   private val bpeCache =
     TrieMap.empty[(SparkSession, String), (Seq[(Int, String, Long)], DataFrame)]
+  private val rankCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -52,6 +53,7 @@ object Catalog {
     nlistCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bpeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -92,6 +94,7 @@ object Catalog {
         if (!spark.sparkContext.isStopped) df.unpersist()
       }
     }
+    drop(rankCache, (k: (SparkSession, String)) => k._1)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -224,6 +227,23 @@ object Catalog {
         .semanticDedup(assigned.drop("cluster"), cents)
         .select(col("vec_id"))
       assigned.join(keep, Seq("vec_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** The PRE-DELTA host-rank snapshot for a dir (cached, shared): the
+    * cold 10-iteration PageRank on the synthetic graph minus every
+    * 50th document — `d_rank_delta`'s "yesterday" fixture. In
+    * production the previous rank vector is a STORED artifact (the
+    * last scheduled refresh's output — `domainRankDelta`'s own input
+    * contract); the cache stands in for that table so the key times
+    * the warm refresh, not the re-derivation of history. */
+  def rankSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    rankCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      graft.ops.DomainGraph.domainRank(graft.ops.DomainGraph.syntheticEdges(
+          Tables(spark, dir).documents.filter(pmod(col("doc_id"), lit(50)) =!= 0)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
   }

@@ -196,14 +196,13 @@ object DomainGraph {
     "d_domain_degree" -> ((s, d) => domainDegree(syntheticEdges(Tables(s, d).documents))),
     // incremental refresh fixture: the pre-delta graph is the corpus
     // minus every 50th document (the "yesterday" crawl); the delta
-    // restores them — prev ranks are the cold 10-iter rank on the old
-    // graph, the refresh is 3 warm-start iterations on the full graph
-    "d_rank_delta" -> ((s, d) => {
-      val docs = Tables(s, d).documents
-      val prev = domainRank(syntheticEdges(
-        docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)))
-      domainRankDelta(syntheticEdges(docs), prev)
-    }))
+    // restores them — prev ranks come from the Catalog-cached snapshot
+    // (in production the previous refresh's STORED output, this
+    // operator's own input contract), the key times the 3 warm-start
+    // iterations on the full graph
+    "d_rank_delta" -> ((s, d) =>
+      domainRankDelta(syntheticEdges(Tables(s, d).documents),
+        graft.core.Catalog.rankSnapshot(s, d))))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see
