@@ -60,22 +60,43 @@ object Verify {
     // machine-checked verdict for these keys even when the downstream
     // checker does not consume the spec protocol.
     locally {
-      import org.apache.spark.sql.functions.{abs, col, greatest, lit, max}
+      import org.apache.spark.sql.functions.{abs, col, greatest, lit, max, when}
+      // The dump loop just wrote every key's rows to outDir — read those
+      // back rather than re-planning the (expensive) profiler scans, so
+      // the bound check is nearly free AND runs on the exact rows the
+      // downstream checker sees. Recompute only if a key's dump is
+      // missing (subset runs / a dump failure).
+      def resultOf(key: String) = {
+        val p = Paths.get(s"$outDir/$key")
+        if (Files.exists(p)) spark.read.parquet(p.toString)
+        else SparkEntry.queries(key)(spark, sfDir)
+      }
       val results = SparkEntry.specBounds.filter(kv => keep(kv._1)).map { case (k, b) =>
         try {
-          val approxDf = SparkEntry.queries(k)(spark, sfDir)
-          val exactDf0 = SparkEntry.queries(b.exactKey)(spark, sfDir)
+          val approxDf = resultOf(k)
+          val exactDf0 = resultOf(b.exactKey)
           val exactDf = b.approxCols.foldLeft(exactDf0) { (df, c) =>
             df.withColumnRenamed(c, s"${c}__exact")
           }.select((b.keyCols ++ b.approxCols.map(_ + "__exact")).map(col): _*)
           val (na, ne) = (approxDf.count(), exactDf.count())
           val joined = approxDf.join(exactDf, b.keyCols)
           val nj = joined.count()
-          val errCols = b.approxCols.map(c =>
-            max(abs(col(c).cast("double") - col(s"${c}__exact").cast("double"))
-              / greatest(col(s"${c}__exact").cast("double"), lit(1.0))).as(c))
+          // NULL-safe: max() would silently SKIP a null diff, letting a
+          // missing sketch value pass — both-null matches (0), a
+          // one-sided null is an automatic violation (finite sentinel
+          // > any tol, kept out of the JSON-hostile Infinity range).
+          val errCols = b.approxCols.map { c =>
+            val a = col(c).cast("double"); val e = col(s"${c}__exact").cast("double")
+            max(when(a.isNull && e.isNull, lit(0.0))
+              .when(a.isNull || e.isNull, lit(9.9e99))
+              .otherwise(abs(a - e) / greatest(e, lit(1.0)))).as(c)
+          }
           val errs = joined.agg(errCols.head, errCols.tail: _*).collect()(0)
-          val maxErr = b.approxCols.indices.map(errs.getDouble).max
+          // empty join → null aggregates; only a legitimately-empty pair
+          // of results (na == ne == 0) reads as zero error
+          val maxErr = b.approxCols.indices
+            .map(i => if (errs.isNullAt(i)) { if (na == 0 && ne == 0) 0.0 else 9.9e99 }
+                      else errs.getDouble(i)).max
           val pass = na == ne && nj == na && maxErr <= b.tol
           if (!pass) System.err.println(
             s"[verify] SPEC BOUND VIOLATION $k: rows a=$na e=$ne joined=$nj max_rel_err=$maxErr tol=${b.tol}")

@@ -36,8 +36,11 @@ object Catalog {
   private val nlistCache = TrieMap.empty[(SparkSession, String), Int]
   private val opqCache =
     TrieMap.empty[(SparkSession, String), (Seq[Int], Seq[Seq[Seq[Double]]], DataFrame)]
+  // keyed on rounds too (the ivfCache (session, dir, nlist) precedent):
+  // a non-default rounds must not serve — or poison — the 8-round model
+  // the oracle-gated t_bpe_train/t_bpe_apply keys replay.
   private val bpeCache =
-    TrieMap.empty[(SparkSession, String), (Seq[(Int, String, Long)], DataFrame)]
+    TrieMap.empty[(SparkSession, String, Int), (Seq[(Int, String, Long)], DataFrame)]
   private val rankCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit = {
@@ -52,7 +55,7 @@ object Catalog {
     semCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     nlistCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    bpeCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bpeCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
@@ -258,7 +261,7 @@ object Catalog {
   def bpeModel(spark: SparkSession, dir: String,
                rounds: Int = 8): (Seq[(Int, String, Long)], DataFrame) = {
     evictStopped()
-    bpeCache.getOrElseUpdate((spark, dir), {
+    bpeCache.getOrElseUpdate((spark, dir, rounds), {
       val (merges, syms) =
         graft.ops.TextAnalysis.bpeLoop(Tables(spark, dir).documents, rounds)
       (merges, syms) // syms is already persisted + materialized by the loop

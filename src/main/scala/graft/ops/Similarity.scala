@@ -200,8 +200,13 @@ object Similarity {
     // sub iterations) — persist it once instead of re-reading the corpus
     // per pass; it is bounded by autoSampleDenom (≈ max(65 536,
     // 64·nlist) rows), the standard cache-the-training-set shape
+    // the sampleDenom <= 1 arm projects a fresh plan (select *) rather
+    // than persisting the caller's frame directly: Spark's cache is
+    // canonicalized-plan-keyed, so persist/unpersist on the argument
+    // itself could evict a cache entry some OTHER component holds on
+    // the same plan — the projection confines the persist to this fit
     val fitSet =
-      (if (sampleDenom <= 1) embeddings
+      (if (sampleDenom <= 1) embeddings.select(col("*"))
        else embeddings.filter(pmod(xxhash64(col("vec_id")), lit(sampleDenom)) === 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -222,7 +227,12 @@ object Similarity {
     val initRows = routed
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k2)
       .select(col("sup"), col("rn"), col("embedding")).collect()
-    var grouped: Seq[Seq[Seq[Double]]] = (0 until k1).map { g =>
+    // range over the supers ACTUALLY fitted, not k1: a fit set smaller
+    // than k1 yields fewer supers (ivfCentroids' limit-k init), and
+    // routing (nearestCentroid over `supers`) only ever emits ids in
+    // supers.indices — a phantom (0 until k1) group would index past
+    // the end in the empty-group fallback.
+    var grouped: Seq[Seq[Seq[Double]]] = supers.indices.map { g =>
       val own = initRows.filter(_.getInt(0) == g).sortBy(_.getInt(1))
         .map(_.getSeq[Float](2).map(_.toDouble).toSeq).toSeq
       if (own.nonEmpty) own else Seq(supers(g)) // empty group: route to the super itself

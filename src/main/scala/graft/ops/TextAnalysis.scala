@@ -957,17 +957,24 @@ object TextAnalysis {
 
   /** The apply half alone, over an already-trained segmentation table
     * (the `Catalog.bpeModel` serving path — training paid once per
-    * corpus like every other fit): word fan-out ⋈ vocab(word →
-    * n_tokens) + one per-doc aggregate. */
+    * corpus like every other fit): word fan-out LEFT ⋈ vocab(word →
+    * n_tokens) + one per-doc aggregate. Out-of-vocabulary words (docs
+    * outside the training corpus — the real serving case) still count
+    * in `n_words` and fall back to their character count for
+    * `n_bpe_tokens`: a word the trainer never saw gets no merges, so
+    * its BPE segmentation IS its characters — the exact semantics of
+    * running the merge chain on an unseen word. */
   def bpeApplyFromModel(documents: DataFrame, syms: DataFrame): DataFrame = {
     val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val docWords = documents
       .select(col("doc_id"), explode(split(norm, " ")).as("word"))
       .filter(col("word") =!= "")
-    val perDoc = docWords.join(vocabToks, "word")
+    val perDoc = docWords.join(vocabToks, Seq("word"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"))
     documents.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1295,7 +1302,9 @@ object TextAnalysis {
           .mkString("\nUNION ALL\n")),
     // bpeApply mirror: the same 8-round chain, then the FINAL
     // segmentation s8 keys word → len(syms) and per-doc word fan-out
-    // joins it; empty/NULL-text docs keep their (0, 0) row (coverage).
+    // LEFT-joins it (OOV word → character count — unreachable here
+    // since the corpus trains itself, mirrored for plan fidelity);
+    // empty/NULL-text docs keep their (0, 0) row (coverage).
     "t_bpe_apply" ->
       (s"""$toksCte,
           |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
@@ -1307,8 +1316,8 @@ object TextAnalysis {
         (1 to 8).map(bpeRoundCte).mkString(",\n") + "\n" +
         """,dwb AS (SELECT doc_id, unnest(list_filter(toks, t -> t != '')) AS word FROM toks),
           |awb AS (SELECT dwb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-          |    CAST(SUM(len(s8.syms)) AS BIGINT) AS n_bpe_tokens
-          |  FROM dwb JOIN s8 USING (word) GROUP BY 1)
+          |    CAST(SUM(COALESCE(len(s8.syms), length(word))) AS BIGINT) AS n_bpe_tokens
+          |  FROM dwb LEFT JOIN s8 USING (word) GROUP BY 1)
           |SELECT d.doc_id, COALESCE(awb.n_words, 0) AS n_words,
           |  COALESCE(awb.n_bpe_tokens, 0) AS n_bpe_tokens
           |FROM documents d LEFT JOIN awb USING (doc_id)""".stripMargin),

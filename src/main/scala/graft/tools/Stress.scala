@@ -125,10 +125,13 @@ object Stress {
     time("ivf_assign_two_level")(
       embN.select(Similarity.twoLevelAssign(hier._1, hier._2).as("c"))
         .groupBy("c").count().count())
+    // truly unbounded (sampleDenom = 1, the pre-r11 default): the
+    // O(n·nlist·dim) quadratic contrast the hier arm remediates —
+    // passing autoSampleDenom here would measure the SAMPLED flat fit
+    // and understate the hazard by ~denom×
     if (args.drop(1).contains("flatfit"))
       time("ivf_fit_flat_UNBOUNDED")(
-        Similarity.ivfCentroids(embN, k = autoK, iters = 2,
-          sampleDenom = Similarity.autoSampleDenom(nVec, autoK)).length)
+        Similarity.ivfCentroids(embN, k = autoK, iters = 2).length)
     // OPQ fit: ONE fixed-point moment pass (2·dim longs to the driver)
     // + the sampled per-subspace PQ fit — scan-linear, fit decoupled
     // from corpus size by the hash-sample

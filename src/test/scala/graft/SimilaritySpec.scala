@@ -1041,4 +1041,23 @@ class SimilaritySpec extends SparkSpec {
       assert(got.forall(_._2 == 1.0))
     }
   }
+
+  test("ivfCentroidsHier: fit set smaller than k1 degrades gracefully (no phantom groups) and routing stays total") {
+    // nlist = 300 → k1 = ceil(√300) = 18, but only 5 fit vectors exist:
+    // ivfCentroids' limit-k init yields 5 supers, so the group range
+    // must follow the FITTED supers — a (0 until k1) range would index
+    // past the end in the empty-group fallback (r11 review finding)
+    val dim = 8
+    val emb = (0L until 5L).map { i =>
+      (i, 0, Array.tabulate(dim)(j => ((i * 31 + j * 7) % 13) / 13.0f).toSeq)
+    }.toDF("vec_id", "label", "embedding")
+    val (supers, grouped) = Similarity.ivfCentroidsHier(emb, nlist = 300)
+    assert(supers.length <= 5 && grouped.length == supers.length)
+    assert(grouped.forall(_.nonEmpty), "every group must keep at least one sub-centroid")
+    // every vector routes to a valid global cluster id
+    val flatN = grouped.map(_.length).sum
+    val cl = emb.select(Similarity.twoLevelAssign(supers, grouped).as("c"))
+      .collect().map(_.getInt(0))
+    assert(cl.forall(c => c >= 0 && c < flatN), s"cluster ids $flatN: ${cl.mkString(",")}")
+  }
 }

@@ -798,6 +798,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(applied.values.map(_._2).sum < charRef.values.map(_._2).sum)
   }
 
+  test("bpeApplyFromModel: out-of-vocabulary words still count and fall back to character-level tokens") {
+    // model trained on "aa aa b"/"aaa" (round 1 merges (a,a)); served
+    // against docs OUTSIDE the training corpus — the real serving case.
+    // An unseen word gets no merges, so its segmentation IS its chars:
+    // "zz aa q" → zz(2 chars, OOV) + aa(1 tok) + q(1 char, OOV) = (3, 4);
+    // an all-OOV doc must read (1, 3), NOT the (0, 0) of an empty doc.
+    val train = Seq((1L, "aa aa b"), (2L, "aaa")).toDF("doc_id", "text")
+    val (_, syms) = TextAnalysis.bpeLoop(train, rounds = 1)
+    val serve = Seq((10L, "zz aa q"), (11L, "xyz")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeApplyFromModel(serve, syms).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    syms.unpersist(blocking = false)
+    assert(got == Map(10L -> ((3L, 4L)), 11L -> ((1L, 3L))), s"got $got")
+  }
+
   test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
     import graft.ops.TextAnalysis
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
