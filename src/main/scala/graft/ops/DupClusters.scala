@@ -114,7 +114,7 @@ object DupClusters {
     * jobs — executor-local otherwise (the per-round edge frame only
     * shrinks, so re-deriving a lost block means re-running rounds, an
     * availability trade local jobs happily make). */
-  private[ops] def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
@@ -128,7 +128,7 @@ object DupClusters {
     * (checkpoint-dir) files are NOT deleted here — Spark only cleans
     * them with `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
     * or by periodic directory cleanup. */
-  private[ops] def release(df: DataFrame): Unit =
+  private[graft] def release(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => () // round-0 input before any materialize, or reliable-checkpoint plans

@@ -61,9 +61,17 @@ object DomainGraph {
     * the audit gate measured 73 shuffles for the naive chain vs ~4
     * with materialization. The node COUNT is the one scalar to the
     * driver (the teleport constant), never a data row. */
-  private def edgeTables(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
-    val w = DupClusters.materialize(
+  private def edgeTables(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) =
+    edgeTablesFromWeights(
       edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+
+  /** Same derived tables over a PRE-AGGREGATED (src, dst, w) weight
+    * table — the streaming maintainer's entry point: link weights are
+    * additive counts, so [[graft.streaming.RankStream]] stores
+    * per-batch weight partials and re-merges them on read; a refresh
+    * then never rescans raw edges. */
+  private def edgeTablesFromWeights(w0: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
+    val w = DupClusters.materialize(w0)
     val out = DupClusters.materialize(
       w.groupBy(col("src")).agg(sum(col("w")).as("out_w")))
     val nodes = DupClusters.materialize(
@@ -137,8 +145,24 @@ object DomainGraph {
     * @param prevRanks (host, pagerank) — [[domainRank]]'s output on the
     *                  pre-delta graph */
   def domainRankDelta(edges: DataFrame, prevRanks: DataFrame, iters: Int = 3,
-                      damping: Double = 0.85): DataFrame = {
-    val (w, out, nodes, n) = edgeTables(edges)
+                      damping: Double = 0.85): DataFrame =
+    domainRankDeltaFromWeights(
+      edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")),
+      prevRanks, iters, damping)
+
+  /** [[domainRankDelta]] over a pre-aggregated (src, dst, w) weight
+    * table — the serve path of the streaming rank maintainer
+    * ([[graft.streaming.RankStream]]): identical arithmetic (weights
+    * enter the contribution term as the same integer values whether
+    * counted here or summed from stored partials), so the streamed
+    * refresh is bit-equal to the batch delta over the same edge
+    * multiset. An EMPTY prevRanks degrades to the cold uniform start
+    * (the coalesce), so the first refresh doubles as [[domainRank]]
+    * when run at the cold iteration count. */
+  private[graft] def domainRankDeltaFromWeights(weights: DataFrame, prevRanks: DataFrame,
+                                                iters: Int = 3,
+                                                damping: Double = 0.85): DataFrame = {
+    val (w, out, nodes, n) = edgeTablesFromWeights(weights)
     val prev = prevRanks.select(col("host"), col("pagerank").as("prev_rank"))
     val ranks0 = nodes
       .join(prev, Seq("host"), "left")

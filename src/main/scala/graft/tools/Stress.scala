@@ -125,13 +125,15 @@ object Stress {
     time("ivf_assign_two_level")(
       embN.select(Similarity.twoLevelAssign(hier._1, hier._2).as("c"))
         .groupBy("c").count().count())
-    // truly unbounded (sampleDenom = 1, the pre-r11 default): the
-    // O(n·nlist·dim) quadratic contrast the hier arm remediates —
-    // passing autoSampleDenom here would measure the SAMPLED flat fit
-    // and understate the hazard by ~denom×
+    // the single-level contrast arm fits on the SAME autoSampleDenom
+    // sample as the hier arm — that isolates the per-candidate factor
+    // (nlist vs √nlist) the remediation targets, and is the SCALING.md
+    // ladder's documented methodology; the truly unbounded flat fit is
+    // ~denom× more on top (sampleDenom = 1), noted there, not re-timed
     if (args.drop(1).contains("flatfit"))
-      time("ivf_fit_flat_UNBOUNDED")(
-        Similarity.ivfCentroids(embN, k = autoK, iters = 2).length)
+      time("ivf_fit_flat_same_sample")(
+        Similarity.ivfCentroids(embN, k = autoK, iters = 2,
+          sampleDenom = Similarity.autoSampleDenom(nVec, autoK)).length)
     // OPQ fit: ONE fixed-point moment pass (2·dim longs to the driver)
     // + the sampled per-subspace PQ fit — scan-linear, fit decoupled
     // from corpus size by the hash-sample

@@ -857,4 +857,61 @@ class StreamingSpec extends SparkSpec {
       "streamed maintainer must serve the exact batch report")
     dropGateTables("t_aggm2_partials")
   }
+
+  test("rank maintainer: cold bootstrap == domainRank, warm refresh == batch d_rank_delta, replay idempotent") {
+    import graft.ops.DomainGraph
+    import graft.streaming.RankStream
+    dropGateTables("t_rank_w", "t_rank_snap", "t_rank2_w", "t_rank2_snap")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    // the d_rank_delta fixture: "yesterday" = corpus minus every 50th
+    // doc, today's crawl delta restores them
+    val pre = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+    val delta = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // seed yesterday's edges; the bootstrapping refresh (no snapshot
+    // yet) must equal the cold batch domainRank bit-for-bit
+    RankStream.ingestBatch(DomainGraph.syntheticEdges(pre), 0L, "t_rank_w", buckets = 4)
+    val cold = RankStream.refresh(spark, "t_rank_w", "t_rank_snap")
+    assert(show(cold.select($"host", $"pagerank")) ==
+      show(DomainGraph.domainRank(DomainGraph.syntheticEdges(pre))),
+      "cold bootstrap must equal the batch cold rank")
+    // stream today's delta as two out-of-order weight batches, then one
+    // warm refresh — must equal the batch warm delta over the FULL edge
+    // set from the same snapshot (weights from summed partials are the
+    // same integers the batch operator counts directly)
+    val chunk1 = DomainGraph.syntheticEdges(delta.filter(pmod($"doc_id", lit(100)) === 0))
+    val chunk2 = DomainGraph.syntheticEdges(delta.filter(pmod($"doc_id", lit(100)) =!= 0))
+    RankStream.ingestBatch(chunk1, 1L, "t_rank_w", buckets = 4)
+    RankStream.ingestBatch(chunk2, 2L, "t_rank_w", buckets = 4)
+    val card = RankStream.refresh(spark, "t_rank_w", "t_rank_snap")
+    val batchCard = DomainGraph.domainRankDelta(
+      DomainGraph.syntheticEdges(docs),
+      DomainGraph.domainRank(DomainGraph.syntheticEdges(pre)))
+    assert(show(card) == show(batchCard),
+      "streamed warm refresh must equal the batch d_rank_delta card")
+    // the stored snapshot serves the refreshed ranks
+    assert(show(fresh("t_rank_snap")) == show(card.select($"host", $"pagerank")))
+    // crash replay: a re-delivered batch_id is a no-op on the WAL
+    val before = fresh("t_rank_w").count()
+    RankStream.ingestBatch(chunk1, 1L, "t_rank_w", buckets = 4)
+    assert(fresh("t_rank_w").count() == before, "replayed batch_id must be a no-op")
+    dropGateTables("t_rank_w", "t_rank_snap")
+    // real stream wiring: edges through readStream/foreachBatch, then a
+    // cold refresh off the streamed weights equals the batch cold rank
+    val streamDir = Files.createTempDirectory("graft-rank").toString
+    val ckpt = Files.createTempDirectory("graft-rank-ckpt").toString
+    DomainGraph.syntheticEdges(docs).coalesce(1)
+      .write.mode("overwrite").parquet(streamDir)
+    val edgeStream = spark.readStream
+      .schema("src STRING, dst STRING").parquet(streamDir)
+    val q = RankStream.start(edgeStream, "t_rank2_w", ckpt, buckets = 4)
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshTable("t_rank2_w")
+    val cold2 = RankStream.refresh(spark, "t_rank2_w", "t_rank2_snap")
+    assert(show(cold2.select($"host", $"pagerank")) ==
+      show(DomainGraph.domainRank(DomainGraph.syntheticEdges(docs))),
+      "streamed weights must serve the exact batch rank")
+    dropGateTables("t_rank2_w", "t_rank2_snap")
+  }
 }
