@@ -135,6 +135,23 @@ object StreamBench {
         "sb_sgate_corpus", "sb_sgate_fps", "sb_sgate_sigs", "sb_sgate_log",
         semantic = Some(graft.streaming.IngestGate.SemanticVet(
           embFor(b), "sb_sgate_surv", cents))))
+    // rank maintainer (r11): each batch appends a replica corpus's edge
+    // weights (same 20-host universe — weights grow, hosts don't) and
+    // runs the warm 3-iteration refresh; per-batch cost must stay FLAT
+    // (ingest ∝ batch, refresh over one-row-per-host tables — neither
+    // rescans raw-edge history, which is never stored at all)
+    val rt = Seq("sb_rank_w", "sb_rank_snap")
+    gateBench("rank_maintainer", rt)(
+      () => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(docs), 0L, "sb_rank_w")
+        graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap")
+      })(
+      b => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(replica(b)), b.toLong, "sb_rank_w")
+        graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap")
+      })
     spark.stop()
   }
 }
