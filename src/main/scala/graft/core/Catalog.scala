@@ -308,8 +308,14 @@ object Catalog {
       } else {
         val denom = graft.ops.Similarity.autoSampleDenom(emb.count(), k)
         val (supers, grouped) = graft.ops.Similarity.ivfCentroidsHier(emb, k, 2, denom)
-        val assigned = emb
-          .withColumn("cluster", graft.ops.Similarity.twoLevelAssign(supers, grouped))
+        // third regime past JoinedAssignMinNlist: the sub-centroid model
+        // is too big to inline as a plan literal, so it broadcast-joins
+        // instead (routing-identical — spec-proven)
+        val assigned =
+          (if (k > graft.ops.Similarity.JoinedAssignMinNlist)
+             graft.ops.Similarity.twoLevelAssignJoined(emb, supers, grouped)
+           else emb.withColumn("cluster",
+             graft.ops.Similarity.twoLevelAssign(supers, grouped)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         (grouped.flatten, assigned)
       }

@@ -277,6 +277,42 @@ object Similarity {
     element_at(typedlit(offsets), sup + 1) + loc
   }
 
+  /** nlist above which the centroid MODEL itself is too big to ship as
+    * a plan literal (nlist×dim doubles ride inside every serialized
+    * task at ~0.5 KB/centroid for dim 64 — ≈ 32 MB of plan bytes here,
+    * growing to ~200 MB at nlist ≈ 4·10⁵) and [[twoLevelAssignJoined]]
+    * takes over from [[twoLevelAssign]]. Far above every test corpus
+    * (autoNlist reaches it at n ≈ 1.6·10⁷ vectors); the two forms are
+    * routing-identical (spec-proven), so the switch is pure plumbing. */
+  val JoinedAssignMinNlist = 65536
+
+  /** [[twoLevelAssign]] for centroid models too large to inline in the
+    * plan: the √nlist supers still ship as a literal for the first
+    * routing hop (always small — ~632 at nlist = 4·10⁵), but the
+    * per-group sub-centroid lists arrive via a BROADCAST JOIN on the
+    * super id — the model moves once per executor as a torrent-
+    * broadcast relation instead of riding inside every serialized
+    * task. Routing arithmetic is bit-identical to the literal form
+    * (same kernels, same operands — the sub-list just comes from the
+    * joined row instead of an element_at on a literal). Returns the
+    * input columns + `cluster` (a join needs a frame, not a column). */
+  def twoLevelAssignJoined(embeddings: DataFrame, supers: Seq[Seq[Double]],
+                           grouped: Seq[Seq[Seq[Double]]],
+                           vec: Column = col("embedding")): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val offsets = grouped.scanLeft(0)(_ + _.length).init
+    val model = grouped.zipWithIndex
+      .map { case (subs, g) => (g, offsets(g), subs) }
+      .toDF("__sup", "__offset", "__subs")
+    embeddings
+      .withColumn("__sup", GraftFunctions.nearestCentroid(vec, typedlit(supers)))
+      .join(broadcast(model), Seq("__sup"))
+      .withColumn("cluster",
+        col("__offset") + GraftFunctions.nearestCentroid(vec, col("__subs")))
+      .drop("__sup", "__offset", "__subs")
+  }
+
   /** IVF coarse quantizer: k-means with deterministic init (embeddings
     * of the k smallest vec_ids) and fixed-point-exact centroid means, so
     * the index is identical across runs AND partitionings. Each Lloyd

@@ -1042,6 +1042,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("twoLevelAssignJoined: broadcast-join routing is identical to the literal form, per vector") {
+    // the plan-literal-size remediation (JoinedAssignMinNlist): same
+    // kernels, same operands — the sub-list arrives via broadcast join
+    // instead of element_at on a literal — so cluster ids must match
+    // bit-for-bit on every vector, at every partitioning
+    val dim = 16
+    val rows = (0L until 120L).map { i =>
+      (i, (i % 5).toInt,
+        Array.tabulate(dim)(j => (((i * 37 + j * 11) % 101) / 101.0f) - 0.5f).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "label", "embedding")
+    val (supers, grouped) = Similarity.ivfCentroidsHier(emb, nlist = 12)
+    val lit = emb.withColumn("cluster", Similarity.twoLevelAssign(supers, grouped))
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joined = Similarity.twoLevelAssignJoined(emb.repartition(7), supers, grouped)
+    assert(joined.columns.toSeq == Seq("vec_id", "label", "embedding", "cluster"),
+      "joined form must preserve the input columns + cluster")
+    val got = joined.select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == lit, "broadcast-join routing must equal the literal routing exactly")
+    // the model must move as a broadcast relation, not a shuffle join
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected a broadcast join:\n$plan")
+  }
+
   test("ivfCentroidsHier: fit set smaller than k1 degrades gracefully (no phantom groups) and routing stays total") {
     // nlist = 300 → k1 = ceil(√300) = 18, but only 5 fit vectors exist:
     // ivfCentroids' limit-k init yields 5 supers, so the group range
