@@ -302,6 +302,65 @@ object TextAnalysis {
         col("n_unique_texts"), col("dup_frac"), col("n_keep"), col("keep_frac"))
   }
 
+  /** Cross-snapshot corpus drift card — the TEXT-side twin of
+    * `s_centroid_drift` (embeddings) and `d_rank_delta` (link graph),
+    * completing the delta-governance suite: after an ingest/crawl
+    * delta, which sources changed their share of the corpus, and did
+    * their document-length profile move? This is the card a mixture
+    * designer reads before re-weighting — a source whose share doubled
+    * or whose mean length collapsed (truncation bug upstream) is a
+    * mixture hazard long before any model-side signal.
+    *
+    * Per source: doc counts on both snapshots, corpus-share on both
+    * (ROUND(,4)), the share delta, and mean chars/doc on both. Plan:
+    * one #sources-row aggregate per snapshot + two 1-row totals, one
+    * full-outer join on source (a source may exist in only one
+    * snapshot) + two 1-row broadcast joins — nothing doc-level ever
+    * shuffles, and at 100 TB the "previous snapshot" side is the
+    * STORED card itself (one row per source — re-aggregating history
+    * is never needed; the fixture recomputes it only because the test
+    * corpus ships no stored card).
+    *
+    * Float discipline: shares and means are quotients of exact BIGINT
+    * counts, rounded half-AWAY-FROM-ZERO in EXACT integer arithmetic
+    * on both engines (the weeklyFromDaily idiom — `(20000·num + den)
+    * DIV (2·den) / 10⁴` on non-negative operands), because count
+    * ratios hit 5th-decimal ties by construction (e.g. an odd doc
+    * count over a 50 000-doc corpus terminates exactly at the tie; a
+    * ROUND(dbl, 4) would diverge cross-engine). The share delta is
+    * then an IEEE subtraction of identical doubles. */
+  def corpusDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.groupBy(col("source")).agg(
+        count(lit(1)).as(s"d_$tag"),
+        sum(col("n_chars").cast("long")).as(s"c_$tag"))
+    def total(df: DataFrame, tag: String) =
+      df.agg(count(lit(1)).as(s"t_$tag"))
+    // exact-integer round-half-away(num/den, 4) as a double; den = 0
+    // (an empty snapshot / a source absent from one side) reads 0.0
+    def ratio4(num: String, den: String) =
+      when(col(den) === 0L, lit(0.0)).otherwise(
+        expr(s"CAST((20000 * $num + $den) DIV (2 * $den) AS DOUBLE)")
+          / lit(10000.0)) + lit(0.0)
+    side(prev, "prev").join(side(cur, "cur"), Seq("source"), "full_outer")
+      .crossJoin(broadcast(total(prev, "prev")))
+      .crossJoin(broadcast(total(cur, "cur")))
+      .select(col("source"),
+        coalesce(col("d_prev"), lit(0L)).as("docs_prev"),
+        coalesce(col("d_cur"), lit(0L)).as("docs_cur"),
+        coalesce(col("c_prev"), lit(0L)).as("chars_prev"),
+        coalesce(col("c_cur"), lit(0L)).as("chars_cur"),
+        col("t_prev"), col("t_cur"))
+      .select(col("source"), col("docs_prev"), col("docs_cur"),
+        (col("docs_cur") - col("docs_prev")).as("docs_delta"),
+        ratio4("docs_prev", "t_prev").as("share_prev"),
+        ratio4("docs_cur", "t_cur").as("share_cur"),
+        (ratio4("docs_cur", "t_cur") - ratio4("docs_prev", "t_prev")
+          + lit(0.0)).as("share_delta"),
+        ratio4("chars_prev", "docs_prev").as("mean_chars_prev"),
+        ratio4("chars_cur", "docs_cur").as("mean_chars_cur"))
+  }
+
   /** PII patterns — deliberately plain ASCII regex (no lookaround, no
     * engine-specific classes) so Java regex (Spark) and RE2 (DuckDB,
     * and most data-plane scrubbers) agree character for character. */
@@ -1201,6 +1260,12 @@ object TextAnalysis {
     "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
     "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
     "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
+    // the d_rank_delta snapshot fixture: "yesterday" = corpus minus
+    // every 50th doc; today's crawl restores them
+    "t_corpus_drift"   -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      corpusDrift(docs.filter(pmod(col("doc_id"), lit(50)) =!= 0), docs)
+    }),
     "t_perplexity"     -> ((s, d) => lmScore(Tables(s, d).documents)),
     "t_source_overlap" -> ((s, d) => sourceOverlap(Tables(s, d).documents)),
     "t_decontam_scrub" -> ((s, d) => decontamScrub(Tables(s, d).documents)),
@@ -1757,6 +1822,42 @@ object TextAnalysis {
          |  v.n_keep,
          |  ROUND(CAST(v.n_keep AS DOUBLE) / v.n_docs, 4) AS keep_frac
          |FROM v JOIN h USING (source)""".stripMargin,
+    // corpusDrift mirror: same snapshot fixture (doc_id % 50), same
+    // exact-integer half-away ratios (// and DIV agree — non-negative
+    // operands only), same IEEE delta of identical doubles.
+    "t_corpus_drift" ->
+      s"""WITH cdp AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |cdpa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d_prev,
+         |    CAST(SUM(n_chars) AS BIGINT) AS c_prev FROM cdp GROUP BY 1),
+         |cdca AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS d_cur,
+         |    CAST(SUM(n_chars) AS BIGINT) AS c_cur FROM documents GROUP BY 1),
+         |cdtp AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_prev FROM cdp),
+         |cdtc AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_cur FROM documents),
+         |cdj AS (SELECT COALESCE(cdpa.source, cdca.source) AS source,
+         |    COALESCE(d_prev, 0) AS docs_prev, COALESCE(d_cur, 0) AS docs_cur,
+         |    COALESCE(c_prev, 0) AS chars_prev, COALESCE(c_cur, 0) AS chars_cur,
+         |    t_prev, t_cur
+         |  FROM cdpa FULL OUTER JOIN cdca ON cdpa.source = cdca.source, cdtp, cdtc)
+         |SELECT source, docs_prev, docs_cur,
+         |  docs_cur - docs_prev AS docs_delta,
+         |  (CASE WHEN t_prev = 0 THEN 0.0 ELSE
+         |    CAST((20000 * docs_prev + t_prev) // (2 * t_prev) AS DOUBLE) / 10000.0 END)
+         |    + 0.0 AS share_prev,
+         |  (CASE WHEN t_cur = 0 THEN 0.0 ELSE
+         |    CAST((20000 * docs_cur + t_cur) // (2 * t_cur) AS DOUBLE) / 10000.0 END)
+         |    + 0.0 AS share_cur,
+         |  ((CASE WHEN t_cur = 0 THEN 0.0 ELSE
+         |    CAST((20000 * docs_cur + t_cur) // (2 * t_cur) AS DOUBLE) / 10000.0 END)
+         |   - (CASE WHEN t_prev = 0 THEN 0.0 ELSE
+         |    CAST((20000 * docs_prev + t_prev) // (2 * t_prev) AS DOUBLE) / 10000.0 END))
+         |    + 0.0 AS share_delta,
+         |  (CASE WHEN docs_prev = 0 THEN 0.0 ELSE
+         |    CAST((20000 * chars_prev + docs_prev) // (2 * docs_prev) AS DOUBLE) / 10000.0 END)
+         |    + 0.0 AS mean_chars_prev,
+         |  (CASE WHEN docs_cur = 0 THEN 0.0 ELSE
+         |    CAST((20000 * chars_cur + docs_cur) // (2 * docs_cur) AS DOUBLE) / 10000.0 END)
+         |    + 0.0 AS mean_chars_cur
+         |FROM cdj""".stripMargin,
     "t_repetition" ->
       s"""$toksCte,
          |tri AS (SELECT doc_id,

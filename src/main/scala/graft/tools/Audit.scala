@@ -61,7 +61,10 @@ object Audit {
     "d_dsir_threshold",
     // the 1-row order-count frame crossJoined onto the pair-count
     // aggregate — the t_bm25 corpus-stats shape
-    "q_basket_lift")
+    "q_basket_lift",
+    // TWO 1-row snapshot-total frames crossJoined onto the #sources-row
+    // drift join — the t_bm25 corpus-stats shape, twice
+    "t_corpus_drift")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -81,6 +84,9 @@ object Audit {
     // full-outer fusion of two ≤100-row rank lists (full outer has no
     // broadcast strategy in Spark; an SMJ over two k-row sides is free)
     "s_hybrid_rrf",
+    // full-outer of the two #sources-row snapshot aggregates (a source
+    // may exist in only one snapshot) — the s_hybrid_rrf class
+    "t_corpus_drift",
     // canopy-exploded embeddings self-join (candidates): both sides are
     // the corpus × nAssign — a genuine fact×fact equi-join on the
     // canopy id, same class as the d_semantic family above

@@ -813,6 +813,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(10L -> ((3L, 4L)), 11L -> ((1L, 3L))), s"got $got")
   }
 
+  test("corpusDrift: hand-computed shares and means; sources on one side only; planted 5th-decimal tie rounds half-away") {
+    import graft.ops.TextAnalysis
+    // T carries the tie: 32 docs, 4001 chars → mean 125.03125 exactly —
+    // a ROUND(dbl, 4) would diverge cross-engine; the integer half-away
+    // formula must read 125.0313 (the oracle mirrors the same formula)
+    val tRows = (1 to 32).map(i => ("T", if (i == 1) 2 else 129))
+    val prev = (Seq(("A", 10), ("A", 20), ("B", 7), ("D", 3)) ++ tRows)
+      .toDF("source", "n_chars")                       // totals: 36 docs
+    val cur = (Seq(("A", 10), ("A", 20), ("B", 7), ("B", 9), ("C", 5)) ++ tRows)
+      .toDF("source", "n_chars")                       // totals: 37 docs
+    val got = TextAnalysis.corpusDrift(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def row(s: String) = {
+      val r = got(s)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    }
+    // A: 2/36 → (40036 div 72 = 556) → 0.0556; 2/37 → 541 → 0.0541
+    assert(row("A") == ((2L, 2L, 0L, 0.0556, 0.0541, 0.0541 - 0.0556, 15.0, 15.0)))
+    // D exists only in prev: cur side reads 0 docs, 0.0 share/mean
+    assert(row("D") == ((1L, 0L, -1L, 0.0278, 0.0, 0.0 - 0.0278, 3.0, 0.0)))
+    // C exists only in cur
+    assert(row("C") == ((0L, 1L, 1L, 0.0, 0.027, 0.027 - 0.0, 0.0, 5.0)))
+    // the tie: 4001/32 = 125.03125 → half-away 125.0313 on BOTH sides
+    assert(row("T")._7 == 125.0313 && row("T")._8 == 125.0313,
+      s"tie must round half-away, got ${row("T")}")
+    assert(got.size == 5)
+  }
+
   test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
     import graft.ops.TextAnalysis
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
