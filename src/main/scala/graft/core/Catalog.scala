@@ -268,6 +268,24 @@ object Catalog {
     })
   }
 
+  /** The BPE model trained on the PREVIOUS corpus snapshot (the
+    * d_rank_delta / t_corpus_drift fixture: corpus minus every 50th
+    * doc) — `t_bpe_fertility`'s serving model. In production this is
+    * yesterday's STORED tokenizer applied to today's crawl — the case
+    * where out-of-vocabulary words genuinely exist; the snapshot-
+    * trained cache stands in for that stored model. Keyed alongside
+    * [[bpeModel]] by suffixing the dir (same cache, same eviction). */
+  def bpeModelSnapshot(spark: SparkSession, dir: String,
+                       rounds: Int = 8): (Seq[(Int, String, Long)], DataFrame) = {
+    evictStopped()
+    bpeCache.getOrElseUpdate((spark, dir + "#prev", rounds), {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      graft.ops.TextAnalysis.bpeLoop(
+        Tables(spark, dir).documents.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        rounds)
+    })
+  }
+
   /** `nlist <= 0` (the default) resolves the list count from the corpus
     * via [[graft.ops.Similarity.autoNlist]] — the SCALING.md sizing rule
     * (bucket width held ≈ constant as the corpus grows) applied

@@ -91,17 +91,7 @@ object DomainGraph {
     var ranks = ranks0
     var lastMat: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = w.join(out, "src")
-        .join(ranks.withColumnRenamed("host", "src"), "src")
-        .select(col("dst"),
-          (lit(damping) * col("r").cast("double") * col("w") / col("out_w"))
-            .cast("decimal(28,10)").as("t"))
-        .groupBy(col("dst")).agg(sum(col("t")).as("in_r"))
-      val next = nodes
-        .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
-        .select(col("host"),
-          (lit(teleport).cast("decimal(28,10)") +
-            coalesce(col("in_r"), lit(0).cast("decimal(28,10)"))).as("r"))
+      val next = oneIteration(w, out, nodes, teleport, damping, ranks)
       // Materialize every SECOND round's rank vector (one row per host,
       // plus the final one): the composed plan stays ≤ 2 iterations
       // deep — still bounded optimizer/shuffle growth, the GraphX-style
@@ -118,6 +108,84 @@ object DomainGraph {
       } else ranks = next
     }
     ranks
+  }
+
+  /** ONE exact-decimal power iteration (the shared step of every rank
+    * loop): contribution join on the source host, destination-keyed
+    * DECIMAL(28,10) sum, teleport re-add over the node set. */
+  private def oneIteration(w: DataFrame, out: DataFrame, nodes: DataFrame,
+                           teleport: Double, damping: Double,
+                           ranks: DataFrame): DataFrame = {
+    val contrib = w.join(out, "src")
+      .join(ranks.withColumnRenamed("host", "src"), "src")
+      .select(col("dst"),
+        (lit(damping) * col("r").cast("double") * col("w") / col("out_w"))
+          .cast("decimal(28,10)").as("t"))
+      .groupBy(col("dst")).agg(sum(col("t")).as("in_r"))
+    // The contribution SUM comes back as decimal(38,10); adding the
+    // teleport decimal(28,10) directly would make Spark's precision-
+    // loss rule adjust the result to SCALE 9 (p=39 → 38 forces a digit
+    // out), silently rounding every rank to 1e-9 per iteration — the
+    // DuckDB chain keeps scale 10, so "bit-identical per iteration"
+    // would be off by ≤1e-9 (hidden by ROUND(,6), but load-bearing for
+    // d_rank_convergence's exact 1e-10-unit deltas). Casting the sum
+    // down to (28,10) first (same scale — lossless, ranks ≤ 1) keeps
+    // the add at p=29, s=10: exact, truly bit-identical to the mirror.
+    nodes
+      .join(contrib.withColumnRenamed("dst", "host"), Seq("host"), "left")
+      .select(col("host"),
+        (lit(teleport).cast("decimal(28,10)") +
+          coalesce(col("in_r"), lit(0).cast("decimal(28,10)"))
+            .cast("decimal(28,10)")).as("r"))
+  }
+
+  /** PageRank CONVERGENCE curve — the governance card that justifies an
+    * iteration count before anyone trusts [[domainRank]]'s horizon or
+    * [[domainRankDelta]]'s refresh depth: per power iteration, the L1
+    * and max rank movement across the whole host set. Power iteration
+    * converges geometrically in the damping factor, so the curve should
+    * drop ~0.85× per round once transients pass — a curve that plateaus
+    * early says the horizon is wasteful; one still falling at the last
+    * round says it's too short. A scheduled 100-TB rank refresh reads
+    * this once per graph regime change, then pins its iteration count.
+    *
+    * EXACT output, no float discipline needed: rank vectors are
+    * DECIMAL(28,10) after every iteration (bit-identical on both
+    * engines — see the class doc), so each per-host |r_i − r_{i−1}| is
+    * an exact multiple of 10⁻¹⁰; the card reports L1/max in integer
+    * 10⁻¹⁰ units (BIGINT), a lossless encoding both engines agree on to
+    * the last unit.
+    *
+    * Plan: each iteration adds ONE host-keyed join of two one-row-per-
+    * host rank vectors + a 1-row aggregate on top of the iteration's
+    * own two key shuffles — the per-round delta frame is materialized
+    * (1 row) and the older vector released, so at most two rank
+    * snapshots are ever live, same as the plain loop. The final frame
+    * is a union of `iters` 1-row cards. */
+  def rankConvergence(edges: DataFrame, iters: Int = 10,
+                      damping: Double = 0.85): DataFrame = {
+    val (w, out, nodes, n) = edgeTables(edges)
+    val teleport = (1.0 - damping) / n
+    var prev = DupClusters.materialize(
+      nodes.select(col("host"), lit(1.0 / n).cast("decimal(28,10)").as("r")))
+    var deltas = List.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val next = DupClusters.materialize(
+        oneIteration(w, out, nodes, teleport, damping, prev))
+      val card = DupClusters.materialize(
+        next.join(prev.withColumnRenamed("r", "rp"), "host")
+          .select((abs(col("r") - col("rp")) * lit(10000000000L))
+            .cast("long").as("d"))
+          .agg(sum(col("d")).as("l1"), max(col("d")).as("mx"))
+          .select(lit(i).as("iter"), col("l1").as("l1_delta_e10"),
+            col("mx").as("max_delta_e10")))
+      deltas ::= card
+      DupClusters.release(prev)
+      prev = next
+    }
+    DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    DupClusters.release(prev)
+    deltas.reverse.reduce(_ unionByName _)
   }
 
   /** INCREMENTAL PageRank refresh — the 100-TB companion of
@@ -226,7 +294,9 @@ object DomainGraph {
     // iterations on the full graph
     "d_rank_delta" -> ((s, d) =>
       domainRankDelta(syntheticEdges(Tables(s, d).documents),
-        graft.core.Catalog.rankSnapshot(s, d))))
+        graft.core.Catalog.rankSnapshot(s, d))),
+    "d_rank_convergence" -> ((s, d) =>
+      rankConvergence(syntheticEdges(Tables(s, d).documents))))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see
@@ -305,6 +375,30 @@ object DomainGraph {
             |  ROUND(CAST(f.r AS DOUBLE), 6) + 0.0
             |    - COALESCE(p.prev_rank, CAST(0.0 AS DOUBLE)) + 0.0 AS delta
             |FROM dnw3 f LEFT JOIN prevd p ON p.host = f.host""".stripMargin),
+      // rankConvergence mirror: the SAME r0..r10 decimal chain as
+      // d_domain_rank, then one delta card per consecutive pair. Every
+      // per-host |r_i − r_{i−1}| is an exact scale-10 decimal, so
+      // ×10¹⁰ is an exact integer — both engines agree to the unit
+      // (SUM goes HUGEINT in DuckDB → CAST back to BIGINT).
+      "d_rank_convergence" ->
+        (s"""WITH links AS (SELECT source || '.example.com' AS src,
+            |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.com' AS dst
+            |  FROM documents),
+            |e AS (SELECT src, dst, COUNT(*) AS w FROM links GROUP BY 1, 2),
+            |o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY 1),
+            |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+            |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+            |r0 AS (SELECT host, CAST(CAST(1.0 AS DOUBLE) / c.n AS DECIMAL(28,10)) AS r
+            |  FROM nodes CROSS JOIN cnt c),
+            |$iterCtes
+            |""".stripMargin +
+          (1 to 10).map(i =>
+            s"""SELECT CAST($i AS INT) AS iter,
+               |  CAST(SUM(CAST(ABS(a.r - b.r) * 10000000000 AS BIGINT)) AS BIGINT)
+               |    AS l1_delta_e10,
+               |  MAX(CAST(ABS(a.r - b.r) * 10000000000 AS BIGINT)) AS max_delta_e10
+               |FROM r$i a JOIN r${i - 1} b ON a.host = b.host""".stripMargin)
+            .mkString("\nUNION ALL\n")),
       // Mirror of domainDegree: the same two-orientation union and
       // conditional distinct/sum arms — all integer counts.
       "d_domain_degree" ->

@@ -1041,6 +1041,54 @@ object TextAnalysis {
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY card — per source: word instances, BPE tokens
+    * under a trained model, fertility (tokens/word), and the
+    * out-of-vocabulary rate. This is the governance artifact a
+    * tokenizer review publishes per language/source (the standard
+    * multilingual-BPE evaluation: a source whose fertility is 2× the
+    * corpus mean is under-represented in tokenizer training and pays
+    * 2× the context budget per word; a high OOV rate says the stored
+    * model predates this source entirely). Served off YESTERDAY'S
+    * model (the snapshot-trained `Catalog.bpeModelSnapshot` — in
+    * production the stored tokenizer) applied to TODAY'S full corpus,
+    * so OOV is the real serving case, not a degenerate zero: an unseen
+    * word's BPE segmentation is its characters (no merges learned for
+    * it), the exact [[bpeApplyFromModel]] convention.
+    *
+    * Plan: ONE word fan-out scan LEFT-joined to the vocab(word →
+    * n_tokens) model on the word key (gate scale: AQE broadcasts the
+    * vocab; web scale: a word-keyed shuffle join, the t_bpe_apply
+    * class) + one per-source aggregate, then the #sources-row doc-count
+    * frame joins on. Fertility/OOV ratios are quotients of exact
+    * BIGINTs, rounded half-away in EXACT integer arithmetic (the
+    * weeklyFromDaily idiom — non-negative operands only). */
+  def bpeFertility(documents: DataFrame, syms: DataFrame): DataFrame = {
+    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    def ratio4(num: String, den: String) =
+      when(col(den) === 0L, lit(0.0)).otherwise(
+        expr(s"CAST((20000 * $num + $den) DIV (2 * $den) AS DOUBLE)")
+          / lit(10000.0)) + lit(0.0)
+    val stats = documents
+      .select(col("source"), explode(split(norm, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocabToks, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("w"),
+        sum(when(col("n_tok").isNull, 1L).otherwise(0L)).as("o"),
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long"))).as("t"))
+    documents.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("w"), lit(0L)).as("n_words"),
+        coalesce(col("o"), lit(0L)).as("n_oov_words"),
+        coalesce(col("t"), lit(0L)).as("n_bpe_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_oov_words"), col("n_bpe_tokens"),
+        ratio4("n_bpe_tokens", "n_words").as("fertility"),
+        ratio4("n_oov_words", "n_words").as("oov_rate"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003 — the MOSS scheme):
     * md5 every word k-gram, keep the distinct minima of each w-wide
     * sliding window of consecutive gram hashes. The guarantee: any
@@ -1284,6 +1332,11 @@ object TextAnalysis {
       mergesToDF(s, graft.core.Catalog.bpeModel(s, d)._1)),
     "t_bpe_apply"      -> ((s, d) =>
       bpeApplyFromModel(Tables(s, d).documents, graft.core.Catalog.bpeModel(s, d)._2)),
+    // yesterday's tokenizer (snapshot-trained model) on today's full
+    // corpus — OOV words are real here by construction
+    "t_bpe_fertility"  -> ((s, d) =>
+      bpeFertility(Tables(s, d).documents,
+        graft.core.Catalog.bpeModelSnapshot(s, d)._2)),
     "t_normalize"      -> ((s, d) => normalizeReport(Tables(s, d).documents)),
     "t_winnow"         -> ((s, d) => winnowFingerprints(Tables(s, d).documents)),
     "t_lang_confusion" -> ((s, d) => langConfusion(Tables(s, d).documents)),
@@ -1386,6 +1439,44 @@ object TextAnalysis {
           |SELECT d.doc_id, COALESCE(awb.n_words, 0) AS n_words,
           |  COALESCE(awb.n_bpe_tokens, 0) AS n_bpe_tokens
           |FROM documents d LEFT JOIN awb USING (doc_id)""".stripMargin),
+    // bpeFertility mirror: the SAME 8-round chain trained on the PREV
+    // snapshot (doc_id % 50 — toks redefined over the filtered corpus,
+    // the rest of the chain is verbatim), applied per SOURCE over the
+    // full corpus; OOV words (only in restored docs) fall back to
+    // character counts; exact-integer half-away ratios.
+    "t_bpe_fertility" ->
+      (raw"""WITH toks AS (
+           |  SELECT doc_id, text, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           |  FROM documents WHERE doc_id % 50 <> 0),
+           |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
+           |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+           |s0 AS (SELECT word, f,
+           |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+           |  FROM wf),
+           |""".stripMargin +
+        (1 to 8).map(bpeRoundCte).mkString(",\n") + "\n" +
+        raw""",fw AS (SELECT source,
+           |    unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+           |      t -> t != '')) AS word
+           |  FROM documents),
+           |fj AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(CASE WHEN s8.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+           |    CAST(SUM(COALESCE(len(s8.syms), length(fw.word))) AS BIGINT) AS n_bpe_tokens
+           |  FROM fw LEFT JOIN s8 USING (word) GROUP BY 1),
+           |fd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+           |fx AS (SELECT fd.source, fd.n_docs, COALESCE(fj.n_words, 0) AS n_words,
+           |    COALESCE(fj.n_oov_words, 0) AS n_oov_words,
+           |    COALESCE(fj.n_bpe_tokens, 0) AS n_bpe_tokens
+           |  FROM fd LEFT JOIN fj USING (source))
+           |SELECT source, n_docs, n_words, n_oov_words, n_bpe_tokens,
+           |  (CASE WHEN n_words = 0 THEN 0.0 ELSE
+           |    CAST((20000 * n_bpe_tokens + n_words) // (2 * n_words) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS fertility,
+           |  (CASE WHEN n_words = 0 THEN 0.0 ELSE
+           |    CAST((20000 * n_oov_words + n_words) // (2 * n_words) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS oov_rate
+           |FROM fx""".stripMargin),
     // zipfReport mirror: same tokenization, same total rank order,
     // ln-through-DECIMAL(28,10) values, double products, DECIMAL
     // moment sums, one closed-form double expression per output.

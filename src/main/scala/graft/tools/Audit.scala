@@ -113,6 +113,10 @@ object Audit {
     // the word-keyed shuffle join is the planned strategy; the
     // doc_id left-join back is the same corpus-order pair
     "t_bpe_apply",
+    // the same corpus-word-fan-out ⋈ vocab model join (fertility serves
+    // yesterday's snapshot-trained model over today's corpus) — at web
+    // scale the vocab is a fact table, the t_bpe_apply class exactly
+    "t_bpe_fertility",
     // the canopy candidate self-join (s_knn_ivf's plan) + the
     // neighbor-label key join against the corpus-order (vec_id, label)
     // projection — both genuine fact×fact equi-joins

@@ -98,6 +98,45 @@ class GraphSpec extends SparkSpec {
     assert(mass > 0.9 && mass < 1.1, s"mass $mass")
   }
 
+  test("rankConvergence: exact-decimal JVM differential to the unit; geometric decay; max ≤ L1") {
+    val rnd = new scala.util.Random(31)
+    val es = Seq.fill(250)((s"h${rnd.nextInt(12)}", s"h${rnd.nextInt(12)}"))
+    val got = DomainGraph.rankConvergence(es.toDF("src", "dst")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == (1 to 10).toSet)
+    // JVM reference replaying the SAME arithmetic: per-edge double term
+    // quantized to decimal(28,10) via the shortest-string BigDecimal
+    // (Spark's double→decimal cast), exact decimal sums, deltas read in
+    // 1e-10 units — the spec must match to the LAST unit, no slack
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def q(d: Double) = JBD.valueOf(d).setScale(10, RoundingMode.HALF_UP)
+    val w = es.groupBy(identity).view.mapValues(_.size).toMap
+    val outW = es.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val tele = q((1.0 - 0.85) / n)
+    var r = nodes.map(_ -> q(1.0 / n)).toMap
+    val zero = JBD.ZERO.setScale(10)
+    val ref = (1 to 10).map { _ =>
+      val in = w.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((u, _), wt) => q(0.85 * r(u).doubleValue() * wt / outW(u))
+      }.reduce(_.add(_))).toMap
+      val next = nodes.map(v => v -> tele.add(in.getOrElse(v, zero))).toMap
+      val ds = nodes.map(v =>
+        next(v).subtract(r(v)).abs.movePointRight(10).longValueExact)
+      r = next
+      (ds.sum, ds.max)
+    }
+    (1 to 10).foreach { i =>
+      assert(got(i) == ref(i - 1), s"iter $i: ${got(i)} vs ${ref(i - 1)}")
+    }
+    // the property the card exists to show: geometric decay (damping
+    // 0.85 ⇒ ≥ 4× shrink well before round 10), and max ≤ L1 always
+    assert(got(10)._1 < got(1)._1 / 4,
+      s"deltas must decay geometrically: ${got(1)._1} → ${got(10)._1}")
+    got.values.foreach { case (l1, mx) => assert(mx <= l1 && mx >= 0L) }
+  }
+
   test("domainDegree: hand graph — distinct neighbors vs link weights, both orientations") {
     val es = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
     val got = DomainGraph.domainDegree(es).collect()

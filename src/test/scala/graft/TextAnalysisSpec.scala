@@ -842,6 +842,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("bpeFertility: hand-computed fertility/OOV per source vs a snapshot-trained model; planted 5th-decimal ties; empty source") {
+    import graft.ops.TextAnalysis
+    // train on "yesterday": the only word is ab → one merge (a,b), vocab ab→1 token
+    val prev = Seq(("X", "ab ab ab")).toDF("source", "text")
+    val (_, syms) = TextAnalysis.bpeLoop(prev, 8)
+    val cur = Seq(
+      ("X", "ab ab ab"), ("X", "ab cd"),                  // cd is OOV → 2 char tokens
+      ("Y", "xyz"),                                       // whole source OOV
+      ("Z", (Seq.fill(31)("ab") :+ "qq").mkString(" ")),  // 33/32 and 1/32: exact …5 ties
+      ("W", "")).toDF("source", "text")                   // no words at all
+    val got = TextAnalysis.bpeFertility(cur, syms).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got("X") == ((2L, 5L, 1L, 6L, 1.2, 0.2)), s"X: ${got("X")}")
+    assert(got("Y") == ((1L, 1L, 1L, 3L, 3.0, 1.0)), s"Y: ${got("Y")}")
+    // the ties: 33/32 = 1.03125 and 1/32 = 0.03125 must round half-AWAY
+    assert(got("Z") == ((1L, 32L, 1L, 33L, 1.0313, 0.0313)), s"Z: ${got("Z")}")
+    assert(got("W") == ((1L, 0L, 0L, 0L, 0.0, 0.0)), s"W: ${got("W")}")
+    assert(got.size == 4)
+    syms.unpersist(blocking = false)
+  }
+
   test("winnow: hand-computed single-window fingerprint; shared-run guarantee; short docs empty") {
     import graft.ops.TextAnalysis
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
