@@ -1121,6 +1121,42 @@ object Similarity {
           (round(col("n_hit") / col("n_exact"), 4) + lit(0.0)).as("recall"))
     }.reduce(_ unionByName _)
 
+  /** nProbe TUNING curve — the calibration sweep behind
+    * [[recallReport]]'s single setting: recall@k of the IVF serving
+    * path at EACH candidate probe count, aggregated over the query
+    * panel. This is the artifact that PICKS a deployment's nProbe (the
+    * FAISS-benchmark recall-vs-probes curve): serving cost grows
+    * ∝ nProbe/nlist of the corpus per query, so the knee of this curve
+    * is the cheapest setting that clears the recall target. Run once
+    * per index fit / embedding-model change, then pin.
+    *
+    * The exact ground-truth arm is computed ONCE per query and
+    * localCheckpointed (10 rows — model-scale, the mmrDiversify
+    * precedent), so adding probe settings costs only cluster-bounded
+    * approx arms, never extra corpus scans. Recall is a quotient of
+    * exact integer counts → the exact-integer half-away idiom. */
+  def nprobeCurve(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                  assigned: DataFrame,
+                  queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                  k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val exacts = queryVecIds.map(id =>
+      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+    val cells = for (np <- probes; (id, exact) <- exacts) yield {
+      val approx = annIvfFromIndex(centroids, assigned, id, k, np)
+        .select(col("vec_id").as("a_vec_id"))
+      exact.join(approx, col("vec_id") === col("a_vec_id"), "left")
+        .agg(count(lit(1)).as("e"), count(col("a_vec_id")).as("h"))
+        .select(lit(np).as("n_probe"), col("e"), col("h"))
+    }
+    cells.reduce(_ unionByName _)
+      .groupBy(col("n_probe"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("h")).as("n_hit"))
+      .select(col("n_probe"), col("n_exact"), col("n_hit"),
+        (when(col("n_exact") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("recall"))
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroids of two corpus partitions (A = even vec_id, B = odd — the
     * stand-in for "last ingest" vs "this ingest"; production passes any
@@ -1315,6 +1351,10 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       recallReport(Tables(s, d).embeddings, cents, assigned)
     }),
+    "s_nprobe_curve" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      nprobeCurve(Tables(s, d).embeddings, cents, assigned)
+    }),
     "s_norm_report" -> ((s, d) => normReport(Tables(s, d).embeddings)),
     "s_norm_report_approx" -> ((s, d) => normReportApprox(Tables(s, d).embeddings)),
     "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)),
@@ -1416,20 +1456,30 @@ object Similarity {
 
   /** Per-query CTEs for the recall report: exact brute-force top-k +
     * the IVF serving arm at nProbe=2, both with (cos desc, id) order. */
-  private def recallQueryCte(qid: Int): String =
+  /** Query vector + brute-force exact top-10 for one query id (shared
+    * by the recall report and the nProbe curve). */
+  private def recallQexCte(qid: Int): String =
     s"""q$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
        |ex$qid AS (SELECT vec_id FROM (
        |    SELECT e.vec_id, ${cosSql("e.embedding", s"q$qid.qe")} AS cos
        |    FROM eiv e CROSS JOIN q$qid WHERE e.vec_id != $qid
-       |    ORDER BY cos DESC, vec_id ASC LIMIT 10)),
-       |pr$qid AS (SELECT c FROM (
+       |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+
+  /** The IVF approx arm for one (nProbe, query) cell: probe the np
+    * nearest lists, exact rank within them. `tag` disambiguates CTE
+    * names across probe settings. */
+  private def recallApproxCte(qid: Int, np: Int, tag: String): String =
+    s"""pr$tag$qid AS (SELECT c FROM (
        |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql(s"q$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
-       |    FROM c2 CROSS JOIN q$qid) WHERE rn <= 2),
-       |ap$qid AS (SELECT vec_id FROM (
+       |    FROM c2 CROSS JOIN q$qid) WHERE rn <= $np),
+       |ap$tag$qid AS (SELECT vec_id FROM (
        |    SELECT af.vec_id, ${cosSql("af.embedding", s"q$qid.qe")} AS cos
        |    FROM af CROSS JOIN q$qid
-       |    WHERE af.cluster IN (SELECT c FROM pr$qid) AND af.vec_id != $qid
+       |    WHERE af.cluster IN (SELECT c FROM pr$tag$qid) AND af.vec_id != $qid
        |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+
+  private def recallQueryCte(qid: Int): String =
+    recallQexCte(qid) + ",\n" + recallApproxCte(qid, 2, "")
 
   private def recallQuerySelect(qid: Int): String =
     s"""SELECT CAST($qid AS BIGINT) AS query_id,
@@ -1828,6 +1878,31 @@ object Similarity {
       ("WITH " + ivfFitCte + ",\n" +
         (0 until 5).map(recallQueryCte).mkString(",\n") + "\n" +
         (0 until 5).map(recallQuerySelect).mkString("\nUNION ALL\n")),
+    // nprobeCurve mirror: the same fit CTE + ONE exact arm per query
+    // shared across probe settings + one approx arm per (probe, query)
+    // cell; per-probe totals summed over the panel, exact-integer
+    // half-away recall.
+    "s_nprobe_curve" -> {
+      val qids = 0 until 5
+      val probes = Seq(1, 2, 4, 8)
+      def rowSelect(np: Int): String = {
+        val ex = qids.map(q => s"(SELECT COUNT(*) FROM ex$q)").mkString(" + ")
+        val hit = qids.map(q =>
+          s"(SELECT COUNT(*) FROM ex$q e JOIN apn${np}x$q a ON e.vec_id = a.vec_id)")
+          .mkString(" + ")
+        s"""SELECT CAST($np AS INT) AS n_probe,
+           |  CAST($ex AS BIGINT) AS n_exact,
+           |  CAST($hit AS BIGINT) AS n_hit,
+           |  (CASE WHEN ($ex) = 0 THEN 0.0 ELSE
+           |    CAST((20000 * ($hit) + ($ex)) // (2 * ($ex)) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS recall""".stripMargin
+      }
+      "WITH " + ivfFitCte + ",\n" +
+        qids.map(recallQexCte).mkString(",\n") + ",\n" +
+        (for (np <- probes; q <- qids) yield recallApproxCte(q, np, s"n${np}x"))
+          .mkString(",\n") + "\n" +
+        probes.map(rowSelect).mkString("\nUNION ALL\n")
+    },
     "s_ann_lsh" ->
       s"""WITH s AS (SELECT vec_id, label, embedding, $annLshSigExpr AS bucket
          |  FROM embeddings),

@@ -47,6 +47,9 @@ object Audit {
     // the whitelisted 1-row-broadcast ANN subplans (one query-vector
     // BNLJ per query); the recall join itself is a ≤ k-row equi-join
     "s_recall_report",
+    // the same 1-row query-vector broadcast, one BNLJ per (probe,
+    // query) cell of the tuning sweep
+    "s_nprobe_curve",
     // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
     // hot list — the t_bm25 corpus-stats shape
     "q_skew_report",
@@ -151,7 +154,11 @@ object Audit {
     "m_phash_clusters" -> 11,
     // full corpus-side semantic dedup (pairs + CC closure) composed
     // with the batch×survivor vetting join
-    "d_semantic_cross" -> 10)
+    "d_semantic_cross" -> 10,
+    // 4 probe settings × 5 queries: each cell is its OWN cluster-
+    // bounded top-k (one single-partition heap collect each) — the
+    // cells are independent serving plans, not a corpus pipeline
+    "s_nprobe_curve" -> 24)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

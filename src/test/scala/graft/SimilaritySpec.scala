@@ -633,6 +633,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nprobeCurve: recall nondecreasing in n_probe; saturates at 1.0 when every list is probed; counts consistent") {
+    val (cents, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val got = Similarity.nprobeCurve(embs, cents, assigned,
+      queryVecIds = Seq(0L, 1L, 2L), k = 5,
+      probes = Seq(1, 2, 4, cents.length)).collect()
+      .map(r => r.getAs[Int]("n_probe") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 4, cents.length).sorted)
+    got.foreach { case (_, (e, h, rec)) =>
+      assert(e == 15L, s"3 queries × k=5 exact rows, got $e")
+      assert(h >= 0L && h <= e)
+      // recall is the exact-integer half-away quotient of the counts
+      assert(rec == ((20000L * h + e) / (2 * e)).toDouble / 10000.0,
+        s"recall $rec vs counts $h/$e")
+    }
+    // monotone in probes: probing more lists never loses a true neighbor
+    val recs = got.map(_._2._3)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b }, recs.mkString(","))
+    // probing every list IS the exact search
+    assert(got.last._2._3 == 1.0 && got.last._2._2 == 15L)
+  }
+
   test("normReport: hand-built labels — zero-norm counted, exact percentiles") {
     val df = Seq(
       (1L, 7, Seq(3f, 4f, 0f, 0f)),   // norm 5
