@@ -461,6 +461,40 @@ object TextAnalysis {
     * |overlap + fpp·corpus| — at 100 TB that is the difference between
     * an eval-sized broadcast per corpus gram and a scan plus a
     * negligible verify join. */
+  /** Decontamination THRESHOLD curve — the governance sweep behind
+    * [[decontaminate]]'s single `minHits` setting (the published
+    * n-gram-overlap threshold debate: PaLM/GPT-3-style decontamination
+    * flags on a handful of shared grams, Gopher-style on more; too low
+    * over-scrubs topical overlap, too high leaks memorizable spans):
+    * per candidate threshold, how many corpus docs would be flagged
+    * and what corpus share that is. A decontamination run reads this
+    * once per eval-set change, picks the knee, then pins `minHits`.
+    *
+    * Plan: the per-doc hit counts are mined ONCE (the decontaminate
+    * plan at its weakest threshold), then every candidate threshold is
+    * a conditional sum in ONE 1-row aggregate, unpivoted by `stack` —
+    * adding thresholds is free; the corpus total joins as a 1-row
+    * broadcast (the t_bm25 corpus-stats shape). Flagged shares use the
+    * exact-integer half-away idiom (doc-count ratios land on
+    * 5th-decimal ties by construction). */
+  def decontamCurve(documents: DataFrame, evalSource: String = "src19",
+                    thresholds: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val hits = decontaminate(documents, evalSource, minHits = 1)
+    val aggs = thresholds.map(k =>
+      sum(when(col("n_hits") >= k, 1L).otherwise(0L)).as(s"f$k"))
+    val flags = hits.agg(aggs.head, aggs.tail: _*)
+    val total = documents.filter(col("source") =!= evalSource)
+      .agg(count(lit(1)).as("n_docs"))
+    val stackArgs = thresholds.map(k => s"$k, coalesce(f$k, 0L)").mkString(", ")
+    flags
+      .selectExpr(s"stack(${thresholds.size}, $stackArgs) AS (min_hits, n_flagged)")
+      .crossJoin(broadcast(total))
+      .select(col("min_hits"), col("n_flagged"), col("n_docs"),
+        (when(col("n_docs") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_flagged + n_docs) DIV (2 * n_docs) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("flagged_frac"))
+  }
+
   def decontaminateBloom(documents: DataFrame, evalSource: String = "src19",
                          minHits: Int = 2, estimatedItems: Long = 1L << 20,
                          numBits: Long = 1L << 23): DataFrame =
@@ -1301,6 +1335,7 @@ object TextAnalysis {
     "t_fingerprint"    -> ((s, d) => fingerprint(Tables(s, d).documents)),
     "t_repetition"     -> ((s, d) => repetition(Tables(s, d).documents)),
     "t_decontaminate"  -> ((s, d) => decontaminate(Tables(s, d).documents)),
+    "t_decontam_curve" -> ((s, d) => decontamCurve(Tables(s, d).documents)),
     "t_decontam_bloom" -> ((s, d) => decontaminateWithBloom(Tables(s, d).documents,
       graft.core.Catalog.evalNgramBloom(s, d))),
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
@@ -2001,6 +2036,34 @@ object TextAnalysis {
          |       THEN 'templated' ELSE 'ok' END AS div_flag
          |FROM m""".stripMargin,
     "t_decontaminate" -> decontaminateOracle,
+    // decontamCurve mirror: the same hit-mining chain WITHOUT the
+    // threshold filter, then one conditional sum per candidate k off
+    // the single aggregate row, corpus total as a scalar CTE.
+    "t_decontam_curve" ->
+      (s"""${Dedup.shingleCte},
+          |ev AS (SELECT DISTINCT g FROM (
+          |    SELECT unnest(d.sh) AS g
+          |    FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+          |    WHERE doc.source = 'src19')),
+          |corpus AS (SELECT d.doc_id, doc.source, unnest(d.sh) AS g
+          |  FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+          |  WHERE doc.source != 'src19'),
+          |h AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          |  FROM corpus c JOIN ev ON c.g = ev.g GROUP BY 1),
+          |fl AS (SELECT
+          |    ${Seq(1, 2, 4, 8).map(k =>
+                 s"CAST(COALESCE(SUM(CASE WHEN n_hits >= $k THEN 1 ELSE 0 END), 0) AS BIGINT) AS f$k")
+                 .mkString(",\n    ")}
+          |  FROM h),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+          |  FROM documents WHERE source != 'src19')
+          |""".stripMargin +
+        Seq(1, 2, 4, 8).map(k =>
+          s"""SELECT CAST($k AS INT) AS min_hits, f$k AS n_flagged, n_docs,
+             |  (CASE WHEN n_docs = 0 THEN 0.0 ELSE
+             |    CAST((20000 * f$k + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 END)
+             |    + 0.0 AS flagged_frac
+             |FROM fl, tot""".stripMargin).mkString("\nUNION ALL\n")),
     // the Bloom path is exact (no false negatives by construction, false
     // positives removed by the verify join) — same oracle, hash-checked
     "t_decontam_bloom" -> decontaminateOracle,

@@ -50,6 +50,9 @@ object Audit {
     // the same 1-row query-vector broadcast, one BNLJ per (probe,
     // query) cell of the tuning sweep
     "s_nprobe_curve",
+    // the 1-row corpus-total frame crossJoined onto the 4-row stacked
+    // threshold aggregate — the t_bm25 corpus-stats shape
+    "t_decontam_curve",
     // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
     // hot list — the t_bm25 corpus-stats shape
     "q_skew_report",

@@ -271,6 +271,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.exists(_.getAs[String]("source") == "eval"))
   }
 
+  test("decontamCurve: hand-computed flag counts per threshold; monotone nonincreasing; planted 1/32 tie rounds half-away") {
+    import graft.ops.TextAnalysis
+    // eval doc shingles: {a b c, b c d}; corpus doc 1 shares ONE
+    // ("a b c"), doc 2 shares TWO; 30 disjoint fillers → 32 corpus docs
+    val fillers = (10L until 40L).map(i => (i, s"f$i g$i h$i", "train"))
+    val df = (Seq(
+      (1L, "a b c x", "train"),
+      (2L, "a b c d", "train"),
+      (3L, "a b c d", "eval")) ++ fillers).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.decontamCurve(df, evalSource = "eval",
+      thresholds = Seq(1, 2, 4)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // k=1 flags both sharers: 2/32 = 0.0625 (exact at the 4th decimal);
+    // k=2 flags only doc 2: 1/32 = 0.03125 — the …5 tie must round AWAY
+    assert(got(1) == ((2L, 32L, 0.0625)), s"k=1: ${got(1)}")
+    assert(got(2) == ((1L, 32L, 0.0313)), s"k=2: ${got(2)}")
+    assert(got(4) == ((0L, 32L, 0.0)), s"k=4: ${got(4)}")
+    // the curve is monotone nonincreasing in the threshold by definition
+    assert(got(1)._1 >= got(2)._1 && got(2)._1 >= got(4)._1)
+  }
+
   test("decontaminateBloom: equals the exact path (no false negatives, FPs verified away)") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_hits"))
