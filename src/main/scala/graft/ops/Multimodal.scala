@@ -308,6 +308,38 @@ object Multimodal {
       .filter(col("n_docs") >= 2)
   }
 
+  /** Perceptual-hash RADIUS curve — the tuning sweep behind
+    * [[phashNearDup]]'s single `maxHamming`: per candidate radius
+    * 0..3, how many near-dup pairs qualify and how many distinct
+    * assets they touch. Radius 0 is re-encode-identical fingerprints;
+    * each step admits blurrier matches — the knee (pairs exploding
+    * faster than docs) is where the radius starts gluing distinct
+    * assets together, the signal a dedup policy reads before pinning
+    * its threshold (the MinHash banding-design twin, d_lsh_tuning, on
+    * the media side).
+    *
+    * Plan: the banded candidate mining runs ONCE at the widest
+    * complete radius (the pigeonhole bound); every narrower radius is
+    * a conditional sum over the verified pair set — two 1-row
+    * aggregates (pair counts + distinct-doc counts over the exploded
+    * endpoints) crossJoined and unpivoted by stack. All-integer
+    * output, nothing float. */
+  def phashCurve(media: DataFrame, radii: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    val pairs = phashNearDup(media, radii.max)
+    val pairAggs = radii.map(r =>
+      sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"))
+    val cnt = pairs.agg(pairAggs.head, pairAggs.tail: _*)
+    val docAggs = radii.map(r =>
+      countDistinct(when(col("hamming") <= r, col("doc"))).as(s"d$r"))
+    val docs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("hamming"))
+      .agg(docAggs.head, docAggs.tail: _*)
+    val stackArgs = radii.map(r => s"$r, coalesce(p$r, 0L), d$r").mkString(", ")
+    cnt.crossJoin(broadcast(docs))
+      .selectExpr(
+        s"stack(${radii.size}, $stackArgs) AS (max_hamming, n_pairs, n_docs)")
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -319,6 +351,8 @@ object Multimodal {
       phashNearDup(mediaWithPlantedNearDups(Tables(s, d).documents))),
     "m_phash_clusters" -> ((s, d) =>
       phashClusters(mediaWithPlantedNearDups(Tables(s, d).documents))),
+    "m_phash_curve" -> ((s, d) =>
+      phashCurve(mediaWithPlantedNearDups(Tables(s, d).documents))),
     "m_resize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, length => blen, md5 => bmd5}
       resize(assemble(Tables(s, d).documents)).toDF()
@@ -376,6 +410,25 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "m_phash_neardup" -> s"WITH $phashPairsCte\nSELECT doc_a, doc_b, hamming FROM ppairs",
+    // phashCurve mirror: the same verified pair set, one conditional
+    // sum per radius + distinct endpoints per radius, all integers.
+    "m_phash_curve" ->
+      (s"""WITH $phashPairsCte,
+          |pcc AS (SELECT
+          |    ${Seq(0, 1, 2, 3).map(r =>
+               s"CAST(COALESCE(SUM(CASE WHEN hamming <= $r THEN 1 ELSE 0 END), 0) AS BIGINT) AS p$r")
+               .mkString(",\n    ")}
+          |  FROM ppairs),
+          |pdd AS (SELECT
+          |    ${Seq(0, 1, 2, 3).map(r =>
+               s"CAST(COUNT(DISTINCT CASE WHEN hamming <= $r THEN doc END) AS BIGINT) AS d$r")
+               .mkString(",\n    ")}
+          |  FROM (SELECT doc_a AS doc, hamming FROM ppairs
+          |        UNION ALL SELECT doc_b AS doc, hamming FROM ppairs))
+          |""".stripMargin +
+        Seq(0, 1, 2, 3).map(r =>
+          s"SELECT CAST($r AS INT) AS max_hamming, p$r AS n_pairs, d$r AS n_docs FROM pcc, pdd")
+          .mkString("\nUNION ALL\n")),
     // phashClusters mirror: min-over-reachable closure of the same
     // pair set, vertices = pair endpoints (every cluster ≥ 2 members).
     "m_phash_clusters" ->

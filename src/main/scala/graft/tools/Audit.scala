@@ -53,6 +53,9 @@ object Audit {
     // the 1-row corpus-total frame crossJoined onto the 4-row stacked
     // threshold aggregate — the t_bm25 corpus-stats shape
     "t_decontam_curve",
+    // the two 1-row radius aggregates (pair counts × distinct-doc
+    // counts) crossJoined before the stack — the same shape
+    "m_phash_curve",
     // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
     // hot list — the t_bm25 corpus-stats shape
     "q_skew_report",
@@ -161,7 +164,11 @@ object Audit {
     // 4 probe settings × 5 queries: each cell is its OWN cluster-
     // bounded top-k (one single-partition heap collect each) — the
     // cells are independent serving plans, not a corpus pipeline
-    "s_nprobe_curve" -> 24)
+    "s_nprobe_curve" -> 24,
+    // the banded pair mining runs under BOTH 1-row aggregates (pair
+    // counts + exploded distinct-doc counts) — two verified-pair
+    // pipelines plus the countDistinct expand, all candidate-bounded
+    "m_phash_curve" -> 10)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

@@ -582,6 +582,46 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.phashNearDup(media, maxHamming = 4))
   }
 
+  test("phashCurve: cumulative pair/doc counts per radius match brute force; monotone nondecreasing") {
+    import graft.functions.TextKernels
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val swap = "" + base(1) + base(0) + base.substring(2)         // hamming 0 to base
+    // find a single-character tweak at hamming 1..3 deterministically
+    // (a ±1 byte can vanish into the block sums — search instead)
+    val basePh = TextKernels.phash64(base.getBytes("UTF-8"))
+    val tweak = (for {
+      pos <- base.indices.iterator
+      ch <- (33 to 126).iterator.map(_.toChar) if ch != base(pos)
+      cand = base.updated(pos, ch)
+      h = java.lang.Long.bitCount(basePh ^ TextKernels.phash64(cand.getBytes("UTF-8")))
+      if h >= 1 && h <= 3
+    } yield cand).next()
+    val ortho = Array.tabulate(400)(i => (33 + (i * 7) % 94).toChar).mkString
+    val corpus = Seq((1L, base), (2L, swap), (3L, tweak), (4L, ortho))
+    val media = corpus.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(coalesce(col("text"), lit("")), "UTF-8").as("bytes"))
+    val got = Multimodal.phashCurve(media).collect()
+      .map(r => r.getAs[Int]("max_hamming") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs")))).toMap
+    // brute-force reference per radius
+    val ph = corpus.map { case (id, t) => id -> TextKernels.phash64(t.getBytes("UTF-8")) }.toMap
+    val ids = corpus.map(_._1).sorted
+    def ref(r: Int) = {
+      val ps = for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if java.lang.Long.bitCount(ph(ids(i)) ^ ph(ids(j))) <= r
+      } yield (ids(i), ids(j))
+      (ps.size.toLong, ps.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }
+    (0 to 3).foreach(r => assert(got(r) == ref(r), s"radius $r: ${got(r)} vs ${ref(r)}"))
+    // the curve is cumulative by construction
+    val ordered = (0 to 3).map(got)
+    assert(ordered.zip(ordered.tail).forall { case ((p1, d1), (p2, d2)) => p1 <= p2 && d1 <= d2 })
+    // the fixture really exercises it: radius 0 has the block-swap pair,
+    // radius 3 has the tweak pair too, ortho never joins
+    assert(got(0)._1 >= 1L && got(3)._1 > got(0)._1 && got(3)._2 == 3L)
+  }
+
   test("phashClusters: a re-encode CHAIN collapses to one cluster; singletons omitted; id = min member") {
     val base = "the quick brown fox jumps over the lazy dog " * 8
     val swap12 = "" + base(1) + base(0) + base.substring(2)            // same-block swap of bytes 0,1
