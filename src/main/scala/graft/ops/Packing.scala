@@ -162,6 +162,40 @@ object Packing {
       .toDF()
   }
 
+  /** Sequence-PACKING efficiency curve — the sweep behind [[seqBins]]'s
+    * single context length (the knob a training run actually owns:
+    * context length is a model/hardware decision, and this card prices
+    * each candidate in padding waste): per candidate ctx, bins needed,
+    * docs and tokens packed, oversize-bin count, and the overall
+    * utilization tokens/(bins·ctx). Utilization falling as ctx grows
+    * means the corpus' document-length profile can't fill long
+    * contexts without chunking — read next to t_length_quantiles
+    * before pinning ctx and a chunking policy.
+    *
+    * One [[seqBins]] pass per candidate (the packing recurrence is
+    * inherently per-ctx — bin boundaries move), each collapsing to a
+    * 1-row aggregate before the union: #ctxs × the base operator's
+    * linear cost, ≤ 5-row output. Utilization is a quotient of exact
+    * BIGINTs → the exact-integer half-away idiom (it can exceed 1.0
+    * only via oversize singleton bins, which the card names). */
+  def packCurve(documents: DataFrame,
+                ctxs: Seq[Int] = Seq(256, 512, 1024, 2048)): DataFrame =
+    ctxs.map { c =>
+      seqBins(documents, c).agg(
+        count(lit(1)).as("n_bins"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("bin_tokens")), lit(0L)).as("n_tokens"),
+        coalesce(sum(when(col("oversize"), 1L).otherwise(0L)), lit(0L))
+          .as("n_oversize"))
+        .select(lit(c).as("ctx"), col("n_bins"), col("n_docs"),
+          col("n_tokens"), col("n_oversize"))
+    }.reduce(_ unionByName _)
+      .select(col("ctx"), col("n_bins"), col("n_docs"), col("n_tokens"),
+        col("n_oversize"),
+        (when(col("n_bins") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_tokens + n_bins * ctx) DIV (2 * n_bins * ctx) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("util"))
+
   /** Best-fit-decreasing variant of [[seqBins]]: same contract (docs
     * whole, padding fills, oversize docs are flagged singletons,
     * descending (n_tokens, doc_id) order), but a doc goes into the
@@ -242,6 +276,7 @@ object Packing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_seq_pack" -> ((s, d) => seqPack(Tables(s, d).documents)),
     "t_seq_bins" -> ((s, d) => seqBins(Tables(s, d).documents)),
+    "t_pack_curve" -> ((s, d) => packCurve(Tables(s, d).documents)),
     "t_seq_bins_bfd" -> ((s, d) => seqBinsBfd(Tables(s, d).documents)),
     "t_chunk" -> ((s, d) => chunkPlan(Tables(s, d).documents)))
 
@@ -300,6 +335,38 @@ object Packing {
         |  least(1.0, CAST(SUM(n_tokens) AS DOUBLE) / 512) AS fill_frac,
         |  SUM(n_tokens) > 512 AS oversize
         |FROM asg GROUP BY 1, 2""".stripMargin,
+    // packCurve mirror: one next-fit recurrence per candidate ctx (the
+    // t_seq_bins chain with the capacity templated), per-bin collapse,
+    // then a 1-row aggregate per ctx — exact integers + the half-away
+    // utilization quotient.
+    "t_pack_curve" ->
+      (raw"""WITH RECURSIVE $packTokCte,
+        |""".stripMargin +
+        Seq(256, 512, 1024, 2048).map { c =>
+          raw"""pkst$c(shard, rn, bin_id, used) AS (
+            |  SELECT shard, rn, 0::BIGINT, n_tokens FROM ord WHERE rn = 1
+            |  UNION ALL
+            |  SELECT o.shard, o.rn,
+            |    CASE WHEN pkst$c.used + o.n_tokens > $c THEN pkst$c.bin_id + 1 ELSE pkst$c.bin_id END,
+            |    CASE WHEN pkst$c.used + o.n_tokens > $c THEN o.n_tokens ELSE pkst$c.used + o.n_tokens END
+            |  FROM pkst$c JOIN ord o ON o.shard = pkst$c.shard AND o.rn = pkst$c.rn + 1),
+            |pkb$c AS (SELECT st.shard, st.bin_id, CAST(COUNT(*) AS BIGINT) AS nd,
+            |    CAST(SUM(o.n_tokens) AS BIGINT) AS bt
+            |  FROM pkst$c st JOIN ord o ON o.shard = st.shard AND o.rn = st.rn
+            |  GROUP BY 1, 2),
+            |pkg$c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+            |    CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_docs,
+            |    CAST(COALESCE(SUM(bt), 0) AS BIGINT) AS n_tokens,
+            |    CAST(COALESCE(SUM(CASE WHEN bt > $c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_oversize
+            |  FROM pkb$c)""".stripMargin
+        }.mkString(",\n") + "\n" +
+        Seq(256, 512, 1024, 2048).map { c =>
+          s"""SELECT CAST($c AS INT) AS ctx, n_bins, n_docs, n_tokens, n_oversize,
+             |  (CASE WHEN n_bins = 0 THEN 0.0 ELSE
+             |    CAST((20000 * n_tokens + n_bins * $c) // (2 * n_bins * $c) AS DOUBLE) / 10000.0 END)
+             |    + 0.0 AS util
+             |FROM pkg$c""".stripMargin
+        }.mkString("\nUNION ALL\n")),
     // Mirror of seqBinsBfd: the bin DIRECTORY itself is the recursive
     // state — a per-shard list of bin fills (index = bin_id + 1), one
     // doc-count list alongside. Best-fit = the lowest index among open

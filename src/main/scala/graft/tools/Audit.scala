@@ -168,7 +168,11 @@ object Audit {
     // the banded pair mining runs under BOTH 1-row aggregates (pair
     // counts + exploded distinct-doc counts) — two verified-pair
     // pipelines plus the countDistinct expand, all candidate-bounded
-    "m_phash_curve" -> 10)
+    "m_phash_curve" -> 10,
+    // one shard-repartition + 1-row aggregate PER candidate ctx (the
+    // packing recurrence is inherently per-ctx — bin boundaries move):
+    // 4 candidates × 2 key-column shuffles, each linear
+    "t_pack_curve" -> 8)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

@@ -9,6 +9,25 @@ import graft.ops.Packing
   * shard-parallel determinism. */
 class PackingSpec extends SparkSpec {
 
+  test("packCurve: hand-computed bins/util per ctx; planted oversize; 13/32 tie rounds half-away") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h", "A"), // 3, 3, 2 tokens
+      (4L, "p q r s t", "B")                                    // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    val got = Packing.packCurve(docs, ctxs = Seq(4, 8, 16)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // ctx 4: A packs NFD [3][3][2] (three bins), B [5] is an oversize
+    // singleton → 4 bins, util = 13/16 = 0.8125 (exact at 4 decimals)
+    assert(got(4) == ((4L, 4L, 13L, 1L, 0.8125)), s"ctx4: ${got(4)}")
+    // ctx 8: A [3,3,2] fills a bin EXACTLY (8 = ctx is not oversize),
+    // B [5] → 2 bins, util 13/16 again
+    assert(got(8) == ((2L, 4L, 13L, 0L, 0.8125)), s"ctx8: ${got(8)}")
+    // ctx 16: util = 13/32 = 0.40625 — the …5 tie must round half-AWAY
+    assert(got(16) == ((2L, 4L, 13L, 0L, 0.4063)), s"ctx16: ${got(16)}")
+  }
+
   test("seqBins: capacity respected, tokens conserved, < 2× optimal, partition-invariant") {
     import graft.ops.Packing
     import graft.core.Tables
