@@ -57,6 +57,7 @@ object Bench {
     graft.core.Catalog.evalNgramBloom(spark, sfDir)
     graft.core.Catalog.semanticSurvivors(spark, sfDir).count()
     graft.core.Catalog.bpeModel(spark, sfDir)._2.count()
+    graft.core.Catalog.bpeModelSnapshot(spark, sfDir)._2.count()
     graft.core.Catalog.rankSnapshot(spark, sfDir).count()
     val warmFitsSec = (System.nanoTime() - tw0) / 1e9
 

@@ -319,13 +319,15 @@ object Multimodal {
     * the media side).
     *
     * Plan: the banded candidate mining runs ONCE at the widest
-    * complete radius (the pigeonhole bound); every narrower radius is
-    * a conditional sum over the verified pair set — two 1-row
+    * complete radius (the pigeonhole bound) and is localCheckpointed
+    * (the verified pair set — a few rows per colliding asset; without
+    * this the two aggregate subtrees below would each re-mine); every
+    * narrower radius is a conditional sum over it — two 1-row
     * aggregates (pair counts + distinct-doc counts over the exploded
     * endpoints) crossJoined and unpivoted by stack. All-integer
     * output, nothing float. */
   def phashCurve(media: DataFrame, radii: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
-    val pairs = phashNearDup(media, radii.max)
+    val pairs = graft.ops.DupClusters.materialize(phashNearDup(media, radii.max))
     val pairAggs = radii.map(r =>
       sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"))
     val cnt = pairs.agg(pairAggs.head, pairAggs.tail: _*)

@@ -1454,8 +1454,6 @@ object Similarity {
        |    ROUND(${cosSql("a.embedding", "b.embedding")}, 4) + 0.0 AS cos_sim
        |  FROM can a JOIN can b ON a.canopy = b.canopy AND a.vec_id != b.vec_id)""".stripMargin
 
-  /** Per-query CTEs for the recall report: exact brute-force top-k +
-    * the IVF serving arm at nProbe=2, both with (cos desc, id) order. */
   /** Query vector + brute-force exact top-10 for one query id (shared
     * by the recall report and the nProbe curve). */
   private def recallQexCte(qid: Int): String =
@@ -1478,6 +1476,8 @@ object Similarity {
        |    WHERE af.cluster IN (SELECT c FROM pr$tag$qid) AND af.vec_id != $qid
        |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
 
+  /** Per-query CTEs for the recall report: exact brute-force top-k +
+    * the IVF serving arm at nProbe=2, both with (cos desc, id) order. */
   private def recallQueryCte(qid: Int): String =
     recallQexCte(qid) + ",\n" + recallApproxCte(qid, 2, "")
 

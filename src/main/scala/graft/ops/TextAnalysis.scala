@@ -1058,12 +1058,7 @@ object TextAnalysis {
     * its BPE segmentation IS its characters — the exact semantics of
     * running the merge chain on an unseen word. */
   def bpeApplyFromModel(documents: DataFrame, syms: DataFrame): DataFrame = {
-    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
-    val docWords = documents
-      .select(col("doc_id"), explode(split(norm, " ")).as("word"))
-      .filter(col("word") =!= "")
-    val perDoc = docWords.join(vocabToks, Seq("word"), "left")
+    val perDoc = bpeWordStats(documents, syms, "doc_id")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(coalesce(col("n_tok"), length(col("word")).cast("long")))
@@ -1073,6 +1068,22 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The shared serving chain of [[bpeApplyFromModel]] and
+    * [[bpeFertility]]: word fan-out under the canonical normalization,
+    * LEFT-joined to the vocab's word → token-count model. One place
+    * owns the tokenization and the OOV convention (`n_tok` NULL =
+    * unseen word; consumers fall back to `length(word)`), so the two
+    * keys and their oracles cannot desynchronize. */
+  private def bpeWordStats(documents: DataFrame, syms: DataFrame,
+                           keyCol: String): DataFrame = {
+    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    documents
+      .select(col(keyCol), explode(split(norm, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(vocabToks, Seq("word"), "left")
   }
 
   /** Tokenizer FERTILITY card — per source: word instances, BPE tokens
@@ -1097,16 +1108,11 @@ object TextAnalysis {
     * BIGINTs, rounded half-away in EXACT integer arithmetic (the
     * weeklyFromDaily idiom — non-negative operands only). */
   def bpeFertility(documents: DataFrame, syms: DataFrame): DataFrame = {
-    val vocabToks = syms.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     def ratio4(num: String, den: String) =
       when(col(den) === 0L, lit(0.0)).otherwise(
         expr(s"CAST((20000 * $num + $den) DIV (2 * $den) AS DOUBLE)")
           / lit(10000.0)) + lit(0.0)
-    val stats = documents
-      .select(col("source"), explode(split(norm, " ")).as("word"))
-      .filter(col("word") =!= "")
-      .join(vocabToks, Seq("word"), "left")
+    val stats = bpeWordStats(documents, syms, "source")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("w"),
         sum(when(col("n_tok").isNull, 1L).otherwise(0L)).as("o"),

@@ -165,9 +165,9 @@ object Audit {
     // bounded top-k (one single-partition heap collect each) — the
     // cells are independent serving plans, not a corpus pipeline
     "s_nprobe_curve" -> 24,
-    // the banded pair mining runs under BOTH 1-row aggregates (pair
-    // counts + exploded distinct-doc counts) — two verified-pair
-    // pipelines plus the countDistinct expand, all candidate-bounded
+    // the pair set is localCheckpointed at build time; the audited
+    // plan is the two 1-row aggregates (pair counts + exploded
+    // distinct-doc counts with its countDistinct expand) over it
     "m_phash_curve" -> 10,
     // one shard-repartition + 1-row aggregate PER candidate ctx (the
     // packing recurrence is inherently per-ctx — bin boundaries move):
