@@ -330,21 +330,38 @@ object TextAnalysis {
     * ROUND(dbl, 4) would diverge cross-engine). The share delta is
     * then an IEEE subtraction of identical doubles. */
   def corpusDrift(prev: DataFrame, cur: DataFrame): DataFrame = {
-    def side(df: DataFrame, tag: String) =
+    def side(df: DataFrame) =
       df.groupBy(col("source")).agg(
-        count(lit(1)).as(s"d_$tag"),
-        sum(col("n_chars").cast("long")).as(s"c_$tag"))
-    def total(df: DataFrame, tag: String) =
-      df.agg(count(lit(1)).as(s"t_$tag"))
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"))
+    corpusDriftFromCards(side(prev), side(cur))
+  }
+
+  /** [[corpusDrift]] over two already-aggregated per-source CARDS
+    * (source, n_docs, n_chars) — the serving entry point of the
+    * streaming maintainer ([[graft.streaming.DriftStream]]) and the
+    * literal 100-TB shape the batch docstring names: the previous
+    * snapshot side IS the stored card (one row per source), never a
+    * re-aggregation of history. Snapshot totals derive from the card's
+    * own doc counts (Σ per-source = the corpus COUNT(*) exactly —
+    * integer sums are split-invariant), so the batch form and the
+    * streamed form are bit-equal over the same corpus. */
+  def corpusDriftFromCards(prevCard: DataFrame, curCard: DataFrame): DataFrame = {
+    val p = prevCard.select(col("source"), col("n_docs").as("d_prev"),
+      col("n_chars").as("c_prev"))
+    val c = curCard.select(col("source"), col("n_docs").as("d_cur"),
+      col("n_chars").as("c_cur"))
+    val tp = p.agg(coalesce(sum(col("d_prev")), lit(0L)).as("t_prev"))
+    val tc = c.agg(coalesce(sum(col("d_cur")), lit(0L)).as("t_cur"))
     // exact-integer round-half-away(num/den, 4) as a double; den = 0
     // (an empty snapshot / a source absent from one side) reads 0.0
     def ratio4(num: String, den: String) =
       when(col(den) === 0L, lit(0.0)).otherwise(
         expr(s"CAST((20000 * $num + $den) DIV (2 * $den) AS DOUBLE)")
           / lit(10000.0)) + lit(0.0)
-    side(prev, "prev").join(side(cur, "cur"), Seq("source"), "full_outer")
-      .crossJoin(broadcast(total(prev, "prev")))
-      .crossJoin(broadcast(total(cur, "cur")))
+    p.join(c, Seq("source"), "full_outer")
+      .crossJoin(broadcast(tp))
+      .crossJoin(broadcast(tc))
       .select(col("source"),
         coalesce(col("d_prev"), lit(0L)).as("docs_prev"),
         coalesce(col("d_cur"), lit(0L)).as("docs_cur"),

@@ -858,6 +858,56 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_aggm2_partials")
   }
 
+  test("drift maintainer: cold bootstrap == batch drift vs empty prev, warm refresh == batch t_corpus_drift, replay idempotent") {
+    import graft.ops.TextAnalysis
+    import graft.streaming.DriftStream
+    dropGateTables("t_drift_s", "t_drift_snap", "t_drift2_s", "t_drift2_snap")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    // the t_corpus_drift fixture: "yesterday" = corpus minus every
+    // 50th doc, today's crawl delta restores them
+    val pre = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+    val delta = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // ingest yesterday as two out-of-order batches; the bootstrapping
+    // refresh (no snapshot yet) equals the batch card vs an EMPTY prev
+    DriftStream.ingestBatch(pre.filter(pmod($"doc_id", lit(2)) === 0), 0L, "t_drift_s")
+    DriftStream.ingestBatch(pre.filter(pmod($"doc_id", lit(2)) =!= 0), 1L, "t_drift_s")
+    val cold = DriftStream.refresh(spark, "t_drift_s", "t_drift_snap")
+    assert(show(cold) == show(TextAnalysis.corpusDrift(docs.filter(lit(false)), pre)),
+      "cold bootstrap must equal the batch drift card against an empty snapshot")
+    // stream today's delta, then one warm refresh — must equal the
+    // batch t_corpus_drift card bit-for-bit (summed partials are the
+    // same integers the batch aggregate counts directly)
+    DriftStream.ingestBatch(delta, 2L, "t_drift_s")
+    val card = DriftStream.refresh(spark, "t_drift_s", "t_drift_snap")
+    assert(show(card) == show(TextAnalysis.corpusDrift(pre, docs)),
+      "streamed warm refresh must equal the batch t_corpus_drift card")
+    // the rotated snapshot now carries today's card (one row per source)
+    assert(show(fresh("t_drift_snap").select($"source", $"n_docs")) ==
+      show(docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))))
+    // crash replay: a re-delivered batch_id is a no-op on the WAL
+    val before = fresh("t_drift_s").count()
+    DriftStream.ingestBatch(delta, 2L, "t_drift_s")
+    assert(fresh("t_drift_s").count() == before, "replayed batch_id must be a no-op")
+    dropGateTables("t_drift_s", "t_drift_snap")
+    // real stream wiring: documents through readStream/foreachBatch,
+    // then a cold refresh equals the batch card vs an empty prev
+    val streamDir = Files.createTempDirectory("graft-drift").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    docs.select($"source", $"n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(streamDir)
+    val docStream = spark.readStream
+      .schema("source STRING, n_chars BIGINT").parquet(streamDir)
+    val q = DriftStream.start(docStream, "t_drift2_s", ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshTable("t_drift2_s")
+    val cold2 = DriftStream.refresh(spark, "t_drift2_s", "t_drift2_snap")
+    assert(show(cold2) == show(TextAnalysis.corpusDrift(docs.filter(lit(false)), docs)),
+      "streamed counters must serve the exact batch card")
+    dropGateTables("t_drift2_s", "t_drift2_snap")
+  }
+
   test("rank maintainer: cold bootstrap == domainRank, warm refresh == batch d_rank_delta, replay idempotent") {
     import graft.ops.DomainGraph
     import graft.streaming.RankStream
