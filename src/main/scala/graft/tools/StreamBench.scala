@@ -152,6 +152,22 @@ object StreamBench {
           graft.ops.DomainGraph.syntheticEdges(replica(b)), b.toLong, "sb_rank_w")
         graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap")
       })
+    // drift maintainer (r11): each batch appends a replica corpus's
+    // per-source counters (same 20-source universe — counts grow,
+    // sources don't) and runs the snapshot-rotating refresh; per-batch
+    // cost must stay FLAT (ingest ∝ batch's source aggregate, refresh
+    // over #sources-row cards — documents are never stored or
+    // rescanned by the maintainer)
+    val dt = Seq("sb_drift_s", "sb_drift_snap")
+    gateBench("drift_maintainer", dt)(
+      () => {
+        graft.streaming.DriftStream.ingestBatch(docs, 0L, "sb_drift_s")
+        graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap")
+      })(
+      b => {
+        graft.streaming.DriftStream.ingestBatch(replica(b), b.toLong, "sb_drift_s")
+        graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap")
+      })
     spark.stop()
   }
 }
