@@ -110,6 +110,76 @@ object Sampling {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Temperature SWEEP — the governance curve behind
+    * [[sampleTemperature]]'s single α = 0.5 (the multilingual-mixture
+    * temperature debate: α = 1 keeps raw proportions and drowns
+    * low-resource sources, α → 0 flattens to uniform and over-samples
+    * tail noise; mT5/XLM-R-style recipes pick between): per (α,
+    * source), the realized kept count, corpus share and sample rate at
+    * a fixed document budget — a recipe owner reads this once, picks
+    * the α whose mixture matches intent, then pins it.
+    *
+    * The panel is QUARTER-powers {0, ¼, ½, ¾, 1} built from repeated
+    * IEEE sqrt and one multiply — every weight is a composition of
+    * correctly-rounded ops, so DuckDB reproduces each weight bit-exactly
+    * (`pow` is NOT correctly rounded, which is why arbitrary α is off
+    * the oracle path — same rule as [[sampleTemperature]]).
+    *
+    * Plan: per-source counts once (#sources rows), all five weight /
+    * Σw / rate / threshold columns derived on that tiny frame (the
+    * DECIMAL window sums collapse into ONE single-partition Window over
+    * ≤ #sources rows), one broadcast join back to the scan, and ONE
+    * per-source aggregate with five conditional membership sums —
+    * adding a temperature to the panel costs one column, never a scan.
+    * Kept shares use the exact-integer half-away idiom. */
+  def temperatureCurve(documents: DataFrame, budgetDocs: Long = 150L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val nD = col("n").cast("double")
+    val panel: Seq[(String, Double, Column)] = Seq(
+      ("a000", 0.0, lit(1.0)),
+      ("a025", 0.25, sqrt(sqrt(nD))),
+      ("a050", 0.5, sqrt(nD)),
+      ("a075", 0.75, sqrt(nD) * sqrt(sqrt(nD))),
+      ("a100", 1.0, nD))
+    val counts = documents.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val weights = panel.foldLeft(counts) {
+      case (df, (tag, _, w)) => df.withColumn(s"w_$tag", w)
+    }
+    val win = Window.partitionBy()
+    val rates = panel.foldLeft(weights) { case (df, (tag, _, _)) =>
+      df.withColumn(s"sw_$tag",
+          sum(col(s"w_$tag").cast(DecimalType(28, 10))).over(win).cast("double"))
+        .withColumn(s"rate_$tag",
+          least(lit(1.0),
+            round(lit(budgetDocs.toDouble) * col(s"w_$tag") / col(s"sw_$tag") / col("n"), 6)))
+        .withColumn(s"th_$tag", format_string("%015x",
+          least(floor(col(s"rate_$tag") * lit(math.pow(2, 60))).cast("long"),
+            lit((1L << 60) - 1))))
+    }
+    val rateCols = col("source") +:
+      panel.flatMap { case (tag, _, _) => Seq(col(s"rate_$tag"), col(s"th_$tag")) }
+    val aggCols = count(lit(1)).as("n_docs") +:
+      panel.flatMap { case (tag, _, _) => Seq(
+        sum((coord < col(s"th_$tag")).cast("long")).as(s"k_$tag"),
+        max(col(s"rate_$tag")).as(s"r_$tag")) }
+    val kept = documents
+      .join(broadcast(rates.select(rateCols: _*)), "source")
+      .groupBy(col("source"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = panel
+      .map { case (tag, a, _) => s"CAST($a AS DOUBLE), k_$tag, r_$tag" }
+      .mkString(", ")
+    kept
+      .selectExpr("source", "n_docs",
+        s"stack(${panel.size}, $stackArgs) AS (alpha, n_kept, rate)")
+      .select(col("alpha"), col("source"), col("n_docs"), col("n_kept"),
+        col("rate"),
+        (when(col("n_docs") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_kept + n_docs) DIV (2 * n_docs) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("kept_frac"))
+  }
+
   /** Token-budget-capped mixture — the form an actual training-data
     * recipe specifies ("≤ N tokens from each source"): every source is
     * sampled at rate_s = min(1, budget / tokens_s), so sources under
@@ -581,6 +651,7 @@ object Sampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
+    "d_temp_curve"       -> ((s, d) => temperatureCurve(Tables(s, d).documents)),
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
@@ -771,6 +842,52 @@ object Sampling {
           |  FROM r)
           |SELECT d.doc_id, d.source FROM documents d JOIN t USING (source)
           |WHERE substr(md5(concat(d.source, ':', CAST(d.doc_id AS VARCHAR))), 1, 15) < t.th""".stripMargin,
+      // temperatureCurve mirror: the same quarter-power weight panel
+      // (repeated IEEE sqrt — bit-exact cross-engine), the same
+      // DECIMAL Σw / ROUND(,6) rate / integer-hex threshold chain per
+      // α, membership counted per (α, source) off one joined scan.
+      "d_temp_curve" -> {
+        val panel = Seq(
+          ("a000", "0.0", "1.0"),
+          ("a025", "0.25", "sqrt(sqrt(CAST(n AS DOUBLE)))"),
+          ("a050", "0.5", "sqrt(CAST(n AS DOUBLE))"),
+          ("a075", "0.75", "sqrt(CAST(n AS DOUBLE)) * sqrt(sqrt(CAST(n AS DOUBLE)))"),
+          ("a100", "1.0", "CAST(n AS DOUBLE)"))
+        s"""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+           |w AS (SELECT source, n,
+           |    ${panel.map { case (tg, _, e) => s"$e AS w_$tg" }.mkString(",\n    ")}
+           |  FROM c),
+           |sw AS (SELECT
+           |    ${panel.map { case (tg, _, _) =>
+                  s"CAST(SUM(CAST(w_$tg AS DECIMAL(28,10))) AS DOUBLE) AS sw_$tg" }
+                  .mkString(",\n    ")}
+           |  FROM w),
+           |r AS (SELECT source, n,
+           |    ${panel.map { case (tg, _, _) =>
+                  s"LEAST(1.0, ROUND(150.0 * w_$tg / sw_$tg / n, 6)) AS rate_$tg" }
+                  .mkString(",\n    ")}
+           |  FROM w, sw),
+           |t AS (SELECT source, ${panel.map { case (tg, _, _) => s"rate_$tg" }.mkString(", ")},
+           |    ${panel.map { case (tg, _, _) =>
+                  s"printf('%015x', LEAST(CAST(FLOOR(rate_$tg * 1152921504606846976.0) AS BIGINT), 1152921504606846975)) AS th_$tg" }
+                  .mkString(",\n    ")}
+           |  FROM r),
+           |k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    ${panel.map { case (tg, _, _) =>
+                  s"CAST(SUM(CASE WHEN substr(md5(concat(d.source, ':', CAST(d.doc_id AS VARCHAR))), 1, 15) < t.th_$tg THEN 1 ELSE 0 END) AS BIGINT) AS k_$tg" }
+                  .mkString(",\n    ")}
+           |  FROM documents d JOIN t USING (source) GROUP BY 1),
+           |kr AS (SELECT k.*, ${panel.map { case (tg, _, _) => s"t.rate_$tg" }.mkString(", ")}
+           |  FROM k JOIN t USING (source))
+           |""".stripMargin +
+          panel.map { case (tg, a, _) =>
+            s"""SELECT CAST($a AS DOUBLE) AS alpha, source, n_docs, k_$tg AS n_kept,
+               |  rate_$tg AS rate,
+               |  (CASE WHEN n_docs = 0 THEN 0.0 ELSE
+               |    CAST((20000 * k_$tg + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 END)
+               |    + 0.0 AS kept_frac
+               |FROM kr""".stripMargin }.mkString("\nUNION ALL\n")
+      },
       "d_sample_tokens" ->
         """WITH toks AS (SELECT doc_id, source,
           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -248,6 +248,21 @@ object TextAnalysis {
   def filterPipeline(documents: DataFrame, minTokens: Int = 20,
                      dupTau: Double = 0.3, topTau: Double = 0.2,
                      ttrTau: Double = 0.3): DataFrame =
+    filterSignals(documents)
+      .withColumn("verdict",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_stop_all") === 0, "no_stopwords")
+          .when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
+          .when(col("ttr") < ttrTau, "templated")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("dup_ratio"), col("top_ratio"), col("ttr"), col("verdict"))
+
+  /** The per-document signal projection [[filterPipeline]] rules on
+    * (tokens, stopword hits, trigram-repetition ratios, TTR) — the one
+    * scan pass, shared with [[qualityCurve]] so the threshold sweep
+    * sweeps exactly what the filter enforces. */
+  private def filterSignals(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"), profile.as("p"),
         GraftFunctions.repetitionProfile(col("text")).as("r"),
@@ -266,14 +281,50 @@ object TextAnalysis {
         round(col("max_freq") / col("n_trigrams"), 4)).otherwise(lit(0.0)))
       .withColumn("ttr",
         round(col("tok_distinct") / greatest(col("n_tokens"), lit(1)), 4))
-      .withColumn("verdict",
-        when(col("n_tokens") < minTokens, "too_short")
-          .when(col("n_stop_all") === 0, "no_stopwords")
-          .when(col("dup_ratio") > dupTau || col("top_ratio") > topTau, "repetitive")
-          .when(col("ttr") < ttrTau, "templated")
-          .otherwise("keep"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("dup_ratio"), col("top_ratio"), col("ttr"), col("verdict"))
+
+  /** Quality-threshold SWEEP — the governance curve behind
+    * [[filterPipeline]]'s single `minTokens` setting (the published
+    * length-filter debate: C4 drops < 3-sentence pages, Gopher < 50
+    * words; too high starves low-resource sources, too low admits
+    * fragment noise): per candidate minimum, how many documents the
+    * composite filter would keep, the corpus share that is, and the
+    * token mass retained — a data-recipe owner reads this once, picks
+    * the knee, then pins `minTokens`.
+    *
+    * Plan (the [[decontamCurve]] recipe): the per-doc signals are
+    * mined ONCE ([[filterSignals]] — pure codegen kernels, zero
+    * shuffles), every candidate threshold is a pair of conditional
+    * sums in ONE 1-row aggregate (the non-length rules share one
+    * `other_pass` predicate — rule order can't matter for the keep
+    * count, a keep passes ALL rules), unpivoted by `stack`; the doc
+    * total rides in the same aggregate row, so the whole sweep is one
+    * scan + one single-partition aggregate, join-free. Kept shares use
+    * the exact-integer half-away idiom (doc-count ratios land on
+    * 5th-decimal ties by construction). */
+  def qualityCurve(documents: DataFrame, minTokensPanel: Seq[Int] = Seq(10, 20, 50, 100),
+                   dupTau: Double = 0.3, topTau: Double = 0.2,
+                   ttrTau: Double = 0.3): DataFrame = {
+    val signals = filterSignals(documents)
+      .withColumn("other_pass",
+        col("n_stop_all") > 0 &&
+          !(col("dup_ratio") > dupTau || col("top_ratio") > topTau) &&
+          !(col("ttr") < ttrTau))
+    val aggs = minTokensPanel.flatMap(k => Seq(
+      sum(when(col("other_pass") && col("n_tokens") >= k, 1L).otherwise(0L)).as(s"k$k"),
+      sum(when(col("other_pass") && col("n_tokens") >= k,
+        col("n_tokens").cast("long")).otherwise(0L)).as(s"t$k")))
+    val flags = signals.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    val stackArgs = minTokensPanel
+      .map(k => s"$k, coalesce(k$k, 0L), coalesce(t$k, 0L)").mkString(", ")
+    flags
+      .selectExpr("n_docs",
+        s"stack(${minTokensPanel.size}, $stackArgs) AS (min_tokens, n_keep, tokens_kept)")
+      .select(col("min_tokens"), col("n_keep"), col("n_docs"),
+        (when(col("n_docs") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_keep + n_docs) DIV (2 * n_docs) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("keep_frac"),
+        col("tokens_kept"))
+  }
 
   /** Per-source corpus card — the governance summary a dataset release
     * ships: size, exact-dup rate, and quality-filter yield per source,
@@ -1364,6 +1415,7 @@ object TextAnalysis {
     "t_pii_scrub"      -> ((s, d) => piiScrub(Tables(s, d).documents)),
     "t_lexical_div"    -> ((s, d) => lexicalDiversity(Tables(s, d).documents)),
     "t_filter_pipeline" -> ((s, d) => filterPipeline(Tables(s, d).documents)),
+    "t_quality_curve"  -> ((s, d) => qualityCurve(Tables(s, d).documents)),
     "t_contam_report"  -> ((s, d) => contamReport(Tables(s, d).documents)),
     "t_corpus_report"  -> ((s, d) => corpusReport(Tables(s, d).documents)),
     // the d_rank_delta snapshot fixture: "yesterday" = corpus minus
@@ -1955,6 +2007,29 @@ object TextAnalysis {
       s"""$filterVerdictCte
          |SELECT doc_id, source, n_tokens, dup_ratio, top_ratio, ttr, verdict
          |FROM fv""".stripMargin,
+    // qualityCurve mirror: the same signal chain (filterVerdictCte's
+    // `j` carries n_stop_all), one conditional-sum pair per candidate
+    // threshold off a single aggregate row, unioned per threshold.
+    "t_quality_curve" ->
+      (s"""$filterVerdictCte,
+          |op AS (SELECT n_tokens,
+          |    (n_stop_all > 0 AND NOT (dup_ratio > 0.3 OR top_ratio > 0.2)
+          |     AND NOT (ttr < 0.3)) AS other_pass
+          |  FROM j),
+          |qf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    ${Seq(10, 20, 50, 100).flatMap(k => Seq(
+                 s"CAST(COALESCE(SUM(CASE WHEN other_pass AND n_tokens >= $k THEN 1 ELSE 0 END), 0) AS BIGINT) AS k$k",
+                 s"CAST(COALESCE(SUM(CASE WHEN other_pass AND n_tokens >= $k THEN n_tokens ELSE 0 END), 0) AS BIGINT) AS t$k"))
+                 .mkString(",\n    ")}
+          |  FROM op)
+          |""".stripMargin +
+        Seq(10, 20, 50, 100).map(k =>
+          s"""SELECT CAST($k AS INT) AS min_tokens, k$k AS n_keep, n_docs,
+             |  (CASE WHEN n_docs = 0 THEN 0.0 ELSE
+             |    CAST((20000 * k$k + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 END)
+             |    + 0.0 AS keep_frac,
+             |  t$k AS tokens_kept
+             |FROM qf""".stripMargin).mkString("\nUNION ALL\n")),
     // Mirror of corpusReport over the same verdict CTE + a per-source
     // exact hash-distinct count.
     "t_corpus_report" ->

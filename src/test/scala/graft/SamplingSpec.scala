@@ -157,6 +157,49 @@ class SamplingSpec extends SparkSpec {
     assert(kept.subsetOf(larger))
   }
 
+  test("temperatureCurve: hand-computed rates per alpha, agrees with sampleTemperature at 0.5, monotone in alpha per source") {
+    // 4 "small" + 16 "big" docs, budget 10 — rates hand-computable
+    val df = ((1L to 4L).map(i => (i, "small")) ++ (11L to 26L).map(i => (i, "big")))
+      .toDF("doc_id", "source")
+    val rows = Sampling.temperatureCurve(df, budgetDocs = 10L).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.size == 10, s"5 alphas x 2 sources, got ${rows.size}")
+    // α=1 is proportional: rate = budget/N = 10/20 = 0.5 for BOTH sources
+    assert(rows((1.0, "small"))._3 == 0.5 && rows((1.0, "big"))._3 == 0.5)
+    // α=0 is uniform: w=1, Σw=2 → small: min(1, 10/2/4)=1.0 (capped,
+    // so every small doc is kept); big: 10/2/16 = 0.3125
+    assert(rows((0.0, "small"))._3 == 1.0)
+    assert(rows((0.0, "small"))._2 == 4L && rows((0.0, "small"))._4 == 1.0)
+    assert(rows((0.0, "big"))._3 == 0.3125)
+    // α=0.5: w=√n, Σw=6 → small 10·2/6/4 = 0.833333; big 10·4/6/16 = 0.416667
+    assert(rows((0.5, "small"))._3 == 0.833333)
+    assert(rows((0.5, "big"))._3 == 0.416667)
+    // rate is monotone in α: nonincreasing for the low-resource source,
+    // nondecreasing for the high-resource one (the point of temperature)
+    val alphas = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val smallRates = alphas.map(a => rows((a, "small"))._3)
+    val bigRates = alphas.map(a => rows((a, "big"))._3)
+    assert(smallRates.zip(smallRates.tail).forall { case (x, y) => x >= y }, s"small $smallRates")
+    assert(bigRates.zip(bigRates.tail).forall { case (x, y) => x <= y }, s"big $bigRates")
+    // the α=0.5 column IS sampleTemperature's realized sample, per source
+    val temp = Sampling.sampleTemperature(df, budgetDocs = 10L).collect()
+      .groupBy(_.getString(1)).map { case (s, a) => s -> a.length.toLong }
+    assert(rows((0.5, "small"))._2 == temp.getOrElse("small", 0L))
+    assert(rows((0.5, "big"))._2 == temp.getOrElse("big", 0L))
+    // kept_frac is the exact-integer half-away ratio of the counts
+    rows.foreach { case ((a, s), (nd, nk, _, kf)) =>
+      val expect = ((20000L * nk + nd) / (2L * nd)).toDouble / 10000.0
+      assert(kf == expect, s"($a,$s): kept_frac $kf != $expect")
+      assert(nk >= 0L && nk <= nd)
+    }
+    // deterministic under repartitioning (membership is a pure hash)
+    val again = Sampling.temperatureCurve(df.repartition(7), budgetDocs = 10L).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows == again)
+  }
+
   test("softDedupSample: planted dup classes sampled at 1/n, singletons kept, JVM membership exact") {
     val dup10 = "the same duplicated text body appearing many times in the corpus"
     val dup4 = "another repeated passage of text that shows up a few times"
@@ -493,7 +536,7 @@ class SamplingSpec extends SparkSpec {
     assert(again.toSeq == out.map(_._1).toSeq)
     // P(selection) ∝ weight: the sampled docs must be longer on average
     // than the corpus (docs weights span ~3 orders of magnitude)
-    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars")).head().getDouble(0)
     val sampleMean = out.map(_._3.toDouble).sum / out.length
     assert(sampleMean > corpusMean, s"length-weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }

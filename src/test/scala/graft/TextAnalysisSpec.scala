@@ -292,6 +292,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._1 >= got(2)._1 && got(2)._1 >= got(4)._1)
   }
 
+  test("qualityCurve: keep counts equal filterPipeline's per threshold; monotone; planted 1/32 tie rounds half-away") {
+    import graft.ops.TextAnalysis
+    // one genuine keep (16 diverse tokens incl. stopwords) among 31
+    // three-token fillers (too_short at every panel threshold)
+    val keepText = "the quick brown fox jumps over a lazy dog while people watch birds near rivers today"
+    val fillers = (10L until 41L).map(i => (i, s"f$i g$i h$i", "web"))
+    val df = (Seq((1L, keepText, "web")) ++ fillers).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityCurve(df, minTokensPanel = Seq(10, 20)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // k=10 keeps exactly the planted doc: 1/32 = 0.03125 — the …5 tie
+    // must round AWAY; its 16 tokens are the retained token mass
+    assert(got(10) == ((1L, 32L, 0.0313, 16L)), s"k=10: ${got(10)}")
+    // k=20 starves even the planted doc (16 < 20)
+    assert(got(20) == ((0L, 32L, 0.0, 0L)), s"k=20: ${got(20)}")
+    // on the real corpus, the curve is filterPipeline's keep count at
+    // every panel threshold (the sweep sweeps what the filter enforces)
+    val panel = Seq(10, 20, 50, 100)
+    val curve = TextAnalysis.qualityCurve(docs, minTokensPanel = panel).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    panel.foreach { k =>
+      val keeps = TextAnalysis.filterPipeline(docs, minTokens = k)
+        .filter($"verdict" === "keep")
+      assert(curve(k)._1 == keeps.count(), s"k=$k keep count")
+      assert(curve(k)._3 == {
+        import org.apache.spark.sql.functions.{coalesce, lit, sum}
+        keeps.agg(coalesce(sum($"n_tokens".cast("long")), lit(0L)))
+          .collect()(0).getLong(0)
+      }, s"k=$k token mass")
+      assert(curve(k)._2 == docs.count())
+    }
+    // monotone nonincreasing in the threshold by definition
+    val ks = panel.map(k => curve(k)._1)
+    assert(ks.zip(ks.tail).forall { case (a, b) => a >= b }, s"keeps $ks")
+  }
+
   test("decontaminateBloom: equals the exact path (no false negatives, FPs verified away)") {
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("n_hits"))
