@@ -52,6 +52,12 @@ object Bench {
     graft.core.Catalog.dupClusters(spark, sfDir).count()
     graft.core.Catalog.ivfIndex(spark, sfDir)._2.count()
     graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
+    // the m-sweep's off-m codebooks (m=8 aliases pqIndex above) — in
+    // the warm block for the same reason as bpeModelSnapshot: a
+    // reps=1 per-key adjudication must time s_pq_curve's SERVE, not
+    // its one-per-session fits
+    graft.core.Catalog.pqCurveBooks(spark, sfDir, 2)
+    graft.core.Catalog.pqCurveBooks(spark, sfDir, 4)
     graft.core.Catalog.ivfPqIndex(spark, sfDir)._3.count()
     graft.core.Catalog.opqIndex(spark, sfDir)._3.count()
     graft.core.Catalog.evalNgramBloom(spark, sfDir)

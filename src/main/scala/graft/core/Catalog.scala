@@ -42,6 +42,10 @@ object Catalog {
   private val bpeCache =
     TrieMap.empty[(SparkSession, String, Int), (Seq[(Int, String, Long)], DataFrame)]
   private val rankCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  // keyed on m (the ivfCache (session, dir, nlist) precedent): the PQ
+  // m-sweep fits one codebook tensor per candidate subquantizer count
+  private val pqCurveCache =
+    TrieMap.empty[(SparkSession, String, Int), Seq[Seq[Seq[Double]]]]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -57,6 +61,7 @@ object Catalog {
     opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bpeCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    pqCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -166,6 +171,19 @@ object Catalog {
         .persist(StorageLevel.MEMORY_AND_DISK)
       (books, codes)
     })
+  }
+
+  /** The PQ codebook tensor for a dir's embeddings at a CANDIDATE
+    * subquantizer count (cached, shared) — the per-m fits the
+    * `s_pq_curve` tuning sweep reads: built once per (session, dir,
+    * m), like [[ivfIndex]]'s per-nlist key. m = 8 aliases the serving
+    * index's own books ([[pqIndex]] — the identical fit) so the sweep
+    * never refits what serving already fitted. */
+  def pqCurveBooks(spark: SparkSession, dir: String, m: Int): Seq[Seq[Seq[Double]]] = {
+    evictStopped()
+    if (m == 8) pqIndex(spark, dir)._1
+    else pqCurveCache.getOrElseUpdate((spark, dir, m),
+      graft.ops.Similarity.pqCodebooks(Tables(spark, dir).embeddings, m = m))
   }
 
   /** The permutation-OPQ index for a dir's embeddings (cached, shared):

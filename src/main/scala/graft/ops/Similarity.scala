@@ -1029,6 +1029,49 @@ object Similarity {
         (round(max(col("err")), 6) + lit(0.0)).as("max_err"))
   }
 
+  /** PQ subquantizer-count CURVE — the tuning sweep behind
+    * [[pqCodebooks]]' single m = 8 (the compression/accuracy dial a PQ
+    * rollout owns: code size is m·log₂k bits per vector, and
+    * reconstruction error falls as m grows because each subspace
+    * quantizes fewer dimensions with the same k codewords — Jégou et
+    * al. 2011 §IV trades these explicitly): per candidate m, the
+    * per-vector total squared reconstruction error (comparable ACROSS
+    * m — subspace errors sum to the whole-vector error), the worst
+    * single-subspace cell, and the code size that m costs. An index
+    * owner reads this once per corpus regime, picks the knee, then
+    * pins m; the curve completes the tuning-sweep suite
+    * (d_lsh_tuning / s_nprobe_curve / t_decontam_curve /
+    * m_phash_curve / t_pack_curve / d_temp_curve / t_quality_curve)
+    * for the quantization modality.
+    *
+    * Plan: one [[pqCodebooks]] fit + one codegen `graft_pq_errors`
+    * scan per candidate (per-m passes are irreducible — the codebook
+    * tensor CHANGES shape with m, the t_pack_curve class), each
+    * collapsing to a 1-row aggregate before the union; fits come from
+    * [[graft.core.Catalog.pqCurveBooks]] (built once per (session,
+    * dir, m) — the fit-once contract every serving key follows).
+    * mse is the DECIMAL(28,10) sum / exact integer n_vecs / ROUND(,6)
+    * convention of [[pqErrorReport]]. */
+  def pqCurve(embeddings: DataFrame,
+              booksFor: Int => Seq[Seq[Seq[Double]]],
+              ms: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    ms.map { m =>
+      embeddings
+        .select(posexplode(GraftFunctions.pqErrors(col("embedding"),
+          typedlit(booksFor(m)))).as(Seq("sub", "err")))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("err").cast(DecimalType(28, 10))).as("errsum"),
+          max(col("err")).as("errmax"))
+        .select(lit(m).as("m"),
+          expr(s"n_cells DIV $m").as("n_vecs"),
+          lit(m * 4).as("bits_per_vec"),
+          (round(col("errsum").cast("double") / expr(s"n_cells DIV $m"), 6)
+            + lit(0.0)).as("mse"),
+          (round(col("errmax"), 6) + lit(0.0)).as("max_sub_err"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Maximal Marginal Relevance diversified top-k (Carbonell &
     * Goldstein 1998) — the retrieval re-ranker that trades relevance
     * against redundancy: greedily pick argmax of
@@ -1337,6 +1380,8 @@ object Similarity {
       val (books, _) = graft.core.Catalog.pqIndex(s, d)
       pqErrorReport(books, Tables(s, d).embeddings)
     }),
+    "s_pq_curve" -> ((s, d) =>
+      pqCurve(Tables(s, d).embeddings, m => graft.core.Catalog.pqCurveBooks(s, d, m))),
     "s_opq_error" -> ((s, d) => {
       val (booksPq, _) = graft.core.Catalog.pqIndex(s, d)
       val (perm, booksOpq, _) = graft.core.Catalog.opqIndex(s, d)
@@ -1555,19 +1600,22 @@ object Similarity {
       |    list(embedding[dim + 1] ORDER BY pos) AS embedding
       |  FROM eiv CROSS JOIN perm GROUP BY vec_id, label)""".stripMargin
 
-  private def pqFitCte(frame: String, p: String = ""): String =
-    s"""${p}subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
-       |${p}sl AS (SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS svec
+  private def pqFitCte(frame: String, p: String = "", m: Int = 8,
+                       dim: Int = 64): String = {
+    val w = dim / m
+    s"""${p}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |${p}sl AS (SELECT vec_id, sub, embedding[sub*$w+1 : sub*$w+$w] AS svec
        |  FROM $frame CROSS JOIN ${p}subs),
        |${p}pinit AS (SELECT vec_id, embedding,
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c
        |  FROM (SELECT vec_id, embedding FROM $frame ORDER BY vec_id LIMIT 16)),
        |${p}pb0 AS (SELECT subs.sub, pinit.c,
-       |    list_transform(pinit.embedding[subs.sub*8+1 : subs.sub*8+8], v -> CAST(v AS DOUBLE)) AS cent
+       |    list_transform(pinit.embedding[subs.sub*$w+1 : subs.sub*$w+$w], v -> CAST(v AS DOUBLE)) AS cent
        |  FROM ${p}pinit pinit CROSS JOIN ${p}subs subs),
        |${pqIterSql(1, s"${p}pb0", p)},
        |${pqIterSql(2, s"${p}pb1", p)},
        |${pqIterSql(3, s"${p}pb2", p)}""".stripMargin
+  }
 
   /** Query-vector CTE shared by the PQ serving mirrors. */
   private def pqQueryCte: String =
@@ -1651,6 +1699,24 @@ object Similarity {
            |  ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mse,
            |  ROUND(MAX(err), 6) + 0.0 AS max_err
            |FROM pe GROUP BY 1""".stripMargin),
+    // pqCurve mirror: one prefixed portable Lloyd fit per candidate m
+    // (pqFitCte templated on subspace count/width), the same
+    // min-over-codes error sweep as s_pq_error per fit, 1-row collapse
+    // each, unioned per m.
+    "s_pq_curve" ->
+      ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        Seq(2, 4, 8).map(m => pqFitCte("eiv", s"m${m}_", m)).mkString(",\n") + ",\n" +
+        Seq(2, 4, 8).map(m =>
+          s"""m${m}_pe AS (SELECT vec_id, sub, MIN(dd) AS err FROM (
+             |    SELECT sl.vec_id, sl.sub, ${d2Sql("sl.svec", s"m${m}_pb2.cent")} AS dd
+             |    FROM m${m}_sl sl JOIN m${m}_pb2 ON m${m}_pb2.sub = sl.sub) x
+             |  GROUP BY 1, 2)""".stripMargin).mkString(",\n") + "\n" +
+        Seq(2, 4, 8).map(m =>
+          s"""SELECT CAST($m AS INT) AS m, CAST(COUNT(*) // $m AS BIGINT) AS n_vecs,
+             |  CAST(${m * 4} AS INT) AS bits_per_vec,
+             |  ROUND(CAST(SUM(CAST(err AS DECIMAL(28,10))) AS DOUBLE) / (COUNT(*) // $m), 6) + 0.0 AS mse,
+             |  ROUND(MAX(err), 6) + 0.0 AS max_sub_err
+             |FROM m${m}_pe""".stripMargin).mkString("\nUNION ALL\n")),
     // Mirror of opqErrorReport: the plain PQ fit + error sweep (as
     // s_pq_error), then the permutation-OPQ side — per-dim first/second
     // fixed-point moments with the kernels' floor+carry rounding, the

@@ -911,6 +911,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqCurve: planted outlier error is m-invariant and exact; real corpus mse falls as m grows") {
+    // 16 well-separated constant vectors (= the init codewords) + ONE
+    // outlier at v0 + 2.0·e₀: Lloyd splits the difference (centroid at
+    // δ/2 on dim 0), so v0 and the outlier each carry (δ/2)² = 1.0 in
+    // subspace 0 — for EVERY m (dim 0 is always in the first slice)
+    // — while every other (vec, sub) cell is an exact codeword. The
+    // expected card is fully hand-computable and m-invariant:
+    // mse = round(2/17, 6), max_sub_err = 1.0.
+    val rows = (0 until 16).map(i => (i.toLong, 0, Seq.fill(64)(i * 10.0f))) :+
+      ((16L, 0, Seq.tabulate(64)(d => if (d == 0) 2.0f else 0.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val planted = Similarity.pqCurve(df, m => Similarity.pqCodebooks(df, m = m)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(planted.keySet == Set(2, 4, 8))
+    Seq(2, 4, 8).foreach { m =>
+      assert(planted(m) == ((17L, 4 * m, 0.117647, 1.0)), s"m=$m: ${planted(m)}")
+    }
+    // real corpus: finer quantization (more subspaces, fewer dims per
+    // codeword) strictly reduces per-vector reconstruction error while
+    // the code size grows linearly
+    val curve = Similarity.pqCurve(embs, m => Similarity.pqCodebooks(embs, m = m)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val n = embs.count()
+    Seq(2, 4, 8).foreach { m => assert(curve(m)._1 == n && curve(m)._2 == 4 * m) }
+    assert(curve(2)._3 > curve(4)._3 && curve(4)._3 > curve(8)._3,
+      s"mse must fall with m: ${Seq(2, 4, 8).map(m => curve(m)._3)}")
+    // m=8 serves the SAME books as the serving index: its per-vector
+    // total equals pqErrorReport's per-subspace means recombined
+    val books8 = Similarity.pqCodebooks(embs)
+    val bySub = Similarity.pqErrorReport(books8, embs).collect()
+      .map(r => r.getDouble(2)).sum
+    assert(math.abs(curve(8)._3 - bySub) < 8e-6 * 8,
+      s"m=8 total ${curve(8)._3} vs recombined per-sub $bySub")
+  }
+
   test("silhouetteReport: planted well-separated clusters score near 1; overlapping clusters score low") {
     def v(axis: Int, eps: Float): Seq[Float] =
       Seq.tabulate(4)(i => (if (i == axis) 1.0f else 0.0f) + (if (i == 3) eps else 0.0f))
