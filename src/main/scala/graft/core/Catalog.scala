@@ -103,6 +103,7 @@ object Catalog {
       }
     }
     drop(rankCache, (k: (SparkSession, String)) => k._1)
+    pqCurveCache.keys.filter(_._1 eq spark).foreach(pqCurveCache.remove)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */

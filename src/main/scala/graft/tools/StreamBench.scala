@@ -145,12 +145,17 @@ object StreamBench {
       () => {
         graft.streaming.RankStream.ingestBatch(
           graft.ops.DomainGraph.syntheticEdges(docs), 0L, "sb_rank_w")
-        graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap")
+        graft.ops.DupClusters.release(
+          graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap"))
       })(
       b => {
         graft.streaming.RankStream.ingestBatch(
           graft.ops.DomainGraph.syntheticEdges(replica(b)), b.toLong, "sb_rank_w")
-        graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap")
+        // the returned card is checkpoint-materialized for the CALLER;
+        // this harness only times the refresh, so release it per batch
+        // (N batches would otherwise pin N cached card RDDs)
+        graft.ops.DupClusters.release(
+          graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap"))
       })
     // drift maintainer (r11): each batch appends a replica corpus's
     // per-source counters (same 20-source universe — counts grow,
@@ -162,11 +167,14 @@ object StreamBench {
     gateBench("drift_maintainer", dt)(
       () => {
         graft.streaming.DriftStream.ingestBatch(docs, 0L, "sb_drift_s")
-        graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap")
+        graft.ops.DupClusters.release(
+          graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap"))
       })(
       b => {
         graft.streaming.DriftStream.ingestBatch(replica(b), b.toLong, "sb_drift_s")
-        graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap")
+        // release the timed refresh's materialized card (see rank arm)
+        graft.ops.DupClusters.release(
+          graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap"))
       })
     spark.stop()
   }
