@@ -526,6 +526,64 @@ object Sampling {
         (col("tau") + lit(0.0)).as("tau"))
   }
 
+  /** DSIR budget-fraction CURVE — the governance sweep behind
+    * [[dsirThreshold]]'s single `budgetFraction` (the data-selection
+    * budget debate of Xie et al. 2023 §5: a tight budget concentrates
+    * on near-target text but starves diversity, a loose one dilutes
+    * the target signal): per candidate fraction, the realized
+    * threshold τ_f, the selected count and corpus share (ties at τ all
+    * kept — the deterministic closure, so the realized share can
+    * exceed the target), and the mean selected weight (how fast
+    * target-likeness decays as the budget loosens). A selection run
+    * reads this once per (target, corpus) pair, picks the knee, then
+    * pins the fraction.
+    *
+    * Plan: the weights plan runs ONCE; ALL candidate thresholds come
+    * from a single quantile sketch pass (`percentile_approx` takes the
+    * percentage ARRAY — one GK sketch, f queries), broadcast back as
+    * one row (the d_dsir_threshold shape), and every fraction is a
+    * conditional-sum triple in ONE aggregate unpivoted by stack —
+    * adding fractions costs a sketch query, never a scan. Gate
+    * exactness: below `accuracy` observations the sketch retains every
+    * sample, so each τ_f is the exact rank-⌈(1−f)·n⌉ weight and the
+    * DuckDB mirror reproduces it by explicit rank (the
+    * d_dsir_threshold contract, per fraction). Shares exact-integer
+    * half-away; mean weight DECIMAL(28,10) sum / ONE division /
+    * ROUND(,6). */
+  def dsirCurve(documents: DataFrame,
+                fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
+                targetSource: String = "src19", accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = dsirWeights(documents, targetSource)
+    val taus = broadcast(w.agg(
+      percentile_approx(col("dsir_weight"),
+        array(fractions.map(f => lit(1.0 - f)): _*), lit(accuracy)).as("taus")))
+    val aggs = count(lit(1)).as("n_docs") +:
+      fractions.indices.flatMap { i =>
+        val tau = element_at(col("taus"), i + 1)
+        Seq(
+          max(tau).as(s"tau$i"),
+          sum(when(col("dsir_weight") >= tau, 1L).otherwise(0L)).as(s"k$i"),
+          sum(when(col("dsir_weight") >= tau,
+            col("dsir_weight").cast(DecimalType(28, 10)))).as(s"s$i"))
+      }
+    val flags = w.crossJoin(taus).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fractions.zipWithIndex.map { case (f, i) =>
+      s"CAST($f AS DOUBLE), tau$i, k$i, s$i" }.mkString(", ")
+    flags
+      .selectExpr("n_docs",
+        s"stack(${fractions.size}, $stackArgs) AS (budget_frac, tau, n_selected, wsum)")
+      .select(col("budget_frac"),
+        (col("tau") + lit(0.0)).as("tau"),
+        col("n_selected"), col("n_docs"),
+        (when(col("n_docs") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_selected + n_docs) DIV (2 * n_docs) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("sel_frac"),
+        (when(col("n_selected") === 0L, lit(0.0)).otherwise(
+          round(col("wsum").cast("double") / col("n_selected"), 6)) + lit(0.0))
+          .as("mean_weight"))
+  }
+
   /** Deterministic corpus shuffle — the training-order step: every doc
     * gets a shard (first hex nibble of its md5 coordinate → 16 shards)
     * and a position within the shard (rank of the remaining 56 hash
@@ -652,6 +710,7 @@ object Sampling {
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
     "d_temp_curve"       -> ((s, d) => temperatureCurve(Tables(s, d).documents)),
+    "d_dsir_curve"       -> ((s, d) => dsirCurve(Tables(s, d).documents)),
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
     "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
@@ -737,6 +796,36 @@ object Sampling {
            |  WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
            |SELECT w.doc_id, w.source, w.dsir_weight, t.tau + 0.0 AS tau
            |FROM w, t WHERE w.dsir_weight >= t.tau""".stripMargin,
+      // dsirCurve mirror: the shared weights SQL once, one explicit
+      // rank-⌈(1−f)·n⌉ threshold CTE + one conditional aggregate per
+      // fraction (the d_dsir_threshold exact-rank contract, swept),
+      // unioned per fraction.
+      "d_dsir_curve" -> {
+        val fractions = Seq(0.05, 0.1, 0.2, 0.5)
+        s"""WITH w AS (SELECT doc_id, source, dsir_weight FROM ($dsirSql)),
+           |r AS (SELECT dsir_weight,
+           |    row_number() OVER (ORDER BY dsir_weight ASC) AS rn,
+           |    COUNT(*) OVER () AS n
+           |  FROM w),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM w),
+           |${fractions.zipWithIndex.map { case (f, i) =>
+               s"""t$i AS (SELECT dsir_weight AS tau FROM r
+                  |  WHERE rn = CAST(ceil(${1.0 - f} * n) AS BIGINT)),
+                  |s$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  |    SUM(CAST(dsir_weight AS DECIMAL(28,10))) AS ws
+                  |  FROM w, t$i WHERE w.dsir_weight >= t$i.tau)""".stripMargin }
+               .mkString(",\n")}
+           |""".stripMargin +
+          fractions.zipWithIndex.map { case (f, i) =>
+            s"""SELECT CAST($f AS DOUBLE) AS budget_frac, t$i.tau + 0.0 AS tau,
+               |  s$i.k AS n_selected, nd.n_docs,
+               |  (CASE WHEN nd.n_docs = 0 THEN 0.0 ELSE
+               |    CAST((20000 * s$i.k + nd.n_docs) // (2 * nd.n_docs) AS DOUBLE) / 10000.0 END)
+               |    + 0.0 AS sel_frac,
+               |  (CASE WHEN s$i.k = 0 THEN 0.0 ELSE
+               |    ROUND(CAST(s$i.ws AS DOUBLE) / s$i.k, 6) END) + 0.0 AS mean_weight
+               |FROM t$i, s$i, nd""".stripMargin }.mkString("\nUNION ALL\n")
+      },
       // The two split cuts are the same integer-hex thresholds the
       // sampling keys use (exact power-of-two scale — nothing float to
       // diverge on); the CASE mirrors splitAssign's default 90/5/5.

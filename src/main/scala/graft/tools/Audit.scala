@@ -68,6 +68,9 @@ object Audit {
     // the 1-row τ (approx-quantile scalar) frame crossJoined into the
     // weight filter — the t_bm25 corpus-stats shape
     "d_dsir_threshold",
+    // the same 1-row frame (the τ ARRAY — one sketch, f queries)
+    // crossJoined into the conditional-sum sweep aggregate
+    "d_dsir_curve",
     // the 1-row order-count frame crossJoined onto the pair-count
     // aggregate — the t_bm25 corpus-stats shape
     "q_basket_lift",
@@ -172,7 +175,11 @@ object Audit {
     // one shard-repartition + 1-row aggregate PER candidate ctx (the
     // packing recurrence is inherently per-ctx — bin boundaries move):
     // 4 candidates × 2 key-column shuffles, each linear
-    "t_pack_curve" -> 8)
+    "t_pack_curve" -> 8,
+    // the DSIR weights chain (bucket aggregate + window + per-doc
+    // aggregate) feeds BOTH the sketch arm and the sweep scan (the
+    // d_dsir_threshold shape), plus the 1-row stack aggregate
+    "d_dsir_curve" -> 8)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

@@ -200,6 +200,42 @@ class SamplingSpec extends SparkSpec {
     assert(rows == again)
   }
 
+  test("dsirCurve: taus match the exact JVM rank quantile; f=0.2 row equals dsirThreshold; monotone in the budget") {
+    val fractions = Seq(0.05, 0.1, 0.2, 0.5)
+    val curve = Sampling.dsirCurve(docs, fractions).collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(curve.keySet == fractions.toSet)
+    // JVM reference: sorted weights, tau_f = rank-ceil((1-f)·n) element,
+    // selected = the >= tau closure (ties all kept)
+    val ws = Sampling.dsirWeights(docs).collect().map(_.getDouble(3)).sorted
+    val n = ws.length
+    fractions.foreach { f =>
+      val tau = ws(math.ceil((1.0 - f) * n).toLong.toInt - 1)
+      val k = ws.count(_ >= tau)
+      val (gotTau, gotK, gotN, gotFrac, gotMean) = curve(f)
+      assert(gotTau == tau, s"f=$f tau $gotTau != $tau")
+      assert(gotK == k && gotN == n, s"f=$f count $gotK/$gotN != $k/$n")
+      assert(gotFrac == ((20000L * k + n) / (2L * n)).toDouble / 10000.0)
+      val mean = ws.filter(_ >= tau)
+        .map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+        .toDouble / k
+      assert(math.abs(gotMean -
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"f=$f mean $gotMean != $mean")
+    }
+    // the f=0.2 row IS dsirThreshold's selection (same tau, same set size)
+    val th = Sampling.dsirThreshold(docs, budgetFraction = 0.2).collect()
+    assert(curve(0.2)._2 == th.length)
+    assert(curve(0.2)._1 == th.head.getDouble(3))
+    // loosening the budget is monotone: tau falls, selection grows, and
+    // the mean selected weight decays (lower-weight docs join the set)
+    val ordered = fractions.map(curve)
+    assert(ordered.map(_._1).zip(ordered.map(_._1).tail).forall { case (a, b) => a >= b })
+    assert(ordered.map(_._2).zip(ordered.map(_._2).tail).forall { case (a, b) => a <= b })
+    assert(ordered.map(_._5).zip(ordered.map(_._5).tail).forall { case (a, b) => a >= b })
+  }
+
   test("softDedupSample: planted dup classes sampled at 1/n, singletons kept, JVM membership exact") {
     val dup10 = "the same duplicated text body appearing many times in the corpus"
     val dup4 = "another repeated passage of text that shows up a few times"
