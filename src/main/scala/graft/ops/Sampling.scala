@@ -415,6 +415,62 @@ object Sampling {
 
   // ---- driver wiring ----
 
+  /** The hashed-bigram feature stream [[dsirWeights]] scores on: one
+    * (doc_id, source, bucket) row per bigram instance; docs with < 2
+    * tokens produce NO rows (no bigram signal — absent from every
+    * weight/selection result by construction). */
+  private def dsirFeats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("source"), col("a"),
+        posexplode(slice(col("a"), lit(1), size(col("a")) - 1)).as(Seq("i0", "w1")))
+      .select(col("doc_id"), col("source"),
+        substring(md5(concat(col("w1"), lit(" "),
+          element_at(col("a"), col("i0") + 2))), 1, 2).as("b"))
+
+  private def dsirModelFromFeats(feats: DataFrame, targetSource: String,
+                                 buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy() // ≤ `buckets` rows — documented exception
+    counts
+      .withColumn("nt", sum(col("ct")).over(w))
+      .withColumn("nc", sum(col("cc")).over(w))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+          log((col("cc") + 1).cast("double") / (col("nc") + buckets).cast("double")))
+          .cast("decimal(28,10)").as("lw"))
+  }
+
+  private def dsirScoreFeats(feats: DataFrame, model: DataFrame): DataFrame =
+    feats
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_feats"),
+        (round(sum(col("lw")).cast("double") / count(lit(1)), 4) + lit(0.0))
+          .as("dsir_weight"))
+
+  /** The trained DSIR model as a standalone artifact: the `buckets`-row
+    * (bucket, log-ratio) table [[dsirWeights]] fits — driver/model
+    * scale, the stored object a SERVING pipeline (e.g. the streaming
+    * ingest gate's target-likeness arm) applies to corpora the model
+    * never saw. */
+  def dsirModel(documents: DataFrame, targetSource: String = "src19",
+                buckets: Int = 256): DataFrame =
+    dsirModelFromFeats(dsirFeats(documents), targetSource, buckets)
+
+  /** Score arbitrary docs under a PRE-TRAINED model (the serving form
+    * of [[dsirWeights]] — same bigram features, same broadcast join,
+    * same ROUND(,4) mean): per doc, feature count + dsir_weight. Docs
+    * with < 2 tokens yield no row (no bigram signal — the caller's
+    * policy decides their fate; the gate arm rejects them). */
+  def dsirScore(docs: DataFrame, model: DataFrame): DataFrame =
+    dsirScoreFeats(dsirFeats(docs), model)
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * corpus document by how much more likely its content is under a
@@ -442,34 +498,9 @@ object Sampling {
     * finishes. Linear, two passes over the token stream. */
   def dsirWeights(documents: DataFrame, targetSource: String = "src19",
                   buckets: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = documents
-      .select(col("doc_id"), col("source"),
-        split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
-      .filter(size(col("a")) >= 2)
-    val feats = d
-      .select(col("doc_id"), col("source"), col("a"),
-        posexplode(slice(col("a"), lit(1), size(col("a")) - 1)).as(Seq("i0", "w1")))
-      .select(col("doc_id"), col("source"),
-        substring(md5(concat(col("w1"), lit(" "),
-          element_at(col("a"), col("i0") + 2))), 1, 2).as("b"))
-    val counts = feats.groupBy(col("b")).agg(
-      sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
-      sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cc"))
-    val w = Window.partitionBy() // ≤ `buckets` rows — documented exception
-    val model = counts
-      .withColumn("nt", sum(col("ct")).over(w))
-      .withColumn("nc", sum(col("cc")).over(w))
-      .select(col("b"),
-        (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
-          log((col("cc") + 1).cast("double") / (col("nc") + buckets).cast("double")))
-          .cast("decimal(28,10)").as("lw"))
-    feats.filter(col("source") =!= targetSource)
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_feats"),
-        (round(sum(col("lw")).cast("double") / count(lit(1)), 4) + lit(0.0))
-          .as("dsir_weight"))
+    val feats = dsirFeats(documents)
+    dsirScoreFeats(feats.filter(col("source") =!= targetSource),
+      dsirModelFromFeats(feats, targetSource, buckets))
   }
 
   /** DSIR importance SELECTION — the second half of Xie et al. 2023:

@@ -69,10 +69,26 @@ import graft.ops.Dedup
   * the stored layout) so batch N+1 is vetted against batch N's
   * admissions — the same sequencing contract as the signature arm, in
   * embedding space. Replay-idempotent by the same two guards (vet
-  * against survivors-sans-batch; presence-probed append). With all five
-  * arms on, the gate is the complete corpus-preparation admission
-  * point: exact/near dedup + semantic dedup + decontamination +
-  * quality + mixture, one WAL.
+  * against survivors-sans-batch; presence-probed append).
+  *
+  * Optional sixth arm ([[DsirVet]]): TARGET-LIKENESS admission — the
+  * streaming form of `Sampling.dsirThreshold`'s selection, served off
+  * a PRE-TRAINED model (the `Sampling.dsirModel` 256-row bucket table
+  * + a pinned τ, both driver-scale artifacts — in production the
+  * stored model a selection run fits once per (target, corpus-regime)
+  * and the τ its budget sweep picked, see d_dsir_curve). Each batch
+  * doc is scored scan-side (`Sampling.dsirScore` — the same bigram
+  * features, broadcast model join, ROUND(,4) mean) and rejected with
+  * kind `dsir` when its weight is below τ OR it has no bigram signal
+  * at all (< 2 tokens — no target evidence, the conservative default
+  * for an admission gate). Scoring under a FIXED model is a pure
+  * function of the doc text, so the arm is corpus-independent,
+  * bit-identical under replay, and the streamed admitted set equals
+  * the batch selection { weight ≥ τ } exactly (StreamingSpec proves
+  * it). With all six arms on, the gate is the complete
+  * corpus-preparation admission point: exact/near dedup + semantic
+  * dedup + decontamination + quality + mixture + target-likeness, one
+  * WAL.
   */
 object IngestGate {
 
@@ -119,6 +135,13 @@ object IngestGate {
                                centroids: Seq[Seq[Double]], tau: Double = 0.3,
                                nAssign: Int = 2)
 
+  /** Optional target-likeness arm of the gate: `model` is the
+    * pre-trained 256-row DSIR bucket table (`Sampling.dsirModel` — fit
+    * once on the reference corpus + target, a stored artifact like the
+    * Bloom sketch), `tau` the pinned selection threshold (what
+    * d_dsir_curve's budget sweep picks). */
+  final case class DsirVet(model: DataFrame, tau: Double)
+
   /** Seed the durable semantic-survivor table (plain bucketed-by-cluster
     * table — the gate appends to it per batch, unlike the versioned
     * `Store.publish` views). Run once with the corpus's current survivor
@@ -136,7 +159,8 @@ object IngestGate {
                  tau: Double = 0.8, eval: Option[EvalVet] = None,
                  vetQuality: Boolean = false,
                  sampleRates: Option[(Map[String, Double], Double)] = None,
-                 semantic: Option[SemanticVet] = None): Unit = {
+                 semantic: Option[SemanticVet] = None,
+                 dsir: Option[DsirVet] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -219,12 +243,29 @@ object IngestGate {
           .select(col("vec_id").as("batch_id"), col("dup_of").as("corpus_id"),
             lit("semantic").as("kind")))
     }
+    // Target-likeness arm: batch docs scored under the PRE-TRAINED DSIR
+    // model (scan-side bigram features + broadcast model join); weight
+    // below τ — or no bigram signal at all — rejects with kind dsir.
+    // A fixed model makes the score a pure function of the doc text:
+    // corpus-independent, bit-identical under replay, stream ≡ batch.
+    val dsirRejects = dsir match {
+      case None => Seq.empty[DataFrame]
+      case Some(dv) =>
+        val scored = graft.ops.Sampling.dsirScore(batch, dv.model)
+          .select(col("doc_id"), col("dsir_weight"))
+        Seq(batch.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left_outer")
+          .filter(col("dsir_weight").isNull || col("dsir_weight") < dv.tau)
+          .select(col("doc_id").as("batch_id"),
+            lit(null).cast("long").as("corpus_id"), lit("dsir").as("kind")))
+    }
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    (contam ++ quality ++ sampling ++ semRejects).foldLeft(decisions)(_ unionByName _)
+    (contam ++ quality ++ sampling ++ semRejects ++ dsirRejects)
+      .foldLeft(decisions)(_ unionByName _)
       .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
       .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
@@ -283,12 +324,13 @@ object IngestGate {
             buckets: Int = 8, tau: Double = 0.8,
             eval: Option[EvalVet] = None, vetQuality: Boolean = false,
             sampleRates: Option[(Map[String, Double], Double)] = None,
-            semantic: Option[SemanticVet] = None): StreamingQuery =
+            semantic: Option[SemanticVet] = None,
+            dsir: Option[DsirVet] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
-          buckets, tau, eval, vetQuality, sampleRates, semantic)
+          buckets, tau, eval, vetQuality, sampleRates, semantic, dsir)
       }
       .start()
 }

@@ -22,6 +22,11 @@ import graft.streaming.VehicleStream
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val batches = args.headOption.map(_.toInt).getOrElse(5)
+    // optional 2nd arg: comma-separated arm labels to run (every arm
+    // otherwise — the per-round default); the cheap way to re-measure
+    // one arm's flatness without paying the full battery
+    val only: String => Boolean =
+      if (args.length > 1) args(1).split(",").toSet else (_: String) => true
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_STATE_STORE=rocksdb benches the provider a real
     // cluster runs (state larger than heap, incremental checkpoints);
@@ -40,6 +45,7 @@ object StreamBench {
     println(s"""{"state_store":"${provider.split('.').last}"}""")
 
     def run(label: String, mk: String => org.apache.spark.sql.streaming.DataStreamWriter[_]): Unit = {
+      if (!only(label)) return
       val dir = Files.createTempDirectory(s"graft-sbench-$label").toString
       val q = mk(dir).start()
       val src = Paths.get(sfDir, "events.parquet")
@@ -88,6 +94,7 @@ object StreamBench {
       concat(col("text"), lit(s" rep $b")).as("text"),
       col("lang"), col("source"), col("n_chars"))
     def gateBench(label: String, tables: Seq[String])(seed: () => Unit)(admit: Int => Unit): Unit = {
+      if (!only(label)) return
       tables.foreach(t => graft.core.Store.drop(spark, t))
       seed()
       val times = (1 until batches + 1).map { b =>
@@ -135,6 +142,23 @@ object StreamBench {
         "sb_sgate_corpus", "sb_sgate_fps", "sb_sgate_sigs", "sb_sgate_log",
         semantic = Some(graft.streaming.IngestGate.SemanticVet(
           embFor(b), "sb_sgate_surv", cents))))
+    // full gate + the r11 DSIR arm: a FIXED pre-trained model (the
+    // localCheckpointed 256-row bucket table) + a pinned median τ;
+    // per-batch cost must stay flat (scoring is a scan-side feature
+    // stream + broadcast model join — corpus size never enters the arm)
+    lazy val dsirModel = graft.ops.Sampling.dsirModel(docs).localCheckpoint()
+    lazy val dsirTau = graft.ops.Sampling.dsirScore(docs, dsirModel)
+      .agg(org.apache.spark.sql.functions.percentile_approx(
+        col("dsir_weight"), org.apache.spark.sql.functions.lit(0.5),
+        org.apache.spark.sql.functions.lit(10000)))
+      .collect()(0).getDouble(0)
+    val gd = Seq("sb_dgate_corpus", "sb_dgate_fps", "sb_dgate_sigs", "sb_dgate_log")
+    gateBench("ingest_gate_dsir", gd)(
+      () => graft.streaming.IngestGate.seedCorpus(spark, docs,
+        "sb_dgate_corpus", "sb_dgate_fps", "sb_dgate_sigs"))(
+      b => graft.streaming.IngestGate.admitBatch(replica(b),
+        "sb_dgate_corpus", "sb_dgate_fps", "sb_dgate_sigs", "sb_dgate_log",
+        dsir = Some(graft.streaming.IngestGate.DsirVet(dsirModel, dsirTau))))
     // rank maintainer (r11): each batch appends a replica corpus's edge
     // weights (same 20-host universe — weights grow, hosts don't) and
     // runs the warm 3-iteration refresh; per-batch cost must stay FLAT

@@ -590,6 +590,50 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with dsir arm: below-tau and no-signal docs rejected; arm ≡ batch selection under the fixed model; replay idempotent") {
+    import graft.streaming.IngestGate
+    import graft.ops.Sampling
+    val tables = Seq("t_gate9_corpus", "t_gate9_fps", "t_gate9_sigs", "t_gate9_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gate9_corpus", "t_gate9_fps", "t_gate9_sigs", buckets = 2)
+    // the PRE-TRAINED model: fit once on the reference corpus (the
+    // production shape — the gate applies it to docs it never saw),
+    // plus a planted single-token doc with NO bigram signal
+    val corpus = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val model = Sampling.dsirModel(corpus).localCheckpoint()
+    val batch = corpus.filter($"doc_id" >= 10L && $"doc_id" < 40L)
+      .unionByName(Seq((9999L, "solo", "en", "srcx", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // τ at the batch's median score: both sides of the cut are nonempty
+    val scores = Sampling.dsirScore(batch, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val tau = scores.values.toSeq.sorted.apply(scores.size / 2)
+    IngestGate.admitBatch(batch, "t_gate9_corpus", "t_gate9_fps", "t_gate9_sigs",
+      "t_gate9_log", buckets = 2, dsir = Some(IngestGate.DsirVet(model, tau)))
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val selected = scores.filter(_._2 >= tau).keySet
+    val dsirRejected = spark.table("t_gate9_log").distinct()
+      .filter($"kind" === "dsir").collect().map(_.getAs[Long]("batch_id")).toSet
+    assert(dsirRejected == batchIds -- selected, "rejections = the selection complement")
+    assert(dsirRejected.contains(9999L), "the no-signal doc is rejected, not silently admitted")
+    assert(selected.nonEmpty && dsirRejected.size > 1, "fixture must exercise both sides")
+    val ids = spark.table("t_gate9_corpus").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val otherRejects = spark.table("t_gate9_log").distinct()
+      .filter($"kind" =!= "dsir").collect().map(_.getAs[Long]("batch_id")).toSet
+    assert(ids == Set(1L) ++ (selected -- otherRejects),
+      "admitted = the batch selection minus other-arm rejections")
+    // replay idempotent with the dsir arm on (fixed model → identical scores)
+    IngestGate.admitBatch(batch, "t_gate9_corpus", "t_gate9_fps", "t_gate9_sigs",
+      "t_gate9_log", buckets = 2, dsir = Some(IngestGate.DsirVet(model, tau)))
+    assert(spark.table("t_gate9_corpus").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet == ids)
+    assert(spark.table("t_gate9_log").distinct()
+      .filter($"kind" === "dsir").count() == dsirRejected.size)
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate with semantic arm: vector dups of survivors rejected; admitted vectors become survivors; arm ≡ batch operator; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.{Dedup, Similarity}
