@@ -569,34 +569,38 @@ object Sampling {
     * reads this once per (target, corpus) pair, picks the knee, then
     * pins the fraction.
     *
-    * Plan: the weights plan runs ONCE; ALL candidate thresholds come
-    * from a single quantile sketch pass (`percentile_approx` takes the
-    * percentage ARRAY — one GK sketch, f queries), broadcast back as
-    * one row (the d_dsir_threshold shape), and every fraction is a
-    * conditional-sum triple in ONE aggregate unpivoted by stack —
-    * adding fractions costs a sketch query, never a scan. Gate
-    * exactness: below `accuracy` observations the sketch retains every
-    * sample, so each τ_f is the exact rank-⌈(1−f)·n⌉ weight and the
-    * DuckDB mirror reproduces it by explicit rank (the
-    * d_dsir_threshold contract, per fraction). Shares exact-integer
-    * half-away; mean weight DECIMAL(28,10) sum / ONE division /
-    * ROUND(,6). */
+    * Plan: ALL candidate thresholds come from a single quantile sketch
+    * pass (`percentile_approx` takes the percentage ARRAY — one GK
+    * sketch, f queries), broadcast back as one row (the
+    * d_dsir_threshold shape), and every fraction is a conditional-sum
+    * triple in ONE aggregate unpivoted by stack — adding fractions
+    * costs a sketch query, never a scan. The weights SUBTREE executes
+    * under both consumers (the sketch aggregate and the sweep scan —
+    * the d_dsir_threshold shape exactly: two weight passes total,
+    * independent of |fractions|). Gate exactness: below `accuracy`
+    * observations the sketch retains every sample, so each τ_f is the
+    * exact rank-⌈(1−f)·n⌉ weight and the DuckDB mirror reproduces it
+    * by explicit rank (the d_dsir_threshold contract, per fraction).
+    * Shares AND the mean weight use the exact-integer half-away idiom
+    * (weights are ROUND(,4), so Σ(w·10⁴) is an exact long). */
   def dsirCurve(documents: DataFrame,
                 fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
                 targetSource: String = "src19", accuracy: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val w = dsirWeights(documents, targetSource)
     val taus = broadcast(w.agg(
       percentile_approx(col("dsir_weight"),
         array(fractions.map(f => lit(1.0 - f)): _*), lit(accuracy)).as("taus")))
+    // dsir_weight is ROUND(,4) by contract, so w·10⁴ is an exact
+    // integer — summing THOSE keeps the whole mean computation in
+    // exact longs (|Σ| fits a long for any feasible corpus)
+    val wUnits = expr("CAST(round(dsir_weight * 10000) AS BIGINT)")
     val aggs = count(lit(1)).as("n_docs") +:
       fractions.indices.flatMap { i =>
         val tau = element_at(col("taus"), i + 1)
         Seq(
           max(tau).as(s"tau$i"),
           sum(when(col("dsir_weight") >= tau, 1L).otherwise(0L)).as(s"k$i"),
-          sum(when(col("dsir_weight") >= tau,
-            col("dsir_weight").cast(DecimalType(28, 10)))).as(s"s$i"))
+          sum(when(col("dsir_weight") >= tau, wUnits)).as(s"s$i"))
       }
     val flags = w.crossJoin(taus).agg(aggs.head, aggs.tail: _*)
     val stackArgs = fractions.zipWithIndex.map { case (f, i) =>
@@ -604,6 +608,18 @@ object Sampling {
     flags
       .selectExpr("n_docs",
         s"stack(${fractions.size}, $stackArgs) AS (budget_frac, tau, n_selected, wsum)")
+      // An all-degenerate corpus (every doc targetSource or < 2 tokens)
+      // leaves w EMPTY: the global agg still emits its one row (n_docs
+      // = 0, null sums) and stack would unpivot it into |fractions|
+      // null rows while the DuckDB mirror's empty t_i CTEs yield zero —
+      // drop the degenerate row so both engines agree on emptiness.
+      .filter(col("n_docs") > 0L)
+      // mean = (wsum·10⁻⁴)/k rounded half-AWAY to 6 decimals in EXACT
+      // integers (the weeklyFromDaily idiom — ROUND(dbl, 6) on a
+      // sum/count quotient is the documented cross-engine …5-tie
+      // hazard): with W = Σ round(w·10⁴) the mean in 1e-6 units is
+      // sign(W)·((200·|W| + k) DIV (2k)) — non-negative DIV operands
+      // only, both engines identical.
       .select(col("budget_frac"),
         (col("tau") + lit(0.0)).as("tau"),
         col("n_selected"), col("n_docs"),
@@ -611,7 +627,9 @@ object Sampling {
           expr("CAST((20000 * n_selected + n_docs) DIV (2 * n_docs) AS DOUBLE)")
             / lit(10000.0)) + lit(0.0)).as("sel_frac"),
         (when(col("n_selected") === 0L, lit(0.0)).otherwise(
-          round(col("wsum").cast("double") / col("n_selected"), 6)) + lit(0.0))
+          expr("CAST(CASE WHEN wsum < 0 THEN -1 ELSE 1 END AS DOUBLE)") *
+            expr("CAST((200 * abs(wsum) + n_selected) DIV (2 * n_selected) AS DOUBLE)")
+            / lit(1000000.0)) + lit(0.0))
           .as("mean_weight"))
   }
 
@@ -843,7 +861,7 @@ object Sampling {
                s"""t$i AS (SELECT dsir_weight AS tau FROM r
                   |  WHERE rn = CAST(ceil(${1.0 - f} * n) AS BIGINT)),
                   |s$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
-                  |    SUM(CAST(dsir_weight AS DECIMAL(28,10))) AS ws
+                  |    CAST(SUM(CAST(round(dsir_weight * 10000) AS BIGINT)) AS BIGINT) AS ws
                   |  FROM w, t$i WHERE w.dsir_weight >= t$i.tau)""".stripMargin }
                .mkString(",\n")}
            |""".stripMargin +
@@ -854,7 +872,9 @@ object Sampling {
                |    CAST((20000 * s$i.k + nd.n_docs) // (2 * nd.n_docs) AS DOUBLE) / 10000.0 END)
                |    + 0.0 AS sel_frac,
                |  (CASE WHEN s$i.k = 0 THEN 0.0 ELSE
-               |    ROUND(CAST(s$i.ws AS DOUBLE) / s$i.k, 6) END) + 0.0 AS mean_weight
+               |    CAST(CASE WHEN s$i.ws < 0 THEN -1 ELSE 1 END AS DOUBLE)
+               |      * CAST((200 * abs(s$i.ws) + s$i.k) // (2 * s$i.k) AS DOUBLE)
+               |      / 1000000.0 END) + 0.0 AS mean_weight
                |FROM t$i, s$i, nd""".stripMargin }.mkString("\nUNION ALL\n")
       },
       // The two split cuts are the same integer-hex thresholds the

@@ -24,9 +24,16 @@ object StreamBench {
     val batches = args.headOption.map(_.toInt).getOrElse(5)
     // optional 2nd arg: comma-separated arm labels to run (every arm
     // otherwise — the per-round default); the cheap way to re-measure
-    // one arm's flatness without paying the full battery
-    val only: String => Boolean =
-      if (args.length > 1) args(1).split(",").toSet else (_: String) => true
+    // one arm's flatness without paying the full battery. Requested
+    // labels are validated against the arms actually visited — a typo
+    // must fail loudly, not measure nothing and exit green.
+    val requested: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    val visited = scala.collection.mutable.Set.empty[String]
+    val only: String => Boolean = { label =>
+      visited += label
+      requested.forall(_.contains(label))
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_STATE_STORE=rocksdb benches the provider a real
     // cluster runs (state larger than heap, incremental checkpoints);
@@ -121,8 +128,10 @@ object StreamBench {
     // of the seeded survivors — the survivor table stays ≈ corpus size
     // and per-batch cost must stay flat (work ∝ batch × bucket)
     import org.apache.spark.sql.functions.{expr, typedlit}
-    val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
-    val cents = graft.ops.Similarity.ivfCentroids(emb, k = 16, iters = 2)
+    // lazy: the Lloyd fit runs driver-side jobs EAGERLY — only pay it
+    // when the semantic arm is actually selected by the label filter
+    lazy val emb = spark.read.parquet(sfDir + "/embeddings.parquet")
+    lazy val cents = graft.ops.Similarity.ivfCentroids(emb, k = 16, iters = 2)
     def embFor(b: Int) = emb.select(
       (col("vec_id") + b * 10_000_000L).as("vec_id"), col("label"),
       expr(s"transform(embedding, (v, i) -> " +
@@ -201,5 +210,14 @@ object StreamBench {
           graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap"))
       })
     spark.stop()
+    requested.foreach { want =>
+      val unknown = want -- visited
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[streambench] unknown arm label(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+            s"known: ${visited.toSeq.sorted.mkString(", ")}")
+        sys.exit(1)
+      }
+    }
   }
 }

@@ -217,12 +217,12 @@ class SamplingSpec extends SparkSpec {
       assert(gotTau == tau, s"f=$f tau $gotTau != $tau")
       assert(gotK == k && gotN == n, s"f=$f count $gotK/$gotN != $k/$n")
       assert(gotFrac == ((20000L * k + n) / (2L * n)).toDouble / 10000.0)
-      val mean = ws.filter(_ >= tau)
-        .map(x => BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
-        .toDouble / k
-      assert(math.abs(gotMean -
-        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
-        s"f=$f mean $gotMean != $mean")
+      // the exact-integer half-away mean: W = Σ round(w·10⁴) over the
+      // selection, mean = sign(W)·((200·|W| + k) DIV (2k)) / 10⁶
+      val bigW = ws.filter(_ >= tau).map(x => math.round(x * 10000)).sum
+      val mean = (if (bigW < 0) -1.0 else 1.0) *
+        ((200L * math.abs(bigW) + k) / (2L * k)).toDouble / 1000000.0
+      assert(gotMean == mean, s"f=$f mean $gotMean != $mean")
     }
     // the f=0.2 row IS dsirThreshold's selection (same tau, same set size)
     val th = Sampling.dsirThreshold(docs, budgetFraction = 0.2).collect()
@@ -234,6 +234,11 @@ class SamplingSpec extends SparkSpec {
     assert(ordered.map(_._1).zip(ordered.map(_._1).tail).forall { case (a, b) => a >= b })
     assert(ordered.map(_._2).zip(ordered.map(_._2).tail).forall { case (a, b) => a <= b })
     assert(ordered.map(_._5).zip(ordered.map(_._5).tail).forall { case (a, b) => a >= b })
+    // degenerate corpus (every doc IS the target): no weights exist, so
+    // the curve is EMPTY on both engines — not |fractions| null rows
+    val allTarget = Seq((1L, "alpha beta gamma", "src19"), (2L, "delta epsilon zeta", "src19"))
+      .toDF("doc_id", "text", "source")
+    assert(Sampling.dsirCurve(allTarget, fractions).collect().isEmpty)
   }
 
   test("softDedupSample: planted dup classes sampled at 1/n, singletons kept, JVM membership exact") {
