@@ -63,6 +63,9 @@ object Bench {
     graft.core.Catalog.evalNgramBloom(spark, sfDir)
     graft.core.Catalog.semanticSurvivors(spark, sfDir).count()
     graft.core.Catalog.bpeModel(spark, sfDir)._2.count()
+    // the compression-curve scalars ride their own training run — in
+    // the warm block for the reps=1-adjudication reason (bpeModelSnapshot)
+    graft.core.Catalog.bpeCurve(spark, sfDir)
     graft.core.Catalog.bpeModelSnapshot(spark, sfDir)._2.count()
     graft.core.Catalog.rankSnapshot(spark, sfDir).count()
     val warmFitsSec = (System.nanoTime() - tw0) / 1e9

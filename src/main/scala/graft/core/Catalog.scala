@@ -46,6 +46,10 @@ object Catalog {
   // m-sweep fits one codebook tensor per candidate subquantizer count
   private val pqCurveCache =
     TrieMap.empty[(SparkSession, String, Int), Seq[Seq[Seq[Double]]]]
+  // the BPE compression-curve scalars: |panel| (round, Σf, Σf·|syms|)
+  // triples per (session, dir) — read off one training run's hook
+  private val bpeCurveCache =
+    TrieMap.empty[(SparkSession, String), Seq[(Int, Long, Long)]]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -62,6 +66,7 @@ object Catalog {
     bpeCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pqCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    bpeCurveCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -104,6 +109,7 @@ object Catalog {
     }
     drop(rankCache, (k: (SparkSession, String)) => k._1)
     pqCurveCache.keys.filter(_._1 eq spark).foreach(pqCurveCache.remove)
+    bpeCurveCache.keys.filter(_._1 eq spark).foreach(bpeCurveCache.remove)
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -285,6 +291,18 @@ object Catalog {
         graft.ops.TextAnalysis.bpeLoop(Tables(spark, dir).documents, rounds)
       (merges, syms) // syms is already persisted + materialized by the loop
     })
+  }
+
+  /** The BPE compression-curve scalars for a dir's documents (cached,
+    * shared): the per-panel-round (Σf, Σf·|syms|) totals read off ONE
+    * training run's `onRound` hook — computed once per (session, dir)
+    * like every fit; `t_bpe_curve` serves pure integer arithmetic on
+    * them. */
+  def bpeCurve(spark: SparkSession, dir: String, rounds: Int = 8,
+               panel: Seq[Int] = Seq(0, 2, 4, 8)): Seq[(Int, Long, Long)] = {
+    evictStopped()
+    bpeCurveCache.getOrElseUpdate((spark, dir),
+      graft.ops.TextAnalysis.bpeCurveTotals(Tables(spark, dir).documents, rounds, panel))
   }
 
   /** The BPE model trained on the PREVIOUS corpus snapshot (the

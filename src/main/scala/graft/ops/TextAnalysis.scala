@@ -1041,14 +1041,94 @@ object TextAnalysis {
     merges.toDF("round", "pair", "n")
   }
 
+  /** Vocab-size/compression CURVE — the tuning sweep behind
+    * [[bpeTrain]]'s single `rounds` (the tokenizer-budget dial: every
+    * merge adds one vocab entry and buys some corpus compression, with
+    * sharply diminishing returns — Sennrich et al. 2016 §5 plots
+    * exactly this curve to pick the merge count): per panel round r,
+    * the total corpus BPE-token count under the FIRST r merges, tokens
+    * per word instance, and the compression ratio vs the character
+    * baseline (round 0). A tokenizer owner reads this once per corpus
+    * regime, finds where the curve flattens, then pins `rounds`.
+    *
+    * Plan: ONE training run ([[bpeLoop]] — the corpus collapses to the
+    * word-frequency table once, every round runs on vocab), with the
+    * panel totals read off each round's ALREADY-PERSISTED segmentation
+    * by the `onRound` hook (one 2-value aggregate per panel point —
+    * Σ f·|syms| and Σ f are exact longs, the model-scalar collect
+    * class). The curve rows are pure integer arithmetic on those
+    * scalars (exact-integer half-away ratios), so the key is
+    * hash-exact like every BPE key. If the pair supply exhausts before
+    * a panel round, the curve plateaus at the last segmentation —
+    * exactly what the DuckDB mirror's empty-argmax rounds produce.
+    * Raw totals are driver literals (the t_bpe_train mergesToDF
+    * precedent); [[graft.core.Catalog.bpeCurve]] caches them per
+    * (session, dir) like every fit. */
+  def bpeCurve(documents: DataFrame, rounds: Int = 8,
+               panel: Seq[Int] = Seq(0, 2, 4, 8)): DataFrame = {
+    val totals = bpeCurveTotals(documents, rounds, panel)
+    bpeCurveToDF(documents.sparkSession, totals)
+  }
+
+  /** The curve's model scalars: (round, word_instances, total_tokens)
+    * per panel point — what [[graft.core.Catalog.bpeCurve]] caches. */
+  private[graft] def bpeCurveTotals(documents: DataFrame, rounds: Int,
+                                    panel: Seq[Int]): Seq[(Int, Long, Long)] = {
+    val seen = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    var last = (0L, 0L)
+    var lastRound = -1
+    val (_, syms) = bpeLoop(documents, rounds, (r, s) => {
+      lastRound = r
+      if (panel.contains(r)) {
+        val row = s.agg(
+          coalesce(sum(col("f")), lit(0L)).cast("long"),
+          coalesce(sum(col("f") * size(col("syms"))), lit(0L)).cast("long")).collect()(0)
+        last = (row.getLong(0), row.getLong(1))
+        seen(r) = last
+      }
+    })
+    // panel points past the last landed merge (early pair exhaustion)
+    // plateau at the final segmentation — read it once if needed
+    val missing = panel.filter(r => !seen.contains(r))
+    if (missing.nonEmpty) {
+      val row = syms.agg(
+        coalesce(sum(col("f")), lit(0L)).cast("long"),
+        coalesce(sum(col("f") * size(col("syms"))), lit(0L)).cast("long")).collect()(0)
+      val fin = (row.getLong(0), row.getLong(1))
+      missing.foreach(r => seen(r) = fin)
+    }
+    syms.unpersist(blocking = false)
+    panel.sorted.map(r => (r, seen(r)._1, seen(r)._2))
+  }
+
+  /** Curve rows from the cached scalars: exact-integer half-away
+    * ratios only (tokens/word to 4; compression vs round 0 to 4) —
+    * non-negative operands, both engines identical. */
+  private[graft] def bpeCurveToDF(spark: SparkSession,
+                                  totals: Seq[(Int, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    def ratio4(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else ((20000L * num + den) / (2L * den)).toDouble / 10000.0
+    val t0 = totals.find(_._1 == 0).map(_._3).getOrElse(0L)
+    totals.map { case (r, wi, t) =>
+      (r, t, wi, ratio4(t, wi), ratio4(t, t0))
+    }.toDF("round", "total_tokens", "word_instances", "tokens_per_word", "compression")
+  }
+
   /** The shared training loop: returns the merge list AND the final
     * vocab segmentation (persisted — callers that don't read it
     * unpersist immediately; its lineage is a pure chain of `rounds`
     * codegen `graft_bpe_merge` kernels over the word table with the
     * learned pairs baked as literals, so a post-unpersist re-evaluation
-    * is ONE scan-side pass, no re-training jobs). */
-  private[graft] def bpeLoop(documents: DataFrame,
-                             rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    * is ONE scan-side pass, no re-training jobs). `onRound` fires with
+    * (0, round-0 segmentation) before the loop and (r, segmentation
+    * after merge r) after each landed merge — the [[bpeCurve]]
+    * instrumentation point (each segmentation is already persisted
+    * when the hook sees it, so a hook-side aggregate is one cheap job,
+    * not a re-train). */
+  private[graft] def bpeLoop(documents: DataFrame, rounds: Int,
+                             onRound: (Int, DataFrame) => Unit = (_, _) => ())
+      : (Seq[(Int, String, Long)], DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val words = documents.filter(length(norm) > 0)
@@ -1058,6 +1138,7 @@ object TextAnalysis {
     var syms = words
       .select(col("word"), col("f"), GraftFunctions.charSyms(col("word")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    onRound(0, syms)
     val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -1084,6 +1165,7 @@ object TextAnalysis {
             GraftFunctions.bpeMerge(col("syms"), lit(a), lit(b)).as("syms"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
+        onRound(r, next)
         syms.unpersist(blocking = false)
         syms = next
       }
@@ -1442,6 +1524,8 @@ object TextAnalysis {
       mergesToDF(s, graft.core.Catalog.bpeModel(s, d)._1)),
     "t_bpe_apply"      -> ((s, d) =>
       bpeApplyFromModel(Tables(s, d).documents, graft.core.Catalog.bpeModel(s, d)._2)),
+    "t_bpe_curve"      -> ((s, d) =>
+      bpeCurveToDF(s, graft.core.Catalog.bpeCurve(s, d))),
     // yesterday's tokenizer (snapshot-trained model) on today's full
     // corpus — OOV words are real here by construction
     "t_bpe_fertility"  -> ((s, d) =>
@@ -1549,6 +1633,32 @@ object TextAnalysis {
           |SELECT d.doc_id, COALESCE(awb.n_words, 0) AS n_words,
           |  COALESCE(awb.n_bpe_tokens, 0) AS n_bpe_tokens
           |FROM documents d LEFT JOIN awb USING (doc_id)""".stripMargin),
+    // bpeCurve mirror: the SAME 8-round chain, one Σf/Σf·len(syms)
+    // aggregate per panel segmentation (s0/s2/s4/s8), exact-integer
+    // half-away ratios against the round-0 character baseline.
+    "t_bpe_curve" ->
+      (s"""$toksCte,
+          |w AS (SELECT unnest(list_filter(toks, t -> t != '')) AS w FROM toks),
+          |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1),
+          |s0 AS (SELECT word, f,
+          |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+          |  FROM wf),
+          |""".stripMargin +
+        (1 to 8).map(bpeRoundCte).mkString(",\n") + ",\n" +
+        Seq(0, 2, 4, 8).map(r =>
+          s"""tot$r AS (SELECT COALESCE(CAST(SUM(f) AS BIGINT), 0) AS wi,
+             |    COALESCE(CAST(SUM(f * len(syms)) AS BIGINT), 0) AS t FROM s$r)""".stripMargin)
+          .mkString(",\n") + "\n" +
+        Seq(0, 2, 4, 8).map(r =>
+          s"""SELECT CAST($r AS INT) AS round, cur.t AS total_tokens,
+             |  cur.wi AS word_instances,
+             |  (CASE WHEN cur.wi = 0 THEN 0.0 ELSE
+             |    CAST((20000 * cur.t + cur.wi) // (2 * cur.wi) AS DOUBLE) / 10000.0 END)
+             |    + 0.0 AS tokens_per_word,
+             |  (CASE WHEN base.t = 0 THEN 0.0 ELSE
+             |    CAST((20000 * cur.t + base.t) // (2 * base.t) AS DOUBLE) / 10000.0 END)
+             |    + 0.0 AS compression
+             |FROM tot$r cur, tot0 base""".stripMargin).mkString("\nUNION ALL\n")),
     // bpeFertility mirror: the SAME 8-round chain trained on the PREV
     // snapshot (doc_id % 50 — toks redefined over the filtered corpus,
     // the rest of the chain is verbatim), applied per SOURCE over the

@@ -938,6 +938,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  test("bpeCurve: hand-traced totals per round incl. the exhaustion plateau; real-corpus curve monotone and consistent with bpeApply") {
+    import graft.ops.TextAnalysis
+    // "aa"(f=2) "ab"(f=1): r0 = chars (t=6); r1 merges (a,a) → t=4;
+    // r2 merges (a,b) → t=3; then the pair supply is EXHAUSTED, so the
+    // r=4 panel point must plateau at the final segmentation
+    val df = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeCurve(df, rounds = 8, panel = Seq(0, 1, 2, 4)).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((6L, 3L, 2.0, 1.0)), s"r0: ${got(0)}")
+    assert(got(1) == ((4L, 3L, 1.3333, 0.6667)), s"r1: ${got(1)}")
+    assert(got(2) == ((3L, 3L, 1.0, 0.5)), s"r2: ${got(2)}")
+    assert(got(4) == ((3L, 3L, 1.0, 0.5)), s"r4 (plateau): ${got(4)}")
+    // real corpus: totals fall monotonically with merges, and the r=8
+    // point IS bpeApply's corpus-wide token count (same model depth)
+    val curve = TextAnalysis.bpeCurve(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ts = Seq(0, 2, 4, 8).map(r => curve(r)._1)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b }, s"totals $ts")
+    val applied = TextAnalysis.bpeApply(docs)
+      .agg(org.apache.spark.sql.functions.sum($"n_bpe_tokens"),
+        org.apache.spark.sql.functions.sum($"n_words")).collect()(0)
+    assert(curve(8)._1 == applied.getLong(0), "r=8 total == bpeApply token mass")
+    assert(curve(8)._2 == applied.getLong(1), "word instances agree")
+  }
+
   test("bpeFertility: hand-computed fertility/OOV per source vs a snapshot-trained model; planted 5th-decimal ties; empty source") {
     import graft.ops.TextAnalysis
     // train on "yesterday": the only word is ab → one merge (a,b), vocab ab→1 token
