@@ -47,9 +47,10 @@ object Catalog {
   private val pqCurveCache =
     TrieMap.empty[(SparkSession, String, Int), Seq[Seq[Seq[Double]]]]
   // the BPE compression-curve scalars: |panel| (round, Σf, Σf·|syms|)
-  // triples per (session, dir) — read off one training run's hook
+  // triples, keyed like bpeCache (the rounds the model trained) —
+  // landed by the SAME hooked training run that fills bpeCache
   private val bpeCurveCache =
-    TrieMap.empty[(SparkSession, String), Seq[(Int, Long, Long)]]
+    TrieMap.empty[(SparkSession, String, Int), Seq[(Int, Long, Long)]]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -66,7 +67,7 @@ object Catalog {
     bpeCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pqCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
-    bpeCurveCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    bpeCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -109,6 +110,7 @@ object Catalog {
     }
     drop(rankCache, (k: (SparkSession, String)) => k._1)
     pqCurveCache.keys.filter(_._1 eq spark).foreach(pqCurveCache.remove)
+    // (the two curve caches hold value scalars — nothing to unpersist)
     bpeCurveCache.keys.filter(_._1 eq spark).foreach(bpeCurveCache.remove)
   }
 
@@ -287,22 +289,37 @@ object Catalog {
                rounds: Int = 8): (Seq[(Int, String, Long)], DataFrame) = {
     evictStopped()
     bpeCache.getOrElseUpdate((spark, dir, rounds), {
-      val (merges, syms) =
-        graft.ops.TextAnalysis.bpeLoop(Tables(spark, dir).documents, rounds)
+      // ONE hooked training lands the model AND the compression-curve
+      // scalars (the hook's per-round aggregates are vocab-sized and
+      // nearly free) — t_bpe_curve must never retrain what t_bpe_train
+      // already trained
+      val ((merges, syms), totals) = graft.ops.TextAnalysis
+        .bpeLoopWithCurve(Tables(spark, dir).documents, rounds)
+      bpeCurveCache.putIfAbsent((spark, dir, rounds), totals)
       (merges, syms) // syms is already persisted + materialized by the loop
     })
   }
 
   /** The BPE compression-curve scalars for a dir's documents (cached,
-    * shared): the per-panel-round (Σf, Σf·|syms|) totals read off ONE
-    * training run's `onRound` hook — computed once per (session, dir)
-    * like every fit; `t_bpe_curve` serves pure integer arithmetic on
-    * them. */
-  def bpeCurve(spark: SparkSession, dir: String, rounds: Int = 8,
-               panel: Seq[Int] = Seq(0, 2, 4, 8)): Seq[(Int, Long, Long)] = {
+    * shared): landed by [[bpeModel]]'s hooked training run, so the
+    * curve costs no training of its own — `t_bpe_curve` serves pure
+    * integer arithmetic on them. The panel is the one
+    * `TextAnalysis.BpePanel` constant (shared with the oracle
+    * generator); no per-call panel here, so a cache hit can never
+    * silently answer for different parameters. */
+  def bpeCurve(spark: SparkSession, dir: String,
+               rounds: Int = 8): Seq[(Int, Long, Long)] = {
     evictStopped()
-    bpeCurveCache.getOrElseUpdate((spark, dir),
-      graft.ops.TextAnalysis.bpeCurveTotals(Tables(spark, dir).documents, rounds, panel))
+    bpeCurveCache.get((spark, dir, rounds)) match {
+      case Some(t) => t
+      case None =>
+        bpeModel(spark, dir, rounds) // the hooked training fills BOTH caches
+        bpeCurveCache.getOrElseUpdate((spark, dir, rounds),
+          // unreachable unless the model landed via some pre-hook path:
+          // pay one standalone instrumented run rather than throw
+          graft.ops.TextAnalysis.bpeCurveTotals(
+            Tables(spark, dir).documents, rounds, graft.ops.TextAnalysis.BpePanel))
+    }
   }
 
   /** The BPE model trained on the PREVIOUS corpus snapshot (the

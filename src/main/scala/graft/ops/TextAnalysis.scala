@@ -1065,40 +1065,54 @@ object TextAnalysis {
     * precedent); [[graft.core.Catalog.bpeCurve]] caches them per
     * (session, dir) like every fit. */
   def bpeCurve(documents: DataFrame, rounds: Int = 8,
-               panel: Seq[Int] = Seq(0, 2, 4, 8)): DataFrame = {
+               panel: Seq[Int] = BpePanel): DataFrame = {
     val totals = bpeCurveTotals(documents, rounds, panel)
     bpeCurveToDF(documents.sparkSession, totals)
   }
 
-  /** The curve's model scalars: (round, word_instances, total_tokens)
-    * per panel point — what [[graft.core.Catalog.bpeCurve]] caches. */
-  private[graft] def bpeCurveTotals(documents: DataFrame, rounds: Int,
-                                    panel: Seq[Int]): Seq[(Int, Long, Long)] = {
+  /** The ONE curve panel every default references — the Spark
+    * defaults, the Catalog cache, and the DuckDB oracle generator all
+    * read this constant, so the panel cannot desynchronize across the
+    * engine boundary. */
+  private[graft] val BpePanel: Seq[Int] = Seq(0, 2, 4, 8)
+
+  /** One training run instrumented for the curve: the full
+    * [[bpeLoop]] result PLUS the per-panel-round (Σf, Σf·|syms|)
+    * scalars — what lets `Catalog.bpeModel` land BOTH the model and
+    * the curve caches from a single training (the curve's marginal
+    * cost is one 2-long aggregate per panel point on the round's
+    * already-persisted vocab frame). */
+  private[graft] def bpeLoopWithCurve(documents: DataFrame, rounds: Int,
+                                      panel: Seq[Int] = BpePanel)
+      : ((Seq[(Int, String, Long)], DataFrame), Seq[(Int, Long, Long)]) = {
+    require(panel.contains(0),
+      "panel must include round 0 — the compression baseline (the oracle always baselines on s0)")
+    def totalsOf(s: DataFrame): (Long, Long) = {
+      val row = s.agg(
+        coalesce(sum(col("f")), lit(0L)).cast("long"),
+        coalesce(sum(col("f") * size(col("syms"))), lit(0L)).cast("long")).collect()(0)
+      (row.getLong(0), row.getLong(1))
+    }
     val seen = scala.collection.mutable.Map.empty[Int, (Long, Long)]
-    var last = (0L, 0L)
-    var lastRound = -1
-    val (_, syms) = bpeLoop(documents, rounds, (r, s) => {
-      lastRound = r
-      if (panel.contains(r)) {
-        val row = s.agg(
-          coalesce(sum(col("f")), lit(0L)).cast("long"),
-          coalesce(sum(col("f") * size(col("syms"))), lit(0L)).cast("long")).collect()(0)
-        last = (row.getLong(0), row.getLong(1))
-        seen(r) = last
-      }
-    })
+    val (merges, syms) = bpeLoop(documents, rounds, (r, s) =>
+      if (panel.contains(r)) seen(r) = totalsOf(s))
     // panel points past the last landed merge (early pair exhaustion)
     // plateau at the final segmentation — read it once if needed
     val missing = panel.filter(r => !seen.contains(r))
     if (missing.nonEmpty) {
-      val row = syms.agg(
-        coalesce(sum(col("f")), lit(0L)).cast("long"),
-        coalesce(sum(col("f") * size(col("syms"))), lit(0L)).cast("long")).collect()(0)
-      val fin = (row.getLong(0), row.getLong(1))
+      val fin = totalsOf(syms)
       missing.foreach(r => seen(r) = fin)
     }
+    ((merges, syms), panel.sorted.map(r => (r, seen(r)._1, seen(r)._2)))
+  }
+
+  /** The curve's model scalars alone: (round, word_instances,
+    * total_tokens) per panel point. */
+  private[graft] def bpeCurveTotals(documents: DataFrame, rounds: Int,
+                                    panel: Seq[Int]): Seq[(Int, Long, Long)] = {
+    val ((_, syms), totals) = bpeLoopWithCurve(documents, rounds, panel)
     syms.unpersist(blocking = false)
-    panel.sorted.map(r => (r, seen(r)._1, seen(r)._2))
+    totals
   }
 
   /** Curve rows from the cached scalars: exact-integer half-away
@@ -1645,11 +1659,11 @@ object TextAnalysis {
           |  FROM wf),
           |""".stripMargin +
         (1 to 8).map(bpeRoundCte).mkString(",\n") + ",\n" +
-        Seq(0, 2, 4, 8).map(r =>
+        BpePanel.map(r =>
           s"""tot$r AS (SELECT COALESCE(CAST(SUM(f) AS BIGINT), 0) AS wi,
              |    COALESCE(CAST(SUM(f * len(syms)) AS BIGINT), 0) AS t FROM s$r)""".stripMargin)
           .mkString(",\n") + "\n" +
-        Seq(0, 2, 4, 8).map(r =>
+        BpePanel.map(r =>
           s"""SELECT CAST($r AS INT) AS round, cur.t AS total_tokens,
              |  cur.wi AS word_instances,
              |  (CASE WHEN cur.wi = 0 THEN 0.0 ELSE
