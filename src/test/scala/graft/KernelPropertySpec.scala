@@ -32,6 +32,32 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("exact-integer half-away mean (randomized differential): sign·((200·|W|+k) DIV (2k))/10⁶ == BigDecimal HALF_UP of (W·10⁻⁴)/k at scale 6") {
+    // the d_dsir_curve mean_weight recipe (CLAUDE.md ROUND-tie
+    // conventions): W = Σ round(w·10⁴) over ROUND(,4) values, k the
+    // count — the integer formula must equal exact decimal half-away
+    // rounding for EVERY (W, k), including the …5 ties and negatives
+    val rnd = new Random(23)
+    def intForm(bigW: Long, k: Long): BigDecimal = {
+      val sign = if (bigW < 0) -1 else 1
+      BigDecimal(sign) * BigDecimal((200L * math.abs(bigW) + k) / (2L * k)) / BigDecimal(1000000)
+    }
+    def decForm(bigW: Long, k: Long): BigDecimal =
+      (BigDecimal(bigW) / BigDecimal(10000) / BigDecimal(k))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    (1 to 2000).foreach { _ =>
+      val k = rnd.nextInt(1000) + 1L
+      val w = rnd.nextLong() % 2000000L // ±2·10⁶ fourth-decimal units
+      assert(intForm(w, k) == decForm(w, k), s"W=$w k=$k")
+    }
+    // planted exact ties both signs: mean·10⁶ = W·100/k lands on …x.5
+    // exactly (e.g. W=1, k=8 → 12.5 → must round AWAY to 13)
+    Seq((1L, 8L), (-1L, 8L), (3L, 8L), (-3L, 8L), (7L, 40L), (-7L, 40L))
+      .foreach { case (w, k) =>
+        assert(intForm(w, k) == decForm(w, k), s"tie W=$w k=$k")
+      }
+  }
+
   test("shingles3: every shingle is 3 tokens; count ≤ tokens−2; distinct") {
     val rnd = new Random(11)
     (1 to 200).foreach { _ =>
