@@ -943,6 +943,59 @@ object Dedup {
           .as("abs_err"))
   }
 
+  /** MinHash permutation-count CURVE — the signature-size sweep behind
+    * the 128-perm choice (the other half of the banding design
+    * d_lsh_tuning prices: permutation count sets BOTH the estimator's
+    * variance — std ≈ √(J(1−J)/p) — and the per-document storage bill,
+    * 8 bytes a permutation at 100 TB scale): per candidate p ∈
+    * {16,32,64,128}, the mean and worst |estimated − exact| Jaccard
+    * over the corpus's OWN calibration pair set, next to the bytes/doc
+    * that p costs. An index owner reads this once per corpus regime,
+    * picks the p whose error the banding design tolerates, then pins
+    * the signature width.
+    *
+    * The sweep costs NOTHING beyond [[jaccardCalibration]]'s plan: a
+    * p-perm MinHash IS the first p rows of the 128-perm signature
+    * (each permutation is independent), so every arm reads a prefix
+    * slice of the SAME Catalog-cached signatures — no refit, no extra
+    * mining; per-p agreement/estimate/error are scan-side columns on
+    * the one verified-pair frame, collapsed by ONE 1-row aggregate and
+    * unpivoted by stack. Estimates round n/p to 4 in EXACT integers
+    * ((2·10⁴·n + p) DIV 2p — n/p is an exact binary fraction, both
+    * engines land on true ties and round away together); MAE uses the
+    * property-tested Σ round(err·10⁴) integer-mean recipe. */
+  def permCurve(documents: DataFrame, signatures: DataFrame,
+                perms: Seq[Int] = Seq(16, 32, 64, 128),
+                bands: Int = 32): DataFrame = {
+    val cands = minhashCandidatesFromSignatures(signatures, bands)
+    val base = jaccardOnCandidates(documents, cands, 0.0)
+      .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    val withErrs = perms.foldLeft(base) { (df, p) =>
+      df.withColumn(s"n$p",
+          GraftFunctions.sigAgree(slice(col("sig_a"), 1, p), slice(col("sig_b"), 1, p)))
+        .withColumn(s"est$p",
+          expr(s"CAST((20000 * n$p + $p) DIV (2 * $p) AS DOUBLE)") / lit(10000.0) + lit(0.0))
+        .withColumn(s"err$p", round(abs(col(s"est$p") - col("jaccard")), 4) + lit(0.0))
+    }
+    val aggs = count(lit(1)).as("n_pairs") +: perms.flatMap(p => Seq(
+      sum(expr(s"CAST(round(err$p * 10000) AS BIGINT)")).as(s"s$p"),
+      max(col(s"err$p")).as(s"m$p")))
+    val flags = withErrs.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = perms
+      .map(p => s"$p, coalesce(s$p, 0L), coalesce(m$p, CAST(0.0 AS DOUBLE))")
+      .mkString(", ")
+    flags
+      .selectExpr("n_pairs",
+        s"stack(${perms.size}, $stackArgs) AS (n_perms, errsum, mx)")
+      .select(col("n_perms"), col("n_pairs"),
+        (when(col("n_pairs") === 0L, lit(0.0)).otherwise(
+          expr("CAST((200 * errsum + n_pairs) DIV (2 * n_pairs) AS DOUBLE)")
+            / lit(1000000.0)) + lit(0.0)).as("mae"),
+        (col("mx") + lit(0.0)).as("max_err"),
+        (col("n_perms") * lit(8)).as("sig_bytes"))
+  }
+
   /** Cross-source duplication matrix — the mixture-governance artifact
     * behind dedup POLICY: the verified near-dup pair set (the
     * [[nearDupPairs]] production pipeline; exact copies are its
@@ -1074,6 +1127,8 @@ object Dedup {
     "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_lsh_tuning"       -> ((s, d) => lshTuning(Tables(s, d).documents,
+      graft.core.Catalog.minhashSignatures(s, d))),
+    "d_perm_curve"       -> ((s, d) => permCurve(Tables(s, d).documents,
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_dup_matrix"       -> ((s, d) => dupMatrixFromPairs(
       jaccardOnCandidates(Tables(s, d).documents,
@@ -1523,6 +1578,48 @@ object Dedup {
          |        - ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4)), 4) + 0.0 AS abs_err
          |FROM j
          |WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.0""".stripMargin,
+    // permCurve mirror: the calibration pair chain with PREFIX-sliced
+    // signature agreements per candidate p (a p-perm MinHash is the
+    // first p rows of the 128-perm signature), exact-integer n/p
+    // estimates and the integer-mean MAE, unioned per p.
+    "d_perm_curve" -> {
+      val perms = Seq(16, 32, 64, 128)
+      s"""$minhashSigCte,
+         |sigl AS (SELECT doc_id, list(u ORDER BY p) AS sig FROM vm GROUP BY doc_id),
+         |shl AS (SELECT doc_id, sh, len(sh) AS l FROM dm),
+         |jp AS (SELECT c.doc_a, c.doc_b,
+         |    ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |          / (x.l + y.l - len(list_intersect(x.sh, y.sh))), 4) AS ej,
+         |    ${perms.map(p =>
+                s"len(list_filter(list_zip(sa.sig[1:$p], sb.sig[1:$p]), z -> z[1] = z[2])) AS n$p")
+                .mkString(",\n    ")}
+         |  FROM candm c
+         |  JOIN shl x ON x.doc_id = c.doc_a
+         |  JOIN shl y ON y.doc_id = c.doc_b
+         |  JOIN sigl sa ON sa.doc_id = c.doc_a
+         |  JOIN sigl sb ON sb.doc_id = c.doc_b
+         |  WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |          / (x.l + y.l - len(list_intersect(x.sh, y.sh))), 4) >= 0.0),
+         |fe AS (SELECT doc_a, doc_b,
+         |    ${perms.map(p =>
+                s"ROUND(ABS(CAST((20000 * n$p + $p) // (2 * $p) AS DOUBLE) / 10000.0 - ej), 4) + 0.0 AS err$p")
+                .mkString(",\n    ")}
+         |  FROM jp),
+         |ga AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    ${perms.flatMap(p => Seq(
+                s"CAST(COALESCE(SUM(CAST(round(err$p * 10000) AS BIGINT)), 0) AS BIGINT) AS s$p",
+                s"COALESCE(MAX(err$p), 0.0) AS m$p")).mkString(",\n    ")}
+         |  FROM fe)
+         |""".stripMargin +
+        perms.map(p =>
+          s"""SELECT CAST($p AS INT) AS n_perms, n_pairs,
+             |  (CASE WHEN n_pairs = 0 THEN 0.0 ELSE
+             |    CAST((200 * s$p + n_pairs) // (2 * n_pairs) AS DOUBLE) / 1000000.0 END)
+             |    + 0.0 AS mae,
+             |  m$p + 0.0 AS max_err,
+             |  CAST(${p * 8} AS INT) AS sig_bytes
+             |FROM ga""".stripMargin).mkString("\nUNION ALL\n")
+    },
     // SimHash: FNV per DISTINCT (doc, token) weighted by count (the
     // kernel hashes every occurrence — hash(t)·cnt votes identically),
     // bit j via div-by-2^j literals (HUGEINT ** is DOUBLE — unusable),

@@ -516,6 +516,32 @@ class DedupSpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.1)
   }
 
+  test("permCurve: p=128 arm equals jaccardCalibration's error set; error shrinks and storage grows with p") {
+    val sigs = Dedup.minhashSignatures(docs)
+    val curve = Dedup.permCurve(docs, sigs).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(curve.keySet == Set(16, 32, 64, 128))
+    // the p=128 arm IS the calibration card's error column: same pair
+    // count, MAE = the integer-mean of its abs_err values, same max
+    val calErrs = Dedup.jaccardCalibration(docs, sigs).collect()
+      .map(_.getAs[Double]("abs_err"))
+    val (n128, mae128, max128, bytes128) = curve(128)
+    assert(n128 == calErrs.length)
+    val errSum = calErrs.map(e => math.round(e * 10000)).sum
+    assert(mae128 == ((200L * errSum + n128) / (2L * n128)).toDouble / 1000000.0)
+    assert(max128 == calErrs.max)
+    assert(bytes128 == 1024)
+    // every arm sees the SAME pair set; storage is 8 bytes/perm; the
+    // estimator tightens with p on this corpus (std ∝ 1/√p)
+    Seq(16, 32, 64).foreach { p =>
+      assert(curve(p)._1 == n128 && curve(p)._4 == 8 * p)
+    }
+    assert(curve(16)._2 >= curve(128)._2,
+      s"mae should shrink 16→128: ${curve(16)._2} vs ${curve(128)._2}")
+    assert(curve(16)._3 >= curve(128)._3, "worst error shrinks too")
+  }
+
   test("dupMatrix: hand corpus exact (diagonal + cross-source flow); pair mass conserves vs nearDupPairs") {
     val d = Seq(
       (1L, "x", "alpha beta gamma delta epsilon"),
