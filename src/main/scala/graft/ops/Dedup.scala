@@ -930,17 +930,25 @@ object Dedup {
     * intermediate a near-multiple of 10⁻⁴, which no engine rounds
     * differently. */
   def jaccardCalibration(documents: DataFrame, signatures: DataFrame,
-                         bands: Int = 32): DataFrame = {
-    val cands = minhashCandidatesFromSignatures(signatures, bands)
-    jaccardOnCandidates(documents, cands, 0.0)
-      .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+                         bands: Int = 32): DataFrame =
+    calibrationPairs(documents, signatures, bands)
       .withColumn("n_agree", GraftFunctions.sigAgree(col("sig_a"), col("sig_b")))
       .withColumn("est_jaccard", (round(col("n_agree") / lit(128.0), 4) + lit(0.0)))
       .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"),
         col("jaccard").as("exact_jaccard"),
         (round(abs(col("est_jaccard") - col("jaccard")), 4) + lit(0.0))
           .as("abs_err"))
+
+  /** The shared calibration pair frame of [[jaccardCalibration]] and
+    * [[permCurve]]: the LSH-candidate pairs with their exact Jaccard
+    * and both full signatures attached — one place owns the chain so
+    * the two cards cannot desynchronize. */
+  private def calibrationPairs(documents: DataFrame, signatures: DataFrame,
+                               bands: Int): DataFrame = {
+    val cands = minhashCandidatesFromSignatures(signatures, bands)
+    jaccardOnCandidates(documents, cands, 0.0)
+      .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
   }
 
   /** MinHash permutation-count CURVE — the signature-size sweep behind
@@ -967,13 +975,13 @@ object Dedup {
   def permCurve(documents: DataFrame, signatures: DataFrame,
                 perms: Seq[Int] = Seq(16, 32, 64, 128),
                 bands: Int = 32): DataFrame = {
-    val cands = minhashCandidatesFromSignatures(signatures, bands)
-    val base = jaccardOnCandidates(documents, cands, 0.0)
-      .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    val base = calibrationPairs(documents, signatures, bands)
+    // the full-width arm needs no slice (sigAgree compares over the
+    // min length) — skip the two per-row array copies there
+    def pre(c: Column, p: Int): Column = if (p >= 128) c else slice(c, 1, p)
     val withErrs = perms.foldLeft(base) { (df, p) =>
       df.withColumn(s"n$p",
-          GraftFunctions.sigAgree(slice(col("sig_a"), 1, p), slice(col("sig_b"), 1, p)))
+          GraftFunctions.sigAgree(pre(col("sig_a"), p), pre(col("sig_b"), p)))
         .withColumn(s"est$p",
           expr(s"CAST((20000 * n$p + $p) DIV (2 * $p) AS DOUBLE)") / lit(10000.0) + lit(0.0))
         .withColumn(s"err$p", round(abs(col(s"est$p") - col("jaccard")), 4) + lit(0.0))
