@@ -218,6 +218,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** SimHash hamming-radius CURVE — the TEXT twin of m_phash_curve,
+    * completing the radius-tuning pair across both fingerprint
+    * modalities (the knob a simhash rollout owns: radius 0 = exact
+    * fingerprint collisions only, radius 3 = the widest set the
+    * 16-bit-chunk blocking certifies complete; too tight misses
+    * paraphrase-level dups, too loose drags in topical neighbors):
+    * per radius r ∈ {0..3}, the verified pair count and the distinct
+    * documents those pairs touch.
+    *
+    * Plan (the m_phash_curve recipe): the pair set is mined ONCE at
+    * the widest radius (the d_simhash plan — chunk-blocked, never
+    * all-pairs) and localCheckpointed; every radius is then a
+    * conditional sum + conditional distinct count over that frame, so
+    * adding radii is free and the mining cost is identical to the
+    * base operator's at any corpus size. */
+  def simhashCurve(documents: DataFrame, radii: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    val pairs = DupClusters.materialize(simhashPairs(documents, radii.max))
+    val pairAggs = radii.map(r =>
+      sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"))
+    val cnt = pairs.agg(pairAggs.head, pairAggs.tail: _*)
+    val docAggs = radii.map(r =>
+      countDistinct(when(col("hamming") <= r, col("doc"))).as(s"d$r"))
+    val docsAgg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc"), col("hamming"))
+      .agg(docAggs.head, docAggs.tail: _*)
+    val stackArgs = radii.map(r => s"$r, coalesce(p$r, 0L), d$r").mkString(", ")
+    cnt.crossJoin(broadcast(docsAgg))
+      .selectExpr(
+        s"stack(${radii.size}, $stackArgs) AS (max_hamming, n_pairs, n_docs)")
+  }
+
   /** EXACT 3-gram Jaccard ≥ τ near-dup pairs via a shingle inverted
     * index: explode distinct shingles, equi-join on the shingle, count
     * shared shingles per pair — any pair with J > 0 shares a shingle, so
@@ -1126,6 +1157,7 @@ object Dedup {
     "d_minhash_lsh"      -> ((s, d) =>
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d))),
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
+    "d_simhash_curve"    -> ((s, d) => simhashCurve(Tables(s, d).documents)),
     "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
     "d_containment"      -> ((s, d) => containmentPairs(Tables(s, d).documents)),
     "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidates(Tables(s, d).documents,
@@ -1378,6 +1410,34 @@ object Dedup {
        |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim
        |FROM p
        |WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3""".stripMargin
+  }
+
+  /** Shared DuckDB fingerprint chain of the SimHash mirrors: FNV per
+    * distinct (doc, token) weighted by count, bit j via div-by-2^j
+    * literals (HUGEINT ** is DOUBLE — unusable), strict `tally > 0`
+    * sign — ends at the per-doc `fp` bits list. */
+  private def simhashFpCte: String = {
+    val pw = (0 until 64).map(j => huge(1L << j)).mkString("[", ", ", "]")
+    raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t FROM toks
+        |       WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, unnest(t) AS tok FROM tf) GROUP BY 1, 2),
+        |th AS (SELECT doc_id, cnt, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(generate_series(1, len(tok)), i -> ord(substr(tok, i, 1))::HUGEINT)),
+        |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
+        |  FROM tc),
+        |bits AS (SELECT doc_id, j,
+        |    SUM(CASE WHEN (h // ($pw)[j+1]) % 2 = 1 THEN cnt ELSE -cnt END) AS tally
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
+        |       FROM bits GROUP BY doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1634,34 +1694,36 @@ object Dedup {
     // strict `tally > 0` sign, and an all-pairs hamming at oracle scale
     // only: the engine's 16-bit-chunk blocking is EXACT for hamming ≤ 3
     // (pigeonhole), so the sets coincide.
-    "d_simhash" -> {
-      val pw = (0 until 64).map(j => huge(1L << j)).mkString("[", ", ", "]")
-      raw"""WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, t FROM toks
-        |       WHERE len(t) > 0 AND NOT (len(t) = 1 AND t[1] = '')),
-        |tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
-        |       FROM (SELECT doc_id, unnest(t) AS tok FROM tf) GROUP BY 1, 2),
-        |th AS (SELECT doc_id, cnt, list_reduce(
-        |    list_prepend(14695981039346656037::HUGEINT,
-        |      list_transform(generate_series(1, len(tok)), i -> ord(substr(tok, i, 1))::HUGEINT)),
-        |    (h, b) -> ((xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT + h - (h % 256))
-        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS h
-        |  FROM tc),
-        |bits AS (SELECT doc_id, j,
-        |    SUM(CASE WHEN (h // ($pw)[j+1]) % 2 = 1 THEN cnt ELSE -cnt END) AS tally
-        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
-        |  GROUP BY 1, 2),
-        |fp AS (SELECT doc_id, list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY j) AS bits
-        |       FROM bits GROUP BY doc_id)
+    "d_simhash" ->
+      (simhashFpCte +
+        raw"""
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) AS INTEGER)
         |    AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) <= 3""".stripMargin
-    },
+        |WHERE len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) <= 3""".stripMargin),
+    // simhashCurve mirror: the same fingerprint chain, the widest-radius
+    // all-pairs set once, then one conditional pair-count + distinct-doc
+    // count per radius (the m_phash_curve shape), unioned per radius.
+    "d_simhash_curve" ->
+      (simhashFpCte +
+        raw""",
+        |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_filter(list_zip(a.bits, b.bits), x -> x[1] != x[2])) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id),
+        |spp AS (SELECT * FROM sp WHERE hamming <= 3),
+        |pc AS (SELECT
+        |    ${Seq(0,1,2,3).map(r => s"CAST(COALESCE(SUM(CASE WHEN hamming <= $r THEN 1 ELSE 0 END), 0) AS BIGINT) AS p$r").mkString(",\n    ")}
+        |  FROM spp),
+        |dd AS (SELECT doc_a AS doc, hamming FROM spp
+        |       UNION ALL SELECT doc_b AS doc, hamming FROM spp),
+        |dc AS (SELECT
+        |    ${Seq(0,1,2,3).map(r => s"CAST(COUNT(DISTINCT CASE WHEN hamming <= $r THEN doc END) AS BIGINT) AS d$r").mkString(",\n    ")}
+        |  FROM dd)
+        |""".stripMargin +
+        Seq(0, 1, 2, 3).map(r =>
+          s"""SELECT CAST($r AS INT) AS max_hamming, p$r AS n_pairs, d$r AS n_docs
+             |FROM pc, dc""".stripMargin).mkString("\nUNION ALL\n")),
     // Mirror of dedupCurve: the same pair CTE at the loosest τ, the
     // same τ-grid fan-out over the ROUND(,4) jaccard.
     "d_dedup_curve" ->

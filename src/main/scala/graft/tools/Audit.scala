@@ -56,6 +56,9 @@ object Audit {
     // the two 1-row radius aggregates (pair counts × distinct-doc
     // counts) crossJoined before the stack — the same shape
     "m_phash_curve",
+    // the identical two-1-row-aggregate crossJoin, over the simhash
+    // pair frame (the text twin of m_phash_curve)
+    "d_simhash_curve",
     // the 1-row (total, n_keys) stats frame crossJoined onto the k-row
     // hot list — the t_bm25 corpus-stats shape
     "q_skew_report",

@@ -516,6 +516,28 @@ class DedupSpec extends SparkSpec {
     assert(errs.sum / errs.length <= 0.1)
   }
 
+  test("simhashCurve: radius arms equal simhashPairs' filtered counts; monotone; planted exact copy lands at radius 0") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = docs.select($"doc_id", $"text")
+      .unionByName(Seq((900001L, dup), (900002L, dup)).toDF("doc_id", "text"))
+    val curve = Dedup.simhashCurve(corpus).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve.keySet == Set(0, 1, 2, 3))
+    // every arm is the base operator's pair set filtered at that radius
+    val pairs = Dedup.simhashPairs(corpus, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming")))
+    (0 to 3).foreach { r =>
+      val sel = pairs.filter(_._3 <= r)
+      assert(curve(r)._1 == sel.length, s"r=$r pair count")
+      assert(curve(r)._2 == sel.flatMap(p => Seq(p._1, p._2)).distinct.length, s"r=$r doc count")
+    }
+    // identical planted docs collide at hamming 0, so even the tightest
+    // arm is non-empty; the curve is monotone nondecreasing in r
+    assert(curve(0)._1 >= 1L && curve(0)._2 >= 2L)
+    val ps = (0 to 3).map(r => curve(r)._1)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, s"pairs $ps")
+  }
+
   test("permCurve: p=128 arm equals jaccardCalibration's error set; error shrinks and storage grows with p") {
     val sigs = Dedup.minhashSignatures(docs)
     val curve = Dedup.permCurve(docs, sigs).collect()
