@@ -20,6 +20,14 @@ import graft.core.GraftSession
   * real plan cost. `value` is the sum of per-query medians.
   */
 object Bench {
+  /** Idle-box warm_fits_sec ceiling at the contract config (sf0.1,
+    * local[32]): every recorded idle run reads 16–49 s (BASELINE.md r10/r11
+    * rows); the r11 driver battery's 216 s was a 12× load artifact that
+    * cost 31 spurious per-key flags. A reading past 2× this ceiling makes
+    * the battery self-flag as load-contaminated so its per-key >2× flags
+    * are adjudicated (fresh JVM, idle box) instead of believed. */
+  val IdleWarmFitsMaxSec = 50.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -29,6 +37,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1-min system load average at battery start (−1.0 where the JVM
+    // can't read it) — recorded so a loaded-box battery is
+    // self-interpreting instead of costing a round of adjudication
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
 
     // Warm the shared upserted-vehicles frame (and the JVM/codegen paths)
     // so per-query timings measure the query, not 13× the same ETL; also
@@ -103,8 +117,23 @@ object Bench {
     // failed keys (-1 sentinel) are excluded from the headline total —
     // a failure must never make the total look faster
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Load self-defense: the warm-fits block is a FIXED workload, so its
+    // elapsed ratio against the documented idle ceiling is a built-in
+    // load probe for the very machine and very JVM that produced the
+    // per-key numbers. Only meaningful on the full battery at the
+    // contract SF (a key-filtered or off-SF run skips/changes the warm
+    // block's cost profile).
+    val loadEnd = loadAvg()
+    val fullBattery = only.isEmpty && sfDir.endsWith("0.1")
+    val underLoad = fullBattery && warmFitsSec > 2.0 * IdleWarmFitsMaxSec
+    if (underLoad)
+      System.err.println(
+        f"[bench] BATTERY_UNDER_LOAD: warm_fits_sec $warmFitsSec%.1f exceeds 2x the " +
+        f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 16-49 s) — load avg " +
+        f"$loadStart%.2f -> $loadEnd%.2f. Per-key >2x readings from this run are load " +
+        "artifacts until reproduced per the fresh-JVM idle protocol (BASELINE.md).")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but log pipelines truncate
     // (r4's per-query map survived only in a cut-off tail) — also land

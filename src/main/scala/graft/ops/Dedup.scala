@@ -234,6 +234,8 @@ object Dedup {
     * adding radii is free and the mining cost is identical to the
     * base operator's at any corpus size. */
   def simhashCurve(documents: DataFrame, radii: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    require(radii.nonEmpty && radii.max <= 3,
+      "16-bit-chunk blocking is exact only for hamming <= 3 (pigeonhole over 4 chunks)")
     val pairs = DupClusters.materialize(simhashPairs(documents, radii.max))
     val pairAggs = radii.map(r =>
       sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"))

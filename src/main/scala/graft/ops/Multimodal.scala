@@ -327,6 +327,8 @@ object Multimodal {
     * endpoints) crossJoined and unpivoted by stack. All-integer
     * output, nothing float. */
   def phashCurve(media: DataFrame, radii: Seq[Int] = Seq(0, 1, 2, 3)): DataFrame = {
+    require(radii.nonEmpty && radii.max <= 3,
+      "16-bit-chunk blocking is exact only for hamming <= 3 (pigeonhole over 4 chunks)")
     val pairs = graft.ops.DupClusters.materialize(phashNearDup(media, radii.max))
     val pairAggs = radii.map(r =>
       sum(when(col("hamming") <= r, 1L).otherwise(0L)).as(s"p$r"))

@@ -131,7 +131,16 @@ object Sampling {
     * ≤ #sources rows), one broadcast join back to the scan, and ONE
     * per-source aggregate with five conditional membership sums —
     * adding a temperature to the panel costs one column, never a scan.
-    * Kept shares use the exact-integer half-away idiom. */
+    * Kept shares use the exact-integer half-away idiom.
+    *
+    * Known (accepted) tie exposure: the per-arm `rate` reuses
+    * [[sampleTemperature]]'s established ROUND(dbl,6) on the
+    * budget·w/Σw/n quotient, and the α = 0 / α = 1 arms make that
+    * quotient rational — the documented ROUND …5-tie cross-engine
+    * hazard becomes reachable at per-source counts in the millions
+    * with specific divisors (never at oracle scale). If a tie is ever
+    * observed, move the two rational arms to the exact-integer
+    * half-away recipe the kept-share columns already use. */
   def temperatureCurve(documents: DataFrame, budgetDocs: Long = 150L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType

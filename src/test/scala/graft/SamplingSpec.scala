@@ -471,6 +471,20 @@ class SamplingSpec extends SparkSpec {
       s"coarse-sketch rank [$lo,$hi] vs target ${0.8 * n} beyond N/accuracy")
   }
 
+  test("dsirThreshold exact-regime guard: every oracle corpus scores fewer docs than the GK accuracy") {
+    // d_dsir_threshold / d_dsir_curve are hash-checkable only while the
+    // GK sketch retains every sample (scored docs ≤ accuracy = 10000 —
+    // the documented contract); a testdata regeneration that silently
+    // crossed the threshold would leave the exact-rank DuckDB mirror
+    // comparing against an APPROXIMATE τ. Pin the precondition here so
+    // the regression is a loud spec failure, not an oracle mystery.
+    for (dir <- Seq(TestSpark.sf0001, TestSpark.sf001, "/root/testdata/sf0.1")) {
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      assert(n <= 10000L,
+        s"$dir has $n docs — past the GK accuracy, d_dsir_* leaves the exact regime")
+    }
+  }
+
   test("corpusShuffle: (shard, pos) is a total order — a permutation of the corpus") {
     val out = Sampling.corpusShuffle(docs).collect()
     assert(out.length == docs.count())
