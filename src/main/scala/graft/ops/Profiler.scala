@@ -39,6 +39,43 @@ object Profiler {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** The in-plan sketch-accuracy CHECK for [[profile]]'s HLL mode — the
+    * hash-checkable twin of `q_profile_hll` (whose raw estimates have no
+    * DuckDB replay by construction): ONE pass computes BOTH the exact
+    * multi-distinct and the HLL++ sketch per column, and the output
+    * carries the exact profile plus `nd_within_2pct` = 1 iff
+    * |hll − exact| ≤ tol·exact. The DuckDB oracle recomputes the exact
+    * profile and emits the literal 1 (exact-vs-exact is trivially within
+    * any tol), so a hash MATCH is a positive machine check that every
+    * column's sketch sat inside the declared bound — the driver-visible
+    * form of the spec bound Verify already prints.
+    *
+    * Plan cost: the same single-aggregate single-unpivot shape as
+    * [[profile]] `exact = true` plus one HLL sketch per column riding
+    * the same Expand aggregate (sketch partials merge map-side). */
+  def profileCheck(df: DataFrame, tol: Double = 0.02): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        approx_count_distinct(col(c), 0.01).as(s"__hll_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__null_$c`, `__nd_$c`, `__hll_$c`, `__min_$c`, `__max_$c`"
+    }.mkString(", ")
+    wide.select(col("__total").as("n_rows"),
+        expr(s"stack(${cols.size}, $stackArgs) AS " +
+          "(column_name, n_null, n_distinct, hll_nd, min_value, max_value)"))
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+        (abs(col("hll_nd") - col("n_distinct")).cast("double") <=
+          lit(tol) * col("n_distinct").cast("double")).cast("long").as("nd_within_2pct"),
+        col("min_value"), col("max_value"))
+  }
+
   // ---- driver wiring ----
 
   /** q_profile_hll is the AT-SCALE mode of the same profile: HLL++
@@ -50,9 +87,10 @@ object Profiler {
     * spec bounds every column's estimate against the exact mode. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> ((s, d) => profile(Tables(s, d).orders, exact = true)),
-    "q_profile_hll" -> ((s, d) => profile(Tables(s, d).orders, exact = false)))
+    "q_profile_hll" -> ((s, d) => profile(Tables(s, d).orders, exact = false)),
+    "q_profile_hll_check" -> ((s, d) => profileCheck(Tables(s, d).orders)))
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_profile" ->
       """WITH t AS (SELECT COUNT(*) AS n_rows FROM orders)
         |SELECT 'o_orderkey' AS column_name, n_rows,
@@ -85,4 +123,18 @@ object Profiler {
         |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders),
         |  (SELECT MIN(o_orderpriority) FROM orders),
         |  (SELECT MAX(o_orderpriority) FROM orders) FROM t""".stripMargin)
+
+  /** The check twin's oracle DERIVES from q_profile's: the exact profile
+    * wrapped with the literal pass flag (exact-vs-exact is within any
+    * tolerance by definition) — so the Spark side's computed
+    * `nd_within_2pct` hash-matches iff every column's HLL estimate sat
+    * inside the bound. Derived from the same SQL string so the two
+    * oracles can never drift apart. */
+  val oracles: Map[String, String] = baseOracles +
+    ("q_profile_hll_check" ->
+      s"""SELECT column_name, n_rows, n_null, n_distinct,
+         |  CAST(1 AS BIGINT) AS nd_within_2pct, min_value, max_value
+         |FROM (
+         |${baseOracles("q_profile")}
+         |) p""".stripMargin)
 }

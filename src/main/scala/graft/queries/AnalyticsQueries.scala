@@ -159,6 +159,33 @@ object AnalyticsQueries {
       approx_count_distinct(col("l_orderkey"), rsd).as("nd_orders"),
       count(lit(1)).as("n"))
 
+  /** The in-plan sketch-accuracy CHECK for [[distinctAggApprox]] — the
+    * hash-checkable twin of `q_distinct_agg_approx` (whose raw HLL++
+    * estimates have no DuckDB replay by construction): ONE grouped
+    * aggregate computes BOTH the exact multi-distinct and the sketches,
+    * and the output carries the exact counts plus a per-column
+    * `*_within_2pct` = 1 iff |sketch − exact| ≤ tol·exact. The DuckDB
+    * oracle recomputes the exact side and emits literal 1s, so a hash
+    * MATCH positively certifies every sketch sat inside the declared
+    * bound — the driver-visible form of Verify's spec-bound print. */
+  def distinctAggCheck(t: Tables, rsd: Double = 0.01, tol: Double = 0.02): DataFrame = {
+    def within(a: Column, e: Column): Column =
+      (abs(a - e).cast("double") <= lit(tol) * e.cast("double")).cast("long")
+    t.lineitem.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        countDistinct(col("l_orderkey")).as("nd_orders"),
+        approx_count_distinct(col("l_partkey"), rsd).as("a_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("a_supps"),
+        approx_count_distinct(col("l_orderkey"), rsd).as("a_orders"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("nd_parts"), col("nd_supps"),
+        col("nd_orders"), col("n"),
+        within(col("a_parts"), col("nd_parts")).as("parts_within_2pct"),
+        within(col("a_supps"), col("nd_supps")).as("supps_within_2pct"),
+        within(col("a_orders"), col("nd_orders")).as("orders_within_2pct"))
+  }
+
   /** ROLLUP grouping sets; rolled-up levels surfaced as 'ALL' (NULL
     * markers coalesced so the oracle compare is unambiguous). */
   def rollupOrders(t: Tables): DataFrame =
@@ -805,6 +832,7 @@ object AnalyticsQueries {
     "q_window_running"     -> ((s, d) => windowRunning(Tables(s, d))),
     "q_distinct_agg"       -> ((s, d) => distinctAgg(Tables(s, d))),
     "q_distinct_agg_approx" -> ((s, d) => distinctAggApprox(Tables(s, d))),
+    "q_distinct_agg_approx_check" -> ((s, d) => distinctAggCheck(Tables(s, d))),
     "q_rollup"             -> ((s, d) => rollupOrders(Tables(s, d))),
     "q_grouping_sets"      -> ((s, d) => groupingSetsOrders(Tables(s, d))),
     "q_pivot"              -> ((s, d) => pivotStatus(Tables(s, d))),
@@ -817,7 +845,7 @@ object AnalyticsQueries {
   private val revenueSql =
     "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // giniReport mirror: same total rank order, exact DECIMAL moment
     // sums, the same closed-form double expression.
     "q_gini" ->
@@ -1200,4 +1228,20 @@ object AnalyticsQueries {
         |FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts
         |QUALIFY row_number() OVER (PARTITION BY p.pe
         |  ORDER BY c.cts DESC NULLS LAST, c.ce DESC) = 1""".stripMargin)
+
+  /** The check twin's oracle DERIVES from q_distinct_agg's: the exact
+    * counts wrapped with literal pass flags (exact-vs-exact is within
+    * any tolerance by definition) — a hash match certifies the Spark
+    * side's computed `*_within_2pct` flags were all 1, i.e. every HLL
+    * sketch sat inside the bound. Derived from the same SQL string so
+    * the two oracles can never drift apart. */
+  val oracles: Map[String, String] = baseOracles +
+    ("q_distinct_agg_approx_check" ->
+      s"""SELECT l_returnflag, nd_parts, nd_supps, nd_orders, n,
+         |  CAST(1 AS BIGINT) AS parts_within_2pct,
+         |  CAST(1 AS BIGINT) AS supps_within_2pct,
+         |  CAST(1 AS BIGINT) AS orders_within_2pct
+         |FROM (
+         |${baseOracles("q_distinct_agg")}
+         |) e""".stripMargin)
 }

@@ -65,6 +65,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!hasExpand(approxDf), "HLL mode must be Expand-free")
   }
 
+  test("check twins: exact columns equal the exact keys; every within_2pct flag is 1; flags CAN fail") {
+    // q_distinct_agg_approx_check: exact side identical to q_distinct_agg,
+    // flags all 1 (the sketch sat inside the bound on the oracle corpus)
+    val chk = AnalyticsQueries.distinctAggCheck(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    AnalyticsQueries.distinctAgg(t).collect().foreach { r =>
+      val c = chk(r.getString(0))
+      assert(c.getAs[Long]("nd_parts") == r.getAs[Long]("nd_parts"))
+      assert(c.getAs[Long]("nd_supps") == r.getAs[Long]("nd_supps"))
+      assert(c.getAs[Long]("nd_orders") == r.getAs[Long]("nd_orders"))
+      assert(c.getAs[Long]("n") == r.getAs[Long]("n"))
+      assert(c.getAs[Long]("parts_within_2pct") == 1L &&
+        c.getAs[Long]("supps_within_2pct") == 1L &&
+        c.getAs[Long]("orders_within_2pct") == 1L)
+    }
+    // q_profile_hll_check: same shape on the profile side
+    val pchk = graft.ops.Profiler.profileCheck(t.orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    graft.ops.Profiler.profile(t.orders, exact = true).collect().foreach { r =>
+      val c = pchk(r.getString(0))
+      assert(c.getAs[Long]("n_distinct") == r.getAs[Long]("n_distinct"))
+      assert(c.getAs[Long]("n_null") == r.getAs[Long]("n_null"))
+      assert(c.getAs[Long]("nd_within_2pct") == 1L)
+    }
+    // the flag is a LIVE comparison, not a constant: an unsatisfiable
+    // tolerance (negative — |δ| ≤ −e is false for every e > 0, even at
+    // δ = 0) must flip EVERY flag to 0 deterministically
+    val strict = AnalyticsQueries.distinctAggCheck(t, tol = -1.0).collect()
+    strict.foreach { r =>
+      assert(r.getAs[Long]("parts_within_2pct") == 0L &&
+        r.getAs[Long]("supps_within_2pct") == 0L &&
+        r.getAs[Long]("orders_within_2pct") == 0L,
+        "negative tol must fail every live flag")
+    }
+  }
+
   test("profiler: one pass, correct nulls/distincts, sketch within 2% of exact") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")), (4L, Some("a")))
       .toDF("id", "s")
