@@ -556,7 +556,11 @@ object Sampling {
   def dsirThreshold(documents: DataFrame, budgetFraction: Double = 0.2,
                     targetSource: String = "src19",
                     accuracy: Int = 10000): DataFrame = {
-    val w = dsirWeights(documents, targetSource)
+    // the slim (doc_id, source, n_feats, dsir_weight) frame is read by
+    // BOTH consumers below (the τ sketch and the selection filter) —
+    // materialize it once so the dsirFeats subtree (bigram kernel +
+    // bucket join, the expensive part) runs a single time, not twice
+    val w = DupClusters.materialize(dsirWeights(documents, targetSource))
     val tau = broadcast(w.agg(
       percentile_approx(col("dsir_weight"), lit(1.0 - budgetFraction), lit(accuracy))
         .as("tau")))
@@ -583,10 +587,11 @@ object Sampling {
     * sketch, f queries), broadcast back as one row (the
     * d_dsir_threshold shape), and every fraction is a conditional-sum
     * triple in ONE aggregate unpivoted by stack — adding fractions
-    * costs a sketch query, never a scan. The weights SUBTREE executes
-    * under both consumers (the sketch aggregate and the sweep scan —
-    * the d_dsir_threshold shape exactly: two weight passes total,
-    * independent of |fractions|). Gate exactness: below `accuracy`
+    * costs a sketch query, never a scan. The weights frame is
+    * MATERIALIZED once (r12) and shared by both consumers (the sketch
+    * aggregate and the sweep scan), so the dsirFeats subtree — the
+    * bigram kernel + bucket join, the expensive part — runs a single
+    * time regardless of |fractions|. Gate exactness: below `accuracy`
     * observations the sketch retains every sample, so each τ_f is the
     * exact rank-⌈(1−f)·n⌉ weight and the DuckDB mirror reproduces it
     * by explicit rank (the d_dsir_threshold contract, per fraction).
@@ -595,7 +600,10 @@ object Sampling {
   def dsirCurve(documents: DataFrame,
                 fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
                 targetSource: String = "src19", accuracy: Int = 10000): DataFrame = {
-    val w = dsirWeights(documents, targetSource)
+    // one weights computation shared by the sketch and the sweep (the
+    // dsirThreshold materialization — without it the full dsirFeats
+    // subtree executes under both consumers)
+    val w = DupClusters.materialize(dsirWeights(documents, targetSource))
     val taus = broadcast(w.agg(
       percentile_approx(col("dsir_weight"),
         array(fractions.map(f => lit(1.0 - f)): _*), lit(accuracy)).as("taus")))
