@@ -277,6 +277,47 @@ object VehicleQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The tombstone marker on the derived feed: `error` events map to
+    * occupancy FEW_SEATS_AVAILABLE (SURVEY §4), standing in for a typed
+    * DELETE record (a deregistration message in the live API). Kept as
+    * one named predicate so the batch upsert, the batch diff and the
+    * streaming CDC can never disagree on what a delete is. */
+  val Tombstone: Column = col("occupancy_status") === "FEW_SEATS_AVAILABLE"
+
+  /** Tombstone-aware Load/UPSERT — the general CDC form of the
+    * reference's `INSERT OR REPLACE` (load.go:6-39): latest record per
+    * key wins exactly as [[VehicleFeed.latest]], and a key whose WINNING
+    * record is a tombstone is absent from the result (the delete took
+    * effect; an older live record must not resurrect it — which is why
+    * the filter runs AFTER the argmax, never before). Same single
+    * map-side-combined shuffle as the plain upsert plus a scan-side
+    * filter — no extra exchange at any scale. */
+  def upsertTombstone(feed: DataFrame): DataFrame =
+    VehicleFeed.latest(feed).filter(!Tombstone)
+
+  /** [[snapshotDiff]] with deletes in the type system — the variant
+    * that makes the `removed` arm REACHABLE (under append-only upsert
+    * it is structurally impossible; with tombstones a key whose old-
+    * watermark winner was live and whose overall winner is a tombstone
+    * has genuinely left the table). Both sides are the tombstone-aware
+    * upsert; the comparison is the same ≤4-row full-outer collapse. */
+  def snapshotDiffTombstone(feed: DataFrame): DataFrame = {
+    val cut = feed.agg(expr("percentile(obs_id, 0.5)").as("cut"))
+    val oldSnap = upsertTombstone(
+        feed.crossJoin(broadcast(cut)).filter(col("obs_id") <= col("cut")).drop("cut"))
+      .select(col("id").as("old_id"), col("obs_id").as("old_obs"))
+    val newSnap = upsertTombstone(feed)
+      .select(col("id").as("new_id"), col("obs_id").as("new_obs"))
+    newSnap.join(oldSnap, col("new_id") === col("old_id"), "full_outer")
+      .select(
+        when(col("old_id").isNull, "added")
+          .when(col("new_id").isNull, "removed")
+          .when(col("old_obs") =!= col("new_obs"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
     vehicles.groupBy(cardinalDirection(col("bearing")).as("direction"))
@@ -309,6 +350,10 @@ object VehicleQueries {
       headway(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_snapshot_diff"  -> ((s, d) =>
       snapshotDiff(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_upsert_tombstone" -> ((s, d) =>
+      upsertTombstone(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
+    "v_snapshot_diff_tombstone" -> ((s, d) =>
+      snapshotDiffTombstone(VehicleFeed.fromEvents(graft.core.Tables(s, d).events))),
     "v_upsert_latest"  -> ((s, d) => vehicles(s, d)),
     "v_top10_fastest"  -> ((s, d) => topFastest(vehicles(s, d))),
     "v_route_breakdown"-> ((s, d) => routeBreakdown(vehicles(s, d))),
@@ -367,6 +412,29 @@ object VehicleQueries {
   val oracles: Map[String, String] = Map(
     "v_transform" -> s"$VehiclesCte SELECT * FROM vehicles_all",
     "v_upsert_latest" -> s"$VehiclesCte SELECT * FROM vehicles",
+    // tombstone-aware upsert: filter AFTER the rn=1 collapse (a delete
+    // whose record wins the argmax removes the key; an older live
+    // record must not resurrect it)
+    "v_upsert_tombstone" ->
+      s"$VehiclesCte SELECT * FROM vehicles WHERE occupancy_status <> 'FEW_SEATS_AVAILABLE'",
+    "v_snapshot_diff_tombstone" ->
+      s"""$VehiclesCte,
+         |cut AS (SELECT quantile_cont(obs_id, 0.5) AS c FROM vehicles_all),
+         |oldv AS (SELECT id, obs_id FROM (
+         |    SELECT v.id, v.obs_id, v.occupancy_status,
+         |      row_number() OVER (PARTITION BY v.id
+         |      ORDER BY v.updated_at DESC, v.obs_id DESC) AS rn
+         |    FROM vehicles_all v, cut WHERE v.obs_id <= cut.c)
+         |  WHERE rn = 1 AND occupancy_status <> 'FEW_SEATS_AVAILABLE'),
+         |newv AS (SELECT id, obs_id FROM vehicles
+         |  WHERE occupancy_status <> 'FEW_SEATS_AVAILABLE')
+         |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+         |  SELECT CASE WHEN o.id IS NULL THEN 'added'
+         |              WHEN nv.id IS NULL THEN 'removed'
+         |              WHEN o.obs_id <> nv.obs_id THEN 'changed'
+         |              ELSE 'unchanged' END AS change_type
+         |  FROM newv nv FULL OUTER JOIN oldv o ON nv.id = o.id)
+         |GROUP BY 1""".stripMargin,
     "v_scd2_history" ->
       s"""$VehiclesCte SELECT id, obs_id, speed, current_status,
          |  CAST(row_number() OVER w AS INT) AS version,

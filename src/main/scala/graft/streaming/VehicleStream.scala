@@ -207,6 +207,45 @@ object VehicleStream {
       }
   }
 
+  /** [[cdcPerKey]] with deletes in the type system — the streaming form
+    * of the batch `v_snapshot_diff_tombstone`, completing the CDC
+    * contract's `removed` arm (structurally impossible under
+    * append-only upsert; reachable once a typed delete record exists —
+    * here the feed's tombstone marker, occupancy FEW_SEATS_AVAILABLE
+    * ≡ [[graft.queries.VehicleQueries.Tombstone]]).
+    *
+    * State still holds the (updated_at, obs_id) argmax record per key —
+    * INCLUDING a winning tombstone (dropping it would let an older live
+    * record resurrect the key on replay, the same reason the batch
+    * filter runs after the argmax). Classification is on LIVENESS
+    * transitions: dead→live = `added` (first sight or re-registration),
+    * live→dead = `removed` (emitted once, with the tombstone's obs_id),
+    * live→live = `changed`/`unchanged` by winner movement, dead→dead =
+    * no emission (a delete of an absent key is not a change). */
+  def cdcPerKeyTombstone(vehicles: DataFrame): Dataset[CdcChange] = {
+    val spark = vehicles.sparkSession
+    import spark.implicits._
+    def live(v: Vehicle): Boolean = v.occupancy_status != "FEW_SEATS_AVAILABLE"
+    vehicles.as[Vehicle]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[Vehicle, CdcChange](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (id: String, obs: Iterator[Vehicle], state: GroupState[Vehicle]) =>
+          val prev = state.getOption
+          val latest = (prev.iterator ++ obs)
+            .maxBy(v => (v.updated_at.getTime, v.updated_at.getNanos, v.obs_id))
+          state.update(latest)
+          val change = (prev.exists(live), live(latest)) match {
+            case (false, true)  => Some("added")
+            case (true, false)  => Some("removed")
+            case (true, true)   =>
+              Some(if (prev.get.obs_id != latest.obs_id) "changed" else "unchanged")
+            case (false, false) => None
+          }
+          change.iterator.map(CdcChange(id, _, latest.obs_id))
+      }
+  }
+
   /** [[latestPerKey]] with BOUNDED state for unbounded key domains: a
     * key whose last update is older than `ttlMs` of event time is
     * retired — its final record is flushed once more (so a sink can mark

@@ -68,6 +68,9 @@ object Audit {
     // the 1-row median-watermark frame crossJoined into the old-snapshot
     // filter — the same corpus-stats shape
     "v_snapshot_diff",
+    // the identical 1-row watermark crossJoin (the tombstone-aware diff
+    // shares snapshotDiff's plan skeleton)
+    "v_snapshot_diff_tombstone",
     // the 1-row τ (approx-quantile scalar) frame crossJoined into the
     // weight filter — the t_bm25 corpus-stats shape
     "d_dsir_threshold",
@@ -114,6 +117,8 @@ object Audit {
     // old-snapshot ⋈ new-snapshot FULL OUTER on the key: full outer has
     // no broadcast strategy in Spark (the q_full_outer precedent)
     "v_snapshot_diff",
+    // the same full-outer pair with tombstone-filtered sides
+    "v_snapshot_diff_tombstone",
     // refreshed-ranks ⋈ previous-ranks on the host key: two one-row-
     // per-host rank vectors (the v_snapshot_diff class — at web host
     // cardinality both sides are fact tables, broadcast would be

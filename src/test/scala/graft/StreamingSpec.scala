@@ -807,6 +807,90 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("tombstone CDC: planted delete emits removed; no resurrection by older live records; silent on absent keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def v(id: String, minutes: Int, obs: Long, occ: String) =
+      graft.streaming.Vehicle(id, id, 0, 0, 9.0, 0, "IN_TRANSIT_TO", occ, 0,
+        new java.sql.Timestamp(base + minutes * 60000L), obs)
+    val source = MemoryStream[graft.streaming.Vehicle]
+    val q = VehicleStream.cdcPerKeyTombstone(source.toDF())
+      .writeStream.format("memory").queryName("cdc_tomb")
+      .outputMode("update").start()
+    def drained(n: Int): Seq[(String, String, Long)] = {
+      q.processAllAvailable()
+      spark.table("cdc_tomb").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.drop(n)
+    }
+    try {
+      // batch 1: two live keys + a delete of a never-seen key (silent)
+      source.addData(v("A", 0, 1, "UNKNOWN"), v("B", 0, 2, "UNKNOWN"),
+        v("X", 0, 3, "FEW_SEATS_AVAILABLE"))
+      val b1 = drained(0)
+      assert(b1.toSet == Set(("A", "added", 1L), ("B", "added", 2L)),
+        s"delete of an absent key must not emit: $b1")
+      // batch 2: planted delete for A (removed), newer live for B (changed)
+      source.addData(v("A", 10, 4, "FEW_SEATS_AVAILABLE"), v("B", 10, 5, "UNKNOWN"))
+      val b2 = drained(b1.size)
+      assert(b2.toSet == Set(("A", "removed", 4L), ("B", "changed", 5L)), s"$b2")
+      // batch 3: an OLDER live record for A loses the argmax to the
+      // retained tombstone — dead stays dead, nothing emits
+      source.addData(v("A", 5, 6, "UNKNOWN"))
+      val b3 = drained(b1.size + b2.size)
+      assert(b3.isEmpty, s"older live record resurrected a deleted key: $b3")
+      // batch 4: a NEWER live record re-registers A
+      source.addData(v("A", 20, 7, "UNKNOWN"))
+      val b4 = drained(b1.size + b2.size)
+      assert(b4.toSet == Set(("A", "added", 7L)), s"$b4")
+    } finally q.stop()
+  }
+
+  test("tombstone CDC ≡ batch: batch-2 class SETS equal snapshotDiffTombstone's classes on the real feed") {
+    import graft.queries.VehicleQueries
+    val cut = batchVehicles.agg(expr("percentile(obs_id, 0.5)"))
+      .collect()(0).getDouble(0)
+    val oldSnap = VehicleQueries.upsertTombstone(batchVehicles.filter($"obs_id" <= cut))
+      .select($"id".as("old_id"), $"obs_id".as("old_obs"))
+    val newSnap = VehicleQueries.upsertTombstone(batchVehicles)
+      .select($"id".as("new_id"), $"obs_id".as("new_obs"))
+    val classed = newSnap.join(oldSnap, $"new_id" === $"old_id", "full_outer")
+      .select(coalesce($"new_id", $"old_id").as("id"),
+        when($"old_id".isNull, "added")
+          .when($"new_id".isNull, "removed")
+          .when($"old_obs" =!= $"new_obs", "changed")
+          .otherwise("unchanged").as("ct"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val events = graft.core.Tables(spark, TestSpark.sf0001).events
+    val dir = Files.createTempDirectory("graft-stream-cdct").toString
+    events.filter($"event_id" <= cut).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = VehicleStream.cdcPerKeyTombstone(VehicleStream.ingest(spark, dir))
+      .writeStream.format("memory").queryName("cdc_tomb_eq")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("cdc_tomb_eq").count().toInt
+      val tmp = Files.createTempDirectory("graft-stream-cdct2")
+      events.filter($"event_id" > cut).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst().get
+      Files.move(part, Paths.get(dir, "batch1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val b2 = spark.table("cdc_tomb_eq").collect()
+        .map(r => (r.getString(0), r.getString(1))).drop(n1)
+      def ids(ct: String) = b2.collect { case (id, c) if c == ct => id }.toSet
+      // added/changed/removed stream classes are exactly the batch diff's
+      assert(ids("added") == classed.collect { case (id, "added") => id }.toSet)
+      assert(ids("changed") == classed.collect { case (id, "changed") => id }.toSet)
+      assert(ids("removed") == classed.collect { case (id, "removed") => id }.toSet)
+      assert(ids("removed").nonEmpty, "testdata must exercise the removed arm in-stream")
+      assert(ids("unchanged").forall(classed(_) == "unchanged"))
+      val counts = VehicleQueries.snapshotDiffTombstone(batchVehicles).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.getOrElse("removed", 0L) == ids("removed").size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming CDC: batch-2 added/changed ID SETS equal batch snapshotDiff's classes") {
     import graft.queries.VehicleQueries
     // the batch artifact's cut: old snapshot = upsert of obs_id <= median

@@ -211,6 +211,63 @@ class VehicleQueriesSpec extends SparkSpec {
     assert(got.values.sum == newSnap.size)
   }
 
+  test("upsertTombstone: winning delete removes the key; older live record cannot resurrect; later live re-registers") {
+    val base = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime
+    def v(id: String, minutes: Int, obs: Long, occ: String) =
+      graft.streaming.Vehicle(id, id, 0, 0, 9.0, 0, "IN_TRANSIT_TO", occ, 0,
+        new java.sql.Timestamp(base + minutes * 60000L), obs)
+    val feed = Seq(
+      v("A", 0, 1, "UNKNOWN"), v("A", 10, 2, "FEW_SEATS_AVAILABLE"), // delete wins
+      v("B", 0, 3, "FEW_SEATS_AVAILABLE"), v("B", 10, 4, "UNKNOWN"), // re-registered
+      v("C", 0, 5, "UNKNOWN"),                                       // plain live
+      v("D", 0, 6, "FEW_SEATS_AVAILABLE")                            // only ever dead
+    ).toDF()
+    val got = VehicleQueries.upsertTombstone(feed).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("obs_id")).toMap
+    assert(got == Map("B" -> 4L, "C" -> 5L), s"unexpected survivors: $got")
+    // the real feed: tombstone-aware upsert = plain upsert minus the
+    // keys whose winner is a tombstone (filter AFTER argmax, proven by
+    // recomputation)
+    val realFeed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    val plain = VehicleFeed.latest(realFeed)
+    val expectIds = plain.filter(!VehicleQueries.Tombstone)
+      .select("id").collect().map(_.getString(0)).toSet
+    val gotIds = VehicleQueries.upsertTombstone(realFeed)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(gotIds == expectIds)
+    assert(gotIds.size < plain.count(), "testdata must contain at least one winning tombstone")
+  }
+
+  test("snapshotDiffTombstone: the removed arm is reachable and counts match a JVM reference") {
+    val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
+    val rows = feed.select("id", "obs_id", "updated_at", "occupancy_status").collect()
+    val cut = {
+      val xs = rows.map(_.getLong(1).toDouble).sorted
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2) else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    def winners(pred: org.apache.spark.sql.Row => Boolean): Map[String, (Long, Boolean)] =
+      rows.filter(pred).groupBy(_.getString(0)).map { case (id, g) =>
+        val w = g.maxBy(r => (r.getTimestamp(2).getTime, r.getTimestamp(2).getNanos, r.getLong(1)))
+        id -> (w.getLong(1), w.getString(3) != "FEW_SEATS_AVAILABLE")
+      }
+    val oldLive = winners(_.getLong(1) <= cut).collect { case (id, (o, true)) => id -> o }
+    val newLive = winners(_ => true).collect { case (id, (o, true)) => id -> o }
+    val expect = (oldLive.keySet ++ newLive.keySet).toSeq.map { id =>
+      (oldLive.get(id), newLive.get(id)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = VehicleQueries.snapshotDiffTombstone(feed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got.getOrElse("removed", 0L) >= 1L,
+      "testdata must exercise the removed arm (a live old winner whose overall winner is a tombstone)")
+  }
+
   test("dwellTimes: real feed — totals bounded by observation spans, max <= total") {
     val feed = VehicleFeed.fromEvents(graft.core.Tables(spark, TestSpark.sf0001).events)
     val out = VehicleQueries.dwellTimes(feed).collect()
