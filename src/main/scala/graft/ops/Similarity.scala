@@ -578,6 +578,44 @@ object Similarity {
         col("max_err_pq"), col("max_err_opq"))
   }
 
+  /** OPQ RECALL card — the decision variable [[opqErrorReport]]'s MSE
+    * only proxies (Ge et al. 2013's claim is better NN search, not
+    * just lower quantization error; a rollout gates on recall): per
+    * arm (plain PQ vs permutation-OPQ), recall@k of the served top-k
+    * against the exact brute-force top-k, aggregated over the query
+    * panel. Both serving arms are the shipped plans
+    * ([[annPqFromIndex]] / [[annOpqFromIndex]] off the Catalog-cached
+    * indexes); the exact ground truth is computed ONCE per query and
+    * localCheckpointed (the nprobeCurve recipe), so the card costs
+    * 2·|panel| code-table serves + |panel| exact scans. Recall is a
+    * quotient of exact integer counts → the exact-integer half-away
+    * idiom. */
+  def opqRecallReport(embeddings: DataFrame,
+                      booksPq: Seq[Seq[Seq[Double]]], codesPq: DataFrame,
+                      perm: Seq[Int], booksOpq: Seq[Seq[Seq[Double]]],
+                      codesOpq: DataFrame,
+                      queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                      k: Int = 10): DataFrame = {
+    val exacts = queryVecIds.map(id =>
+      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+    def cells(arm: String, serve: Long => DataFrame) =
+      exacts.map { case (id, exact) =>
+        val approx = serve(id).select(col("vec_id").as("a_vec_id"))
+        exact.join(approx, col("vec_id") === col("a_vec_id"), "left")
+          .agg(count(lit(1)).as("e"), count(col("a_vec_id")).as("h"))
+          .select(lit(arm).as("arm"), col("e"), col("h"))
+      }
+    (cells("pq", id => annPqFromIndex(booksPq, codesPq, embeddings, id, k)) ++
+      cells("opq", id => annOpqFromIndex(perm, booksOpq, codesOpq, embeddings, id, k)))
+      .reduce(_ unionByName _)
+      .groupBy(col("arm"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("h")).as("n_hit"))
+      .select(col("arm"), col("n_exact"), col("n_hit"),
+        (when(col("n_exact") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("recall"))
+  }
+
   /** The PQ code table: every embedding compressed to m small ints
     * (scan-side codegen `graft_pq_encode` — the codebook tensor ships
     * with the plan). At 100 TB this is the point of PQ: the code table
@@ -1391,6 +1429,12 @@ object Similarity {
       val (perm, books, codes) = graft.core.Catalog.opqIndex(s, d)
       annOpqFromIndex(perm, books, codes, Tables(s, d).embeddings)
     }),
+    "s_opq_recall" -> ((s, d) => {
+      val (booksPq, codesPq) = graft.core.Catalog.pqIndex(s, d)
+      val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(s, d)
+      opqRecallReport(Tables(s, d).embeddings, booksPq, codesPq,
+        perm, booksOpq, codesOpq)
+    }),
     "s_mmr_diversify" -> ((s, d) => mmrDiversify(s, Tables(s, d).embeddings)),
     "s_recall_report" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
@@ -1634,6 +1678,34 @@ object Similarity {
        |SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
        |FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** One PQ serving arm for one query id as a vec_id-set CTE chain —
+    * the s_ann_pq mirror (query LUTs → subspace-ordered ADC fold →
+    * LIMIT 40 candidates → exact-cosine rerank → top-10), parametrized
+    * on (query, frame, books, codes) so the OPQ arm replays the same
+    * serve over (pm, opb2, opa3). Used by the s_opq_recall mirror. */
+  private def pqServeTopCte(qid: Int, p: String, frame: String,
+                            books: String, codes: String): String =
+    s"""${p}sq$qid AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qd,
+       |    sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS qnorm,
+       |    embedding AS qe
+       |  FROM $frame WHERE vec_id = $qid),
+       |${p}slut$qid AS (SELECT b.sub, b.c AS code,
+       |    CASE WHEN q.qnorm = 0.0 THEN 0.0 ELSE
+       |      list_sum(list_transform(generate_series(1, 8), i -> q.qd[b.sub*8 + i] * b.cent[i])) / q.qnorm END AS dot,
+       |    list_sum(list_transform(b.cent, v -> v * v)) AS n2
+       |  FROM $books b CROSS JOIN ${p}sq$qid q),
+       |${p}sadc$qid AS (SELECT vec_id,
+       |    CASE WHEN list_sum(list(n2 ORDER BY l.sub)) <= 0.0 THEN 0.0
+       |         ELSE list_sum(list(dot ORDER BY l.sub)) / sqrt(list_sum(list(n2 ORDER BY l.sub))) END AS adc
+       |  FROM $codes ca JOIN ${p}slut$qid l ON l.sub = ca.sub AND l.code = ca.code
+       |  WHERE ca.vec_id != $qid
+       |  GROUP BY vec_id),
+       |${p}scand$qid AS (SELECT vec_id FROM ${p}sadc$qid ORDER BY adc DESC, vec_id ASC LIMIT 40),
+       |${p}stop$qid AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", "q.qe")} AS cos
+       |    FROM $frame e JOIN ${p}scand$qid USING (vec_id) CROSS JOIN ${p}sq$qid q)
+       |  ORDER BY cos DESC, vec_id ASC LIMIT 10)""".stripMargin
+
   /** One unrolled MMR greedy step (i ≥ 2): max basis-point similarity
     * against every already-selected row, score×10⁵ in integers (the
     * same arithmetic the driver loop runs), (score desc, id) argmax. */
@@ -1777,6 +1849,35 @@ object Similarity {
            |  FROM pm e JOIN ocand USING (vec_id) CROSS JOIN oq q)
            |SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
            |FROM orr ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin),
+    // opqRecallReport mirror: one plain-PQ fit + the permutation CTEs +
+    // one prefixed OPQ fit, then per query the exact brute-force arm
+    // (recallQexCte) and BOTH serving arms as pqServeTopCte chains; the
+    // two output rows sum hits across the panel with the exact-integer
+    // half-away recall (the s_nprobe_curve shape).
+    "s_opq_recall" -> {
+      val qids = 0 until 5
+      def armSelect(arm: String, top: Int => String): String = {
+        val e = qids.map(q => s"(SELECT COUNT(*) FROM ex$q)").mkString(" + ")
+        val h = qids.map(q =>
+          s"(SELECT COUNT(*) FROM ex$q e JOIN ${top(q)} a ON e.vec_id = a.vec_id)")
+          .mkString(" + ")
+        s"""SELECT '$arm' AS arm,
+           |  CAST($e AS BIGINT) AS n_exact,
+           |  CAST($h AS BIGINT) AS n_hit,
+           |  (CASE WHEN ($e) = 0 THEN 0.0 ELSE
+           |    CAST((20000 * ($h) + ($e)) // (2 * ($e)) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS recall""".stripMargin
+      }
+      "WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        pqFitCte("eiv") + ",\n" +
+        opqPermCte + ",\n" +
+        pqFitCte("pm", "o") + ",\n" +
+        qids.map(recallQexCte).mkString(",\n") + ",\n" +
+        qids.map(q => pqServeTopCte(q, "", "eiv", "pb2", "pa3")).mkString(",\n") + ",\n" +
+        qids.map(q => pqServeTopCte(q, "o", "pm", "opb2", "opa3")).mkString(",\n") + "\n" +
+        armSelect("pq", q => s"stop$q") + "\nUNION ALL\n" +
+        armSelect("opq", q => s"ostop$q")
+    },
     "s_ann_pq" ->
       ("WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
         pqFitCte("eiv") + ",\n" + pqQueryCte + ",\n" +

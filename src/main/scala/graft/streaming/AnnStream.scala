@@ -53,6 +53,50 @@ object AnnStream {
                       books: Seq[Seq[Seq[Double]]]): DataFrame =
     Similarity.ivfPqCodes(embeddings, centroids, books)
 
+  /** Fit-time per-label centroid snapshot — the reference frame the
+    * drift trigger compares against, captured from the SAME corpus the
+    * IVF/PQ/OPQ models were fitted on (store it next to the fitted
+    * index): (label, fixed-point vector sum, count). Sums not means:
+    * cosine is scale-invariant, and the fixed-point integer sums are
+    * partition-invariant (the centroidDrift convention). ≤ #labels
+    * rows — a model-scale artifact. */
+  def fitSnapshot(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    embeddings.groupBy(col("label"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("embedding")).as("sum_fit"),
+        count(lit(1)).as("n_fit"))
+  }
+
+  /** Drift-triggered REFIT signal — the wiring the "models refit
+    * out-of-band" contract was missing: per label, the cosine between
+    * the fit-time centroid ([[fitSnapshot]]) and the centroid of the
+    * vectors that ARRIVED since, with `refit_recommended` = true when
+    * the drift crosses `minCos`. Run per micro-batch (foreachBatch) or
+    * over the accumulated arrivals on the refresh schedule; when any
+    * row recommends, the out-of-band refit (`Catalog.ivfIndex`/
+    * `pqIndex`/`opqIndex` on the grown corpus + a Store versioned
+    * swap) is actually triggered instead of hoped for.
+    *
+    * One per-label aggregate over the arrivals (map-side partials)
+    * joined to the broadcast ≤ #labels-row snapshot — corpus-scale
+    * work is the scan the batch already pays; labels absent from the
+    * snapshot (never seen at fit time) are flagged unconditionally
+    * (the index has no lists for them). */
+  def refitSignal(arrived: DataFrame, snapshot: DataFrame,
+                  minCos: Double = 0.98): DataFrame = {
+    import org.apache.spark.sql.functions._
+    arrived.groupBy(col("label"))
+      .agg(graft.functions.GraftFunctions.vecSum(col("embedding")).as("sum_new"),
+        count(lit(1)).as("n_new"))
+      .join(broadcast(snapshot), Seq("label"), "left")
+      .select(col("label"), coalesce(col("n_fit"), lit(0L)).as("n_fit"), col("n_new"),
+        when(col("sum_fit").isNull, lit(-1.0)).otherwise(
+          round(graft.functions.GraftFunctions.cosine(
+            col("sum_fit").cast("array<float>"),
+            col("sum_new").cast("array<float>")), 4) + lit(0.0)).as("drift_cos"))
+      .withColumn("refit_recommended", col("drift_cos") < lit(minCos))
+  }
+
   /** Continuously-maintained OPQ code table: each arriving vector is
     * PERMUTED (dim literal GetArrayItem projections — the permutation
     * ships with the plan) and PQ-encoded against the fitted OPQ books —

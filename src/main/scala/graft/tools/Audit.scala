@@ -50,6 +50,10 @@ object Audit {
     // the same 1-row query-vector broadcast, one BNLJ per (probe,
     // query) cell of the tuning sweep
     "s_nprobe_curve",
+    // the same per-query 1-row query-vector crossJoin in both serving
+    // arms' exact-cosine reranks (the s_ann_pq / s_ann_opq shapes,
+    // one per (arm, query) cell)
+    "s_opq_recall",
     // the 1-row corpus-total frame crossJoined onto the 4-row stacked
     // threshold aggregate — the t_bm25 corpus-stats shape
     "t_decontam_curve",
@@ -176,6 +180,10 @@ object Audit {
     // bounded top-k (one single-partition heap collect each) — the
     // cells are independent serving plans, not a corpus pipeline
     "s_nprobe_curve" -> 24,
+    // 2 arms × 5 queries: each cell an independent PQ/OPQ serving plan
+    // (ADC TakeOrdered + rerank) + the 2-row final collapse — the
+    // s_nprobe_curve class
+    "s_opq_recall" -> 30,
     // the pair set is localCheckpointed at build time; the audited
     // plan is the two 1-row aggregates (pair counts + exploded
     // distinct-doc counts with its countDistinct expand) over it

@@ -125,6 +125,15 @@ object Stress {
     time("ivf_assign_two_level")(
       embN.select(Similarity.twoLevelAssign(hier._1, hier._2).as("c"))
         .groupBy("c").count().count())
+    // the THIRD assignment regime (past JoinedAssignMinNlist the
+    // sub-centroid model broadcast-JOINS instead of inlining as a plan
+    // literal), forced here below its threshold to A/B it against the
+    // literal form on the same model: routing is spec-proven identical,
+    // this arm gives the regime its perf datapoint (the r11 verdict's
+    // missing ladder row)
+    time("ivf_assign_joined")(
+      Similarity.twoLevelAssignJoined(embN, hier._1, hier._2)
+        .groupBy("cluster").count().count())
     // the single-level contrast arm fits on the SAME autoSampleDenom
     // sample as the hier arm — that isolates the per-candidate factor
     // (nlist vs √nlist) the remediation targets, and is the SCALING.md

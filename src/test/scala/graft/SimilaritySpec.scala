@@ -234,6 +234,32 @@ class SimilaritySpec extends SparkSpec {
     assert(mseOpq.sum < msePq.sum * 1.05)
   }
 
+  test("opqRecallReport: counts consistent with the serve plans; recall is the half-away quotient") {
+    val (booksPq, codesPq) = graft.core.Catalog.pqIndex(spark, TestSpark.sf0001)
+    val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(spark, TestSpark.sf0001)
+    val qids = Seq(0L, 1L, 2L)
+    val rows = Similarity.opqRecallReport(embs, booksPq, codesPq, perm, booksOpq,
+        codesOpq, queryVecIds = qids, k = 5).collect()
+      .map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    assert(rows.keySet == Set("pq", "opq"))
+    // differential: recompute each arm's hit count from the shipped
+    // serve plans directly (same exact arm, same top-k sets)
+    def hits(serve: Long => org.apache.spark.sql.DataFrame): Long =
+      qids.map { id =>
+        val exact = Similarity.annTopK(embs, id, 5).collect().map(_.getLong(0)).toSet
+        val got = serve(id).collect().map(_.getLong(0)).toSet
+        (exact intersect got).size.toLong
+      }.sum
+    val hPq = hits(id => Similarity.annPqFromIndex(booksPq, codesPq, embs, id, 5))
+    val hOpq = hits(id => Similarity.annOpqFromIndex(perm, booksOpq, codesOpq, embs, id, 5))
+    rows.foreach { case (arm, (e, h, rec)) =>
+      assert(e == 15L, s"$arm: 3 queries × k=5 exact rows, got $e")
+      assert(h == (if (arm == "pq") hPq else hOpq), s"$arm hit count")
+      assert(rec == ((20000L * h + e) / (2 * e)).toDouble / 10000.0)
+    }
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))

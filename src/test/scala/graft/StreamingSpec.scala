@@ -276,6 +276,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift-triggered refit: identical arrivals stay quiet; a planted drifted batch flips refit_recommended") {
+    import graft.streaming.AnnStream
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val snap = AnnStream.fitSnapshot(embs).cache()
+    // arrivals from the fit distribution itself: per-label cosine 1.0,
+    // nothing recommended
+    val quiet = AnnStream.refitSignal(embs, snap).collect()
+    assert(quiet.nonEmpty)
+    quiet.foreach { r =>
+      assert(r.getAs[Double]("drift_cos") == 1.0 && !r.getAs[Boolean]("refit_recommended"),
+        s"fit-distribution arrivals must not trigger: $r")
+    }
+    // planted drift: label 0's vectors negated → cosine −1 for that
+    // label only
+    val drifted = embs.withColumn("embedding",
+      when($"label" === 0, expr("transform(embedding, x -> -x)"))
+        .otherwise($"embedding"))
+    val flags = AnnStream.refitSignal(drifted, snap).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Boolean]("refit_recommended")).toMap
+    assert(flags(0), "the drifted label must recommend a refit")
+    assert(flags.collect { case (l, f) if l != 0 => f }.forall(!_),
+      "undrifted labels must stay quiet")
+    // a label the fit never saw is flagged unconditionally
+    val novel = AnnStream.refitSignal(embs.withColumn("label", lit(999)), snap).collect()
+    assert(novel.forall(r => r.getAs[Boolean]("refit_recommended") &&
+      r.getAs[Long]("n_fit") == 0L))
+    // real stream wiring: per-batch signal via foreachBatch — batch 1
+    // (fit distribution) quiet, batch 2 (planted drift) flips
+    val streamDir = Files.createTempDirectory("graft-ann-drift")
+    def arrive(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ann-drift-b").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = AnnStream.embeddingStream(spark, streamDir.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val any = AnnStream.refitSignal(b, snap).collect()
+          .exists(_.getAs[Boolean]("refit_recommended"))
+        perBatch.synchronized { perBatch += ((id, any)) }
+        ()
+      }.start()
+    try {
+      arrive(embs, "b0.parquet")
+      q.processAllAvailable()
+      arrive(drifted.filter($"label" === 0), "b1.parquet")
+      q.processAllAvailable()
+      val byId = perBatch.toMap
+      assert(byId.get(0L).contains(false), s"batch 1 must stay quiet: $perBatch")
+      assert(byId.get(1L).contains(true), s"the drifted batch must recommend: $perBatch")
+    } finally { q.stop(); snap.unpersist() }
+  }
+
   test("streaming funnel metrics: per-window ingested/unique/moving counts are exact") {
     val dir = Files.createTempDirectory("graft-stream-funnel").toString
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
