@@ -50,26 +50,23 @@ object Profiler {
     * column's sketch sat inside the declared bound — the driver-visible
     * form of the spec bound Verify already prints.
     *
-    * Plan cost: the same single-aggregate single-unpivot shape as
-    * [[profile]] `exact = true` plus one HLL sketch per column riding
-    * the same Expand aggregate (sketch partials merge map-side). */
+    * Plan cost: TWO clean single-row aggregates (the exact [[profile]]
+    * pass and an HLL-only pass) joined on the ≤ #columns-row unpivots —
+    * deliberately NOT one combined aggregate: mixing the multi-column
+    * `countDistinct` rewrite (Expand ×(#cols+1)) with the HLL
+    * ImperativeAggregate buffers forces the whole expanded input
+    * through a single sort-based aggregate with per-row sketch buffer
+    * (de)serialization — measured minutes at 150k rows vs ~3 s for the
+    * two separate hash-planned passes. Two scans beat one pathological
+    * aggregate at every scale. */
   def profileCheck(df: DataFrame, tol: Double = 0.02): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        approx_count_distinct(col(c), 0.01).as(s"__hll_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    } :+ count(lit(1)).as("__total")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { c =>
-      s"'$c', `__null_$c`, `__nd_$c`, `__hll_$c`, `__min_$c`, `__max_$c`"
-    }.mkString(", ")
-    wide.select(col("__total").as("n_rows"),
-        expr(s"stack(${cols.size}, $stackArgs) AS " +
-          "(column_name, n_null, n_distinct, hll_nd, min_value, max_value)"))
+    val hllAggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(s"__hll_$c"))
+    val hllStack = cols.map(c => s"'$c', `__hll_$c`").mkString(", ")
+    val hll = df.agg(hllAggs.head, hllAggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $hllStack) AS (column_name, hll_nd)"))
+    profile(df, exact = true)
+      .join(broadcast(hll), Seq("column_name"))
       .select(col("column_name"), col("n_rows"), col("n_null"), col("n_distinct"),
         (abs(col("hll_nd") - col("n_distinct")).cast("double") <=
           lit(tol) * col("n_distinct").cast("double")).cast("long").as("nd_within_2pct"),

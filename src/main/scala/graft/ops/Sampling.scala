@@ -401,6 +401,90 @@ object Sampling {
         col("deficit_tokens"))
   }
 
+  /** Budget WATERFILL allocator — the redistribution step [[epochPlan]]
+    * stops short of. epochPlan reports each source's unservable deficit
+    * under the repeat cap; this operator answers "so what do we train
+    * on instead": allocate the token budget across sources at the
+    * target proportions with each source capped at capacity =
+    * n_tokens × maxEpochs, the capped sources' unserved share
+    * REDISTRIBUTED to the uncapped ones at their relative weights —
+    * classic water-filling, the data-constrained reallocation
+    * Muennighoff et al. 2023 motivates (repeating a small source past
+    * ~4 epochs stops substituting for new data, so its excess demand
+    * must flow to sources that still have fresh tokens).
+    *
+    * Greedy in ascending capacity/weight ("water level") order: once a
+    * source goes uncapped, the remaining budget-to-weight ratio is
+    * invariant (alloc = w·B′/W′ leaves B′/W′ unchanged), so the capped
+    * set is a PREFIX of the level order — computed as a running AND
+    * over the exact-integer feasibility test
+    * w·(B − C_prefix) ≥ c·(W − W_prefix) (no division and no floats in
+    * any decision; the level ordering's IEEE double is correctly
+    * rounded on both engines and serves only as a deterministic sort
+    * key, ties broken by source — any order yields a feasible
+    * allocation, the running AND just makes it the optimal one).
+    *
+    * Determinism: integer weight parts (exact Σ), capacities exact
+    * longs (integer maxEpochs), the capped decision exact-integer, and
+    * both emitted quotients (realized share of budget, realized
+    * epochs) use the exact-integer half-away ROUND(,4) idiom on
+    * non-negative operands. `unserved_tokens` = budget − Σ alloc is
+    * the structural deficit when every source caps (up to the ≤
+    * ⌈#uncapped/2⌉ half-away rounding units otherwise).
+    *
+    * Plan: one #sources-row aggregate off the scan (map-side
+    * partials), then single-partition windows over ≤ #sources rows —
+    * the d_epoch_plan scale shape: the corpus is touched exactly once,
+    * everything downstream is model-scale. */
+  def mixWaterfill(documents: DataFrame, budgetTokens: Long = 100000L,
+                   parts: Map[String, Int] = EpochParts,
+                   defaultPart: Int = EpochPartDefault,
+                   maxEpochs: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokCount = graft.functions.GraftFunctions
+      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
+    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+    val B = budgetTokens
+    val byLevel = Window.partitionBy().orderBy(col("level"), col("source"))
+    val lagF = byLevel.rowsBetween(Window.unboundedPreceding, -1)
+    val runF = byLevel.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokCount.cast("long")).as("n_tokens"))
+      .withColumn("weight", w.cast("long"))
+      .withColumn("capacity_tokens", col("n_tokens") * lit(maxEpochs))
+      .withColumn("level", col("capacity_tokens").cast("double") / col("weight"))
+      .withColumn("c_lag", coalesce(sum(col("capacity_tokens")).over(lagF), lit(0L)))
+      .withColumn("w_lag", coalesce(sum(col("weight")).over(lagF), lit(0L)))
+      .withColumn("w_tot", sum(col("weight")).over(all))
+      .withColumn("feasible",
+        (col("weight") * (lit(B) - col("c_lag")) >=
+          col("capacity_tokens") * (col("w_tot") - col("w_lag"))).cast("int"))
+      .withColumn("capped", min(col("feasible")).over(runF).cast("long"))
+      .withColumn("c_k",
+        coalesce(sum(when(col("capped") === 1L, col("capacity_tokens"))).over(all), lit(0L)))
+      .withColumn("w_k",
+        coalesce(sum(when(col("capped") === 1L, col("weight"))).over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1L, col("capacity_tokens"))
+          .otherwise(expr(
+            s"(2 * weight * (${B}L - c_k) + (w_tot - w_k)) DIV (2 * GREATEST(w_tot - w_k, 1L))")))
+      .withColumn("realized_share",
+        expr(s"CAST((20000 * alloc_tokens + ${B}L) DIV ${2 * B}L AS DOUBLE) / 10000.0"))
+      .withColumn("realized_epochs",
+        expr("CAST((20000 * alloc_tokens + GREATEST(n_tokens, 1L)) DIV " +
+          "(2 * GREATEST(n_tokens, 1L)) AS DOUBLE) / 10000.0"))
+      .withColumn("unserved_tokens",
+        greatest(lit(B) - sum(col("alloc_tokens")).over(all), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("capacity_tokens"), col("capped"), col("alloc_tokens"),
+        col("realized_share"), col("realized_epochs"), col("unserved_tokens"))
+  }
+
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
     * chosen by the same 60-bit md5 coordinate (so the selection is a
     * deterministic, engine-portable function of the data, and the n=1
@@ -787,6 +871,7 @@ object Sampling {
     "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
+    "d_mix_waterfill" -> ((s, d) => mixWaterfill(Tables(s, d).documents)),
     "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
     "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
     "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)),
@@ -984,6 +1069,49 @@ object Sampling {
            |  GREATEST(target_tokens - CAST(ROUND(n_tokens * 4.0, 0) AS BIGINT),
            |           CAST(0 AS BIGINT)) AS deficit_tokens
            |FROM e""".stripMargin,
+      // mixWaterfill mirror: same token CTE + integer weight CASE, then
+      // the greedy-by-level waterfill as lagged prefix sums + the
+      // running-AND capped flag + the exact-integer half-away quotients
+      // — every decision integer, every SUM OVER cast back to BIGINT
+      // (DuckDB widens to HUGEINT).
+      "d_mix_waterfill" ->
+        raw"""WITH toks AS (SELECT doc_id, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           |  FROM documents),
+           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS n_tokens
+           |  FROM toks GROUP BY 1),
+           |w AS (SELECT source, n_docs, n_tokens,
+           |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
+           |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight
+           |  FROM agg),
+           |cap AS (SELECT *, n_tokens * 4 AS capacity_tokens,
+           |    CAST(n_tokens * 4 AS DOUBLE) / weight AS level FROM w),
+           |o AS (SELECT *,
+           |    CAST(COALESCE(SUM(capacity_tokens) OVER (ORDER BY level, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lag,
+           |    CAST(COALESCE(SUM(weight) OVER (ORDER BY level, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_lag,
+           |    CAST(SUM(weight) OVER () AS BIGINT) AS w_tot
+           |  FROM cap),
+           |f AS (SELECT *, CASE WHEN weight * (100000 - c_lag) >=
+           |      capacity_tokens * (w_tot - w_lag) THEN 1 ELSE 0 END AS feasible FROM o),
+           |p AS (SELECT *, CAST(MIN(feasible) OVER (ORDER BY level, source
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS capped FROM f),
+           |k AS (SELECT *,
+           |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN capacity_tokens END) OVER (), 0) AS BIGINT) AS c_k,
+           |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN weight END) OVER (), 0) AS BIGINT) AS w_k
+           |  FROM p),
+           |a AS (SELECT *, CASE WHEN capped = 1 THEN capacity_tokens
+           |    ELSE (2 * weight * (100000 - c_k) + (w_tot - w_k)) //
+           |         (2 * GREATEST(w_tot - w_k, 1)) END AS alloc_tokens FROM k)
+           |SELECT source, n_docs, n_tokens, weight, capacity_tokens, capped,
+           |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           |  CAST((20000 * alloc_tokens + 100000) // 200000 AS DOUBLE) / 10000.0 AS realized_share,
+           |  CAST((20000 * alloc_tokens + GREATEST(n_tokens, 1)) //
+           |       (2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0 AS realized_epochs,
+           |  CAST(GREATEST(100000 - CAST(SUM(alloc_tokens) OVER () AS BIGINT), 0) AS BIGINT) AS unserved_tokens
+           |FROM a""".stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

@@ -426,6 +426,74 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.forall(v => v._6 <= 4.0))
   }
 
+  test("mixWaterfill: matches the JVM greedy waterfill; capped sources get exactly capacity; feasible + partition-invariant") {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = rows.groupBy(_._1).map { case (src, rs) =>
+      src -> rs.map(r => norm(r._2).split(" ").count(_.nonEmpty).toLong).sum
+    }
+    val weight = toks.keys.map(s =>
+      s -> Sampling.EpochParts.getOrElse(s, Sampling.EpochPartDefault).toLong).toMap
+    // JVM reference: the sequential greedy in ascending (capacity/weight,
+    // source) order — the algorithm the operator's prefix formulation
+    // must equal
+    val B = 100000L
+    val order = toks.keys.toSeq.sortBy(s => ((toks(s) * 4).toDouble / weight(s), s))
+    var bRem = B; var wRem = weight.values.sum
+    var live = true // the capped set is a prefix: first failure ends it
+    val expect = scala.collection.mutable.Map.empty[String, (Long, Long)] // capped, alloc
+    order.foreach { s =>
+      val cap = toks(s) * 4
+      if (live && weight(s) * bRem >= cap * wRem) {
+        expect(s) = (1L, cap); bRem -= cap; wRem -= weight(s)
+      } else { // half-away quotient of the invariant remainder
+        live = false
+        expect(s) = (0L, (2 * weight(s) * bRem + wRem) / (2 * wRem))
+      }
+    }
+    val got = Sampling.mixWaterfill(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8), r.getLong(9)))).toMap
+    got.foreach { case (s, (cap, capped, alloc, share, epochs, _)) =>
+      assert(cap == toks(s) * 4, s"$s capacity")
+      assert((capped, alloc) == expect(s), s"$s greedy reference")
+      assert(share == ((20000L * alloc + B) / (2 * B)).toDouble / 10000.0, s"$s share")
+      val nt = math.max(toks(s), 1L)
+      assert(epochs == ((20000L * alloc + nt) / (2 * nt)).toDouble / 10000.0, s"$s epochs")
+      assert(alloc <= cap, s"$s alloc within capacity")
+    }
+    // feasibility: the allocation never overspends the budget beyond
+    // the per-source half-away rounding, and unserved is its exact gap
+    val allocSum = got.values.map(_._3).sum
+    assert(allocSum <= B + got.size, "Σalloc ≤ budget + rounding")
+    assert(got.values.map(_._6).toSet.size == 1, "one unserved scalar broadcast")
+    assert(got.values.head._6 == math.max(B - allocSum, 0L))
+    // the 100k budget over this tiny corpus must cap somewhere AND
+    // redistribute somewhere (both arms of the operator exercised)
+    assert(got.values.exists(_._2 == 1L) && got.values.exists(_._2 == 0L))
+    // uncapped sources absorb the capped deficit: each uncapped alloc
+    // strictly exceeds its naive Σw share (redistribution happened)
+    val wsum = weight.values.sum
+    got.foreach { case (s, (_, capped, alloc, _, _, _)) =>
+      if (capped == 0L)
+        assert(alloc > B * weight(s) / wsum, s"$s must gain from redistribution")
+    }
+    // partition-invariance: the per-source token sums are exact longs
+    val again = Sampling.mixWaterfill(docs.repartition(7)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getDouble(8), r.getLong(9)))).toMap
+    assert(again == got)
+    // an over-generous budget caps EVERY source and reports the
+    // structural deficit exactly
+    val rich = Sampling.mixWaterfill(docs, budgetTokens = 100000000L).collect()
+      .map(r => (r.getLong(5), r.getLong(6), r.getLong(9)))
+    assert(rich.forall(_._1 == 1L), "all capped under a huge budget")
+    val capTotal = toks.values.map(_ * 4).sum
+    assert(rich.forall(_._3 == 100000000L - capTotal), "unserved = structural deficit")
+    assert(rich.map(_._2).sum == capTotal)
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
