@@ -447,32 +447,15 @@ object Sampling {
       case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
     }
     val B = budgetTokens
-    val byLevel = Window.partitionBy().orderBy(col("level"), col("source"))
-    val lagF = byLevel.rowsBetween(Window.unboundedPreceding, -1)
-    val runF = byLevel.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    documents
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(tokCount.cast("long")).as("n_tokens"))
-      .withColumn("weight", w.cast("long"))
-      .withColumn("capacity_tokens", col("n_tokens") * lit(maxEpochs))
-      .withColumn("level", col("capacity_tokens").cast("double") / col("weight"))
-      .withColumn("c_lag", coalesce(sum(col("capacity_tokens")).over(lagF), lit(0L)))
-      .withColumn("w_lag", coalesce(sum(col("weight")).over(lagF), lit(0L)))
-      .withColumn("w_tot", sum(col("weight")).over(all))
-      .withColumn("feasible",
-        (col("weight") * (lit(B) - col("c_lag")) >=
-          col("capacity_tokens") * (col("w_tot") - col("w_lag"))).cast("int"))
-      .withColumn("capped", min(col("feasible")).over(runF).cast("long"))
-      .withColumn("c_k",
-        coalesce(sum(when(col("capped") === 1L, col("capacity_tokens"))).over(all), lit(0L)))
-      .withColumn("w_k",
-        coalesce(sum(when(col("capped") === 1L, col("weight"))).over(all), lit(0L)))
-      .withColumn("alloc_tokens",
-        when(col("capped") === 1L, col("capacity_tokens"))
-          .otherwise(expr(
-            s"(2 * weight * (${B}L - c_k) + (w_tot - w_k)) DIV (2 * GREATEST(w_tot - w_k, 1L))")))
+    waterfillAlloc(
+      documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(tokCount.cast("long")).as("n_tokens"))
+        .withColumn("weight", w.cast("long"))
+        .withColumn("capacity_tokens", col("n_tokens") * lit(maxEpochs)),
+      B)
       .withColumn("realized_share",
         expr(s"CAST((20000 * alloc_tokens + ${B}L) DIV ${2 * B}L AS DOUBLE) / 10000.0"))
       .withColumn("realized_epochs",
@@ -483,6 +466,112 @@ object Sampling {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
         col("capacity_tokens"), col("capped"), col("alloc_tokens"),
         col("realized_share"), col("realized_epochs"), col("unserved_tokens"))
+  }
+
+  /** Waterfill allocation core over a MODEL-scale (≤ #sources-row)
+    * frame carrying (source, weight, capacity_tokens): appends `capped`
+    * and `alloc_tokens` for `budget`, drops its working columns, passes
+    * everything else through — see [[mixWaterfill]] for the algorithm
+    * and determinism contract. Factored so [[mixAnneal]] can run one
+    * allocation per phase. */
+  private[ops] def waterfillAlloc(frame: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLevel = Window.partitionBy().orderBy(col("level"), col("source"))
+    val lagF = byLevel.rowsBetween(Window.unboundedPreceding, -1)
+    val runF = byLevel.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    frame
+      .withColumn("level", col("capacity_tokens").cast("double") / col("weight"))
+      .withColumn("c_lag", coalesce(sum(col("capacity_tokens")).over(lagF), lit(0L)))
+      .withColumn("w_lag", coalesce(sum(col("weight")).over(lagF), lit(0L)))
+      .withColumn("w_tot", sum(col("weight")).over(all))
+      .withColumn("feasible",
+        (col("weight") * (lit(budget) - col("c_lag")) >=
+          col("capacity_tokens") * (col("w_tot") - col("w_lag"))).cast("int"))
+      .withColumn("capped", min(col("feasible")).over(runF).cast("long"))
+      .withColumn("c_k",
+        coalesce(sum(when(col("capped") === 1L, col("capacity_tokens"))).over(all), lit(0L)))
+      .withColumn("w_k",
+        coalesce(sum(when(col("capped") === 1L, col("weight"))).over(all), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1L, col("capacity_tokens"))
+          .otherwise(expr(
+            s"(2 * weight * (${budget}L - c_k) + (w_tot - w_k)) DIV (2 * GREATEST(w_tot - w_k, 1L))")))
+      .drop("level", "c_lag", "w_lag", "w_tot", "feasible", "c_k", "w_k")
+  }
+
+  /** Two-phase ANNEALED mixture plan — the published end-of-run
+    * "anneal"/midtraining practice (spend the last fraction of the
+    * budget on a mixture re-weighted toward the highest-quality
+    * sources; the decay-phase data re-weighting reported for several
+    * public LLM pretraining recipes): phase `main` waterfills 3/4 of
+    * the budget at the base weights; phase `anneal` waterfills the
+    * remaining quarter with the top-⌈#sources/4⌉ sources by
+    * high-quality-document fraction (t_quality's exact integer 'high'
+    * conditions: ≥ 50 tokens AND > 0 stopword hits) boosted ×`boost`,
+    * against the CAPACITY LEFT after phase 1 — the repeat cap binds
+    * across the whole run, so tokens served in main are not
+    * re-servable in anneal (a source fully consumed in main arrives at
+    * the anneal with capacity 0 and caps at alloc 0).
+    *
+    * Determinism: the quality rank orders by an IEEE-identical
+    * n_high/n_docs division (ties by source), the boost test is
+    * integer (q_rank·4 ≤ #sources+3 ⟺ rank ≤ ⌈S/4⌉), the budget split
+    * exact (B_anneal = B DIV 4), and both phases inherit
+    * [[waterfillAlloc]]'s exact-integer contract.
+    *
+    * Plan: ONE scan-side kernel aggregate (the per-source frame is
+    * localCheckpointed at model scale — ≤ #sources rows — so the two
+    * phase branches and their union never rescan the corpus), then
+    * single-partition windows over ≤ #sources rows per phase;
+    * 2·#sources output rows. */
+  def mixAnneal(documents: DataFrame, budgetTokens: Long = 100000L,
+                parts: Map[String, Int] = EpochParts,
+                defaultPart: Int = EpochPartDefault,
+                maxEpochs: Long = 4L, boost: Long = 4L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = graft.functions.GraftFunctions.stopwordProfile(col("text"),
+      typedlit(Seq(TextAnalysis.stopwords("en"))))
+    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
+      case (acc, (src, pp)) => when(col("source") === src, lit(pp)).otherwise(acc)
+    }
+    val b2 = budgetTokens / 4
+    val b1 = budgetTokens - b2
+    val byQ = Window.partitionBy().orderBy(
+      (col("n_high").cast("double") / col("n_docs")).desc, col("source"))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = DupClusters.materialize(documents
+      .select(col("source"), p.as("p"))
+      .select(col("source"), col("p").getItem(0).cast("long").as("t"),
+        (col("p").getItem(0) >= 50 && col("p").getItem(1) > 0).cast("long").as("hi"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"),
+        sum(col("hi")).as("n_high"))
+      .withColumn("weight", w.cast("long"))
+      .withColumn("capacity_tokens", col("n_tokens") * lit(maxEpochs))
+      .withColumn("q_rank", row_number().over(byQ))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("annealed",
+        (col("q_rank") * lit(4L) <= col("n_src") + lit(3L)).cast("long"))
+      .drop("q_rank", "n_src"))
+    def shareCol(b: Long) = expr(
+      s"CAST((20000 * alloc_tokens + ${b}L) DIV ${2 * b}L AS DOUBLE) / 10000.0")
+    val outCols = Seq("source", "n_docs", "n_tokens", "n_high", "annealed",
+      "weight", "capacity_tokens", "capped", "alloc_tokens")
+    val main = waterfillAlloc(ranked, b1)
+    val annealIn = main
+      .withColumn("weight",
+        when(col("annealed") === 1L, col("weight") * lit(boost)).otherwise(col("weight")))
+      .withColumn("capacity_tokens", col("capacity_tokens") - col("alloc_tokens"))
+      .drop("capped", "alloc_tokens")
+    val anneal = waterfillAlloc(annealIn, b2)
+    main.withColumn("phase", lit("main")).withColumn("realized_share", shareCol(b1))
+      .select((col("phase") +: outCols.map(col)) :+ col("realized_share"): _*)
+      .unionByName(
+        anneal.withColumn("phase", lit("anneal")).withColumn("realized_share", shareCol(b2))
+          .select((col("phase") +: outCols.map(col)) :+ col("realized_share"): _*))
   }
 
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
@@ -872,6 +961,7 @@ object Sampling {
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
     "d_mix_waterfill" -> ((s, d) => mixWaterfill(Tables(s, d).documents)),
+    "d_mix_anneal" -> ((s, d) => mixAnneal(Tables(s, d).documents)),
     "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
     "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
     "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)),
@@ -881,6 +971,34 @@ object Sampling {
     val cases = MixRates.toSeq.sortBy(_._1)
       .map { case (src, r) => s"WHEN '$src' THEN '${thresholdHex(r)}'" }
       .mkString(" ")
+    // One waterfill CTE chain (level-ordered lagged prefix sums →
+    // exact-integer feasibility → running-AND capped flag → half-away
+    // uncapped quotient), parametrized on (prefix, input CTE, budget)
+    // so the two d_mix_anneal phases replay waterfillAlloc verbatim.
+    // The input CTE must carry (source, weight, capacity_tokens,
+    // level); every SUM OVER is cast back to BIGINT (DuckDB widens to
+    // HUGEINT).
+    def wfCtes(p: String, in: String, b: Long): String =
+      s"""${p}o AS (SELECT *,
+         |    CAST(COALESCE(SUM(capacity_tokens) OVER (ORDER BY level, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lag,
+         |    CAST(COALESCE(SUM(weight) OVER (ORDER BY level, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_lag,
+         |    CAST(SUM(weight) OVER () AS BIGINT) AS w_tot
+         |  FROM $in),
+         |${p}f AS (SELECT *, CASE WHEN weight * ($b - c_lag) >=
+         |      capacity_tokens * (w_tot - w_lag) THEN 1 ELSE 0 END AS feasible FROM ${p}o),
+         |${p}p AS (SELECT *, CAST(MIN(feasible) OVER (ORDER BY level, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS capped FROM ${p}f),
+         |${p}k AS (SELECT *,
+         |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN capacity_tokens END) OVER (), 0) AS BIGINT) AS c_k,
+         |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN weight END) OVER (), 0) AS BIGINT) AS w_k
+         |  FROM ${p}p),
+         |${p}a AS (SELECT * EXCLUDE (level, c_lag, w_lag, feasible, c_k, w_k),
+         |    CASE WHEN capped = 1 THEN capacity_tokens
+         |    ELSE (2 * weight * ($b - c_k) + (w_tot - w_k)) //
+         |         (2 * GREATEST(w_tot - w_k, 1)) END AS alloc_tokens FROM ${p}k)""".stripMargin
+    val enList = graft.ops.TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
     // Add-1 smoothed hashed-bigram multinomial log-ratio: every
     // probability is a ratio of integers (bucket key = 2 hex chars of
     // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
@@ -1112,6 +1230,52 @@ object Sampling {
            |       (2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0 AS realized_epochs,
            |  CAST(GREATEST(100000 - CAST(SUM(alloc_tokens) OVER () AS BIGINT), 0) AS BIGINT) AS unserved_tokens
            |FROM a""".stripMargin,
+      // mixAnneal mirror: quality aggregate (t_quality's exact integer
+      // 'high' conditions) → integer top-quartile boost rank → TWO
+      // wfCtes waterfill replays (main at 3/4 budget, anneal at 1/4
+      // against the capacity left), unioned with per-phase half-away
+      // shares.
+      "d_mix_anneal" ->
+        (raw"""WITH toks AS (SELECT doc_id, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           |  FROM documents),
+           |m AS (SELECT source, len(list_filter(toks, t -> t != '')) AS t,
+           |    len(list_filter(toks, t -> t IN ($enList))) AS st
+           |  FROM toks),
+           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(t) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(CASE WHEN t >= 50 AND st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           |  FROM m GROUP BY 1),
+           |w AS (SELECT source, n_docs, n_tokens, n_high,
+           |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
+           |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight,
+           |    n_tokens * 4 AS capacity_tokens
+           |  FROM agg),
+           |r AS (SELECT *,
+           |    ROW_NUMBER() OVER (ORDER BY CAST(n_high AS DOUBLE) / n_docs DESC, source) AS q_rank,
+           |    COUNT(*) OVER () AS n_src
+           |  FROM w),
+           |base AS (SELECT source, n_docs, n_tokens, n_high,
+           |    CASE WHEN q_rank * 4 <= n_src + 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS annealed,
+           |    weight, capacity_tokens,
+           |    CAST(capacity_tokens AS DOUBLE) / weight AS level
+           |  FROM r),
+           |""" + wfCtes("m1", "base", 75000L) + raw""",
+           |w2 AS (SELECT source, n_docs, n_tokens, n_high, annealed,
+           |    CASE WHEN annealed = 1 THEN weight * 4 ELSE weight END AS weight,
+           |    capacity_tokens - alloc_tokens AS capacity_tokens
+           |  FROM m1a),
+           |base2 AS (SELECT *, CAST(capacity_tokens AS DOUBLE) / weight AS level FROM w2),
+           |""" + wfCtes("m2", "base2", 25000L) + raw"""
+           |SELECT 'main' AS phase, source, n_docs, n_tokens, n_high, annealed,
+           |  weight, capacity_tokens, capped, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           |  CAST((20000 * alloc_tokens + 75000) // 150000 AS DOUBLE) / 10000.0 AS realized_share
+           |FROM m1a
+           |UNION ALL
+           |SELECT 'anneal' AS phase, source, n_docs, n_tokens, n_high, annealed,
+           |  weight, capacity_tokens, capped, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           |  CAST((20000 * alloc_tokens + 25000) // 50000 AS DOUBLE) / 10000.0 AS realized_share
+           |FROM m2a""").stripMargin,
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

@@ -494,6 +494,70 @@ class SamplingSpec extends SparkSpec {
     assert(rich.map(_._2).sum == capTotal)
   }
 
+  test("mixAnneal: matches a two-pass JVM greedy; anneal capacity = capacity left after main; boost wired to the quality rank") {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val en = graft.ops.TextAnalysis.stopwords("en").toSet
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), norm(r.getString(1)).split(" ").filter(_.nonEmpty)))
+    val bySrc = rows.groupBy(_._1).map { case (src, rs) =>
+      val toks = rs.map(_._2.length.toLong).sum
+      val high = rs.count(r => r._2.length >= 50 && r._2.count(en) > 0).toLong
+      src -> ((rs.length.toLong, toks, high))
+    }
+    val weight = bySrc.keys.map(s =>
+      s -> Sampling.EpochParts.getOrElse(s, Sampling.EpochPartDefault).toLong).toMap
+    val srcs = bySrc.keys.toSeq
+    val nSrc = srcs.size
+    // quality rank: top ⌈S/4⌉ by (high fraction desc, source)
+    val qOrder = srcs.sortBy(s =>
+      (-bySrc(s)._3.toDouble / bySrc(s)._1, s))
+    val annealedSet = qOrder.take((nSrc + 3) / 4).toSet
+    // reference greedy (the mixWaterfill spec's loop), parametrized
+    def greedy(B: Long, w: Map[String, Long], cap: Map[String, Long]): Map[String, (Long, Long)] = {
+      val order = srcs.sortBy(s => (cap(s).toDouble / w(s), s))
+      var bRem = B; var wRem = w.values.sum; var live = true
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      order.foreach { s =>
+        if (live && w(s) * bRem >= cap(s) * wRem) {
+          out(s) = (1L, cap(s)); bRem -= cap(s); wRem -= w(s)
+        } else { live = false; out(s) = (0L, (2 * w(s) * bRem + wRem) / (2 * wRem)) }
+      }
+      out.toMap
+    }
+    val B = 100000L; val b2 = B / 4; val b1 = B - b2
+    val cap1 = bySrc.map { case (s, (_, t, _)) => s -> t * 4 }
+    val main = greedy(b1, weight, cap1)
+    val w2 = weight.map { case (s, w) => s -> (if (annealedSet(s)) w * 4 else w) }
+    val cap2 = cap1.map { case (s, c) => s -> (c - main(s)._2) }
+    val anneal = greedy(b2, w2, cap2)
+    val got = Sampling.mixAnneal(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getDouble(10)))).toMap
+    assert(got.size == 2 * nSrc)
+    srcs.foreach { s =>
+      val (ann1, wm, capM, cappedM, allocM, shareM) = got(("main", s))
+      assert(ann1 == (if (annealedSet(s)) 1L else 0L), s"$s annealed flag")
+      assert(wm == weight(s) && capM == cap1(s))
+      assert((cappedM, allocM) == main(s), s"$s main greedy")
+      assert(shareM == ((20000L * allocM + b1) / (2 * b1)).toDouble / 10000.0)
+      val (ann2, wa, capA, cappedA, allocA, shareA) = got(("anneal", s))
+      assert(ann2 == ann1)
+      assert(wa == w2(s), s"$s anneal weight boost")
+      assert(capA == cap2(s), s"$s anneal capacity = capacity left after main")
+      assert((cappedA, allocA) == anneal(s), s"$s anneal greedy")
+      assert(shareA == ((20000L * allocA + b2) / (2 * b2)).toDouble / 10000.0)
+      // the run-level repeat cap holds across phases
+      assert(allocM + allocA <= cap1(s), s"$s cross-phase cap")
+    }
+    // both the boost and its complement are real on this corpus
+    assert(annealedSet.nonEmpty && annealedSet.size < nSrc)
+    // partition invariance
+    val again = Sampling.mixAnneal(docs.repartition(7)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9), r.getDouble(10)))).toMap
+    assert(again == got)
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))
