@@ -60,15 +60,25 @@ object Sampling {
       .filter(keepCol(rates, defaultRate))
       .select(col("doc_id"), col("source"))
 
-  /** Realized mixture summary: kept/total per source (exact integer
-    * counts via one aggregation over the flagged scan). */
-  def mixtureSummary(documents: DataFrame, rates: Map[String, Double],
-                     defaultRate: Double = 0.1): DataFrame =
+  /** Per-source mixture PARTIALS — the algebraic state behind the
+    * realized-mixture audit: exact integer (total, kept) counts off
+    * the flagged scan. Membership is a pure function of (source,
+    * doc_id), and integer counts are additive, so partials summed over
+    * ANY batch split equal direct counting exactly — the property the
+    * streaming maintainer ([[graft.streaming.MixStream]]) rests on. */
+  def mixturePartials(documents: DataFrame, rates: Map[String, Double],
+                      defaultRate: Double = 0.1): DataFrame =
     documents
       .select(col("source"),
         (coord < thresholdCol(rates, defaultRate)).cast("int").as("kept"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+
+  /** Realized mixture summary: kept/total per source (exact integer
+    * counts via one aggregation over the flagged scan). */
+  def mixtureSummary(documents: DataFrame, rates: Map[String, Double],
+                     defaultRate: Double = 0.1): DataFrame =
+    mixturePartials(documents, rates, defaultRate)
       .withColumn("kept_frac", round(col("n_kept") / col("n_docs"), 4))
 
   /** Temperature-sampled mixture (α = 0.5 "square-root sampling" — the
@@ -526,23 +536,24 @@ object Sampling {
     * phase branches and their union never rescan the corpus), then
     * single-partition windows over ≤ #sources rows per phase;
     * 2·#sources output rows. */
-  def mixAnneal(documents: DataFrame, budgetTokens: Long = 100000L,
-                parts: Map[String, Int] = EpochParts,
-                defaultPart: Int = EpochPartDefault,
-                maxEpochs: Long = 4L, boost: Long = 4L): DataFrame = {
+  /** [[mixAnneal]]/[[annealCurve]] shared input: the per-source quality
+    * aggregate with base weight, run capacity and the top-⌈S/4⌉
+    * quality-boost flag, localCheckpointed at model scale (≤ #sources
+    * rows) so every phase arm reads ONE corpus scan. */
+  private[ops] def annealRanked(documents: DataFrame,
+                                parts: Map[String, Int],
+                                defaultPart: Int, maxEpochs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = graft.functions.GraftFunctions.stopwordProfile(col("text"),
       typedlit(Seq(TextAnalysis.stopwords("en"))))
     val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
       case (acc, (src, pp)) => when(col("source") === src, lit(pp)).otherwise(acc)
     }
-    val b2 = budgetTokens / 4
-    val b1 = budgetTokens - b2
     val byQ = Window.partitionBy().orderBy(
       (col("n_high").cast("double") / col("n_docs")).desc, col("source"))
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val ranked = DupClusters.materialize(documents
+    DupClusters.materialize(documents
       .select(col("source"), p.as("p"))
       .select(col("source"), col("p").getItem(0).cast("long").as("t"),
         (col("p").getItem(0) >= 50 && col("p").getItem(1) > 0).cast("long").as("hi"))
@@ -556,22 +567,79 @@ object Sampling {
       .withColumn("annealed",
         (col("q_rank") * lit(4L) <= col("n_src") + lit(3L)).cast("long"))
       .drop("q_rank", "n_src"))
-    def shareCol(b: Long) = expr(
-      s"CAST((20000 * alloc_tokens + ${b}L) DIV ${2 * b}L AS DOUBLE) / 10000.0")
-    val outCols = Seq("source", "n_docs", "n_tokens", "n_high", "annealed",
-      "weight", "capacity_tokens", "capped", "alloc_tokens")
-    val main = waterfillAlloc(ranked, b1)
+  }
+
+  /** One (main, anneal) phase pair off a shared [[annealRanked]] frame:
+    * main waterfills `bMain` at base weights; anneal waterfills
+    * `bAnneal` with boosted weights against the capacity LEFT after
+    * main. */
+  private[ops] def annealPhases(ranked: DataFrame, bMain: Long,
+                                bAnneal: Long, boost: Long): (DataFrame, DataFrame) = {
+    val main = waterfillAlloc(ranked, bMain)
     val annealIn = main
       .withColumn("weight",
         when(col("annealed") === 1L, col("weight") * lit(boost)).otherwise(col("weight")))
       .withColumn("capacity_tokens", col("capacity_tokens") - col("alloc_tokens"))
       .drop("capped", "alloc_tokens")
-    val anneal = waterfillAlloc(annealIn, b2)
+    (main, waterfillAlloc(annealIn, bAnneal))
+  }
+
+  def mixAnneal(documents: DataFrame, budgetTokens: Long = 100000L,
+                parts: Map[String, Int] = EpochParts,
+                defaultPart: Int = EpochPartDefault,
+                maxEpochs: Long = 4L, boost: Long = 4L): DataFrame = {
+    val b2 = budgetTokens / 4
+    val b1 = budgetTokens - b2
+    def shareCol(b: Long) = expr(
+      s"CAST((20000 * alloc_tokens + ${b}L) DIV ${2 * b}L AS DOUBLE) / 10000.0")
+    val outCols = Seq("source", "n_docs", "n_tokens", "n_high", "annealed",
+      "weight", "capacity_tokens", "capped", "alloc_tokens")
+    val (main, anneal) =
+      annealPhases(annealRanked(documents, parts, defaultPart, maxEpochs), b1, b2, boost)
     main.withColumn("phase", lit("main")).withColumn("realized_share", shareCol(b1))
       .select((col("phase") +: outCols.map(col)) :+ col("realized_share"): _*)
       .unionByName(
         anneal.withColumn("phase", lit("anneal")).withColumn("realized_share", shareCol(b2))
           .select((col("phase") +: outCols.map(col)) :+ col("realized_share"): _*))
+  }
+
+  /** Anneal-fraction TUNING curve — the measured sweep behind
+    * [[mixAnneal]]'s pinned quarter (the curve-suite rule: every knob
+    * the pipeline pins gets its sweep): for each anneal fraction
+    * β ∈ {0, ⅛, ¼, ½} (eighths ⇒ exact integer budget splits), run
+    * the two-phase plan off the SAME localCheckpointed quality
+    * aggregate and report where the budget lands — total allocated
+    * tokens, tokens landing on the boosted top-quality sources, their
+    * half-away share, and the unserved remainder. The corpus is
+    * scanned ONCE; each arm re-runs only model-scale windows over
+    * ≤ #sources rows (the d_dedup_curve cost design).
+    *
+    * Read the curve as: share_high at β=0 is the base mixture's
+    * natural quality share; rising β buys quality share until the
+    * boosted sources' repeat caps bind (the curve flattens while the
+    * redistribution grows) — pick the knee. */
+  def annealCurve(documents: DataFrame, budgetTokens: Long = 100000L,
+                  parts: Map[String, Int] = EpochParts,
+                  defaultPart: Int = EpochPartDefault,
+                  maxEpochs: Long = 4L, boost: Long = 4L,
+                  panelEighths: Seq[Int] = Seq(0, 1, 2, 4)): DataFrame = {
+    val ranked = annealRanked(documents, parts, defaultPart, maxEpochs)
+    panelEighths.map { k =>
+      val b2 = budgetTokens * k / 8
+      val b1 = budgetTokens - b2
+      val (main, anneal) = annealPhases(ranked, b1, b2, boost)
+      main.select(col("annealed"), col("alloc_tokens"))
+        .unionByName(anneal.select(col("annealed"), col("alloc_tokens")))
+        .agg(sum(col("alloc_tokens")).as("alloc_tokens"),
+          sum(when(col("annealed") === 1L, col("alloc_tokens")).otherwise(lit(0L)))
+            .as("alloc_high_tokens"))
+        .select(lit(k.toLong).as("anneal_eighths"),
+          lit(b1).as("budget_main"), lit(b2).as("budget_anneal"),
+          col("alloc_high_tokens"), col("alloc_tokens"),
+          expr("CAST((20000 * alloc_high_tokens + GREATEST(alloc_tokens, 1L)) DIV " +
+            "(2 * GREATEST(alloc_tokens, 1L)) AS DOUBLE) / 10000.0").as("share_high"),
+          greatest(lit(budgetTokens) - col("alloc_tokens"), lit(0L)).as("unserved_tokens"))
+    }.reduce(_ unionByName _)
   }
 
   /** Stratified EXACT-N sampling: precisely `n` documents per source,
@@ -904,12 +972,24 @@ object Sampling {
     * CASE the sampler uses, so the report can never disagree with the
     * sampler about intent. */
   def mixReport(documents: DataFrame, rates: Map[String, Double],
-                defaultRate: Double): DataFrame = {
+                defaultRate: Double): DataFrame =
+    mixReportFromCards(mixturePartials(documents, rates, defaultRate),
+      rates, defaultRate)
+
+  /** Card-level form of [[mixReport]]: the audit arithmetic over an
+    * already-merged (source, n_docs, n_kept) frame — shared by the
+    * batch key and the streaming maintainer's scheduled report, which
+    * re-merges durable per-batch partials instead of rescanning
+    * documents (bit-equal by the additive-partials property on
+    * [[mixturePartials]]). */
+  def mixReportFromCards(cards: DataFrame, rates: Map[String, Double],
+                         defaultRate: Double): DataFrame = {
     val target = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
         when(col("source") === src, lit(r)).otherwise(acc)
       }
-    mixtureSummary(documents, rates, defaultRate)
+    cards
+      .withColumn("kept_frac", round(col("n_kept") / col("n_docs"), 4))
       .withColumn("target_rate", target + lit(0.0))
       .withColumn("abs_dev", round(abs(col("kept_frac") - col("target_rate")), 4) + lit(0.0))
   }
@@ -962,6 +1042,7 @@ object Sampling {
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
     "d_mix_waterfill" -> ((s, d) => mixWaterfill(Tables(s, d).documents)),
     "d_mix_anneal" -> ((s, d) => mixAnneal(Tables(s, d).documents)),
+    "d_anneal_curve" -> ((s, d) => annealCurve(Tables(s, d).documents)),
     "d_corpus_shuffle" -> ((s, d) => corpusShuffle(Tables(s, d).documents)),
     "d_weighted_sample" -> ((s, d) => weightedSample(Tables(s, d).documents)),
     "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)),
@@ -1276,6 +1357,61 @@ object Sampling {
            |  weight, capacity_tokens, capped, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            |  CAST((20000 * alloc_tokens + 25000) // 50000 AS DOUBLE) / 10000.0 AS realized_share
            |FROM m2a""").stripMargin,
+      // annealCurve mirror: ONE shared quality/boost base (the
+      // d_mix_anneal head), then per β-eighths arm a prefixed pair of
+      // wfCtes waterfill replays (main at B−B·k/8, anneal at B·k/8
+      // against the capacity left) collapsed to the arm's allocation
+      // sums + half-away quality share.
+      "d_anneal_curve" -> {
+        val head = raw"""WITH toks AS (SELECT doc_id, source,
+           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           |  FROM documents),
+           |m AS (SELECT source, len(list_filter(toks, t -> t != '')) AS t,
+           |    len(list_filter(toks, t -> t IN ($enList))) AS st
+           |  FROM toks),
+           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(t) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(CASE WHEN t >= 50 AND st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+           |  FROM m GROUP BY 1),
+           |w AS (SELECT source, n_docs, n_tokens, n_high,
+           |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
+           |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight,
+           |    n_tokens * 4 AS capacity_tokens
+           |  FROM agg),
+           |r AS (SELECT *,
+           |    ROW_NUMBER() OVER (ORDER BY CAST(n_high AS DOUBLE) / n_docs DESC, source) AS q_rank,
+           |    COUNT(*) OVER () AS n_src
+           |  FROM w),
+           |base AS (SELECT source, n_docs, n_tokens, n_high,
+           |    CASE WHEN q_rank * 4 <= n_src + 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS annealed,
+           |    weight, capacity_tokens,
+           |    CAST(capacity_tokens AS DOUBLE) / weight AS level
+           |  FROM r)""".stripMargin
+        val arms = Seq(0, 1, 2, 4).map { k =>
+          val b2 = 100000L * k / 8
+          val b1 = 100000L - b2
+          val ctes = wfCtes(s"c${k}x", "base", b1) + ",\n" +
+            raw"""c${k}w2 AS (SELECT source, n_docs, n_tokens, n_high, annealed,
+               |    CASE WHEN annealed = 1 THEN weight * 4 ELSE weight END AS weight,
+               |    capacity_tokens - alloc_tokens AS capacity_tokens
+               |  FROM c${k}xa),
+               |c${k}b2 AS (SELECT *, CAST(capacity_tokens AS DOUBLE) / weight AS level FROM c${k}w2),
+               |""".stripMargin + wfCtes(s"c${k}y", s"c${k}b2", b2) + ",\n" +
+            raw"""c${k}u AS (SELECT annealed, alloc_tokens FROM c${k}xa
+               |  UNION ALL SELECT annealed, alloc_tokens FROM c${k}ya),
+               |c${k}s AS (SELECT CAST(SUM(alloc_tokens) AS BIGINT) AS at,
+               |    CAST(COALESCE(SUM(CASE WHEN annealed = 1 THEN alloc_tokens END), 0) AS BIGINT) AS ah
+               |  FROM c${k}u)""".stripMargin
+          val sel =
+            raw"""SELECT CAST($k AS BIGINT) AS anneal_eighths, CAST($b1 AS BIGINT) AS budget_main,
+               |  CAST($b2 AS BIGINT) AS budget_anneal, ah AS alloc_high_tokens, at AS alloc_tokens,
+               |  CAST((20000 * ah + GREATEST(at, 1)) // (2 * GREATEST(at, 1)) AS DOUBLE) / 10000.0 AS share_high,
+               |  CAST(GREATEST(100000 - at, 0) AS BIGINT) AS unserved_tokens FROM c${k}s""".stripMargin
+          (ctes, sel)
+        }
+        head + ",\n" + arms.map(_._1).mkString(",\n") + "\n" +
+          arms.map(_._2).mkString("\nUNION ALL\n")
+      },
       "d_sample_mix" ->
         s"""SELECT doc_id, source FROM documents
            |WHERE substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15) <

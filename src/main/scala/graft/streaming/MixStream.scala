@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.Sampling
+
+/** Streaming realized-mixture audit (SURVEY.md §2.4) — the streaming
+  * twin of `d_mix_report`: documents arrive continuously, each batch
+  * folds its per-source (total, kept) MIXTURE PARTIALS into a durable
+  * table, and a scheduled [[report]] serves the full audit (kept_frac
+  * vs the declared target rate with absolute deviation) off the merged
+  * partials at any time — the drift check a mixture rollout reads, now
+  * available continuously over the live ingest instead of per offline
+  * sweep.
+  *
+  * Same architecture as [[DriftStream]]/[[AggMergeStream]] (durable
+  * partials + append-only WAL discipline, NO streaming state store),
+  * because the state is algebraic: membership is a pure function of
+  * (source, doc_id) (the scan-side md5 threshold — replay-identical by
+  * construction) and the (n_docs, n_kept) counts are additive, so
+  *
+  *  - per-batch cost ∝ the BATCH (one per-source aggregate + one
+  *    ≤ #sources-row append keyed by `batch_id`); document text is
+  *    never stored and never rescanned by the maintainer;
+  *  - crash-replay is idempotent: foreachBatch re-delivers a crashed
+  *    batch under the SAME batch_id and [[ingestBatch]] skips one the
+  *    table already carries;
+  *  - [[report]] is DERIVED state, decoupled from ingest cadence:
+  *    merge partials → [[Sampling.mixReportFromCards]] (the batch
+  *    key's own arithmetic; integer partial sums equal direct counting
+  *    exactly, so the served report is bit-equal to batch
+  *    `d_mix_report` over the documents ingested so far, under any
+  *    batch split or arrival order).
+  *
+  * At 100 TB: the partials table grows ≤ #sources rows per batch and
+  * the report touches only partials — the maintainer is
+  * corpus-size-independent after the scan each ingest batch already
+  * paid; compaction of old batch partials bounds read amplification
+  * exactly as in AggMergeStream. */
+object MixStream {
+
+  /** One micro-batch: append the batch's per-source (n_docs, n_kept)
+    * mixture partials under its batch_id — skipping a batch_id already
+    * present (crash replay). */
+  def ingestBatch(docs: DataFrame, batchId: Long, partialsTable: String,
+                  rates: Map[String, Double], defaultRate: Double): Unit = {
+    val spark = docs.sparkSession
+    val partials = Sampling.mixturePartials(docs, rates, defaultRate)
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(partialsTable)) {
+      partials.write.saveAsTable(partialsTable)
+    } else if (spark.table(partialsTable)
+        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+      partials.write.mode("append").saveAsTable(partialsTable)
+    }
+  }
+
+  /** Merged per-source card: ONE row per source — the
+    * [[Sampling.mixReportFromCards]] input contract. Late or
+    * out-of-order batches are just more partial rows; the re-merge
+    * absorbs them (integer sums are order-free). */
+  def mergedCards(spark: SparkSession, partialsTable: String): DataFrame =
+    spark.table(partialsTable)
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_kept")).as("n_kept"))
+
+  /** The audit served at any time: the d_mix_report schema over
+    * everything ingested so far — bit-equal to the batch operator on
+    * the same documents. */
+  def report(spark: SparkSession, partialsTable: String,
+             rates: Map[String, Double], defaultRate: Double): DataFrame =
+    Sampling.mixReportFromCards(mergedCards(spark, partialsTable),
+      rates, defaultRate)
+
+  /** Start the continuous ingest over a document stream; [[report]]
+    * serves on its own schedule against the table this maintains. */
+  def start(docs: DataFrame, partialsTable: String, checkpointDir: String,
+            rates: Map[String, Double], defaultRate: Double): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, partialsTable, rates, defaultRate)
+      }
+      .start()
+}

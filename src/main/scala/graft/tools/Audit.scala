@@ -180,6 +180,11 @@ object Audit {
     // bounded top-k (one single-partition heap collect each) — the
     // cells are independent serving plans, not a corpus pipeline
     "s_nprobe_curve" -> 24,
+    // 4 β arms × a 2-phase union collapse, every exchange over the
+    // localCheckpointed ≤ #sources-row quality frame (the corpus scan
+    // is paid once at build time and is NOT in the audited plan) —
+    // the s_nprobe_curve independent-model-scale-arm class
+    "d_anneal_curve" -> 8,
     // 2 arms × 5 queries: each cell an independent PQ/OPQ serving plan
     // (ADC TakeOrdered + rerank) + the 2-row final collapse — the
     // s_nprobe_curve class

@@ -558,6 +558,54 @@ class SamplingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("annealCurve: every arm matches the two-pass JVM greedy; the beta=0 arm equals mixWaterfill's totals") {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val en = graft.ops.TextAnalysis.stopwords("en").toSet
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), norm(r.getString(1)).split(" ").filter(_.nonEmpty)))
+    val bySrc = rows.groupBy(_._1).map { case (src, rs) =>
+      src -> ((rs.length.toLong, rs.map(_._2.length.toLong).sum,
+        rs.count(r => r._2.length >= 50 && r._2.count(en) > 0).toLong))
+    }
+    val weight = bySrc.keys.map(s =>
+      s -> Sampling.EpochParts.getOrElse(s, Sampling.EpochPartDefault).toLong).toMap
+    val srcs = bySrc.keys.toSeq
+    val annealedSet = srcs.sortBy(s => (-bySrc(s)._3.toDouble / bySrc(s)._1, s))
+      .take((srcs.size + 3) / 4).toSet
+    def greedy(B: Long, w: Map[String, Long], cap: Map[String, Long]): Map[String, Long] = {
+      val order = srcs.sortBy(s => (cap(s).toDouble / w(s), s))
+      var bRem = B; var wRem = w.values.sum; var live = true
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      order.foreach { s =>
+        if (live && w(s) * bRem >= cap(s) * wRem) {
+          out(s) = cap(s); bRem -= cap(s); wRem -= w(s)
+        } else { live = false; out(s) = (2 * w(s) * bRem + wRem) / (2 * wRem) }
+      }
+      out.toMap
+    }
+    val B = 100000L
+    val cap1 = bySrc.map { case (s, (_, t, _)) => s -> t * 4 }
+    val w2 = weight.map { case (s, w) => s -> (if (annealedSet(s)) w * 4 else w) }
+    val expect = Seq(0, 1, 2, 4).map { k =>
+      val b2 = B * k / 8; val b1 = B - b2
+      val main = greedy(b1, weight, cap1)
+      val anneal = greedy(b2, w2, cap1.map { case (s, c) => s -> (c - main(s)) })
+      val at = srcs.map(s => main(s) + anneal(s)).sum
+      val ah = srcs.filter(annealedSet).map(s => main(s) + anneal(s)).sum
+      k.toLong -> ((b1, b2, ah, at,
+        ((20000L * ah + math.max(at, 1L)) / (2 * math.max(at, 1L))).toDouble / 10000.0,
+        math.max(B - at, 0L)))
+    }.toMap
+    val got = Sampling.annealCurve(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(got == expect)
+    // the beta=0 arm IS the plain waterfill: totals reconcile exactly
+    val wf = Sampling.mixWaterfill(docs).collect()
+    assert(got(0L)._4 == wf.map(_.getLong(6)).sum, "beta=0 total ≡ mixWaterfill Σalloc")
+    assert(got(0L)._6 == wf.head.getLong(9), "beta=0 unserved ≡ mixWaterfill's")
+  }
+
   test("dsirSelect: exactly the top-n of dsirWeights under (weight desc, doc_id) order") {
     val weights = Sampling.dsirWeights(docs).collect()
       .map(r => (r.getLong(0), r.getDouble(3)))

@@ -1092,6 +1092,51 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_drift2_s", "t_drift2_snap")
   }
 
+  test("mixture maintainer: served report == batch d_mix_report under out-of-order batches, replay idempotent, real stream wiring") {
+    import graft.ops.Sampling
+    import graft.streaming.MixStream
+    dropGateTables("t_mix_p", "t_mix2_p")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val rates = Sampling.MixRates
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // ingest the corpus as three out-of-order batches (worst-case
+    // split: membership is a pure hash of (source, doc_id), counts are
+    // additive) — the served report must equal batch d_mix_report
+    // bit-for-bit
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 2), 0L, "t_mix_p", rates, Sampling.MixDefault)
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 0), 1L, "t_mix_p", rates, Sampling.MixDefault)
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 1), 2L, "t_mix_p", rates, Sampling.MixDefault)
+    val served = MixStream.report(spark, "t_mix_p", rates, Sampling.MixDefault)
+    assert(show(served) == show(Sampling.mixReport(docs, rates, Sampling.MixDefault)),
+      "served audit must equal the batch d_mix_report")
+    // a PARTIAL ingest serves the audit of exactly the ingested prefix
+    dropGateTables("t_mix_p")
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 2), 0L, "t_mix_p", rates, Sampling.MixDefault)
+    assert(show(MixStream.report(spark, "t_mix_p", rates, Sampling.MixDefault)) ==
+      show(Sampling.mixReport(docs.filter(pmod($"doc_id", lit(3)) === 2), rates, Sampling.MixDefault)),
+      "mid-stream report must equal the batch audit over the ingested prefix")
+    // crash replay: a re-delivered batch_id is a no-op on the WAL
+    val before = fresh("t_mix_p").count()
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 2), 0L, "t_mix_p", rates, Sampling.MixDefault)
+    assert(fresh("t_mix_p").count() == before, "replayed batch_id must be a no-op")
+    dropGateTables("t_mix_p")
+    // real stream wiring: documents through readStream/foreachBatch
+    val streamDir = Files.createTempDirectory("graft-mix").toString
+    val ckpt = Files.createTempDirectory("graft-mix-ckpt").toString
+    docs.select($"doc_id", $"source").coalesce(1)
+      .write.mode("overwrite").parquet(streamDir)
+    val docStream = spark.readStream
+      .schema("doc_id BIGINT, source STRING").parquet(streamDir)
+    val q = MixStream.start(docStream, "t_mix2_p", ckpt, rates, Sampling.MixDefault)
+    try q.processAllAvailable() finally q.stop()
+    spark.catalog.refreshTable("t_mix2_p")
+    assert(show(MixStream.report(spark, "t_mix2_p", rates, Sampling.MixDefault)) ==
+      show(Sampling.mixReport(docs, rates, Sampling.MixDefault)),
+      "streamed partials must serve the exact batch audit")
+    dropGateTables("t_mix2_p")
+  }
+
   test("rank maintainer: cold bootstrap == domainRank, warm refresh == batch d_rank_delta, replay idempotent") {
     import graft.ops.DomainGraph
     import graft.streaming.RankStream
