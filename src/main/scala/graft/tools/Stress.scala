@@ -16,6 +16,9 @@ object Stress {
     // "embonly" re-runs just the embedding arms (plan-change A/B without
     // repaying the 10+-minute document arms)
     val embOnly = args.drop(1).contains("embonly")
+    // "mixonly" = just the mixture-planning arms (the embonly idea for
+    // the r12 waterfill/anneal family)
+    val mixOnly = args.drop(1).contains("mixonly")
     val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -32,6 +35,16 @@ object Stress {
       val t0 = System.nanoTime(); val r = f
       println(f"[stress] $label: ${(System.nanoTime()-t0)/1e9}%.1f s = $r")
     }
+    // mixture planning (r12): one scan-side token aggregate + model-
+    // scale windows — cost must stay ∝ corpus scan as replicas grow
+    // (the #sources-row waterfill is corpus-size-independent); the
+    // curve's 4 β arms share ONE localCheckpointed aggregate, so the
+    // sweep must cost ≈ the anneal plan + epsilon, not 4×
+    def mixArms(d: org.apache.spark.sql.DataFrame): Unit = {
+      time("mix_waterfill")(graft.ops.Sampling.mixWaterfill(d).count())
+      time("anneal_curve")(graft.ops.Sampling.annealCurve(d).count())
+    }
+    if (mixOnly) { mixArms(docs); spark.stop(); return }
     if (!embOnly) {
     time("exact_dedup")(Dedup.exactDedup(docs).count())
     // canonical (NFC) dedup: must track exact_dedup — same one-hash
@@ -48,6 +61,7 @@ object Stress {
     // weighted sample: scan-side score + TakeOrdered(k) — cost ∝ scan,
     // result stays k rows regardless of corpus size
     time("weighted_sample")(graft.ops.Sampling.weightedSample(docs).count())
+    mixArms(docs)
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
     if (!noExact) time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
