@@ -451,6 +451,7 @@ object Sampling {
                    defaultPart: Int = EpochPartDefault,
                    maxEpochs: Long = 4L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive (realized_share divides by it)")
     val tokCount = graft.functions.GraftFunctions
       .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
     val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
@@ -588,6 +589,8 @@ object Sampling {
                 parts: Map[String, Int] = EpochParts,
                 defaultPart: Int = EpochPartDefault,
                 maxEpochs: Long = 4L, boost: Long = 4L): DataFrame = {
+    require(budgetTokens >= 4,
+      "budgetTokens must be >= 4 (both phase shares divide by their phase budgets)")
     val b2 = budgetTokens / 4
     val b1 = budgetTokens - b2
     def shareCol(b: Long) = expr(

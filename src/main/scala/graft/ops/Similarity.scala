@@ -590,6 +590,50 @@ object Similarity {
     * 2·|panel| code-table serves + |panel| exact scans. Recall is a
     * quotient of exact integer counts → the exact-integer half-away
     * idiom. */
+  /** Serving under DELETES off a STALE index — the operational gap
+    * between index refits that [[annIvfFilteredFromIndex]]'s pre-filter
+    * form exists to close: vectors get tombstoned between refits
+    * (takedowns, dedup removals), the fitted IVF lists still carry
+    * them, and the serving path must (a) exclude them EXACTLY — the
+    * tombstone predicate lands on the assigned-table SCAN, before any
+    * cosine, so a deleted vector can never reach a top-k — and (b)
+    * tell the operator what the stale lists cost in recall against the
+    * exact top-k over LIVE vectors (the number that decides when
+    * tombstone VOLUME, not just drift, should trigger the
+    * AnnStream.refitSignal refit). Tombstone set = the deterministic
+    * vec_id % 7 == 3 panel (~14% of the corpus — a heavy-delete
+    * regime); the query panel is chosen live.
+    *
+    * Per query: n_exact (live brute-force top-k, computed once and
+    * localCheckpointed), n_served / n_hit / n_leaked from the served
+    * side (n_leaked is a LIVE assertion column — 0 by construction of
+    * the pre-filter, and the oracle hash-checks it stays 0), recall as
+    * the exact-integer half-away quotient. */
+  def annTombstoneReport(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                         assigned: DataFrame,
+                         queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 4L, 5L),
+                         k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val liveP = col("vec_id") % lit(7L) =!= lit(3L)
+    val live = embeddings.filter(liveP)
+    queryVecIds.map { id =>
+      require(id % 7 != 3, s"query $id is tombstoned — pick a live query")
+      val exact = DupClusters.materialize(annTopK(live, id, k).select(col("vec_id")))
+      val approx = annIvfFilteredFromIndex(centroids, assigned, liveP, id, k, nProbe)
+        .select(col("vec_id").as("a_vec_id"))
+      approx.join(exact.withColumn("in_exact", lit(1L)),
+          col("a_vec_id") === col("vec_id"), "left")
+        .agg(count(lit(1)).as("n_served"),
+          coalesce(sum(col("in_exact")), lit(0L)).as("n_hit"),
+          coalesce(sum(when(col("a_vec_id") % lit(7L) === lit(3L), lit(1L))), lit(0L))
+            .as("n_leaked"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(id).as("query_id"), col("n_exact"), col("n_served"),
+          col("n_hit"), col("n_leaked"),
+          expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE) / 10000.0")
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def opqRecallReport(embeddings: DataFrame,
                       booksPq: Seq[Seq[Seq[Double]]], codesPq: DataFrame,
                       perm: Seq[Int], booksOpq: Seq[Seq[Seq[Double]]],
@@ -1429,6 +1473,10 @@ object Similarity {
       val (perm, books, codes) = graft.core.Catalog.opqIndex(s, d)
       annOpqFromIndex(perm, books, codes, Tables(s, d).embeddings)
     }),
+    "s_ann_tombstone" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      annTombstoneReport(Tables(s, d).embeddings, cents, assigned)
+    }),
     "s_opq_recall" -> ((s, d) => {
       val (booksPq, codesPq) = graft.core.Catalog.pqIndex(s, d)
       val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(s, d)
@@ -1569,6 +1617,36 @@ object Similarity {
     * the IVF serving arm at nProbe=2, both with (cos desc, id) order. */
   private def recallQueryCte(qid: Int): String =
     recallQexCte(qid) + ",\n" + recallApproxCte(qid, 2, "")
+
+  /** Tombstone-serving CTEs for one query: exact top-k over LIVE
+    * vectors (vec_id % 7 != 3) + the stale-index IVF arm with the same
+    * live pre-filter (the annTombstoneReport mirror). The fit CTE is
+    * the FULL-corpus ivfFitCte — stale lists by construction. */
+  private def tombQueryCte(qid: Int): String =
+    s"""tq$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
+       |tex$qid AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id, ${cosSql("e.embedding", s"tq$qid.qe")} AS cos
+       |    FROM eiv e CROSS JOIN tq$qid WHERE e.vec_id != $qid AND e.vec_id % 7 != 3
+       |    ORDER BY cos DESC, vec_id ASC LIMIT 10)),
+       |tpr$qid AS (SELECT c FROM (
+       |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql(s"tq$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM c2 CROSS JOIN tq$qid) WHERE rn <= 2),
+       |tap$qid AS (SELECT vec_id FROM (
+       |    SELECT af.vec_id, ${cosSql("af.embedding", s"tq$qid.qe")} AS cos
+       |    FROM af CROSS JOIN tq$qid
+       |    WHERE af.cluster IN (SELECT c FROM tpr$qid)
+       |      AND af.vec_id != $qid AND af.vec_id % 7 != 3
+       |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+
+  private def tombQuerySelect(qid: Int): String =
+    s"""SELECT CAST($qid AS BIGINT) AS query_id,
+       |  CAST((SELECT COUNT(*) FROM tex$qid) AS BIGINT) AS n_exact,
+       |  CAST((SELECT COUNT(*) FROM tap$qid) AS BIGINT) AS n_served,
+       |  CAST((SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id) AS BIGINT) AS n_hit,
+       |  CAST((SELECT COUNT(*) FROM tap$qid WHERE vec_id % 7 = 3) AS BIGINT) AS n_leaked,
+       |  CAST((20000 * (SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id)
+       |        + (SELECT COUNT(*) FROM tex$qid)) //
+       |       (2 * (SELECT COUNT(*) FROM tex$qid)) AS DOUBLE) / 10000.0 AS recall""".stripMargin
 
   private def recallQuerySelect(qid: Int): String =
     s"""SELECT CAST($qid AS BIGINT) AS query_id,
@@ -2045,6 +2123,14 @@ object Similarity {
       ("WITH " + ivfFitCte + ",\n" +
         (0 until 5).map(recallQueryCte).mkString(",\n") + "\n" +
         (0 until 5).map(recallQuerySelect).mkString("\nUNION ALL\n")),
+    // annTombstoneReport mirror: the FULL-corpus fit (stale lists by
+    // construction) + per live query the live-filtered exact and
+    // served arms, counts + the hash-checked n_leaked = 0 assertion +
+    // exact-integer half-away recall.
+    "s_ann_tombstone" ->
+      ("WITH " + ivfFitCte + ",\n" +
+        Seq(0, 1, 2, 4, 5).map(tombQueryCte).mkString(",\n") + "\n" +
+        Seq(0, 1, 2, 4, 5).map(tombQuerySelect).mkString("\nUNION ALL\n")),
     // nprobeCurve mirror: the same fit CTE + ONE exact arm per query
     // shared across probe settings + one approx arm per (probe, query)
     // cell; per-probe totals summed over the panel, exact-integer

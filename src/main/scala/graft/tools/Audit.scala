@@ -54,6 +54,10 @@ object Audit {
     // arms' exact-cosine reranks (the s_ann_pq / s_ann_opq shapes,
     // one per (arm, query) cell)
     "s_opq_recall",
+    // per query: the 1-row query-vector broadcast in the filtered IVF
+    // serve + the 1-row exact-count frame crossJoined onto the 1-row
+    // served-side aggregate (the t_bm25 corpus-stats shape)
+    "s_ann_tombstone",
     // the 1-row corpus-total frame crossJoined onto the 4-row stacked
     // threshold aggregate — the t_bm25 corpus-stats shape
     "t_decontam_curve",

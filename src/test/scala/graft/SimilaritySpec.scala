@@ -260,6 +260,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annTombstoneReport: zero leaks, counts equal the shipped plans, stale-index recall bounded") {
+    val (cents, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val qids = Seq(0L, 1L, 2L)
+    val rows = Similarity.annTombstoneReport(embs, cents, assigned,
+        queryVecIds = qids, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(rows.keySet == qids.toSet)
+    val live = embs.filter($"vec_id" % 7 =!= 3)
+    qids.foreach { id =>
+      val r = rows(id)
+      assert(r.getAs[Long]("n_leaked") == 0L, s"q$id: a tombstoned vector leaked")
+      // differential against the shipped plans: exact live top-k and
+      // the pre-filtered stale-index serve
+      val exact = Similarity.annTopK(live, id, 5).collect().map(_.getLong(0)).toSet
+      val served = Similarity.annIvfFilteredFromIndex(cents, assigned,
+          $"vec_id" % 7 =!= 3, id, 5).collect().map(_.getLong(0)).toSet
+      assert(served.forall(_ % 7 != 3), s"q$id: serve plan returned a deleted id")
+      assert(r.getAs[Long]("n_exact") == exact.size.toLong)
+      assert(r.getAs[Long]("n_served") == served.size.toLong)
+      val hit = (exact intersect served).size.toLong
+      assert(r.getAs[Long]("n_hit") == hit)
+      assert(r.getAs[Double]("recall") ==
+        ((20000L * hit + exact.size) / (2L * exact.size)).toDouble / 10000.0)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+    // a tombstoned query id is rejected loudly, not served wrongly
+    intercept[IllegalArgumentException] {
+      Similarity.annTombstoneReport(embs, cents, assigned, queryVecIds = Seq(3L))
+    }
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))
