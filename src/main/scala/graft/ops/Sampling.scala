@@ -368,6 +368,21 @@ object Sampling {
   val EpochParts: Map[String, Int] = Map("src0" -> 8, "src1" -> 8, "src2" -> 4, "src3" -> 2)
   val EpochPartDefault: Int = 1
 
+  /** The whitespace-token count every budget operator denominates in
+    * (the codegen kernel with no word lists) — single-sourced so the
+    * epochPlan / mixWaterfill / mixAnneal family and their DuckDB
+    * `toks` CTEs can never disagree about what a token is. */
+  private def tokenCountCol: Column =
+    graft.functions.GraftFunctions
+      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
+
+  /** The integer-parts weight CASE shared by the same family (exact,
+    * order-free Σw under any partitioning). */
+  private def weightCol(parts: Map[String, Int], defaultPart: Int): Column =
+    parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
+      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
+    }
+
   /** Data-constrained epoching plan (Muennighoff et al. 2023): given a
     * total token budget and a target mixture, how many EPOCHS of each
     * source must be repeated to serve its share — and how much of the
@@ -386,11 +401,8 @@ object Sampling {
                 parts: Map[String, Int] = EpochParts,
                 defaultPart: Int = EpochPartDefault,
                 maxEpochs: Double = 4.0): DataFrame = {
-    val tokCount = graft.functions.GraftFunctions
-      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
-    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
-      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
-    }
+    val tokCount = tokenCountCol
+    val w = weightCol(parts, defaultPart)
     val all = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     documents
@@ -452,11 +464,8 @@ object Sampling {
                    maxEpochs: Long = 4L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, "budgetTokens must be positive (realized_share divides by it)")
-    val tokCount = graft.functions.GraftFunctions
-      .stopwordProfile(col("text"), typedlit(Seq.empty[Seq[String]])).getItem(0)
-    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
-      case (acc, (src, p)) => when(col("source") === src, lit(p)).otherwise(acc)
-    }
+    val tokCount = tokenCountCol
+    val w = weightCol(parts, defaultPart)
     val B = budgetTokens
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -547,9 +556,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val p = graft.functions.GraftFunctions.stopwordProfile(col("text"),
       typedlit(Seq(TextAnalysis.stopwords("en"))))
-    val w = parts.toSeq.sortBy(_._1).foldLeft(lit(defaultPart)) {
-      case (acc, (src, pp)) => when(col("source") === src, lit(pp)).otherwise(acc)
-    }
+    val w = weightCol(parts, defaultPart)
     val byQ = Window.partitionBy().orderBy(
       (col("n_high").cast("double") / col("n_docs")).desc, col("source"))
     val all = Window.partitionBy()
@@ -1083,6 +1090,36 @@ object Sampling {
          |    ELSE (2 * weight * ($b - c_k) + (w_tot - w_k)) //
          |         (2 * GREATEST(w_tot - w_k, 1)) END AS alloc_tokens FROM ${p}k)""".stripMargin
     val enList = graft.ops.TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    // Shared quality/boost base of the two anneal mirrors (the Spark
+    // side's annealRanked single-sourcing, replayed once here): token
+    // CTE + t_quality 'high' conditions + integer weight CASE +
+    // top-quartile boost rank, ending at `base` (with level) — so the
+    // two keys' quality definitions can never drift apart.
+    val annealBaseCtes: String =
+      raw"""WITH toks AS (SELECT doc_id, source,
+         |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+         |  FROM documents),
+         |m AS (SELECT source, len(list_filter(toks, t -> t != '')) AS t,
+         |    len(list_filter(toks, t -> t IN ($enList))) AS st
+         |  FROM toks),
+         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(t) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CASE WHEN t >= 50 AND st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |  FROM m GROUP BY 1),
+         |w AS (SELECT source, n_docs, n_tokens, n_high,
+         |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
+         |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight,
+         |    n_tokens * 4 AS capacity_tokens
+         |  FROM agg),
+         |r AS (SELECT *,
+         |    ROW_NUMBER() OVER (ORDER BY CAST(n_high AS DOUBLE) / n_docs DESC, source) AS q_rank,
+         |    COUNT(*) OVER () AS n_src
+         |  FROM w),
+         |base AS (SELECT source, n_docs, n_tokens, n_high,
+         |    CASE WHEN q_rank * 4 <= n_src + 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS annealed,
+         |    weight, capacity_tokens,
+         |    CAST(capacity_tokens AS DOUBLE) / weight AS level
+         |  FROM r)""".stripMargin
     // Add-1 smoothed hashed-bigram multinomial log-ratio: every
     // probability is a ratio of integers (bucket key = 2 hex chars of
     // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
@@ -1277,7 +1314,7 @@ object Sampling {
       // — every decision integer, every SUM OVER cast back to BIGINT
       // (DuckDB widens to HUGEINT).
       "d_mix_waterfill" ->
-        raw"""WITH toks AS (SELECT doc_id, source,
+        (raw"""WITH toks AS (SELECT doc_id, source,
            |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
            |  FROM documents),
            |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1289,62 +1326,21 @@ object Sampling {
            |  FROM agg),
            |cap AS (SELECT *, n_tokens * 4 AS capacity_tokens,
            |    CAST(n_tokens * 4 AS DOUBLE) / weight AS level FROM w),
-           |o AS (SELECT *,
-           |    CAST(COALESCE(SUM(capacity_tokens) OVER (ORDER BY level, source
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lag,
-           |    CAST(COALESCE(SUM(weight) OVER (ORDER BY level, source
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w_lag,
-           |    CAST(SUM(weight) OVER () AS BIGINT) AS w_tot
-           |  FROM cap),
-           |f AS (SELECT *, CASE WHEN weight * (100000 - c_lag) >=
-           |      capacity_tokens * (w_tot - w_lag) THEN 1 ELSE 0 END AS feasible FROM o),
-           |p AS (SELECT *, CAST(MIN(feasible) OVER (ORDER BY level, source
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS capped FROM f),
-           |k AS (SELECT *,
-           |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN capacity_tokens END) OVER (), 0) AS BIGINT) AS c_k,
-           |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN weight END) OVER (), 0) AS BIGINT) AS w_k
-           |  FROM p),
-           |a AS (SELECT *, CASE WHEN capped = 1 THEN capacity_tokens
-           |    ELSE (2 * weight * (100000 - c_k) + (w_tot - w_k)) //
-           |         (2 * GREATEST(w_tot - w_k, 1)) END AS alloc_tokens FROM k)
+           |""".stripMargin + wfCtes("", "cap", 100000L) + raw"""
            |SELECT source, n_docs, n_tokens, weight, capacity_tokens, capped,
            |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            |  CAST((20000 * alloc_tokens + 100000) // 200000 AS DOUBLE) / 10000.0 AS realized_share,
            |  CAST((20000 * alloc_tokens + GREATEST(n_tokens, 1)) //
            |       (2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0 AS realized_epochs,
            |  CAST(GREATEST(100000 - CAST(SUM(alloc_tokens) OVER () AS BIGINT), 0) AS BIGINT) AS unserved_tokens
-           |FROM a""".stripMargin,
+           |FROM a""".stripMargin),
       // mixAnneal mirror: quality aggregate (t_quality's exact integer
       // 'high' conditions) → integer top-quartile boost rank → TWO
       // wfCtes waterfill replays (main at 3/4 budget, anneal at 1/4
       // against the capacity left), unioned with per-phase half-away
       // shares.
       "d_mix_anneal" ->
-        (raw"""WITH toks AS (SELECT doc_id, source,
-           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-           |  FROM documents),
-           |m AS (SELECT source, len(list_filter(toks, t -> t != '')) AS t,
-           |    len(list_filter(toks, t -> t IN ($enList))) AS st
-           |  FROM toks),
-           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    CAST(SUM(t) AS BIGINT) AS n_tokens,
-           |    CAST(SUM(CASE WHEN t >= 50 AND st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-           |  FROM m GROUP BY 1),
-           |w AS (SELECT source, n_docs, n_tokens, n_high,
-           |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
-           |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight,
-           |    n_tokens * 4 AS capacity_tokens
-           |  FROM agg),
-           |r AS (SELECT *,
-           |    ROW_NUMBER() OVER (ORDER BY CAST(n_high AS DOUBLE) / n_docs DESC, source) AS q_rank,
-           |    COUNT(*) OVER () AS n_src
-           |  FROM w),
-           |base AS (SELECT source, n_docs, n_tokens, n_high,
-           |    CASE WHEN q_rank * 4 <= n_src + 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS annealed,
-           |    weight, capacity_tokens,
-           |    CAST(capacity_tokens AS DOUBLE) / weight AS level
-           |  FROM r),
-           |""" + wfCtes("m1", "base", 75000L) + raw""",
+        (annealBaseCtes + ",\n" + wfCtes("m1", "base", 75000L) + raw""",
            |w2 AS (SELECT source, n_docs, n_tokens, n_high, annealed,
            |    CASE WHEN annealed = 1 THEN weight * 4 ELSE weight END AS weight,
            |    capacity_tokens - alloc_tokens AS capacity_tokens
@@ -1366,30 +1362,7 @@ object Sampling {
       // against the capacity left) collapsed to the arm's allocation
       // sums + half-away quality share.
       "d_anneal_curve" -> {
-        val head = raw"""WITH toks AS (SELECT doc_id, source,
-           |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-           |  FROM documents),
-           |m AS (SELECT source, len(list_filter(toks, t -> t != '')) AS t,
-           |    len(list_filter(toks, t -> t IN ($enList))) AS st
-           |  FROM toks),
-           |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |    CAST(SUM(t) AS BIGINT) AS n_tokens,
-           |    CAST(SUM(CASE WHEN t >= 50 AND st > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
-           |  FROM m GROUP BY 1),
-           |w AS (SELECT source, n_docs, n_tokens, n_high,
-           |    CAST(CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 8 WHEN 'src2' THEN 4
-           |                WHEN 'src3' THEN 2 ELSE 1 END AS BIGINT) AS weight,
-           |    n_tokens * 4 AS capacity_tokens
-           |  FROM agg),
-           |r AS (SELECT *,
-           |    ROW_NUMBER() OVER (ORDER BY CAST(n_high AS DOUBLE) / n_docs DESC, source) AS q_rank,
-           |    COUNT(*) OVER () AS n_src
-           |  FROM w),
-           |base AS (SELECT source, n_docs, n_tokens, n_high,
-           |    CASE WHEN q_rank * 4 <= n_src + 3 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS annealed,
-           |    weight, capacity_tokens,
-           |    CAST(capacity_tokens AS DOUBLE) / weight AS level
-           |  FROM r)""".stripMargin
+        val head = annealBaseCtes
         val arms = Seq(0, 1, 2, 4).map { k =>
           val b2 = 100000L * k / 8
           val b1 = 100000L - b2

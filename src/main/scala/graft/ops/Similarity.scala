@@ -578,18 +578,6 @@ object Similarity {
         col("max_err_pq"), col("max_err_opq"))
   }
 
-  /** OPQ RECALL card — the decision variable [[opqErrorReport]]'s MSE
-    * only proxies (Ge et al. 2013's claim is better NN search, not
-    * just lower quantization error; a rollout gates on recall): per
-    * arm (plain PQ vs permutation-OPQ), recall@k of the served top-k
-    * against the exact brute-force top-k, aggregated over the query
-    * panel. Both serving arms are the shipped plans
-    * ([[annPqFromIndex]] / [[annOpqFromIndex]] off the Catalog-cached
-    * indexes); the exact ground truth is computed ONCE per query and
-    * localCheckpointed (the nprobeCurve recipe), so the card costs
-    * 2·|panel| code-table serves + |panel| exact scans. Recall is a
-    * quotient of exact integer counts → the exact-integer half-away
-    * idiom. */
   /** Serving under DELETES off a STALE index — the operational gap
     * between index refits that [[annIvfFilteredFromIndex]]'s pre-filter
     * form exists to close: vectors get tombstoned between refits
@@ -629,11 +617,24 @@ object Similarity {
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(lit(id).as("query_id"), col("n_exact"), col("n_served"),
           col("n_hit"), col("n_leaked"),
-          expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE) / 10000.0")
+          when(col("n_exact") === 0L, lit(0.0)).otherwise(
+            expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE) / 10000.0"))
             .as("recall"))
     }.reduce(_ unionByName _)
   }
 
+  /** OPQ RECALL card — the decision variable [[opqErrorReport]]'s MSE
+    * only proxies (Ge et al. 2013's claim is better NN search, not
+    * just lower quantization error; a rollout gates on recall): per
+    * arm (plain PQ vs permutation-OPQ), recall@k of the served top-k
+    * against the exact brute-force top-k, aggregated over the query
+    * panel. Both serving arms are the shipped plans
+    * ([[annPqFromIndex]] / [[annOpqFromIndex]] off the Catalog-cached
+    * indexes); the exact ground truth is computed ONCE per query and
+    * localCheckpointed (the nprobeCurve recipe), so the card costs
+    * 2·|panel| code-table serves + |panel| exact scans. Recall is a
+    * quotient of exact integer counts → the exact-integer half-away
+    * idiom. */
   def opqRecallReport(embeddings: DataFrame,
                       booksPq: Seq[Seq[Seq[Double]]], codesPq: DataFrame,
                       perm: Seq[Int], booksOpq: Seq[Seq[Seq[Double]]],
@@ -1644,9 +1645,10 @@ object Similarity {
        |  CAST((SELECT COUNT(*) FROM tap$qid) AS BIGINT) AS n_served,
        |  CAST((SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id) AS BIGINT) AS n_hit,
        |  CAST((SELECT COUNT(*) FROM tap$qid WHERE vec_id % 7 = 3) AS BIGINT) AS n_leaked,
-       |  CAST((20000 * (SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id)
-       |        + (SELECT COUNT(*) FROM tex$qid)) //
-       |       (2 * (SELECT COUNT(*) FROM tex$qid)) AS DOUBLE) / 10000.0 AS recall""".stripMargin
+       |  (CASE WHEN (SELECT COUNT(*) FROM tex$qid) = 0 THEN 0.0 ELSE
+       |    CAST((20000 * (SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id)
+       |          + (SELECT COUNT(*) FROM tex$qid)) //
+       |         (2 * (SELECT COUNT(*) FROM tex$qid)) AS DOUBLE) / 10000.0 END) + 0.0 AS recall""".stripMargin
 
   private def recallQuerySelect(qid: Int): String =
     s"""SELECT CAST($qid AS BIGINT) AS query_id,

@@ -260,12 +260,20 @@ object VehicleQueries {
     * same [[VehicleFeed.latest]] plan; the comparison is a FULL OUTER
     * join on the key (no broadcast strategy exists for full outer —
     * the q_full_outer precedent) collapsing to ≤ 4 rows. */
-  def snapshotDiff(feed: DataFrame): DataFrame = {
+  def snapshotDiff(feed: DataFrame): DataFrame =
+    snapshotDiffWith(feed, VehicleFeed.latest(_))
+
+  /** The shared cut/upsert/full-outer/classify body of the two
+    * snapshot-diff keys, parametrized on the upsert (plain latest vs
+    * tombstone-aware) so a fix to the watermark or classification can
+    * never desynchronize them. */
+  private def snapshotDiffWith(feed: DataFrame,
+                               upsert: DataFrame => DataFrame): DataFrame = {
     val cut = feed.agg(expr("percentile(obs_id, 0.5)").as("cut"))
-    val oldSnap = VehicleFeed.latest(
+    val oldSnap = upsert(
         feed.crossJoin(broadcast(cut)).filter(col("obs_id") <= col("cut")).drop("cut"))
       .select(col("id").as("old_id"), col("obs_id").as("old_obs"))
-    val newSnap = VehicleFeed.latest(feed)
+    val newSnap = upsert(feed)
       .select(col("id").as("new_id"), col("obs_id").as("new_obs"))
     newSnap.join(oldSnap, col("new_id") === col("old_id"), "full_outer")
       .select(
@@ -301,22 +309,8 @@ object VehicleQueries {
     * watermark winner was live and whose overall winner is a tombstone
     * has genuinely left the table). Both sides are the tombstone-aware
     * upsert; the comparison is the same ≤4-row full-outer collapse. */
-  def snapshotDiffTombstone(feed: DataFrame): DataFrame = {
-    val cut = feed.agg(expr("percentile(obs_id, 0.5)").as("cut"))
-    val oldSnap = upsertTombstone(
-        feed.crossJoin(broadcast(cut)).filter(col("obs_id") <= col("cut")).drop("cut"))
-      .select(col("id").as("old_id"), col("obs_id").as("old_obs"))
-    val newSnap = upsertTombstone(feed)
-      .select(col("id").as("new_id"), col("obs_id").as("new_obs"))
-    newSnap.join(oldSnap, col("new_id") === col("old_id"), "full_outer")
-      .select(
-        when(col("old_id").isNull, "added")
-          .when(col("new_id").isNull, "removed")
-          .when(col("old_obs") =!= col("new_obs"), "changed")
-          .otherwise("unchanged").as("change_type"))
-      .groupBy(col("change_type"))
-      .agg(count(lit(1)).as("n"))
-  }
+  def snapshotDiffTombstone(feed: DataFrame): DataFrame =
+    snapshotDiffWith(feed, upsertTombstone)
 
   /** queries.go:214-270 — counts per cardinal direction. */
   def bearingSummary(vehicles: DataFrame): DataFrame =
