@@ -18,6 +18,13 @@ import graft.core.GraftSession
   * driver run charged a 24 s stall to a 2 s hash aggregate) — the
   * per-query median absorbs any one-off stall while still counting every
   * real plan cost. `value` is the sum of per-query medians.
+  *
+  * A full sf0.1 battery SELF-ADJUDICATES its >2×-pin flags (BASELINE.md
+  * load protocol): flagged keys are re-timed in one fresh child JVM at
+  * battery end and the JSON ships `flags`/`flags_cleared`/
+  * `flags_confirmed`/`adjudication_sec`. Disable with
+  * `SPARK_GRAFT_BENCH_ADJUDICATE=0` (e.g. when scripting repeated
+  * batteries on a deliberately loaded box).
   */
 object Bench {
   /** Idle-box warm_fits_sec ceiling at the contract config (sf0.1,
@@ -124,7 +131,10 @@ object Bench {
     // contract SF (a key-filtered or off-SF run skips/changes the warm
     // block's cost profile).
     val loadEnd = loadAvg()
-    val fullBattery = only.isEmpty && sfDir.endsWith("0.1")
+    // basename compare, not endsWith: a trailing slash or a dir like
+    // sf10.1 must not silently flip the load-protocol telemetry
+    val fullBattery = only.isEmpty &&
+      new java.io.File(sfDir).getName == "sf0.1"
     val underLoad = fullBattery && warmFitsSec > 2.0 * IdleWarmFitsMaxSec
     if (underLoad)
       System.err.println(
@@ -132,8 +142,110 @@ object Bench {
         f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 16-49 s) — load avg " +
         f"$loadStart%.2f -> $loadEnd%.2f. Per-key >2x readings from this run are load " +
         "artifacts until reproduced per the fresh-JVM idle protocol (BASELINE.md).")
+
+    // SELF-ADJUDICATION (BASELINE.md load protocol, automated): a full
+    // sf0.1 battery that recorded >2×-pin keys re-times exactly those
+    // keys in ONE fresh child JVM at battery end — the same
+    // SPARK_GRAFT_BENCH_KEYS reproduce protocol a human would run, but
+    // executed while the artifact is being written, so a loaded-battery
+    // flag (r11: 31 of them; r12: the 10.7× d_dsir_curve) arrives
+    // pre-cleared instead of costing a judge round. The child inherits
+    // this JVM's exact args (--add-opens, -Xmx, -D props) and
+    // classpath; by battery end the battery's own load contribution is
+    // gone, which is the best same-box approximation of "idle".
+    val pins: Map[String, Double] =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val f = new java.io.File("BASELINE.json")
+        if (!f.exists()) Map.empty
+        else JsonMethods.parse(f) \ "per_query_sec" match {
+          case JObject(fields) => fields.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] BASELINE.json unreadable: ${e.getMessage}")
+        Map.empty
+      }
+    val flagged: Seq[String] = results.collect {
+      case (k, v) if v >= 0 && pins.get(k).exists(p => p > 0 && v > 2 * p) => k
+    }.sorted
+    val adjudicate = fullBattery && flagged.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE", "1") != "0"
+    var adjSec = Map.empty[String, Double]
+    var adjRan = false
+    if (adjudicate) {
+      System.err.println(s"[bench] ${flagged.size} >2x-pin flag(s) — adjudicating " +
+        s"in a fresh child JVM: ${flagged.mkString(",")}")
+      try {
+        val javaBin = s"${sys.props("java.home")}/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val outFile = java.nio.file.Files
+          .createTempFile("graft_bench_adjudicate", ".json").toString
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin); cmd.addAll(jvmArgs)
+        cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_KEYS", flagged.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_BENCH_REPS", "3")
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // the child's
+        // contract JSON lands in outFile; its stdout must not interleave
+        // with THIS battery's single machine-parseable stdout line
+        val proc = pb.start()
+        // generous bound: the child pays the warm-fit block (< 50 s
+        // idle) + reps×flagged serves; a hung child must not hang the
+        // battery artifact
+        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly()
+          System.err.println("[bench] adjudication child timed out — flags stand unadjudicated")
+        } else {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          JsonMethods.parse(new java.io.File(outFile)) \ "queries" match {
+            case JObject(fields) =>
+              adjSec = fields.collect {
+                case (k, JDouble(v)) if v >= 0 => k -> v
+                case (k, JInt(v)) if v >= 0 => k -> v.toDouble
+                case (k, JDecimal(v)) if v >= 0 => k -> v.toDouble
+              }.toMap
+              adjRan = true
+            case _ =>
+              System.err.println("[bench] adjudication child JSON missing queries map")
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] adjudication failed: ${e.getMessage} — flags stand unadjudicated")
+      }
+    }
+    // cleared = the fresh-JVM median sits back within the 2× gate;
+    // confirmed = it reproduces >2× fresh (re-pin candidate, BASELINE.md
+    // protocol); a key the child could not time stays CONFIRMED — a
+    // failed adjudication must never silently clear a flag.
+    val flagsCleared =
+      if (!adjRan) Seq.empty
+      else flagged.filter(k => adjSec.get(k).exists(a => a <= 2 * pins(k)))
+    val flagsConfirmed =
+      if (!adjRan) (if (adjudicate) flagged else Seq.empty)
+      else flagged.filterNot(flagsCleared.contains)
+    if (adjRan)
+      System.err.println(s"[bench] adjudication: ${flagsCleared.size} cleared, " +
+        s"${flagsConfirmed.size} confirmed of ${flagged.size} flag(s)")
+    def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val adjJson = adjSec.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"flags":${strArr(flagged)},"flags_cleared":${strArr(flagsCleared)},"flags_confirmed":${strArr(flagsConfirmed)},"adjudication_ran":$adjRan,"adjudication_sec":$adjJson,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but log pipelines truncate
     // (r4's per-query map survived only in a cut-off tail) — also land

@@ -31,10 +31,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
+  // array<float> or array<double> per side, independently: the fold is
+  // in doubles either way, so a double-typed side (e.g. the fixed-point
+  // bigint sums AnnStream.refitSignal casts down — a float cast would
+  // truncate the mantissa past ~2^24 and wobble the 4th decimal right
+  // at the refit threshold) loses nothing.
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine expects two array<float> columns, got ${l.sql} and ${r.sql}")
+      s"graft_cosine expects two array<float|double> columns, got ${l.sql} and ${r.sql}")
+  }
+
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
@@ -43,11 +54,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -65,12 +77,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      def get(arr: String, dbl: Boolean) =
+        if (dbl) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xi = (double) $a.getFloat($i);
-         |  final double $yi = (double) $b.getFloat($i);
+         |  final double $xi = ${get(a, isDouble(left))};
+         |  final double $yi = ${get(b, isDouble(right))};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

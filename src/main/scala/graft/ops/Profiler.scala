@@ -41,8 +41,10 @@ object Profiler {
 
   /** The in-plan sketch-accuracy CHECK for [[profile]]'s HLL mode — the
     * hash-checkable twin of `q_profile_hll` (whose raw estimates have no
-    * DuckDB replay by construction): ONE pass computes BOTH the exact
-    * multi-distinct and the HLL++ sketch per column, and the output
+    * DuckDB replay by construction): TWO separate passes — the exact
+    * multi-distinct profile and an HLL-only sketch pass — joined on the
+    * ≤ #columns-row unpivots (see the Plan-cost paragraph below for why
+    * a combined aggregate is pathological), and the output
     * carries the exact profile plus `nd_within_2pct` = 1 iff
     * |hll − exact| ≤ tol·exact. The DuckDB oracle recomputes the exact
     * profile and emits the literal 1 (exact-vs-exact is trivially within

@@ -299,9 +299,19 @@ object VehicleQueries {
     * effect; an older live record must not resurrect it — which is why
     * the filter runs AFTER the argmax, never before). Same single
     * map-side-combined shuffle as the plain upsert plus a scan-side
-    * filter — no extra exchange at any scale. */
+    * filter — no extra exchange at any scale.
+    *
+    * NULL occupancy is explicitly LIVE: a bare `!Tombstone` would drop
+    * a null-status winner via three-valued logic (NULL === x is NULL,
+    * !NULL is NULL → filtered), silently treating a missing-occupancy
+    * record as deleted — and diverging from the streaming CDC, whose
+    * JVM-side `!=` keeps nulls. The transform normalizes nulls to
+    * UNKNOWN so no current feed hits this, but the intent is stated
+    * in the predicate (and mirrored in the oracle SQL) rather than
+    * left to 3VL coincidence. */
   def upsertTombstone(feed: DataFrame): DataFrame =
-    VehicleFeed.latest(feed).filter(!Tombstone)
+    VehicleFeed.latest(feed)
+      .filter(col("occupancy_status").isNull || !Tombstone)
 
   /** [[snapshotDiff]] with deletes in the type system — the variant
     * that makes the `removed` arm REACHABLE (under append-only upsert
@@ -410,7 +420,7 @@ object VehicleQueries {
     // whose record wins the argmax removes the key; an older live
     // record must not resurrect it)
     "v_upsert_tombstone" ->
-      s"$VehiclesCte SELECT * FROM vehicles WHERE occupancy_status <> 'FEW_SEATS_AVAILABLE'",
+      s"$VehiclesCte SELECT * FROM vehicles WHERE occupancy_status IS NULL OR occupancy_status <> 'FEW_SEATS_AVAILABLE'",
     "v_snapshot_diff_tombstone" ->
       s"""$VehiclesCte,
          |cut AS (SELECT quantile_cont(obs_id, 0.5) AS c FROM vehicles_all),
@@ -419,9 +429,9 @@ object VehicleQueries {
          |      row_number() OVER (PARTITION BY v.id
          |      ORDER BY v.updated_at DESC, v.obs_id DESC) AS rn
          |    FROM vehicles_all v, cut WHERE v.obs_id <= cut.c)
-         |  WHERE rn = 1 AND occupancy_status <> 'FEW_SEATS_AVAILABLE'),
+         |  WHERE rn = 1 AND (occupancy_status IS NULL OR occupancy_status <> 'FEW_SEATS_AVAILABLE')),
          |newv AS (SELECT id, obs_id FROM vehicles
-         |  WHERE occupancy_status <> 'FEW_SEATS_AVAILABLE')
+         |  WHERE occupancy_status IS NULL OR occupancy_status <> 'FEW_SEATS_AVAILABLE')
          |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
          |  SELECT CASE WHEN o.id IS NULL THEN 'added'
          |              WHEN nv.id IS NULL THEN 'removed'

@@ -91,9 +91,13 @@ object AnnStream {
       .join(broadcast(snapshot), Seq("label"), "left")
       .select(col("label"), coalesce(col("n_fit"), lit(0L)).as("n_fit"), col("n_new"),
         when(col("sum_fit").isNull, lit(-1.0)).otherwise(
+          // double, not float: the fixed-point bigint sums exceed a
+          // float mantissa (~2^24) on large fit corpora or long
+          // accumulation windows, and the truncation wobble at the 4th
+          // decimal can flip refit_recommended right at minCos
           round(graft.functions.GraftFunctions.cosine(
-            col("sum_fit").cast("array<float>"),
-            col("sum_new").cast("array<float>")), 4) + lit(0.0)).as("drift_cos"))
+            col("sum_fit").cast("array<double>"),
+            col("sum_new").cast("array<double>")), 4) + lit(0.0)).as("drift_cos"))
       .withColumn("refit_recommended", col("drift_cos") < lit(minCos))
   }
 

@@ -43,7 +43,18 @@ object MixStream {
 
   /** One micro-batch: append the batch's per-source (n_docs, n_kept)
     * mixture partials under its batch_id — skipping a batch_id already
-    * present (crash replay). */
+    * present (crash replay).
+    *
+    * SINGLE-WRITER CONTRACT: the exists-check-then-append pair is not
+    * atomic. It is safe exactly because foreachBatch serializes batches
+    * within one stream (a crash-replayed batch re-arrives under the
+    * same batch_id and is skipped); TWO streams or a concurrent
+    * backfill writing the same `partialsTable` can race the check and
+    * double-append, silently inflating the merged counts. Run one
+    * writer per partials table — a second corpus gets its own table
+    * (and [[report]] merges are per-table by construction). Where the
+    * table format supports transactional MERGE, key the idempotence on
+    * (writer_id, batch_id) instead to lift the restriction. */
   def ingestBatch(docs: DataFrame, batchId: Long, partialsTable: String,
                   rates: Map[String, Double], defaultRate: Double): Unit = {
     val spark = docs.sparkSession
