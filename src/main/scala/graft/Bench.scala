@@ -72,6 +72,9 @@ object Bench {
     graft.core.Catalog.docFingerprints(spark, sfDir).count()
     graft.core.Catalog.dupClusters(spark, sfDir).count()
     graft.core.Catalog.ivfIndex(spark, sfDir)._2.count()
+    // the live-only refit index (s_ann_refit's second fit) — warm for
+    // the same reps=1-adjudication reason as every other fit
+    graft.core.Catalog.ivfIndexLive(spark, sfDir)._2.count()
     graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
     // the m-sweep's off-m codebooks (m=8 aliases pqIndex above) — in
     // the warm block for the same reason as bpeModelSnapshot: a

@@ -363,34 +363,63 @@ object Catalog {
     * flat (cluster id → centroid) layout in both regimes. */
   def ivfIndex(spark: SparkSession, dir: String, nlist: Int = 0): (Seq[Seq[Double]], DataFrame) = {
     evictStopped()
+    val emb = Tables(spark, dir).embeddings
     val k =
       if (nlist > 0) nlist
       else nlistCache.getOrElseUpdate((spark, dir),
-        graft.ops.Similarity.autoNlist(Tables(spark, dir).embeddings.count()))
-    ivfCache.getOrElseUpdate((spark, dir, k), {
-      import org.apache.spark.sql.functions.{col, typedlit}
-      val emb = Tables(spark, dir).embeddings
-      if (k <= graft.ops.Similarity.TwoLevelMinNlist) {
-        val cents = graft.ops.Similarity.ivfCentroids(emb, k)
-        val assigned = emb
-          .withColumn("cluster",
-            graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (cents, assigned)
-      } else {
-        val denom = graft.ops.Similarity.autoSampleDenom(emb.count(), k)
-        val (supers, grouped) = graft.ops.Similarity.ivfCentroidsHier(emb, k, 2, denom)
-        // third regime past JoinedAssignMinNlist: the sub-centroid model
-        // is too big to inline as a plan literal, so it broadcast-joins
-        // instead (routing-identical — spec-proven)
-        val assigned =
-          (if (k > graft.ops.Similarity.JoinedAssignMinNlist)
-             graft.ops.Similarity.twoLevelAssignJoined(emb, supers, grouped)
-           else emb.withColumn("cluster",
-             graft.ops.Similarity.twoLevelAssign(supers, grouped)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (grouped.flatten, assigned)
-      }
-    })
+        graft.ops.Similarity.autoNlist(emb.count()))
+    ivfCache.getOrElseUpdate((spark, dir, k), fitIvf(emb, k))
+  }
+
+  /** The LIVE-ONLY refit of [[ivfIndex]] — the index the `s_ann_refit`
+    * recovery card serves its refit arm from: the SAME fit recipe
+    * (auto-nlist from the LIVE count, same regime switches) over the
+    * corpus minus the tombstone set (the list-level takedown
+    * `Similarity.takedownLive` defines over the STALE assignment — see
+    * `Similarity.TakedownMod`'s scaladoc for why the refit card uses
+    * list-correlated, not uniform, deletes). In
+    * production this is the out-of-band rebuild `AnnStream.refitSignal`
+    * recommends — fitted on live vectors only, then published over the
+    * stale index via `Store`'s versioned swap (spec-proven in
+    * StoreSpec); the dir-suffixed cache key stands in for that
+    * published artifact. Cached independently of the stale index
+    * (`#live` suffix — the bpeModelSnapshot convention). */
+  def ivfIndexLive(spark: SparkSession, dir: String, nlist: Int = 0): (Seq[Seq[Double]], DataFrame) = {
+    evictStopped()
+    val live = ivfIndex(spark, dir)._2
+      .filter(graft.ops.Similarity.takedownLive).drop("cluster")
+    val k =
+      if (nlist > 0) nlist
+      else nlistCache.getOrElseUpdate((spark, dir + "#live"),
+        graft.ops.Similarity.autoNlist(live.count()))
+    ivfCache.getOrElseUpdate((spark, dir + "#live", k), fitIvf(live, k))
+  }
+
+  /** Shared IVF fit body (regime switching per the [[ivfIndex]]
+    * scaladoc), so the stale and live-refit indexes can never fit by
+    * different recipes. */
+  private def fitIvf(emb: DataFrame, k: Int): (Seq[Seq[Double]], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    if (k <= graft.ops.Similarity.TwoLevelMinNlist) {
+      val cents = graft.ops.Similarity.ivfCentroids(emb, k)
+      val assigned = emb
+        .withColumn("cluster",
+          graft.functions.GraftFunctions.nearestCentroid(col("embedding"), typedlit(cents)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (cents, assigned)
+    } else {
+      val denom = graft.ops.Similarity.autoSampleDenom(emb.count(), k)
+      val (supers, grouped) = graft.ops.Similarity.ivfCentroidsHier(emb, k, 2, denom)
+      // third regime past JoinedAssignMinNlist: the sub-centroid model
+      // is too big to inline as a plan literal, so it broadcast-joins
+      // instead (routing-identical — spec-proven)
+      val assigned =
+        (if (k > graft.ops.Similarity.JoinedAssignMinNlist)
+           graft.ops.Similarity.twoLevelAssignJoined(emb, supers, grouped)
+         else emb.withColumn("cluster",
+           graft.ops.Similarity.twoLevelAssign(supers, grouped)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (grouped.flatten, assigned)
+    }
   }
 }

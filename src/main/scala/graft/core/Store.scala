@@ -47,6 +47,7 @@ object Store {
   val FingerprintsTable = "graft_doc_fps"
   val ClustersTable = "graft_dup_clusters"
   val SemanticSurvivorsTable = "graft_semantic_survivors"
+  val AnnIndexTable = "graft_ann_index"
 
   // ---- versioned publish machinery ----
 
@@ -205,6 +206,25 @@ object Store {
   def saveSemanticSurvivors(spark: SparkSession, dir: String, buckets: Int = 8,
                             table: String = SemanticSurvivorsTable): Unit =
     publish(spark, Catalog.semanticSurvivors(spark, dir), table, buckets, "cluster")
+
+  /** Persist the IVF-assigned corpus (vec_id, label, embedding,
+    * cluster) bucketed by the LIST id — the durable serving layout:
+    * a probe reads only its lists' buckets, so serving I/O is
+    * ~nProbe/nlist of the table at any corpus size. */
+  def saveAnnIndex(spark: SparkSession, dir: String, buckets: Int = 8,
+                   table: String = AnnIndexTable): Unit =
+    publish(spark, Catalog.ivfIndex(spark, dir)._2, table, buckets, "cluster")
+
+  /** REPUBLISH after a refit — the swap `AnnStream.refitSignal` /
+    * `s_ann_refit` recommend: the live-only rebuilt index
+    * (`Catalog.ivfIndexLive`) replaces the stale one under the SAME
+    * public name via the versioned view swap, so serving queries cut
+    * over atomically at their next plan resolution while in-flight
+    * readers keep the retained previous version (the straddle
+    * property). Spec-proven in StoreSpec. */
+  def publishAnnRefit(spark: SparkSession, dir: String, buckets: Int = 8,
+                      table: String = AnnIndexTable): Unit =
+    publish(spark, Catalog.ivfIndexLive(spark, dir)._2, table, buckets, "cluster")
 
   // ---- incremental refreshes ----
 

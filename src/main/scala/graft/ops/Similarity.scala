@@ -623,6 +623,93 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The refit card's delete regime: a LIST-LEVEL takedown — every
+    * vector ASSIGNED (by the stale index) to a cluster ≡ 1 (mod
+    * [[TakedownMod]]) is tombstoned (4 of 16 lists ≈ 25% of the
+    * corpus), modeling a semantic purge: moderation/dedup sweeps
+    * operate on semantic CLUSTERS ("this spam campaign", "this
+    * licensed-content group" — the SemDeDup removal unit), so real
+    * purges hollow out whole inverted lists. Deliberately NOT the
+    * uniform vec_id % 7 panel `s_ann_tombstone` uses, and not a
+    * label/halfspace predicate either — all three were measured
+    * recall-neutral on this corpus (uniform deletes leave centroids
+    * unchanged in expectation; labels mix at ~0.18 purity inside lists
+    * and an isotropic cloud's Voronoi cells align with no extrinsic
+    * predicate, so those deletes are uniform PER LIST too). Only a
+    * delete set defined by the lists themselves is guaranteed
+    * geometry-correlated: the purged lists go 100% ghost while their
+    * centroids keep attracting probes — which is the regime where the
+    * stale index genuinely lies and a live-only refit genuinely
+    * recovers (measured: boundary-panel recall 0.46 → 0.65 at sf0.01,
+    * 0.41 → 0.52 at sf0.1). */
+  val TakedownMod: Int = 4
+
+  /** Liveness under the list takedown — a predicate on the STALE
+    * assignment (`cluster` = the stale index's list id). */
+  def takedownLive: Column = col("cluster") % lit(TakedownMod) =!= lit(1)
+
+  /** Index-REFIT recovery card — the loop-closer behind
+    * [[annTombstoneReport]]: that card measures what serving off STALE
+    * lists costs under deletes; this one proves what the recommended
+    * refit (AnnStream.refitSignal's out-of-band rebuild — here the
+    * live-only `Catalog.ivfIndexLive` fit, published in production via
+    * Store's versioned swap) buys back. Delete regime: the list-level
+    * [[takedownLive]] purge, not the tombstone card's uniform %7 panel
+    * — see [[TakedownMod]]'s scaladoc for the measured why. Per arm
+    * (`stale` = the full-corpus fit with the live pre-filter on the
+    * scan; `refit` = the same serve off the live-only re-fit, which
+    * carries no tombstones by construction), recall@k of the served
+    * top-k against the live exact brute-force top-k, aggregated over
+    * the query panel (the [[opqRecallReport]] output shape).
+    *
+    * The panel is PREDICATE-DEFINED — the `nQueries` smallest live
+    * vec_ids whose SECOND-nearest stale centroid is a purged list (a
+    * fixed id list can't stay on the takedown boundary across corpora;
+    * the ≤ nQueries-row collect is the query-vector class). These are
+    * the BOUNDARY queries — the ones the purge actually affected: their
+    * second probe lands on a 100%-ghost list, so the stale arm serves
+    * on half its probe budget (measured: stale recall is IDENTICAL at
+    * nProbe 1 and 2 for this panel — the second probe buys nothing),
+    * while the refit arm's redistributed lists make both probes land on
+    * live mass. A random panel instead measures ~parity: most queries
+    * sit far from the purge and lose nothing — which is itself a
+    * finding the tombstone card already covers.
+    *
+    * Serving is the BATCH window form ([[annIvfBatchFromIndex]] over
+    * the pre-filtered scan + one exact-arm batch), so the card costs
+    * ~3 window passes, not 2·|panel| chained subplans. Recall is the
+    * exact-integer half-away quotient. */
+  def annRefitReport(centsStale: Seq[Seq[Double]], assignedStale: DataFrame,
+                     centsLive: Seq[Seq[Double]], assignedLive: DataFrame,
+                     nQueries: Int = 10, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val live = assignedStale.filter(takedownLive)
+    val panel: Seq[Long] = live
+      .withColumn("n2", GraftFunctions.nearestCentroids(
+        col("embedding"), typedlit(centsStale), lit(2)).getItem(1))
+      .filter(col("n2") % lit(TakedownMod) === lit(1))
+      .orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val exact = DupClusters.materialize(
+      annTopKBatch(live, panel, k).select(col("query_id"), col("vec_id")))
+    def arm(name: String, cents: Seq[Seq[Double]], assigned: DataFrame) = {
+      // the served side is ≤ |panel|·k rows — broadcast it explicitly
+      // (AQE can't size the window output against the checkpointed
+      // exact arm and falls back to a 4-exchange SMJ otherwise)
+      val served = broadcast(annIvfBatchFromIndex(cents, assigned, panel, k, nProbe)
+        .select(col("query_id").as("a_query_id"), col("vec_id").as("a_vec_id")))
+      exact.join(served,
+          col("query_id") === col("a_query_id") && col("vec_id") === col("a_vec_id"),
+          "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("a_vec_id")).as("n_hit"))
+        .select(lit(name).as("arm"), col("n_exact"), col("n_hit"),
+          (when(col("n_exact") === 0L, lit(0.0)).otherwise(
+            expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE)")
+              / lit(10000.0)) + lit(0.0)).as("recall"))
+    }
+    arm("stale", centsStale, live)
+      .unionByName(arm("refit", centsLive, assignedLive))
+  }
+
   /** OPQ RECALL card — the decision variable [[opqErrorReport]]'s MSE
     * only proxies (Ge et al. 2013's claim is better NN search, not
     * just lower quantization error; a rollout gates on recall): per
@@ -1478,6 +1565,11 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       annTombstoneReport(Tables(s, d).embeddings, cents, assigned)
     }),
+    "s_ann_refit" -> ((s, d) => {
+      val (cS, aS) = graft.core.Catalog.ivfIndex(s, d)
+      val (cL, aL) = graft.core.Catalog.ivfIndexLive(s, d)
+      annRefitReport(cS, aS, cL, aL)
+    }),
     "s_opq_recall" -> ((s, d) => {
       val (booksPq, codesPq) = graft.core.Catalog.pqIndex(s, d)
       val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(s, d)
@@ -1534,25 +1626,28 @@ object Similarity {
       s" * sqrt(list_sum(list_transform($b, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) END)"
 
   /** One Lloyd iteration: assignment vs `prev` → `a$i`, fixed-point
-    * per-(cluster, dim) sums → `c$i` (empty clusters keep `prev`). */
-  private def lloydIterSql(i: Int, prev: String): String =
-    s"""a$i AS (SELECT vec_id, c AS cluster FROM (
+    * per-(cluster, dim) sums → `c$i` (empty clusters keep `prev`).
+    * `p` prefixes every CTE name and the source frame (`${p}eiv`) so
+    * the refit mirror can replay a SECOND, independently-sourced fit
+    * in the same statement; p = "" reproduces the legacy text exactly. */
+  private def lloydIterSql(i: Int, prev: String, p: String = ""): String =
+    s"""${p}a$i AS (SELECT vec_id, c AS cluster FROM (
        |    SELECT e.vec_id, $prev.c,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", prev + ".cent")} ASC, $prev.c ASC) AS rn
-       |    FROM eiv e CROSS JOIN $prev) WHERE rn = 1),
-       |x$i AS (SELECT a$i.cluster, CAST(pos - 1 AS INT) AS dim,
+       |    FROM ${p}eiv e CROSS JOIN $prev) WHERE rn = 1),
+       |${p}x$i AS (SELECT ${p}a$i.cluster, CAST(pos - 1 AS INT) AS dim,
        |    CAST(vf AS DOUBLE) * 1000000000 AS sc
        |  FROM (SELECT vec_id, unnest(embedding) AS vf,
-       |          unnest(generate_series(1, len(embedding))) AS pos FROM eiv) u
-       |  JOIN a$i USING (vec_id)),
-       |s$i AS (SELECT cluster, dim,
+       |          unnest(generate_series(1, len(embedding))) AS pos FROM ${p}eiv) u
+       |  JOIN ${p}a$i USING (vec_id)),
+       |${p}s$i AS (SELECT cluster, dim,
        |    SUM(CAST(floor(sc) AS BIGINT) + CASE WHEN sc - floor(sc) >= 0.5 THEN 1 ELSE 0 END) AS sv,
        |    COUNT(*) AS n
-       |  FROM x$i GROUP BY 1, 2),
-       |c${i}n AS (SELECT cluster, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
-       |  FROM s$i GROUP BY 1),
-       |c$i AS (SELECT $prev.c AS c, COALESCE(c${i}n.cent, $prev.cent) AS cent
-       |  FROM $prev LEFT JOIN c${i}n ON c${i}n.cluster = $prev.c)""".stripMargin
+       |  FROM ${p}x$i GROUP BY 1, 2),
+       |${p}c${i}n AS (SELECT cluster, list(CAST(sv AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) ORDER BY dim) AS cent
+       |  FROM ${p}s$i GROUP BY 1),
+       |${p}c$i AS (SELECT $prev.c AS c, COALESCE(${p}c${i}n.cent, $prev.cent) AS cent
+       |  FROM $prev LEFT JOIN ${p}c${i}n ON ${p}c${i}n.cluster = $prev.c)""".stripMargin
 
   /** CTE chain `embeddings → c2` (fitted centroids), `af` (final
     * cluster-assigned corpus — `Catalog.ivfIndex`'s second half) and
@@ -1583,6 +1678,35 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
        |    FROM eiv e CROSS JOIN c2) x
        |  JOIN eiv e USING (vec_id) WHERE rn <= 2)""".stripMargin
+
+  /** [[ivfFitCte]] generalized for the refit mirror: `p` prefixes every
+    * CTE name, `srcWhere` filters the source frame (the live-only fit),
+    * and `mat = true` marks the MULTI-REFERENCED outputs (`${p}eiv`,
+    * `${p}c2`, `${p}af`) as MATERIALIZED — the t_bpe_train precedent:
+    * DuckDB inlines CTEs per reference, so ten serve chains over one
+    * statement otherwise re-expand the whole Lloyd chain per probe/serve
+    * (the s_opq_recall sf0.1 32-thread bad_alloc class). Materializing
+    * just the three shared frames (corpus-, nlist- and corpus-sized)
+    * collapses that to one fit per statement. No canopy CTE (the refit
+    * mirror doesn't serve kNN). Values are independent of
+    * materialization — same deterministic arithmetic, computed once. */
+  private def ivfFitCteFor(p: String, src: String = "embeddings",
+                           srcWhere: String = "",
+                           mat: Boolean = false): String = {
+    val m = if (mat) "MATERIALIZED " else ""
+    s"""${p}eiv AS $m(SELECT vec_id, label, embedding FROM $src$srcWhere),
+       |${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
+       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
+       |  FROM (SELECT vec_id, embedding FROM ${p}eiv ORDER BY vec_id
+       |        LIMIT GREATEST(16, CAST(CEIL(CAST((SELECT COUNT(*) FROM ${p}eiv) AS DOUBLE) / 256) AS BIGINT)))),
+       |${lloydIterSql(1, s"${p}c0", p)},
+       |${lloydIterSql(2, s"${p}c1", p).replace(s"${p}c2 AS (", s"${p}c2 AS $m(")},
+       |${p}af AS $m(SELECT e.vec_id, e.label, e.embedding, a.cluster FROM ${p}eiv e
+       |  JOIN (SELECT vec_id, c AS cluster FROM (
+       |    SELECT e.vec_id, ${p}c2.c,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", s"${p}c2.cent")} ASC, ${p}c2.c ASC) AS rn
+       |    FROM ${p}eiv e CROSS JOIN ${p}c2) WHERE rn = 1) a USING (vec_id))""".stripMargin
+  }
 
   /** Canopy candidate pairs with their rounded cosines (directed — both
     * (a,b) and (b,a)), the shared stage of the kNN-graph keys. */
@@ -1638,6 +1762,56 @@ object Similarity {
        |    WHERE af.cluster IN (SELECT c FROM tpr$qid)
        |      AND af.vec_id != $qid AND af.vec_id % 7 != 3
        |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+
+  /** Refit-mirror serving CTEs, batch window form (no per-qid
+    * unrolling — the panel is predicate-defined): `pr2` ranks every
+    * live vector's SECOND-nearest stale centroid, `pan` = the 10
+    * smallest live vec_ids whose second probe is a purged list (the
+    * boundary panel — see annRefitReport's scaladoc); `rex` = per-query
+    * live exact top-k; one (probe-rank, serve-rank) window pair per arm
+    * over the stale (`c2`/`lveiv`-restricted `af`) and live-refit
+    * (`lvc2`/`lvaf`) fits. The refit serve has no takedown filter —
+    * `lvaf` is live-only by construction (and its cluster ids are NEW
+    * list ids, which the stale-defined predicate must never touch). */
+  private def refitServeCtes: String =
+    s"""pr2 AS (SELECT vec_id, c AS n2 FROM (
+       |    SELECT e.vec_id, c2.c,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM lveiv e CROSS JOIN c2) WHERE rn = 2),
+       |pan AS (SELECT e.vec_id AS query_id, e.embedding AS qe
+       |  FROM lveiv e JOIN pr2 ON pr2.vec_id = e.vec_id
+       |  WHERE pr2.n2 % $TakedownMod = 1 ORDER BY e.vec_id LIMIT 10),
+       |rex AS (SELECT query_id, vec_id FROM (
+       |    SELECT x.query_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY x.query_id ORDER BY x.cos DESC, x.vec_id ASC) AS rn
+       |    FROM (SELECT p.query_id, e.vec_id, ${cosSql("e.embedding", "p.qe")} AS cos
+       |          FROM lveiv e CROSS JOIN pan p WHERE e.vec_id != p.query_id) x)
+       |  WHERE rn <= 10),
+       |spr AS (SELECT query_id, c FROM (
+       |    SELECT p.query_id, c2.c,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("p.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+       |    FROM c2 CROSS JOIN pan p) WHERE rn <= 2),
+       |ssv AS (SELECT query_id, vec_id FROM (
+       |    SELECT x.query_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY x.query_id ORDER BY x.cos DESC, x.vec_id ASC) AS rn
+       |    FROM (SELECT p.query_id, e.vec_id, ${cosSql("e.embedding", "p.qe")} AS cos
+       |          FROM lveiv e JOIN af ON af.vec_id = e.vec_id
+       |          JOIN spr ON af.cluster = spr.c
+       |          JOIN pan p ON p.query_id = spr.query_id
+       |          WHERE e.vec_id != p.query_id) x)
+       |  WHERE rn <= 10),
+       |lpr AS (SELECT query_id, c FROM (
+       |    SELECT p.query_id, lvc2.c,
+       |      row_number() OVER (PARTITION BY p.query_id ORDER BY ${d2Sql("p.qe", "lvc2.cent")} ASC, lvc2.c ASC) AS rn
+       |    FROM lvc2 CROSS JOIN pan p) WHERE rn <= 2),
+       |lsv AS (SELECT query_id, vec_id FROM (
+       |    SELECT x.query_id, x.vec_id,
+       |      row_number() OVER (PARTITION BY x.query_id ORDER BY x.cos DESC, x.vec_id ASC) AS rn
+       |    FROM (SELECT p.query_id, lvaf.vec_id, ${cosSql("lvaf.embedding", "p.qe")} AS cos
+       |          FROM lvaf JOIN lpr ON lvaf.cluster = lpr.c
+       |          JOIN pan p ON p.query_id = lpr.query_id
+       |          WHERE lvaf.vec_id != p.query_id) x)
+       |  WHERE rn <= 10)""".stripMargin
 
   private def tombQuerySelect(qid: Int): String =
     s"""SELECT CAST($qid AS BIGINT) AS query_id,
@@ -2133,6 +2307,33 @@ object Similarity {
       ("WITH " + ivfFitCte + ",\n" +
         Seq(0, 1, 2, 4, 5).map(tombQueryCte).mkString(",\n") + "\n" +
         Seq(0, 1, 2, 4, 5).map(tombQuerySelect).mkString("\nUNION ALL\n")),
+    // annRefitReport mirror: the full-corpus fit (stale, MATERIALIZED —
+    // both serve windows reference it) + a SECOND live-only prefixed
+    // fit (the Catalog.ivfIndexLive replay: source = the stale `af`
+    // restricted to surviving lists, init/auto-nlist from that LIVE
+    // frame), the boundary panel, the shared live exact arm and both
+    // serving arms as batch windows, then the two per-arm panel
+    // aggregates with the exact-integer half-away recall (the
+    // s_opq_recall output shape).
+    "s_ann_refit" -> {
+      def armSelect(arm: String, sv: String): String =
+        s"""SELECT '$arm' AS arm,
+           |  CAST((SELECT COUNT(*) FROM rex) AS BIGINT) AS n_exact,
+           |  CAST((SELECT COUNT(*) FROM rex e JOIN $sv a
+           |        ON e.query_id = a.query_id AND e.vec_id = a.vec_id) AS BIGINT) AS n_hit,
+           |  (CASE WHEN (SELECT COUNT(*) FROM rex) = 0 THEN 0.0 ELSE
+           |    CAST((20000 * (SELECT COUNT(*) FROM rex e JOIN $sv a
+           |                   ON e.query_id = a.query_id AND e.vec_id = a.vec_id)
+           |          + (SELECT COUNT(*) FROM rex)) //
+           |         (2 * (SELECT COUNT(*) FROM rex)) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS recall""".stripMargin
+      "WITH " + ivfFitCteFor("", mat = true) + ",\n" +
+        ivfFitCteFor("lv", src = "af",
+          srcWhere = s" WHERE cluster % $TakedownMod != 1", mat = true) + ",\n" +
+        refitServeCtes + "\n" +
+        armSelect("stale", "ssv") + "\nUNION ALL\n" +
+        armSelect("refit", "lsv")
+    },
     // nprobeCurve mirror: the same fit CTE + ONE exact arm per query
     // shared across probe settings + one approx arm per (probe, query)
     // cell; per-probe totals summed over the panel, exact-integer

@@ -58,6 +58,9 @@ object Audit {
     // serve + the 1-row exact-count frame crossJoined onto the 1-row
     // served-side aggregate (the t_bm25 corpus-stats shape)
     "s_ann_tombstone",
+    // the exact arm is annTopKBatch: one 1-row query-vector crossJoin
+    // per panel member (the s_ann_batch shape)
+    "s_ann_refit",
     // the 1-row corpus-total frame crossJoined onto the 4-row stacked
     // threshold aggregate — the t_bm25 corpus-stats shape
     "t_decontam_curve",

@@ -291,6 +291,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRefitReport: live-only refit recovers boundary recall the stale index forfeits") {
+    val (cS, aS) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val (cL, aL) = graft.core.Catalog.ivfIndexLive(spark, TestSpark.sf0001)
+    val card = Similarity.annRefitReport(cS, aS, cL, aL).collect()
+      .map(r => r.getAs[String]("arm") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toMap
+    assert(card.keySet == Set("stale", "refit"))
+    // same exact ground truth under both arms
+    assert(card("stale")._1 == card("refit")._1 && card("stale")._1 > 0)
+    // THE recovery claim: the refit buys back recall on the boundary panel
+    assert(card("refit")._3 > card("stale")._3,
+      s"refit ${card("refit")._3} must exceed stale ${card("stale")._3}")
+    card.values.foreach { case (e, h, rec) =>
+      assert(rec == ((20000L * h + e) / (2L * e)).toDouble / 10000.0)
+    }
+    // wasted-probe diagnostic (the mechanism): for the boundary panel,
+    // every query's SECOND stale probe is a 100%-ghost list, so the
+    // stale arm serves identically at nProbe 1 and 2
+    val card1 = Similarity.annRefitReport(cS, aS, cL, aL, nProbe = 1).collect()
+      .map(r => r.getAs[String]("arm") -> r.getAs[Double]("recall")).toMap
+    assert(card1("stale") == card("stale")._3,
+      "stale second probe must buy nothing on the boundary panel")
+  }
+
+  test("ivfIndexLive: fitted on live mass only; no takedown vector can be assigned") {
+    val (_, aS) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val (cL, aL) = graft.core.Catalog.ivfIndexLive(spark, TestSpark.sf0001)
+    val staleOf = aS.select($"vec_id", $"cluster".as("stale_cluster"))
+    // the refit index carries zero tombstones (live-only by construction)
+    assert(aL.join(staleOf, "vec_id")
+      .filter($"stale_cluster" % Similarity.TakedownMod === 1).count() == 0)
+    assert(aL.count() == aS.filter(Similarity.takedownLive).count())
+    // its nlist follows the LIVE count (the same autoNlist rule)
+    assert(cL.length == Similarity.autoNlist(aL.count()))
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))

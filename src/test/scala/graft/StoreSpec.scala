@@ -162,6 +162,26 @@ class StoreSpec extends SparkSpec {
     dropTable("t_snap_sigs")
   }
 
+  test("publishAnnRefit: versioned swap cuts serving to the live-only index; previous retained") {
+    dropTable("t_ann_idx")
+    Store.saveAnnIndex(spark, TestSpark.sf0001, buckets = 4, table = "t_ann_idx")
+    val full = Catalog.ivfIndex(spark, TestSpark.sf0001)._2
+    assert(spark.table("t_ann_idx").count() == full.count())
+    // the refit swap: same public name, live-only rebuilt index behind it
+    Store.publishAnnRefit(spark, TestSpark.sf0001, buckets = 4, table = "t_ann_idx")
+    val live = Catalog.ivfIndexLive(spark, TestSpark.sf0001)._2
+    val now = spark.table("t_ann_idx")
+    assert(now.count() == live.count() && live.count() < full.count())
+    // no tombstone survives the swap: re-join to the STALE assignment
+    val staleOf = full.select($"vec_id", $"cluster".as("stale_cluster"))
+    assert(now.join(staleOf, "vec_id")
+      .filter($"stale_cluster" % graft.ops.Similarity.TakedownMod === 1).count() == 0)
+    // the previous (stale) version is retained for in-flight readers
+    val vs = Store.versions(spark, "t_ann_idx")
+    assert(vs.map(_._1) == Seq(1L, 2L) && vs.find(_._3).exists(_._1 == 2L))
+    dropTable("t_ann_idx")
+  }
+
   test("vacuum: retains the straddle window by default, reclaims it on request, clears orphans") {
     dropTable("t_vac_sigs")
     val docs = Tables(spark, TestSpark.sf0001).documents
