@@ -1876,7 +1876,16 @@ object Similarity {
     * serpentine dealing as pure rank arithmetic, and the permuted
     * frame `pm` as an ordered list() rebuild — shared by the
     * s_opq_error and s_ann_opq mirrors. */
-  private def opqPermCte: String =
+  private def opqPermCte: String = opqPermCteOpt(mat = false)
+
+  /** `mat = true` materializes the permuted frame `pm` (referenced by
+    * the OPQ fit AND every OPQ serve chain — same recipe as
+    * [[pqFitCte]]'s mat flag). */
+  private def opqPermCteOpt(mat: Boolean): String =
+    (if (mat) opqPermCteBody.replace("pm AS (", "pm AS MATERIALIZED (")
+     else opqPermCteBody)
+
+  private def opqPermCteBody: String =
     """vs AS (SELECT CAST(pos AS INT) - 1 AS dim,
       |    SUM(CAST(floor(sa) AS BIGINT) + CASE WHEN sa - floor(sa) >= 0.5 THEN 1 ELSE 0 END) AS a,
       |    SUM(CAST(floor(sb) AS BIGINT) + CASE WHEN sb - floor(sb) >= 0.5 THEN 1 ELSE 0 END) AS b,
@@ -1898,9 +1907,25 @@ object Similarity {
       |    list(embedding[dim + 1] ORDER BY pos) AS embedding
       |  FROM eiv CROSS JOIN perm GROUP BY vec_id, label)""".stripMargin
 
+  /** `mat = true` marks the MULTI-REFERENCED fit outputs (`${p}sl`,
+    * the final books `${p}pb2`, the encode table `${p}pa3`) as
+    * MATERIALIZED — the s_ann_refit/t_bpe_train recipe: DuckDB inlines
+    * CTEs per reference, so a mirror with many serve chains otherwise
+    * re-expands the whole per-subspace Lloyd chain per chain — the
+    * s_opq_recall sf0.1 32-thread bad_alloc (BASELINE r12 note,
+    * retired in r13). Values are materialization-independent. */
   private def pqFitCte(frame: String, p: String = "", m: Int = 8,
-                       dim: Int = 64): String = {
+                       dim: Int = 64, mat: Boolean = false): String = {
     val w = dim / m
+    val base = pqFitCteBody(frame, p, m, dim, w)
+    if (!mat) base
+    else Seq(s"${p}sl", s"${p}pb2", s"${p}pa3").foldLeft(base) { (s, c) =>
+      s.replace(s"$c AS (", s"$c AS MATERIALIZED (")
+    }
+  }
+
+  private def pqFitCteBody(frame: String, p: String, m: Int,
+                           dim: Int, w: Int): String = {
     s"""${p}subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
        |${p}sl AS (SELECT vec_id, sub, embedding[sub*$w+1 : sub*$w+$w] AS svec
        |  FROM $frame CROSS JOIN ${p}subs),
@@ -2122,10 +2147,15 @@ object Similarity {
            |    CAST((20000 * ($h) + ($e)) // (2 * ($e)) AS DOUBLE) / 10000.0 END)
            |    + 0.0 AS recall""".stripMargin
       }
-      "WITH eiv AS (SELECT vec_id, label, embedding FROM embeddings),\n" +
-        pqFitCte("eiv") + ",\n" +
-        opqPermCte + ",\n" +
-        pqFitCte("pm", "o") + ",\n" +
+      // every multi-referenced fit output MATERIALIZED (eiv + both fit
+      // chains + the permuted frame): the 10 serve chains + 5 exact
+      // arms otherwise re-inline two unrolled Lloyd fits per reference
+      // — the nondeterministic 32-thread bad_alloc at sf0.1 (BASELINE
+      // r12 note, retired in r13 — sweep green at default threads)
+      "WITH eiv AS MATERIALIZED (SELECT vec_id, label, embedding FROM embeddings),\n" +
+        pqFitCte("eiv", mat = true) + ",\n" +
+        opqPermCteOpt(mat = true) + ",\n" +
+        pqFitCte("pm", "o", mat = true) + ",\n" +
         qids.map(recallQexCte).mkString(",\n") + ",\n" +
         qids.map(q => pqServeTopCte(q, "", "eiv", "pb2", "pa3")).mkString(",\n") + ",\n" +
         qids.map(q => pqServeTopCte(q, "o", "pm", "opb2", "opa3")).mkString(",\n") + "\n" +
