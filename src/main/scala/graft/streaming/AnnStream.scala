@@ -81,7 +81,10 @@ object AnnStream {
     * joined to the broadcast ≤ #labels-row snapshot — corpus-scale
     * work is the scan the batch already pays; labels absent from the
     * snapshot (never seen at fit time) are flagged unconditionally
-    * (the index has no lists for them). */
+    * (the index has no lists for them). Drift is ONE of two trigger
+    * arms: [[volumeSignal]] fires on tombstone VOLUME (hollowed-out
+    * lists drift cannot see), and a refit should run when EITHER
+    * recommends. */
   def refitSignal(arrived: DataFrame, snapshot: DataFrame,
                   minCos: Double = 0.98): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -99,6 +102,72 @@ object AnnStream {
             col("sum_fit").cast("array<double>"),
             col("sum_new").cast("array<double>")), 4) + lit(0.0)).as("drift_cos"))
       .withColumn("refit_recommended", col("drift_cos") < lit(minCos))
+  }
+
+  /** Fit-time per-LIST size snapshot — the denominator of the
+    * tombstone-VOLUME refit arm ([[volumeSignal]]): (cluster, n_fit),
+    * captured from the assigned table the fit produced and stored next
+    * to the index (like [[fitSnapshot]]). ≤ nlist rows — model-scale. */
+  def listSizeSnapshot(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_fit"))
+  }
+
+  /** One DELETE micro-batch folded into the durable per-list delete
+    * counters — the MixStream partials discipline (append-only WAL,
+    * batch_id replay skip, single-writer contract; see
+    * MixStream.ingestBatch's scaladoc). Deletes arrive as vec_ids; the
+    * batch (small) BROADCAST-joins the assigned index table once to
+    * find its lists, and ≤ nlist counter rows land per batch — the
+    * "one counter per list" state, durable instead of in-memory. */
+  def deleteBatch(deletes: DataFrame, assigned: DataFrame, batchId: Long,
+                  countersTable: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = deletes.sparkSession
+    val partial = assigned
+      .join(broadcast(deletes.select(col("vec_id")).distinct()), Seq("vec_id"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_deleted"))
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(countersTable)) {
+      partial.write.saveAsTable(countersTable)
+    } else if (spark.table(countersTable)
+        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+      partial.write.mode("append").saveAsTable(countersTable)
+    }
+  }
+
+  /** Merged per-list delete counters (≤ nlist rows; integer sums are
+    * order-free, so late/replayed batches merge exactly). */
+  def mergedDeleteCounts(spark: SparkSession, countersTable: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.table(countersTable)
+      .groupBy(col("cluster")).agg(sum(col("n_deleted")).as("n_deleted"))
+  }
+
+  /** Tombstone-VOLUME refit signal — the second trigger arm
+    * [[refitSignal]]'s drift cosine cannot see (s_ann_tombstone's own
+    * scaladoc calls for it): deletes that leave the surviving
+    * centroids where they were still hollow lists out, and a list
+    * serving below `minLiveFrac` of its fit-time population wastes its
+    * probes on tombstone scans (the measured s_ann_refit failure
+    * mode). Per list: n_fit (the [[listSizeSnapshot]] denominator),
+    * the merged delete counter, live_frac as the exact-integer
+    * half-away quotient (deletes are clamped at n_fit — a double
+    * delete must not drive the fraction negative), and
+    * `refit_recommended` when live_frac < minLiveFrac. ≤ nlist rows in,
+    * ≤ nlist rows out — model-scale, join broadcast. When any row
+    * recommends, the out-of-band rebuild is `Catalog.ivfIndexLive` +
+    * `Store.publishAnnRefit` (the s_ann_refit recovery card proves
+    * what it buys back). */
+  def volumeSignal(snapshot: DataFrame, deleteCounts: DataFrame,
+                   minLiveFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    snapshot.join(broadcast(deleteCounts), Seq("cluster"), "left")
+      .select(col("cluster"), col("n_fit"),
+        least(coalesce(col("n_deleted"), lit(0L)), col("n_fit")).as("n_deleted"))
+      .withColumn("live_frac",
+        expr("CAST((20000 * (n_fit - n_deleted) + n_fit) DIV (2 * n_fit) AS DOUBLE) / 10000.0"))
+      .withColumn("refit_recommended", col("live_frac") < lit(minLiveFrac))
   }
 
   /** Continuously-maintained OPQ code table: each arriving vector is

@@ -332,6 +332,66 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); snap.unpersist() }
   }
 
+  test("volume-triggered refit: light deletes stay quiet; a planted heavy-delete batch flips the gutted list only; replay idempotent") {
+    import graft.streaming.AnnStream
+    val table = "t_ann_del_counters"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val (_, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val snap = AnnStream.listSizeSnapshot(assigned).cache()
+    try {
+      // batch 0: a light scatter of deletes — one vector from each of
+      // three lists; every list stays far above the 0.5 live floor
+      val light = assigned.filter($"cluster".isin(0, 1, 2))
+        .groupBy($"cluster").agg(min($"vec_id").as("vec_id")).select($"vec_id")
+      AnnStream.deleteBatch(light, assigned, 0L, table)
+      val quiet = AnnStream.volumeSignal(snap,
+        AnnStream.mergedDeleteCounts(spark, table)).collect()
+      assert(quiet.forall(!_.getAs[Boolean]("refit_recommended")),
+        "light deletes must not recommend a refit")
+      assert(quiet.forall(r => r.getAs[Double]("live_frac") <= 1.0 &&
+        r.getAs[Double]("live_frac") > 0.9))
+      // batch 1: a takedown guts list 5 — delete 90% of its members
+      val members = assigned.filter($"cluster" === 5)
+        .select($"vec_id").orderBy($"vec_id").collect().map(_.getLong(0))
+      val gutted = members.take(math.max(1, (members.length * 9) / 10))
+      AnnStream.deleteBatch(
+        spark.createDataset(gutted.toSeq).toDF("vec_id"), assigned, 1L, table)
+      val flags = AnnStream.volumeSignal(snap,
+          AnnStream.mergedDeleteCounts(spark, table)).collect()
+        .map(r => r.getAs[Int]("cluster") -> r).toMap
+      assert(flags(5).getAs[Boolean]("refit_recommended"),
+        s"the gutted list must recommend: ${flags(5)}")
+      // exact-integer live_frac: half-away quotient of (n_fit − deleted)
+      val nFit = flags(5).getAs[Long]("n_fit")
+      val nDel = flags(5).getAs[Long]("n_deleted")
+      assert(nDel == gutted.length.toLong)
+      assert(flags(5).getAs[Double]("live_frac") ==
+        ((20000L * (nFit - nDel) + nFit) / (2L * nFit)).toDouble / 10000.0)
+      assert(flags.collect { case (c, r) if c != 5 =>
+        r.getAs[Boolean]("refit_recommended") }.forall(!_),
+        "no other list may flip")
+      // crash replay: the same batch_id re-delivered is skipped
+      AnnStream.deleteBatch(
+        spark.createDataset(gutted.toSeq).toDF("vec_id"), assigned, 1L, table)
+      val replayed = AnnStream.volumeSignal(snap,
+          AnnStream.mergedDeleteCounts(spark, table)).collect()
+        .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_deleted")).toMap
+      assert(replayed(5) == nDel, "replay must not double-count deletes")
+      // a double-deleted vec_id within a NEW batch is deduped batch-side,
+      // and the clamp keeps live_frac non-negative even if a list empties
+      AnnStream.deleteBatch(
+        spark.createDataset((members ++ members).toSeq).toDF("vec_id"),
+        assigned, 2L, table)
+      val emptied = AnnStream.volumeSignal(snap,
+          AnnStream.mergedDeleteCounts(spark, table)).collect()
+        .map(r => r.getAs[Int]("cluster") -> r).toMap
+      assert(emptied(5).getAs[Double]("live_frac") == 0.0 &&
+        emptied(5).getAs[Boolean]("refit_recommended"))
+    } finally {
+      snap.unpersist(); spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("streaming funnel metrics: per-window ingested/unique/moving counts are exact") {
     val dir = Files.createTempDirectory("graft-stream-funnel").toString
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
