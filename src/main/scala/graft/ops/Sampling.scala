@@ -74,6 +74,23 @@ object Sampling {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
 
+  /** [[mixturePartials]] extended with the per-source TOKEN sum — the
+    * partials the streaming maintainer lands, so ONE durable table
+    * serves both the scheduled audit (n_docs, n_kept →
+    * [[mixReportFromCards]]) and the scheduled RE-PLAN (n_docs,
+    * n_tokens → [[waterfillFromCards]]). Token counts are additive
+    * integers like the doc counts, so merged partials equal direct
+    * counting exactly under any batch split. */
+  def mixtureCapacityPartials(documents: DataFrame, rates: Map[String, Double],
+                              defaultRate: Double = 0.1): DataFrame =
+    documents
+      .select(col("source"),
+        (coord < thresholdCol(rates, defaultRate)).cast("int").as("kept"),
+        tokenCountCol.cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        sum(col("toks")).as("n_tokens"))
+
   /** Realized mixture summary: kept/total per source (exact integer
     * counts via one aggregation over the flagged scan). */
   def mixtureSummary(documents: DataFrame, rates: Map[String, Double],
@@ -461,18 +478,35 @@ object Sampling {
   def mixWaterfill(documents: DataFrame, budgetTokens: Long = 100000L,
                    parts: Map[String, Int] = EpochParts,
                    defaultPart: Int = EpochPartDefault,
-                   maxEpochs: Long = 4L): DataFrame = {
+                   maxEpochs: Long = 4L): DataFrame =
+    waterfillFromCards(
+      documents
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCountCol.cast("long")).as("n_tokens")),
+      budgetTokens, parts, defaultPart, maxEpochs)
+
+  /** Card-level form of [[mixWaterfill]] (the mixReportFromCards
+    * convention): the whole plan arithmetic over an already-merged
+    * (source, n_docs, n_tokens) capacity-card frame — shared by the
+    * batch key and the streaming maintainer's scheduled RE-PLAN
+    * ([[graft.streaming.MixStream.waterfillPlan]]), which re-merges
+    * durable per-batch partials instead of rescanning documents.
+    * Integer doc/token counts are additive, so the served plan is
+    * bit-equal to the batch operator over the same documents under any
+    * batch split or arrival order. */
+  def waterfillFromCards(cards: DataFrame, budgetTokens: Long = 100000L,
+                         parts: Map[String, Int] = EpochParts,
+                         defaultPart: Int = EpochPartDefault,
+                         maxEpochs: Long = 4L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, "budgetTokens must be positive (realized_share divides by it)")
-    val tokCount = tokenCountCol
     val w = weightCol(parts, defaultPart)
     val B = budgetTokens
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     waterfillAlloc(
-      documents
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(tokCount.cast("long")).as("n_tokens"))
+      cards
         .withColumn("weight", w.cast("long"))
         .withColumn("capacity_tokens", col("n_tokens") * lit(maxEpochs)),
       B)

@@ -58,7 +58,10 @@ object MixStream {
   def ingestBatch(docs: DataFrame, batchId: Long, partialsTable: String,
                   rates: Map[String, Double], defaultRate: Double): Unit = {
     val spark = docs.sparkSession
-    val partials = Sampling.mixturePartials(docs, rates, defaultRate)
+    // token-extended partials (mixtureCapacityPartials): one durable
+    // table feeds both the audit ([[report]]) and the re-plan
+    // ([[waterfillPlan]])
+    val partials = Sampling.mixtureCapacityPartials(docs, rates, defaultRate)
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(partialsTable)) {
       partials.write.saveAsTable(partialsTable)
@@ -85,6 +88,32 @@ object MixStream {
              rates: Map[String, Double], defaultRate: Double): DataFrame =
     Sampling.mixReportFromCards(mergedCards(spark, partialsTable),
       rates, defaultRate)
+
+  /** Merged per-source CAPACITY card: (source, n_docs, n_tokens) —
+    * the [[Sampling.waterfillFromCards]] input contract, off the same
+    * partials table (token sums are additive like doc counts). */
+  def mergedCapacityCards(spark: SparkSession, partialsTable: String): DataFrame =
+    spark.table(partialsTable)
+      .groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+
+  /** The mixture RE-PLAN served at any time — the d_mix_waterfill
+    * allocation over everything ingested so far, bit-equal to the
+    * batch planner on the same documents (additive integer cards →
+    * [[Sampling.waterfillFromCards]], the same exact-integer
+    * feasibility arithmetic). This closes the plan→audit loop the
+    * batch-only planner left open: the audit ([[report]]) watches the
+    * realized mixture drift while THIS re-computes what the optimal
+    * allocation now is as capacity accrues — both off the one durable
+    * partials table, neither rescanning a document. */
+  def waterfillPlan(spark: SparkSession, partialsTable: String,
+                    budgetTokens: Long = 100000L,
+                    parts: Map[String, Int] = Sampling.EpochParts,
+                    defaultPart: Int = Sampling.EpochPartDefault,
+                    maxEpochs: Long = 4L): DataFrame =
+    Sampling.waterfillFromCards(mergedCapacityCards(spark, partialsTable),
+      budgetTokens, parts, defaultPart, maxEpochs)
 
   /** Start the continuous ingest over a document stream; [[report]]
     * serves on its own schedule against the table this maintains. */

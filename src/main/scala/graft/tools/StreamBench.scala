@@ -209,11 +209,12 @@ object StreamBench {
         graft.ops.DupClusters.release(
           graft.streaming.DriftStream.refresh(spark, "sb_drift_s", "sb_drift_snap"))
       })
-    // mixture maintainer (r12): each batch appends a replica corpus's
-    // per-source (n_docs, n_kept) mixture partials (same 20-source
-    // universe — counts grow, sources don't) and serves the audit off
-    // the merged partials; per-batch cost must stay FLAT (ingest ∝
-    // batch's source aggregate, report over #sources-row cards —
+    // mixture maintainer (r12; re-plan r13): each batch appends a
+    // replica corpus's per-source (n_docs, n_kept, n_tokens) mixture
+    // partials (same 20-source universe — counts grow, sources don't)
+    // and serves BOTH the audit and the waterfill RE-PLAN off the
+    // merged partials; per-batch cost must stay FLAT (ingest ∝ batch's
+    // source aggregate, audit + re-plan over #sources-row cards —
     // documents are never stored or rescanned by the maintainer)
     val mt = Seq("sb_mix_p")
     gateBench("mix_maintainer", mt)(
@@ -224,6 +225,7 @@ object StreamBench {
           graft.ops.Sampling.MixRates, graft.ops.Sampling.MixDefault)
         graft.streaming.MixStream.report(spark, "sb_mix_p",
           graft.ops.Sampling.MixRates, graft.ops.Sampling.MixDefault).count()
+        graft.streaming.MixStream.waterfillPlan(spark, "sb_mix_p").count()
       })
     spark.stop()
     requested.foreach { want =>

@@ -1170,6 +1170,12 @@ class StreamingSpec extends SparkSpec {
     val served = MixStream.report(spark, "t_mix_p", rates, Sampling.MixDefault)
     assert(show(served) == show(Sampling.mixReport(docs, rates, Sampling.MixDefault)),
       "served audit must equal the batch d_mix_report")
+    // the RE-PLAN off the same partials table: bit-equal to the batch
+    // d_mix_waterfill planner over the same documents (additive token
+    // cards -> the same exact-integer feasibility arithmetic)
+    assert(show(MixStream.waterfillPlan(spark, "t_mix_p")) ==
+      show(Sampling.mixWaterfill(docs)),
+      "served re-plan must equal the batch d_mix_waterfill")
     // a PARTIAL ingest serves the audit of exactly the ingested prefix
     dropGateTables("t_mix_p")
     MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(3)) === 2), 0L, "t_mix_p", rates, Sampling.MixDefault)
@@ -1184,16 +1190,19 @@ class StreamingSpec extends SparkSpec {
     // real stream wiring: documents through readStream/foreachBatch
     val streamDir = Files.createTempDirectory("graft-mix").toString
     val ckpt = Files.createTempDirectory("graft-mix-ckpt").toString
-    docs.select($"doc_id", $"source").coalesce(1)
+    docs.select($"doc_id", $"source", $"text").coalesce(1)
       .write.mode("overwrite").parquet(streamDir)
     val docStream = spark.readStream
-      .schema("doc_id BIGINT, source STRING").parquet(streamDir)
+      .schema("doc_id BIGINT, source STRING, text STRING").parquet(streamDir)
     val q = MixStream.start(docStream, "t_mix2_p", ckpt, rates, Sampling.MixDefault)
     try q.processAllAvailable() finally q.stop()
     spark.catalog.refreshTable("t_mix2_p")
     assert(show(MixStream.report(spark, "t_mix2_p", rates, Sampling.MixDefault)) ==
       show(Sampling.mixReport(docs, rates, Sampling.MixDefault)),
       "streamed partials must serve the exact batch audit")
+    assert(show(MixStream.waterfillPlan(spark, "t_mix2_p")) ==
+      show(Sampling.mixWaterfill(docs)),
+      "streamed partials must serve the exact batch re-plan")
     dropGateTables("t_mix2_p")
   }
 
