@@ -27,10 +27,18 @@ object TextAnalysis {
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que"),
-    "es" -> Seq("el", "los", "las", "y", "es", "por", "una", "que"))
+    "es" -> Seq("el", "los", "las", "y", "es", "por", "una", "que"),
+    // r13: three more public function-word sets (the most frequent
+    // closed-class words of each language — the standard stopword
+    // seed); overlaps with the first four lists (pt/nl "de", pt "a",
+    // it/pt "e") are handled by the same argmax + tie-order rule
+    "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non"),
+    "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "niet", "dat"))
 
-  /** Fixed language order: profile index i+1 = hits for langOrder(i). */
-  val langOrder: Seq[String] = Seq("en", "de", "fr", "es")
+  /** Fixed language order: profile index i+1 = hits for langOrder(i);
+    * also the langId tie order (earlier wins). */
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "it", "pt", "nl")
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -38,22 +46,30 @@ object TextAnalysis {
   private def profile: Column =
     GraftFunctions.stopwordProfile(col("text"), typedlit(langOrder.map(stopwords)))
 
+  /** The argmax-with-tie-order prediction over the hits columns,
+    * GENERATED from [[langOrder]] (lang i wins iff its hits are > 0 and
+    * ≥ every LATER lang's — an earlier lang that tied already won), so
+    * adding a stopword list can never desynchronize the Spark CASE
+    * from its SQL mirror ([[langIdCaseSql]] generates from the same
+    * order). */
+  private def langPredCol: Column =
+    langOrder.zipWithIndex.foldRight(lit("unknown")) { case ((l, i), acc) =>
+      val wins = langOrder.drop(i + 1)
+        .foldLeft(col(s"${l}_hits") > 0) { (c, m) =>
+          c && col(s"${l}_hits") >= col(s"${m}_hits")
+        }
+      when(wins, l).otherwise(acc)
+    }
+
   /** Stopword-heuristic language ID per document. Deterministic argmax
-    * with tie order en > de > fr > es; all-zero → 'unknown'. */
+    * with the [[langOrder]] tie order; all-zero → 'unknown'. */
   def langId(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), profile.as("p"))
-      .select(col("doc_id"),
-        col("p").getItem(1).as("en_hits"), col("p").getItem(2).as("de_hits"),
-        col("p").getItem(3).as("fr_hits"), col("p").getItem(4).as("es_hits"))
-      .withColumn("lang_pred",
-        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
-             col("en_hits") >= col("es_hits") && col("en_hits") > 0, "en")
-          .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits") &&
-                col("de_hits") > 0, "de")
-          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") > 0, "fr")
-          .when(col("es_hits") > 0, "es")
-          .otherwise("unknown"))
+      .select(col("doc_id") +: langOrder.zipWithIndex.map { case (l, i) =>
+        col("p").getItem(i + 1).as(s"${l}_hits")
+      }: _*)
+      .withColumn("lang_pred", langPredCol)
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, upper
     * ratio → a coarse high/medium/low bucket. Ratios are single integer
@@ -79,6 +95,37 @@ object TextAnalysis {
         when(col("n_tokens") >= 50 && col("n_stop") > 0, "high")
           .when(col("n_tokens") >= 20, "medium")
           .otherwise("low"))
+
+  /** Per-LANGUAGE quality variant (r13) — [[quality]] scores stopword
+    * mass against the ENGLISH list only, so a clean French/Portuguese
+    * document reads stopword_ratio ≈ 0 and can reach `high` only by
+    * accident; a multilingual corpus filtered that way silently drops
+    * its non-English half (the classic C4-era failure). Here the
+    * stopword signal is the WINNING language's hits — `greatest` over
+    * the per-list hit counts, which equals the [[langId]] argmax's own
+    * hits — so "has real function words" is judged in the document's
+    * own language; `lang_pred` rides along so downstream mixture
+    * planning can stratify. Same single codegen profile pass as
+    * [[quality]] (every list rides the one kernel call — adding
+    * languages costs zero extra scans), same bucket thresholds. */
+  def qualityByLang(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), profile.as("p"))
+      .select(col("doc_id") +: col("p").getItem(0).as("n_tokens") +:
+        langOrder.zipWithIndex.map { case (l, i) =>
+          col("p").getItem(i + 1).as(s"${l}_hits")
+        }: _*)
+      .withColumn("lang_pred", langPredCol)
+      .withColumn("n_stop_lang",
+        greatest(langOrder.map(l => col(s"${l}_hits")): _*))
+      .withColumn("stopword_ratio",
+        round(col("n_stop_lang") / greatest(col("n_tokens"), lit(1)), 4))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") >= 50 && col("n_stop_lang") > 0, "high")
+          .when(col("n_tokens") >= 20, "medium")
+          .otherwise("low"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("n_stop_lang"), col("stopword_ratio"), col("quality_bucket"))
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs | single digits | single punctuation), aggregated per
@@ -1498,6 +1545,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_zipf"           -> ((s, d) => zipfReport(Tables(s, d).documents)),
     "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
+    "t_quality_lang"   -> ((s, d) => qualityByLang(Tables(s, d).documents)),
     "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
     "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),
@@ -1553,6 +1601,20 @@ object TextAnalysis {
     "t_tfidf"          -> ((s, d) => tfidfTopTerms(Tables(s, d).documents)))
 
   private def inListSql(lang: String): String = inList(stopwords(lang))
+
+  /** The per-lang hits projections and argmax CASE, GENERATED from
+    * [[langOrder]] exactly like the Spark side ([[langPredCol]]) — one
+    * source of truth for which lists exist and how ties break. */
+  private def langHitsSql: String = langOrder.map(l =>
+    s"len(list_filter(toks, t -> t IN (${inListSql(l)}))) AS ${l}_hits")
+    .mkString(",\n  ")
+
+  private def langIdCaseSql: String =
+    "CASE " + langOrder.zipWithIndex.map { case (l, i) =>
+      val conds = (langOrder.drop(i + 1).map(m => s"${l}_hits >= ${m}_hits") :+
+        s"${l}_hits > 0").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n       ") + "\n       ELSE 'unknown' END"
 
   private val toksCte =
     """WITH toks AS (
@@ -1900,18 +1962,10 @@ object TextAnalysis {
     "t_lang_confusion" ->
       s"""$toksCte,
          |h AS (SELECT doc_id,
-         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS en_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("de")}))) AS de_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("fr")}))) AS fr_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS es_hits
+         |  $langHitsSql
          |FROM toks),
          |p AS (SELECT doc_id,
-         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
-         |            AND en_hits > 0 THEN 'en'
-         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
-         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-         |       WHEN es_hits > 0 THEN 'es'
-         |       ELSE 'unknown' END AS lang_pred
+         |  $langIdCaseSql AS lang_pred
          |FROM h),
          |c AS (SELECT d.lang, p.lang_pred, COUNT(*) AS n
          |  FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY 1, 2)
@@ -2069,19 +2123,30 @@ object TextAnalysis {
     "t_langid" ->
       s"""$toksCte,
          |h AS (SELECT doc_id,
-         |  len(list_filter(toks, t -> t IN (${inListSql("en")}))) AS en_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("de")}))) AS de_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("fr")}))) AS fr_hits,
-         |  len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS es_hits
+         |  $langHitsSql
          |FROM toks)
-         |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
-         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits
-         |            AND en_hits > 0 THEN 'en'
-         |       WHEN de_hits >= fr_hits AND de_hits >= es_hits AND de_hits > 0 THEN 'de'
-         |       WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-         |       WHEN es_hits > 0 THEN 'es'
-         |       ELSE 'unknown' END AS lang_pred
+         |SELECT doc_id, ${langOrder.map(l => s"${l}_hits").mkString(", ")},
+         |  $langIdCaseSql AS lang_pred
          |FROM h""".stripMargin,
+    // Mirror of qualityByLang: the generated hits/CASE fragments (the
+    // t_langid mirror) + greatest-hits stopword signal + the t_quality
+    // thresholds.
+    "t_quality_lang" ->
+      s"""$toksCte,
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t != '')) AS n_tokens,
+         |  $langHitsSql
+         |FROM toks),
+         |q AS (SELECT doc_id, n_tokens,
+         |  $langIdCaseSql AS lang_pred,
+         |  GREATEST(${langOrder.map(l => s"${l}_hits").mkString(", ")}) AS n_stop_lang
+         |FROM h)
+         |SELECT doc_id, lang_pred, n_tokens, n_stop_lang,
+         |  ROUND(CAST(n_stop_lang AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+         |  CASE WHEN n_tokens >= 50 AND n_stop_lang > 0 THEN 'high'
+         |       WHEN n_tokens >= 20 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM q""".stripMargin,
     "t_quality" ->
       s"""$toksCte,
          |m AS (SELECT doc_id,

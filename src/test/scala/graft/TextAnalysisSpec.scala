@@ -26,7 +26,59 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.langId(docs)
     assert(out.count() == docs.count())
     assert(out.select("lang_pred").distinct().collect()
-      .map(_.getString(0)).forall(Set("en", "de", "fr", "es", "unknown")))
+      .map(_.getString(0))
+      .forall((TextAnalysis.langOrder :+ "unknown").toSet))
+  }
+
+  test("langId: the r13 lists identify Italian, Portuguese and Dutch") {
+    val df = Seq(
+      (1L, "il gatto e il cane che vive per la casa di roma non dorme"),
+      (2L, "o gato e o cachorro que vive em casa do porto um dia"),
+      (3L, "de kat en de hond van het huis een dag ik niet dat"),
+      (4L, "el gato y el perro es por una casa que")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out == Map(1L -> "it", 2L -> "pt", 3L -> "nl", 4L -> "es"))
+  }
+
+  test("langConfusion with a non-en source: clean diagonal for Portuguese; a mislabeled source shows off-diagonal mass") {
+    // a correctly-labeled Portuguese source and a source DECLARED en
+    // whose text is actually Italian — the governance case the card
+    // exists for (mislabeled upstream metadata)
+    val df = Seq(
+      (1L, "pt", "o gato e o cachorro que vive em casa do porto um dia"),
+      (2L, "pt", "a menina que mora em casa do lado um gato e o mar"),
+      (3L, "en", "il gatto e il cane che vive per la casa di roma non dorme"),
+      (4L, "en", "the cat and the dog of the house is that")
+    ).toDF("doc_id", "lang", "text")
+    val conf = TextAnalysis.langConfusion(df).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("lang_pred")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))).toMap
+    assert(conf((("pt"), ("pt")))._2 == 1.0, "clean pt source must sit on the diagonal")
+    assert(conf((("en"), ("it"))) == ((1L, 0.5)),
+      "the mislabeled en row must show its Italian off-diagonal mass")
+    assert(conf((("en"), ("en"))) == ((1L, 0.5)))
+  }
+
+  test("qualityByLang: a clean French document scores high where the en-centric rule cannot") {
+    val fr = Array.fill(7)("le chat est dans la maison pour que").mkString(" ")
+    val df = Seq((1L, fr), (2L, "xyzzy " * 60)).toDF("doc_id", "text")
+    val byLang = TextAnalysis.qualityByLang(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 56 French tokens, zero English stopwords: en-centric quality says
+    // medium (no stopword credit), the per-lang rule says high
+    assert(byLang(1L).getAs[String]("lang_pred") == "fr")
+    assert(byLang(1L).getAs[String]("quality_bucket") == "high")
+    val enCentric = TextAnalysis.quality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_bucket")).toMap
+    assert(enCentric(1L) == "medium",
+      "the en-centric rule must deny the French doc its stopword credit")
+    // stopword-free junk stays non-high under BOTH rules
+    assert(byLang(2L).getAs[String]("quality_bucket") == "medium")
+    // the per-lang stopword signal equals the winning list's hits:
+    // 6 fr stopwords per rep (le, est, dans, la, pour, que) × 7 reps
+    assert(byLang(1L).getAs[Int]("n_stop_lang") == 6 * 7)
   }
 
   test("quality: ratios bounded, buckets exhaustive") {
