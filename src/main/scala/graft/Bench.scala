@@ -160,7 +160,10 @@ object Bench {
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
-        val f = new java.io.File("BASELINE.json")
+        // override point for testing the adjudication machinery with
+        // synthetic pins (never set by the driver)
+        val f = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BASELINE.json"))
         if (!f.exists()) Map.empty
         else JsonMethods.parse(f) \ "per_query_sec" match {
           case JObject(fields) => fields.collect {
@@ -177,8 +180,11 @@ object Bench {
     val flagged: Seq[String] = results.collect {
       case (k, v) if v >= 0 && pins.get(k).exists(p => p > 0 && v > 2 * p) => k
     }.sorted
-    val adjudicate = fullBattery && flagged.nonEmpty &&
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE", "1") != "0"
+    // "force" adjudicates even on a filtered/off-SF run (mechanism
+    // testing); "0" disables; default = full sf0.1 batteries only
+    val adjEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJUDICATE", "1")
+    val adjudicate = flagged.nonEmpty && adjEnv != "0" &&
+      (fullBattery || adjEnv == "force")
     var adjSec = Map.empty[String, Double]
     var adjRan = false
     if (adjudicate) {
@@ -199,6 +205,9 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile)
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_BENCH_REPS", "3")
+        // the child must never adjudicate (recursion guard — a forced
+        // parent would otherwise force its child too)
+        pb.environment().put("SPARK_GRAFT_BENCH_ADJUDICATE", "0")
         pb.redirectErrorStream(false)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // the child's
