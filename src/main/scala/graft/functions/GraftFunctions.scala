@@ -43,10 +43,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"graft_cosine expects two array<float|double> columns, got ${l.sql} and ${r.sql}")
   }
 
-  private def isDouble(e: Expression): Boolean = e.dataType match {
+  // null-safe: KernelPropertySpec drives nullSafeEval directly on a
+  // childless instance (float path)
+  private def isDouble(e: Expression): Boolean = e != null && (e.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
-  }
+  })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
