@@ -710,6 +710,32 @@ object Similarity {
       .unionByName(arm("refit", centsLive, assignedLive))
   }
 
+  /** Per-LIST index-health card — the BATCH twin of
+    * `AnnStream.volumeSignal` (same quotient, same threshold), keyed
+    * and oracle-checked so the volume trigger arm has a driver-visible
+    * CORRECTNESS artifact: per list, fit-time size, CURRENT live
+    * count, live_frac as the exact-integer half-away quotient, and
+    * `refit_recommended` (BIGINT 0/1) when live_frac < minLiveFrac.
+    * The delete load is the UNION of the two documented regimes — the
+    * uniform vec_id % 7 tombstone panel (s_ann_tombstone) and the
+    * [[takedownLive]] list purge (s_ann_refit) — so the card exercises
+    * both shapes at once: purged lists read 0.0 and flag, surviving
+    * lists read ~6/7 and stay quiet. ONE conditional aggregate over
+    * the assigned table (map-side partials, ≤ nlist rows out); the
+    * stream≡batch differential against volumeSignal is spec-proven. */
+  def indexHealthReport(assigned: DataFrame, minLiveFrac: Double = 0.5): DataFrame = {
+    val liveRow = (col("vec_id") % lit(7L) =!= lit(3L)) && takedownLive
+    assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_fit"),
+        coalesce(sum(when(liveRow, lit(1L))), lit(0L)).as("n_live"))
+      .select(col("cluster"), col("n_fit"), col("n_live"),
+        expr("CAST((20000 * n_live + n_fit) DIV (2 * n_fit) AS DOUBLE) / 10000.0")
+          .as("live_frac"))
+      .withColumn("refit_recommended",
+        (col("live_frac") < lit(minLiveFrac)).cast("long"))
+  }
+
   /** OPQ RECALL card — the decision variable [[opqErrorReport]]'s MSE
     * only proxies (Ge et al. 2013's claim is better NN search, not
     * just lower quantization error; a rollout gates on recall): per
@@ -1570,6 +1596,8 @@ object Similarity {
       val (cL, aL) = graft.core.Catalog.ivfIndexLive(s, d)
       annRefitReport(cS, aS, cL, aL)
     }),
+    "s_index_health" -> ((s, d) =>
+      indexHealthReport(graft.core.Catalog.ivfIndex(s, d)._2)),
     "s_opq_recall" -> ((s, d) => {
       val (booksPq, codesPq) = graft.core.Catalog.pqIndex(s, d)
       val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(s, d)
@@ -2337,6 +2365,22 @@ object Similarity {
       ("WITH " + ivfFitCte + ",\n" +
         Seq(0, 1, 2, 4, 5).map(tombQueryCte).mkString(",\n") + "\n" +
         Seq(0, 1, 2, 4, 5).map(tombQuerySelect).mkString("\nUNION ALL\n")),
+    // indexHealthReport mirror: the fit CTE's assigned table + one
+    // conditional count per list under the union delete load, the
+    // half-away live fraction and the 0/1 flag.
+    "s_index_health" ->
+      ("WITH " + ivfFitCteFor("") + "\n" +
+        s"""SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_fit,
+           |  CAST(COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_live,
+           |  CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |                              THEN 1 ELSE 0 END), 0) + COUNT(*)) //
+           |       (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS live_frac,
+           |  CAST(CASE WHEN CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |                                   THEN 1 ELSE 0 END), 0) + COUNT(*)) //
+           |                 (2 * COUNT(*)) AS DOUBLE) / 10000.0 < 0.5
+           |       THEN 1 ELSE 0 END AS BIGINT) AS refit_recommended
+           |FROM af GROUP BY cluster""".stripMargin),
     // annRefitReport mirror: the full-corpus fit (stale, MATERIALIZED —
     // both serve windows reference it) + a SECOND live-only prefixed
     // fit (the Catalog.ivfIndexLive replay: source = the stale `af`

@@ -327,6 +327,45 @@ class SimilaritySpec extends SparkSpec {
     assert(cL.length == Similarity.autoNlist(aL.count()))
   }
 
+  test("indexHealthReport == streaming volumeSignal over the same delete load; purged lists flag") {
+    val (_, assigned) = graft.core.Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val health = Similarity.indexHealthReport(assigned).collect()
+      .map(r => r.getAs[Int]("cluster") -> r).toMap
+    val liveRow = ($"vec_id" % 7 =!= 3) && Similarity.takedownLive
+    val deletes = assigned.filter(!liveRow).select($"vec_id")
+    val table = "t_health_counters"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      graft.streaming.AnnStream.deleteBatch(deletes, assigned, 0L, table)
+      val stream = graft.streaming.AnnStream.volumeSignal(
+          graft.streaming.AnnStream.listSizeSnapshot(assigned),
+          graft.streaming.AnnStream.mergedDeleteCounts(spark, table)).collect()
+        .map(r => r.getAs[Int]("cluster") -> r).toMap
+      assert(health.keySet == stream.keySet && health.nonEmpty)
+      health.foreach { case (c, h) =>
+        val s = stream(c)
+        assert(h.getAs[Long]("n_fit") == s.getAs[Long]("n_fit"))
+        assert(h.getAs[Long]("n_live") ==
+          s.getAs[Long]("n_fit") - s.getAs[Long]("n_deleted"))
+        assert(h.getAs[Double]("live_frac") == s.getAs[Double]("live_frac"),
+          s"list $c live_frac must match the streaming arm")
+        assert((h.getAs[Long]("refit_recommended") == 1L) ==
+          s.getAs[Boolean]("refit_recommended"))
+      }
+      // union delete load: purged lists read 0.0 and flag; survivors
+      // carry only the uniform ~1/7 panel and stay quiet
+      health.foreach { case (c, h) =>
+        if (c % Similarity.TakedownMod == 1) {
+          assert(h.getAs[Long]("n_live") == 0L &&
+            h.getAs[Long]("refit_recommended") == 1L)
+        } else {
+          assert(h.getAs[Double]("live_frac") > 0.5 &&
+            h.getAs[Long]("refit_recommended") == 0L)
+        }
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))
