@@ -190,6 +190,12 @@ object Bench {
     if (adjudicate) {
       System.err.println(s"[bench] ${flagged.size} >2x-pin flag(s) — adjudicating " +
         s"in a fresh child JVM: ${flagged.mkString(",")}")
+      // all timing is done — release THIS JVM's heap (persisted fits,
+      // block manager) before the child starts, so the adjudication
+      // isn't contaminated by the parent's memory footprint on a tight
+      // box (the whole point is the best same-box approximation of
+      // idle)
+      spark.stop()
       try {
         val javaBin = s"${sys.props("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
@@ -234,6 +240,7 @@ object Bench {
             case _ =>
               System.err.println("[bench] adjudication child JSON missing queries map")
           }
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] adjudication failed: ${e.getMessage} — flags stand unadjudicated")
@@ -267,7 +274,7 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
-    spark.stop()
+    if (!spark.sparkContext.isStopped) spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

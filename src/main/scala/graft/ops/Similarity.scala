@@ -601,10 +601,11 @@ object Similarity {
                          assigned: DataFrame,
                          queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 4L, 5L),
                          k: Int = 10, nProbe: Int = 2): DataFrame = {
-    val liveP = col("vec_id") % lit(7L) =!= lit(3L)
+    val liveP = uniformLive
     val live = embeddings.filter(liveP)
     queryVecIds.map { id =>
-      require(id % 7 != 3, s"query $id is tombstoned — pick a live query")
+      require(id % UniformTombMod != UniformTombRem,
+        s"query $id is tombstoned — pick a live query")
       val exact = DupClusters.materialize(annTopK(live, id, k).select(col("vec_id")))
       val approx = annIvfFilteredFromIndex(centroids, assigned, liveP, id, k, nProbe)
         .select(col("vec_id").as("a_vec_id"))
@@ -612,7 +613,8 @@ object Similarity {
           col("a_vec_id") === col("vec_id"), "left")
         .agg(count(lit(1)).as("n_served"),
           coalesce(sum(col("in_exact")), lit(0L)).as("n_hit"),
-          coalesce(sum(when(col("a_vec_id") % lit(7L) === lit(3L), lit(1L))), lit(0L))
+          coalesce(sum(when(col("a_vec_id") % lit(UniformTombMod.toLong) ===
+            lit(UniformTombRem.toLong), lit(1L))), lit(0L))
             .as("n_leaked"))
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .select(lit(id).as("query_id"), col("n_exact"), col("n_served"),
@@ -647,6 +649,16 @@ object Similarity {
   /** Liveness under the list takedown — a predicate on the STALE
     * assignment (`cluster` = the stale index's list id). */
   def takedownLive: Column = col("cluster") % lit(TakedownMod) =!= lit(1)
+
+  /** The UNIFORM tombstone panel (`s_ann_tombstone`'s delete regime):
+    * vec_id ≡ [[UniformTombRem]] (mod [[UniformTombMod]]) — one named
+    * predicate + constants so the tombstone card, the index-health
+    * card and their SQL mirrors can never disagree on which rows are
+    * deleted (the takedownLive convention). */
+  val UniformTombMod: Int = 7
+  val UniformTombRem: Int = 3
+  def uniformLive: Column =
+    col("vec_id") % lit(UniformTombMod.toLong) =!= lit(UniformTombRem.toLong)
 
   /** Index-REFIT recovery card — the loop-closer behind
     * [[annTombstoneReport]]: that card measures what serving off STALE
@@ -689,6 +701,15 @@ object Similarity {
       .filter(col("n2") % lit(TakedownMod) === lit(1))
       .orderBy(col("vec_id")).limit(nQueries)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    // degenerate corpus/delete layout with NO boundary queries: match
+    // the mirror's graceful n_exact = 0 rows instead of crashing on an
+    // empty union
+    if (panel.isEmpty) {
+      val spark = assignedStale.sparkSession
+      import spark.implicits._
+      return Seq(("stale", 0L, 0L, 0.0), ("refit", 0L, 0L, 0.0))
+        .toDF("arm", "n_exact", "n_hit", "recall")
+    }
     val exact = DupClusters.materialize(
       annTopKBatch(live, panel, k).select(col("query_id"), col("vec_id")))
     def arm(name: String, cents: Seq[Seq[Double]], assigned: DataFrame) = {
@@ -724,7 +745,7 @@ object Similarity {
     * the assigned table (map-side partials, ≤ nlist rows out); the
     * stream≡batch differential against volumeSignal is spec-proven. */
   def indexHealthReport(assigned: DataFrame, minLiveFrac: Double = 0.5): DataFrame = {
-    val liveRow = (col("vec_id") % lit(7L) =!= lit(3L)) && takedownLive
+    val liveRow = uniformLive && takedownLive
     assigned
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_fit"),
@@ -1689,23 +1710,15 @@ object Similarity {
     * follow — past it, fit verification is the planted-replica specs +
     * the Stress ladder. */
   private[ops] def ivfFitCte: String =
-    s"""eiv AS (SELECT vec_id, label, embedding FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c,
-       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cent
-       |  FROM (SELECT vec_id, embedding FROM eiv ORDER BY vec_id
-       |        LIMIT GREATEST(16, CAST(CEIL(CAST((SELECT COUNT(*) FROM eiv) AS DOUBLE) / 256) AS BIGINT)))),
-       |${lloydIterSql(1, "c0")},
-       |${lloydIterSql(2, "c1")},
-       |af AS (SELECT e.vec_id, e.label, e.embedding, a.cluster FROM eiv e
-       |  JOIN (SELECT vec_id, c AS cluster FROM (
-       |    SELECT e.vec_id, c2.c,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
-       |    FROM eiv e CROSS JOIN c2) WHERE rn = 1) a USING (vec_id)),
-       |can AS (SELECT e.vec_id, e.label, e.embedding, c AS canopy FROM (
-       |    SELECT e.vec_id, c2.c AS c,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
-       |    FROM eiv e CROSS JOIN c2) x
-       |  JOIN eiv e USING (vec_id) WHERE rn <= 2)""".stripMargin
+    // delegate to the parametrized generator (ONE source of truth for
+    // the oracle-critical unrolled Lloyd text — the r13 review's
+    // anti-desync rule) + the canopy CTE only this legacy chain needs
+    ivfFitCteFor("") + "," + "\n" +
+      s"""can AS (SELECT e.vec_id, e.label, e.embedding, c AS canopy FROM (
+         |    SELECT e.vec_id, c2.c AS c,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${d2Sql("e.embedding", "c2.cent")} ASC, c2.c ASC) AS rn
+         |    FROM eiv e CROSS JOIN c2) x
+         |  JOIN eiv e USING (vec_id) WHERE rn <= 2)""".stripMargin
 
   /** [[ivfFitCte]] generalized for the refit mirror: `p` prefixes every
     * CTE name, `srcWhere` filters the source frame (the live-only fit),
@@ -1779,7 +1792,7 @@ object Similarity {
     s"""tq$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
        |tex$qid AS (SELECT vec_id FROM (
        |    SELECT e.vec_id, ${cosSql("e.embedding", s"tq$qid.qe")} AS cos
-       |    FROM eiv e CROSS JOIN tq$qid WHERE e.vec_id != $qid AND e.vec_id % 7 != 3
+       |    FROM eiv e CROSS JOIN tq$qid WHERE e.vec_id != $qid AND e.vec_id % $UniformTombMod != $UniformTombRem
        |    ORDER BY cos DESC, vec_id ASC LIMIT 10)),
        |tpr$qid AS (SELECT c FROM (
        |    SELECT c2.c, row_number() OVER (ORDER BY ${d2Sql(s"tq$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
@@ -1788,7 +1801,7 @@ object Similarity {
        |    SELECT af.vec_id, ${cosSql("af.embedding", s"tq$qid.qe")} AS cos
        |    FROM af CROSS JOIN tq$qid
        |    WHERE af.cluster IN (SELECT c FROM tpr$qid)
-       |      AND af.vec_id != $qid AND af.vec_id % 7 != 3
+       |      AND af.vec_id != $qid AND af.vec_id % $UniformTombMod != $UniformTombRem
        |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
 
   /** Refit-mirror serving CTEs, batch window form (no per-qid
@@ -1846,7 +1859,7 @@ object Similarity {
        |  CAST((SELECT COUNT(*) FROM tex$qid) AS BIGINT) AS n_exact,
        |  CAST((SELECT COUNT(*) FROM tap$qid) AS BIGINT) AS n_served,
        |  CAST((SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id) AS BIGINT) AS n_hit,
-       |  CAST((SELECT COUNT(*) FROM tap$qid WHERE vec_id % 7 = 3) AS BIGINT) AS n_leaked,
+       |  CAST((SELECT COUNT(*) FROM tap$qid WHERE vec_id % $UniformTombMod = $UniformTombRem) AS BIGINT) AS n_leaked,
        |  (CASE WHEN (SELECT COUNT(*) FROM tex$qid) = 0 THEN 0.0 ELSE
        |    CAST((20000 * (SELECT COUNT(*) FROM tex$qid e JOIN tap$qid a ON e.vec_id = a.vec_id)
        |          + (SELECT COUNT(*) FROM tex$qid)) //
@@ -2371,12 +2384,12 @@ object Similarity {
     "s_index_health" ->
       ("WITH " + ivfFitCteFor("") + "\n" +
         s"""SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_fit,
-           |  CAST(COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |  CAST(COALESCE(SUM(CASE WHEN vec_id % $UniformTombMod != $UniformTombRem AND cluster % $TakedownMod != 1
            |                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_live,
-           |  CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |  CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % $UniformTombMod != $UniformTombRem AND cluster % $TakedownMod != 1
            |                              THEN 1 ELSE 0 END), 0) + COUNT(*)) //
            |       (2 * COUNT(*)) AS DOUBLE) / 10000.0 AS live_frac,
-           |  CAST(CASE WHEN CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % 7 != 3 AND cluster % $TakedownMod != 1
+           |  CAST(CASE WHEN CAST((20000 * COALESCE(SUM(CASE WHEN vec_id % $UniformTombMod != $UniformTombRem AND cluster % $TakedownMod != 1
            |                                   THEN 1 ELSE 0 END), 0) + COUNT(*)) //
            |                 (2 * COUNT(*)) AS DOUBLE) / 10000.0 < 0.5
            |       THEN 1 ELSE 0 END AS BIGINT) AS refit_recommended

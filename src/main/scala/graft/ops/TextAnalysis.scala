@@ -118,8 +118,12 @@ object TextAnalysis {
       .withColumn("lang_pred", langPredCol)
       .withColumn("n_stop_lang",
         greatest(langOrder.map(l => col(s"${l}_hits")): _*))
+      // exact-integer half-away, not ROUND(dbl,4): a count/count
+      // quotient whose exact decimal ends in …5 at the 5th place can
+      // round apart between engines (the CLAUDE.md ROUND tie hazard)
       .withColumn("stopword_ratio",
-        round(col("n_stop_lang") / greatest(col("n_tokens"), lit(1)), 4))
+        expr("CAST((20000 * n_stop_lang + GREATEST(n_tokens, 1)) DIV " +
+          "(2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0"))
       .withColumn("quality_bucket",
         when(col("n_tokens") >= 50 && col("n_stop_lang") > 0, "high")
           .when(col("n_tokens") >= 20, "medium")
@@ -2142,7 +2146,8 @@ object TextAnalysis {
          |  GREATEST(${langOrder.map(l => s"${l}_hits").mkString(", ")}) AS n_stop_lang
          |FROM h)
          |SELECT doc_id, lang_pred, n_tokens, n_stop_lang,
-         |  ROUND(CAST(n_stop_lang AS DOUBLE) / greatest(n_tokens, 1), 4) AS stopword_ratio,
+         |  CAST((20000 * n_stop_lang + GREATEST(n_tokens, 1)) //
+         |       (2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0 AS stopword_ratio,
          |  CASE WHEN n_tokens >= 50 AND n_stop_lang > 0 THEN 'high'
          |       WHEN n_tokens >= 20 THEN 'medium'
          |       ELSE 'low' END AS quality_bucket

@@ -65,9 +65,19 @@ object MixStream {
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(partialsTable)) {
       partials.write.saveAsTable(partialsTable)
-    } else if (spark.table(partialsTable)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
-      partials.write.mode("append").saveAsTable(partialsTable)
+    } else {
+      // Upgrade path for a durable partials table written before the
+      // token column existed (r13): evolve the schema in place so the
+      // append cannot fail mid-stream. Legacy rows read n_tokens NULL —
+      // the audit ([[report]]) never touches the column, and
+      // [[waterfillPlan]] REFUSES to serve over NULLs (silently
+      // under-counting capacity would be worse than failing).
+      if (!spark.table(partialsTable).columns.contains("n_tokens"))
+        spark.sql(s"ALTER TABLE $partialsTable ADD COLUMNS (n_tokens BIGINT)")
+      if (spark.table(partialsTable)
+          .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+        partials.write.mode("append").saveAsTable(partialsTable)
+      }
     }
   }
 
@@ -92,11 +102,21 @@ object MixStream {
   /** Merged per-source CAPACITY card: (source, n_docs, n_tokens) —
     * the [[Sampling.waterfillFromCards]] input contract, off the same
     * partials table (token sums are additive like doc counts). */
-  def mergedCapacityCards(spark: SparkSession, partialsTable: String): DataFrame =
+  def mergedCapacityCards(spark: SparkSession, partialsTable: String): DataFrame = {
+    // loud, not silently wrong: a pre-r13 partials row carries no token
+    // sum, and a capacity plan summed over NULLs would under-allocate
+    // the affected sources invisibly — demand a backfill/re-ingest
+    val legacy = spark.table(partialsTable)
+      .filter(col("n_tokens").isNull).limit(1).count()
+    require(legacy == 0L,
+      s"$partialsTable carries pre-token (legacy) partial rows — backfill " +
+        "or re-ingest them before serving a capacity re-plan " +
+        "(the audit report remains servable)")
     spark.table(partialsTable)
       .groupBy(col("source")).agg(
         sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"))
+  }
 
   /** The mixture RE-PLAN served at any time — the d_mix_waterfill
     * allocation over everything ingested so far, bit-equal to the

@@ -332,6 +332,35 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); snap.unpersist() }
   }
 
+  test("mixture maintainer: a pre-token (legacy) partials table upgrades in place; audit keeps serving, re-plan refuses NULL capacity") {
+    import graft.ops.Sampling
+    import graft.streaming.MixStream
+    dropGateTables("t_mix_legacy")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val rates = Sampling.MixRates
+    // a durable table written by the r12 maintainer: no n_tokens column
+    Sampling.mixturePartials(docs.filter(pmod($"doc_id", lit(2)) === 0), rates, Sampling.MixDefault)
+      .withColumn("batch_id", lit(0L))
+      .write.saveAsTable("t_mix_legacy")
+    // the r13 maintainer ingests a new batch: schema evolves in place,
+    // the append succeeds mid-stream instead of throwing
+    MixStream.ingestBatch(docs.filter(pmod($"doc_id", lit(2)) === 1), 1L,
+      "t_mix_legacy", rates, Sampling.MixDefault)
+    assert(spark.table("t_mix_legacy").columns.contains("n_tokens"))
+    // the audit serves the full corpus exactly (it never reads tokens)
+    val served = MixStream.report(spark, "t_mix_legacy", rates, Sampling.MixDefault)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == Sampling.mixReport(docs, rates, Sampling.MixDefault)
+      .collect().map(_.toString).sorted.toSeq)
+    // the re-plan refuses to serve over NULL legacy capacity — loud,
+    // never silently under-allocated
+    val e = intercept[IllegalArgumentException] {
+      MixStream.waterfillPlan(spark, "t_mix_legacy").collect()
+    }
+    assert(e.getMessage.contains("legacy"))
+    dropGateTables("t_mix_legacy")
+  }
+
   test("volume-triggered refit: light deletes stay quiet; a planted heavy-delete batch flips the gutted list only; replay idempotent") {
     import graft.streaming.AnnStream
     val table = "t_ann_del_counters"
