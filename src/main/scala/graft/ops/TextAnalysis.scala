@@ -320,8 +320,11 @@ object TextAnalysis {
         GraftFunctions.ttrProfile(col("text")).as("t"))
       .select(col("doc_id"), col("source"),
         col("t").getItem(0).as("n_tokens"),
-        (col("p").getItem(1) + col("p").getItem(2) +
-         col("p").getItem(3) + col("p").getItem(4)).as("n_stop_all"),
+        // ALL lists (generated from langOrder — the documented
+        // "zero hits across ALL stopword lists" contract; fixed r13
+        // when the list set grew past the hand-written first four)
+        langOrder.indices.map(i => col("p").getItem(i + 1))
+          .reduce(_ + _).as("n_stop_all"),
         col("r").getItem(0).as("n_trigrams"),
         col("r").getItem(1).as("tri_distinct"),
         col("r").getItem(2).as("max_freq"),
@@ -2381,10 +2384,9 @@ object TextAnalysis {
        |m AS (SELECT doc_id, source,
        |    CAST(len(list_filter(toks, t -> t != '')) AS INT) AS n_tokens,
        |    CAST(len(list_distinct(list_filter(toks, t -> t != ''))) AS INT) AS tok_distinct,
-       |    len(list_filter(toks, t -> t IN (${inListSql("en")})))
-       |      + len(list_filter(toks, t -> t IN (${inListSql("de")})))
-       |      + len(list_filter(toks, t -> t IN (${inListSql("fr")})))
-       |      + len(list_filter(toks, t -> t IN (${inListSql("es")}))) AS n_stop_all
+       |    ${langOrder.map(l =>
+               s"len(list_filter(toks, t -> t IN (${inListSql(l)})))")
+               .mkString("\n      + ")} AS n_stop_all
        |  FROM toks),
        |tri AS (SELECT doc_id,
        |    list_transform(generate_series(1, len(toks) - 2),
