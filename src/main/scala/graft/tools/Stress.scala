@@ -148,6 +148,28 @@ object Stress {
     time("ivf_assign_joined")(
       Similarity.twoLevelAssignJoined(embN, hier._1, hier._2)
         .groupBy("cluster").count().count())
+    // r13 refit ladder: the live-only rebuild (s_ann_refit's refit arm)
+    // at scale — fit cost must track the hier arm (same recipe over the
+    // ~3/4 live mass), and the recovery card must stay linear (3 batch
+    // window passes + |panel| exact live scans; the boundary panel is
+    // ONE corpus-scan window + a 10-row collect)
+    val assignedStale = embN.withColumn("cluster",
+      Similarity.twoLevelAssign(hier._1, hier._2))
+    val flatStale = hier._2.flatten
+    var liveFit: (Seq[Seq[Double]], org.apache.spark.sql.DataFrame) = null
+    time("refit_fit_live") {
+      val live = assignedStale.filter(Similarity.takedownLive).drop("cluster")
+      val nLive = live.count()
+      val kL = Similarity.autoNlist(nLive)
+      val dL = Similarity.autoSampleDenom(nLive, kL)
+      val h = Similarity.ivfCentroidsHier(live, kL, iters = 2, sampleDenom = dL)
+      liveFit = (h._2.flatten,
+        live.withColumn("cluster", Similarity.twoLevelAssign(h._1, h._2)))
+      s"live=$nLive nlist=$kL denom=$dL"
+    }
+    time("refit_card")(
+      Similarity.annRefitReport(flatStale, assignedStale, liveFit._1, liveFit._2)
+        .collect().map(r => f"${r.getString(0)}=${r.getDouble(3)}%.2f").mkString(" "))
     // the single-level contrast arm fits on the SAME autoSampleDenom
     // sample as the hier arm — that isolates the per-candidate factor
     // (nlist vs √nlist) the remediation targets, and is the SCALING.md
