@@ -170,6 +170,26 @@ object AnnStream {
       .withColumn("refit_recommended", col("live_frac") < lit(minLiveFrac))
   }
 
+  /** ONE scheduled maintenance decision — the disjunction of both
+    * trigger arms ([[refitSignal]] drift on the arrivals vs the fit
+    * snapshot; [[volumeSignal]] on the merged delete counters vs the
+    * list-size snapshot): refit when EITHER recommends. Model-scale
+    * (two ≤ max(#labels, nlist)-row frames); the rebuild itself is
+    * `Catalog.ivfIndexLive` + `Store.publishAnnRefit` (the versioned
+    * swap), and the whole loop — deletes → signal → rebuild → swap →
+    * clean health card — is spec-proven end-to-end in StreamingSpec. */
+  def refitRecommended(spark: SparkSession, arrived: DataFrame,
+                       fitSnap: DataFrame, listSnap: DataFrame,
+                       countersTable: String, minCos: Double = 0.98,
+                       minLiveFrac: Double = 0.5): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val drift = refitSignal(arrived, fitSnap, minCos)
+      .filter(col("refit_recommended")).limit(1).count() > 0
+    drift || volumeSignal(listSnap, mergedDeleteCounts(spark, countersTable),
+        minLiveFrac)
+      .filter(col("refit_recommended")).limit(1).count() > 0
+  }
+
   /** Continuously-maintained OPQ code table: each arriving vector is
     * PERMUTED (dim literal GetArrayItem projections — the permutation
     * ships with the plan) and PQ-encoded against the fitted OPQ books —

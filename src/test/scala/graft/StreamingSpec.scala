@@ -421,6 +421,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintenance loop end-to-end: deletes -> volume signal -> live rebuild -> versioned swap -> clean serving table") {
+    import graft.streaming.AnnStream
+    import graft.core.{Catalog, Store}
+    import graft.ops.Similarity
+    val counters = "t_loop_counters"
+    val serving = "t_loop_ann_index"
+    spark.sql(s"DROP TABLE IF EXISTS $counters")
+    Store.drop(spark, serving)
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val (_, assigned) = Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val fitSnap = AnnStream.fitSnapshot(embs).cache()
+    val listSnap = AnnStream.listSizeSnapshot(assigned).cache()
+    try {
+      // the stale index is the published serving table
+      Store.saveAnnIndex(spark, TestSpark.sf0001, buckets = 4, table = serving)
+      // quiet world: fit-distribution arrivals, a light delete scatter
+      AnnStream.deleteBatch(
+        assigned.filter($"cluster" === 0).limit(1).select($"vec_id"),
+        assigned, 0L, counters)
+      assert(!AnnStream.refitRecommended(spark, embs, fitSnap, listSnap, counters),
+        "neither arm may fire on a quiet world")
+      // the takedown lands as delete batches: every vector of the
+      // purged lists (the s_ann_refit regime)
+      AnnStream.deleteBatch(
+        assigned.filter(!Similarity.takedownLive).select($"vec_id"),
+        assigned, 1L, counters)
+      assert(AnnStream.refitRecommended(spark, embs, fitSnap, listSnap, counters),
+        "the volume arm must fire after the takedown (drift alone stays quiet)")
+      // the recommended out-of-band rebuild + versioned swap
+      Store.publishAnnRefit(spark, TestSpark.sf0001, buckets = 4, table = serving)
+      // the serving name now reads the live-only index...
+      val served = spark.table(serving)
+      assert(served.count() == Catalog.ivfIndexLive(spark, TestSpark.sf0001)._2.count())
+      val staleOf = assigned.select($"vec_id", $"cluster".as("stale_cluster"))
+      assert(served.join(staleOf, "vec_id")
+        .filter($"stale_cluster" % Similarity.TakedownMod === 1).count() == 0,
+        "no purged vector may survive the swap")
+      // ...the STALE card flags the purged lists the loop remediated
+      // (the health predicates are defined on stale list ids — out of
+      // contract for the rebuilt index), and a fresh volume watch over
+      // the rebuilt index starts clean: its list sizes carry no delete
+      // debt until a post-swap counter table accrues one
+      assert(Similarity.indexHealthReport(assigned)
+        .filter($"refit_recommended" === 1L).count() > 0)
+      val freshSnap = AnnStream.listSizeSnapshot(served)
+      assert(freshSnap.filter($"n_fit" === 0).count() == 0 &&
+        freshSnap.count() > 0, "the rebuilt index has no empty lists")
+    } finally {
+      fitSnap.unpersist(); listSnap.unpersist()
+      spark.sql(s"DROP TABLE IF EXISTS $counters")
+      Store.drop(spark, serving)
+    }
+  }
+
   test("streaming funnel metrics: per-window ingested/unique/moving counts are exact") {
     val dir = Files.createTempDirectory("graft-stream-funnel").toString
     val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:00:00").getTime
