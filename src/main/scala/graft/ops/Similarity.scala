@@ -731,6 +731,58 @@ object Similarity {
       .unionByName(arm("refit", centsLive, assignedLive))
   }
 
+  /** The deterministic RE-EMBEDDING wave fixture: every vec_id ≡ 2
+    * (mod 5) re-embedded under a different model — the replacement is
+    * the CYCLIC DIMENSION SHIFT of the v1 vector (exact in both
+    * engines; an isometry, so within-v2 neighbor structure equals the
+    * original, while cross-version cosines are ~random — the actual
+    * shape of an embedding-model upgrade: internally coherent,
+    * mutually incomparable spaces; negation would instead be a
+    * reflection of the SAME space, turning anti-correlated v1 rows
+    * into matches). Tagged version 2 over the v1 corpus; the shift is
+    * dim literal projections (codegen), not a `transform` HOF. */
+  def reembeddedEvents(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val v1 = embeddings.withColumn("version", lit(1))
+    val v2 = embeddings.filter(col("vec_id") % lit(5L) === lit(2L))
+      .withColumn("embedding",
+        array((0 until dim).map(i => col("embedding").getItem((i + 1) % dim)): _*))
+      .withColumn("version", lit(2))
+    v1.unionByName(v2)
+  }
+
+  /** Serving through a PARTIAL re-embedding wave — the UPDATE leg of
+    * index maintenance (inserts = the append-only code streams,
+    * deletes = tombstone/volume/refit; a model upgrade REPLACES
+    * vectors): the upsert is latest-version-per-key (the reference's
+    * own Load/UPSERT argmax — `VehicleFeed.latest` on (vec_id,
+    * version), ONE map-side-combined shuffle), and the serve is the
+    * brute-force top-k over the upserted corpus with `version` in the
+    * output. The card makes MIXED-VERSION CONTAMINATION visible,
+    * which is the operational point: v1 and v2 scores are not
+    * comparable (cross-version cosines are noise), yet a mid-wave
+    * top-k ranks them together — measured on this corpus the v2
+    * query's served list is in fact MOSTLY v1 noise rows crowding out
+    * its true (v2) neighbors, precisely the failure an operator gates
+    * on before serving through a wave. Spec: the upsert removed every
+    * re-embedded id's stale v1 row; within-v2 structure is the
+    * original (the shift is an isometry); and the serve itself is the
+    * deterministic hash-checked artifact carrying `version` per hit so
+    * contamination is countable. */
+  def annReembedServe(events: DataFrame, queryVecId: Long = 2L,
+                      k: Int = 10): DataFrame = {
+    val latest = graft.etl.VehicleFeed.latest(events, "vec_id", Seq("version"))
+    val q = broadcast(latest.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    latest
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("version"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+  }
+
   /** Per-LIST index-health card — the BATCH twin of
     * `AnnStream.volumeSignal` (same quotient, same threshold), keyed
     * and oracle-checked so the volume trigger arm has a driver-visible
@@ -1619,6 +1671,8 @@ object Similarity {
     }),
     "s_index_health" -> ((s, d) =>
       indexHealthReport(graft.core.Catalog.ivfIndex(s, d)._2)),
+    "s_ann_reembed" -> ((s, d) =>
+      annReembedServe(reembeddedEvents(Tables(s, d).embeddings))),
     "s_opq_recall" -> ((s, d) => {
       val (booksPq, codesPq) = graft.core.Catalog.pqIndex(s, d)
       val (perm, booksOpq, codesOpq) = graft.core.Catalog.opqIndex(s, d)
@@ -2378,6 +2432,24 @@ object Similarity {
       ("WITH " + ivfFitCte + ",\n" +
         Seq(0, 1, 2, 4, 5).map(tombQueryCte).mkString(",\n") + "\n" +
         Seq(0, 1, 2, 4, 5).map(tombQuerySelect).mkString("\nUNION ALL\n")),
+    // annReembedServe mirror: the v2 wave (cyclic dim shift — exact),
+    // the latest-version-per-key upsert as a version-desc row_number,
+    // the brute-force serve with version in the output.
+    "s_ann_reembed" ->
+      s"""WITH v1 AS (SELECT vec_id, label, embedding, 1 AS version FROM embeddings),
+         |v2 AS (SELECT vec_id, label,
+         |    embedding[2:64] || embedding[1:1] AS embedding,
+         |    2 AS version
+         |  FROM embeddings WHERE vec_id % 5 = 2),
+         |ev AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+         |up AS (SELECT vec_id, label, embedding, version FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn
+         |    FROM ev) WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM up WHERE vec_id = 2)
+         |SELECT vec_id, label, version, ROUND(cos, 4) + 0.0 AS cos_sim FROM (
+         |  SELECT u.vec_id, u.label, u.version, ${cosSql("u.embedding", "q.qe")} AS cos
+         |  FROM up u CROSS JOIN q WHERE u.vec_id != 2)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     // indexHealthReport mirror: the fit CTE's assigned table + one
     // conditional count per list under the union delete load, the
     // half-away live fraction and the 0/1 flag.

@@ -61,6 +61,8 @@ object Audit {
     // the exact arm is annTopKBatch: one 1-row query-vector crossJoin
     // per panel member (the s_ann_batch shape)
     "s_ann_refit",
+    // the same 1-row query-vector crossJoin over the upserted corpus
+    "s_ann_reembed",
     // the 1-row corpus-total frame crossJoined onto the 4-row stacked
     // threshold aggregate — the t_bm25 corpus-stats shape
     "t_decontam_curve",

@@ -366,6 +366,37 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("annReembedServe: upsert removes stale v1 rows; within-v2 structure is the original; contamination is countable") {
+    val events = Similarity.reembeddedEvents(embs)
+    // the upsert removed every re-embedded id's v1 row and kept the
+    // corpus cardinality (one live row per id)
+    val latest = graft.etl.VehicleFeed.latest(events, "vec_id", Seq("version"))
+    assert(latest.count() == embs.count())
+    assert(latest.filter($"vec_id" % 5 === 2 && $"version" === 1).count() == 0)
+    assert(latest.filter($"vec_id" % 5 === 2 && $"version" === 2).count() ==
+      embs.filter($"vec_id" % 5 === 2).count())
+    // the shift is an ISOMETRY: within-v2 neighbor structure equals
+    // the original top-k restricted to re-embedded ids
+    val v2Only = latest.filter($"version" === 2)
+      .select($"vec_id", $"label", $"embedding")
+    val withinV2 = Similarity.annTopK(v2Only, 2L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val orig = Similarity.annTopK(embs.filter($"vec_id" % 5 === 2), 2L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(withinV2 == orig)
+    // the mid-wave serve carries version per hit — contamination is
+    // COUNTABLE (and on this corpus real: v1 noise rows outrank the v2
+    // query's true neighbors, the gate-before-serving warning)
+    val served = Similarity.annReembedServe(events).collect()
+    assert(served.length == 10)
+    val contamination = served.count(_.getAs[Int]("version") == 1)
+    assert(contamination > 0,
+      "this corpus's mid-wave top-k is contaminated — the card must show it")
+    // every v2 hit is a re-embedded id (no stale rows can appear)
+    assert(served.filter(_.getAs[Int]("version") == 2)
+      .forall(_.getAs[Long]("vec_id") % 5 == 2))
+  }
+
   test("ivfCentroids: k centroids of the right dimension, stable") {
     val cents = Similarity.ivfCentroids(embs, k = 8, iters = 1)
     assert(cents.length == 8 && cents.forall(_.length == 64))
