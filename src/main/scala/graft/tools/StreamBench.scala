@@ -216,6 +216,30 @@ object StreamBench {
     // merged partials; per-batch cost must stay FLAT (ingest ∝ batch's
     // source aggregate, audit + re-plan over #sources-row cards —
     // documents are never stored or rescanned by the maintainer)
+    // volume-trigger maintainer (r13): each batch lands a disjoint ~1%
+    // delete wave's per-list counters (deletes broadcast-join the FIXED
+    // serving index, so ingest ∝ batch) and evaluates the signal off
+    // the merged ≤ nlist-row counters + the fit-time list-size
+    // snapshot; per-batch cost must stay FLAT (the corpus is never
+    // rescanned — the index and snapshot are fixed artifacts)
+    lazy val assignedIdx = emb.withColumn("cluster",
+      graft.functions.GraftFunctions.nearestCentroid(col("embedding"),
+        typedlit(cents))).localCheckpoint()
+    lazy val listSnap = graft.streaming.AnnStream.listSizeSnapshot(assignedIdx)
+      .localCheckpoint()
+    val vt = Seq("sb_ann_del")
+    gateBench("ann_volume_maintainer", vt)(
+      () => graft.streaming.AnnStream.deleteBatch(
+        assignedIdx.filter(col("vec_id") % 97 === 0).select(col("vec_id")),
+        assignedIdx, 0L, "sb_ann_del"))(
+      b => {
+        graft.streaming.AnnStream.deleteBatch(
+          assignedIdx.filter(col("vec_id") % 97 === b).select(col("vec_id")),
+          assignedIdx, b.toLong, "sb_ann_del")
+        graft.streaming.AnnStream.volumeSignal(listSnap,
+          graft.streaming.AnnStream.mergedDeleteCounts(spark, "sb_ann_del"))
+          .count()
+      })
     val mt = Seq("sb_mix_p")
     gateBench("mix_maintainer", mt)(
       () => graft.streaming.MixStream.ingestBatch(docs, 0L, "sb_mix_p",
