@@ -1469,6 +1469,104 @@ object Similarity {
             / lit(10000.0)) + lit(0.0)).as("recall"))
   }
 
+  /** Brute-force cosine top-k IDs on the first `dim` coordinates — the
+    * truncated arm of [[mrlRecallCurve]]. Same plan as [[annTopK]]: one
+    * scan, prefix cosine inside WholeStageCodegen (`slice` composes
+    * into the same codegen span as `graft_cosine`), per-partition heaps
+    * (TakeOrderedAndProject), never a global sort. */
+  private def truncTopKIds(embeddings: DataFrame, queryVecId: Long, k: Int,
+                           dim: Int): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(slice(col("embedding"), 1, dim).as("q_trunc")))
+    embeddings
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(slice(col("embedding"), 1, dim), col("q_trunc")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"))
+  }
+
+  /** MATRYOSHKA truncation-recall curve — the embedding-dimension
+    * calibration card (Kusupati et al. 2022, Matryoshka Representation
+    * Learning): recall@k of brute-force cosine top-k computed on the
+    * FIRST `d` coordinates only, against the full-dimension exact
+    * top-k, aggregated over the query panel — one row per candidate
+    * prefix length. MRL-trained models pack coarse-to-fine structure
+    * into prefixes precisely so serving can read a d/D fraction of
+    * every vector (d/D of the IO + compute on a scan tier, a d-dim
+    * index elsewhere); this card is the artifact that PICKS the prefix
+    * — the knee of the curve is the cheapest d clearing the recall
+    * target. On a non-MRL embedding table the curve doubles as the
+    * honesty check: low-d recall collapses, the reading that says
+    * "don't truncate this model". Run once per embedding-model change,
+    * then pin (the s_nprobe_curve governance discipline).
+    *
+    * Plan: the exact ground-truth arm is computed ONCE per query and
+    * localCheckpointed (k rows — model-scale, the nprobeCurve recipe);
+    * each (dim, query) cell is one pruned-scan TakeOrderedAndProject
+    * arm reading ONLY slice(embedding, 1, d) — cells never shuffle
+    * corpus rows, the per-cell join/count runs over ≤ k rows. Recall
+    * is a quotient of exact integer counts → the exact-integer
+    * half-away ROUND(,4) idiom. At 100 TB the truncated arms run over
+    * a stored prefix-column table (or the d-dim IVF fit) instead of
+    * slicing the full vectors — the card's arithmetic is unchanged. */
+  def mrlRecallCurve(embeddings: DataFrame,
+                     queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                     k: Int = 10, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val exacts = queryVecIds.map(id =>
+      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+    val cells = for (dm <- dims; (id, exact) <- exacts) yield {
+      val approx = truncTopKIds(embeddings, id, k, dm)
+        .select(col("vec_id").as("a_vec_id"))
+      exact.join(approx, col("vec_id") === col("a_vec_id"), "left")
+        .agg(count(lit(1)).as("e"), count(col("a_vec_id")).as("h"))
+        .select(lit(dm).as("mrl_dim"), col("e"), col("h"))
+    }
+    cells.reduce(_ unionByName _)
+      .groupBy(col("mrl_dim"))
+      .agg(sum(col("e")).as("n_exact"), sum(col("h")).as("n_hit"))
+      .select(col("mrl_dim"), col("n_exact"), col("n_hit"),
+        (when(col("n_exact") === 0L, lit(0.0)).otherwise(
+          expr("CAST((20000 * n_hit + n_exact) DIV (2 * n_exact) AS DOUBLE)")
+            / lit(10000.0)) + lit(0.0)).as("recall"))
+  }
+
+  /** Two-stage MRL serving — the operator [[mrlRecallCurve]] calibrates:
+    * stage 1 shortlists `shortlist` candidates by prefix-dim cosine
+    * (the cheap scan — at corpus scale it reads a stored shortDim/D
+    * prefix column, shortDim/D of the vector IO), stage 2 reranks the
+    * shortlist by FULL-dimension exact cosine and emits the top-k (the
+    * standard MRL funnel retrieval, adaptive-retrieval style). The
+    * rerank touches ≤ `shortlist` rows — model-scale, so the full
+    * vectors are only ever read for the shortlist (at scale: a
+    * broadcast-able id-join back to the full table; here the row
+    * already carries them). Both stages are TakeOrderedAndProject
+    * (per-partition heaps; stage 2 sorts ≤ shortlist rows), one corpus
+    * scan total. Output carries both cosines so the gap between
+    * shortlist rank and true rank stays visible per hit. Degenerate
+    * settings recover [[annTopK]] exactly (shortlist ≥ corpus, or
+    * shortDim = D) — spec-proven. */
+  def annMrlServe(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 10,
+                  shortDim: Int = 16, shortlist: Int = 50): DataFrame = {
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"),
+        slice(col("embedding"), 1, shortDim).as("q_trunc")))
+    embeddings
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos_s",
+        GraftFunctions.cosine(slice(col("embedding"), 1, shortDim), col("q_trunc")))
+      .orderBy(desc("cos_s"), asc("vec_id"))
+      .limit(shortlist)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"),
+        (round(col("cos_s"), 4) + lit(0.0)).as("cos_short"))
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroids of two corpus partitions (A = even vec_id, B = odd — the
     * stand-in for "last ingest" vs "this ingest"; production passes any
@@ -1684,6 +1782,8 @@ object Similarity {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       recallReport(Tables(s, d).embeddings, cents, assigned)
     }),
+    "s_mrl_recall" -> ((s, d) => mrlRecallCurve(Tables(s, d).embeddings)),
+    "s_ann_mrl" -> ((s, d) => annMrlServe(Tables(s, d).embeddings)),
     "s_nprobe_curve" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       nprobeCurve(Tables(s, d).embeddings, cents, assigned)
@@ -2518,6 +2618,60 @@ object Similarity {
           .mkString(",\n") + "\n" +
         probes.map(rowSelect).mkString("\nUNION ALL\n")
     },
+    // mrlRecallCurve mirror: one exact full-dim top-10 CTE per query
+    // (shared across prefix lengths) + one truncated arm per
+    // (dim, query) cell — prefix slicing is DuckDB's 1-based inclusive
+    // `embedding[1:d]`, the same index-order cosine fold over the
+    // prefix; per-dim totals summed over the panel, exact-integer
+    // half-away recall (the s_nprobe_curve output shape).
+    "s_mrl_recall" -> {
+      val qids = 0 until 5
+      val dims = Seq(8, 16, 32, 64)
+      def qCte(q: Int): String =
+        s"""mq$q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $q),
+           |mex$q AS (SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql("e.embedding", s"mq$q.qe")} AS cos
+           |    FROM embeddings e CROSS JOIN mq$q WHERE e.vec_id != $q
+           |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+      def tCte(q: Int, dm: Int): String =
+        s"""mtr${dm}x$q AS (SELECT vec_id FROM (
+           |    SELECT e.vec_id, ${cosSql(s"e.embedding[1:$dm]", s"mq$q.qe[1:$dm]")} AS cos
+           |    FROM embeddings e CROSS JOIN mq$q WHERE e.vec_id != $q
+           |    ORDER BY cos DESC, vec_id ASC LIMIT 10))""".stripMargin
+      def rowSelect(dm: Int): String = {
+        val ex = qids.map(q => s"(SELECT COUNT(*) FROM mex$q)").mkString(" + ")
+        val hit = qids.map(q =>
+          s"(SELECT COUNT(*) FROM mex$q e JOIN mtr${dm}x$q a ON e.vec_id = a.vec_id)")
+          .mkString(" + ")
+        s"""SELECT CAST($dm AS INT) AS mrl_dim,
+           |  CAST($ex AS BIGINT) AS n_exact,
+           |  CAST($hit AS BIGINT) AS n_hit,
+           |  (CASE WHEN ($ex) = 0 THEN 0.0 ELSE
+           |    CAST((20000 * ($hit) + ($ex)) // (2 * ($ex)) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS recall""".stripMargin
+      }
+      "WITH " + qids.map(qCte).mkString(",\n") + ",\n" +
+        (for (dm <- dims; q <- qids) yield tCte(q, dm)).mkString(",\n") + "\n" +
+        dims.map(rowSelect).mkString("\nUNION ALL\n")
+    },
+    // annMrlServe mirror: the prefix-cosine shortlist as a row_number
+    // window (rn <= 50, raw-cosine order with the vec_id tie-break),
+    // then the full-dim rerank limited to k — both cosines emitted at
+    // ROUND(,4)+0.0, ranking on the raw doubles exactly as the plan.
+    "s_ann_mrl" ->
+      s"""WITH q AS (SELECT embedding AS qe, embedding[1:16] AS qt
+         |  FROM embeddings WHERE vec_id = 0),
+         |c1 AS (SELECT e.vec_id, e.label, e.embedding, q.qe,
+         |    ${cosSql("e.embedding[1:16]", "q.qt")} AS cos_s
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+         |sl AS (SELECT vec_id, label, embedding, qe, cos_s FROM (
+         |    SELECT c1.*, row_number() OVER (ORDER BY cos_s DESC, vec_id ASC) AS rn
+         |    FROM c1) WHERE rn <= 50),
+         |r AS (SELECT vec_id, label, cos_s,
+         |    ${cosSql("embedding", "qe")} AS cos FROM sl)
+         |SELECT vec_id, label, ROUND(cos, 4) + 0.0 AS cos_sim,
+         |  ROUND(cos_s, 4) + 0.0 AS cos_short
+         |FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "s_ann_lsh" ->
       s"""WITH s AS (SELECT vec_id, label, embedding, $annLshSigExpr AS bucket
          |  FROM embeddings),

@@ -1310,4 +1310,58 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getInt(0))
     assert(cl.forall(c => c >= 0 && c < flatN), s"cluster ids $flatN: ${cl.mkString(",")}")
   }
+
+  test("mrlRecallCurve: one row per prefix length, full-dim row exact, recalls bounded") {
+    val byDim = Similarity.mrlRecallCurve(embs).collect()
+      .map(r => r.getAs[Int]("mrl_dim") -> r).toMap
+    assert(byDim.keySet == Set(8, 16, 32, 64))
+    // dim 64 truncation is the identity → the arm IS the exact arm
+    assert(byDim(64).getAs[Long]("n_hit") == byDim(64).getAs[Long]("n_exact"))
+    assert(byDim(64).getAs[Double]("recall") == 1.0)
+    byDim.values.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 50L) // 5 queries × k = 10
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    }
+  }
+
+  test("mrlRecallCurve: signal confined to the prefix → truncated serving is lossless") {
+    // coordinates past dim 8 are all zero, so the prefix-8 cosine IS the
+    // full cosine (same dot, same norms) — every truncation ≥ 8 must
+    // reproduce the exact top-k identically, recall exactly 1.0
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat) ++ Seq.fill(56)(0.0f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.mrlRecallCurve(df, queryVecIds = Seq(0L, 1L), k = 5,
+      dims = Seq(8, 16, 64)).collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getAs[Double]("recall") == 1.0, r.toString))
+  }
+
+  test("annMrlServe: degenerate settings recover annTopK exactly; funnel is exchange-free") {
+    val exact = Similarity.annTopK(embs, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Double]("cos_sim"))).toSeq
+    // shortlist ≥ corpus: stage 1 keeps everything, the rerank IS annTopK
+    val wide = Similarity.annMrlServe(embs, 0L, k = 10, shortDim = 16, shortlist = 100000)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Double]("cos_sim"))).toSeq
+    assert(wide == exact)
+    // shortDim = D: stage-1 order is already the exact order, and the
+    // two emitted cosines coincide per hit
+    val fullDim = Similarity.annMrlServe(embs, 0L, k = 10, shortDim = 64, shortlist = 10).collect()
+    assert(fullDim.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+      r.getAs[Double]("cos_sim"))).toSeq == exact)
+    fullDim.foreach(r =>
+      assert(r.getAs[Double]("cos_sim") == r.getAs[Double]("cos_short"), r.toString))
+    // production settings: k rows, both stages TakeOrdered, zero shuffles
+    val df = Similarity.annMrlServe(embs)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      s"MRL funnel should not shuffle:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected heap top-k stages:\n$plan")
+  }
 }
