@@ -139,6 +139,99 @@ object DomainGraph {
             .cast("decimal(28,10)")).as("r"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the weighted host
+    * graph — the mutual-reinforcement COMPLEMENT of [[domainRank]]'s
+    * single centrality: a good hub links to good authorities, a good
+    * authority is linked from good hubs. Crawl governance reads the two
+    * scores TOGETHER: a host with huge hub mass but no authority is a
+    * directory/link-farm signature (PageRank can hide it — mass flows
+    * through), while authority without hub mass marks a pure content
+    * sink; [[domainDegree]] gives the raw-count version of the same
+    * read, this gives the recursive one.
+    *
+    * Per iteration (weighted, L1-normalized): h_raw(u) = Σ_{u→v}
+    * w(u,v)·a(v), h = h_raw/Σh_raw, then a_raw(v) = Σ_{u→v} w(u,v)·h(u),
+    * a = a_raw/Σa_raw. L1 normalization replaces the textbook L2 — same
+    * fixpoint direction (normalization only rescales), but the quotient
+    * stays oracle-exact without a square root. Hosts with no out-links
+    * carry hub 0; no in-links, authority 0 (the COALESCE arms).
+    *
+    * Oracle-exactness (the [[domainRank]] recipe extended to the
+    * normalization): each contribution term w·score is ONE double
+    * expression on inputs both engines hold bit-identically, summed in
+    * DECIMAL(28,10) (exact, order-free); the per-round total is an
+    * exact decimal sum of those sums, and the normalized score is ONE
+    * double division raw/total CAST back to DECIMAL(28,10) — the same
+    * double→decimal half-up rounding on both engines (scaled values
+    * stay ≪ 2⁵³, so the decimal→double casts are correctly rounded).
+    * Score vectors are therefore bit-identical after EVERY half-step.
+    *
+    * Plan: two key-column joins + two key aggregates per iteration over
+    * one-row-per-host frames (the [[domainRank]] shape), plus two
+    * single-partition windows over the ≤ #hosts-row score vector for
+    * the normalizing totals (the documented model-scale exception
+    * class); score vectors materialized per round, previous released —
+    * ≤ 2 snapshots live at any time. Fixed horizon (default 5: HITS
+    * converges geometrically in the principal eigengap; the
+    * d_rank_convergence discipline applies if a deployment wants the
+    * curve). */
+  def domainHits(edges: DataFrame, iters: Int = 5): DataFrame =
+    domainHitsFromWeights(
+      edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")), iters)
+
+  /** [[domainHits]] over a PRE-AGGREGATED (src, dst, w) weight table —
+    * the card-level entry point (the domainRankDeltaFromWeights
+    * convention): link weights are additive counts, so the streaming
+    * maintainer ([[graft.streaming.RankStream]]) can serve HITS off its
+    * stored per-batch weight partials with arithmetic bit-equal to the
+    * batch key over the same edge multiset. */
+  private[graft] def domainHitsFromWeights(w0: DataFrame, iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = DupClusters.materialize(w0)
+    val nodes = DupClusters.materialize(
+      w.select(col("src").as("host"))
+        .union(w.select(col("dst").as("host"))).distinct())
+    val n = nodes.count()
+    // one half-step: raw = Σ w·score over `joinKey` edges grouped on
+    // `outKey`, then the L1-normalizing double division
+    def halfStep(score: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = w.join(score.withColumnRenamed("host", joinKey), joinKey)
+        .select(col(outKey),
+          (col("v").cast("double") * col("w")).cast("decimal(28,10)").as("t"))
+        .groupBy(col(outKey)).agg(sum(col("t")).as("raw"))
+      nodes
+        .join(raw.withColumnRenamed(outKey, "host"), Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("raw"), lit(0).cast("decimal(28,10)")).as("raw"))
+        .withColumn("tot", sum(col("raw")).over(all))
+        .select(col("host"),
+          (col("raw").cast("double") / col("tot").cast("double"))
+            .cast("decimal(28,10)").as("v"))
+    }
+    var a = DupClusters.materialize(
+      nodes.select(col("host"), lit(1.0 / n).cast("decimal(28,10)").as("v")))
+    var h: DataFrame = null
+    for (_ <- 1 to iters) {
+      // hub from authority: edges keyed on dst, grouped on src
+      val hNext = DupClusters.materialize(halfStep(a, "dst", "src"))
+      if (h != null) DupClusters.release(h)
+      h = hNext
+      // authority from hub: edges keyed on src, grouped on dst
+      val aNext = DupClusters.materialize(halfStep(h, "src", "dst"))
+      DupClusters.release(a)
+      a = aNext
+    }
+    val out = h.withColumnRenamed("v", "hv")
+      .join(a.withColumnRenamed("v", "av"), Seq("host"))
+      .select(col("host"),
+        (round(col("hv").cast("double"), 6) + lit(0.0)).as("hub"),
+        (round(col("av").cast("double"), 6) + lit(0.0)).as("authority"))
+    DupClusters.release(w); DupClusters.release(nodes)
+    out
+  }
+
   /** PageRank CONVERGENCE curve — the governance card that justifies an
     * iteration count before anyone trusts [[domainRank]]'s horizon or
     * [[domainRankDelta]]'s refresh depth: per power iteration, the L1
@@ -296,7 +389,8 @@ object DomainGraph {
       domainRankDelta(syntheticEdges(Tables(s, d).documents),
         graft.core.Catalog.rankSnapshot(s, d))),
     "d_rank_convergence" -> ((s, d) =>
-      rankConvergence(syntheticEdges(Tables(s, d).documents))))
+      rankConvergence(syntheticEdges(Tables(s, d).documents))),
+    "d_domain_hits" -> ((s, d) => domainHits(syntheticEdges(Tables(s, d).documents))))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see
@@ -399,6 +493,43 @@ object DomainGraph {
                |  MAX(CAST(ABS(a.r - b.r) * 10000000000 AS BIGINT)) AS max_delta_e10
                |FROM r$i a JOIN r${i - 1} b ON a.host = b.host""".stripMargin)
             .mkString("\nUNION ALL\n")),
+      // domainHits mirror: 5 unrolled (hub, authority) half-step pairs —
+      // each the same decimal-sum-of-double-terms shape as the rank
+      // chain plus the L1-normalizing raw/total double division CAST
+      // back to DECIMAL(28,10) (score vectors bit-identical per
+      // half-step, see domainHits scaladoc); the final ROUND(,6)+0.0
+      // is cosmetic. Every per-half-step CTE is MATERIALIZED (the
+      // s_opq_recall precedent): hraw/araw are each referenced twice
+      // (the frame + its normalizing total), so DuckDB's default
+      // inlining would double the plan per half-step — 2^10 copies of
+      // the base chain by a5, a hang at ANY sf.
+      "d_domain_hits" -> {
+        def halfCtes(i: Int): String =
+          s"""hraw$i AS MATERIALIZED (SELECT n.host, COALESCE(s.raw, CAST(0 AS DECIMAL(28,10))) AS raw
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.src AS host, SUM(CAST(CAST(p.v AS DOUBLE) * e.w AS DECIMAL(28,10))) AS raw
+             |    FROM e JOIN a${i - 1} p ON p.host = e.dst GROUP BY 1) s ON s.host = n.host),
+             |h$i AS MATERIALIZED (SELECT host, CAST(CAST(raw AS DOUBLE) / CAST(t.tot AS DOUBLE) AS DECIMAL(28,10)) AS v
+             |  FROM hraw$i CROSS JOIN (SELECT SUM(raw) AS tot FROM hraw$i) t),
+             |araw$i AS MATERIALIZED (SELECT n.host, COALESCE(s.raw, CAST(0 AS DECIMAL(28,10))) AS raw
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst AS host, SUM(CAST(CAST(p.v AS DOUBLE) * e.w AS DECIMAL(28,10))) AS raw
+             |    FROM e JOIN h$i p ON p.host = e.src GROUP BY 1) s ON s.host = n.host),
+             |a$i AS MATERIALIZED (SELECT host, CAST(CAST(raw AS DOUBLE) / CAST(t.tot AS DOUBLE) AS DECIMAL(28,10)) AS v
+             |  FROM araw$i CROSS JOIN (SELECT SUM(raw) AS tot FROM araw$i) t)""".stripMargin
+        s"""WITH links AS (SELECT source || '.example.com' AS src,
+           |    'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.com' AS dst
+           |  FROM documents),
+           |e AS (SELECT src, dst, COUNT(*) AS w FROM links GROUP BY 1, 2),
+           |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+           |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+           |a0 AS (SELECT host, CAST(CAST(1.0 AS DOUBLE) / c.n AS DECIMAL(28,10)) AS v
+           |  FROM nodes CROSS JOIN cnt c),
+           |${(1 to 5).map(halfCtes).mkString(",\n")}
+           |SELECT h.host, ROUND(CAST(h.v AS DOUBLE), 6) + 0.0 AS hub,
+           |  ROUND(CAST(a.v AS DOUBLE), 6) + 0.0 AS authority
+           |FROM h5 h JOIN a5 a ON a.host = h.host""".stripMargin
+      },
       // Mirror of domainDegree: the same two-orientation union and
       // conditional distinct/sum arms — all integer counts.
       "d_domain_degree" ->

@@ -50,6 +50,11 @@ object Audit {
     // the same 1-row query-vector broadcast, one BNLJ per (probe,
     // query) cell of the tuning sweep
     "s_nprobe_curve",
+    // the same per-(dim, query)-cell 1-row query-vector broadcast (the
+    // s_nprobe_curve shape with prefix-slice arms)
+    "s_mrl_recall",
+    // the 1-row query-vector crossJoin feeding both funnel stages
+    "s_ann_mrl",
     // the same per-query 1-row query-vector crossJoin in both serving
     // arms' exact-cosine reranks (the s_ann_pq / s_ann_opq shapes,
     // one per (arm, query) cell)
@@ -139,6 +144,9 @@ object Audit {
     // size the materialized chain output, so SMJ is the planned
     // strategy
     "d_rank_delta",
+    // the final hub ⋈ authority read-off of two materialized one-row-
+    // per-host score vectors — the d_rank_delta class exactly
+    "d_domain_hits",
     // corpus word fan-out ⋈ the Catalog-cached vocab segmentation on
     // the word key: at web scale the vocab is itself a fact table
     // (the documented d_split_leakage class — broadcast impossible),
@@ -189,6 +197,9 @@ object Audit {
     // bounded top-k (one single-partition heap collect each) — the
     // cells are independent serving plans, not a corpus pipeline
     "s_nprobe_curve" -> 24,
+    // 4 prefix lengths × 5 queries: the same independent-cell class
+    // (each cell one pruned-scan TakeOrdered arm + a ≤ k-row agg)
+    "s_mrl_recall" -> 26,
     // 4 β arms × a 2-phase union collapse, every exchange over the
     // localCheckpointed ≤ #sources-row quality frame (the corpus scan
     // is paid once at build time and is NOT in the audited plan) —

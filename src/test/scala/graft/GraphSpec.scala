@@ -147,4 +147,54 @@ class GraphSpec extends SparkSpec {
       "b" -> ((1L, 1L, 1L, 2L)),   // out: {a}/1; in: {a}/2 links
       "c" -> ((0L, 0L, 1L, 1L))))  // sink: in only
   }
+
+  test("domainHits: symmetric 2-cycle is the uniform fixpoint for both scores") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = DomainGraph.domainHits(edges).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((0.5, 0.5)), "b" -> ((0.5, 0.5))))
+  }
+
+  test("domainHits: bipartite hand graph — hub/authority separation, L1 mass 1, role zeros") {
+    // h1 links both authorities, h2 only the shared one: h1 is the
+    // better hub; a1 (linked by both hubs) the better authority; pure
+    // hubs carry authority 0, pure authorities hub 0
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1")).toDF("src", "dst")
+    val got = DomainGraph.domainHits(edges).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("h1", "h2", "a1", "a2"))
+    assert(got("h1")._1 > got("h2")._1 && got("h2")._1 > 0.0)
+    assert(got("a1")._2 > got("a2")._2 && got("a2")._2 > 0.0)
+    assert(got("h1")._2 == 0.0 && got("h2")._2 == 0.0, "pure hubs: authority 0")
+    assert(got("a1")._1 == 0.0 && got("a2")._1 == 0.0, "pure authorities: hub 0")
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("domainHits: matches a JVM L1-normalized HITS reference within round-6 slack") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(200)((s"h${rnd.nextInt(12)}", s"h${rnd.nextInt(12)}"))
+    val got = DomainGraph.domainHits(es.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val w = es.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size
+    var a = nodes.map(_ -> 1.0 / n).toMap
+    var h = Map.empty[String, Double]
+    for (_ <- 1 to 5) {
+      val hraw = nodes.map(u =>
+        u -> w.collect { case ((`u`, v), wt) => wt * a(v) }.sum).toMap
+      val hs = hraw.values.sum
+      h = nodes.map(u => u -> hraw(u) / hs).toMap
+      val araw = nodes.map(v =>
+        v -> w.collect { case ((u, `v`), wt) => wt * h(u) }.sum).toMap
+      val as = araw.values.sum
+      a = nodes.map(v => v -> araw(v) / as).toMap
+    }
+    assert(got.keySet == nodes.toSet)
+    got.foreach { case (host, (hv, av)) =>
+      assert(math.abs(hv - h(host)) < 6e-7, s"hub $host: $hv vs ${h(host)}")
+      assert(math.abs(av - a(host)) < 6e-7, s"auth $host: $av vs ${a(host)}")
+    }
+  }
 }
