@@ -96,6 +96,21 @@ object RankStream {
     card
   }
 
+  /** HITS hubs/authorities served off the SAME maintained weight
+    * partials — the second centrality the stored table already pays
+    * for (the MixStream waterfillPlan pattern: one durable partials
+    * table, several scheduled cards). Summed partials equal the batch
+    * operator's direct pair counts exactly (integer addition is
+    * order-free across batch splits), and [[DomainGraph
+    * .domainHitsFromWeights]] is the batch key's own exact-decimal
+    * arithmetic — so the served card is BIT-EQUAL to batch
+    * d_domain_hits over the same edge multiset under any batch split
+    * or arrival order (spec-proven). Stateless beyond the weights: no
+    * snapshot to rotate — HITS re-derives from the merged weights at
+    * the fixed 5-iteration horizon each run. */
+  def hitsCard(spark: SparkSession, weightsTable: String, iters: Int = 5): DataFrame =
+    DomainGraph.domainHitsFromWeights(weights(spark, weightsTable), iters)
+
   /** Start the continuous ingest over an edge stream; [[refresh]] runs
     * on its own schedule against the tables this maintains. */
   def start(edges: DataFrame, weightsTable: String, checkpointDir: String,

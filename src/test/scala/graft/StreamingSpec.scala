@@ -1345,4 +1345,26 @@ class StreamingSpec extends SparkSpec {
       "streamed weights must serve the exact batch rank")
     dropGateTables("t_rank2_w", "t_rank2_snap")
   }
+
+  test("rank maintainer: hitsCard off split weight partials == batch d_domain_hits bit-for-bit") {
+    import graft.ops.DomainGraph
+    import graft.streaming.RankStream
+    dropGateTables("t_hits_w")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // three out-of-order DOCUMENT batches: the same (src, dst) pair
+    // lands partial rows in several batches, so the served card
+    // exercises the cross-batch weight re-merge (additive integer
+    // sums + the shared exact-decimal chain)
+    val e = DomainGraph.syntheticEdges(docs)
+    for (k <- 0 to 2)
+      RankStream.ingestBatch(
+        DomainGraph.syntheticEdges(docs.filter(pmod($"doc_id", lit(3)) === (2 - k))),
+        k.toLong, "t_hits_w", buckets = 4)
+    assert(show(RankStream.hitsCard(spark, "t_hits_w")) ==
+      show(DomainGraph.domainHits(e)),
+      "streamed weight partials must serve the exact batch HITS card")
+    dropGateTables("t_hits_w")
+  }
 }
