@@ -19,6 +19,9 @@ object Stress {
     // "mixonly" = just the mixture-planning arms (the embonly idea for
     // the r12 waterfill/anneal family)
     val mixOnly = args.drop(1).contains("mixonly")
+    // "graphonly" = just the host-graph arms (rank + HITS) — the same
+    // A/B idea for the r13 graph additions
+    val graphOnly = args.drop(1).contains("graphonly")
     val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, "/root/testdata/sf0.1")
@@ -45,6 +48,18 @@ object Stress {
       time("anneal_curve")(graft.ops.Sampling.annealCurve(d).count())
     }
     if (mixOnly) { mixArms(docs); spark.stop(); return }
+    def graphArms(): Unit = {
+      time("domain_rank")(DomainGraph.domainRank(
+        DomainGraph.syntheticEdges(docs)).count())
+      // HITS: same claim as domain_rank — replicas multiply raw edges
+      // only; the weight/node tables and both score vectors stay at
+      // host cardinality, so the 10 half-steps (incl. the
+      // L1-normalizing window over the ≤ #hosts frame) must cost ≈ the
+      // sf0.1 run + the one bigger initial weight aggregate
+      time("domain_hits")(DomainGraph.domainHits(
+        DomainGraph.syntheticEdges(docs)).count())
+    }
+    if (graphOnly) { graphArms(); spark.stop(); return }
     if (!embOnly) {
     time("exact_dedup")(Dedup.exactDedup(docs).count())
     // canonical (NFC) dedup: must track exact_dedup — same one-hash
@@ -99,8 +114,7 @@ object Stress {
     // host table, not the raw edge count (weights collapse in the first
     // aggregate), so 10 iterations should cost ≈ the sf0.1 run + one
     // bigger initial aggregate
-    time("domain_rank")(DomainGraph.domainRank(
-      DomainGraph.syntheticEdges(docs)).count())
+    graphArms()
     }
     val emb = t.embeddings
     time("ann_topk")(Similarity.annTopK(emb).count())
@@ -187,6 +201,11 @@ object Stress {
       Similarity.pqCodebooks(Similarity.opqPermute(embN, perm),
         sampleDenom = 4).length
     }
+    // MRL truncation-recall card over the replicated vectors: 25
+    // independent TakeOrdered scan arms (5 exact + 20 truncated) — cost
+    // must grow ∝ vectors (pure scans, per-partition heaps, the ≤ k-row
+    // joins are size-independent), never vectors²
+    time("mrl_recall")(Similarity.mrlRecallCurve(embN).count())
     time("embed_lsh_pairs")(Dedup.embedNearDupLsh(embN, tau = 0.99, nPlanes = 12).count())
     time("embed_canopy_pairs") {
       val cents = Similarity.ivfCentroids(embN, k = autoK, iters = 1, sampleDenom = 4)
