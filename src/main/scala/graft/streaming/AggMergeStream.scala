@@ -49,12 +49,19 @@ object AggMergeStream {
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(partialsTable)) {
       partials.write.bucketBy(buckets, "user_id").saveAsTable(partialsTable)
-    } else if (spark.table(partialsTable)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+    } else if (!Wal.seen(spark, partialsTable, batchId)) {
       partials.write.mode("append").bucketBy(buckets, "user_id")
         .saveAsTable(partialsTable)
     }
   }
+
+  /** Scheduled row-level compaction of the partials WAL (see [[Wal]]):
+    * folds all batches into one (user, day) row-set under the
+    * watermark id — replay stays idempotent, [[daily]]/[[weekly]] are
+    * bit-identical before and after (spec-proven). */
+  def compact(spark: SparkSession, partialsTable: String): (Long, Long) =
+    Wal.compactPartials(spark, partialsTable,
+      keyCols = Seq("user_id", "day"), sumCols = Seq("n", "total"))
 
   /** Merged daily view: ONE row per (user_id, day) — the
     * [[AnalyticsQueries.weeklyFromDaily]] input contract. The sums

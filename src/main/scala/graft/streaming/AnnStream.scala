@@ -130,11 +130,18 @@ object AnnStream {
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(countersTable)) {
       partial.write.saveAsTable(countersTable)
-    } else if (spark.table(countersTable)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+    } else if (!Wal.seen(spark, countersTable, batchId)) {
       partial.write.mode("append").saveAsTable(countersTable)
     }
   }
+
+  /** Scheduled row-level compaction of the delete-counter WAL (see
+    * [[Wal]]): one row per list after the fold — [[volumeSignal]] reads
+    * identical merged counters before and after (spec-proven). */
+  def compactDeleteCounters(spark: SparkSession,
+                            countersTable: String): (Long, Long) =
+    Wal.compactPartials(spark, countersTable,
+      keyCols = Seq("cluster"), sumCols = Seq("n_deleted"))
 
   /** Merged per-list delete counters (≤ nlist rows; integer sums are
     * order-free, so late/replayed batches merge exactly). */

@@ -53,11 +53,17 @@ object DriftStream {
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(statsTable)) {
       partials.write.saveAsTable(statsTable)
-    } else if (spark.table(statsTable)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+    } else if (!Wal.seen(spark, statsTable, batchId)) {
       partials.write.mode("append").saveAsTable(statsTable)
     }
   }
+
+  /** Scheduled row-level compaction of the stats WAL (see [[Wal]]):
+    * one row per source after the fold; [[refresh]]/[[sourceCard]] are
+    * bit-identical before and after (spec-proven). */
+  def compact(spark: SparkSession, statsTable: String): (Long, Long) =
+    Wal.compactPartials(spark, statsTable,
+      keyCols = Seq("source"), sumCols = Seq("n_docs", "n_chars"))
 
   /** Merged per-source card: ONE row per source — the
     * [[TextAnalysis.corpusDriftFromCards]] input contract. Late or

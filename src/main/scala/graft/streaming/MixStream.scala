@@ -74,12 +74,21 @@ object MixStream {
       // under-counting capacity would be worse than failing).
       if (!spark.table(partialsTable).columns.contains("n_tokens"))
         spark.sql(s"ALTER TABLE $partialsTable ADD COLUMNS (n_tokens BIGINT)")
-      if (spark.table(partialsTable)
-          .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+      if (!Wal.seen(spark, partialsTable, batchId)) {
         partials.write.mode("append").saveAsTable(partialsTable)
       }
     }
   }
+
+  /** Scheduled row-level compaction of the partials WAL (see [[Wal]]):
+    * one row per source after the fold; a legacy NULL n_tokens anywhere
+    * in a source's partials keeps that source's compacted n_tokens NULL
+    * (the [[waterfillPlan]] refusal stays armed — missing capacity must
+    * never silently undercount). [[report]]/[[waterfillPlan]] are
+    * bit-identical before and after (spec-proven). */
+  def compact(spark: SparkSession, partialsTable: String): (Long, Long) =
+    Wal.compactPartials(spark, partialsTable,
+      keyCols = Seq("source"), sumCols = Seq("n_docs", "n_kept", "n_tokens"))
 
   /** Merged per-source card: ONE row per source — the
     * [[Sampling.mixReportFromCards]] input contract. Late or

@@ -58,12 +58,18 @@ object RankStream {
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(weightsTable)) {
       partials.write.bucketBy(buckets, "src").saveAsTable(weightsTable)
-    } else if (spark.table(weightsTable)
-        .filter(col("batch_id") === batchId).limit(1).isEmpty) {
+    } else if (!Wal.seen(spark, weightsTable, batchId)) {
       partials.write.mode("append").bucketBy(buckets, "src")
         .saveAsTable(weightsTable)
     }
   }
+
+  /** Scheduled row-level compaction of the weight WAL (see [[Wal]]):
+    * one row per (src, dst) after the fold — [[refresh]]/[[hitsCard]]
+    * read identical merged weights before and after (spec-proven). */
+  def compact(spark: SparkSession, weightsTable: String): (Long, Long) =
+    Wal.compactPartials(spark, weightsTable,
+      keyCols = Seq("src", "dst"), sumCols = Seq("w"))
 
   /** Merged weight view: ONE row per (src, dst) — the
     * [[DomainGraph.domainRankDeltaFromWeights]] input contract. Late or

@@ -1367,4 +1367,69 @@ class StreamingSpec extends SparkSpec {
       "streamed weight partials must serve the exact batch HITS card")
     dropGateTables("t_hits_w")
   }
+
+  test("WAL compaction: merged views bit-identical, replay guard survives the fold, watermark folds forward, NULL capacity stays poisoned") {
+    import graft.ops.{DomainGraph, Sampling}
+    import graft.streaming.{MixStream, RankStream, Wal}
+    dropGateTables("t_cw_w", "t_cmix_p")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def chunk(k: Int) =
+      DomainGraph.syntheticEdges(docs.filter(pmod($"doc_id", lit(3)) === k))
+    val full = DomainGraph.syntheticEdges(docs)
+    // three "crawl days" observing the SAME links: every (src, dst)
+    // pair carries one partial row per batch, so the fold must both
+    // shrink the WAL 3× and sum the weights across batches
+    for (k <- 0 to 2) RankStream.ingestBatch(full, k.toLong, "t_cw_w", buckets = 4)
+    val merged0 = show(RankStream.weights(spark, "t_cw_w"))
+    val (b0, a0) = RankStream.compact(spark, "t_cw_w")
+    assert(a0 < b0, s"compaction must shrink the WAL ($b0 -> $a0)")
+    assert(show(RankStream.weights(spark, "t_cw_w")) == merged0,
+      "merged weights must be bit-identical after the fold")
+    // replay of a folded batch is a no-op: the watermark covers it even
+    // though its own batch_id rows are gone
+    val rows = fresh("t_cw_w").count()
+    RankStream.ingestBatch(full, 1L, "t_cw_w", buckets = 4)
+    assert(fresh("t_cw_w").count() == rows, "replayed folded batch must be a no-op")
+    // a genuinely NEW batch still appends and merges on top of the fold
+    RankStream.ingestBatch(chunk(0), 3L, "t_cw_w", buckets = 4)
+    val expected = full.unionByName(full).unionByName(full).unionByName(chunk(0))
+    val expectedW = expected.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    assert(show(RankStream.weights(spark, "t_cw_w")) == show(expectedW))
+    // a second compaction folds the previous watermark row-set + the
+    // new batch; the guard then covers ids 0..3 but not 4
+    RankStream.compact(spark, "t_cw_w")
+    assert(show(RankStream.weights(spark, "t_cw_w")) == show(expectedW),
+      "re-compaction over a watermark row-set must stay exact")
+    assert((0L to 3L).forall(Wal.seen(spark, "t_cw_w", _)), "watermark must cover 0..3")
+    assert(!Wal.seen(spark, "t_cw_w", 4L), "an unseen id must not be covered")
+    // a derived card (HITS) served off the twice-compacted table is
+    // still the batch card over the same edge multiset
+    assert(show(RankStream.hitsCard(spark, "t_cw_w")) ==
+      show(DomainGraph.domainHits(expected)),
+      "derived cards must be unchanged by compaction")
+    // mixture maintainer: a legacy (pre-token) row poisons its source's
+    // folded n_tokens to NULL — the audit survives bit-for-bit, the
+    // re-plan refusal stays ARMED after compaction (silent undercount
+    // would be the failure mode)
+    val rates = Sampling.MixRates
+    Sampling.mixturePartials(docs.filter(pmod($"doc_id", lit(2)) === 0), rates, Sampling.MixDefault)
+      .withColumn("batch_id", lit(0L)).write.saveAsTable("t_cmix_p")
+    // batch 1 covers ALL sources (sf0.001 sources split by doc parity,
+    // so a parity-complement batch would not overlap batch 0 at all —
+    // the fold must merge rows, not just relabel them)
+    MixStream.ingestBatch(docs, 1L, "t_cmix_p", rates, Sampling.MixDefault)
+    val audit0 = show(MixStream.report(spark, "t_cmix_p", rates, Sampling.MixDefault))
+    val (mb, ma) = MixStream.compact(spark, "t_cmix_p")
+    assert(ma < mb, s"mix fold must shrink the WAL ($mb -> $ma)")
+    assert(show(MixStream.report(spark, "t_cmix_p", rates, Sampling.MixDefault)) == audit0,
+      "audit must survive compaction bit-for-bit")
+    val e = intercept[IllegalArgumentException] {
+      MixStream.waterfillPlan(spark, "t_cmix_p").collect()
+    }
+    assert(e.getMessage.contains("legacy"),
+      "NULL capacity must stay loud after compaction")
+    dropGateTables("t_cw_w", "t_cmix_p")
+  }
 }
