@@ -190,6 +190,28 @@ object StreamBench {
         graft.ops.DupClusters.release(
           graft.streaming.RankStream.refresh(spark, "sb_rank_w", "sb_rank_snap"))
       })
+    // rank maintainer + in-loop WAL fold (r13): same load as
+    // rank_maintainer but each batch also runs Wal.compactPartials
+    // before the refresh — per-batch cost must stay FLAT while the WAL
+    // is held at key cardinality (one row per (src, dst) + the
+    // watermark) instead of growing one row-set per batch; the fold
+    // itself reads ≤ (keys + batch) rows, so it can never become the
+    // bottleneck it exists to prevent
+    val rct = Seq("sb_rankc_w", "sb_rankc_snap")
+    gateBench("rank_maintainer_compacting", rct)(
+      () => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(docs), 0L, "sb_rankc_w")
+        graft.ops.DupClusters.release(
+          graft.streaming.RankStream.refresh(spark, "sb_rankc_w", "sb_rankc_snap"))
+      })(
+      b => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(replica(b)), b.toLong, "sb_rankc_w")
+        graft.streaming.RankStream.compact(spark, "sb_rankc_w")
+        graft.ops.DupClusters.release(
+          graft.streaming.RankStream.refresh(spark, "sb_rankc_w", "sb_rankc_snap"))
+      })
     // drift maintainer (r11): each batch appends a replica corpus's
     // per-source counters (same 20-source universe — counts grow,
     // sources don't) and runs the snapshot-rotating refresh; per-batch
