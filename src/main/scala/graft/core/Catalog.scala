@@ -395,6 +395,47 @@ object Catalog {
     ivfCache.getOrElseUpdate((spark, dir + "#live", k), fitIvf(live, k))
   }
 
+  /** IVF index fitted in MRL PREFIX space (the first `shortDim`
+    * coordinates) — the index arm of the `s_ann_mrl_ivf` funnel: the
+    * Lloyd fit reads shortDim/D of every vector (the MRL cost saving
+    * applied to the INDEX build, not just a scan tier), while the
+    * returned assigned table carries the FULL vectors so the serve can
+    * rerank in full precision. Assignment is scan-side on the sliced
+    * column in the exact regime (no join — ONE pass over the corpus);
+    * past [[graft.ops.Similarity.TwoLevelMinNlist]] it delegates to the
+    * shared hier fit over the prefix projection and joins the cluster
+    * ids back on vec_id (a co-locatable key join at corpus scale).
+    * Cached under the `#mrl` dir suffix (the ivfIndexLive convention). */
+  def ivfIndexMrl(spark: SparkSession, dir: String, shortDim: Int = 16,
+                  nlist: Int = 0): (Seq[Seq[Double]], DataFrame) = {
+    import org.apache.spark.sql.functions.{col, slice, typedlit}
+    evictStopped()
+    val emb = Tables(spark, dir).embeddings
+    val pre = emb.select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, shortDim).as("embedding"))
+    val key = dir + s"#mrl$shortDim"
+    val k =
+      if (nlist > 0) nlist
+      else nlistCache.getOrElseUpdate((spark, key),
+        graft.ops.Similarity.autoNlist(emb.count()))
+    ivfCache.getOrElseUpdate((spark, key, k), {
+      if (k <= graft.ops.Similarity.TwoLevelMinNlist) {
+        val cents = graft.ops.Similarity.ivfCentroids(pre, k)
+        val assigned = emb
+          .withColumn("cluster", graft.functions.GraftFunctions.nearestCentroid(
+            slice(col("embedding"), 1, shortDim), typedlit(cents)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (cents, assigned)
+      } else {
+        val (cents, aPre) = fitIvf(pre, k)
+        val assigned = emb
+          .join(aPre.select(col("vec_id"), col("cluster")), "vec_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (cents, assigned)
+      }
+    })
+  }
+
   /** Shared IVF fit body (regime switching per the [[ivfIndex]]
     * scaladoc), so the stale and live-refit indexes can never fit by
     * different recipes. */

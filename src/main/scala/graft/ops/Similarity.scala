@@ -1567,6 +1567,46 @@ object Similarity {
         (round(col("cos_s"), 4) + lit(0.0)).as("cos_short"))
   }
 
+  /** Two-stage MRL funnel served off an IVF index FITTED IN PREFIX
+    * SPACE ([[graft.core.Catalog.ivfIndexMrl]]) — the 100 TB form of
+    * [[annMrlServe]], where the cost saving reaches the INDEX, not just
+    * a scan tier: lists are built and probed on the first `shortDim`
+    * coordinates (shortDim/D of the fit IO and the probe math),
+    * candidates inside the nProbe probed lists are shortlisted by
+    * prefix cosine, and only the ≤ `shortlist` survivors are reranked
+    * by FULL-dimension cosine. The assigned table carries full vectors
+    * (the rerank never re-joins at serve time); `s_mrl_recall` is the
+    * card that picks `shortDim` before this index is built. Probe
+    * selection is the [[annIvfFromIndex]] driver-side argmin over the
+    * prefix centroids (model-scale literal, distance ties broken by
+    * list id); both serving stages are TakeOrderedAndProject over the
+    * pruned lists — work ∝ probed-list sizes, never corpus. */
+  def annMrlIvfFromIndex(centroids: Seq[Seq[Double]], assigned: DataFrame,
+                         queryVecId: Long = 0L, k: Int = 10, shortDim: Int = 16,
+                         shortlist: Int = 50, nProbe: Int = 2): DataFrame = {
+    val qVec = assigned.filter(col("vec_id") === queryVecId)
+      .select(slice(col("embedding"), 1, shortDim)).collect()(0).getSeq[Float](0)
+    val probes = centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.indices.map { j => val d = qVec(j).toDouble - c(j); d * d }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val q = broadcast(assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"),
+        slice(col("embedding"), 1, shortDim).as("q_trunc")))
+    assigned
+      .filter(col("cluster").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(q)
+      .withColumn("cos_s",
+        GraftFunctions.cosine(slice(col("embedding"), 1, shortDim), col("q_trunc")))
+      .orderBy(desc("cos_s"), asc("vec_id"))
+      .limit(shortlist)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cluster"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"),
+        (round(col("cos_s"), 4) + lit(0.0)).as("cos_short"))
+  }
+
   /** Embedding drift monitor: per label, the cosine between the
     * centroids of two corpus partitions (A = even vec_id, B = odd — the
     * stand-in for "last ingest" vs "this ingest"; production passes any
@@ -1784,6 +1824,10 @@ object Similarity {
     }),
     "s_mrl_recall" -> ((s, d) => mrlRecallCurve(Tables(s, d).embeddings)),
     "s_ann_mrl" -> ((s, d) => annMrlServe(Tables(s, d).embeddings)),
+    "s_ann_mrl_ivf" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndexMrl(s, d)
+      annMrlIvfFromIndex(cents, assigned)
+    }),
     "s_nprobe_curve" -> ((s, d) => {
       val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
       nprobeCurve(Tables(s, d).embeddings, cents, assigned)
@@ -2654,6 +2698,33 @@ object Similarity {
         (for (dm <- dims; q <- qids) yield tCte(q, dm)).mkString(",\n") + "\n" +
         dims.map(rowSelect).mkString("\nUNION ALL\n")
     },
+    // annMrlIvfFromIndex mirror: the SHARED Lloyd fit CTE generator
+    // over the prefix-16 projection (the Catalog.ivfIndexMrl replay —
+    // MATERIALIZED, the refit-mirror precedent), probes ranked by
+    // prefix d2 with the list-id tie-break, the prefix-cosine shortlist
+    // window over the probed lists' candidates joined back to the FULL
+    // vectors, then the full-dim rerank.
+    "s_ann_mrl_ivf" ->
+      ("WITH " + ivfFitCteFor("mi",
+        src = "(SELECT vec_id, label, embedding[1:16] AS embedding FROM embeddings)",
+        mat = true) + ",\n" +
+        s"""q AS (SELECT embedding AS qe, embedding[1:16] AS qt
+           |  FROM embeddings WHERE vec_id = 0),
+           |pr AS (SELECT c FROM (
+           |    SELECT mic2.c, row_number() OVER (ORDER BY ${d2Sql("q.qt", "mic2.cent")} ASC, mic2.c ASC) AS rn
+           |    FROM mic2 CROSS JOIN q) WHERE rn <= 2),
+           |cand AS (SELECT e.vec_id, e.label, a.cluster, e.embedding, q.qe,
+           |    ${cosSql("e.embedding[1:16]", "q.qt")} AS cos_s
+           |  FROM embeddings e JOIN miaf a ON a.vec_id = e.vec_id CROSS JOIN q
+           |  WHERE a.cluster IN (SELECT c FROM pr) AND e.vec_id != 0),
+           |sl AS (SELECT vec_id, label, cluster, embedding, qe, cos_s FROM (
+           |    SELECT cand.*, row_number() OVER (ORDER BY cos_s DESC, vec_id ASC) AS rn
+           |    FROM cand) WHERE rn <= 50),
+           |r AS (SELECT vec_id, label, cluster, cos_s,
+           |    ${cosSql("embedding", "qe")} AS cos FROM sl)
+           |SELECT vec_id, label, cluster, ROUND(cos, 4) + 0.0 AS cos_sim,
+           |  ROUND(cos_s, 4) + 0.0 AS cos_short
+           |FROM r ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin),
     // annMrlServe mirror: the prefix-cosine shortlist as a row_number
     // window (rn <= 50, raw-cosine order with the vec_id tie-break),
     // then the full-dim rerank limited to k — both cosines emitted at

@@ -55,6 +55,8 @@ object Audit {
     "s_mrl_recall",
     // the 1-row query-vector crossJoin feeding both funnel stages
     "s_ann_mrl",
+    // the same 1-row query-vector crossJoin over the probed lists
+    "s_ann_mrl_ivf",
     // the same per-query 1-row query-vector crossJoin in both serving
     // arms' exact-cosine reranks (the s_ann_pq / s_ann_opq shapes,
     // one per (arm, query) cell)

@@ -1311,6 +1311,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cl.forall(c => c >= 0 && c < flatN), s"cluster ids $flatN: ${cl.mkString(",")}")
   }
 
+  test("annMrlIvfFromIndex: prefix-16 index; all-lists + wide shortlist degenerates to annTopK; deterministic") {
+    val (cents, assigned) = graft.core.Catalog.ivfIndexMrl(spark, TestSpark.sf0001)
+    assert(cents.nonEmpty && cents.forall(_.length == 16),
+      "the index must be fitted in prefix-16 space")
+    // probing every list with an unbounded shortlist reduces the funnel
+    // to the exact brute-force serve (same rounding, same tie-breaks)
+    val exact = Similarity.annTopK(embs, 0L, 10).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq
+    val all = Similarity.annMrlIvfFromIndex(cents, assigned, 0L, k = 10,
+      shortlist = 100000, nProbe = cents.length).collect()
+    assert(all.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim"))).toSeq == exact)
+    // production settings: k rows, every hit's full cosine agrees with
+    // brute force, deterministic across invocations (decimal-exact fit)
+    val brute = Similarity.annTopK(embs, 0L, 500).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val a = Similarity.annMrlIvfFromIndex(cents, assigned).collect()
+    assert(a.length == 10)
+    a.foreach(r => assert(r.getAs[Double]("cos_sim") == brute(r.getAs[Long]("vec_id"))))
+    val b = Similarity.annMrlIvfFromIndex(cents, assigned).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+  }
+
   test("mrlRecallCurve: one row per prefix length, full-dim row exact, recalls bounded") {
     val byDim = Similarity.mrlRecallCurve(embs).collect()
       .map(r => r.getAs[Int]("mrl_dim") -> r).toMap
