@@ -75,6 +75,8 @@ object Bench {
     // the live-only refit index (s_ann_refit's second fit) — warm for
     // the same reps=1-adjudication reason as every other fit
     graft.core.Catalog.ivfIndexLive(spark, sfDir)._2.count()
+    // the prefix-space MRL index (s_ann_mrl_ivf's fit) — same reason
+    graft.core.Catalog.ivfIndexMrl(spark, sfDir)._2.count()
     graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
     // the m-sweep's off-m codebooks (m=8 aliases pqIndex above) — in
     // the warm block for the same reason as bpeModelSnapshot: a

@@ -431,6 +431,12 @@ object Catalog {
         val assigned = emb
           .join(aPre.select(col("vec_id"), col("cluster")), "vec_id")
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize the joined frame, then release fitIvf's interim
+        // prefix-space persist — only `assigned` is this entry's cached
+        // value, and holding both would pin two corpus-scale frames for
+        // the session lifetime (r13 review finding)
+        assigned.count()
+        aPre.unpersist()
         (cents, assigned)
       }
     })

@@ -186,6 +186,9 @@ object DomainGraph {
     * stored per-batch weight partials with arithmetic bit-equal to the
     * batch key over the same edge multiset. */
   private[graft] def domainHitsFromWeights(w0: DataFrame, iters: Int = 5): DataFrame = {
+    // hub scores only exist after a first half-step (h is derived from
+    // a, never initialized) — a 0-iteration HITS has no defined output
+    require(iters >= 1, s"domainHits needs at least one iteration (got $iters)")
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

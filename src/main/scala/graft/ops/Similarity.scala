@@ -1470,22 +1470,19 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k IDs on the first `dim` coordinates — the
-    * truncated arm of [[mrlRecallCurve]]. Same plan as [[annTopK]]: one
-    * scan, prefix cosine inside WholeStageCodegen (`slice` composes
-    * into the same codegen span as `graft_cosine`), per-partition heaps
-    * (TakeOrderedAndProject), never a global sort. */
+    * truncated arm of [[mrlRecallCurve]]: exactly [[annTopK]] over the
+    * prefix-projected frame (ONE plan body for both, so any future
+    * tie-break/rounding fix to the serving operator automatically
+    * reaches the calibration card — r13 review finding). The slice is
+    * scan-side, so the prefix cosine still runs inside the same
+    * WholeStageCodegen span, per-partition heaps, never a global sort. */
   private def truncTopKIds(embeddings: DataFrame, queryVecId: Long, k: Int,
-                           dim: Int): DataFrame = {
-    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
-      .select(slice(col("embedding"), 1, dim).as("q_trunc")))
-    embeddings
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(q)
-      .withColumn("cos", GraftFunctions.cosine(slice(col("embedding"), 1, dim), col("q_trunc")))
-      .orderBy(desc("cos"), asc("vec_id"))
-      .limit(k)
+                           dim: Int): DataFrame =
+    annTopK(
+      embeddings.select(col("vec_id"), col("label"),
+        slice(col("embedding"), 1, dim).as("embedding")),
+      queryVecId, k)
       .select(col("vec_id"))
-  }
 
   /** MATRYOSHKA truncation-recall curve — the embedding-dimension
     * calibration card (Kusupati et al. 2022, Matryoshka Representation

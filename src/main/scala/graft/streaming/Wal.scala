@@ -1,9 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import graft.ops.DupClusters
 
 /** Shared WAL discipline for the durable-partials maintainers
   * ([[AggMergeStream]], [[MixStream]], [[DriftStream]], [[RankStream]],
@@ -17,22 +15,40 @@ import graft.ops.DupClusters
   * the table already carries", so naively re-merging batches 0..m into
   * one row-set forgets ids 0..m−1 — a crash-replay of batch 3 after
   * compaction would re-append it and silently double-count. The fix is
-  * a WATERMARK riding in the sign bit of `batch_id`: the compacted
-  * row-set lands under `batch_id = −(m+1)`, meaning "batches 0..m are
-  * folded in" (foreachBatch ids are ≥ 0, so the encoding is collision-
-  * free), and [[seen]] treats id as replayed when the table carries
+  * a WATERMARK riding in the sign bit of `batch_id`: the folded row-set
+  * lands under `batch_id = −(w+1)`, meaning "batches 0..w are folded
+  * in" (foreachBatch ids are ≥ 0, so the encoding is collision-free),
+  * and [[seen]] treats id as replayed when the table carries
   * `batch_id = id` OR any watermark `batch_id ≤ −(id+1)` (more negative
-  * = higher watermark = covers more ids). A later compaction folds the
-  * previous watermark row-set in and re-lands under the new (more
-  * negative) watermark; merged reads never look at `batch_id`, so the
-  * served cards are bit-identical before and after (additive integer /
-  * decimal sums — the same algebra that makes the maintainers exact).
+  * = higher watermark = covers more ids). Two guards on the fold:
+  *
+  *  - GAP SAFETY: the watermark only ever advances over the CONTIGUOUS
+  *    id prefix actually present (previous watermark + consecutively
+  *    present ids). Ids beyond a gap keep their own rows un-folded —
+  *    a watermark past a hole would silently convert the missing id's
+  *    FIRST ingest into a replay no-op, permanently undercounting.
+  *  - DURABILITY: the partials ARE the maintainers' source of truth
+  *    (unlike a rank snapshot there is nothing to cold-bootstrap them
+  *    from), so the fold is first written to a durable side table
+  *    (`<table>__wal_fold`), the main table is only then overwritten
+  *    FROM that side copy, and the side copy dropped last. A crash in
+  *    any window leaves at least one complete durable copy; a leftover
+  *    side table is detected on the next compaction and the swap
+  *    finished idempotently before new work starts.
+  *
+  * A later compaction folds the previous watermark row-set in and
+  * re-lands under the new watermark; merged reads never look at
+  * `batch_id`, so the served cards are bit-identical before and after
+  * (additive integer / decimal sums — the same algebra that makes the
+  * maintainers exact).
   *
   * Scale shape: compaction reads the partials table once, writes ≤
-  * #distinct-keys rows, and runs on the maintenance schedule (the
-  * Store.compact cadence) — read amplification of the scheduled
-  * report/refresh drops from #batches×keys back to keys. Same
-  * single-maintenance-writer contract as the ingest side (see
+  * #distinct-keys (+ un-foldable tail) rows, and runs on the
+  * maintenance schedule (the Store.compact cadence) — read
+  * amplification of the scheduled report/refresh drops from
+  * #batches×keys back to keys. The distinct-id read-off is ≤ #batches
+  * rows (model-scale by the same argument as the partials themselves).
+  * Same single-maintenance-writer contract as the ingest side (see
   * MixStream.ingestBatch's scaladoc): don't compact while a backfill
   * writer races the same table.
   */
@@ -48,52 +64,99 @@ object Wal {
           col("batch_id") <= lit(-(batchId + 1L)))
         .limit(1).isEmpty
 
-  /** Fold ALL current partial rows of `table` into one merged row-set
-    * under the new watermark id. `keyCols` are the grouping keys,
-    * `sumCols` the additive columns (each is summed then CAST back to
-    * its stored type, so the compacted schema appends cleanly with
-    * future batches; a NULL anywhere in a column's group poisons that
-    * group's sum to NULL — missing legacy state must stay VISIBLY
-    * missing, not silently undercounted — the MixStream n_tokens
-    * upgrade-path contract). The rewrite re-buckets exactly as the
-    * existing table (the spec is READ from catalog metadata — a caller
-    * cannot mismatch it). Returns (rows before, rows after). No-op on
-    * a missing or batch-less table. */
+  /** Rewrite `df` as `target`, reproducing the FULL bucket spec of
+    * `specFrom` (every bucket column and any sort columns — a partial
+    * reconstruction would silently change the physical layout the
+    * maintainers' zero-exchange joins rely on). */
+  private def writeLike(spark: SparkSession, df: DataFrame, target: String,
+                        specFrom: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(specFrom))
+      .bucketSpec
+    val w = df.write.mode("overwrite")
+    spec match {
+      case Some(bs) =>
+        val wb = w.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        val ws =
+          if (bs.sortColumnNames.nonEmpty)
+            wb.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+          else wb
+        ws.saveAsTable(target)
+      case None => w.saveAsTable(target)
+    }
+  }
+
+  /** Fold the contiguous-prefix batches of `table` into one merged
+    * row-set under the advanced watermark id. `keyCols` are the
+    * grouping keys, `sumCols` the additive columns (each is summed then
+    * CAST back to its stored type, so the compacted schema appends
+    * cleanly with future batches; a NULL anywhere in a column's group
+    * poisons that group's sum to NULL — missing legacy state must stay
+    * VISIBLY missing, not silently undercounted — the MixStream
+    * n_tokens upgrade-path contract). Rows whose ids sit beyond a gap
+    * in the id sequence are passed through untouched (see the class
+    * doc's gap-safety guard). Returns (rows before, rows after). No-op
+    * on a missing table or when no contiguous prefix exists yet. */
   def compactPartials(spark: SparkSession, table: String,
                       keyCols: Seq[String], sumCols: Seq[String]): (Long, Long) = {
+    val side = table + "__wal_fold"
+    // crash recovery FIRST (a crash mid-swap can leave the side copy as
+    // the ONLY copy — the main-table existence check must not short-
+    // circuit past it): a leftover side table means a prior fold wrote
+    // its state durably but died before (or during) the main-table
+    // swap. Finish the swap, PRESERVING any rows a resumed writer may
+    // have landed in a re-created main table in the crash window: a
+    // main row survives iff the side copy does not already cover its
+    // id (not folded under the side watermark, not among the side's
+    // passed-through ids). The bucket spec comes from the side copy —
+    // it was written with the main table's spec.
+    if (spark.catalog.tableExists(side)) {
+      val s = spark.table(side)
+      val recovered =
+        if (!spark.catalog.tableExists(table)) s
+        else {
+          val sideIds = s.select(col("batch_id")).distinct()
+            .collect().map(_.getLong(0))
+          val sideWm = sideIds.filter(_ < 0L).sorted.headOption
+            .map(v => -v - 1L).getOrElse(-1L)
+          val passIds = sideIds.filter(_ >= 0L)
+          s.unionByName(spark.table(table)
+            .filter(col("batch_id") > sideWm &&
+              !col("batch_id").isInCollection(passIds)))
+        }
+      // the union reads both tables — cut lineage before overwriting
+      val mat = graft.ops.DupClusters.materialize(recovered)
+      writeLike(spark, mat, table, side)
+      graft.ops.DupClusters.release(mat)
+      spark.sql(s"DROP TABLE $side")
+    }
     if (!spark.catalog.tableExists(table)) return (0L, 0L)
-    val bucket = spark.sessionState.catalog
-      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
-      .bucketSpec.map(bs => (bs.bucketColumnNames.head, bs.numBuckets))
     val t = spark.table(table)
     val schema = t.schema
     val before = t.count()
-    val bounds = t.agg(
-      max(when(col("batch_id") >= 0L, col("batch_id"))).as("mx"),
-      min(col("batch_id")).as("mn")).collect()(0)
-    val maxPos = if (bounds.isNullAt(0)) -1L else bounds.getLong(0)
-    val minAny = if (bounds.isNullAt(1)) 0L else bounds.getLong(1)
-    val prevWm = if (minAny < 0L) -minAny - 1L else -1L
-    val m = math.max(maxPos, prevWm)
-    if (m < 0L) return (before, before) // empty table: nothing covered
+    // distinct ids reach the driver: ≤ #batches + 1 rows, model-scale
+    val ids = t.select(col("batch_id")).distinct().collect().map(_.getLong(0))
+    val prevWm = ids.filter(_ < 0L).sorted.headOption.map(v => -v - 1L).getOrElse(-1L)
+    val pos = ids.filter(_ >= 0L).toSet
+    var w = prevWm
+    while (pos.contains(w + 1L)) w += 1L
+    if (w < 0L) return (before, before) // no contiguous prefix from 0 yet
     val sums = sumCols.map { c =>
       when(max(col(c).isNull.cast("int")) === 1, lit(null))
         .otherwise(sum(col(c))).cast(schema(c).dataType).as(c)
     }
-    val merged = t.groupBy(keyCols.map(col): _*)
+    val merged = t.filter(col("batch_id") < 0L || col("batch_id") <= w)
+      .groupBy(keyCols.map(col): _*)
       .agg(sums.head, sums.tail: _*)
-      .withColumn("batch_id", lit(-(m + 1L)))
+      .withColumn("batch_id", lit(-(w + 1L)))
       .select(schema.fieldNames.toSeq.map(col): _*)
-    // cut lineage before overwriting the table the plan reads from
-    // (the RankStream.refresh read-then-overwrite recipe)
-    val mat = DupClusters.materialize(merged)
-    bucket match {
-      case Some((bCol, n)) =>
-        mat.write.mode("overwrite").bucketBy(n, bCol).saveAsTable(table)
-      case None =>
-        mat.write.mode("overwrite").saveAsTable(table)
-    }
-    DupClusters.release(mat)
+    val folded = merged.unionByName(t.filter(col("batch_id") > w))
+    // durable side copy FIRST (reads main, writes side — lineage never
+    // self-referential), then swap main from the side copy, drop last
+    writeLike(spark, folded, side, table)
+    writeLike(spark, spark.table(side), table, side)
+    spark.sql(s"DROP TABLE $side")
     (before, spark.table(table).count())
   }
 }

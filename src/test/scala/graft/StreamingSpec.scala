@@ -1432,4 +1432,51 @@ class StreamingSpec extends SparkSpec {
       "NULL capacity must stay loud after compaction")
     dropGateTables("t_cw_w", "t_cmix_p")
   }
+
+  test("WAL compaction: an id gap holds the watermark (first ingest of the missing id survives); a crash-leftover fold recovers, preserving post-crash appends") {
+    import graft.ops.DomainGraph
+    import graft.streaming.{RankStream, Wal}
+    dropGateTables("t_cg_w", "t_cg_w__wal_fold")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = DomainGraph.syntheticEdges(docs)
+    // ids 0 and 2 arrive; id 1 is still in flight — the fold must stop
+    // the watermark at 0 and pass id 2's rows through un-folded, or id
+    // 1's FIRST ingest would be silently treated as a replay
+    RankStream.ingestBatch(full, 0L, "t_cg_w", buckets = 4)
+    RankStream.ingestBatch(full, 2L, "t_cg_w", buckets = 4)
+    val merged0 = show(RankStream.weights(spark, "t_cg_w"))
+    RankStream.compact(spark, "t_cg_w")
+    assert(show(RankStream.weights(spark, "t_cg_w")) == merged0)
+    assert(Wal.seen(spark, "t_cg_w", 0L) && Wal.seen(spark, "t_cg_w", 2L))
+    assert(!Wal.seen(spark, "t_cg_w", 1L), "the gap id must NOT be covered")
+    RankStream.ingestBatch(full, 1L, "t_cg_w", buckets = 4)
+    val expect3 = full.unionByName(full).unionByName(full)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    assert(show(RankStream.weights(spark, "t_cg_w")) == show(expect3),
+      "the late gap batch must still be counted")
+    // now contiguous: the next fold advances over all three ids
+    RankStream.compact(spark, "t_cg_w")
+    assert((0L to 2L).forall(Wal.seen(spark, "t_cg_w", _)))
+    assert(show(RankStream.weights(spark, "t_cg_w")) == show(expect3))
+    // crash simulation: the fold's durable side copy exists, the main
+    // table was lost mid-swap, and a resumed writer landed batch 3 in a
+    // RE-CREATED main before any compaction ran — recovery must restore
+    // the side state AND keep the post-crash batch
+    val snap = graft.ops.DupClusters.materialize(spark.table("t_cg_w"))
+    snap.write.bucketBy(4, "src").saveAsTable("t_cg_w__wal_fold")
+    graft.ops.DupClusters.release(snap)
+    spark.sql("DROP TABLE t_cg_w")
+    RankStream.ingestBatch(full, 3L, "t_cg_w", buckets = 4)
+    RankStream.compact(spark, "t_cg_w")
+    val expect4 = expect3.select($"src", $"dst", $"w")
+      .unionByName(full.groupBy($"src", $"dst").agg(count(lit(1)).as("w")))
+      .groupBy($"src", $"dst").agg(sum($"w").as("w"))
+    assert(show(RankStream.weights(spark, "t_cg_w")) == show(expect4),
+      "recovery must union the side copy with the post-crash batch")
+    assert((0L to 3L).forall(Wal.seen(spark, "t_cg_w", _)))
+    assert(!spark.catalog.tableExists("t_cg_w__wal_fold"), "the side copy must be dropped")
+    dropGateTables("t_cg_w", "t_cg_w__wal_fold")
+  }
 }
