@@ -207,4 +207,25 @@ object AnnStream {
   def opqCodeStream(embeddings: DataFrame, perm: Seq[Int],
                     books: Seq[Seq[Seq[Double]]]): DataFrame =
     Similarity.pqCodes(Similarity.opqPermute(embeddings, perm), books)
+
+  /** MRL prefix-space assignment maintenance — the insert leg of the
+    * `s_ann_mrl_ivf` index (the fourth code stream: LSH signatures,
+    * IVF-PQ codes, OPQ codes, and now prefix-list assignments — every
+    * serving index this engine fits has its streamed maintainer):
+    * arriving vectors are routed to their prefix-fitted IVF list by a
+    * stateless scan projection (the prefix centroid literal ships with
+    * the plan; models refit out-of-band, the [[ivfPqCodeStream]]
+    * contract). The routing reads only the first `shortDim` coordinates
+    * of each arriving vector — the MRL saving reaches maintenance too —
+    * while the appended row keeps the FULL vector, which the serve's
+    * full-dimension rerank requires. Append-only; spec-proven equal to
+    * the batch `Catalog.ivfIndexMrl` assignment and to serve identical
+    * top-k through `annMrlIvfFromIndex` off either table. */
+  def mrlAssignStream(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                      shortDim: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    embeddings.withColumn("cluster",
+      graft.functions.GraftFunctions.nearestCentroid(
+        slice(col("embedding"), 1, shortDim), typedlit(centroids)))
+  }
 }

@@ -562,6 +562,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MRL prefix assignment: streamed table equals the batch prefix index and serves identically") {
+    import graft.ops.Similarity
+    import graft.streaming.AnnStream
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val (cents, batchAssigned) = graft.core.Catalog.ivfIndexMrl(spark, TestSpark.sf0001)
+    val streamDir = Files.createTempDirectory("graft-mrl-stream")
+    def arrive(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-mrl-half").toString
+      embs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, streamDir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val q = AnnStream.mrlAssignStream(
+        AnnStream.embeddingStream(spark, streamDir.toString), cents)
+      .writeStream.format("memory").queryName("mrl_assigned")
+      .outputMode("append").start()
+    try {
+      arrive($"vec_id" % 2 === 0, "b0.parquet")
+      arrive($"vec_id" % 2 === 1, "b1.parquet")
+      q.processAllAvailable()
+      val streamed = spark.table("mrl_assigned")
+      assert(streamed.count() == embs.count())
+      assert(streamed.exceptAll(batchAssigned).count() == 0)
+      assert(batchAssigned.exceptAll(streamed).count() == 0)
+      // serving off the streamed assignment gives the exact batch answer
+      val served = Similarity.annMrlIvfFromIndex(cents, spark.table("mrl_assigned"))
+        .collect().map(_.toString).toSeq
+      val direct = Similarity.annMrlIvfFromIndex(cents, batchAssigned)
+        .collect().map(_.toString).toSeq
+      assert(served == direct)
+    } finally q.stop()
+  }
+
   test("streaming OPQ encode: streamed code table equals the batch OPQ index and serves identically") {
     import graft.ops.Similarity
     import graft.streaming.AnnStream
