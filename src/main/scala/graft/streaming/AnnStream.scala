@@ -220,7 +220,11 @@ object AnnStream {
     * while the appended row keeps the FULL vector, which the serve's
     * full-dimension rerank requires. Append-only; spec-proven equal to
     * the batch `Catalog.ivfIndexMrl` assignment and to serve identical
-    * top-k through `annMrlIvfFromIndex` off either table. */
+    * top-k through `annMrlIvfFromIndex` off either table. Scale note:
+    * like the batch fit, past `Similarity.JoinedAssignMinNlist` lists
+    * the centroid model is too big to inline as a plan literal — route
+    * the stream through the broadcast-joined assignment form there
+    * (the `twoLevelAssignJoined` regime), same routing semantics. */
   def mrlAssignStream(embeddings: DataFrame, centroids: Seq[Seq[Double]],
                       shortDim: Int = 16): DataFrame = {
     import org.apache.spark.sql.functions._
