@@ -45,6 +45,10 @@ object AggMergeStream {
   def mergeBatch(batch: DataFrame, batchId: Long, partialsTable: String,
                  buckets: Int = 8): Unit = {
     val spark = batch.sparkSession
+    // a 0-row batch yields 0 partial rows — record its id in the WAL
+    // ledger so compaction's watermark can advance over it (the input
+    // check short-circuits on the first row)
+    if (batch.limit(1).isEmpty) { Wal.markEmpty(spark, partialsTable, batchId); return }
     val partials = AnalyticsQueries.dailyPartials(batch)
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(partialsTable)) {

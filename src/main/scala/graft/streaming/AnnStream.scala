@@ -128,11 +128,20 @@ object AnnStream {
       .join(broadcast(deletes.select(col("vec_id")).distinct()), Seq("vec_id"))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_deleted"))
       .withColumn("batch_id", lit(batchId))
-    if (!spark.catalog.tableExists(countersTable)) {
-      partial.write.saveAsTable(countersTable)
-    } else if (!Wal.seen(spark, countersTable, batchId)) {
-      partial.write.mode("append").saveAsTable(countersTable)
-    }
+      // a delete batch matching NOTHING in the index yields 0 counter
+      // rows even from non-empty input (the join filters) — persist the
+      // ≤ nlist-row result so the emptiness check and the append share
+      // one index scan, and route the empty case to the WAL ledger so
+      // compaction's watermark can advance over this id
+      .persist()
+    try {
+      if (Wal.emptyRecorded(partial, countersTable, batchId)) ()
+      else if (!spark.catalog.tableExists(countersTable)) {
+        partial.write.saveAsTable(countersTable)
+      } else if (!Wal.seen(spark, countersTable, batchId)) {
+        partial.write.mode("append").saveAsTable(countersTable)
+      }
+    } finally partial.unpersist()
   }
 
   /** Scheduled row-level compaction of the delete-counter WAL (see

@@ -46,6 +46,10 @@ object DriftStream {
     * (crash replay). `docs` carries (source, n_chars) per document. */
   def ingestBatch(docs: DataFrame, batchId: Long, statsTable: String): Unit = {
     val spark = docs.sparkSession
+    // a 0-row batch yields 0 partial rows — record its id in the WAL
+    // ledger so compaction's watermark can advance over it (the input
+    // check short-circuits on the first row)
+    if (docs.limit(1).isEmpty) { Wal.markEmpty(spark, statsTable, batchId); return }
     val partials = docs
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),

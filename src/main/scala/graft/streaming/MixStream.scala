@@ -61,6 +61,11 @@ object MixStream {
     // token-extended partials (mixtureCapacityPartials): one durable
     // table feeds both the audit ([[report]]) and the re-plan
     // ([[waterfillPlan]])
+    // a 0-row batch yields 0 partial rows (per-source groupBy) — record
+    // its id in the WAL ledger so compaction's watermark can still
+    // advance over it; the input check short-circuits on the first row,
+    // so a non-empty batch pays no extra scan
+    if (docs.limit(1).isEmpty) { Wal.markEmpty(spark, partialsTable, batchId); return }
     val partials = Sampling.mixtureCapacityPartials(docs, rates, defaultRate)
       .withColumn("batch_id", lit(batchId))
     if (!spark.catalog.tableExists(partialsTable)) {
@@ -86,9 +91,18 @@ object MixStream {
     * (the [[waterfillPlan]] refusal stays armed — missing capacity must
     * never silently undercount). [[report]]/[[waterfillPlan]] are
     * bit-identical before and after (spec-proven). */
-  def compact(spark: SparkSession, partialsTable: String): (Long, Long) =
+  def compact(spark: SparkSession, partialsTable: String): (Long, Long) = {
+    // same upgrade as [[ingestBatch]]: a pre-token legacy table reaches
+    // compaction first when the maintenance schedule fires before any
+    // post-upgrade ingest — the n_tokens sum below must not throw on a
+    // missing column (legacy rows read NULL, keeping the
+    // [[waterfillPlan]] refusal armed exactly as on the ingest path)
+    if (spark.catalog.tableExists(partialsTable) &&
+        !spark.table(partialsTable).columns.contains("n_tokens"))
+      spark.sql(s"ALTER TABLE $partialsTable ADD COLUMNS (n_tokens BIGINT)")
     Wal.compactPartials(spark, partialsTable,
       keyCols = Seq("source"), sumCols = Seq("n_docs", "n_kept", "n_tokens"))
+  }
 
   /** Merged per-source card: ONE row per source — the
     * [[Sampling.mixReportFromCards]] input contract. Late or

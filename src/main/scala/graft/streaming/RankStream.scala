@@ -53,6 +53,10 @@ object RankStream {
   def ingestBatch(edges: DataFrame, batchId: Long, weightsTable: String,
                   buckets: Int = 8): Unit = {
     val spark = edges.sparkSession
+    // a 0-row batch yields 0 partial rows — record its id in the WAL
+    // ledger so compaction's watermark can advance over it (the input
+    // check short-circuits on the first row)
+    if (edges.limit(1).isEmpty) { Wal.markEmpty(spark, weightsTable, batchId); return }
     val partials = edges
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .withColumn("batch_id", lit(batchId))

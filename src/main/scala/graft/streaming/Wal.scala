@@ -51,18 +51,54 @@ import org.apache.spark.sql.functions._
   * Same single-maintenance-writer contract as the ingest side (see
   * MixStream.ingestBatch's scaladoc): don't compact while a backfill
   * writer races the same table.
+  *
+  * EMPTY batches (a delete batch matching nothing, partials
+  * aggregating to 0 rows) would leave a permanent HOLE under the
+  * contiguous-prefix rule — no row ever lands under their id, so the
+  * watermark could never advance past them and compaction would stop
+  * bounding WAL growth forever after. They are instead recorded in a
+  * tiny side LEDGER (`<table>__wal_ids`, one `batch_id` row per empty
+  * batch — ≤ #batches rows, model-scale): [[seen]] consults it, the
+  * watermark treats its ids as present, and compaction prunes ledger
+  * ids once the watermark covers them. The ledger needs no
+  * crash-durability ceremony of its own: an empty batch's replay
+  * appends no data regardless, so a lost ledger row can at worst
+  * delay the watermark until the id is re-recorded.
   */
 object Wal {
 
-  /** Has `batchId` already been folded into `table` — either as live
-    * partial rows under its own id, or inside a compaction watermark
-    * covering it? (False when the table doesn't exist yet.) */
+  private def ledgerTable(table: String): String = table + "__wal_ids"
+
+  /** Has `batchId` already been folded into `table` — as live partial
+    * rows under its own id, inside a compaction watermark covering it,
+    * or recorded in the empty-batch ledger? (False when neither table
+    * exists yet.) */
   def seen(spark: SparkSession, table: String, batchId: Long): Boolean =
-    spark.catalog.tableExists(table) &&
+    (spark.catalog.tableExists(table) &&
       !spark.table(table)
         .filter(col("batch_id") === batchId ||
           col("batch_id") <= lit(-(batchId + 1L)))
-        .limit(1).isEmpty
+        .limit(1).isEmpty) ||
+      (spark.catalog.tableExists(ledgerTable(table)) &&
+        !spark.table(ledgerTable(table))
+          .filter(col("batch_id") === batchId).limit(1).isEmpty)
+
+  /** Record `batchId` as delivered-but-empty so the compaction
+    * watermark can advance over it (idempotent under crash replay —
+    * an already-seen id is skipped). */
+  def markEmpty(spark: SparkSession, table: String, batchId: Long): Unit =
+    if (!seen(spark, table, batchId)) {
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").saveAsTable(ledgerTable(table))
+    }
+
+  /** True — and the id is recorded in the empty-batch ledger — when
+    * `partials` carries no rows; the maintainers call this before
+    * appending so a 0-row batch still advances the watermark. */
+  def emptyRecorded(partials: DataFrame, table: String, batchId: Long): Boolean =
+    if (partials.limit(1).isEmpty) {
+      markEmpty(partials.sparkSession, table, batchId); true
+    } else false
 
   /** Rewrite `df` as `target`, reproducing the FULL bucket spec of
     * `specFrom` (every bucket column and any sort columns — a partial
@@ -132,16 +168,45 @@ object Wal {
       spark.sql(s"DROP TABLE $side")
     }
     if (!spark.catalog.tableExists(table)) return (0L, 0L)
+    val ledger = ledgerTable(table)
     val t = spark.table(table)
     val schema = t.schema
     val before = t.count()
     // distinct ids reach the driver: ≤ #batches + 1 rows, model-scale
     val ids = t.select(col("batch_id")).distinct().collect().map(_.getLong(0))
+    val ledgerIds: Set[Long] =
+      if (spark.catalog.tableExists(ledger))
+        spark.table(ledger).select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+      else Set.empty
     val prevWm = ids.filter(_ < 0L).sorted.headOption.map(v => -v - 1L).getOrElse(-1L)
-    val pos = ids.filter(_ >= 0L).toSet
+    val dataIds = ids.filter(_ >= 0L).toSet
+    val pos = dataIds ++ ledgerIds // empty batches count as present
     var w = prevWm
     while (pos.contains(w + 1L)) w += 1L
-    if (w < 0L) return (before, before) // no contiguous prefix from 0 yet
+    // prune ledger ids a STORED watermark covers — the watermark row
+    // subsumes them for [[seen]]. Only ids ≤ the watermark actually
+    // landed in the table are safe to drop (the collected ids are
+    // driver-local, so the rewrite never reads the table it replaces).
+    def pruneLedger(covered: Long): Unit =
+      if (ledgerIds.exists(_ <= covered)) {
+        val keep = ledgerIds.filter(_ > covered).toSeq.sorted
+        if (keep.isEmpty) spark.sql(s"DROP TABLE $ledger")
+        else {
+          import spark.implicits._
+          keep.toDF("batch_id").write.mode("overwrite").saveAsTable(ledger)
+        }
+      }
+    // the fold changes the row-set only when un-folded DATA rows sit in
+    // the prefix; a watermark advanced purely over ledger (empty-batch)
+    // ids must NOT trigger it — folding an empty prefix would write a
+    // zero-row set, losing the watermark those ids still need. Skipping
+    // also avoids the no-op double-rewrite (and its crash window) when
+    // nothing new arrived since the last fold.
+    if (w < 0L || !dataIds.exists(_ <= w)) {
+      pruneLedger(prevWm) // stale ids from a crash-before-prune
+      return (before, before)
+    }
     val sums = sumCols.map { c =>
       when(max(col(c).isNull.cast("int")) === 1, lit(null))
         .otherwise(sum(col(c))).cast(schema(c).dataType).as(c)
@@ -157,6 +222,7 @@ object Wal {
     writeLike(spark, folded, side, table)
     writeLike(spark, spark.table(side), table, side)
     spark.sql(s"DROP TABLE $side")
+    pruneLedger(w) // the stored watermark now covers these ids
     (before, spark.table(table).count())
   }
 }

@@ -1467,6 +1467,80 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_cw_w", "t_cmix_p")
   }
 
+  test("WAL empty batches: the id ledger advances the watermark over 0-row batches; a no-op fold skips the rewrite; a legacy mix table compacts without throwing") {
+    import graft.ops.{DomainGraph, Sampling}
+    import graft.streaming.{MixStream, RankStream, Wal}
+    dropGateTables("t_ce_w", "t_ce_w__wal_ids", "t_ce_mix", "t_ce_mix__wal_ids")
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def partFiles(table: String): Set[String] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      new java.io.File(loc).listFiles().map(_.getName)
+        .filter(_.startsWith("part-")).toSet
+    }
+    val full = DomainGraph.syntheticEdges(docs)
+    val none = full.filter(lit(false))
+    // batch 1 delivers ZERO edges — pre-fix its id left a permanent
+    // hole and the watermark could never pass 0
+    RankStream.ingestBatch(full, 0L, "t_ce_w", buckets = 4)
+    RankStream.ingestBatch(none, 1L, "t_ce_w", buckets = 4)
+    RankStream.ingestBatch(full, 2L, "t_ce_w", buckets = 4)
+    assert(Wal.seen(spark, "t_ce_w", 1L),
+      "an empty batch must be replay-skippable before any compaction")
+    val merged0 = show(RankStream.weights(spark, "t_ce_w"))
+    val (b0, a0) = RankStream.compact(spark, "t_ce_w")
+    assert(a0 < b0, s"fold must shrink the WAL ($b0 -> $a0)")
+    assert((0L to 2L).forall(Wal.seen(spark, "t_ce_w", _)),
+      "the watermark must advance OVER the empty id")
+    assert(!Wal.seen(spark, "t_ce_w", 3L))
+    assert(!spark.catalog.tableExists("t_ce_w__wal_ids"),
+      "ledger ids covered by the stored watermark must be pruned")
+    assert(show(RankStream.weights(spark, "t_ce_w")) == merged0)
+    // replay of the (pruned) empty batch stays a no-op via the watermark
+    RankStream.ingestBatch(none, 1L, "t_ce_w", buckets = 4)
+    assert(!spark.catalog.tableExists("t_ce_w__wal_ids"),
+      "a watermark-covered replay must not re-enter the ledger")
+    // NO-OP fold: nothing new arrived — compaction must skip both table
+    // rewrites entirely (same part-files), not burn a double rewrite
+    val files0 = partFiles("t_ce_w")
+    val (b1, a1) = RankStream.compact(spark, "t_ce_w")
+    assert(b1 == a1)
+    assert(partFiles("t_ce_w") == files0, "a no-op fold must not rewrite the table")
+    // TRAILING empty batch: the watermark may not advance via a fold
+    // (an empty-prefix fold would write a zero-row set and lose it) —
+    // the id stays ledger-covered, the table untouched
+    RankStream.ingestBatch(none, 3L, "t_ce_w", buckets = 4)
+    RankStream.compact(spark, "t_ce_w")
+    assert(Wal.seen(spark, "t_ce_w", 3L),
+      "a trailing empty id must stay seen after a fold-less compact")
+    assert(partFiles("t_ce_w") == files0)
+    assert(spark.catalog.tableExists("t_ce_w__wal_ids"),
+      "an uncovered ledger id must survive the compact")
+    // the next data batch folds it under the advanced watermark
+    RankStream.ingestBatch(full, 4L, "t_ce_w", buckets = 4)
+    RankStream.compact(spark, "t_ce_w")
+    assert((0L to 4L).forall(Wal.seen(spark, "t_ce_w", _)))
+    assert(!spark.catalog.tableExists("t_ce_w__wal_ids"))
+    val expected = full.unionByName(full).unionByName(full)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    assert(show(RankStream.weights(spark, "t_ce_w")) == show(expected),
+      "three data batches (empty ones contribute nothing) must survive the folds")
+    // legacy pre-token mix partials reaching compaction BEFORE any
+    // post-upgrade ingest: compact must upgrade the schema in place
+    // instead of throwing on the missing n_tokens column
+    val rates = Sampling.MixRates
+    Sampling.mixturePartials(docs, rates, Sampling.MixDefault)
+      .withColumn("batch_id", lit(0L)).write.saveAsTable("t_ce_mix")
+    val audit0 = show(MixStream.report(spark, "t_ce_mix", rates, Sampling.MixDefault))
+    MixStream.compact(spark, "t_ce_mix") // pre-fix: threw on schema("n_tokens")
+    assert(spark.table("t_ce_mix").columns.contains("n_tokens"))
+    assert(show(MixStream.report(spark, "t_ce_mix", rates, Sampling.MixDefault)) == audit0,
+      "the audit must survive the upgrading compact bit-for-bit")
+    dropGateTables("t_ce_w", "t_ce_w__wal_ids", "t_ce_mix", "t_ce_mix__wal_ids")
+  }
+
   test("WAL compaction: an id gap holds the watermark (first ingest of the missing id survives); a crash-leftover fold recovers, preserving post-crash appends") {
     import graft.ops.DomainGraph
     import graft.streaming.{RankStream, Wal}
