@@ -152,10 +152,43 @@ object TextKernels {
     z ^ (z >>> 31)
   }
 
-  /** Normalized word tokens: lowercase, trim, split on whitespace runs —
-    * exactly `split(lower(trim(regexp_replace(text,'\s+',' '))), ' ')`. */
+  /** Is `c` a codepoint of a space-free CJK letter class (Han,
+    * Hiragana + Katakana, Hangul syllables — all BMP, so a Char test
+    * suffices; no surrogate handling needed)? */
+  @inline private def isCjk(c: Char): Boolean =
+    (c >= 0x4e00 && c <= 0x9fff) || // CJK Unified Ideographs
+    (c >= 0x3040 && c <= 0x30ff) || // Hiragana + Katakana
+    (c >= 0xac00 && c <= 0xd7af)    // Hangul syllables
+
+  /** Codepoint-class segmentation fallback for space-free scripts:
+    * insert a space around every CJK letter — exactly
+    * `regexp_replace(text, '([\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}])', ' \1 ', 'g')`
+    * (the DuckDB-mirrorable form) — so zh/ja/ko text tokenizes one
+    * character per token instead of one "word" per line. IDENTITY on
+    * text with no CJK codepoints (the whole sf* testdata, spec-asserted
+    * in TextAnalysisSpec — which is why pre-CJK oracle mirrors that
+    * elide this pre-pass stay exact on that data); the has-CJK scan
+    * keeps the common ASCII path allocation-free. */
+  def segmentCjk(s: String): String = {
+    var i = 0
+    var has = false
+    while (i < s.length && !has) { if (isCjk(s.charAt(i))) has = true; i += 1 }
+    if (!has) return s
+    val sb = new java.lang.StringBuilder(s.length * 3)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isCjk(c)) { sb.append(' ').append(c).append(' ') } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Normalized word tokens: CJK segmentation ([[segmentCjk]]), then
+    * lowercase, trim, split on whitespace runs — exactly
+    * `split(lower(trim(regexp_replace(segmented,'\s+',' '))), ' ')`. */
   def tokenize(text: UTF8String): Array[String] = {
-    val t = text.toString.toLowerCase(java.util.Locale.ROOT).trim
+    val t = segmentCjk(text.toString).toLowerCase(java.util.Locale.ROOT).trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 

@@ -159,10 +159,122 @@ object Search {
         (round(col("rrf_exact").cast("double"), 4) + lit(0.0)).as("rrf_score"))
   }
 
+  /** GRADED retrieval-quality metrics (r14) — nDCG@k + MRR per serving
+    * arm, the rollout evidence [[Similarity.recallReport]]'s set-overlap
+    * recall cannot give: set recall reads the same whether the best hit
+    * lands #1 or #10; a fusion rollout (s_hybrid_rrf) needs the GRADED
+    * position-weighted read. Deterministic graded panel: grade 2 =
+    * same label as the query vector, grade 1 = same source document,
+    * else 0 — gains 2^g−1 ∈ {0,1,3} are exact integers (the
+    * d_lsh_tuning no-pow rule), each DCG term gain/ln(rank+1) is one
+    * IEEE-exact division of engine-agreed doubles (ln of a small
+    * integer — the t_perplexity reliance), per-term DECIMAL(28,10)
+    * casts make the sums order-free, and nDCG's ln(2) base factor
+    * cancels in the ratio so base-e DCG ≡ the textbook base-2 metric.
+    * IDCG comes from corpus-wide relevance COUNTS (same-label n2,
+    * same-source-different-label n1, query excluded): the ideal list
+    * is n2 grade-2s then n1 grade-1s — two broadcast equi-joins of the
+    * 5-row query panel against the id-joined (label, source) meta,
+    * never a pair enumeration.
+    *
+    * Arms: 'exact' = [[Similarity.annTopKBatch]], 'ivf' =
+    * [[Similarity.annIvfBatchFromIndex]] (the two ANN serving shapes),
+    * 'rrf' = [[hybridRrf]] (query 0 — its fixed workload). Ranks are
+    * re-derived per arm from the EMITTED (rounded) score with the id
+    * tie-break — the s_knn_join engine-independence convention — via a
+    * window over ≤ k rows per (arm, query). */
+  def rankMetrics(documents: DataFrame, embeddings: DataFrame,
+                  centroids: Seq[Seq[Double]], assigned: DataFrame,
+                  queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+                  k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    val exact = Similarity.annTopKBatch(embeddings, queryVecIds, k)
+      .select(lit("exact").as("arm"), col("query_id"), col("vec_id"),
+        row_number().over(wq).as("rank"))
+    val ivf = Similarity.annIvfBatchFromIndex(centroids, assigned, queryVecIds, k, nProbe)
+      .select(lit("ivf").as("arm"), col("query_id"), col("vec_id"),
+        row_number().over(wq).as("rank"))
+    val rrf = hybridRrf(documents, embeddings, k = k)
+      .select(lit("rrf").as("arm"), lit(0L).as("query_id"),
+        col("doc_id").as("vec_id"),
+        row_number().over(Window.orderBy(desc("rrf_score"), asc("doc_id")))
+          .as("rank"))
+    val ranked = exact.unionByName(ivf).unionByName(rrf)
+    val meta = embeddings.select(col("vec_id"), col("label"))
+      .join(documents.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+    metricsFromRanked(ranked, meta, queryVecIds, k)
+  }
+
+  /** The metric arithmetic over pre-ranked lists — split out so the
+    * spec can plant an inverted ranking and assert the exact values.
+    * `ranked` = (arm, query_id, vec_id, rank ≤ k); `meta` = (vec_id,
+    * label, source) for every id either side references. */
+  private[ops] def metricsFromRanked(ranked: DataFrame, meta: DataFrame,
+                                     queryVecIds: Seq[Long], k: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    val qMeta = broadcast(
+      meta.filter(col("vec_id").isin(queryVecIds: _*))
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("source").as("q_source")))
+    // corpus-wide relevance counts (query row excluded) — the IDCG
+    // denominators; two broadcast equi-joins, aggregated per query
+    val n2s = meta.join(qMeta,
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n2"))
+    val n1s = meta.join(qMeta,
+        col("source") === col("q_source") && col("label") =!= col("q_label") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n1"))
+    val ranks = spark.range(1L, k + 1L).select(col("id").as("i"))
+    val idcg = qMeta.select(col("query_id"))
+      .join(n2s, Seq("query_id"), "left").join(n1s, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n2", "n1"))
+      .crossJoin(broadcast(ranks))
+      .withColumn("iterm",
+        (when(col("i") <= col("n2"), lit(3.0))
+          .when(col("i") <= col("n2") + col("n1"), lit(1.0))
+          .otherwise(lit(0.0)) /
+          log(col("i").cast("double") + lit(1.0)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+      .groupBy(col("query_id"))
+      .agg(sum(col("iterm")).as("idcg_e"),
+        max(col("n2")).as("n_rel_label"), max(col("n1")).as("n_rel_source"))
+    // one meta scan with the ≤ #arms·|panel|·k-row ranked frame
+    // broadcast into it, then the 5-row panel joined on
+    val graded = meta.join(broadcast(ranked), Seq("vec_id"))
+      .join(qMeta, Seq("query_id"))
+      .withColumn("grade",
+        when(col("label") === col("q_label"), 2)
+          .when(col("source") === col("q_source"), 1)
+          .otherwise(0))
+    val dcg = graded.groupBy(col("arm"), col("query_id"))
+      .agg(
+        sum((when(col("grade") === 2, lit(3.0))
+          .when(col("grade") === 1, lit(1.0)).otherwise(lit(0.0)) /
+          log(col("rank").cast("double") + lit(1.0)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("dcg_e"),
+        min(when(col("grade") === 2, col("rank"))).as("first_rel"))
+    dcg.join(broadcast(idcg), Seq("query_id"))
+      .select(col("arm"), col("query_id"),
+        col("n_rel_label"), col("n_rel_source"),
+        (when(col("idcg_e") === lit(0).cast("decimal(28,10)"), lit(0.0))
+          .otherwise(round(col("dcg_e").cast("double") /
+            col("idcg_e").cast("double"), 4)) + lit(0.0)).as("ndcg"),
+        (when(col("first_rel").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rel"), 4)) + lit(0.0)).as("mrr"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> ((s, d) => bm25TopK(Tables(s, d).documents)),
+    "s_rank_metrics" -> ((s, d) => {
+      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      rankMetrics(Tables(s, d).documents, Tables(s, d).embeddings,
+        cents, assigned)
+    }),
     "s_hybrid_rrf" -> ((s, d) =>
       hybridRrf(Tables(s, d).documents, Tables(s, d).embeddings)))
 
@@ -211,7 +323,119 @@ object Search {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** The s_rank_metrics mirror: each arm's top-k replayed exactly like
+    * its own oracle (exact = s_ann_batch's chain, ivf = the unrolled
+    * Lloyd fit + probe chain, rrf = the s_hybrid_rrf fusion at k=10),
+    * re-ranked on the ROUNDED emitted score with the id tie-break,
+    * then the shared graded-metric arithmetic. */
+  private def rankMetricsOracle: String = {
+    val lexTerms = Seq("hash", "join")
+    val ids = Seq(0, 1, 2, 3, 4)
+    def ivfArmOne(qid: Int): String =
+      s"""bq$qid AS (SELECT embedding AS qe FROM eiv WHERE vec_id = $qid),
+         |bp$qid AS (SELECT c FROM (
+         |    SELECT c2.c, row_number() OVER (ORDER BY ${Similarity.d2Sql(s"bq$qid.qe", "c2.cent")} ASC, c2.c ASC) AS rn
+         |    FROM c2 CROSS JOIN bq$qid) WHERE rn <= 2),
+         |bs$qid AS (SELECT * FROM (
+         |    SELECT CAST($qid AS BIGINT) AS query_id, af.vec_id,
+         |      ${Similarity.cosSql("af.embedding", s"bq$qid.qe")} AS cosr
+         |    FROM af CROSS JOIN bq$qid
+         |    WHERE af.cluster IN (SELECT c FROM bp$qid) AND af.vec_id != $qid)
+         |  ORDER BY cosr DESC, vec_id ASC LIMIT 10)""".stripMargin
+    s"""${profCte(lexTerms)},
+       |${Similarity.ivfFitCte},
+       |meta AS (SELECT e.vec_id, e.label, d.source
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |qm AS (SELECT vec_id AS query_id, label AS q_label, source AS q_source
+       |  FROM meta WHERE vec_id IN (${ids.mkString(", ")})),
+       |rn2t AS (SELECT query_id, COUNT(*) AS n2 FROM meta m JOIN qm
+       |  ON m.label = qm.q_label AND m.vec_id != qm.query_id GROUP BY 1),
+       |rn1t AS (SELECT query_id, COUNT(*) AS n1 FROM meta m JOIN qm
+       |  ON m.source = qm.q_source AND m.label != qm.q_label
+       |    AND m.vec_id != qm.query_id GROUP BY 1),
+       |rks AS (SELECT unnest(generate_series(1, 10)) AS i),
+       |idcgt AS (SELECT query_id,
+       |    SUM(CAST((CASE WHEN i <= n2 THEN 3.0
+       |              WHEN i <= n2 + n1 THEN 1.0 ELSE 0.0 END)
+       |        / ln(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS idcg_e,
+       |    CAST(MAX(n2) AS BIGINT) AS n_rel_label,
+       |    CAST(MAX(n1) AS BIGINT) AS n_rel_source
+       |  FROM (SELECT qm.query_id, COALESCE(rn2t.n2, 0) AS n2,
+       |      COALESCE(rn1t.n1, 0) AS n1
+       |    FROM qm LEFT JOIN rn2t USING (query_id) LEFT JOIN rn1t USING (query_id))
+       |  CROSS JOIN rks GROUP BY 1),
+       |xs AS (SELECT q.query_id, e.vec_id,
+       |    ${Similarity.cosSql("e.embedding", "q.qe")} AS cosr
+       |  FROM embeddings e
+       |  JOIN (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |        WHERE vec_id IN (${ids.mkString(", ")})) q
+       |    ON e.vec_id != q.query_id),
+       |xr AS (SELECT query_id, vec_id, ROUND(cosr, 4) + 0.0 AS sc FROM (
+       |    SELECT query_id, vec_id, cosr, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cosr DESC, vec_id ASC) AS rn
+       |    FROM xs) WHERE rn <= 10),
+       |xarm AS (SELECT 'exact' AS arm, query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sc DESC, vec_id ASC) AS INT) AS rank
+       |  FROM xr),
+       |${ids.map(ivfArmOne).mkString(",\n")},
+       |iarm AS (SELECT 'ivf' AS arm, query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sc DESC, vec_id ASC) AS INT) AS rank
+       |  FROM (${ids.map(q =>
+                s"SELECT query_id, vec_id, ROUND(cosr, 4) AS sc FROM bs$q")
+                .mkString("\n    UNION ALL ")})),
+       |rlex AS (
+       |  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
+       |    FROM prof, stats
+       |    WHERE tf_hash + tf_join > 0)
+       |  WHERE rank <= 100),
+       |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rvs AS (SELECT e.vec_id, ${Similarity.cosSql("e.embedding", "rq.qe")} AS cosr
+       |  FROM embeddings e, rq WHERE e.vec_id != 0),
+       |rvec AS (
+       |  SELECT vec_id, CAST(rank AS INTEGER) AS vec_rank FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY cosr DESC, vec_id ASC) AS rank
+       |    FROM rvs)
+       |  WHERE rank <= 100),
+       |rfused AS (
+       |  SELECT COALESCE(rlex.doc_id, rvec.vec_id) AS doc_id,
+       |    COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + lex_rank) AS DECIMAL(28,10)),
+       |        CAST(0 AS DECIMAL(28,10))) +
+       |      COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + vec_rank) AS DECIMAL(28,10)),
+       |        CAST(0 AS DECIMAL(28,10))) AS rrf_exact
+       |  FROM rlex FULL OUTER JOIN rvec ON rlex.doc_id = rvec.vec_id),
+       |rtop AS (SELECT doc_id, ROUND(CAST(rrf_exact AS DOUBLE), 4) + 0.0 AS sc
+       |  FROM rfused ORDER BY rrf_exact DESC, doc_id ASC LIMIT 10),
+       |rarm AS (SELECT 'rrf' AS arm, CAST(0 AS BIGINT) AS query_id,
+       |    doc_id AS vec_id,
+       |    CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT) AS rank
+       |  FROM rtop),
+       |candu AS (SELECT * FROM xarm UNION ALL SELECT * FROM iarm
+       |  UNION ALL SELECT * FROM rarm),
+       |gradedt AS (SELECT c.arm, c.query_id, c.rank,
+       |    CASE WHEN m.label = qm.q_label THEN 2
+       |         WHEN m.source = qm.q_source THEN 1 ELSE 0 END AS grade
+       |  FROM candu c JOIN meta m ON m.vec_id = c.vec_id
+       |  JOIN qm ON qm.query_id = c.query_id),
+       |dcgt AS (SELECT arm, query_id,
+       |    SUM(CAST((CASE grade WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)
+       |        / ln(CAST(rank AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS dcg_e,
+       |    MIN(CASE WHEN grade = 2 THEN rank END) AS first_rel
+       |  FROM gradedt GROUP BY 1, 2)
+       |SELECT arm, query_id, n_rel_label, n_rel_source,
+       |  (CASE WHEN idcg_e = 0 THEN 0.0
+       |    ELSE ROUND(CAST(dcg_e AS DOUBLE) / CAST(idcg_e AS DOUBLE), 4) END)
+       |    + 0.0 AS ndcg,
+       |  (CASE WHEN first_rel IS NULL THEN 0.0
+       |    ELSE ROUND(CAST(1.0 AS DOUBLE) / first_rel, 4) END) + 0.0 AS mrr
+       |FROM dcgt JOIN idcgt USING (query_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s_rank_metrics" -> rankMetricsOracle,
     "t_bm25" -> {
       val terms = distinctTerms(bm25Queries)
       s"""${profCte(terms)}

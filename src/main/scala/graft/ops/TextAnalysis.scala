@@ -34,11 +34,23 @@ object TextAnalysis {
     // it/pt "e") are handled by the same argmax + tie-order rule
     "it" -> Seq("il", "la", "che", "di", "e", "un", "per", "non"),
     "pt" -> Seq("o", "de", "que", "e", "do", "da", "em", "um"),
-    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "niet", "dat"))
+    "nl" -> Seq("de", "het", "een", "en", "van", "ik", "niet", "dat"),
+    // r14: space-free scripts. After the codepoint-class segmentation
+    // fallback (TextKernels.segmentCjk) every CJK letter is its own
+    // token, so the "function words" are the highest-frequency single
+    // CHARACTERS of each language: zh structural particles/pronouns,
+    // ja hiragana particles, ko hangul particle syllables — all public
+    // frequency-list heads. The three scripts barely overlap (hiragana
+    // is uniquely ja, hangul uniquely ko; only Han is shared), so the
+    // same argmax + tie-order rule separates them.
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人"),
+    "ja" -> Seq("の", "に", "は", "を", "が", "で", "て", "た"),
+    "ko" -> Seq("이", "가", "은", "는", "을", "를", "의", "에"))
 
   /** Fixed language order: profile index i+1 = hits for langOrder(i);
     * also the langId tie order (earlier wins). */
-  val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "it", "pt", "nl")
+  val langOrder: Seq[String] =
+    Seq("en", "de", "fr", "es", "it", "pt", "nl", "zh", "ja", "ko")
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -70,6 +82,35 @@ object TextAnalysis {
         col("p").getItem(i + 1).as(s"${l}_hits")
       }: _*)
       .withColumn("lang_pred", langPredCol)
+
+  /** Script-class language arm for space-free text (r14): per-document
+    * counts of Han / kana / hangul codepoints (the
+    * `TextKernels.segmentCjk` classes, counted by `regexp_count` — both
+    * engines count BMP codepoints identically), then a fixed rule:
+    * kana present → ja (kana is uniquely Japanese — Chinese text never
+    * carries it), else hangul → ko, else Han → zh, else fall back to
+    * the stopword argmax ([[langPredCol]]). This is the arm that stays
+    * right when a CJK document happens to contain NONE of the seeded
+    * function characters (short titles, names, numeric tables) — the
+    * stopword heuristic reads all-zero there and would say 'unknown'.
+    * One projection, zero shuffles, all codegen. */
+  def langIdScript(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), profile.as("p"),
+        regexp_count(col("text"), lit(raw"[\x{4e00}-\x{9fff}]")).cast("long").as("n_han"),
+        regexp_count(col("text"), lit(raw"[\x{3040}-\x{30ff}]")).cast("long").as("n_kana"),
+        regexp_count(col("text"), lit(raw"[\x{ac00}-\x{d7af}]")).cast("long").as("n_hangul"))
+      .select(Seq(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul")) ++
+        langOrder.zipWithIndex.map { case (l, i) =>
+          col("p").getItem(i + 1).as(s"${l}_hits")
+        }: _*)
+      .withColumn("lang_pred",
+        when(col("n_kana") > 0, "ja")
+          .when(col("n_hangul") > 0, "ko")
+          .when(col("n_han") > 0, "zh")
+          .otherwise(langPredCol))
+      .select(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul"),
+        col("lang_pred"))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, upper
     * ratio → a coarse high/medium/low bucket. Ratios are single integer
@@ -1549,7 +1590,60 @@ object TextAnalysis {
       r4((num * num) / (den1 * den2)).as("r2"))
   }
 
+  /** VALUES-planted CJK documents (r14) — defined LITERALLY once and
+    * rendered into BOTH engines (the Spark frame via [[cjkUnion]], the
+    * DuckDB side via [[cjkDocsCte]]'s VALUES), because the driver
+    * testdata carries no CJK codepoint at any scale (spec-asserted):
+    * the *_cjk oracle keys prove the segmentation + langid + quality
+    * chain hash-exact on real zh/ja/ko text. doc_ids sit far above any
+    * real id. */
+  private[graft] val cjkDocs: Seq[(Long, String, String, String)] = Seq(
+    (9000001L, "zh", "cjk",
+      "我们在北京有很多人的朋友 他们都是我的老朋友了 有人说这是不可能的"),
+    (9000002L, "ja", "cjk",
+      "私は東京に住んでいます 毎日電車で会社に行きます 友達と話をしました"),
+    (9000003L, "ko", "cjk",
+      "나는 학교에 간다 친구를 만나서 도서관에 갔다 우리는 책을 읽었다"),
+    // Han-only title containing NONE of the seeded zh function
+    // characters: the stopword argmax reads all-zero ('unknown'); only
+    // the script arm ids it — the counterexample langIdScript exists for
+    (9000004L, "zh", "cjk", "北京大学 物理系 量子力学 研究中心"),
+    // English control: segmentation must not disturb Latin text
+    (9000005L, "en", "cjk",
+      "the cat sat on the mat and the dog is in the house"))
+
+  /** documents ∪ the planted CJK slice — the *_cjk keys' input. */
+  private[graft] def cjkUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents.select($"doc_id", $"lang", $"source", $"text")
+      .unionByName(cjkDocs.toDF("doc_id", "lang", "source", "text"))
+  }
+
+  private def cjkValuesSql: String = cjkDocs.map { case (id, lang, src, text) =>
+    s"($id, '$lang', '$src', '$text')"
+  }.mkString(",\n    ")
+
+  /** The DuckDB twin of [[cjkUnion]]. */
+  private def cjkDocsCte: String =
+    s"""cjkdocs AS (
+       |  SELECT doc_id, lang, source, text FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES
+       |    $cjkValuesSql) AS v(doc_id, lang, source, text))""".stripMargin
+
+  /** [[toksCte]] over the planted union instead of bare documents. */
+  private lazy val cjkToksCte =
+    s"""WITH $cjkDocsCte,
+       |toks AS (
+       |  SELECT doc_id, text, source,
+       |    ${toksSql("text")} AS toks
+       |  FROM cjkdocs)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid_cjk"    -> ((s, d) => langId(cjkUnion(s, d))),
+    "t_quality_cjk"   -> ((s, d) => qualityByLang(cjkUnion(s, d))),
+    "t_tokens_cjk"    -> ((s, d) => tokenStats(cjkUnion(s, d))),
+    "t_langid_script" -> ((s, d) => langIdScript(cjkUnion(s, d))),
     "t_zipf"           -> ((s, d) => zipfReport(Tables(s, d).documents)),
     "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
     "t_quality_lang"   -> ((s, d) => qualityByLang(Tables(s, d).documents)),
@@ -1623,11 +1717,23 @@ object TextAnalysis {
       s"WHEN $conds THEN '$l'"
     }.mkString("\n       ") + "\n       ELSE 'unknown' END"
 
-  private val toksCte =
-    """WITH toks AS (
-      |  SELECT doc_id, text, source,
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-      |  FROM documents)""".stripMargin
+  /** The CJK codepoint classes of `TextKernels.segmentCjk`, as an RE2
+    * character class (DuckDB `\x{…}` syntax). */
+  private val cjkClassSql = raw"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]"
+
+  /** DuckDB mirror of the FULL tokenize kernel including the r14 CJK
+    * segmentation pre-pass (space each CJK letter, collapse, trim,
+    * lower, split — identity on CJK-free text, which is why pre-r14
+    * mirrors elsewhere that elide the pre-pass stay exact on the sf*
+    * testdata; spec-asserted CJK-free in TextAnalysisSpec). */
+  private def toksSql(c: String): String =
+    raw"string_split(lower(trim(regexp_replace(regexp_replace($c, '($cjkClassSql)', ' \1 ', 'g'), '\s+', ' ', 'g'))), ' ')"
+
+  private lazy val toksCte =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, source,
+       |    ${toksSql("text")} AS toks
+       |  FROM documents)""".stripMargin
 
   /** One unrolled BPE training round (the d_domain_rank technique): the
     * round's pair counts off the previous segmentation (word-frequency-
@@ -2135,6 +2241,65 @@ object TextAnalysis {
          |SELECT doc_id, ${langOrder.map(l => s"${l}_hits").mkString(", ")},
          |  $langIdCaseSql AS lang_pred
          |FROM h""".stripMargin,
+    // r14 CJK keys: the SAME generated bodies as their parents, over
+    // the planted union (cjkToksCte) — segmentation, hits, argmax and
+    // ratios all hash-exact on real zh/ja/ko text.
+    "t_langid_cjk" ->
+      s"""$cjkToksCte,
+         |h AS (SELECT doc_id,
+         |  $langHitsSql
+         |FROM toks)
+         |SELECT doc_id, ${langOrder.map(l => s"${l}_hits").mkString(", ")},
+         |  $langIdCaseSql AS lang_pred
+         |FROM h""".stripMargin,
+    "t_quality_cjk" ->
+      s"""$cjkToksCte,
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t != '')) AS n_tokens,
+         |  $langHitsSql
+         |FROM toks),
+         |q AS (SELECT doc_id, n_tokens,
+         |  $langIdCaseSql AS lang_pred,
+         |  GREATEST(${langOrder.map(l => s"${l}_hits").mkString(", ")}) AS n_stop_lang
+         |FROM h)
+         |SELECT doc_id, lang_pred, n_tokens, n_stop_lang,
+         |  CAST((20000 * n_stop_lang + GREATEST(n_tokens, 1)) //
+         |       (2 * GREATEST(n_tokens, 1)) AS DOUBLE) / 10000.0 AS stopword_ratio,
+         |  CASE WHEN n_tokens >= 50 AND n_stop_lang > 0 THEN 'high'
+         |       WHEN n_tokens >= 20 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM q""".stripMargin,
+    "t_tokens_cjk" ->
+      s"""$cjkToksCte
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(list_filter(toks, t -> t != ''))) AS BIGINT) AS total_ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT)
+         |    AS total_bpe_tokens,
+         |  ROUND(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+         |    / COUNT(*), 4) AS avg_bpe_per_doc
+         |FROM toks GROUP BY 1""".stripMargin,
+    // langIdScript mirror: per-codepoint class counts via
+    // regexp_extract_all (single-char classes — non-overlapping BMP
+    // matches equal Spark's regexp_count), then the fixed script rule
+    // with the generated stopword CASE as fallback.
+    "t_langid_script" ->
+      (s"""$cjkToksCte,
+         |h AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '""".stripMargin +
+        raw"[\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_han," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30ff}]')) AS BIGINT) AS n_kana," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) AS BIGINT) AS n_hangul," + "\n" +
+        s"""  $langHitsSql
+         |FROM toks),
+         |p AS (SELECT doc_id, n_han, n_kana, n_hangul,
+         |  $langIdCaseSql AS sw_pred
+         |FROM h)
+         |SELECT doc_id, n_han, n_kana, n_hangul,
+         |  CASE WHEN n_kana > 0 THEN 'ja'
+         |       WHEN n_hangul > 0 THEN 'ko'
+         |       WHEN n_han > 0 THEN 'zh'
+         |       ELSE sw_pred END AS lang_pred
+         |FROM p""".stripMargin),
     // Mirror of qualityByLang: the generated hits/CASE fragments (the
     // t_langid mirror) + greatest-hits stopword signal + the t_quality
     // thresholds.

@@ -30,6 +30,63 @@ class TextAnalysisSpec extends SparkSpec {
       .forall((TextAnalysis.langOrder :+ "unknown").toSet))
   }
 
+  test("CJK segmentation: one token per CJK letter, identity on Latin text; the sf testdata is CJK-free (the legacy-mirror elision contract)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextKernels
+    def toks(s: String): Seq[String] =
+      TextKernels.tokenize(UTF8String.fromString(s)).toSeq
+    // space-free scripts segment per codepoint; embedded Latin stays
+    // whitespace-tokenized, mixed runs split at the class boundary
+    assert(toks("我爱你") == Seq("我", "爱", "你"))
+    assert(toks("abc漢字 def") == Seq("abc", "漢", "字", "def"))
+    assert(toks("ひらがなとカタカナ") ==
+      Seq("ひ", "ら", "が", "な", "と", "カ", "タ", "カ", "ナ"))
+    assert(toks("한국어 text") == Seq("한", "국", "어", "text"))
+    // identity on CJK-free text — the exact pre-r14 tokenization
+    assert(toks("The  Cat\tSat ") == Seq("the", "cat", "sat"))
+    // the elision contract: every legacy mirror that tokenizes without
+    // the segmentation pre-pass is exact on this data ONLY because no
+    // CJK codepoint occurs in it — assert that precondition
+    assert(docs.filter(col("text")
+      .rlike(raw"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]"))
+      .count() == 0L,
+      "testdata grew CJK text — the pre-r14 oracle mirrors' elision of " +
+        "the segmentation pre-pass is no longer sound; add it there")
+  }
+
+  test("CJK langid: zh/ja/ko seeds id planted documents; the script arm ids function-word-free Han text the stopword argmax cannot") {
+    val planted = TextAnalysis.cjkDocs.toDF("doc_id", "lang", "source", "text")
+    val byId = TextAnalysis.langId(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(byId(9000001L) == "zh" && byId(9000002L) == "ja" &&
+      byId(9000003L) == "ko" && byId(9000005L) == "en")
+    // the Han-only title has zero seeded function characters — the
+    // stopword argmax is blind to it…
+    assert(byId(9000004L) == "unknown")
+    // …and the script arm is exactly the fallback that catches it
+    val scripted = TextAnalysis.langIdScript(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(scripted(9000004L) == "zh")
+    assert(scripted(9000001L) == "zh" && scripted(9000002L) == "ja" &&
+      scripted(9000003L) == "ko" && scripted(9000005L) == "en")
+    // confusion matrix over a corpus WITH a CJK source: the planted
+    // docs land on the zh/ja/ko diagonal (plus the declared-zh
+    // Han-title read as unknown by the stopword arm — the documented
+    // blind spot the script arm exists for)
+    val conf = TextAnalysis.langConfusion(
+      TextAnalysis.cjkUnion(spark, TestSpark.sf0001))
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("lang_pred")) -> r.getAs[Long]("n")).toMap
+    assert(conf(("ja", "ja")) == 1L && conf(("ko", "ko")) == 1L)
+    assert(conf(("zh", "zh")) == 1L && conf(("zh", "unknown")) >= 1L)
+    // quality in the document's own language: the zh doc carries real
+    // function-character mass — n_stop_lang > 0 (the en-centric rule
+    // would read 0)
+    val q = TextAnalysis.qualityByLang(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_stop_lang")).toMap
+    assert(q(9000001L) > 0 && q(9000002L) > 0 && q(9000003L) > 0)
+  }
+
   test("langId: the r13 lists identify Italian, Portuguese and Dutch") {
     val df = Seq(
       (1L, "il gatto e il cane che vive per la casa di roma non dorme"),
