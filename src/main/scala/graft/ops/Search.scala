@@ -211,8 +211,8 @@ object Search {
     * spec can plant an inverted ranking and assert the exact values.
     * `ranked` = (arm, query_id, vec_id, rank ≤ k); `meta` = (vec_id,
     * label, source) for every id either side references. */
-  private[ops] def metricsFromRanked(ranked: DataFrame, meta: DataFrame,
-                                     queryVecIds: Seq[Long], k: Int): DataFrame = {
+  private[graft] def metricsFromRanked(ranked: DataFrame, meta: DataFrame,
+                                       queryVecIds: Seq[Long], k: Int): DataFrame = {
     val spark = ranked.sparkSession
     val qMeta = broadcast(
       meta.filter(col("vec_id").isin(queryVecIds: _*))

@@ -102,7 +102,12 @@ object Audit {
     "q_basket_lift",
     // TWO 1-row snapshot-total frames crossJoined onto the #sources-row
     // drift join — the t_bm25 corpus-stats shape, twice
-    "t_corpus_drift")
+    "t_corpus_drift",
+    // its arms ARE the whitelisted shapes (annTopKBatch's per-query
+    // 1-row query-vector crossJoins, hybridRrf's 1-row stats + query
+    // vector), plus one k-row ranks frame crossJoined onto the 5-row
+    // panel for the IDCG terms — every BNLJ side is ≤ k rows
+    "s_rank_metrics")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -134,6 +139,11 @@ object Audit {
     // span equi-join is a shuffle/SMJ join BY DESIGN (AQE picks
     // broadcast only at tiny sf)
     "d_split_leakage",
+    // embeddings ⋈ documents PRIMARY-KEY 1:1 meta join (label + source
+    // per id): both sides corpus-order — broadcast would be wrong at
+    // scale; co-bucketed by id in the durable Store, so the production
+    // form is zero-exchange
+    "s_rank_metrics",
     // old-snapshot ⋈ new-snapshot FULL OUTER on the key: full outer has
     // no broadcast strategy in Spark (the q_full_outer precedent)
     "v_snapshot_diff",

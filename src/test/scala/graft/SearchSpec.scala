@@ -87,6 +87,41 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("rankMetrics: ideal order scores ndcg 1.0 / mrr 1.0; the planted inversion scores the hand-computed ndcg and mrr = 1/first-relevant") {
+    import graft.ops.Search
+    // query 0 (label 1, source a); corpus: ids 1,2 same label (grade 2),
+    // id 3 same source only (grade 1), ids 4,5 irrelevant → n2=2, n1=1
+    val meta = Seq(
+      (0L, 1, "a"), (1L, 1, "b"), (2L, 1, "c"),
+      (3L, 2, "a"), (4L, 3, "d"), (5L, 4, "e"))
+      .toDF("vec_id", "label", "source")
+    val ideal = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5))
+      .toDF("vec_id", "rank")
+      .select(lit("ideal").as("arm"), lit(0L).as("query_id"),
+        col("vec_id"), col("rank"))
+    val inverted = Seq((4L, 1), (5L, 2), (3L, 3), (2L, 4), (1L, 5))
+      .toDF("vec_id", "rank")
+      .select(lit("inverted").as("arm"), lit(0L).as("query_id"),
+        col("vec_id"), col("rank"))
+    val out = Search.metricsFromRanked(ideal.unionByName(inverted), meta,
+      Seq(0L), k = 5)
+      .collect().map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Long]("n_rel_label"), r.getAs[Long]("n_rel_source"),
+          r.getAs[Double]("ndcg"), r.getAs[Double]("mrr")))).toMap
+    // replicate the engine arithmetic exactly: per-term double, cast
+    // DECIMAL(28,10) (HALF_UP), exact sum, one double division, ROUND 4
+    def dec(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    def term(gain: Double, rank: Int) = dec(gain / math.log(rank + 1.0))
+    val idcg = term(3, 1) + term(3, 2) + term(1, 3)
+    val dcgInv = term(1, 3) + term(3, 4) + term(3, 5)
+    val expectInv = BigDecimal(dcgInv.toDouble / idcg.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("ideal") == ((2L, 1L, 1.0, 1.0)),
+      s"ideal arm must score perfect ndcg/mrr, got ${out("ideal")}")
+    assert(out("inverted") == ((2L, 1L, expectInv, 0.25)),
+      s"inverted arm must score ($expectInv, 0.25), got ${out("inverted")}")
+  }
+
   test("softDedupWeights: weight is 1/n_copies, class-weight mass equals distinct-class count") {
     val out = Dedup.softDedupWeights(docs)
     assert(out.count() == docs.count()) // nothing removed
