@@ -48,6 +48,7 @@ object Store {
   val ClustersTable = "graft_dup_clusters"
   val SemanticSurvivorsTable = "graft_semantic_survivors"
   val AnnIndexTable = "graft_ann_index"
+  val MrlPrefixTable = "graft_mrl_prefix"
 
   // ---- versioned publish machinery ----
 
@@ -214,6 +215,24 @@ object Store {
   def saveAnnIndex(spark: SparkSession, dir: String, buckets: Int = 8,
                    table: String = AnnIndexTable): Unit =
     publish(spark, Catalog.ivfIndex(spark, dir)._2, table, buckets, "cluster")
+
+  /** The MRL SCAN-TIER prefix column, materialized (r14): (vec_id,
+    * label, prefix = first-shortDim slice of the embedding), bucketed
+    * by vec_id. This is the table that makes the funnel's IO claim
+    * REAL at the scan tier: `Similarity.annMrlServeFromPrefix` stage 1
+    * reads only (vec_id, prefix) — ~shortDim/D of the vector bytes
+    * (measured: SCALING.md r14 row) — and full vectors are read for
+    * the ≤ shortlist survivors only, via a broadcast id-join against
+    * the full embeddings table (bucketed by the same key at scale →
+    * zero-exchange). Columnar parquet already prunes COLUMNS, but a
+    * full-vector column prunes nothing WITHIN the vector — the prefix
+    * must be its own column to cut bytes, which is exactly what this
+    * materializes. Slice values are bit-identical to the scan-side
+    * `slice(embedding, 1, shortDim)` (spec-proven equal serve). */
+  def saveMrlPrefix(spark: SparkSession, dir: String, buckets: Int = 8,
+                    shortDim: Int = 16, table: String = MrlPrefixTable): Unit =
+    publish(spark, graft.ops.Similarity.mrlPrefixProjection(
+      Tables(spark, dir).embeddings, shortDim), table, buckets, "vec_id")
 
   /** REPUBLISH after a refit — the swap `AnnStream.refitSignal` /
     * `s_ann_refit` recommend: the live-only rebuilt index
@@ -385,4 +404,12 @@ object Store {
                         table: String = SemanticSurvivorsTable): DataFrame =
     if (spark.catalog.tableExists(table)) spark.table(table)
     else Catalog.semanticSurvivors(spark, dir)
+
+  /** The MRL prefix tier: stored if present, else the in-session
+    * projection (same values — the stored form only changes the IO). */
+  def mrlPrefix(spark: SparkSession, dir: String, shortDim: Int = 16,
+                table: String = MrlPrefixTable): DataFrame =
+    if (spark.catalog.tableExists(table)) spark.table(table)
+    else graft.ops.Similarity.mrlPrefixProjection(
+      Tables(spark, dir).embeddings, shortDim)
 }

@@ -1564,6 +1564,52 @@ object Similarity {
         (round(col("cos_s"), 4) + lit(0.0)).as("cos_short"))
   }
 
+  /** The scan-tier prefix projection `Store.saveMrlPrefix` materializes
+    * — ONE definition for the stored column and the in-session
+    * fallback, so the two can never drift. */
+  def mrlPrefixProjection(embeddings: DataFrame, shortDim: Int = 16): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      slice(col("embedding"), 1, shortDim).as("prefix"))
+
+  /** [[annMrlServe]] with stage 1 served off the STORED prefix tier
+    * (r14) — the serve that realizes the funnel's IO claim at the SCAN
+    * tier, not just the index: stage 1 scans `prefixed` reading ONLY
+    * (vec_id, prefix) — a full-vector column prunes nothing WITHIN the
+    * vector, so the prefix must be its own stored column to cut bytes
+    * (~shortDim/D of the vector IO; measured in SCALING.md) — and
+    * stage 2 reads full vectors for the ≤ `shortlist` survivors only,
+    * via a broadcast id-join back to the full table (co-bucketed by
+    * vec_id in the Store → zero-exchange at scale). Bit-identical
+    * output to the single-table [[annMrlServe]] (spec-proven): the
+    * stored slice carries the same floats the scan-side slice
+    * computes, and the rerank candidates are the same stage-1 top-set.
+    * Both stages TakeOrderedAndProject; one prefix-tier scan + one
+    * shortlist-bounded probe of the full table. */
+  def annMrlServeFromPrefix(prefixed: DataFrame, embeddings: DataFrame,
+                            queryVecId: Long = 0L, k: Int = 10,
+                            shortlist: Int = 50): DataFrame = {
+    val qt = broadcast(prefixed.filter(col("vec_id") === queryVecId)
+      .select(col("prefix").as("q_trunc")))
+    val short = prefixed
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(qt)
+      .withColumn("cos_s", GraftFunctions.cosine(col("prefix"), col("q_trunc")))
+      .orderBy(desc("cos_s"), asc("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"), col("cos_s"))
+    val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding")))
+    embeddings
+      .join(broadcast(short), Seq("vec_id"))
+      .crossJoin(q)
+      .withColumn("cos", GraftFunctions.cosine(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"),
+        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"),
+        (round(col("cos_s"), 4) + lit(0.0)).as("cos_short"))
+  }
+
   /** Two-stage MRL funnel served off an IVF index FITTED IN PREFIX
     * SPACE ([[graft.core.Catalog.ivfIndexMrl]]) — the 100 TB form of
     * [[annMrlServe]], where the cost saving reaches the INDEX, not just

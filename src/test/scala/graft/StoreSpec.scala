@@ -234,6 +234,57 @@ class StoreSpec extends SparkSpec {
     dropTable("t_orphan_sigs")
   }
 
+  test("MRL prefix tier: stored-prefix serve equals the single-table serve bit-for-bit; stage 1 reads only the prefix column; stored bytes ~ shortDim/D of the vectors") {
+    import graft.ops.Similarity
+    dropTable("t_mrl_prefix")
+    val emb = Tables(spark, TestSpark.sf0001).embeddings
+    Store.saveMrlPrefix(spark, TestSpark.sf0001, buckets = 4, table = "t_mrl_prefix")
+    val prefixed = Store.mrlPrefix(spark, TestSpark.sf0001, table = "t_mrl_prefix")
+    // the read really is the stored table
+    assert(prefixed.queryExecution.analyzed.toString.contains("t_mrl_prefix"))
+    // bit-identical serve off either shape (the stored slice carries
+    // exactly the floats the scan-side slice computes)
+    val fromStore = Similarity.annMrlServeFromPrefix(prefixed, emb)
+      .collect().map(_.toString).sorted.toSeq
+    val single = Similarity.annMrlServe(emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromStore == single, "stored-prefix serve must equal the single-table serve")
+    // and off the in-session fallback projection too
+    dropTable("t_mrl_prefix_none")
+    val fallback = Similarity.annMrlServeFromPrefix(
+      Store.mrlPrefix(spark, TestSpark.sf0001, table = "t_mrl_prefix_none"), emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fallback == single)
+    // IO: the stage-1 scan of the stored tier reads ONLY (vec_id,
+    // prefix) — no full-vector bytes in the shortlist pass
+    val stage1 = prefixed.filter($"vec_id" =!= 0L)
+      .select($"vec_id", $"prefix")
+    val scanLine = stage1.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("prefix") && !scanLine.contains("embedding"),
+      s"stage-1 scan must not read full vectors: $scanLine")
+    // measured bytes: the prefix tier is a fraction of the full-vector
+    // table in the same format/bucketing (shortDim/D = 16/64 of vector
+    // payload + key/label overhead) — assert the saving is real
+    dropTable("t_mrl_full")
+    emb.write.mode("overwrite").bucketBy(4, "vec_id").sortBy("vec_id")
+      .saveAsTable("t_mrl_full")
+    val fullLoc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("t_mrl_full")).location
+    val fullBytes = new java.io.File(fullLoc).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    val prefixBacking = Store.versions(spark, "t_mrl_prefix")
+      .find(_._3).map(_._2).get
+    val prefLoc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(prefixBacking)).location
+    val prefBytes = new java.io.File(prefLoc).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length()).sum
+    assert(prefBytes > 0 && fullBytes > 0)
+    assert(prefBytes.toDouble / fullBytes < 0.55,
+      s"prefix tier must cut stored bytes (got $prefBytes / $fullBytes)")
+    dropTable("t_mrl_prefix"); dropTable("t_mrl_full")
+  }
+
   test("semantic survivors off the store: vetting equals the in-session path") {
     import graft.core.{Catalog, Store}
     import graft.ops.Dedup
