@@ -1325,11 +1325,28 @@ object Dedup {
   /** The ngram-jaccard oracle SQL also serves d_neardup_pipeline: the
     * candidates+verify pipeline must produce the IDENTICAL pair set
     * (banding recall at J≈0.98 is 1−(1−J⁴)³² ≈ 1−10⁻⁴⁶). */
+  /** Inverted-index exact-Jaccard pair chain (r14) — replaces the
+    * all-pairs `d a JOIN d b` + list_intersect form that made this
+    * mirror family quadratic AT ORACLE SIDE (the 8 former sf0.1 sweep
+    * exclusions): explode the distinct shingles, equi-join on the
+    * shingle, COUNT per (a, b) = |intersection| — the same
+    * linear-in-collisions shape the engine's certified inverted index
+    * runs. EXACT same downstream pair set: a pair sharing zero
+    * shingles has jaccard (and containment) 0 and cannot clear any
+    * τ gate these mirrors apply. Emits `p(doc_a, doc_b, inter, la,
+    * lb)`; requires [[shingleCte]]'s `d` in scope. */
+  private[ops] val invPairCte =
+    """eip AS (SELECT doc_id, unnest(sh) AS g FROM d),
+      |pcp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |       FROM eip a JOIN eip b ON a.g = b.g AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |p AS (SELECT pcp.doc_a, pcp.doc_b, pcp.inter, da.l AS la, db.l AS lb
+      |      FROM pcp JOIN d da ON da.doc_id = pcp.doc_a
+      |               JOIN d db ON db.doc_id = pcp.doc_b)""".stripMargin
+
   private val ngramJaccardOracle =
     s"""$shingleCte,
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
-       |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+       |$invPairCte
        |SELECT doc_a, doc_b,
        |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
        |FROM p
@@ -1447,9 +1464,7 @@ object Dedup {
     // only); containment denominator = the smaller set.
     "d_containment" ->
       s"""$shingleCte,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
-         |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+         |$invPairCte
          |SELECT doc_a, doc_b,
          |  ROUND(CAST(inter AS DOUBLE) / least(la, lb), 4) AS containment,
          |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
@@ -1730,12 +1745,12 @@ object Dedup {
     // same τ-grid fan-out over the ROUND(,4) jaccard.
     "d_dedup_curve" ->
       s"""$shingleCte,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |          / (a.l + b.l - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-         |      FROM d a JOIN d b ON a.doc_id < b.doc_id),
+         |$invPairCte,
+         |pj AS (SELECT doc_a, doc_b,
+         |        ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
+         |      FROM p),
          |f AS (SELECT doc_a, doc_b, jaccard, unnest([0.7, 0.8, 0.9]) AS tau
-         |      FROM p WHERE jaccard >= 0.7),
+         |      FROM pj WHERE jaccard >= 0.7),
          |ff AS (SELECT * FROM f WHERE jaccard >= tau),
          |np AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM ff GROUP BY 1),
          |nd AS (SELECT tau, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs_affected

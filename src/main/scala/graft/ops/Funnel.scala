@@ -59,10 +59,8 @@ object Funnel {
   private val funnelOracle = {
     val shingles = Dedup.shingleCte.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$shingles,
-       |np AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         len(list_intersect(a.sh, b.sh)) AS inter, a.l AS la, b.l AS lb
-       |       FROM d a JOIN d b ON a.doc_id < b.doc_id),
-       |near AS (SELECT doc_a, doc_b FROM np
+       |${Dedup.invPairCte},
+       |near AS (SELECT doc_a, doc_b FROM p
        |         WHERE ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) >= 0.8),
        |hx AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
        |       FROM documents),
