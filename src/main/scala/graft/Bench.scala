@@ -35,6 +35,29 @@ object Bench {
     * are adjudicated (fresh JVM, idle box) instead of believed. */
   val IdleWarmFitsMaxSec = 50.0
 
+  /** Bounded wait for the box to drain below `threshold` before the
+    * adjudication child launches (r14 — the r13 protocol hole: a child
+    * launched inside the battery's own throttle window "confirmed"
+    * flags that cleared trivially on an idle box). Polls `poll` every
+    * `sleepMs` up to `maxWaitMs`; returns (final load, ms waited,
+    * recovered?). `sleep` is injectable so the planted-load spec can
+    * drive the machinery without real minutes. */
+  private[graft] def waitForLoadBelow(threshold: Double, maxWaitMs: Long,
+                                      poll: () => Double,
+                                      sleepMs: Long = 10000L,
+                                      sleep: Long => Unit = Thread.sleep)
+      : (Double, Long, Boolean) = {
+    var waited = 0L
+    var l = poll()
+    while (l >= threshold && waited < maxWaitMs) {
+      val s = math.min(sleepMs, maxWaitMs - waited)
+      sleep(s)
+      waited += s
+      l = poll()
+    }
+    (l, waited, l < threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -189,6 +212,11 @@ object Bench {
       (fullBattery || adjEnv == "force")
     var adjSec = Map.empty[String, Double]
     var adjRan = false
+    var adjLaunchLoad = -1.0
+    var adjWaitedSec = 0L
+    var adjUnderLoad = false
+    var adjChildLoadStart = -1.0
+    var adjChildLoadEnd = -1.0
     if (adjudicate) {
       System.err.println(s"[bench] ${flagged.size} >2x-pin flag(s) — adjudicating " +
         s"in a fresh child JVM: ${flagged.mkString(",")}")
@@ -198,6 +226,28 @@ object Bench {
       // box (the whole point is the best same-box approximation of
       // idle)
       spark.stop()
+      // LOAD GATE (r14 — the r13 protocol hole): a child launched
+      // inside the battery's own throttle window "confirms" flags that
+      // clear trivially once the box drains. Wait (bounded) for the
+      // 1-min load average to recover below the idle threshold before
+      // launching; if it never does, still adjudicate — a flag must
+      // not stand unexamined because the box stayed busy — but mark
+      // the verdicts under-load so the reader weighs them accordingly.
+      val adjLoadMax =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_LOAD_MAX", "4.0").toDouble
+      val adjWaitMax =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_WAIT_SEC", "600").toLong
+      val (gateLoad, gateWaitedMs, gateRecovered) =
+        waitForLoadBelow(adjLoadMax, adjWaitMax * 1000L, () => loadAvg())
+      adjLaunchLoad = gateLoad
+      adjWaitedSec = gateWaitedMs / 1000L
+      adjUnderLoad = !gateRecovered
+      if (adjUnderLoad)
+        System.err.println(f"[bench] load $gateLoad%.2f still >= $adjLoadMax%.1f " +
+          f"after ${adjWaitedSec}s — adjudicating anyway; child verdicts marked UNDER-LOAD")
+      else if (adjWaitedSec > 0)
+        System.err.println(f"[bench] load recovered to $gateLoad%.2f " +
+          f"after ${adjWaitedSec}s — launching adjudication child")
       try {
         val javaBin = s"${sys.props("java.home")}/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
@@ -231,7 +281,18 @@ object Bench {
         } else {
           import org.json4s._
           import org.json4s.jackson.JsonMethods
-          JsonMethods.parse(new java.io.File(outFile)) \ "queries" match {
+          val childJson = JsonMethods.parse(new java.io.File(outFile))
+          def childD(field: String): Double = childJson \ field match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case JDecimal(v) => v.toDouble
+            case _ => -1.0
+          }
+          // the child records its OWN load window — the reader can see
+          // what "idle" actually meant at verdict time
+          adjChildLoadStart = childD("load_avg_start")
+          adjChildLoadEnd = childD("load_avg_end")
+          childJson \ "queries" match {
             case JObject(fields) =>
               adjSec = fields.collect {
                 case (k, JDouble(v)) if v >= 0 => k -> v
@@ -266,7 +327,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"flags":${strArr(flagged)},"flags_cleared":${strArr(flagsCleared)},"flags_confirmed":${strArr(flagsConfirmed)},"adjudication_ran":$adjRan,"adjudication_sec":$adjJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"flags":${strArr(flagged)},"flags_cleared":${strArr(flagsCleared)},"flags_confirmed":${strArr(flagsConfirmed)},"adjudication_ran":$adjRan,"adjudication_sec":$adjJson,"adjudication_launch_load":$adjLaunchLoad,"adjudication_wait_sec":$adjWaitedSec,"adjudication_under_load":$adjUnderLoad,"adjudication_child_load_start":$adjChildLoadStart,"adjudication_child_load_end":$adjChildLoadEnd,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but log pipelines truncate
     // (r4's per-query map survived only in a cut-off tail) — also land
