@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -85,10 +85,19 @@ import graft.ops.Dedup
   * function of the doc text, so the arm is corpus-independent,
   * bit-identical under replay, and the streamed admitted set equals
   * the batch selection { weight ≥ τ } exactly (StreamingSpec proves
-  * it). With all six arms on, the gate is the complete
+  * it).
+  *
+  * Optional seventh arm (`minQualityBucket`, r14): per-LANGUAGE
+  * quality-bucket admission — the t_quality_lang card judged in the
+  * document's own language (winning-list stopword mass), so a
+  * high-only policy admits a clean French/Chinese document the
+  * en-centric t_quality bucket would cap at 'medium' (en_hits = 0).
+  * Rejection kind `quality_bucket:<bucket>`.
+  *
+  * With all seven arms on, the gate is the complete
   * corpus-preparation admission point: exact/near dedup + semantic
-  * dedup + decontamination + quality + mixture + target-likeness, one
-  * WAL.
+  * dedup + decontamination + quality (composite + lang-aware bucket)
+  * + mixture + target-likeness, one WAL.
   */
 object IngestGate {
 
@@ -160,7 +169,8 @@ object IngestGate {
                  vetQuality: Boolean = false,
                  sampleRates: Option[(Map[String, Double], Double)] = None,
                  semantic: Option[SemanticVet] = None,
-                 dsir: Option[DsirVet] = None): Unit = {
+                 dsir: Option[DsirVet] = None,
+                 minQualityBucket: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -210,6 +220,29 @@ object IngestGate {
         .select(col("doc_id").as("batch_id"),
           lit(null).cast("long").as("corpus_id"),
           concat(lit("quality:"), col("verdict")).as("kind")))
+    // LANG-AWARE quality-bucket arm (r14): admission by the
+    // per-LANGUAGE quality card (TextAnalysis.qualityByLang — the
+    // t_quality_lang operator), which scores stopword mass as the
+    // WINNING language's hits instead of the English list's. A gate
+    // bucketing on the en-centric t_quality card silently caps every
+    // clean non-English document at 'medium' (its en_hits are 0), so a
+    // high-only admission policy would reject the corpus' non-English
+    // half — the C4-era failure, here at the production admission
+    // point (spec-proven: the same French doc passes this arm and
+    // fails the en-centric bucket). Pure scan-side, corpus-independent
+    // and deterministic per batch — the standard replay contract.
+    val langQuality = minQualityBucket match {
+      case None => Seq.empty[DataFrame]
+      case Some(min) =>
+        def rank(bucket: Column): Column =
+          when(bucket === "high", 2).when(bucket === "medium", 1).otherwise(0)
+        val minRank = Map("low" -> 0, "medium" -> 1, "high" -> 2)(min)
+        Seq(graft.ops.TextAnalysis.qualityByLang(batch)
+          .filter(rank(col("quality_bucket")) < minRank)
+          .select(col("doc_id").as("batch_id"),
+            lit(null).cast("long").as("corpus_id"),
+            concat(lit("quality_bucket:"), col("quality_bucket")).as("kind")))
+    }
     // Sampling arm: docs OUTSIDE the deterministic mixture membership
     // are rejected at admission (kind sampled_out). Membership is a
     // pure function of (source, doc_id) — scan-side, corpus-independent,
@@ -264,7 +297,7 @@ object IngestGate {
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    (contam ++ quality ++ sampling ++ semRejects ++ dsirRejects)
+    (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects)
       .foldLeft(decisions)(_ unionByName _)
       .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
@@ -325,12 +358,14 @@ object IngestGate {
             eval: Option[EvalVet] = None, vetQuality: Boolean = false,
             sampleRates: Option[(Map[String, Double], Double)] = None,
             semantic: Option[SemanticVet] = None,
-            dsir: Option[DsirVet] = None): StreamingQuery =
+            dsir: Option[DsirVet] = None,
+            minQualityBucket: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
-          buckets, tau, eval, vetQuality, sampleRates, semantic, dsir)
+          buckets, tau, eval, vetQuality, sampleRates, semantic, dsir,
+          minQualityBucket)
       }
       .start()
 }

@@ -786,6 +786,60 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate lang-aware quality bucket: a clean French doc passes the high-only arm where the en-centric bucket caps it at medium; stream ≡ batch; replay idempotent") {
+    import graft.streaming.IngestGate
+    import graft.ops.TextAnalysis
+    val tables = Seq("t_gate10_corpus", "t_gate10_fps", "t_gate10_sigs", "t_gate10_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gate10_corpus", "t_gate10_fps", "t_gate10_sigs", buckets = 2)
+    // 55 tokens, dense French function words, ZERO English-list hits
+    val french = "le chat et le chien est dans la maison pour que les enfants " +
+      "puissent jouer avec eux tous les jours et la mère prépare le repas dans " +
+      "la cuisine pour que la famille puisse manger ensemble le soir quand le " +
+      "père rentre de la ville et les enfants aiment regarder les étoiles dans le ciel"
+    // 50 tokens, English — high under BOTH cards
+    val english = "the old baker walks to the market every morning and sells " +
+      "fresh bread to the people of the town while his son carries a large " +
+      "basket along the river road and the children wait near the school gate " +
+      "to buy warm rolls before class starts in the cold winter air"
+    val batch = Seq(
+      (9101L, french, "fr", "crawl", french.length.toLong),
+      (9102L, english, "en", "crawl", english.length.toLong),
+      (9103L, "document bref", "fr", "crawl", 13L)) // 2 tokens → low
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the en-centric counterfactual: t_quality's bucket (en-list
+    // stopword credit only) CAPS the clean French doc at medium — a
+    // high-only gate on that card would reject it
+    val enBucket = TextAnalysis.quality(batch).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_bucket")).toMap
+    assert(enBucket(9101L) == "medium" && enBucket(9102L) == "high",
+      s"counterfactual broken: $enBucket")
+    IngestGate.admitBatch(batch, "t_gate10_corpus", "t_gate10_fps", "t_gate10_sigs",
+      "t_gate10_log", buckets = 2, minQualityBucket = Some("high"))
+    val log = spark.table("t_gate10_log").distinct().collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[String]("kind")).toMap
+    assert(log == Map(9103L -> "quality_bucket:low"),
+      s"only the low-bucket doc rejects, in its own language: $log")
+    val ids = spark.table("t_gate10_corpus").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 9101L, 9102L),
+      "the French doc must be ADMITTED by the lang-aware arm")
+    // stream ≡ batch: the gate's rejects are exactly the batch card's
+    // below-min set
+    val batchRejects = TextAnalysis.qualityByLang(batch)
+      .filter($"quality_bucket" =!= "high")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(log.keySet == batchRejects)
+    // replay idempotent with the bucket arm on
+    IngestGate.admitBatch(batch, "t_gate10_corpus", "t_gate10_fps", "t_gate10_sigs",
+      "t_gate10_log", buckets = 2, minQualityBucket = Some("high"))
+    assert(spark.table("t_gate10_corpus").count() == 3)
+    assert(spark.table("t_gate10_log").distinct().count() == 1)
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate with sampling arm: out-of-sample docs rejected; stream ≡ batch membership; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.Sampling
