@@ -347,17 +347,24 @@ object Store {
     * files-per-bucket × open cost starts to show in scan times — at
     * 100 TB that is a scheduled maintenance job, exactly like SQLite's
     * VACUUM for the reference's store. */
+  /** Data-file count of `table`'s CURRENT backing version — the cheap
+    * "does this table need a [[compact]]?" probe (one directory
+    * listing, no data read): > buckets means appends have fragmented
+    * it. Public since r14 so `streaming.Maintenance.tick` can skip the
+    * rewrite on an already-compact table. */
+  def dataFileCount(spark: SparkSession, table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/" + currentBacking(spark, table).toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0L
+    else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
+
   def compact(spark: SparkSession, table: String, key: String,
               buckets: Int = 8): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    def dataFiles(): Long = {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-          "/" + currentBacking(spark, table).toLowerCase(java.util.Locale.ROOT))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(loc)) 0L
-      else fs.listStatus(loc).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    }
+    def dataFiles(): Long = dataFileCount(spark, table)
     val before = dataFiles()
     // Read the source UNBUCKETED for the rewrite: a bucketed scan already
     // satisfies the repartition's distribution, so EnsureRequirements

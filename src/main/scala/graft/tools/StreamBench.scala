@@ -262,6 +262,45 @@ object StreamBench {
           graft.streaming.AnnStream.mergedDeleteCounts(spark, "sb_ann_del"))
           .count()
       })
+    // composed maintenance tick (r14): each batch lands new rank/mix
+    // partials + a disjoint delete wave, then ONE Maintenance.tick
+    // folds all three WALs and evaluates the refit leg off the merged
+    // counters; per-batch cost must stay FLAT — every leg is
+    // individually bounded (fold ≤ keys + batch rows, refit check over
+    // model-scale snapshots) and the tick itself adds only a
+    // ≤ #jobs-row log append per call
+    lazy val fitSnapB = graft.streaming.AnnStream.fitSnapshot(emb).localCheckpoint()
+    val tt = Seq("sb_tick_w", "sb_tick_mix", "sb_tick_del", "sb_tick_log")
+    gateBench("maintenance_tick", tt)(
+      () => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(docs), 0L, "sb_tick_w")
+        graft.streaming.MixStream.ingestBatch(docs, 0L, "sb_tick_mix",
+          graft.ops.Sampling.MixRates, graft.ops.Sampling.MixDefault)
+        graft.streaming.AnnStream.deleteBatch(
+          assignedIdx.filter(col("vec_id") % 97 === 0).select(col("vec_id")),
+          assignedIdx, 0L, "sb_tick_del")
+      })(
+      b => {
+        graft.streaming.RankStream.ingestBatch(
+          graft.ops.DomainGraph.syntheticEdges(replica(b)), b.toLong, "sb_tick_w")
+        graft.streaming.MixStream.ingestBatch(replica(b), b.toLong, "sb_tick_mix",
+          graft.ops.Sampling.MixRates, graft.ops.Sampling.MixDefault)
+        graft.streaming.AnnStream.deleteBatch(
+          assignedIdx.filter(col("vec_id") % 97 === b).select(col("vec_id")),
+          assignedIdx, b.toLong, "sb_tick_del")
+        graft.streaming.Maintenance.tick(spark, b.toLong,
+          wal = Seq(
+            graft.streaming.Maintenance.WalJob("sb_tick_w",
+              s => graft.streaming.RankStream.compact(s, "sb_tick_w")),
+            graft.streaming.Maintenance.WalJob("sb_tick_mix",
+              s => graft.streaming.MixStream.compact(s, "sb_tick_mix")),
+            graft.streaming.Maintenance.WalJob("sb_tick_del",
+              s => graft.streaming.AnnStream.compactDeleteCounters(s, "sb_tick_del"))),
+          refit = Some(graft.streaming.Maintenance.RefitJob(
+            emb, fitSnapB, listSnap, "sb_tick_del")),
+          logTable = "sb_tick_log").count()
+      })
     val mt = Seq("sb_mix_p")
     gateBench("mix_maintainer", mt)(
       () => graft.streaming.MixStream.ingestBatch(docs, 0L, "sb_mix_p",

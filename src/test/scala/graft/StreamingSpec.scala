@@ -1595,6 +1595,95 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_ce_w", "t_ce_w__wal_ids", "t_ce_mix", "t_ce_mix__wal_ids")
   }
 
+  test("maintenanceTick: one idempotent call composes WAL folds, store compaction and the refit check; replay re-runs nothing; a quiet tick rewrites nothing") {
+    import graft.streaming.{AnnStream, Maintenance, MixStream, RankStream}
+    import graft.core.{Catalog, Store}
+    import graft.ops.{DomainGraph, Sampling, Similarity}
+    val tickTables = Seq("t_tick_w", "t_tick_w__wal_ids", "t_tick_mix",
+      "t_tick_mix__wal_ids", "t_tick_log", "t_tick_counters", "t_tick_sigs")
+    dropGateTables(tickTables: _*)
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def partFiles(table: String): Set[String] = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      new java.io.File(loc).listFiles().map(_.getName)
+        .filter(_.startsWith("part-")).toSet
+    }
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val rates = Sampling.MixRates
+    val full = DomainGraph.syntheticEdges(docs)
+    // two batches per maintainer → the first fold has real work
+    for (k <- 0 to 1) {
+      RankStream.ingestBatch(full, k.toLong, "t_tick_w", buckets = 4)
+      MixStream.ingestBatch(docs, k.toLong, "t_tick_mix", rates, Sampling.MixDefault)
+    }
+    // a fragmented store table: publish + incremental append
+    Store.saveMinhashSignatures(spark, TestSpark.sf0001, buckets = 2, table = "t_tick_sigs")
+    Store.refreshMinhashSignatures(spark,
+      docs.select(($"doc_id" + 10000000L).as("doc_id"),
+        concat($"text", lit(" tick rep")).as("text"), $"lang", $"source", $"n_chars"),
+      buckets = 2, table = "t_tick_sigs")
+    assert(Store.dataFileCount(spark, "t_tick_sigs") > 2,
+      "fixture must start fragmented")
+    // quiet refit world: fit-distribution arrivals, one-row delete
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val (_, assigned) = Catalog.ivfIndex(spark, TestSpark.sf0001)
+    val fitSnap = AnnStream.fitSnapshot(embs).cache()
+    val listSnap = AnnStream.listSizeSnapshot(assigned).cache()
+    try {
+      AnnStream.deleteBatch(
+        assigned.filter($"cluster" === 0).limit(1).select($"vec_id"),
+        assigned, 0L, "t_tick_counters")
+      val walJobs = Seq(
+        Maintenance.WalJob("t_tick_w", s => RankStream.compact(s, "t_tick_w")),
+        Maintenance.WalJob("t_tick_mix", s => MixStream.compact(s, "t_tick_mix")))
+      val storeJobs = Seq(Maintenance.StoreJob("t_tick_sigs", "doc_id", 2))
+      val refitJob = Some(Maintenance.RefitJob(embs, fitSnap, listSnap, "t_tick_counters"))
+      val weights0 = show(RankStream.weights(spark, "t_tick_w"))
+      val audit0 = show(MixStream.report(spark, "t_tick_mix", rates, Sampling.MixDefault))
+      def tickMap(id: Long) =
+        Maintenance.tick(spark, id, walJobs, storeJobs, refitJob, "t_tick_log")
+          .collect().map(r => (r.getAs[String]("action"), r.getAs[String]("target")) ->
+            ((r.getAs[Long]("before"), r.getAs[Long]("after"), r.getAs[Boolean]("acted"))))
+          .toMap
+      // FIRE: folds shrink, store compacts, refit stays quiet
+      val t1 = tickMap(1L)
+      assert(t1(("wal_compact", "t_tick_w"))._3 && t1(("wal_compact", "t_tick_mix"))._3,
+        s"first tick must fold real WAL growth: $t1")
+      assert(t1(("store_compact", "t_tick_sigs"))._3)
+      assert(!t1(("refit_check", "t_tick_counters"))._3,
+        "neither refit arm may fire on a quiet world")
+      assert(Store.dataFileCount(spark, "t_tick_sigs") == 2,
+        "store table compacted to one file per bucket")
+      assert(show(RankStream.weights(spark, "t_tick_w")) == weights0 &&
+        show(MixStream.report(spark, "t_tick_mix", rates, Sampling.MixDefault)) == audit0,
+        "served state must be bit-identical across the tick")
+      // REPLAY of tick 1: nothing re-runs, the original rows come back
+      val files1 = (partFiles("t_tick_w"), partFiles("t_tick_mix"))
+      assert(tickMap(1L) == t1, "a replayed tick must return its original decisions")
+      assert((partFiles("t_tick_w"), partFiles("t_tick_mix")) == files1,
+        "a replayed tick must not rewrite anything")
+      // QUIET tick 2: every action logs acted = false, zero rewrites
+      val t2 = tickMap(2L)
+      assert(t2.values.forall(!_._3), s"a quiet tick must act on nothing: $t2")
+      assert((partFiles("t_tick_w"), partFiles("t_tick_mix")) == files1,
+        "a quiet tick must not rewrite the WAL tables")
+      assert(Store.dataFileCount(spark, "t_tick_sigs") == 2)
+      assert(spark.table("t_tick_log").select($"tick_id").distinct().count() == 2)
+      // LOUD world: the takedown wave flips the refit leg
+      AnnStream.deleteBatch(
+        assigned.filter(!Similarity.takedownLive).select($"vec_id"),
+        assigned, 1L, "t_tick_counters")
+      val t3 = tickMap(3L)
+      assert(t3(("refit_check", "t_tick_counters"))._3,
+        "the volume arm must recommend a refit after the takedown")
+    } finally {
+      fitSnap.unpersist(); listSnap.unpersist()
+      dropGateTables(tickTables: _*)
+    }
+  }
+
   test("WAL compaction: an id gap holds the watermark (first ingest of the missing id survives); a crash-leftover fold recovers, preserving post-crash appends") {
     import graft.ops.DomainGraph
     import graft.streaming.{RankStream, Wal}
