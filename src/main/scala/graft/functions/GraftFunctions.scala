@@ -484,45 +484,65 @@ object TextKernels {
     new GenericArrayData(Array[Any](best, second))
   }
 
-  /** Per-literal compiled stopword sets, keyed by the literal's ArrayData
-    * identity: a foldable list literal is materialized once per task, so
-    * compiling its HashSets once per (task, literal) amortizes to nothing,
-    * while membership checks become O(1) per token. Bounded: cleared if it
-    * ever exceeds 64 distinct literals (it holds a handful in practice). */
+  /** Per-literal compiled stopword index, keyed by the literal's
+    * ArrayData identity: a foldable list literal is materialized once
+    * per task, so compiling it once per (task, literal) amortizes to
+    * nothing. The compiled form is ONE word → list-indices map (not a
+    * hash set per list): a token pays a single hash probe regardless
+    * of how many lists exist — r14, when langOrder grew 7 → 10 lists
+    * the per-token × per-list probing would otherwise have scaled
+    * with. Words on several lists (fr/es "que", pt/nl "de") carry all
+    * their indices. Bounded: cleared if it ever exceeds 64 distinct
+    * literals (it holds a handful in practice). */
   private val stopwordCache = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[ArrayData, Array[java.util.HashSet[String]]]())
+    new java.util.IdentityHashMap[ArrayData, (java.util.HashMap[String, Array[Int]], Int)]())
 
   /** One-pass token profile against N literal word lists: returns
     * `[nTokens, hits(list 0), …, hits(list N-1)]` where nTokens counts
     * the (non-empty) normalized word tokens and hits(l) counts tokens
     * that appear in list l (with multiplicity) — exactly
     * `size(filter(toks, t -> t IN (list)))` for each list, but in ONE
-    * tokenization pass per row instead of one interpreted HOF per list. */
+    * tokenization pass per row instead of one interpreted HOF per
+    * list, and ONE hash probe per token instead of one per list. */
   def stopwordProfile(text: UTF8String, lists: ArrayData): ArrayData = {
     var compiled = stopwordCache.get(lists)
     if (compiled == null) {
-      compiled = Array.tabulate(lists.numElements()) { l =>
+      val n = lists.numElements()
+      val idx = new java.util.HashMap[String, Array[Int]](n * 16)
+      var l = 0
+      while (l < n) {
         val list = lists.getArray(l)
-        val s = new java.util.HashSet[String](list.numElements() * 2)
         var j = 0
-        while (j < list.numElements()) { s.add(list.getUTF8String(j).toString); j += 1 }
-        s
+        while (j < list.numElements()) {
+          val w = list.getUTF8String(j).toString
+          val prev = idx.get(w)
+          if (prev == null) idx.put(w, Array(l))
+          else if (prev(prev.length - 1) != l) { // distinct-per-list hit
+            val ext = java.util.Arrays.copyOf(prev, prev.length + 1)
+            ext(prev.length) = l
+            idx.put(w, ext)
+          }
+          j += 1
+        }
+        l += 1
       }
+      compiled = (idx, n)
       if (stopwordCache.size() > 64) stopwordCache.clear()
       stopwordCache.put(lists, compiled)
     }
+    val (index, nLists) = compiled
     val toks = tokenize(text)
-    val counts = new Array[Int](compiled.length)
+    val counts = new Array[Int](nLists)
     var i = 0
     while (i < toks.length) {
-      var l = 0
-      while (l < compiled.length) {
-        if (compiled(l).contains(toks(i))) counts(l) += 1
-        l += 1
+      val ls = index.get(toks(i))
+      if (ls != null) {
+        var k = 0
+        while (k < ls.length) { counts(ls(k)) += 1; k += 1 }
       }
       i += 1
     }
-    val out = new Array[Any](compiled.length + 1)
+    val out = new Array[Any](nLists + 1)
     out(0) = toks.length
     var l = 0
     while (l < counts.length) { out(l + 1) = counts(l); l += 1 }

@@ -129,7 +129,17 @@ object Search {
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 lexTerms: Seq[String] = Seq("hash", "join"),
                 queryVecId: Long = 0L, n: Int = 100, k: Int = 20,
-                rrfK: Int = 60): DataFrame = {
+                rrfK: Int = 60): DataFrame =
+    fuseRrf(rrfRankLists(documents, embeddings, lexTerms, queryVecId, n),
+      k, rrfK)
+
+  /** The two rrfK-INDEPENDENT rank lists the fusion consumes (≤ n rows
+    * each — the expensive corpus scans live here, shared by
+    * [[hybridRrf]] and the [[rrfCurve]] sweep so adding a candidate
+    * rrfK never costs another scan). */
+  private def rrfRankLists(documents: DataFrame, embeddings: DataFrame,
+                           lexTerms: Seq[String], queryVecId: Long,
+                           n: Int): (DataFrame, DataFrame) = {
     val lex = bm25TopK(documents, Seq("q" -> lexTerms), n)
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
@@ -143,6 +153,12 @@ object Search {
     val vec = vecScored.select(col("vec_id"),
       row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id").asc)).as("vec_rank"))
+    (lex, vec)
+  }
+
+  /** The rrfK-PARAMETERIZED fusion over pre-computed rank lists. */
+  private def fuseRrf(lists: (DataFrame, DataFrame), k: Int, rrfK: Int): DataFrame = {
+    val (lex, vec) = lists
     val fused = lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
       .select(
         coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
@@ -157,6 +173,41 @@ object Search {
       .limit(k)
       .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
         (round(col("rrf_exact").cast("double"), 4) + lit(0.0)).as("rrf_score"))
+  }
+
+  /** rrfK TUNING curve (r14) — the calibration sweep behind
+    * [[hybridRrf]]'s single fusion constant (the s_nprobe_curve
+    * governance discipline applied to retrieval fusion): the graded
+    * [[metricsFromRanked]] card of the fused top-k at EACH candidate
+    * rrfK, over the SAME two rank lists (computed once and
+    * localCheckpointed — ≤ n rows each, model-scale, the mmrDiversify
+    * precedent; rrfK only re-weights ranks, so extra candidates cost
+    * tiny ≤ n-row fusions, never another corpus scan). Cormack et
+    * al.'s k=60 is a pinned default, not a law — a small k trusts
+    * head agreement, a large k flattens toward vote counting; this
+    * card is the evidence that PICKS one for a corpus. One row per
+    * (arm = rrf<k>), ndcg/mrr vs the label/source graded panel. */
+  def rrfCurve(documents: DataFrame, embeddings: DataFrame,
+               lexTerms: Seq[String] = Seq("hash", "join"),
+               queryVecId: Long = 0L, n: Int = 100, k: Int = 10,
+               rrfKs: Seq[Int] = Seq(20, 60, 120)): DataFrame = {
+    val (lex0, vec0) = rrfRankLists(documents, embeddings, lexTerms, queryVecId, n)
+    val lex = DupClusters.materialize(lex0)
+    val vec = DupClusters.materialize(vec0)
+    val ranked = rrfKs.map { kk =>
+      fuseRrf((lex, vec), k, kk)
+        .select(lit(s"rrf$kk").as("arm"), lit(queryVecId).as("query_id"),
+          col("doc_id").as("vec_id"),
+          row_number().over(Window.orderBy(desc("rrf_score"), asc("doc_id")))
+            .as("rank"))
+    }.reduce(_ unionByName _)
+    val meta = embeddings.select(col("vec_id"), col("label"))
+      .join(documents.select(col("doc_id").as("vec_id"), col("source")),
+        Seq("vec_id"))
+    // the two ≤ n-row checkpoints stay pinned for the returned plan's
+    // lifetime (the nprobeCurve convention — model-scale, GC'd with
+    // the session)
+    metricsFromRanked(ranked, meta, Seq(queryVecId), k)
   }
 
   /** GRADED retrieval-quality metrics (r14) — nDCG@k + MRR per serving
@@ -275,6 +326,8 @@ object Search {
       rankMetrics(Tables(s, d).documents, Tables(s, d).embeddings,
         cents, assigned)
     }),
+    "s_rrf_curve" -> ((s, d) =>
+      rrfCurve(Tables(s, d).documents, Tables(s, d).embeddings)),
     "s_hybrid_rrf" -> ((s, d) =>
       hybridRrf(Tables(s, d).documents, Tables(s, d).embeddings)))
 
@@ -323,6 +376,106 @@ object Search {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Shared mirror fragments for the graded-metric family
+    * (s_rank_metrics, s_rrf_curve): the meta/panel/IDCG chain and the
+    * rrf rank-list CTEs — one source of truth, so a metric fix reaches
+    * every card. */
+  private def metricPanelCtes(ids: Seq[Int], k: Int): String =
+    s"""meta AS (SELECT e.vec_id, e.label, d.source
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |qm AS (SELECT vec_id AS query_id, label AS q_label, source AS q_source
+       |  FROM meta WHERE vec_id IN (${ids.mkString(", ")})),
+       |rn2t AS (SELECT query_id, COUNT(*) AS n2 FROM meta m JOIN qm
+       |  ON m.label = qm.q_label AND m.vec_id != qm.query_id GROUP BY 1),
+       |rn1t AS (SELECT query_id, COUNT(*) AS n1 FROM meta m JOIN qm
+       |  ON m.source = qm.q_source AND m.label != qm.q_label
+       |    AND m.vec_id != qm.query_id GROUP BY 1),
+       |rks AS (SELECT unnest(generate_series(1, $k)) AS i),
+       |idcgt AS (SELECT query_id,
+       |    SUM(CAST((CASE WHEN i <= n2 THEN 3.0
+       |              WHEN i <= n2 + n1 THEN 1.0 ELSE 0.0 END)
+       |        / ln(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS idcg_e,
+       |    CAST(MAX(n2) AS BIGINT) AS n_rel_label,
+       |    CAST(MAX(n1) AS BIGINT) AS n_rel_source
+       |  FROM (SELECT qm.query_id, COALESCE(rn2t.n2, 0) AS n2,
+       |      COALESCE(rn1t.n1, 0) AS n1
+       |    FROM qm LEFT JOIN rn2t USING (query_id) LEFT JOIN rn1t USING (query_id))
+       |  CROSS JOIN rks GROUP BY 1)""".stripMargin
+
+  /** The rrfK-independent lexical/vector rank-list CTEs (rlex, rvec)
+    * — the s_hybrid_rrf arms at top-100. Requires prof/stats in
+    * scope. */
+  private def rrfListCtes(lexTerms: Seq[String]): String = {
+    val nonZero = lexTerms.map(t => s"tf_$t").mkString(" + ")
+    s"""rlex AS (
+       |  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
+       |    FROM prof, stats
+       |    WHERE $nonZero > 0)
+       |  WHERE rank <= 100),
+       |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rvs AS (SELECT e.vec_id, ${Similarity.cosSql("e.embedding", "rq.qe")} AS cosr
+       |  FROM embeddings e, rq WHERE e.vec_id != 0),
+       |rvec AS (
+       |  SELECT vec_id, CAST(rank AS INTEGER) AS vec_rank FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY cosr DESC, vec_id ASC) AS rank
+       |    FROM rvs)
+       |  WHERE rank <= 100)""".stripMargin
+  }
+
+  /** One rrf fusion leg at constant `kk`: fused ranks → top-`k` →
+    * re-ranked arm CTE `ra$kk` labeled `arm`. Requires rlex/rvec in
+    * scope. */
+  private def rrfArmCtes(kk: Int, k: Int, arm: String): String =
+    s"""rf$kk AS (
+       |  SELECT COALESCE(rlex.doc_id, rvec.vec_id) AS doc_id,
+       |    COALESCE(CAST(CAST(1.0 AS DOUBLE) / ($kk + lex_rank) AS DECIMAL(28,10)),
+       |        CAST(0 AS DECIMAL(28,10))) +
+       |      COALESCE(CAST(CAST(1.0 AS DOUBLE) / ($kk + vec_rank) AS DECIMAL(28,10)),
+       |        CAST(0 AS DECIMAL(28,10))) AS rrf_exact
+       |  FROM rlex FULL OUTER JOIN rvec ON rlex.doc_id = rvec.vec_id),
+       |rt$kk AS (SELECT doc_id, ROUND(CAST(rrf_exact AS DOUBLE), 4) + 0.0 AS sc
+       |  FROM rf$kk ORDER BY rrf_exact DESC, doc_id ASC LIMIT $k),
+       |ra$kk AS (SELECT '$arm' AS arm, CAST(0 AS BIGINT) AS query_id,
+       |    doc_id AS vec_id,
+       |    CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT) AS rank
+       |  FROM rt$kk)""".stripMargin
+
+  /** The shared graded-metric tail over a `candu(arm, query_id,
+    * vec_id, rank)` CTE. */
+  private val metricTailSql =
+    """gradedt AS (SELECT c.arm, c.query_id, c.rank,
+      |    CASE WHEN m.label = qm.q_label THEN 2
+      |         WHEN m.source = qm.q_source THEN 1 ELSE 0 END AS grade
+      |  FROM candu c JOIN meta m ON m.vec_id = c.vec_id
+      |  JOIN qm ON qm.query_id = c.query_id),
+      |dcgt AS (SELECT arm, query_id,
+      |    SUM(CAST((CASE grade WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)
+      |        / ln(CAST(rank AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS dcg_e,
+      |    MIN(CASE WHEN grade = 2 THEN rank END) AS first_rel
+      |  FROM gradedt GROUP BY 1, 2)
+      |SELECT arm, query_id, n_rel_label, n_rel_source,
+      |  (CASE WHEN idcg_e = 0 THEN 0.0
+      |    ELSE ROUND(CAST(dcg_e AS DOUBLE) / CAST(idcg_e AS DOUBLE), 4) END)
+      |    + 0.0 AS ndcg,
+      |  (CASE WHEN first_rel IS NULL THEN 0.0
+      |    ELSE ROUND(CAST(1.0 AS DOUBLE) / first_rel, 4) END) + 0.0 AS mrr
+      |FROM dcgt JOIN idcgt USING (query_id)""".stripMargin
+
+  /** The s_rrf_curve mirror: the shared rank lists once, one fusion
+    * leg per candidate rrfK, the shared graded-metric tail. */
+  private def rrfCurveOracle: String = {
+    val lexTerms = Seq("hash", "join")
+    val rrfKs = Seq(20, 60, 120)
+    s"""${profCte(lexTerms)},
+       |${metricPanelCtes(Seq(0), 10)},
+       |${rrfListCtes(lexTerms)},
+       |${rrfKs.map(kk => rrfArmCtes(kk, 10, s"rrf$kk")).mkString(",\n")},
+       |candu AS (${rrfKs.map(kk => s"SELECT * FROM ra$kk").mkString("\n  UNION ALL ")}),
+       |$metricTailSql""".stripMargin
+  }
+
   /** The s_rank_metrics mirror: each arm's top-k replayed exactly like
     * its own oracle (exact = s_ann_batch's chain, ivf = the unrolled
     * Lloyd fit + probe chain, rrf = the s_hybrid_rrf fusion at k=10),
@@ -344,26 +497,7 @@ object Search {
          |  ORDER BY cosr DESC, vec_id ASC LIMIT 10)""".stripMargin
     s"""${profCte(lexTerms)},
        |${Similarity.ivfFitCte},
-       |meta AS (SELECT e.vec_id, e.label, d.source
-       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-       |qm AS (SELECT vec_id AS query_id, label AS q_label, source AS q_source
-       |  FROM meta WHERE vec_id IN (${ids.mkString(", ")})),
-       |rn2t AS (SELECT query_id, COUNT(*) AS n2 FROM meta m JOIN qm
-       |  ON m.label = qm.q_label AND m.vec_id != qm.query_id GROUP BY 1),
-       |rn1t AS (SELECT query_id, COUNT(*) AS n1 FROM meta m JOIN qm
-       |  ON m.source = qm.q_source AND m.label != qm.q_label
-       |    AND m.vec_id != qm.query_id GROUP BY 1),
-       |rks AS (SELECT unnest(generate_series(1, 10)) AS i),
-       |idcgt AS (SELECT query_id,
-       |    SUM(CAST((CASE WHEN i <= n2 THEN 3.0
-       |              WHEN i <= n2 + n1 THEN 1.0 ELSE 0.0 END)
-       |        / ln(CAST(i AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS idcg_e,
-       |    CAST(MAX(n2) AS BIGINT) AS n_rel_label,
-       |    CAST(MAX(n1) AS BIGINT) AS n_rel_source
-       |  FROM (SELECT qm.query_id, COALESCE(rn2t.n2, 0) AS n2,
-       |      COALESCE(rn1t.n1, 0) AS n1
-       |    FROM qm LEFT JOIN rn2t USING (query_id) LEFT JOIN rn1t USING (query_id))
-       |  CROSS JOIN rks GROUP BY 1),
+       |${metricPanelCtes(ids, 10)},
        |xs AS (SELECT q.query_id, e.vec_id,
        |    ${Similarity.cosSql("e.embedding", "q.qe")} AS cosr
        |  FROM embeddings e
@@ -385,57 +519,16 @@ object Search {
        |  FROM (${ids.map(q =>
                 s"SELECT query_id, vec_id, ROUND(cosr, 4) AS sc FROM bs$q")
                 .mkString("\n    UNION ALL ")})),
-       |rlex AS (
-       |  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
-       |    SELECT doc_id,
-       |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
-       |    FROM prof, stats
-       |    WHERE tf_hash + tf_join > 0)
-       |  WHERE rank <= 100),
-       |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |rvs AS (SELECT e.vec_id, ${Similarity.cosSql("e.embedding", "rq.qe")} AS cosr
-       |  FROM embeddings e, rq WHERE e.vec_id != 0),
-       |rvec AS (
-       |  SELECT vec_id, CAST(rank AS INTEGER) AS vec_rank FROM (
-       |    SELECT vec_id, row_number() OVER (ORDER BY cosr DESC, vec_id ASC) AS rank
-       |    FROM rvs)
-       |  WHERE rank <= 100),
-       |rfused AS (
-       |  SELECT COALESCE(rlex.doc_id, rvec.vec_id) AS doc_id,
-       |    COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + lex_rank) AS DECIMAL(28,10)),
-       |        CAST(0 AS DECIMAL(28,10))) +
-       |      COALESCE(CAST(CAST(1.0 AS DOUBLE) / (60 + vec_rank) AS DECIMAL(28,10)),
-       |        CAST(0 AS DECIMAL(28,10))) AS rrf_exact
-       |  FROM rlex FULL OUTER JOIN rvec ON rlex.doc_id = rvec.vec_id),
-       |rtop AS (SELECT doc_id, ROUND(CAST(rrf_exact AS DOUBLE), 4) + 0.0 AS sc
-       |  FROM rfused ORDER BY rrf_exact DESC, doc_id ASC LIMIT 10),
-       |rarm AS (SELECT 'rrf' AS arm, CAST(0 AS BIGINT) AS query_id,
-       |    doc_id AS vec_id,
-       |    CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS INT) AS rank
-       |  FROM rtop),
+       |${rrfListCtes(lexTerms)},
+       |${rrfArmCtes(60, 10, "rrf")},
        |candu AS (SELECT * FROM xarm UNION ALL SELECT * FROM iarm
-       |  UNION ALL SELECT * FROM rarm),
-       |gradedt AS (SELECT c.arm, c.query_id, c.rank,
-       |    CASE WHEN m.label = qm.q_label THEN 2
-       |         WHEN m.source = qm.q_source THEN 1 ELSE 0 END AS grade
-       |  FROM candu c JOIN meta m ON m.vec_id = c.vec_id
-       |  JOIN qm ON qm.query_id = c.query_id),
-       |dcgt AS (SELECT arm, query_id,
-       |    SUM(CAST((CASE grade WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 ELSE 0.0 END)
-       |        / ln(CAST(rank AS DOUBLE) + 1.0) AS DECIMAL(28,10))) AS dcg_e,
-       |    MIN(CASE WHEN grade = 2 THEN rank END) AS first_rel
-       |  FROM gradedt GROUP BY 1, 2)
-       |SELECT arm, query_id, n_rel_label, n_rel_source,
-       |  (CASE WHEN idcg_e = 0 THEN 0.0
-       |    ELSE ROUND(CAST(dcg_e AS DOUBLE) / CAST(idcg_e AS DOUBLE), 4) END)
-       |    + 0.0 AS ndcg,
-       |  (CASE WHEN first_rel IS NULL THEN 0.0
-       |    ELSE ROUND(CAST(1.0 AS DOUBLE) / first_rel, 4) END) + 0.0 AS mrr
-       |FROM dcgt JOIN idcgt USING (query_id)""".stripMargin
+       |  UNION ALL SELECT * FROM ra60),
+       |$metricTailSql""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "s_rank_metrics" -> rankMetricsOracle,
+    "s_rrf_curve" -> rrfCurveOracle,
     "t_bm25" -> {
       val terms = distinctTerms(bm25Queries)
       s"""${profCte(terms)}

@@ -172,6 +172,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("n_stop_lang"), col("stopword_ratio"), col("quality_bucket"))
 
+  /** Per-LANGUAGE corpus stratification (r14) — the language axis the
+    * mixture planner reads before weighting sources: one row per
+    * PREDICTED language (the [[langId]] argmax, CJK lists riding the
+    * segmented token stream), doc count, exact token mass, corpus doc
+    * share. One codegen profile pass + ONE aggregate; the total rides
+    * a window over the ≤ #langs-row grouped frame (no second scan);
+    * share = the exact-integer half-away idiom (doc-count ratios land
+    * on 5th-decimal ties by construction). */
+  def corpusByLang(documents: DataFrame): DataFrame =
+    qualityByLang(documents)
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+      .withColumn("n_total", sum(col("n_docs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("doc_share",
+        expr("CAST((20000 * n_docs + n_total) DIV (2 * n_total) AS DOUBLE) / 10000.0"))
+      .select(col("lang_pred"), col("n_docs"), col("total_tokens"),
+        col("doc_share"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs | single digits | single punctuation), aggregated per
     * source with exact integer sums. */
@@ -1641,6 +1661,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_langid_cjk"    -> ((s, d) => langId(cjkUnion(s, d))),
+    "t_corpus_lang"   -> ((s, d) => corpusByLang(cjkUnion(s, d))),
     "t_quality_cjk"   -> ((s, d) => qualityByLang(cjkUnion(s, d))),
     "t_tokens_cjk"    -> ((s, d) => tokenStats(cjkUnion(s, d))),
     "t_langid_script" -> ((s, d) => langIdScript(cjkUnion(s, d))),
@@ -2244,6 +2265,23 @@ object TextAnalysis {
     // r14 CJK keys: the SAME generated bodies as their parents, over
     // the planted union (cjkToksCte) — segmentation, hits, argmax and
     // ratios all hash-exact on real zh/ja/ko text.
+    "t_corpus_lang" ->
+      s"""$cjkToksCte,
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t != '')) AS n_tokens,
+         |  $langHitsSql
+         |FROM toks),
+         |p AS (SELECT doc_id, n_tokens,
+         |  $langIdCaseSql AS lang_pred
+         |FROM h),
+         |g AS (SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |  FROM p GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM g)
+         |SELECT lang_pred, n_docs, total_tokens,
+         |  CAST((20000 * n_docs + n_total) // (2 * n_total) AS DOUBLE) / 10000.0
+         |    AS doc_share
+         |FROM g, tt""".stripMargin,
     "t_langid_cjk" ->
       s"""$cjkToksCte,
          |h AS (SELECT doc_id,

@@ -107,7 +107,11 @@ object Audit {
     // 1-row query-vector crossJoins, hybridRrf's 1-row stats + query
     // vector), plus one k-row ranks frame crossJoined onto the 5-row
     // panel for the IDCG terms — every BNLJ side is ≤ k rows
-    "s_rank_metrics")
+    "s_rank_metrics",
+    // the same shapes again: the 1-row stats + query-vector
+    // crossJoins of the shared rank lists (computed ONCE for all
+    // rrfK candidates) and the k-row ranks × 1-query panel IDCG frame
+    "s_rrf_curve")
 
   /** Keys where a SortMergeJoin is the RIGHT strategy (fact×fact joins
     * of two comparably-sized distinct key sets). */
@@ -144,6 +148,9 @@ object Audit {
     // scale; co-bucketed by id in the durable Store, so the production
     // form is zero-exchange
     "s_rank_metrics",
+    // the same meta join + the s_hybrid_rrf full-outer fusion of two
+    // ≤ 100-row rank lists (full outer has no broadcast strategy)
+    "s_rrf_curve",
     // old-snapshot ⋈ new-snapshot FULL OUTER on the key: full outer has
     // no broadcast strategy in Spark (the q_full_outer precedent)
     "v_snapshot_diff",
@@ -217,6 +224,12 @@ object Audit {
     // is paid once at build time and is NOT in the audited plan) —
     // the s_nprobe_curve independent-model-scale-arm class
     "d_anneal_curve" -> 8,
+    // 3 rrfK arms × a full-outer fusion + re-rank, every exchange over
+    // the TWO localCheckpointed ≤ 100-row rank lists (the corpus scans
+    // are paid once at build time and are NOT in the audited plan),
+    // plus the meta join and the panel-count aggregates — the
+    // d_anneal_curve independent-model-scale-arm class
+    "s_rrf_curve" -> 14,
     // 2 arms × 5 queries: each cell an independent PQ/OPQ serving plan
     // (ADC TakeOrdered + rerank) + the 2-row final collapse — the
     // s_nprobe_curve class

@@ -122,6 +122,36 @@ class SearchSpec extends SparkSpec {
       s"inverted arm must score ($expectInv, 0.25), got ${out("inverted")}")
   }
 
+  test("rrfCurve: the rrf60 arm reproduces hybridRrf's graded card exactly; every candidate rrfK emits one row; shared lists mean shared members at k extremes") {
+    import graft.core.Tables
+    import graft.ops.Search
+    val docs = Tables(spark, TestSpark.sf0001).documents
+    val emb = Tables(spark, TestSpark.sf0001).embeddings
+    val curve = Search.rrfCurve(docs, emb).collect()
+      .map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Long]("n_rel_label"), r.getAs[Long]("n_rel_source"),
+          r.getAs[Double]("ndcg"), r.getAs[Double]("mrr")))).toMap
+    assert(curve.keySet == Set("rrf20", "rrf60", "rrf120"),
+      s"one row per candidate rrfK: ${curve.keySet}")
+    // consistency across cards: the curve's rrf60 arm IS hybridRrf's
+    // fusion — its graded numbers must equal a direct metric pass over
+    // the same ranking (the same metricsFromRanked arithmetic)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Search.hybridRrf(docs, emb, k = 10)
+      .select(lit("rrf60").as("arm"), lit(0L).as("query_id"),
+        col("doc_id").as("vec_id"),
+        row_number().over(Window.orderBy(desc("rrf_score"), asc("doc_id")))
+          .as("rank"))
+    val meta = emb.select(col("vec_id"), col("label"))
+      .join(docs.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+    val direct = Search.metricsFromRanked(ranked, meta, Seq(0L), 10).collect()
+      .map(r => r.getAs[String]("arm") ->
+        ((r.getAs[Long]("n_rel_label"), r.getAs[Long]("n_rel_source"),
+          r.getAs[Double]("ndcg"), r.getAs[Double]("mrr")))).toMap
+    assert(curve("rrf60") == direct("rrf60"),
+      s"curve ${curve("rrf60")} vs direct ${direct("rrf60")}")
+  }
+
   test("softDedupWeights: weight is 1/n_copies, class-weight mass equals distinct-class count") {
     val out = Dedup.softDedupWeights(docs)
     assert(out.count() == docs.count()) // nothing removed
