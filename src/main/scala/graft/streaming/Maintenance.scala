@@ -107,4 +107,26 @@ object Maintenance {
     df.write.mode("append").saveAsTable(logTable)
     logged
   }
+
+  /** Bind [[tick]] to the scheduler a Spark deployment actually has:
+    * a 1-row-per-trigger rate stream whose CHECKPOINTED micro-batch id
+    * is the tick_id — a restarted scheduler resumes its id sequence
+    * from the checkpoint, and the tick's own replay guard makes any
+    * re-fired id a no-op, so the schedule is crash-safe end to end
+    * with no state beyond the log table and the checkpoint dir. */
+  def start(spark: SparkSession, intervalSec: Int, checkpointDir: String,
+            wal: Seq[WalJob] = Seq.empty,
+            store: Seq[StoreJob] = Seq.empty,
+            refit: Option[RefitJob] = None,
+            logTable: String = LogTable): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1).option("numPartitions", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(s"$intervalSec seconds"))
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        tick(spark, batchId, wal, store, refit, logTable); ()
+      }
+      .start()
 }
