@@ -350,6 +350,33 @@ object IngestGate {
     }
   }
 
+  /** The gate's operational readout (r14) — "why is my corpus
+    * shrinking": one row per decision KIND with the distinct-document
+    * count it rejected, plus one `admitted` row with the corpus count,
+    * served off the two durable tables alone at any time. The decision
+    * log is at-least-once (a replayed batch appends its identical
+    * rows), so counts are DISTINCT documents per kind — replays can
+    * never inflate the report (spec-proven); a doc rejected by several
+    * arms counts once per kind (the arms are independent evidence).
+    * ≤ #kinds + 1 rows out of two aggregates — corpus-scale scans,
+    * model-scale output, the report cadence decoupled from ingest. */
+  def report(spark: SparkSession, decisionsTable: String,
+             corpusTable: String): DataFrame = {
+    def one(kind: String, n: Long): DataFrame =
+      spark.range(1).select(lit(kind).as("kind"), lit(n).as("n_docs"))
+    val rejects =
+      if (!spark.catalog.tableExists(decisionsTable))
+        one("admitted", 0L).limit(0)
+      else spark.table(decisionsTable)
+        .groupBy(col("kind"))
+        .agg(count_distinct(col("batch_id")).as("n_docs"))
+    val admitted =
+      if (!spark.catalog.tableExists(corpusTable)) one("admitted", 0L)
+      else spark.table(corpusTable).agg(count(lit(1)).as("n_docs"))
+        .select(lit("admitted").as("kind"), col("n_docs"))
+    rejects.unionByName(admitted)
+  }
+
   /** Start the continuous gate over a document stream; pass `eval` to
     * also vet every batch against an eval union (Bloom-prefiltered). */
   def start(docs: DataFrame, corpusTable: String, fpTable: String,

@@ -783,6 +783,13 @@ class StreamingSpec extends SparkSpec {
       "t_gate5_log", buckets = 2, vetQuality = true)
     assert(spark.table("t_gate5_corpus").count() == 2)
     assert(spark.table("t_gate5_log").distinct().count() == 2)
+    // the operational readout: distinct-doc counts per kind + the
+    // admitted corpus — and the at-least-once replay above did NOT
+    // inflate it (the log holds duplicate rows; the report must not)
+    val rep = IngestGate.report(spark, "t_gate5_log", "t_gate5_corpus")
+      .collect().map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_docs")).toMap
+    assert(rep == Map("quality:too_short" -> 1L, "quality:repetitive" -> 1L,
+      "admitted" -> 2L), s"report must survive replay un-inflated: $rep")
     dropGateTables(tables: _*)
   }
 
