@@ -377,6 +377,63 @@ object Sampling {
         col("dup_in_train"))
   }
 
+  /** SEMANTIC split-leakage report (r14) — the embedding-space axis
+    * [[splitLeakage]]'s span overlap cannot see: a paraphrased or
+    * re-embedded near-copy of a train document reaches the holdout
+    * with ZERO shared 8-gram spans yet sits at cosine ≈ 1 in embedding
+    * space — exactly the leakage semantic dedup exists to stop, here
+    * measured across the train/holdout boundary instead of within the
+    * corpus. Per holdout split (valid/test under the [[splitAssign]]
+    * identity rule): holdout size, how many holdout vectors have a
+    * TRAIN neighbor at (rounded) cosine ≥ τ among canopy-blocked
+    * candidates, the half-away leak rate, and the hottest observed
+    * cosine (the reading that PICKS τ — on a clean random corpus it
+    * sits far below any near-dup threshold; a paraphrase mill pushes
+    * it toward 1).
+    *
+    * Plan: the knnJoinCanopy blocking verbatim (nAssign-nearest-
+    * centroid canopies off the Catalog-cached IVF fit — candidates
+    * only within a shared canopy, work ∝ Σ bucket², never
+    * holdout × train), pairs filtered to holdout × train, MAX cosine
+    * per holdout vector (map-side combinable; multi-canopy duplicate
+    * pairs are idempotent under max, so no pair dedup is needed at
+    * all), a left join back so candidate-less holdout vectors count
+    * as unleaked, one ≤ 2-row aggregate. Same approximate-blocking
+    * contract as s_knn_ivf; the mirror replays the identical
+    * blocking. τ compares the ROUNDED cosine (the s_knn_join
+    * engine-independence convention). */
+  def splitSemanticLeakage(documents: DataFrame, embeddings: DataFrame,
+                           centroids: Seq[Seq[Double]], tau: Double = 0.9,
+                           validFrac: Double = 0.05, testFrac: Double = 0.05,
+                           nAssign: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions
+    val split = splitAssign(documents, validFrac, testFrac)
+      .select(col("doc_id").as("vec_id"), col("split"))
+    val e = embeddings.join(split, Seq("vec_id"))
+      .select(col("vec_id"), col("split"), col("embedding"),
+        explode(GraftFunctions.nearestCentroids(col("embedding"),
+          typedlit(centroids), lit(nAssign))).as("canopy"))
+    val holdout = e.filter(col("split") =!= "train")
+    val train = e.filter(col("split") === "train")
+      .select(col("canopy"), col("embedding").as("t_embedding"))
+    val best = holdout
+      .join(train, Seq("canopy"))
+      .withColumn("cos",
+        round(GraftFunctions.cosine(col("embedding"), col("t_embedding")), 4) + lit(0.0))
+      .groupBy(col("vec_id"), col("split"))
+      .agg(max(col("cos")).as("max_cos"))
+    val perDoc = holdout.select(col("vec_id"), col("split")).distinct()
+      .join(best, Seq("vec_id", "split"), "left")
+    perDoc.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_holdout"),
+        sum(when(col("max_cos") >= tau, 1L).otherwise(0L)).as("n_leaked"),
+        max(coalesce(col("max_cos"), lit(0.0))).as("top_cos_raw"))
+      .select(col("split"), col("n_holdout"), col("n_leaked"),
+        expr("CAST((20000 * n_leaked + GREATEST(n_holdout, 1)) DIV " +
+          "(2 * GREATEST(n_holdout, 1)) AS DOUBLE) / 10000.0").as("leak_rate"),
+        (round(col("top_cos_raw"), 4) + lit(0.0)).as("top_cos"))
+  }
+
   /** Integer "parts" of the target mixture for [[epochPlan]] — relative
     * weights as ints so the in-plan normalizer Σw is an exact integer
     * sum (order-free under any partitioning; a double Σ would be
@@ -1081,6 +1138,10 @@ object Sampling {
     "d_dsir_threshold" -> ((s, d) => dsirThreshold(Tables(s, d).documents)),
     "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)),
     "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)),
+    "d_split_semantic" -> ((s, d) => {
+      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
+      splitSemanticLeakage(Tables(s, d).documents, Tables(s, d).embeddings, cents)
+    }),
     "d_split_content" -> ((s, d) => splitAssignByContent(Tables(s, d).documents)),
     "d_split_leakage" -> ((s, d) => splitLeakage(Tables(s, d).documents)),
     "d_epoch_plan" -> ((s, d) => epochPlan(Tables(s, d).documents)),
@@ -1263,6 +1324,37 @@ object Sampling {
            |         < '${thresholdHex(0.95)}' THEN 'valid'
            |       ELSE 'test' END AS split
            |FROM documents""".stripMargin,
+      // Semantic split-leakage: the shared Lloyd fit's nAssign=2 canopy
+      // frame (can) split by the d_split_assign CASE; holdout × train
+      // pairs within a shared canopy, MAX rounded cosine per holdout
+      // vector (multi-canopy dup pairs idempotent under MAX), the
+      // candidate-less holdout counted unleaked via the left join.
+      "d_split_semantic" ->
+        s"""WITH ${Similarity.ivfFitCte},
+           |spl AS (SELECT doc_id,
+           |  CASE WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |         < '${thresholdHex(0.90)}' THEN 'train'
+           |       WHEN substr(md5(concat(source, ':', CAST(doc_id AS VARCHAR))), 1, 15)
+           |         < '${thresholdHex(0.95)}' THEN 'valid'
+           |       ELSE 'test' END AS split
+           |  FROM documents),
+           |ce AS (SELECT can.vec_id, can.canopy, can.embedding, spl.split
+           |  FROM can JOIN spl ON spl.doc_id = can.vec_id),
+           |prs AS (SELECT a.vec_id, a.split,
+           |    ROUND(${Similarity.cosSql("a.embedding", "b.embedding")}, 4) + 0.0 AS cos
+           |  FROM ce a JOIN ce b ON a.canopy = b.canopy AND a.vec_id != b.vec_id
+           |  WHERE a.split != 'train' AND b.split = 'train'),
+           |bst AS (SELECT vec_id, split, MAX(cos) AS max_cos FROM prs GROUP BY 1, 2),
+           |hld AS (SELECT DISTINCT vec_id, split FROM ce WHERE split != 'train'),
+           |pd AS (SELECT hld.vec_id, hld.split, bst.max_cos
+           |  FROM hld LEFT JOIN bst USING (vec_id, split))
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           |  CAST(SUM(CASE WHEN max_cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+           |  CAST((20000 * SUM(CASE WHEN max_cos >= 0.9 THEN 1 ELSE 0 END)
+           |        + GREATEST(COUNT(*), 1)) // (2 * GREATEST(COUNT(*), 1)) AS DOUBLE)
+           |    / 10000.0 AS leak_rate,
+           |  ROUND(MAX(COALESCE(max_cos, 0.0)), 4) + 0.0 AS top_cos
+           |FROM pd GROUP BY 1""".stripMargin,
       // Content-keyed split: the same two hex cuts over the md5 of the
       // NORMALIZED TEXT (the exact-dedup key) — copies co-assign.
       "d_split_content" ->

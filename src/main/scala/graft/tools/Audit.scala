@@ -138,6 +138,9 @@ object Audit {
     // the corpus × nAssign — a genuine fact×fact equi-join on the
     // canopy id, same class as the d_semantic family above
     "s_hard_negatives",
+    // the same canopy-exploded self-join (holdout × train candidates);
+    // the train side is ~90% of the corpus — broadcast would be wrong
+    "d_split_semantic",
     // holdout span stream ⋈ DISTINCT train span set: the train side is
     // ~90% of corpus spans — broadcast is impossible at scale, so the
     // span equi-join is a shuffle/SMJ join BY DESIGN (AQE picks

@@ -365,6 +365,52 @@ class SamplingSpec extends SparkSpec {
     assert(out(h3) == ((1, 0L, 0.0, 0)), "clean holdout doc")
   }
 
+  test("splitSemanticLeakage: a planted embedding copy across the boundary leaks at cosine 1.0 where the span report reads clean; candidate-less holdout counts unleaked") {
+    val t1 = idIn("train")
+    val v1 = idIn("valid")
+    val s1 = idIn("test")
+    // DIFFERENT texts everywhere — the span-based report must read
+    // zero leakage; the semantic axis is the only one that can see
+    // the planted embedding copy
+    val df = Seq(
+      (t1, "web", "alpha beta gamma delta epsilon zeta eta theta"),
+      (v1, "web", "one two three four five six seven eight"),
+      (s1, "web", "red orange yellow green blue indigo violet pink")
+    ).toDF("doc_id", "source", "text")
+    val e1 = Seq(1f, 0f, 0f, 0f)
+    val e2 = Seq(0f, 0f, 1f, 0f)
+    val emb = Seq(
+      (t1, 0, e1),   // train anchor
+      (v1, 0, e1),   // VALID: exact embedding copy of the train doc
+      (s1, 0, e2))   // TEST: orthogonal — clean
+      .toDF("vec_id", "label", "embedding")
+    // two centroids, nAssign=2 → every vector shares both canopies
+    // (degenerate-complete blocking, so the spec tests the metric,
+    // not the blocking)
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0))
+    val out = Sampling.splitSemanticLeakage(df, emb, cents).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_holdout"), r.getAs[Long]("n_leaked"),
+          r.getAs[Double]("leak_rate"), r.getAs[Double]("top_cos")))).toMap
+    assert(out("valid") == ((1L, 1L, 1.0, 1.0)),
+      s"the planted copy must leak at cosine 1.0: ${out("valid")}")
+    assert(out("test") == ((1L, 0L, 0.0, 0.0)),
+      s"the orthogonal holdout must read clean: ${out("test")}")
+    // the counterfactual: the SPAN report sees nothing (no shared
+    // 8-gram, no exact dup) — this is the axis the semantic card adds
+    val spans = Sampling.splitLeakage(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getInt(6)))).toMap
+    assert(spans(v1) == ((0L, 0)) && spans(s1) == ((0L, 0)),
+      "the span report must be blind to the embedding copy")
+    // candidate-less holdout: drop the train anchor — nothing to leak
+    // against, both holdout docs count unleaked with top_cos 0.0
+    val out2 = Sampling.splitSemanticLeakage(
+      df.filter($"doc_id" =!= t1), emb.filter($"vec_id" =!= t1), cents)
+      .collect().map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_leaked"), r.getAs[Double]("top_cos")))).toMap
+    assert(out2("valid") == ((0L, 0.0)) && out2("test") == ((0L, 0.0)))
+  }
+
   test("splitLeakage corpus: matches a JVM reference; stable under repartitioning") {
     def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
     val rows = docs.select("doc_id", "source", "text").collect()
