@@ -267,9 +267,32 @@ object Dedup {
     * for certified-exact recall on skewed corpora use [[nearDupPairs]].
     * Default off. */
   def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.8, dfCap: Option[Int] = None): DataFrame = {
+    val inverted = shingleInvertedIndex(documents, dfCap)
+    inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
+      .filter(round(col("jaccard"), 4) >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The `(doc_id, len, shingle)` inverted-index frame shared by
+    * [[ngramJaccardPairs]] and [[containmentPairs]], with the optional
+    * `dfCap` skew guard applied — ONE owner so the two exact-overlap
+    * measures cannot desynchronize on what "the shingle universe" means.
+    *
+    * With the cap on, shingles appearing in more than `dfCap` documents
+    * are removed and each document's set size (`len`) is recomputed over
+    * the capped vocabulary, so every downstream measure is the exact
+    * jaccard/containment of the SUB-CAP shingle sets — a well-defined
+    * measure, not a corrupted one. */
+  private def shingleInvertedIndex(documents: DataFrame, dfCap: Option[Int]): DataFrame = {
     val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
     val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
-    val inverted = dfCap match {
+    dfCap match {
       case Some(cap) =>
         // Broadcast the OVER-cap (frequent) shingles and remove them with
         // an anti-join: the frequent set is small by construction (few
@@ -287,15 +310,6 @@ object Dedup {
           .select(col("doc_id"), col("capped_len").as("len"), col("shingle"))
       case None => inverted0
     }
-    inverted.as("a")
-      .join(inverted.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.len").as("la"), col("b.len").as("lb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
-      .filter(round(col("jaccard"), 4) >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Containment near-dup pairs — the EXCERPT detector (Broder 1997's
@@ -305,13 +319,18 @@ object Dedup {
     * jaccard-θ dedup keeps both copies; training corpora are full of
     * exactly this shape (articles quoting abstracts, pages embedding
     * snippets). Same certified-exact inverted-index plan as
-    * [[ngramJaccardPairs]] (same `dfCap` skew guard applies at corpus
-    * scale); only the denominator changes, and both measures are
-    * emitted so a consumer can separate true near-dups (both high)
-    * from excerpts (containment high, jaccard low). */
-  def containmentPairs(documents: DataFrame, theta: Double = 0.9): DataFrame = {
-    val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
-    val inverted = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
+    * [[ngramJaccardPairs]], including the SAME `dfCap` skew guard (one
+    * shared [[shingleInvertedIndex]] owns both): a boilerplate shingle
+    * present in n docs would otherwise fan the self-join into C(n,2)
+    * pair rows — at web scale the 10¹²-row shuffle the cap exists to
+    * prevent. The shipped `d_containment` key runs with dfCap=100 (the
+    * d_substring_dup convention) and its oracle mirrors the capped
+    * universe. Only the denominator changes vs jaccard, and both
+    * measures are emitted so a consumer can separate true near-dups
+    * (both high) from excerpts (containment high, jaccard low). */
+  def containmentPairs(documents: DataFrame, theta: Double = 0.9,
+                       dfCap: Option[Int] = None): DataFrame = {
+    val inverted = shingleInvertedIndex(documents, dfCap)
     inverted.as("a")
       .join(inverted.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -899,10 +918,23 @@ object Dedup {
     * τ grid by a 3-element literal explode, then two tiny per-τ
     * aggregates — the expensive pair mining is paid once for the whole
     * curve, not once per threshold. Comparisons are on the ROUND(,4)
-    * jaccard both engines share. */
+    * jaccard both engines share.
+    *
+    * `dfCap` defaults ON (100, the d_substring_dup convention): the
+    * curve's mining stage is the uncapped inverted index's
+    * documented-quadratic shape on a boilerplate-heavy corpus, and a
+    * governance card must be runnable at corpus scale by default. The
+    * curve then reads over capped-universe jaccard — consistent with
+    * what a capped production dedup pass would act on. Pass None for
+    * the full-vocabulary curve on corpora known clean. */
   def dedupCurve(documents: DataFrame,
-                 taus: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
-    val pairs = ngramJaccardPairs(documents, taus.min)
+                 taus: Seq[Double] = Seq(0.7, 0.8, 0.9),
+                 dfCap: Option[Int] = Some(100)): DataFrame = {
+    // materialized (the simhashCurve recipe) so the mining is LITERALLY
+    // paid once: the curve reads two aggregate branches off the pair
+    // frame, and without the checkpoint each branch replays the whole
+    // capped inverted-index chain
+    val pairs = DupClusters.materialize(ngramJaccardPairs(documents, taus.min, dfCap))
     val fanned = pairs
       .withColumn("tau", explode(typedlit(taus)))
       .filter(col("jaccard") >= col("tau"))
@@ -1161,7 +1193,7 @@ object Dedup {
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
     "d_simhash_curve"    -> ((s, d) => simhashCurve(Tables(s, d).documents)),
     "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
-    "d_containment"      -> ((s, d) => containmentPairs(Tables(s, d).documents)),
+    "d_containment"      -> ((s, d) => containmentPairs(Tables(s, d).documents, dfCap = Some(100))),
     "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
@@ -1344,6 +1376,25 @@ object Dedup {
       |      FROM pcp JOIN d da ON da.doc_id = pcp.doc_a
       |               JOIN d db ON db.doc_id = pcp.doc_b)""".stripMargin
 
+  /** [[invPairCte]] under the `dfCap` skew guard — the DuckDB mirror of
+    * [[shingleInvertedIndex]] with the cap on: over-cap shingles are
+    * anti-joined out and each doc's set size recomputed over the capped
+    * vocabulary (the `lp` CTE replaces `d`'s full-vocabulary `l`), so
+    * the emitted `p(doc_a, doc_b, inter, la, lb)` measures the SUB-CAP
+    * sets exactly as the engine does. Requires [[shingleCte]]'s `d`. */
+  private[ops] def invPairCappedCte(cap: Int): String =
+    s"""eip AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |fqp AS (SELECT g FROM eip GROUP BY g HAVING COUNT(*) > $cap),
+       |kp AS (SELECT e.doc_id, e.g FROM eip e LEFT JOIN fqp f ON e.g = f.g
+       |       WHERE f.g IS NULL),
+       |lp AS (SELECT doc_id, COUNT(*) AS l FROM kp GROUP BY doc_id),
+       |pcp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+       |       FROM kp a JOIN kp b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |p AS (SELECT pcp.doc_a, pcp.doc_b, pcp.inter, da.l AS la, db.l AS lb
+       |      FROM pcp JOIN lp da ON da.doc_id = pcp.doc_a
+       |               JOIN lp db ON db.doc_id = pcp.doc_b)""".stripMargin
+
   private val ngramJaccardOracle =
     s"""$shingleCte,
        |$invPairCte
@@ -1460,11 +1511,12 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
-    // Same all-pairs CTE as the jaccard oracle (O(n²) at oracle side
-    // only); containment denominator = the smaller set.
+    // Same inverted-index pair chain as the jaccard oracle but over the
+    // dfCap=100 capped universe (mirrors the shipped containmentPairs
+    // guard); containment denominator = the smaller capped set.
     "d_containment" ->
       s"""$shingleCte,
-         |$invPairCte
+         |${invPairCappedCte(100)}
          |SELECT doc_a, doc_b,
          |  ROUND(CAST(inter AS DOUBLE) / least(la, lb), 4) AS containment,
          |  ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
@@ -1741,11 +1793,12 @@ object Dedup {
         Seq(0, 1, 2, 3).map(r =>
           s"""SELECT CAST($r AS INT) AS max_hamming, p$r AS n_pairs, d$r AS n_docs
              |FROM pc, dc""".stripMargin).mkString("\nUNION ALL\n")),
-    // Mirror of dedupCurve: the same pair CTE at the loosest τ, the
-    // same τ-grid fan-out over the ROUND(,4) jaccard.
+    // Mirror of dedupCurve: the same pair CTE at the loosest τ — under
+    // the default dfCap=100 capped universe — the same τ-grid fan-out
+    // over the ROUND(,4) jaccard.
     "d_dedup_curve" ->
       s"""$shingleCte,
-         |$invPairCte,
+         |${invPairCappedCte(100)},
          |pj AS (SELECT doc_a, doc_b,
          |        ROUND(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard
          |      FROM p),

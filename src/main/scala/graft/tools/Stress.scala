@@ -80,6 +80,14 @@ object Stress {
     time("simhash_pairs")(Dedup.simhashPairs(docs).count())
     time("minhash_candidates")(Dedup.minhashCandidates(docs).count())
     if (!noExact) time("ngram_jaccard")(Dedup.ngramJaccardPairs(docs).count())
+    // governance curve at its shipped default (dfCap=100, τ grid from
+    // 0.7): the cap bounds BOILERPLATE skew (a df-n shingle's C(n,2)
+    // fan-out), not honest duplication — this replica ladder's shared
+    // shingles sit below the cap by construction (df ≈ replicas), so
+    // the arm prices the curve's real mining cost on a duplicate-heavy
+    // corpus; same documented-quadratic family as ngram_jaccard, hence
+    // the same noexact skip (the LSH pipeline is the corpus-scale path)
+    if (!noExact) time("dedup_curve")(Dedup.dedupCurve(docs).count())
     time("neardup_pipeline")(Dedup.nearDupPairs(docs).count())
     // CC closure over the LSH dedup graph: cost ∝ edges per round, and
     // the ROUND COUNT is the O(log n) claim — star-contraction rounds

@@ -52,4 +52,30 @@ class BenchSpec extends AnyFunSuite {
     assert(recovered && load == -1.0 && waited == 0L,
       "getSystemLoadAverage returns -1.0 where unsupported; the gate must not spin on it")
   }
+
+  test("batteryStartGate: a deliberately-loaded battery waits out the drain, then starts clean") {
+    var slept = 0L
+    val (waitedSec, underLoad) = Bench.batteryStartGate(
+      fullBattery = true, loadMax = 2.0, maxWaitSec = 600L,
+      poll = trace(10.3, 6.2, 3.1, 1.4), sleep = slept += _)
+    assert(!underLoad, "the battery must start clean once the box drains")
+    assert(waitedSec == 30L && slept == 30000L)
+  }
+
+  test("batteryStartGate: a box that never drains starts anyway, annotated under-load") {
+    val (waitedSec, underLoad) = Bench.batteryStartGate(
+      fullBattery = true, loadMax = 2.0, maxWaitSec = 20L,
+      poll = trace(9.9), sleep = _ => ())
+    assert(underLoad, "a never-draining box must start with the under-load annotation")
+    assert(waitedSec == 20L, "the wait must stop exactly at the bound")
+  }
+
+  test("batteryStartGate: filtered/off-SF runs are never gated — the reproduce protocol starts when asked") {
+    var polled = false
+    val (waitedSec, underLoad) = Bench.batteryStartGate(
+      fullBattery = false, loadMax = 2.0, maxWaitSec = 600L,
+      poll = () => { polled = true; 99.0 }, sleep = _ => ())
+    assert(waitedSec == 0L && !underLoad && !polled,
+      "a key-filtered run (the adjudication child itself) must not wait on load")
+  }
 }

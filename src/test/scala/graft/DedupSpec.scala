@@ -139,6 +139,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs dfCap: planted boilerplate shingle stays bounded, clean excerpts unchanged") {
+    // 50 docs sharing ONE boilerplate trigram and nothing else: the
+    // uncapped inverted index fans that shingle into C(50,2) pair rows —
+    // the skew shape the guard exists to prevent at corpus scale.
+    val boiler = (1 to 50).map { d =>
+      (100L + d, s"copyright acme corp u${d}a u${d}b u${d}c u${d}d")
+    }
+    // plus one clean excerpt pair whose shingles are all sub-cap
+    val long = (1 to 200).map(i => s"w$i").mkString(" ")
+    val excerpt = (50 to 80).map(i => s"w$i").mkString(" ")
+    val df = (boiler ++ Seq((1L, long), (2L, excerpt)))
+      .toDF("doc_id", "text")
+    // θ=0 exposes the raw pair set: uncapped pays the C(50,2) fan-out...
+    val uncapped = Dedup.containmentPairs(df, theta = 0.0)
+      .filter($"doc_a" >= 100L).count()
+    assert(uncapped == 50L * 49 / 2)
+    // ...capped: the df=50 shingle is anti-joined out, boilerplate-only
+    // pairs share nothing and vanish — pair work is bounded
+    val capped = Dedup.containmentPairs(df, theta = 0.0, dfCap = Some(10))
+    assert(capped.filter($"doc_a" >= 100L).count() == 0)
+    // the clean excerpt pair is untouched by the cap: same containment,
+    // same jaccard (its shingles are all below the cap)
+    val pair = capped.filter($"doc_a" === 1L && $"doc_b" === 2L).collect()
+    assert(pair.length == 1)
+    assert(pair.head.getAs[Double]("containment") == 1.0)
+    // corpus-level: no sf0.001 shingle reaches df 100, so the shipped
+    // dfCap=100 key is measure-identical to the uncapped form there
+    val cappedCorpus = Dedup.containmentPairs(docs, dfCap = Some(100)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val fullCorpus = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(cappedCorpus == fullCorpus)
+  }
+
+  test("dedupCurve dfCap: boilerplate-heavy corpus curve stays bounded and clean pairs survive") {
+    // same planted shape: the default-capped curve must not mine the
+    // boilerplate fan-out, and true near-dups must still be counted
+    val boiler = (1 to 50).map { d =>
+      (100L + d, s"copyright acme corp u${d}a u${d}b u${d}c u${d}d")
+    }
+    val base = (1 to 39).map(i => s"word$i").mkString(" ")
+    val df = (boiler ++ Seq((1L, base + " end"), (2L, base + " tail end")))
+      .toDF("doc_id", "text")                      // J = 37/40 = 0.925
+    val curve = Dedup.dedupCurve(df).collect()
+      .map(r => r.getAs[Double]("tau") -> r.getAs[Long]("n_pairs")).toMap
+    assert(curve == Map(0.7 -> 1L, 0.8 -> 1L, 0.9 -> 1L),
+      "only the clean near-dup pair per tau; no boilerplate-only pairs")
+  }
+
   test("crossDedup: planted exact and near batch dups found with the right kind, clean docs pass") {
     // 40 distinct words → 38 distinct shingles; editing the final word
     // changes 3 of them: J = 35/41 ≈ 0.854 ≥ 0.8
