@@ -152,23 +152,34 @@ object TextKernels {
     z ^ (z >>> 31)
   }
 
-  /** Is `c` a codepoint of a space-free CJK letter class (Han,
-    * Hiragana + Katakana, Hangul syllables — all BMP, so a Char test
-    * suffices; no surrogate handling needed)? */
+  /** Is `c` a codepoint of a space-free CJK letter class? Covered
+    * (r15, widened from the r14 three-block set): CJK Unified
+    * Ideographs + Extension A, Hiragana/Katakana + katakana phonetic
+    * extensions + HALFWIDTH katakana, Hangul syllables — all BMP, so a
+    * Char test suffices. EXPLICITLY EXCLUDED (documented scope, not an
+    * oversight): supplementary-plane ideographs (Ext B+, U+20000+ —
+    * surrogate pairs; rare outside dictionaries), Hangul Jamo
+    * (composed syllables cover modern ko text), CJK Compatibility
+    * blocks. MUST stay in lockstep with `TextAnalysis.cjkClassSql`
+    * (the DuckDB mirror) — change both or neither. */
   @inline private def isCjk(c: Char): Boolean =
     (c >= 0x4e00 && c <= 0x9fff) || // CJK Unified Ideographs
+    (c >= 0x3400 && c <= 0x4dbf) || // CJK Ideographs Extension A
     (c >= 0x3040 && c <= 0x30ff) || // Hiragana + Katakana
+    (c >= 0x31f0 && c <= 0x31ff) || // Katakana phonetic extensions
+    (c >= 0xff66 && c <= 0xff9d) || // Halfwidth katakana
     (c >= 0xac00 && c <= 0xd7af)    // Hangul syllables
 
   /** Codepoint-class segmentation fallback for space-free scripts:
-    * insert a space around every CJK letter — exactly
-    * `regexp_replace(text, '([\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}])', ' \1 ', 'g')`
-    * (the DuckDB-mirrorable form) — so zh/ja/ko text tokenizes one
-    * character per token instead of one "word" per line. IDENTITY on
-    * text with no CJK codepoints (the whole sf* testdata, spec-asserted
-    * in TextAnalysisSpec — which is why pre-CJK oracle mirrors that
-    * elide this pre-pass stay exact on that data); the has-CJK scan
-    * keeps the common ASCII path allocation-free. */
+    * insert a space around every CJK letter ([[isCjk]]'s classes) —
+    * exactly `regexp_replace(text, '(<cjkClassSql>)', ' \1 ', 'g')`
+    * (the DuckDB-mirrorable form; `TextAnalysis.cjkClassSql` is the
+    * one regex source both engines share) — so zh/ja/ko text tokenizes
+    * one character per token instead of one "word" per line. IDENTITY
+    * on text with no CJK codepoints (the whole sf* testdata,
+    * spec-asserted in TextAnalysisSpec — which is why pre-CJK oracle
+    * mirrors that elide this pre-pass stay exact on that data); the
+    * has-CJK scan keeps the common ASCII path allocation-free. */
   def segmentCjk(s: String): String = {
     var i = 0
     var has = false

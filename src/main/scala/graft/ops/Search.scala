@@ -92,10 +92,18 @@ object Search {
   }
 
   /** BM25 top-`k` per query over the fixed [[bm25Queries]] workload.
-    * Output: `query_id, rank, doc_id, score` (matching docs only). */
+    * Output: `query_id, rank, doc_id, score` (matching docs only).
+    *
+    * `excludeDocId` (r15) drops one document from the CANDIDATE list
+    * before ranking — the hybrid-fusion caller's self-hit guard (the
+    * vector arm excludes `vec_id == query`; the lexical arm must too,
+    * or a self-hit grades 2 in DCG while absent from the ideal list
+    * and ndcg can read > 1). Corpus stats (df, avgdl) stay
+    * full-corpus — the exclusion is a candidate filter, not a corpus
+    * edit, mirroring the vector arm exactly. */
   def bm25TopK(documents: DataFrame,
                queries: Seq[(String, Seq[String])] = bm25Queries,
-               k: Int = 20): DataFrame = {
+               k: Int = 20, excludeDocId: Option[Long] = None): DataFrame = {
     val terms = distinctTerms(queries)
     val prof  = profile(documents, terms)
     val stats = broadcast(corpusStats(prof, terms))
@@ -103,6 +111,7 @@ object Search {
     queries.map { case (qid, qTerms) =>
       val s = scored
         .filter(qTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .filter(excludeDocId.map(col("doc_id") =!= _).getOrElse(lit(true)))
         .withColumn("s_exact", scoreExpr(qTerms))
         .orderBy(col("s_exact").desc, col("doc_id").asc)
         .limit(k)
@@ -140,7 +149,12 @@ object Search {
   private def rrfRankLists(documents: DataFrame, embeddings: DataFrame,
                            lexTerms: Seq[String], queryVecId: Long,
                            n: Int): (DataFrame, DataFrame) = {
-    val lex = bm25TopK(documents, Seq("q" -> lexTerms), n)
+    // the lexical arm excludes the query's own document just like the
+    // vector arm below — a self-hit in the fused list would grade 2 in
+    // DCG while the IDCG panel excludes it, skewing cross-arm ndcg
+    // (ADVICE r14)
+    val lex = bm25TopK(documents, Seq("q" -> lexTerms), n,
+        excludeDocId = Some(queryVecId))
       .select(col("doc_id"), col("rank").as("lex_rank"))
     val q = broadcast(embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding")))
@@ -412,7 +426,7 @@ object Search {
        |    SELECT doc_id,
        |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
        |    FROM prof, stats
-       |    WHERE $nonZero > 0)
+       |    WHERE $nonZero > 0 AND doc_id != 0)
        |  WHERE rank <= 100),
        |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |rvs AS (SELECT e.vec_id, ${Similarity.cosSql("e.embedding", "rq.qe")} AS cosr
@@ -543,7 +557,7 @@ object Search {
          |    SELECT doc_id,
          |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
          |    FROM prof, stats
-         |    WHERE tf_hash + tf_join > 0)
+         |    WHERE tf_hash + tf_join > 0 AND doc_id != 0)
          |  WHERE rank <= 100),
          |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |vs AS (SELECT e.vec_id,

@@ -97,8 +97,8 @@ object TextAnalysis {
   def langIdScript(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), profile.as("p"),
-        regexp_count(col("text"), lit(raw"[\x{4e00}-\x{9fff}]")).cast("long").as("n_han"),
-        regexp_count(col("text"), lit(raw"[\x{3040}-\x{30ff}]")).cast("long").as("n_kana"),
+        regexp_count(col("text"), lit(raw"[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]")).cast("long").as("n_han"),
+        regexp_count(col("text"), lit(raw"[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{ff66}-\x{ff9d}]")).cast("long").as("n_kana"),
         regexp_count(col("text"), lit(raw"[\x{ac00}-\x{d7af}]")).cast("long").as("n_hangul"))
       .select(Seq(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul")) ++
         langOrder.zipWithIndex.map { case (l, i) =>
@@ -1739,8 +1739,12 @@ object TextAnalysis {
     }.mkString("\n       ") + "\n       ELSE 'unknown' END"
 
   /** The CJK codepoint classes of `TextKernels.segmentCjk`, as an RE2
-    * character class (DuckDB `\x{…}` syntax). */
-  private val cjkClassSql = raw"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]"
+    * character class (DuckDB `\x{…}` syntax). MUST stay in lockstep
+    * with `GraftFunctions.isCjk` (r15: + Ext-A, katakana phonetic
+    * extensions, halfwidth katakana; supplementary-plane ideographs
+    * stay excluded on both sides — see isCjk's scaladoc). */
+  private val cjkClassSql =
+    raw"[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}\x{ff66}-\x{ff9d}]"
 
   /** DuckDB mirror of the FULL tokenize kernel including the r14 CJK
     * segmentation pre-pass (space each CJK letter, collapse, trim,
@@ -2324,8 +2328,8 @@ object TextAnalysis {
       (s"""$cjkToksCte,
          |h AS (SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '""".stripMargin +
-        raw"[\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_han," + "\n" +
-        raw"  CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30ff}]')) AS BIGINT) AS n_kana," + "\n" +
+        raw"[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_han," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{ff66}-\x{ff9d}]')) AS BIGINT) AS n_kana," + "\n" +
         raw"  CAST(len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) AS BIGINT) AS n_hangul," + "\n" +
         s"""  $langHitsSql
          |FROM toks),

@@ -82,10 +82,14 @@ object Maintenance {
     if (seen(spark, logTable, tickId)) return logged
     val rows = Seq.newBuilder[Row]
     wal.foreach { j =>
-      if (spark.catalog.tableExists(j.table)) {
-        val (b, a) = j.compact(spark)
-        rows += Row(tickId, "wal_compact", j.table, b, a, b != a)
-      } else rows += Row(tickId, "wal_compact", j.table, 0L, 0L, false)
+      // no existence guard (r15): Wal.compactPartials' own crash
+      // recovery exists precisely for the state where a mid-swap crash
+      // left only the <table>__wal_fold side copy and the main table
+      // missing — gating on tableExists(j.table) would skip that
+      // recovery forever. compactPartials is a safe (0, 0) no-op on a
+      // fully absent table.
+      val (b, a) = j.compact(spark)
+      rows += Row(tickId, "wal_compact", j.table, b, a, b != a)
     }
     store.foreach { j =>
       if (spark.catalog.tableExists(j.table)) {

@@ -97,9 +97,14 @@ object MixStream {
     // post-upgrade ingest — the n_tokens sum below must not throw on a
     // missing column (legacy rows read NULL, keeping the
     // [[waterfillPlan]] refusal armed exactly as on the ingest path)
-    if (spark.catalog.tableExists(partialsTable) &&
-        !spark.table(partialsTable).columns.contains("n_tokens"))
-      spark.sql(s"ALTER TABLE $partialsTable ADD COLUMNS (n_tokens BIGINT)")
+    // the fold's crash-recovery side copy can be the ONLY copy (and the
+    // tick now calls compact on a missing main table, r15) — a legacy
+    // side copy must be upgraded too or the recovered table re-throws
+    Seq(partialsTable, partialsTable + "__wal_fold").foreach { t =>
+      if (spark.catalog.tableExists(t) &&
+          !spark.table(t).columns.contains("n_tokens"))
+        spark.sql(s"ALTER TABLE $t ADD COLUMNS (n_tokens BIGINT)")
+    }
     Wal.compactPartials(spark, partialsTable,
       keyCols = Seq("source"), sumCols = Seq("n_docs", "n_kept", "n_tokens"))
   }

@@ -61,27 +61,74 @@ import org.apache.spark.sql.functions._
   * batch — ≤ #batches rows, model-scale): [[seen]] consults it, the
   * watermark treats its ids as present, and compaction prunes ledger
   * ids once the watermark covers them. The ledger needs no
-  * crash-durability ceremony of its own: an empty batch's replay
-  * appends no data regardless, so a lost ledger row can at worst
-  * delay the watermark until the id is re-recorded.
+  * crash-durability ceremony at RECORD time (an empty batch's replay
+  * appends no data regardless), but its PRUNE does (r15): a
+  * partially-kept ledger is rewritten via the same side-copy-then-swap
+  * as the partials fold (kept ids + a watermark tombstone `−(covered+1)`
+  * land in `<ledger>__side` first), because a committed streaming batch
+  * is never re-delivered — a kept id lost to a crash mid-rewrite would
+  * never be re-recorded and the watermark would stall permanently. A
+  * FULLY covered ledger is dropped outright (atomic; every dropped id
+  * lives on under the main table's stored watermark).
   */
 object Wal {
 
   private def ledgerTable(table: String): String = table + "__wal_ids"
+  private def ledgerSide(table: String): String = ledgerTable(table) + "__side"
+
+  /** Highest watermark encoded in a set of ledger/partials ids
+    * (negative rows encode "ids ≤ −v−1 covered"); −1 when none. */
+  private def wmOf(ids: Iterable[Long]): Long =
+    ids.filter(_ < 0L).map(v => -v - 1L).foldLeft(-1L)(math.max)
+
+  /** Finish a crashed ledger prune (r15 — the prune is a side-copy-
+    * then-swap exactly like the partials fold; see [[compactPartials]]'
+    * pruneLedger): a leftover `<ledger>__side` is the durable pruned
+    * copy. Restore the ledger FROM it, preserving any ids a resumed
+    * writer appended to a re-created ledger in the crash window (an id
+    * survives iff it is above the side copy's watermark tombstone and
+    * not among its kept ids — the partials-recovery rule). */
+  private def recoverLedger(spark: SparkSession, table: String): Unit = {
+    val ledger = ledgerTable(table)
+    val side = ledgerSide(table)
+    if (spark.catalog.tableExists(side)) {
+      val s = spark.table(side)
+      val recovered =
+        if (!spark.catalog.tableExists(ledger)) s
+        else {
+          val sideIds = s.select(col("batch_id")).distinct()
+            .collect().map(_.getLong(0))
+          val sideWm = wmOf(sideIds)
+          val sidePos = sideIds.filter(_ >= 0L)
+          s.unionByName(spark.table(ledger)
+            .filter(col("batch_id") > sideWm &&
+              !col("batch_id").isInCollection(sidePos)))
+        }
+      val mat = graft.ops.DupClusters.materialize(recovered)
+      mat.write.mode("overwrite").saveAsTable(ledger)
+      graft.ops.DupClusters.release(mat)
+      spark.sql(s"DROP TABLE $side")
+    }
+  }
 
   /** Has `batchId` already been folded into `table` — as live partial
     * rows under its own id, inside a compaction watermark covering it,
     * or recorded in the empty-batch ledger? (False when neither table
     * exists yet.) */
-  def seen(spark: SparkSession, table: String, batchId: Long): Boolean =
-    (spark.catalog.tableExists(table) &&
-      !spark.table(table)
-        .filter(col("batch_id") === batchId ||
-          col("batch_id") <= lit(-(batchId + 1L)))
-        .limit(1).isEmpty) ||
-      (spark.catalog.tableExists(ledgerTable(table)) &&
-        !spark.table(ledgerTable(table))
-          .filter(col("batch_id") === batchId).limit(1).isEmpty)
+  def seen(spark: SparkSession, table: String, batchId: Long): Boolean = {
+    // a ledger id may transiently live only in the prune side copy (a
+    // crash between the side write and the swap) — consult both, read-
+    // only; the next compaction finishes the swap. The ledger also
+    // carries watermark tombstones (r15 prune), covered like the main
+    // table's.
+    def hit(t: String): Boolean =
+      spark.catalog.tableExists(t) &&
+        !spark.table(t)
+          .filter(col("batch_id") === batchId ||
+            col("batch_id") <= lit(-(batchId + 1L)))
+          .limit(1).isEmpty
+    hit(table) || hit(ledgerTable(table)) || hit(ledgerSide(table))
+  }
 
   /** Record `batchId` as delivered-but-empty so the compaction
     * watermark can advance over it (idempotent under crash replay —
@@ -167,6 +214,9 @@ object Wal {
       graft.ops.DupClusters.release(mat)
       spark.sql(s"DROP TABLE $side")
     }
+    // ledger prune crash recovery (same rule as the partials fold —
+    // the side copy is the durable pruned state; finish the swap)
+    recoverLedger(spark, table)
     if (!spark.catalog.tableExists(table)) return (0L, 0L)
     val ledger = ledgerTable(table)
     val t = spark.table(table)
@@ -174,11 +224,12 @@ object Wal {
     val before = t.count()
     // distinct ids reach the driver: ≤ #batches + 1 rows, model-scale
     val ids = t.select(col("batch_id")).distinct().collect().map(_.getLong(0))
-    val ledgerIds: Set[Long] =
+    val allLedgerIds: Set[Long] =
       if (spark.catalog.tableExists(ledger))
         spark.table(ledger).select(col("batch_id")).distinct()
           .collect().map(_.getLong(0)).toSet
       else Set.empty
+    val ledgerIds = allLedgerIds.filter(_ >= 0L) // tombstones are not ids
     val prevWm = ids.filter(_ < 0L).sorted.headOption.map(v => -v - 1L).getOrElse(-1L)
     val dataIds = ids.filter(_ >= 0L).toSet
     val pos = dataIds ++ ledgerIds // empty batches count as present
@@ -188,13 +239,25 @@ object Wal {
     // subsumes them for [[seen]]. Only ids ≤ the watermark actually
     // landed in the table are safe to drop (the collected ids are
     // driver-local, so the rewrite never reads the table it replaces).
+    // DURABLY (r15): the kept set + a watermark tombstone −(covered+1)
+    // go to a side table first, the ledger is overwritten FROM the side
+    // copy, the side dropped last — a crash in any window leaves at
+    // least one complete copy (the r14 plain overwrite could lose a
+    // kept id above the watermark, permanently stalling compaction: a
+    // committed streaming batch is never re-delivered to re-record it).
     def pruneLedger(covered: Long): Unit =
       if (ledgerIds.exists(_ <= covered)) {
         val keep = ledgerIds.filter(_ > covered).toSeq.sorted
+        // fully covered: DROP is atomic, and every dropped id lives on
+        // under the main table's stored watermark for [[seen]]
         if (keep.isEmpty) spark.sql(s"DROP TABLE $ledger")
         else {
           import spark.implicits._
-          keep.toDF("batch_id").write.mode("overwrite").saveAsTable(ledger)
+          val side = ledgerSide(table)
+          (keep :+ -(covered + 1L)).toDF("batch_id")
+            .write.mode("overwrite").saveAsTable(side)
+          spark.table(side).write.mode("overwrite").saveAsTable(ledger)
+          spark.sql(s"DROP TABLE $side")
         }
       }
     // the fold changes the row-set only when un-folded DATA rows sit in

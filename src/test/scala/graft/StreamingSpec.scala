@@ -1781,4 +1781,89 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("t_cg_w__wal_fold"), "the side copy must be dropped")
     dropGateTables("t_cg_w", "t_cg_w__wal_fold")
   }
+
+  test("WAL ledger prune is crash-durable: kept ids survive a mid-rewrite crash, seen() sees through the window, post-crash ids preserved") {
+    import graft.ops.DomainGraph
+    import graft.streaming.{RankStream, Wal}
+    val ts = Seq("t_lp_w", "t_lp_w__wal_fold", "t_lp_w__wal_ids", "t_lp_w__wal_ids__side")
+    dropGateTables(ts: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = DomainGraph.syntheticEdges(docs)
+    val none = full.filter(lit(false))
+    // ids 0(data) 1(empty) 2(data) land; 4(empty) sits beyond the gap
+    // at 3 — the fold covers 0..2, so the prune must KEEP ledger id 4
+    RankStream.ingestBatch(full, 0L, "t_lp_w", buckets = 4)
+    RankStream.ingestBatch(none, 1L, "t_lp_w", buckets = 4)
+    RankStream.ingestBatch(full, 2L, "t_lp_w", buckets = 4)
+    RankStream.ingestBatch(none, 4L, "t_lp_w", buckets = 4)
+    RankStream.compact(spark, "t_lp_w")
+    val ledger0 = spark.table("t_lp_w__wal_ids").collect().map(_.getLong(0)).toSet
+    assert(ledger0 == Set(4L, -3L),
+      s"partial prune = kept id + watermark tombstone, got $ledger0")
+    assert(Wal.seen(spark, "t_lp_w", 1L) && Wal.seen(spark, "t_lp_w", 4L)
+      && !Wal.seen(spark, "t_lp_w", 3L))
+    // crash mid-prune: the durable side copy exists, the ledger itself
+    // was lost, and a resumed writer recorded a NEW empty id 5 in a
+    // re-created ledger before any compaction ran
+    val snap = graft.ops.DupClusters.materialize(spark.table("t_lp_w__wal_ids"))
+    snap.write.saveAsTable("t_lp_w__wal_ids__side")
+    graft.ops.DupClusters.release(snap)
+    spark.sql("DROP TABLE t_lp_w__wal_ids")
+    assert(Wal.seen(spark, "t_lp_w", 4L),
+      "seen must see the kept id through the crash window (side copy)")
+    Wal.markEmpty(spark, "t_lp_w", 5L)
+    // recovery on the next compact: side ∪ post-crash id, side dropped
+    RankStream.compact(spark, "t_lp_w")
+    assert(!spark.catalog.tableExists("t_lp_w__wal_ids__side"))
+    val rec = spark.table("t_lp_w__wal_ids").collect().map(_.getLong(0)).toSet
+    assert(rec.filter(_ >= 0L) == Set(4L, 5L),
+      s"recovery must keep the kept id AND the post-crash id, got $rec")
+    assert(Seq(1L, 4L, 5L).forall(Wal.seen(spark, "t_lp_w", _))
+      && !Wal.seen(spark, "t_lp_w", 3L))
+    // the gap fills: the fold advances over everything, the fully
+    // covered ledger is dropped, and the merged weights are exact
+    RankStream.ingestBatch(full, 3L, "t_lp_w", buckets = 4)
+    RankStream.compact(spark, "t_lp_w")
+    assert((0L to 5L).forall(Wal.seen(spark, "t_lp_w", _)))
+    assert(!spark.catalog.tableExists("t_lp_w__wal_ids"),
+      "a fully covered ledger is dropped (covered ids live under the main watermark)")
+    val expect3 = full.unionByName(full).unionByName(full)
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    assert(show(RankStream.weights(spark, "t_lp_w")) == show(expect3))
+    dropGateTables(ts: _*)
+  }
+
+  test("maintenance tick runs WAL recovery on a MISSING main table (crash left only the fold side copy)") {
+    import graft.ops.DomainGraph
+    import graft.streaming.{Maintenance, RankStream}
+    val ts = Seq("t_mm_w", "t_mm_w__wal_fold", "t_mm_log")
+    dropGateTables(ts: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val full = DomainGraph.syntheticEdges(docs)
+    RankStream.ingestBatch(full, 0L, "t_mm_w", buckets = 4)
+    RankStream.compact(spark, "t_mm_w")
+    val merged0 = show(RankStream.weights(spark, "t_mm_w"))
+    // crash state: the overwrite-saveAsTable swap dropped the main
+    // table and died before recreating it — only the side copy remains
+    val snap = graft.ops.DupClusters.materialize(spark.table("t_mm_w"))
+    snap.write.bucketBy(4, "src").saveAsTable("t_mm_w__wal_fold")
+    graft.ops.DupClusters.release(snap)
+    spark.sql("DROP TABLE t_mm_w")
+    // pre-r15 the tick's tableExists guard skipped this job forever
+    val log = Maintenance.tick(spark, 0L,
+      wal = Seq(Maintenance.WalJob("t_mm_w", s => RankStream.compact(s, "t_mm_w"))),
+      logTable = "t_mm_log").collect()
+    assert(log.exists(r => r.getAs[String]("action") == "wal_compact"
+      && r.getAs[String]("target") == "t_mm_w"))
+    assert(spark.catalog.tableExists("t_mm_w"),
+      "the tick must reach compactPartials' recovery for a missing main table")
+    assert(!spark.catalog.tableExists("t_mm_w__wal_fold"))
+    assert(show(RankStream.weights(spark, "t_mm_w")) == merged0,
+      "the recovered table serves the pre-crash merged weights")
+    dropGateTables(ts: _*)
+  }
 }

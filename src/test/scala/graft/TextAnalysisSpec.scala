@@ -42,13 +42,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(toks("ひらがなとカタカナ") ==
       Seq("ひ", "ら", "が", "な", "と", "カ", "タ", "カ", "ナ"))
     assert(toks("한국어 text") == Seq("한", "국", "어", "text"))
+    // r15 widened classes: Extension-A ideographs, katakana phonetic
+    // extensions, halfwidth katakana segment like their base blocks
+    assert(toks("㐀㑊") == Seq("㐀", "㑊"), "Ext-A ideographs must segment")
+    assert(toks("ｱｲｳ") == Seq("ｱ", "ｲ", "ｳ"), "halfwidth katakana must segment")
+    assert(toks("ㇰㇱ") == Seq("ㇰ", "ㇱ"), "katakana phonetic extensions must segment")
     // identity on CJK-free text — the exact pre-r14 tokenization
     assert(toks("The  Cat\tSat ") == Seq("the", "cat", "sat"))
     // the elision contract: every legacy mirror that tokenizes without
     // the segmentation pre-pass is exact on this data ONLY because no
-    // CJK codepoint occurs in it — assert that precondition
+    // CJK codepoint occurs in it — assert that precondition (the r15
+    // widened class, so a future testdata drift into the new ranges
+    // trips it too)
     assert(docs.filter(col("text")
-      .rlike(raw"[\x{3040}-\x{30ff}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]"))
+      .rlike(raw"[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}\x{ff66}-\x{ff9d}]"))
       .count() == 0L,
       "testdata grew CJK text — the pre-r14 oracle mirrors' elision of " +
         "the segmentation pre-pass is no longer sound; add it there")

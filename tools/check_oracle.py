@@ -114,6 +114,24 @@ for name, spec in sorted(specs.items()):
               f"{max_rel*100:.2f}% <= tol {spec['tol']*100:.0f}%)")
     except Exception as e:
         fails.append(name); print(f"FAIL {name}: spec-bound check: {str(e)[:300]}")
+# Cross-check the ENGINE-side bound verdict (Verify writes
+# spec_bounds_result.json from its own join of the dumped rows against
+# the exact twin): the spec keys are machine-verified twice, by two
+# independent evaluations (DuckDB exact_sql here, Spark exact-twin
+# there), and a disagreement is a FAIL — one evaluator being wrong is
+# exactly what the redundancy exists to surface.
+try:
+    engine_bounds = json.load(open(f"{outdir}/spec_bounds_result.json"))
+except FileNotFoundError:
+    engine_bounds = {}
+for name in sorted(specs):
+    eb = engine_bounds.get(name)
+    if eb is None:
+        fails.append(name); print(f"FAIL {name}: no engine-side spec_bound verdict"); continue
+    if not eb.get("pass"):
+        fails.append(name)
+        print(f"FAIL {name}: engine-side spec_bound pass=false "
+              f"(max_rel_err={eb.get('max_rel_err')}, tol={eb.get('tol')})")
 rows_only = sorted(set(all_keys) - set(oracle) - set(specs))
 for name in rows_only:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
@@ -121,7 +139,29 @@ for name in rows_only:
     status = "ROWS" if n > 0 else "FAIL"
     if n == 0: fails.append(name)
     print(f"{status} {name} ({n} rows, rows-only)")
+# Merged per-key machine verdict (the 225/225 artifact): every key gets
+# hash-oracle fields, and the spec keys carry their spec_bound —
+# max_rel_err/tol/pass from BOTH evaluators — so no key's correctness
+# lives only in narrative.
+merged = {}
+for name in all_keys:
+    row = {"verdict": ("fail" if name in fails else
+                       "hash" if name in oracle else
+                       "spec" if name in specs else "rows_only")}
+    eb = engine_bounds.get(name)
+    if name in specs:
+        row["spec_bound"] = {
+            "tol": specs[name]["tol"],
+            "engine": ({"pass": bool(eb.get("pass")),
+                        "max_rel_err": eb.get("max_rel_err")} if eb else None),
+            "duckdb_pass": name in spec_ok}
+    merged[name] = row
+with open(f"{outdir}/correctness_local.json", "w") as f:
+    json.dump(merged, f, indent=1, sort_keys=True)
+machine = len(all_keys) - len(set(fails)) - len(rows_only)
 print(f"\n{len(oracle)-len([f for f in fails if f in oracle])}/{len(oracle)} "
       f"oracle-matched; {len(spec_ok)}/{len(specs)} spec-bounded; "
-      f"{len(all_keys)} keys total, {len(rows_only)} rows-only; fails: {fails}")
+      f"{len(all_keys)} keys total, {len(rows_only)} rows-only; fails: {sorted(set(fails))}")
+print(f"machine-verified: {machine}/{len(all_keys)} "
+      f"(hash + double-evaluated spec bounds; per-key verdicts in correctness_local.json)")
 sys.exit(1 if fails else 0)
