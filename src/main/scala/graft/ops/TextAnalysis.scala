@@ -45,12 +45,22 @@ object TextAnalysis {
     // same argmax + tie-order rule separates them.
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人"),
     "ja" -> Seq("の", "に", "は", "を", "が", "で", "て", "た"),
-    "ko" -> Seq("이", "가", "은", "는", "을", "를", "의", "에"))
+    "ko" -> Seq("이", "가", "은", "는", "을", "를", "의", "에"),
+    // r15: the next corpus fraction past CJK — Cyrillic, Arabic,
+    // Devanagari (space-SEPARATED scripts, so the standard tokenizer
+    // applies; no segmentation fallback needed). Again the public
+    // frequency-list heads of each language's closed class; zero
+    // overlap with the Latin/CJK lists (disjoint scripts), so the
+    // argmax + tie-order rule is unambiguous on clean text.
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "لا"),
+    "hi" -> Seq("के", "का", "की", "है", "में", "से", "और", "को"))
 
   /** Fixed language order: profile index i+1 = hits for langOrder(i);
     * also the langId tie order (earlier wins). */
   val langOrder: Seq[String] =
-    Seq("en", "de", "fr", "es", "it", "pt", "nl", "zh", "ja", "ko")
+    Seq("en", "de", "fr", "es", "it", "pt", "nl", "zh", "ja", "ko",
+      "ru", "ar", "hi")
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
@@ -93,14 +103,26 @@ object TextAnalysis {
     * right when a CJK document happens to contain NONE of the seeded
     * function characters (short titles, names, numeric tables) — the
     * stopword heuristic reads all-zero there and would say 'unknown'.
-    * One projection, zero shuffles, all codegen. */
+    * One projection, zero shuffles, all codegen.
+    *
+    * r15: three more script classes with the same short-title rationale
+    * — Cyrillic → ru, Arabic → ar, Devanagari → hi (the script→language
+    * reads are the same corpus-dominant-language approximation as
+    * Han → zh: a Bulgarian or Urdu corpus re-points them). The CJK
+    * rules fire first (fixed order); basic blocks only (Cyrillic
+    * Supplement, Arabic presentation forms, Vedic extensions excluded —
+    * documented scope, both engines in lockstep). */
   def langIdScript(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), profile.as("p"),
         regexp_count(col("text"), lit(raw"[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]")).cast("long").as("n_han"),
         regexp_count(col("text"), lit(raw"[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{ff66}-\x{ff9d}]")).cast("long").as("n_kana"),
-        regexp_count(col("text"), lit(raw"[\x{ac00}-\x{d7af}]")).cast("long").as("n_hangul"))
-      .select(Seq(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul")) ++
+        regexp_count(col("text"), lit(raw"[\x{ac00}-\x{d7af}]")).cast("long").as("n_hangul"),
+        regexp_count(col("text"), lit(raw"[\x{0400}-\x{04ff}]")).cast("long").as("n_cyrillic"),
+        regexp_count(col("text"), lit(raw"[\x{0600}-\x{06ff}]")).cast("long").as("n_arabic"),
+        regexp_count(col("text"), lit(raw"[\x{0900}-\x{097f}]")).cast("long").as("n_devanagari"))
+      .select(Seq(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul"),
+        col("n_cyrillic"), col("n_arabic"), col("n_devanagari")) ++
         langOrder.zipWithIndex.map { case (l, i) =>
           col("p").getItem(i + 1).as(s"${l}_hits")
         }: _*)
@@ -108,8 +130,12 @@ object TextAnalysis {
         when(col("n_kana") > 0, "ja")
           .when(col("n_hangul") > 0, "ko")
           .when(col("n_han") > 0, "zh")
+          .when(col("n_cyrillic") > 0, "ru")
+          .when(col("n_arabic") > 0, "ar")
+          .when(col("n_devanagari") > 0, "hi")
           .otherwise(langPredCol))
       .select(col("doc_id"), col("n_han"), col("n_kana"), col("n_hangul"),
+        col("n_cyrillic"), col("n_arabic"), col("n_devanagari"),
         col("lang_pred"))
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, upper
@@ -1630,7 +1656,18 @@ object TextAnalysis {
     (9000004L, "zh", "cjk", "北京大学 物理系 量子力学 研究中心"),
     // English control: segmentation must not disturb Latin text
     (9000005L, "en", "cjk",
-      "the cat sat on the mat and the dog is in the house"))
+      "the cat sat on the mat and the dog is in the house"),
+    // r15: the next scripts — ru/ar/hi function-word texts (the lists'
+    // words ARE the planted hits) plus a Cyrillic title with NONE of
+    // the seeded ru function words (the 9000004 counterexample shape,
+    // provable only by the script arm)
+    (9000006L, "ru", "multi",
+      "я не знаю что он сказал в москве и на работе с ними было хорошо"),
+    (9000007L, "ar", "multi",
+      "هذا الكتاب من أفضل ما قرأت في حياتي على الإطلاق أن أعود إلى البيت عن قريب لا شك"),
+    (9000008L, "hi", "multi",
+      "यह किताब मेरे दोस्त के लिए है और वह स्कूल में से घर को आता है उस का काम की बात"),
+    (9000009L, "ru", "multi", "москва университет физика квантовая механика"))
 
   /** documents ∪ the planted CJK slice — the *_cjk keys' input. */
   private[graft] def cjkUnion(s: SparkSession, dir: String): DataFrame = {
@@ -2331,15 +2368,23 @@ object TextAnalysis {
         raw"[\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}]')) AS BIGINT) AS n_han," + "\n" +
         raw"  CAST(len(regexp_extract_all(text, '[\x{3040}-\x{30ff}\x{31f0}-\x{31ff}\x{ff66}-\x{ff9d}]')) AS BIGINT) AS n_kana," + "\n" +
         raw"  CAST(len(regexp_extract_all(text, '[\x{ac00}-\x{d7af}]')) AS BIGINT) AS n_hangul," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) AS BIGINT) AS n_cyrillic," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) AS BIGINT) AS n_arabic," + "\n" +
+        raw"  CAST(len(regexp_extract_all(text, '[\x{0900}-\x{097f}]')) AS BIGINT) AS n_devanagari," + "\n" +
         s"""  $langHitsSql
          |FROM toks),
          |p AS (SELECT doc_id, n_han, n_kana, n_hangul,
+         |  n_cyrillic, n_arabic, n_devanagari,
          |  $langIdCaseSql AS sw_pred
          |FROM h)
          |SELECT doc_id, n_han, n_kana, n_hangul,
+         |  n_cyrillic, n_arabic, n_devanagari,
          |  CASE WHEN n_kana > 0 THEN 'ja'
          |       WHEN n_hangul > 0 THEN 'ko'
          |       WHEN n_han > 0 THEN 'zh'
+         |       WHEN n_cyrillic > 0 THEN 'ru'
+         |       WHEN n_arabic > 0 THEN 'ar'
+         |       WHEN n_devanagari > 0 THEN 'hi'
          |       ELSE sw_pred END AS lang_pred
          |FROM p""".stripMargin),
     // Mirror of qualityByLang: the generated hits/CASE fragments (the

@@ -94,6 +94,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(9000001L) > 0 && q(9000002L) > 0 && q(9000003L) > 0)
   }
 
+  test("ru/ar/hi (r15): stopword lists id planted documents; the script arms catch function-word-free Cyrillic; confusion matrix diagonal") {
+    val planted = TextAnalysis.cjkDocs.toDF("doc_id", "lang", "source", "text")
+    val byId = TextAnalysis.langId(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(byId(9000006L) == "ru" && byId(9000007L) == "ar" && byId(9000008L) == "hi")
+    // the Cyrillic title carries none of the seeded ru function words —
+    // blind spot for the argmax, caught by the script arm
+    assert(byId(9000009L) == "unknown")
+    val scripted = TextAnalysis.langIdScript(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(scripted(9000009L) == "ru")
+    assert(scripted(9000006L) == "ru" && scripted(9000007L) == "ar"
+      && scripted(9000008L) == "hi")
+    // confusion matrix over the union corpus: ru/ar/hi diagonal mass
+    // (plus the declared-ru Cyrillic title the stopword arm reads as
+    // unknown — the documented blind spot)
+    val conf = TextAnalysis.langConfusion(
+      TextAnalysis.cjkUnion(spark, TestSpark.sf0001))
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[String]("lang_pred")) -> r.getAs[Long]("n")).toMap
+    assert(conf(("ru", "ru")) == 1L && conf(("ar", "ar")) == 1L
+      && conf(("hi", "hi")) == 1L && conf(("ru", "unknown")) >= 1L)
+    // lang-aware quality: each planted doc has real function-word mass
+    // in its OWN language (the en-centric rule reads 0 on all three)
+    val q = TextAnalysis.qualityByLang(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_stop_lang")).toMap
+    assert(q(9000006L) > 0 && q(9000007L) > 0 && q(9000008L) > 0)
+  }
+
   test("langId: the r13 lists identify Italian, Portuguese and Dutch") {
     val df = Seq(
       (1L, "il gatto e il cane che vive per la casa di roma non dorme"),
