@@ -770,7 +770,7 @@ object Sampling {
     * (doc_id, source, bucket) row per bigram instance; docs with < 2
     * tokens produce NO rows (no bigram signal — absent from every
     * weight/selection result by construction). */
-  private def dsirFeats(documents: DataFrame): DataFrame =
+  private[ops] def dsirFeats(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"),
         split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
@@ -781,8 +781,8 @@ object Sampling {
         substring(md5(concat(col("w1"), lit(" "),
           element_at(col("a"), col("i0") + 2))), 1, 2).as("b"))
 
-  private def dsirModelFromFeats(feats: DataFrame, targetSource: String,
-                                 buckets: Int): DataFrame = {
+  private[ops] def dsirModelFromFeats(feats: DataFrame, targetSource: String,
+                                      buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = feats.groupBy(col("b")).agg(
       sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
@@ -797,7 +797,7 @@ object Sampling {
           .cast("decimal(28,10)").as("lw"))
   }
 
-  private def dsirScoreFeats(feats: DataFrame, model: DataFrame): DataFrame =
+  private[ops] def dsirScoreFeats(feats: DataFrame, model: DataFrame): DataFrame =
     feats
       .join(broadcast(model), Seq("b"))
       .groupBy(col("doc_id"), col("source"))
@@ -941,25 +941,48 @@ object Sampling {
     * (weights are ROUND(,4), so Σ(w·10⁴) is an exact long). */
   def dsirCurve(documents: DataFrame,
                 fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
-                targetSource: String = "src19", accuracy: Int = 10000): DataFrame = {
-    // one weights computation shared by the sketch and the sweep (the
-    // dsirThreshold materialization — without it the full dsirFeats
+                targetSource: String = "src19", accuracy: Int = 10000): DataFrame =
+    budgetCurveOverWeights(dsirWeights(documents, targetSource),
+      "dsir_weight", fractions, accuracy, "mean_weight")
+
+  /** The budget-fraction sweep shared by [[dsirCurve]] and
+    * `TextAnalysis.qualityModelCurve` (r15) — generic over which
+    * ROUND(,4) per-doc score it thresholds: one materialized scores
+    * frame read by both consumers (the sketch aggregate and the sweep
+    * scan), every candidate τ from a single GK sketch pass, one
+    * conditional-sum triple per fraction unpivoted by stack.
+    *
+    * An all-degenerate corpus (no scored rows) would leave the global
+    * agg's one row with n_docs = 0 and stack would unpivot it into
+    * |fractions| null rows while the mirror's empty τ CTEs yield zero —
+    * the n_docs > 0 filter makes both engines agree on emptiness.
+    *
+    * mean = (Σ round(score·10⁴))/k rounded half-AWAY to 6 decimals in
+    * EXACT integers (the weeklyFromDaily idiom — ROUND(dbl, 6) on a
+    * sum/count quotient is the documented cross-engine …5-tie hazard):
+    * sign(W)·((200·|W| + k) DIV (2k)) over non-negative DIV operands
+    * only, both engines identical. */
+  private[ops] def budgetCurveOverWeights(scores: DataFrame, weightCol: String,
+                                          fractions: Seq[Double], accuracy: Int,
+                                          meanAlias: String): DataFrame = {
+    // one scores computation shared by the sketch and the sweep (the
+    // dsirThreshold materialization — without it the full feature
     // subtree executes under both consumers)
-    val w = DupClusters.materialize(dsirWeights(documents, targetSource))
+    val w = DupClusters.materialize(scores)
     val taus = broadcast(w.agg(
-      percentile_approx(col("dsir_weight"),
+      percentile_approx(col(weightCol),
         array(fractions.map(f => lit(1.0 - f)): _*), lit(accuracy)).as("taus")))
-    // dsir_weight is ROUND(,4) by contract, so w·10⁴ is an exact
+    // the score is ROUND(,4) by contract, so score·10⁴ is an exact
     // integer — summing THOSE keeps the whole mean computation in
     // exact longs (|Σ| fits a long for any feasible corpus)
-    val wUnits = expr("CAST(round(dsir_weight * 10000) AS BIGINT)")
+    val wUnits = expr(s"CAST(round($weightCol * 10000) AS BIGINT)")
     val aggs = count(lit(1)).as("n_docs") +:
       fractions.indices.flatMap { i =>
         val tau = element_at(col("taus"), i + 1)
         Seq(
           max(tau).as(s"tau$i"),
-          sum(when(col("dsir_weight") >= tau, 1L).otherwise(0L)).as(s"k$i"),
-          sum(when(col("dsir_weight") >= tau, wUnits)).as(s"s$i"))
+          sum(when(col(weightCol) >= tau, 1L).otherwise(0L)).as(s"k$i"),
+          sum(when(col(weightCol) >= tau, wUnits)).as(s"s$i"))
       }
     val flags = w.crossJoin(taus).agg(aggs.head, aggs.tail: _*)
     val stackArgs = fractions.zipWithIndex.map { case (f, i) =>
@@ -967,18 +990,7 @@ object Sampling {
     flags
       .selectExpr("n_docs",
         s"stack(${fractions.size}, $stackArgs) AS (budget_frac, tau, n_selected, wsum)")
-      // An all-degenerate corpus (every doc targetSource or < 2 tokens)
-      // leaves w EMPTY: the global agg still emits its one row (n_docs
-      // = 0, null sums) and stack would unpivot it into |fractions|
-      // null rows while the DuckDB mirror's empty t_i CTEs yield zero —
-      // drop the degenerate row so both engines agree on emptiness.
       .filter(col("n_docs") > 0L)
-      // mean = (wsum·10⁻⁴)/k rounded half-AWAY to 6 decimals in EXACT
-      // integers (the weeklyFromDaily idiom — ROUND(dbl, 6) on a
-      // sum/count quotient is the documented cross-engine …5-tie
-      // hazard): with W = Σ round(w·10⁴) the mean in 1e-6 units is
-      // sign(W)·((200·|W| + k) DIV (2k)) — non-negative DIV operands
-      // only, both engines identical.
       .select(col("budget_frac"),
         (col("tau") + lit(0.0)).as("tau"),
         col("n_selected"), col("n_docs"),
@@ -989,7 +1001,7 @@ object Sampling {
           expr("CAST(CASE WHEN wsum < 0 THEN -1 ELSE 1 END AS DOUBLE)") *
             expr("CAST((200 * abs(wsum) + n_selected) DIV (2 * n_selected) AS DOUBLE)")
             / lit(1000000.0)) + lit(0.0))
-          .as("mean_weight"))
+          .as(meanAlias))
   }
 
   /** Deterministic corpus shuffle — the training-order step: every doc
@@ -1153,6 +1165,73 @@ object Sampling {
     "d_shard_assign" -> ((s, d) => shardAssign(Tables(s, d).documents)),
     "d_mix_report" -> ((s, d) => mixReport(Tables(s, d).documents, MixRates, MixDefault)))
 
+  /** Add-1 smoothed hashed-bigram multinomial log-odds chain in DuckDB
+    * SQL — every probability is a ratio of integers (bucket key = 2 hex
+    * chars of md5, a string, nothing to diverge on), ln terms
+    * DECIMAL(28,10), one final double division, ROUND(,4)+0.0. Shared
+    * by the DSIR mirrors (target = the eval source, corpus scored
+    * without it) and the quality-model mirrors (target = the declared
+    * high-quality source, EVERYTHING scored — `excludeTarget` is the
+    * only difference between the two families; r15). Emits
+    * `(doc_id, source, n_feats, $weightAlias)`. */
+  private[ops] def nbLogOddsSql(targetSource: String, excludeTarget: Boolean,
+                                weightAlias: String): String =
+    raw"""WITH d AS (SELECT doc_id, source,
+        |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, a, unnest(generate_series(1, length(a) - 1)) AS i
+        |  FROM d WHERE length(a) >= 2),
+        |f AS (SELECT doc_id, source,
+        |    substring(md5(concat(a[i], ' ', a[i + 1])), 1, 2) AS b
+        |  FROM p),
+        |counts AS (SELECT b,
+        |    SUM(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END) AS ct,
+        |    SUM(CASE WHEN source <> '$targetSource' THEN 1 ELSE 0 END) AS cc
+        |  FROM f GROUP BY 1),
+        |model AS (SELECT b,
+        |    CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(SUM(ct) OVER () + 256 AS DOUBLE))
+        |       - ln(CAST(cc + 1 AS DOUBLE) / CAST(SUM(cc) OVER () + 256 AS DOUBLE))
+        |      AS DECIMAL(28,10)) AS lw
+        |  FROM counts)
+        |SELECT f.doc_id, f.source, CAST(COUNT(*) AS BIGINT) AS n_feats,
+        |  ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) + 0.0 AS $weightAlias
+        |FROM f JOIN model USING (b)
+        |${if (excludeTarget) s"WHERE f.source <> '$targetSource'" else ""}
+        |GROUP BY 1, 2""".stripMargin
+
+  /** DuckDB mirror of [[budgetCurveOverWeights]]: the shared weights
+    * SQL once, one explicit rank-⌈(1−f)·n⌉ threshold CTE + one
+    * conditional aggregate per fraction (the d_dsir_threshold
+    * exact-rank contract, swept), unioned per fraction. */
+  private[ops] def budgetCurveSql(weightsSql: String, weightCol: String,
+                                  fractions: Seq[Double],
+                                  meanAlias: String): String =
+    s"""WITH w AS (SELECT doc_id, source, $weightCol FROM ($weightsSql)),
+       |r AS (SELECT $weightCol,
+       |    row_number() OVER (ORDER BY $weightCol ASC) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM w),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM w),
+       |${fractions.zipWithIndex.map { case (f, i) =>
+           s"""t$i AS (SELECT $weightCol AS tau FROM r
+              |  WHERE rn = CAST(ceil(${1.0 - f} * n) AS BIGINT)),
+              |s$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |    CAST(SUM(CAST(round($weightCol * 10000) AS BIGINT)) AS BIGINT) AS ws
+              |  FROM w, t$i WHERE w.$weightCol >= t$i.tau)""".stripMargin }
+           .mkString(",\n")}
+       |""".stripMargin +
+      fractions.zipWithIndex.map { case (f, i) =>
+        s"""SELECT CAST($f AS DOUBLE) AS budget_frac, t$i.tau + 0.0 AS tau,
+           |  s$i.k AS n_selected, nd.n_docs,
+           |  (CASE WHEN nd.n_docs = 0 THEN 0.0 ELSE
+           |    CAST((20000 * s$i.k + nd.n_docs) // (2 * nd.n_docs) AS DOUBLE) / 10000.0 END)
+           |    + 0.0 AS sel_frac,
+           |  (CASE WHEN s$i.k = 0 THEN 0.0 ELSE
+           |    CAST(CASE WHEN s$i.ws < 0 THEN -1 ELSE 1 END AS DOUBLE)
+           |      * CAST((200 * abs(s$i.ws) + s$i.k) // (2 * s$i.k) AS DOUBLE)
+           |      / 1000000.0 END) + 0.0 AS $meanAlias
+           |FROM t$i, s$i, nd""".stripMargin }.mkString("\nUNION ALL\n")
+
   val oracles: Map[String, String] = {
     val cases = MixRates.toSeq.sortBy(_._1)
       .map { case (src, r) => s"WHEN '$src' THEN '${thresholdHex(r)}'" }
@@ -1215,34 +1294,7 @@ object Sampling {
          |    weight, capacity_tokens,
          |    CAST(capacity_tokens AS DOUBLE) / weight AS level
          |  FROM r)""".stripMargin
-    // Add-1 smoothed hashed-bigram multinomial log-ratio: every
-    // probability is a ratio of integers (bucket key = 2 hex chars of
-    // md5 — a string, nothing to diverge on), ln terms DECIMAL(28,10),
-    // one final double division, ROUND(,4)+0.0. Shared by the weights
-    // key and the top-n selection key.
-    val dsirSql =
-      raw"""WITH d AS (SELECT doc_id, source,
-          |    string_split_regex(trim(COALESCE(text, '')), '\s+') AS a
-          |  FROM documents),
-          |p AS (SELECT doc_id, source, a, unnest(generate_series(1, length(a) - 1)) AS i
-          |  FROM d WHERE length(a) >= 2),
-          |f AS (SELECT doc_id, source,
-          |    substring(md5(concat(a[i], ' ', a[i + 1])), 1, 2) AS b
-          |  FROM p),
-          |counts AS (SELECT b,
-          |    SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS ct,
-          |    SUM(CASE WHEN source <> 'src19' THEN 1 ELSE 0 END) AS cc
-          |  FROM f GROUP BY 1),
-          |model AS (SELECT b,
-          |    CAST(ln(CAST(ct + 1 AS DOUBLE) / CAST(SUM(ct) OVER () + 256 AS DOUBLE))
-          |       - ln(CAST(cc + 1 AS DOUBLE) / CAST(SUM(cc) OVER () + 256 AS DOUBLE))
-          |      AS DECIMAL(28,10)) AS lw
-          |  FROM counts)
-          |SELECT f.doc_id, f.source, CAST(COUNT(*) AS BIGINT) AS n_feats,
-          |  ROUND(CAST(SUM(lw) AS DOUBLE) / COUNT(*), 4) + 0.0 AS dsir_weight
-          |FROM f JOIN model USING (b)
-          |WHERE f.source <> 'src19'
-          |GROUP BY 1, 2""".stripMargin
+    val dsirSql = nbLogOddsSql("src19", excludeTarget = true, "dsir_weight")
     Map(
       // Rate = ROUND(1/n_copies, 6) from the dup-class window count,
       // realized as the shared integer-hex md5 threshold (the
@@ -1281,38 +1333,10 @@ object Sampling {
            |  WHERE rn = CAST(ceil(0.8 * n) AS BIGINT))
            |SELECT w.doc_id, w.source, w.dsir_weight, t.tau + 0.0 AS tau
            |FROM w, t WHERE w.dsir_weight >= t.tau""".stripMargin,
-      // dsirCurve mirror: the shared weights SQL once, one explicit
-      // rank-⌈(1−f)·n⌉ threshold CTE + one conditional aggregate per
-      // fraction (the d_dsir_threshold exact-rank contract, swept),
-      // unioned per fraction.
-      "d_dsir_curve" -> {
-        val fractions = Seq(0.05, 0.1, 0.2, 0.5)
-        s"""WITH w AS (SELECT doc_id, source, dsir_weight FROM ($dsirSql)),
-           |r AS (SELECT dsir_weight,
-           |    row_number() OVER (ORDER BY dsir_weight ASC) AS rn,
-           |    COUNT(*) OVER () AS n
-           |  FROM w),
-           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM w),
-           |${fractions.zipWithIndex.map { case (f, i) =>
-               s"""t$i AS (SELECT dsir_weight AS tau FROM r
-                  |  WHERE rn = CAST(ceil(${1.0 - f} * n) AS BIGINT)),
-                  |s$i AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
-                  |    CAST(SUM(CAST(round(dsir_weight * 10000) AS BIGINT)) AS BIGINT) AS ws
-                  |  FROM w, t$i WHERE w.dsir_weight >= t$i.tau)""".stripMargin }
-               .mkString(",\n")}
-           |""".stripMargin +
-          fractions.zipWithIndex.map { case (f, i) =>
-            s"""SELECT CAST($f AS DOUBLE) AS budget_frac, t$i.tau + 0.0 AS tau,
-               |  s$i.k AS n_selected, nd.n_docs,
-               |  (CASE WHEN nd.n_docs = 0 THEN 0.0 ELSE
-               |    CAST((20000 * s$i.k + nd.n_docs) // (2 * nd.n_docs) AS DOUBLE) / 10000.0 END)
-               |    + 0.0 AS sel_frac,
-               |  (CASE WHEN s$i.k = 0 THEN 0.0 ELSE
-               |    CAST(CASE WHEN s$i.ws < 0 THEN -1 ELSE 1 END AS DOUBLE)
-               |      * CAST((200 * abs(s$i.ws) + s$i.k) // (2 * s$i.k) AS DOUBLE)
-               |      / 1000000.0 END) + 0.0 AS mean_weight
-               |FROM t$i, s$i, nd""".stripMargin }.mkString("\nUNION ALL\n")
-      },
+      // dsirCurve mirror via the shared generator ([[budgetCurveSql]]).
+      "d_dsir_curve" ->
+        budgetCurveSql(dsirSql, "dsir_weight", Seq(0.05, 0.1, 0.2, 0.5),
+          "mean_weight"),
       // The two split cuts are the same integer-hex thresholds the
       // sampling keys use (exact power-of-two scale — nothing float to
       // diverge on); the CASE mirrors splitAssign's default 90/5/5.

@@ -198,6 +198,78 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
         col("n_stop_lang"), col("stopword_ratio"), col("quality_bucket"))
 
+  /** MODEL-BASED quality scores (r15) — the CCNet/fastText-classifier
+    * slot between the heuristic rules ([[quality]]/[[gopherRules]]) and
+    * DSIR's target-likeness: a deterministic multinomial-NB log-odds
+    * scorer over hashed-bigram counts, target = a DECLARED high-quality
+    * source (`hqSource`, the "wiki side" of CCNet's LM contrast; src0
+    * is the testdata mixture's weight-8 source), contrast = everything
+    * else. Trained in-plan exactly like `Sampling.dsirWeights`' 256-row
+    * bucket model (integer counts, add-1 smoothing, DECIMAL(28,10) ln
+    * terms — the same private machinery, shared, so the two families
+    * cannot drift) and served scan-side by a broadcast model join.
+    * Unlike DSIR, EVERY document is scored — including the hq source
+    * itself (the classifier view needs the positives' scores for the
+    * tercile cut; DSIR's importance view excludes its target from
+    * selection by construction). Docs with < 2 tokens have no bigram
+    * signal and no row — the caller's policy decides them (the gate arm
+    * rejects). Per doc: (doc_id, source, n_feats, q_score). */
+  /** The trained quality classifier as a standalone artifact (r15) —
+    * the 256-row (bucket, log-odds) table the streaming gate's
+    * quality_model arm serves against corpora the model never saw
+    * (the `Sampling.dsirModel` artifact shape, different contrast:
+    * hq-vs-rest instead of target-vs-corpus). */
+  def qualityModelFit(documents: DataFrame, hqSource: String = "src0",
+                      buckets: Int = 256): DataFrame =
+    Sampling.dsirModelFromFeats(Sampling.dsirFeats(documents), hqSource, buckets)
+
+  def qualityModelScores(documents: DataFrame, hqSource: String = "src0",
+                         buckets: Int = 256): DataFrame = {
+    val feats = Sampling.dsirFeats(documents)
+    Sampling.dsirScoreFeats(feats,
+        Sampling.dsirModelFromFeats(feats, hqSource, buckets))
+      .withColumnRenamed("dsir_weight", "q_score")
+  }
+
+  /** [[qualityModelScores]] + CCNet's head/middle/tail TERCILE buckets
+    * (r15): the corpus-relative cut CCNet applies to its LM scores —
+    * τ₁/τ₂ from ONE quantile-sketch pass at q = 1/3, 2/3 (GK exact
+    * below `accuracy` observations, so the DuckDB mirror reproduces
+    * both cuts by explicit rank — the d_dsir_threshold contract), then
+    * a scan-side CASE: q_score ≥ τ₂ → head (most hq-like), ≥ τ₁ →
+    * middle, else tail. Scores materialize once for the sketch and the
+    * bucket scan. Ties at a cut all land in the higher bucket on both
+    * engines (ROUND(,4) scores make ties real; the set rule { ≥ τ }
+    * needs no tie lottery). */
+  def qualityModel(documents: DataFrame, hqSource: String = "src0",
+                   accuracy: Int = 10000): DataFrame = {
+    val s = DupClusters.materialize(qualityModelScores(documents, hqSource))
+    val taus = broadcast(s.agg(
+      percentile_approx(col("q_score"),
+        array(lit(1.0 / 3.0), lit(2.0 / 3.0)), lit(accuracy)).as("taus")))
+    s.crossJoin(taus)
+      .select(col("doc_id"), col("source"), col("n_feats"), col("q_score"),
+        when(col("q_score") >= element_at(col("taus"), 2), "head")
+          .when(col("q_score") >= element_at(col("taus"), 1), "middle")
+          .otherwise("tail").as("q_bucket"))
+  }
+
+  /** Budget-fraction curve over the model quality score (r15) — the
+    * d_dsir_curve governance discipline applied to the classifier: per
+    * candidate keep-fraction, the realized score threshold, selected
+    * count/share, and the mean selected score (how fast hq-likeness
+    * decays as the budget loosens) — the card that PICKS the quality
+    * cut before a corpus-scale filter trusts it. Same shared sweep
+    * plan as dsirCurve ([[Sampling.budgetCurveOverWeights]]): scores
+    * materialized once, all τs from one sketch pass, one conditional
+    * aggregate unpivoted by stack. */
+  def qualityModelCurve(documents: DataFrame,
+                        fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
+                        hqSource: String = "src0",
+                        accuracy: Int = 10000): DataFrame =
+    Sampling.budgetCurveOverWeights(qualityModelScores(documents, hqSource),
+      "q_score", fractions, accuracy, "mean_q_score")
+
   /** Per-LANGUAGE corpus stratification (r14) — the language axis the
     * mixture planner reads before weighting sources: one row per
     * PREDICTED language (the [[langId]] argmax, CJK lists riding the
@@ -1705,6 +1777,8 @@ object TextAnalysis {
     "t_zipf"           -> ((s, d) => zipfReport(Tables(s, d).documents)),
     "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
     "t_quality_lang"   -> ((s, d) => qualityByLang(Tables(s, d).documents)),
+    "t_quality_model"  -> ((s, d) => qualityModel(Tables(s, d).documents)),
+    "t_quality_model_curve" -> ((s, d) => qualityModelCurve(Tables(s, d).documents)),
     "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
     "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),
@@ -2387,6 +2461,33 @@ object TextAnalysis {
          |       WHEN n_devanagari > 0 THEN 'hi'
          |       ELSE sw_pred END AS lang_pred
          |FROM p""".stripMargin),
+    // Mirror of qualityModel (r15): the shared NB log-odds chain
+    // (Sampling.nbLogOddsSql — target src0, nothing excluded), tercile
+    // cuts by explicit rank ⌈q·n⌉ over the ascending ROUND(,4) scores
+    // (the d_dsir_threshold exact-rank contract at q = 1/3, 2/3), the
+    // same ≥-CASE.
+    "t_quality_model" -> {
+      val qmSql = Sampling.nbLogOddsSql("src0", excludeTarget = false, "q_score")
+      s"""WITH w AS (SELECT * FROM ($qmSql)),
+         |r AS (SELECT q_score,
+         |    row_number() OVER (ORDER BY q_score ASC) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM w),
+         |t1 AS (SELECT q_score AS tau FROM r
+         |  WHERE rn = CAST(ceil(${1.0 / 3.0} * n) AS BIGINT)),
+         |t2 AS (SELECT q_score AS tau FROM r
+         |  WHERE rn = CAST(ceil(${2.0 / 3.0} * n) AS BIGINT))
+         |SELECT w.doc_id, w.source, w.n_feats, w.q_score,
+         |  CASE WHEN w.q_score >= t2.tau THEN 'head'
+         |       WHEN w.q_score >= t1.tau THEN 'middle'
+         |       ELSE 'tail' END AS q_bucket
+         |FROM w, t1, t2""".stripMargin
+    },
+    // qualityModelCurve mirror via the shared generator.
+    "t_quality_model_curve" ->
+      Sampling.budgetCurveSql(
+        Sampling.nbLogOddsSql("src0", excludeTarget = false, "q_score"),
+        "q_score", Seq(0.05, 0.1, 0.2, 0.5), "mean_q_score"),
     // Mirror of qualityByLang: the generated hits/CASE fragments (the
     // t_langid mirror) + greatest-hits stopword signal + the t_quality
     // thresholds.

@@ -94,10 +94,14 @@ import graft.ops.Dedup
   * en-centric t_quality bucket would cap at 'medium' (en_hits = 0).
   * Rejection kind `quality_bucket:<bucket>`.
   *
-  * With all seven arms on, the gate is the complete
+  * Optional eighth arm ([[QualityModelVet]], r15): MODEL-based quality
+  * admission — the t_quality_model classifier's fixed log-odds model
+  * served scan-side (the DsirVet serving shape; kind `quality_model`).
+  *
+  * With all eight arms on, the gate is the complete
   * corpus-preparation admission point: exact/near dedup + semantic
-  * dedup + decontamination + quality (composite + lang-aware bucket)
-  * + mixture + target-likeness, one WAL.
+  * dedup + decontamination + quality (composite + lang-aware bucket +
+  * model score) + mixture + target-likeness, one WAL.
   */
 object IngestGate {
 
@@ -151,6 +155,17 @@ object IngestGate {
     * d_dsir_curve's budget sweep picks). */
   final case class DsirVet(model: DataFrame, tau: Double)
 
+  /** Optional MODEL-QUALITY arm of the gate (r15): `model` is the
+    * pre-trained NB log-odds bucket table of the quality classifier
+    * (the same 256-row artifact shape as [[DsirVet]]'s, fit by
+    * `TextAnalysis.qualityModelScores`' training side against a
+    * declared high-quality source), `tau` the pinned score cut (what
+    * t_quality_model_curve's sweep picks). Rejection kind
+    * `quality_model`; docs with no bigram signal (< 2 tokens) are
+    * rejected — no quality evidence, the conservative admission
+    * default, same as the DSIR arm. */
+  final case class QualityModelVet(model: DataFrame, tau: Double)
+
   /** Seed the durable semantic-survivor table (plain bucketed-by-cluster
     * table — the gate appends to it per batch, unlike the versioned
     * `Store.publish` views). Run once with the corpus's current survivor
@@ -170,7 +185,8 @@ object IngestGate {
                  sampleRates: Option[(Map[String, Double], Double)] = None,
                  semantic: Option[SemanticVet] = None,
                  dsir: Option[DsirVet] = None,
-                 minQualityBucket: Option[String] = None): Unit = {
+                 minQualityBucket: Option[String] = None,
+                 qualityModel: Option[QualityModelVet] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -292,12 +308,31 @@ object IngestGate {
           .select(col("doc_id").as("batch_id"),
             lit(null).cast("long").as("corpus_id"), lit("dsir").as("kind")))
     }
+    // Model-quality arm (r15): the same fixed-model scan-side scoring
+    // shape as the DSIR arm — bigram features + broadcast model join —
+    // but against the QUALITY classifier (hq-vs-rest log-odds); score
+    // below τ, or no bigram signal at all, rejects with kind
+    // quality_model. A fixed model makes the score a pure function of
+    // the doc text: corpus-independent, bit-identical under replay,
+    // stream ≡ batch (spec-proven).
+    val qmRejects = qualityModel match {
+      case None => Seq.empty[DataFrame]
+      case Some(qv) =>
+        val scored = graft.ops.Sampling.dsirScore(batch, qv.model)
+          .select(col("doc_id"), col("dsir_weight").as("q_score"))
+        Seq(batch.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left_outer")
+          .filter(col("q_score").isNull || col("q_score") < qv.tau)
+          .select(col("doc_id").as("batch_id"),
+            lit(null).cast("long").as("corpus_id"),
+            lit("quality_model").as("kind")))
+    }
     // WAL first: land the decisions, then derive everything downstream
     // from the written log — never from a plan that reads tables this
     // batch is about to mutate. The log is at-least-once (a replayed
     // batch appends its identical decisions again); consumers read it
     // distinct, as [[rejected]] below does.
-    (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects)
+    (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects ++ qmRejects)
       .foldLeft(decisions)(_ unionByName _)
       .write.mode("append").saveAsTable(decisionsTable)
     val rejected = spark.table(decisionsTable)
@@ -386,13 +421,14 @@ object IngestGate {
             sampleRates: Option[(Map[String, Double], Double)] = None,
             semantic: Option[SemanticVet] = None,
             dsir: Option[DsirVet] = None,
-            minQualityBucket: Option[String] = None): StreamingQuery =
+            minQualityBucket: Option[String] = None,
+            qualityModel: Option[QualityModelVet] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
           buckets, tau, eval, vetQuality, sampleRates, semantic, dsir,
-          minQualityBucket)
+          minQualityBucket, qualityModel)
       }
       .start()
 }

@@ -97,6 +97,10 @@ object Audit {
     // the same 1-row frame (the τ ARRAY — one sketch, f queries)
     // crossJoined into the conditional-sum sweep aggregate
     "d_dsir_curve",
+    // the quality-model twins of the two shapes above (r15): the 1-row
+    // tercile-τ array crossJoined into the bucket CASE / sweep aggregate
+    "t_quality_model",
+    "t_quality_model_curve",
     // the 1-row order-count frame crossJoined onto the pair-count
     // aggregate — the t_bm25 corpus-stats shape
     "q_basket_lift",

@@ -928,6 +928,52 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("ingest gate with quality-model arm: below-tau and no-signal docs rejected; arm ≡ batch classifier under the fixed model; replay idempotent") {
+    import graft.streaming.IngestGate
+    import graft.ops.{Sampling, TextAnalysis}
+    val tables = Seq("t_gateq_corpus", "t_gateq_fps", "t_gateq_sigs", "t_gateq_log")
+    dropGateTables(tables: _*)
+    val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gateq_corpus", "t_gateq_fps", "t_gateq_sigs", buckets = 2)
+    // the PRE-TRAINED classifier: hq-vs-rest fit on the reference
+    // corpus (the stored-artifact shape), applied to unseen docs; plus
+    // a planted single-token doc with NO bigram signal
+    val corpus = graft.core.Tables(spark, TestSpark.sf0001).documents
+    val model = TextAnalysis.qualityModelFit(corpus).localCheckpoint()
+    val batch = corpus.filter($"doc_id" >= 40L && $"doc_id" < 70L)
+      .unionByName(Seq((9998L, "solo", "en", "srcx", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // τ at the batch's median score: both sides of the cut nonempty
+    val scores = Sampling.dsirScore(batch, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val tau = scores.values.toSeq.sorted.apply(scores.size / 2)
+    def admit(): Unit = IngestGate.admitBatch(batch, "t_gateq_corpus",
+      "t_gateq_fps", "t_gateq_sigs", "t_gateq_log", buckets = 2,
+      qualityModel = Some(IngestGate.QualityModelVet(model, tau)))
+    admit()
+    val batchIds = batch.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val selected = scores.filter(_._2 >= tau).keySet
+    val qmRejected = spark.table("t_gateq_log").distinct()
+      .filter($"kind" === "quality_model").collect()
+      .map(_.getAs[Long]("batch_id")).toSet
+    assert(qmRejected == batchIds -- selected, "rejections = the classifier's complement")
+    assert(qmRejected.contains(9998L), "the no-signal doc is rejected, not silently admitted")
+    assert(selected.nonEmpty && qmRejected.size > 1, "fixture must exercise both sides")
+    val ids = spark.table("t_gateq_corpus").select($"doc_id").collect().map(_.getLong(0)).toSet
+    val otherRejects = spark.table("t_gateq_log").distinct()
+      .filter($"kind" =!= "quality_model").collect().map(_.getAs[Long]("batch_id")).toSet
+    assert(ids == Set(1L) ++ (selected -- otherRejects),
+      "admitted = the model's keep set minus other-arm rejections")
+    // replay idempotent (fixed model → identical scores)
+    admit()
+    assert(spark.table("t_gateq_corpus").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet == ids)
+    assert(spark.table("t_gateq_log").distinct()
+      .filter($"kind" === "quality_model").count() == qmRejected.size)
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate with semantic arm: vector dups of survivors rejected; admitted vectors become survivors; arm ≡ batch operator; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.{Dedup, Similarity}

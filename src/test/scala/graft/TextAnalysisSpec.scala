@@ -123,6 +123,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(9000006L) > 0 && q(9000007L) > 0 && q(9000008L) > 0)
   }
 
+  test("qualityModel (r15): terciles partition the corpus, the declared hq source scores above corpus mean, curve is monotone") {
+    val out = TextAnalysis.qualityModel(docs).collect()
+    val n = out.length
+    assert(n > 0)
+    val byBucket = out.groupBy(_.getAs[String]("q_bucket"))
+      .view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket.values.sum == n)
+    // tercile cuts: each bucket holds roughly a third (ROUND(,4) score
+    // ties can shift a boundary, never past a quarter on this corpus)
+    assert(byBucket.values.forall(c => c >= n / 4 && c <= n / 2), byBucket.toString)
+    // the classifier's training objective: the declared hq source's
+    // own docs must average above the corpus (its frequent buckets got
+    // the positive log-odds)
+    def mean(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("q_score")).sum / rs.length
+    val src0 = out.toSeq.filter(_.getAs[String]("source") == "src0")
+    assert(src0.nonEmpty && mean(src0) > mean(out.toSeq),
+      "hq-source docs must score above the corpus mean")
+    // budget curve: selection grows, threshold and mean score decay as
+    // the budget loosens
+    val curve = TextAnalysis.qualityModelCurve(docs).collect()
+      .sortBy(_.getAs[Double]("budget_frac"))
+    assert(curve.length == 4)
+    def monotone(vals: Seq[Double], incr: Boolean) =
+      vals.zip(vals.tail).forall { case (a, b) => if (incr) a <= b else a >= b }
+    assert(monotone(curve.map(_.getAs[Long]("n_selected").toDouble).toSeq, incr = true))
+    assert(monotone(curve.map(_.getAs[Double]("tau")).toSeq, incr = false))
+    assert(monotone(curve.map(_.getAs[Double]("mean_q_score")).toSeq, incr = false))
+  }
+
   test("langId: the r13 lists identify Italian, Portuguese and Dutch") {
     val df = Seq(
       (1L, "il gatto e il cane che vive per la casa di roma non dorme"),
