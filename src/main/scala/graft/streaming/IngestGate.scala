@@ -186,7 +186,8 @@ object IngestGate {
                  semantic: Option[SemanticVet] = None,
                  dsir: Option[DsirVet] = None,
                  minQualityBucket: Option[String] = None,
-                 qualityModel: Option[QualityModelVet] = None): Unit = {
+                 qualityModel: Option[QualityModelVet] = None,
+                 tombstones: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val haveCorpus = spark.catalog.tableExists(corpusTable)
     // Vet against the corpus MINUS this batch's own doc_ids: on a
@@ -195,9 +196,14 @@ object IngestGate {
     // before-the-batch — the replayed decisions equal the originals
     // instead of every admitted doc "rejecting" against itself. (The
     // anti-joins are broadcast batch-id probes; no-ops on a clean run.)
+    // With a `tombstones` table configured (r15, the takedown leg) the
+    // vetting side is additionally LIVE-only: a taken-down corpus doc
+    // must stop rejecting honest re-submissions (which arrive under
+    // fresh doc_ids — the shared re-submission contract).
     val batchIds = batch.select(col("doc_id"))
     def sansBatch(t: String): DataFrame =
-      spark.table(t).join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      Takedown.liveOnly(spark.table(t), tombstones)
+        .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val decisions =
       if (!haveCorpus)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -396,7 +402,7 @@ object IngestGate {
     * ≤ #kinds + 1 rows out of two aggregates — corpus-scale scans,
     * model-scale output, the report cadence decoupled from ingest. */
   def report(spark: SparkSession, decisionsTable: String,
-             corpusTable: String): DataFrame = {
+             corpusTable: String, tombstones: Option[String] = None): DataFrame = {
     def one(kind: String, n: Long): DataFrame =
       spark.range(1).select(lit(kind).as("kind"), lit(n).as("n_docs"))
     val rejects =
@@ -405,11 +411,19 @@ object IngestGate {
       else spark.table(decisionsTable)
         .groupBy(col("kind"))
         .agg(count_distinct(col("batch_id")).as("n_docs"))
+    // with the takedown leg configured (r15), `admitted` counts LIVE
+    // docs only and the delete volume surfaces as its own row — "why
+    // is my corpus shrinking" now includes the takedown answer
     val admitted =
       if (!spark.catalog.tableExists(corpusTable)) one("admitted", 0L)
-      else spark.table(corpusTable).agg(count(lit(1)).as("n_docs"))
+      else Takedown.liveOnly(spark.table(corpusTable), tombstones)
+        .agg(count(lit(1)).as("n_docs"))
         .select(lit("admitted").as("kind"), col("n_docs"))
-    rejects.unionByName(admitted)
+    val tombstoned = tombstones.toSeq.map { t =>
+      Takedown.tombstonedIds(spark, t).agg(count(lit(1)).as("n_docs"))
+        .select(lit("tombstoned").as("kind"), col("n_docs"))
+    }
+    tombstoned.foldLeft(rejects.unionByName(admitted))(_ unionByName _)
   }
 
   /** Start the continuous gate over a document stream; pass `eval` to
@@ -422,13 +436,14 @@ object IngestGate {
             semantic: Option[SemanticVet] = None,
             dsir: Option[DsirVet] = None,
             minQualityBucket: Option[String] = None,
-            qualityModel: Option[QualityModelVet] = None): StreamingQuery =
+            qualityModel: Option[QualityModelVet] = None,
+            tombstones: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         admitBatch(batch, corpusTable, fpTable, sigTable, decisionsTable,
           buckets, tau, eval, vetQuality, sampleRates, semantic, dsir,
-          minQualityBucket, qualityModel)
+          minQualityBucket, qualityModel, tombstones)
       }
       .start()
 }

@@ -61,11 +61,20 @@ object SpanStream {
     * arrive under a fresh doc_id (or the output table must be compacted
     * first). */
   def dedupBatch(batch: DataFrame, registryTable: String, outputTable: String,
-                 k: Int = 20, buckets: Int = 8): Unit = {
+                 k: Int = 20, buckets: Int = 8,
+                 tombstones: Option[String] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val haveRegistry = spark.catalog.tableExists(registryTable)
     val batchIds = batch.select(col("doc_id"))
+    // Takedown leg (r15): registry rows whose KEEPER doc is tombstoned
+    // are dead — their spans are released, so the next document
+    // carrying one keeps it (and re-registers it under the new
+    // keeper's provenance). The physical rows stay until the registry
+    // is rebuilt on the maintenance schedule; every read below goes
+    // through the live view.
+    def liveRegistry(): DataFrame =
+      Takedown.liveOnly(spark.table(registryTable), tombstones)
     val spans = Dedup.spanCut(batch, k)
     // batch-local first occurrence (the in-batch half of the global rule)
     val firstInBatch = spans
@@ -84,7 +93,7 @@ object SpanStream {
     val kept = (
       if (!haveRegistry) firstInBatch
       else {
-        val registry = spark.table(registryTable)
+        val registry = liveRegistry()
           .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
         firstInBatch.join(registry.select(col("span")), Seq("span"), "left_anti")
       }).localCheckpoint()
@@ -92,9 +101,13 @@ object SpanStream {
     // anti-join finds them present and appends nothing), then land the
     // cleaned output derived from the same frozen kept set.
     val newRows = kept.select(col("span"), col("doc_id"), col("span_idx"))
+    // the presence probe uses the LIVE registry too: a span whose only
+    // keeper was tombstoned re-registers under its new keeper (the dead
+    // row stays physical; reads filter it, so the span still has ONE
+    // live keeper)
     val toRegister = (
       if (!haveRegistry) newRows
-      else newRows.join(spark.table(registryTable).select(col("span")),
+      else newRows.join(liveRegistry().select(col("span")),
         Seq("span"), "left_anti")).localCheckpoint()
     toRegister.write.mode(if (haveRegistry) "append" else "overwrite")
       .bucketBy(buckets, "span").saveAsTable(registryTable)
@@ -111,11 +124,12 @@ object SpanStream {
 
   /** Start the continuous span-dedup gate over a document stream. */
   def start(docs: DataFrame, registryTable: String, outputTable: String,
-            checkpointDir: String, k: Int = 20, buckets: Int = 8): StreamingQuery =
+            checkpointDir: String, k: Int = 20, buckets: Int = 8,
+            tombstones: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        dedupBatch(batch, registryTable, outputTable, k, buckets)
+        dedupBatch(batch, registryTable, outputTable, k, buckets, tombstones)
       }
       .start()
 }

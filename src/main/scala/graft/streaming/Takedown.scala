@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete/takedown leg for the durable TEXT dedup state (r15) — the
+  * lesson the ANN side learned in r13 (`AnnStream.deleteBatch`),
+  * applied to the text tables: without it the fingerprint/signature
+  * stores and the span registry only GROW, so a taken-down corpus
+  * document keeps rejecting honest re-submissions at the
+  * [[IngestGate]] forever, and its spans stay scrubbed out of every
+  * future document.
+  *
+  * Design (the MixStream/AnnStream partials discipline verbatim):
+  * takedowns arrive as doc_id batches and land in an append-only WAL
+  * table `(doc_id, n, batch_id)` — replay-idempotent via [[Wal.seen]],
+  * empty batches through the [[Wal]] ledger so compaction's watermark
+  * advances, row-level compaction via [[Wal.compactPartials]] (n sums;
+  * a doc tombstoned twice is one dead doc, readers use the DISTINCT id
+  * set). Single-maintenance-writer contract as everywhere.
+  *
+  * Serving: consumers read the durable tables THROUGH [[liveOnly]] —
+  * one anti-join on doc_id against the distinct tombstoned set. The
+  * stored tables are never rewritten on the takedown path (a takedown
+  * is a metadata event, not a corpus rewrite); physical reclamation
+  * rides the existing rebuild machinery (`Store.refresh*` /
+  * `Store.publish` re-derive from the live corpus on the maintenance
+  * schedule, exactly like the ANN side's refit swap).
+  *
+  * Re-submission contract: a re-submitted document arrives under a
+  * FRESH doc_id (the [[SpanStream.dedupBatch]] precondition, now
+  * shared): doc_ids are globally unique across the stream's lifetime,
+  * tombstoned ids are permanently retired.
+  *
+  * 100 TB shape: the tombstone table holds doc_id rows only — orders
+  * of magnitude below corpus scale for any real takedown volume — so
+  * the anti-join's build side stays broadcastable; if a deployment
+  * ever accumulates a corpus-scale tombstone set, bucket it by doc_id
+  * next to the stores it filters and the anti-join is exchange-free.
+  */
+object Takedown {
+
+  /** One takedown micro-batch folded into the durable tombstone WAL.
+    * Replay-idempotent (batch_id skip); a batch naming no doc at all
+    * still advances the compaction watermark via the empty-batch
+    * ledger. */
+  def tombstoneBatch(deletes: DataFrame, batchId: Long,
+                     tombstonesTable: String): Unit = {
+    val spark = deletes.sparkSession
+    val partial = deletes.select(col("doc_id")).distinct()
+      .withColumn("n", lit(1L))
+      .withColumn("batch_id", lit(batchId))
+      .persist()
+    try {
+      if (Wal.emptyRecorded(partial, tombstonesTable, batchId)) ()
+      else if (!spark.catalog.tableExists(tombstonesTable))
+        partial.write.saveAsTable(tombstonesTable)
+      else if (!Wal.seen(spark, tombstonesTable, batchId))
+        partial.write.mode("append").saveAsTable(tombstonesTable)
+    } finally partial.unpersist()
+  }
+
+  /** Scheduled row-level compaction of the tombstone WAL (a
+    * [[Maintenance.WalJob]] leg like every other durable-partials
+    * table). */
+  def compact(spark: SparkSession, tombstonesTable: String): (Long, Long) =
+    Wal.compactPartials(spark, tombstonesTable,
+      keyCols = Seq("doc_id"), sumCols = Seq("n"))
+
+  /** The distinct tombstoned doc_id set (empty frame when the table
+    * does not exist yet — a corpus with no takedowns filters
+    * nothing). */
+  def tombstonedIds(spark: SparkSession, tombstonesTable: String): DataFrame =
+    if (!spark.catalog.tableExists(tombstonesTable))
+      spark.range(0).select(col("id").as("doc_id"))
+    else spark.table(tombstonesTable).select(col("doc_id")).distinct()
+
+  /** `df` restricted to LIVE documents: tombstoned doc_ids anti-joined
+    * out. Identity when no tombstone table is configured or none
+    * exists yet. */
+  def liveOnly(df: DataFrame, tombstonesTable: Option[String]): DataFrame =
+    tombstonesTable match {
+      case None => df
+      case Some(t) =>
+        val spark = df.sparkSession
+        if (!spark.catalog.tableExists(t)) df
+        else df.join(tombstonedIds(spark, t), Seq("doc_id"), "left_anti")
+    }
+}

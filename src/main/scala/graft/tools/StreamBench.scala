@@ -119,6 +119,24 @@ object StreamBench {
         "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs"))(
       b => graft.streaming.IngestGate.admitBatch(replica(b),
         "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs", "sb_gate_log"))
+    // full gate + the r15 TAKEDOWN leg: each batch first tombstones the
+    // PREVIOUS batch's doc_ids (one WAL fold into the tombstone table),
+    // then admits the next replica with LIVE-only vetting — per-batch
+    // cost must stay flat while the tombstone set grows by a corpus per
+    // batch (the anti-join's distinct-id build side, the worst case for
+    // the live filter)
+    val tg = Seq("sb_tgate_corpus", "sb_tgate_fps", "sb_tgate_sigs",
+      "sb_tgate_log", "sb_tgate_tomb")
+    gateBench("ingest_gate_takedown", tg)(
+      () => graft.streaming.IngestGate.seedCorpus(spark, docs,
+        "sb_tgate_corpus", "sb_tgate_fps", "sb_tgate_sigs"))(
+      b => {
+        graft.streaming.Takedown.tombstoneBatch(
+          replica(b - 1).select(col("doc_id")), b.toLong, "sb_tgate_tomb")
+        graft.streaming.IngestGate.admitBatch(replica(b),
+          "sb_tgate_corpus", "sb_tgate_fps", "sb_tgate_sigs", "sb_tgate_log",
+          tombstones = Some("sb_tgate_tomb"))
+      })
     val st = Seq("sb_span_reg", "sb_span_out")
     gateBench("span_gate", st)(
       () => graft.streaming.SpanStream.dedupBatch(docs, "sb_span_reg", "sb_span_out"))(

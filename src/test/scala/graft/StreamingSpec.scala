@@ -928,6 +928,99 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("takedown leg: a tombstoned corpus doc stops rejecting re-submissions; replay idempotent; report shows the volume; WAL compacts") {
+    import graft.streaming.{IngestGate, Takedown}
+    val tables = Seq("t_td_corpus", "t_td_fps", "t_td_sigs", "t_td_log",
+      "t_td_tomb", "t_td_tomb__wal_ids", "t_td_tomb__wal_fold")
+    dropGateTables(tables: _*)
+    val contentX = (1 to 30).map(i => s"takedown$i").mkString(" ")
+    val seed = Seq((1L, contentX, "en", "seed", contentX.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_td_corpus", "t_td_fps", "t_td_sigs", buckets = 2)
+    def doc(id: Long) = Seq((id, contentX, "en", "crawl", contentX.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def admit(id: Long): Unit = IngestGate.admitBatch(doc(id), "t_td_corpus",
+      "t_td_fps", "t_td_sigs", "t_td_log", buckets = 2,
+      tombstones = Some("t_td_tomb"))
+    // pre-takedown: the duplicate is rejected against the live corpus
+    admit(100L)
+    def corpusIds() = spark.table("t_td_corpus").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusIds() == Set(1L))
+    assert(spark.table("t_td_log").distinct()
+      .filter($"batch_id" === 100L).count() >= 1, "the duplicate must be rejected")
+    // takedown of the seed doc; the re-submission arrives under a
+    // FRESH doc_id (the shared contract) and must now be ADMITTED
+    Takedown.tombstoneBatch(Seq(1L).toDF("doc_id"), 0L, "t_td_tomb")
+    admit(101L)
+    assert(corpusIds() == Set(1L, 101L),
+      "post-takedown the same content is admitted (dead rows stay physical)")
+    assert(spark.table("t_td_log").distinct()
+      .filter($"batch_id" === 101L).count() == 0, "no rejection for the re-submission")
+    // replay idempotence: the same admit and the same tombstone batch
+    // change nothing
+    admit(101L)
+    Takedown.tombstoneBatch(Seq(1L).toDF("doc_id"), 0L, "t_td_tomb")
+    assert(corpusIds() == Set(1L, 101L))
+    assert(Takedown.tombstonedIds(spark, "t_td_tomb").count() == 1L)
+    // a THIRD copy is rejected against the new live carrier, not the
+    // dead one (the live corpus still dedups)
+    admit(102L)
+    assert(corpusIds() == Set(1L, 101L))
+    val rej102 = spark.table("t_td_log").distinct()
+      .filter($"batch_id" === 102L && $"kind" === "exact")
+      .collect().map(_.getAs[Long]("corpus_id"))
+    assert(rej102.toSeq == Seq(101L), "rejected against the LIVE carrier")
+    // report: admitted counts live docs only; the takedown volume is a row
+    val rep = IngestGate.report(spark, "t_td_log", "t_td_corpus",
+      Some("t_td_tomb")).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_docs")).toMap
+    assert(rep("tombstoned") == 1L)
+    assert(rep("admitted") == 1L, "the dead seed doc must not count as admitted")
+    // the tombstone WAL compacts like every other durable-partials table
+    Takedown.tombstoneBatch(Seq(1L, 2L).toDF("doc_id"), 1L, "t_td_tomb")
+    val (b0, a0) = Takedown.compact(spark, "t_td_tomb")
+    assert(a0 <= b0)
+    assert(Takedown.tombstonedIds(spark, "t_td_tomb").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(graft.streaming.Wal.seen(spark, "t_td_tomb", 0L)
+      && graft.streaming.Wal.seen(spark, "t_td_tomb", 1L))
+    dropGateTables(tables: _*)
+  }
+
+  test("span gate takedown: a tombstoned keeper releases its spans; the next carrier keeps and re-registers them") {
+    import graft.streaming.{SpanStream, Takedown}
+    val tables = Seq("t_sptd_reg", "t_sptd_out", "t_sptd_tomb")
+    dropGateTables(tables: _*)
+    val run = (1 to 20).map(i => s"sp$i").mkString(" ")
+    def doc(id: Long, text: String) =
+      Seq((id, text, "en", "crawl", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def fresh(i: Int) = (1 to 20).map(j => s"f$i$j").mkString(" ")
+    def dedup(df: org.apache.spark.sql.DataFrame): Unit =
+      SpanStream.dedupBatch(df, "t_sptd_reg", "t_sptd_out", buckets = 2,
+        tombstones = Some("t_sptd_tomb"))
+    def outOf(id: Long) = spark.table("t_sptd_out").filter($"doc_id" === id)
+      .collect().map(r => (r.getAs[String]("clean_text"), r.getAs[Int]("n_dropped"))).head
+    dedup(doc(1L, run))
+    dedup(doc(2L, s"$run ${fresh(2)}"))
+    assert(outOf(1L) == ((run, 0)))
+    assert(outOf(2L) == ((fresh(2), 1)), "doc 1 owns the span pre-takedown")
+    // takedown of the keeper: its spans are RELEASED
+    Takedown.tombstoneBatch(Seq(1L).toDF("doc_id"), 0L, "t_sptd_tomb")
+    dedup(doc(3L, s"$run ${fresh(3)}"))
+    assert(outOf(3L) == ((s"$run ${fresh(3)}", 0)),
+      "the released span is kept by the next carrier")
+    // ...and re-registered under the NEW keeper: the next duplicate is
+    // scrubbed against doc 3
+    dedup(doc(4L, s"$run ${fresh(4)}"))
+    assert(outOf(4L) == ((fresh(4), 1)))
+    val liveKeeper = Takedown.liveOnly(spark.table("t_sptd_reg"), Some("t_sptd_tomb"))
+      .filter($"span" === run).collect().map(_.getAs[Long]("doc_id"))
+    assert(liveKeeper.toSeq == Seq(3L), "one LIVE keeper, the new carrier")
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate with quality-model arm: below-tau and no-signal docs rejected; arm ≡ batch classifier under the fixed model; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.{Sampling, TextAnalysis}
