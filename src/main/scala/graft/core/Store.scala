@@ -84,6 +84,16 @@ object Store {
         .getOrElse(versionsOf(spark, table).last._2)
     } else table
 
+  /** Where an APPEND to `table` must land (r15): the current backing
+    * version when `table` is a published view (appending "to" a view is
+    * an error; appending to the newest backing is exactly what the
+    * refresh protocol does), `table` itself when plain. Lets
+    * append-style writers (the ingest gate's corpus, the span registry)
+    * keep working after a `Takedown.scrub` converts their plain table
+    * into a versioned view. */
+  private[graft] def appendTarget(spark: SparkSession, table: String): String =
+    currentBacking(spark, table)
+
   /** Versions of `table` NEWER than the view's current target — the
     * debris of a publish that crashed between the backing-table write
     * and the view swap. */
@@ -98,8 +108,8 @@ object Store {
     * bucketed backing table, swap the public view to it, retire all but
     * the immediately-previous version. The input plan may freely READ
     * `table` — it resolves to the old version, which this never touches. */
-  private def publish(spark: SparkSession, df: DataFrame, table: String,
-                      buckets: Int, key: String): Unit = {
+  private[graft] def publish(spark: SparkSession, df: DataFrame, table: String,
+                             buckets: Int, key: String): Unit = {
     // Clear crash debris first: backing tables newer than the view's
     // target were never published (no reader can hold them), and leaving
     // them would make the retire pass below miscount "previous".

@@ -360,8 +360,13 @@ object IngestGate {
           .select(col("doc_id")).localCheckpoint()
         admitted.join(broadcast(present), Seq("doc_id"), "left_anti")
       }
+    // appends land on the CURRENT BACKING when the table has been
+    // scrubbed into a versioned view (Takedown.scrub, r15) — plain
+    // tables resolve to themselves
     toAppend.write.mode(if (haveCorpus) "append" else "overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(corpusTable)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(if (haveCorpus) Store.appendTarget(spark, corpusTable)
+                   else corpusTable)
     // incremental: derives rows only for the just-admitted doc_ids
     Store.refreshDocFingerprints(spark, spark.table(corpusTable), buckets, fpTable)
     Store.refreshMinhashSignatures(spark, spark.table(corpusTable), buckets, sigTable)
@@ -387,7 +392,9 @@ object IngestGate {
           newSurv.join(broadcast(present), Seq("vec_id"), "left_anti")
         }
       guarded.write.mode(if (haveSurv) "append" else "overwrite")
-        .bucketBy(buckets, "cluster").sortBy("vec_id").saveAsTable(sem.survivorTable)
+        .bucketBy(buckets, "cluster").sortBy("vec_id")
+        .saveAsTable(if (haveSurv) Store.appendTarget(spark, sem.survivorTable)
+                     else sem.survivorTable)
     }
   }
 

@@ -109,8 +109,12 @@ object SpanStream {
       if (!haveRegistry) newRows
       else newRows.join(liveRegistry().select(col("span")),
         Seq("span"), "left_anti")).localCheckpoint()
+    // appends land on the current backing when the registry has been
+    // scrubbed into a versioned view (Takedown.scrub, r15)
     toRegister.write.mode(if (haveRegistry) "append" else "overwrite")
-      .bucketBy(buckets, "span").saveAsTable(registryTable)
+      .bucketBy(buckets, "span")
+      .saveAsTable(if (haveRegistry)
+        graft.core.Store.appendTarget(spark, registryTable) else registryTable)
     val cleaned = Dedup.spanAssemble(kept)
     val haveOutput = spark.catalog.tableExists(outputTable)
     val toAppend =
@@ -119,7 +123,9 @@ object SpanStream {
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi").localCheckpoint(),
         Seq("doc_id"), "left_anti")
     toAppend.write.mode(if (haveOutput) "append" else "overwrite")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(outputTable)
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(if (haveOutput)
+        graft.core.Store.appendTarget(spark, outputTable) else outputTable)
   }
 
   /** Start the continuous span-dedup gate over a document stream. */

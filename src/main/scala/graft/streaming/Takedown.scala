@@ -86,4 +86,25 @@ object Takedown {
         if (!spark.catalog.tableExists(t)) df
         else df.join(tombstonedIds(spark, t), Seq("doc_id"), "left_anti")
     }
+
+  /** PHYSICAL reclamation of tombstoned rows from a stored doc_id-keyed
+    * table (fingerprints, signatures, the corpus itself, the span
+    * registry) — the scheduled maintenance twin of the [[liveOnly]]
+    * serving view, riding `Store.publish`'s snapshot-safe versioned
+    * swap (a new backing table is written, the view repointed, the
+    * previous version retained for in-flight readers — the ANN refit
+    * swap's discipline). After a scrub the table IS live, so readers
+    * that bypass [[liveOnly]] see the same rows as those that don't
+    * (until the next takedown). Returns (rows before, rows after).
+    * Same single-maintenance-writer contract as Store.compact. */
+  def scrub(spark: SparkSession, table: String, key: String,
+            tombstonesTable: String, buckets: Int = 8): (Long, Long) = {
+    if (!spark.catalog.tableExists(table)) (0L, 0L)
+    else {
+      val before = spark.table(table).count()
+      val live = liveOnly(spark.table(table), Some(tombstonesTable))
+      graft.core.Store.publish(spark, live, table, buckets, key)
+      (before, spark.table(table).count())
+    }
+  }
 }

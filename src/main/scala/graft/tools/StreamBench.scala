@@ -280,15 +280,17 @@ object StreamBench {
           graft.streaming.AnnStream.mergedDeleteCounts(spark, "sb_ann_del"))
           .count()
       })
-    // composed maintenance tick (r14): each batch lands new rank/mix
-    // partials + a disjoint delete wave, then ONE Maintenance.tick
-    // folds all three WALs and evaluates the refit leg off the merged
-    // counters; per-batch cost must stay FLAT — every leg is
+    // composed maintenance tick (r14; + the r15 tombstone fold): each
+    // batch lands new rank/mix partials, a disjoint delete wave and a
+    // text-takedown wave, then ONE Maintenance.tick folds all four
+    // WALs and evaluates the refit leg off the merged counters;
+    // per-batch cost must stay FLAT — every leg is
     // individually bounded (fold ≤ keys + batch rows, refit check over
     // model-scale snapshots) and the tick itself adds only a
     // ≤ #jobs-row log append per call
     lazy val fitSnapB = graft.streaming.AnnStream.fitSnapshot(emb).localCheckpoint()
-    val tt = Seq("sb_tick_w", "sb_tick_mix", "sb_tick_del", "sb_tick_log")
+    val tt = Seq("sb_tick_w", "sb_tick_mix", "sb_tick_del", "sb_tick_tomb",
+      "sb_tick_log")
     gateBench("maintenance_tick", tt)(
       () => {
         graft.streaming.RankStream.ingestBatch(
@@ -298,6 +300,9 @@ object StreamBench {
         graft.streaming.AnnStream.deleteBatch(
           assignedIdx.filter(col("vec_id") % 97 === 0).select(col("vec_id")),
           assignedIdx, 0L, "sb_tick_del")
+        graft.streaming.Takedown.tombstoneBatch(
+          docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+          0L, "sb_tick_tomb")
       })(
       b => {
         graft.streaming.RankStream.ingestBatch(
@@ -307,6 +312,9 @@ object StreamBench {
         graft.streaming.AnnStream.deleteBatch(
           assignedIdx.filter(col("vec_id") % 97 === b).select(col("vec_id")),
           assignedIdx, b.toLong, "sb_tick_del")
+        graft.streaming.Takedown.tombstoneBatch(
+          replica(b).filter(col("doc_id") % 97 === 0).select(col("doc_id")),
+          b.toLong, "sb_tick_tomb")
         graft.streaming.Maintenance.tick(spark, b.toLong,
           wal = Seq(
             graft.streaming.Maintenance.WalJob("sb_tick_w",
@@ -314,7 +322,9 @@ object StreamBench {
             graft.streaming.Maintenance.WalJob("sb_tick_mix",
               s => graft.streaming.MixStream.compact(s, "sb_tick_mix")),
             graft.streaming.Maintenance.WalJob("sb_tick_del",
-              s => graft.streaming.AnnStream.compactDeleteCounters(s, "sb_tick_del"))),
+              s => graft.streaming.AnnStream.compactDeleteCounters(s, "sb_tick_del")),
+            graft.streaming.Maintenance.WalJob("sb_tick_tomb",
+              s => graft.streaming.Takedown.compact(s, "sb_tick_tomb"))),
           refit = Some(graft.streaming.Maintenance.RefitJob(
             emb, fitSnapB, listSnap, "sb_tick_del")),
           logTable = "sb_tick_log").count()

@@ -985,6 +985,29 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 2L))
     assert(graft.streaming.Wal.seen(spark, "t_td_tomb", 0L)
       && graft.streaming.Wal.seen(spark, "t_td_tomb", 1L))
+    // PHYSICAL reclamation: scrub drops the dead rows through the
+    // versioned snapshot-safe swap...
+    val (cb, ca) = Takedown.scrub(spark, "t_td_corpus", "doc_id", "t_td_tomb", buckets = 2)
+    assert((cb, ca) == ((2L, 1L)), "the dead seed row is physically gone")
+    Takedown.scrub(spark, "t_td_fps", "doc_id", "t_td_tomb", buckets = 2)
+    Takedown.scrub(spark, "t_td_sigs", "doc_id", "t_td_tomb", buckets = 2)
+    assert(corpusIds() == Set(101L))
+    // ...and the gate keeps APPENDING through the view (Store
+    // .appendTarget routes to the current backing): a fresh doc is
+    // admitted, a further duplicate still rejects against the live
+    // carrier
+    val contentY = (1 to 30).map(i => s"fresh$i").mkString(" ")
+    IngestGate.admitBatch(
+      Seq((104L, contentY, "en", "crawl", contentY.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "t_td_corpus", "t_td_fps", "t_td_sigs", "t_td_log", buckets = 2,
+      tombstones = Some("t_td_tomb"))
+    assert(corpusIds() == Set(101L, 104L), "post-scrub appends must keep working")
+    admit(105L)
+    assert(corpusIds() == Set(101L, 104L))
+    assert(spark.table("t_td_log").distinct()
+      .filter($"batch_id" === 105L && $"kind" === "exact")
+      .collect().map(_.getAs[Long]("corpus_id")).toSeq == Seq(101L))
     dropGateTables(tables: _*)
   }
 
