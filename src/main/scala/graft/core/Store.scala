@@ -109,7 +109,38 @@ object Store {
     * the immediately-previous version. The input plan may freely READ
     * `table` — it resolves to the old version, which this never touches. */
   private[graft] def publish(spark: SparkSession, df: DataFrame, table: String,
-                             buckets: Int, key: String): Unit = {
+                             buckets: Int, key: String): Unit =
+    publishWith(spark, df, table,
+      _.bucketBy(buckets, key).sortBy(key))
+
+  /** [[publish]] reproducing the CURRENT backing's FULL bucket spec
+    * (every bucket column and any sort columns) instead of the
+    * bucketBy(key).sortBy(key) default — for rewrites of tables whose
+    * layout the writer does not own (e.g. `Takedown.scrub` over the
+    * span registry's (bucketBy span, no sortBy) or the survivor
+    * table's (bucketBy cluster, sortBy vec_id)): a partial
+    * reconstruction would make the NEXT streaming append throw a
+    * bucket-spec mismatch, permanently failing the gate. */
+  private[graft] def publishLike(spark: SparkSession, df: DataFrame,
+                                 table: String): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser
+        .parseTableIdentifier(currentBacking(spark, table)))
+      .bucketSpec
+    publishWith(spark, df, table, w => spec match {
+      case Some(bs) =>
+        val wb = w.bucketBy(bs.numBuckets,
+          bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+        if (bs.sortColumnNames.nonEmpty)
+          wb.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+        else wb
+      case None => w
+    })
+  }
+
+  private def publishWith(spark: SparkSession, df: DataFrame, table: String,
+                          layout: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]
+                            => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
     // Clear crash debris first: backing tables newer than the view's
     // target were never published (no reader can hold them), and leaving
     // them would make the retire pass below miscount "previous".
@@ -117,7 +148,7 @@ object Store {
     val vs = versionsOf(spark, table)
     val next = vs.lastOption.map(_._1 + 1).getOrElse(1L)
     val backing = s"${table}__v$next"
-    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(backing)
+    layout(df.write.mode("overwrite")).saveAsTable(backing)
     // One-time migration from a pre-versioning plain table: the name must
     // be freed for the view. (Only this migration drop can disturb an
     // in-flight reader; every subsequent rewrite is snapshot-safe.)

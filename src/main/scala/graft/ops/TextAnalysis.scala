@@ -213,16 +213,19 @@ object TextAnalysis {
     * tercile cut; DSIR's importance view excludes its target from
     * selection by construction). Docs with < 2 tokens have no bigram
     * signal and no row — the caller's policy decides them (the gate arm
-    * rejects). Per doc: (doc_id, source, n_feats, q_score). */
-  /** The trained quality classifier as a standalone artifact (r15) —
-    * the 256-row (bucket, log-odds) table the streaming gate's
-    * quality_model arm serves against corpora the model never saw
-    * (the `Sampling.dsirModel` artifact shape, different contrast:
-    * hq-vs-rest instead of target-vs-corpus). */
+    * rejects). Per doc: (doc_id, source, n_feats, q_score).
+    *
+    * [[qualityModelFit]] is the trained classifier as a STANDALONE
+    * artifact — the 256-row (bucket, log-odds) table the streaming
+    * gate's quality_model arm serves against corpora the model never
+    * saw (the `Sampling.dsirModel` artifact shape, different
+    * contrast). */
   def qualityModelFit(documents: DataFrame, hqSource: String = "src0",
                       buckets: Int = 256): DataFrame =
     Sampling.dsirModelFromFeats(Sampling.dsirFeats(documents), hqSource, buckets)
 
+  /** See the class note above: per-doc scores with the model trained
+    * in-plan over the same feature frame. */
   def qualityModelScores(documents: DataFrame, hqSource: String = "src0",
                          buckets: Int = 256): DataFrame = {
     val feats = Sampling.dsirFeats(documents)

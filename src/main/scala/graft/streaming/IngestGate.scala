@@ -199,10 +199,19 @@ object IngestGate {
     // With a `tombstones` table configured (r15, the takedown leg) the
     // vetting side is additionally LIVE-only: a taken-down corpus doc
     // must stop rejecting honest re-submissions (which arrive under
-    // fresh doc_ids — the shared re-submission contract).
+    // fresh doc_ids — the shared re-submission contract). The distinct
+    // tombstoned-id set is materialized ONCE per batch (eager
+    // localCheckpoint) — every vetting arm anti-joins against the same
+    // frame instead of re-scanning the tombstone WAL per table.
     val batchIds = batch.select(col("doc_id"))
+    val tombIds: Option[DataFrame] = tombstones
+      .filter(spark.catalog.tableExists)
+      .map(t => Takedown.tombstonedIds(spark, t).localCheckpoint())
+    def liveSans(df: DataFrame, idCol: String): DataFrame =
+      tombIds.fold(df)(ids =>
+        df.join(ids.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti"))
     def sansBatch(t: String): DataFrame =
-      Takedown.liveOnly(spark.table(t), tombstones)
+      liveSans(spark.table(t), "doc_id")
         .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
     val decisions =
       if (!haveCorpus)
@@ -291,7 +300,11 @@ object IngestGate {
       case Some(sem) =>
         val vecIds = batchIds.select(col("doc_id").as("vec_id"))
         val batchEmb = sem.embeddings.join(broadcast(vecIds), Seq("vec_id"), "left_semi")
-        val survSans = spark.table(sem.survivorTable)
+        // LIVE survivors only (r15): a tombstoned doc's vector must stop
+        // semantic-rejecting re-submissions, exactly like the
+        // fingerprint/signature arms (vec_id ≡ doc_id by the gate's
+        // contract, so the same tombstone set filters this table)
+        val survSans = liveSans(spark.table(sem.survivorTable), "vec_id")
           .join(broadcast(vecIds), Seq("vec_id"), "left_anti")
         Seq(Dedup.crossSemanticDedup(survSans, batchEmb, sem.centroids,
             sem.tau, sem.nAssign)

@@ -75,35 +75,43 @@ object Takedown {
       spark.range(0).select(col("id").as("doc_id"))
     else spark.table(tombstonesTable).select(col("doc_id")).distinct()
 
-  /** `df` restricted to LIVE documents: tombstoned doc_ids anti-joined
-    * out. Identity when no tombstone table is configured or none
+  /** `df` restricted to LIVE documents: tombstoned ids anti-joined out
+    * on `idCol` (`doc_id` for the document-keyed stores; `vec_id` for
+    * the semantic survivor table, whose ids ARE doc ids by the gate's
+    * contract). Identity when no tombstone table is configured or none
     * exists yet. */
-  def liveOnly(df: DataFrame, tombstonesTable: Option[String]): DataFrame =
+  def liveOnly(df: DataFrame, tombstonesTable: Option[String],
+               idCol: String = "doc_id"): DataFrame =
     tombstonesTable match {
       case None => df
       case Some(t) =>
         val spark = df.sparkSession
         if (!spark.catalog.tableExists(t)) df
-        else df.join(tombstonedIds(spark, t), Seq("doc_id"), "left_anti")
+        else df.join(
+          tombstonedIds(spark, t).withColumnRenamed("doc_id", idCol),
+          Seq(idCol), "left_anti")
     }
 
-  /** PHYSICAL reclamation of tombstoned rows from a stored doc_id-keyed
+  /** PHYSICAL reclamation of tombstoned rows from a stored id-keyed
     * table (fingerprints, signatures, the corpus itself, the span
-    * registry) — the scheduled maintenance twin of the [[liveOnly]]
-    * serving view, riding `Store.publish`'s snapshot-safe versioned
-    * swap (a new backing table is written, the view repointed, the
-    * previous version retained for in-flight readers — the ANN refit
-    * swap's discipline). After a scrub the table IS live, so readers
-    * that bypass [[liveOnly]] see the same rows as those that don't
-    * (until the next takedown). Returns (rows before, rows after).
-    * Same single-maintenance-writer contract as Store.compact. */
-  def scrub(spark: SparkSession, table: String, key: String,
-            tombstonesTable: String, buckets: Int = 8): (Long, Long) = {
+    * registry, the semantic survivors) — the scheduled maintenance
+    * twin of the [[liveOnly]] serving view, riding
+    * `Store.publishLike`'s snapshot-safe versioned swap (a new backing
+    * table is written WITH the table's own full bucket spec — a
+    * default layout would make the next streaming append throw a
+    * bucket-spec mismatch — the view repointed, the previous version
+    * retained for in-flight readers: the ANN refit swap's discipline).
+    * After a scrub the table IS live, so readers that bypass
+    * [[liveOnly]] see the same rows as those that don't (until the
+    * next takedown). Returns (rows before, rows after). Same
+    * single-maintenance-writer contract as Store.compact. */
+  def scrub(spark: SparkSession, table: String, tombstonesTable: String,
+            idCol: String = "doc_id"): (Long, Long) = {
     if (!spark.catalog.tableExists(table)) (0L, 0L)
     else {
       val before = spark.table(table).count()
-      val live = liveOnly(spark.table(table), Some(tombstonesTable))
-      graft.core.Store.publish(spark, live, table, buckets, key)
+      val live = liveOnly(spark.table(table), Some(tombstonesTable), idCol)
+      graft.core.Store.publishLike(spark, live, table)
       (before, spark.table(table).count())
     }
   }

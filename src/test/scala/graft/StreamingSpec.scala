@@ -987,10 +987,10 @@ class StreamingSpec extends SparkSpec {
       && graft.streaming.Wal.seen(spark, "t_td_tomb", 1L))
     // PHYSICAL reclamation: scrub drops the dead rows through the
     // versioned snapshot-safe swap...
-    val (cb, ca) = Takedown.scrub(spark, "t_td_corpus", "doc_id", "t_td_tomb", buckets = 2)
+    val (cb, ca) = Takedown.scrub(spark, "t_td_corpus", "t_td_tomb")
     assert((cb, ca) == ((2L, 1L)), "the dead seed row is physically gone")
-    Takedown.scrub(spark, "t_td_fps", "doc_id", "t_td_tomb", buckets = 2)
-    Takedown.scrub(spark, "t_td_sigs", "doc_id", "t_td_tomb", buckets = 2)
+    Takedown.scrub(spark, "t_td_fps", "t_td_tomb")
+    Takedown.scrub(spark, "t_td_sigs", "t_td_tomb")
     assert(corpusIds() == Set(101L))
     // ...and the gate keeps APPENDING through the view (Store
     // .appendTarget routes to the current backing): a fresh doc is
@@ -1041,6 +1041,71 @@ class StreamingSpec extends SparkSpec {
     val liveKeeper = Takedown.liveOnly(spark.table("t_sptd_reg"), Some("t_sptd_tomb"))
       .filter($"span" === run).collect().map(_.getAs[Long]("doc_id"))
     assert(liveKeeper.toSeq == Seq(3L), "one LIVE keeper, the new carrier")
+    // PHYSICAL scrub of the registry: publishLike reproduces its
+    // (bucketBy span, NO sortBy) layout, so the next batch's append to
+    // the scrubbed view's backing must still work — a default
+    // bucketBy(key).sortBy(key) rewrite would make it throw a
+    // bucket-spec mismatch forever
+    val (rb, ra) = Takedown.scrub(spark, "t_sptd_reg", "t_sptd_tomb")
+    assert(ra < rb, "doc 1's dead registry rows are physically gone")
+    dedup(doc(5L, s"$run ${fresh(5)}"))
+    assert(outOf(5L) == ((fresh(5), 1)),
+      "post-scrub appends and dedup must keep working")
+    dropGateTables(tables: _*)
+  }
+
+  test("takedown with the semantic arm: a tombstoned doc's vector stops semantic-rejecting; its survivor row scrubs") {
+    import org.apache.spark.sql.functions.typedlit
+    import graft.streaming.{IngestGate, Takedown}
+    val tables = Seq("t_tds_corpus", "t_tds_fps", "t_tds_sigs", "t_tds_log",
+      "t_tds_surv", "t_tds_tomb")
+    dropGateTables(tables: _*)
+    val embs = graft.core.Tables(spark, TestSpark.sf0001).embeddings
+    val cents = graft.ops.Similarity.ivfCentroids(embs, k = 4, iters = 2)
+    // seed doc 1 with vector 1 as a survivor; content is unique text so
+    // only the SEMANTIC arm can reject (the vector twin is the signal)
+    def doc(id: Long, text: String) =
+      Seq((id, text, "en", "crawl", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, doc(1L, (1 to 30).map(i => s"semtext$i").mkString(" ")),
+      "t_tds_corpus", "t_tds_fps", "t_tds_sigs", buckets = 2)
+    IngestGate.seedSemantic(embs.filter($"vec_id" === 1L)
+      .withColumn("cluster", graft.functions.GraftFunctions.nearestCentroid(
+        $"embedding", typedlit(cents))), "t_tds_surv", buckets = 2)
+    // batch doc 200 carries vector 1's EXACT embedding (vec_id = doc_id
+    // lookup frame) and novel text — rejected by the semantic arm only
+    val lookup = embs.filter($"vec_id" === 1L)
+      .select(lit(200L).as("vec_id"), $"label", $"embedding")
+      .unionByName(embs.filter($"vec_id" === 1L)
+        .select(lit(201L).as("vec_id"), $"label", $"embedding"))
+    def admit(id: Long): Unit = IngestGate.admitBatch(
+      doc(id, (1 to 30).map(i => s"novel$id$i").mkString(" ")),
+      "t_tds_corpus", "t_tds_fps", "t_tds_sigs", "t_tds_log", buckets = 2,
+      semantic = Some(IngestGate.SemanticVet(lookup, "t_tds_surv", cents)),
+      tombstones = Some("t_tds_tomb"))
+    admit(200L)
+    val rej200 = spark.table("t_tds_log").distinct()
+      .filter($"batch_id" === 200L && $"kind" === "semantic")
+      .collect().map(_.getAs[Long]("corpus_id"))
+    assert(rej200.toSeq == Seq(1L), "the vector twin is semantically rejected pre-takedown")
+    // takedown of doc 1: its survivor vector must stop rejecting
+    Takedown.tombstoneBatch(Seq(1L).toDF("doc_id"), 0L, "t_tds_tomb")
+    admit(201L)
+    assert(spark.table("t_tds_log").distinct()
+      .filter($"batch_id" === 201L && $"kind" === "semantic").count() == 0,
+      "post-takedown the dead survivor no longer semantic-rejects")
+    // the survivor table scrubs on vec_id (≡ doc_id), preserving its
+    // (bucketBy cluster, sortBy vec_id) layout for later appends
+    val (sb, sa) = Takedown.scrub(spark, "t_tds_surv", "t_tds_tomb", idCol = "vec_id")
+    assert(sa < sb, "the dead survivor row is physically gone")
+    assert(spark.table("t_tds_surv").filter($"vec_id" === 1L).count() == 0)
+    // doc 201 was admitted and its vector registered — a replay of 200
+    // now rejects against the NEW live survivor
+    admit(200L)
+    val rej200b = spark.table("t_tds_log").distinct()
+      .filter($"batch_id" === 200L && $"kind" === "semantic")
+      .collect().map(_.getAs[Long]("corpus_id")).toSet
+    assert(rej200b.contains(201L), "the twin rejects against the LIVE survivor")
     dropGateTables(tables: _*)
   }
 

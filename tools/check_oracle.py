@@ -158,7 +158,7 @@ for name in all_keys:
     merged[name] = row
 with open(f"{outdir}/correctness_local.json", "w") as f:
     json.dump(merged, f, indent=1, sort_keys=True)
-machine = len(all_keys) - len(set(fails)) - len(rows_only)
+machine = len(all_keys) - len(set(fails) | set(rows_only))
 print(f"\n{len(oracle)-len([f for f in fails if f in oracle])}/{len(oracle)} "
       f"oracle-matched; {len(spec_ok)}/{len(specs)} spec-bounded; "
       f"{len(all_keys)} keys total, {len(rows_only)} rows-only; fails: {sorted(set(fails))}")
