@@ -197,6 +197,42 @@ object DupClusters {
       assignment.where(col("doc_id") === col("cluster_id")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** QUALITY-AWARE cluster-level dedup survivors (r15): keep each
+    * component's BEST document by the model quality score
+    * (`TextAnalysis.qualityModelScores`) instead of [[clusterKeep]]'s
+    * min-id convention — near-dup clusters in a web corpus typically
+    * mix a clean original with boilerplate-framed and truncated
+    * copies, and min-id keeps whichever was crawled first. Ordering:
+    * q_score DESC NULLS LAST (a doc with no bigram signal never beats
+    * a scored sibling; an all-unscored cluster falls back to min
+    * doc_id via the tie-break), doc_id ASC on ties — a total order,
+    * the top-k convention. Output: one row per cluster with the
+    * survivor's id/source, the cluster id/size, and the winning score.
+    *
+    * Plan: the assignment (key columns) joins the slim scores frame,
+    * ONE window partitioned by cluster_id picks the argmax (clusters
+    * are bounded by the dedup radius, never corpus-sized partitions),
+    * sizes ride a groupBy of the same assignment; the full-width
+    * document row enters only by the final survivor semi-join. */
+  def clusterKeepQuality(documents: DataFrame, assignment: DataFrame,
+                         scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q_score").desc_nulls_last, col("doc_id").asc)
+    val ranked = assignment
+      .join(scores.select(col("doc_id"), col("q_score")), Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("q_score"))
+    val sizes = assignment.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    documents.select(col("doc_id"), col("source"))
+      .join(ranked, Seq("doc_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        col("cluster_size"), col("q_score"))
+  }
+
   /** Duplicate-cluster SIZE DISTRIBUTION — the dedup governance summary
     * a corpus release publishes (how much of the corpus sits in
     * singletons vs 2-copies vs mega-clusters; a heavy tail here means
@@ -223,7 +259,10 @@ object DupClusters {
     "d_cluster_sizes" -> ((s, d) => clusterSizes(Catalog.dupClusters(s, d))),
     "d_dup_clusters" -> ((s, d) => Catalog.dupClusters(s, d)),
     "d_cluster_keep" -> ((s, d) =>
-      clusterKeep(Tables(s, d).documents, Catalog.dupClusters(s, d))))
+      clusterKeep(Tables(s, d).documents, Catalog.dupClusters(s, d))),
+    "d_cluster_keep_quality" -> ((s, d) =>
+      clusterKeepQuality(Tables(s, d).documents, Catalog.dupClusters(s, d),
+        graft.ops.TextAnalysis.qualityModelScores(Tables(s, d).documents))))
 
   /** DuckDB mirror: same edge set (exact-jaccard pairs ∪ exact-hash star
     * edges), components via a recursive transitive-closure CTE — DuckDB
@@ -265,5 +304,25 @@ object DupClusters {
          |  FROM assign GROUP BY 1)
          |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
          |  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
-         |FROM sizes GROUP BY 1""".stripMargin)
+         |FROM sizes GROUP BY 1""".stripMargin,
+    // clusterKeepQuality mirror: the same closure + the shared NB
+    // log-odds scorer (q_score over EVERY doc — the t_quality_model
+    // chain), argmax per root with DESC NULLS LAST + id tie (both
+    // engines' explicit null order), sizes off the same assignment.
+    "d_cluster_keep_quality" ->
+      s"""$reachCte,
+         |qsk AS (SELECT doc_id, q_score FROM
+         |  (${graft.ops.Sampling.nbLogOddsSql("src0", excludeTarget = false, "q_score")})),
+         |rkq AS (SELECT a.id AS doc_id, a.root, qsk.q_score,
+         |    row_number() OVER (PARTITION BY a.root
+         |      ORDER BY qsk.q_score DESC NULLS LAST, a.id ASC) AS rn
+         |  FROM assign a LEFT JOIN qsk ON qsk.doc_id = a.id),
+         |csq AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM assign GROUP BY 1)
+         |SELECT d.doc_id, d.source, rkq.root AS cluster_id,
+         |  csq.cluster_size, rkq.q_score
+         |FROM rkq
+         |JOIN documents d ON d.doc_id = rkq.doc_id
+         |JOIN csq ON csq.root = rkq.root
+         |WHERE rkq.rn = 1""".stripMargin)
 }

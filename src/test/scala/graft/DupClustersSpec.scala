@@ -149,4 +149,39 @@ class DupClustersSpec extends SparkSpec {
     assert(kept == byCluster.values.toSet)
     assert(kept.size == assign.select("cluster_id").distinct().count())
   }
+
+  test("clusterKeepQuality: best score wins, unscored docs never beat scored siblings, all-unscored falls back to min id") {
+    import spark.implicits._
+    // hand assignment: cluster 1 = {1,2,3}, cluster 10 = {10,11}, singleton 20
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "cluster_id")
+    val handDocs = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+      .map(i => (i, s"text$i", "en", s"src${i % 3}", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // hand scores: doc 2 beats 1; doc 3 UNSCORED (no bigram signal);
+    // cluster 10 entirely unscored; the singleton is scored
+    val scores = Seq((1L, 0.5), (2L, 0.9), (20L, 0.1))
+      .toDF("doc_id", "q_score")
+    val out = DupClusters.clusterKeepQuality(handDocs, assign, scores)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out == Map(1L -> ((2L, 3L)), 10L -> ((10L, 2L)), 20L -> ((20L, 1L))),
+      s"argmax per cluster with null-last + min-id fallback, got $out")
+    // corpus-level: exactly one survivor per cluster, and every
+    // survivor's score is the max of its cluster's scored members
+    val corpusAssign = DupClusters.dupClusters(docs, graft.ops.Dedup.minhashCandidates(docs))
+    val qs = graft.ops.TextAnalysis.qualityModelScores(docs)
+    val kq = DupClusters.clusterKeepQuality(docs, corpusAssign, qs).collect()
+    assert(kq.length == corpusAssign.select("cluster_id").distinct().count())
+    val scoreOf = qs.select("doc_id", "q_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = corpusAssign.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    kq.foreach { r =>
+      val best = members(r.getAs[Long]("cluster_id")).flatMap(scoreOf.get)
+      if (best.nonEmpty)
+        assert(r.getAs[Double]("q_score") == best.max,
+          s"survivor must carry its cluster's max score")
+    }
+  }
 }
