@@ -163,12 +163,17 @@ object TextKernels {
     * blocks. MUST stay in lockstep with `TextAnalysis.cjkClassSql`
     * (the DuckDB mirror) — change both or neither. */
   @inline private def isCjk(c: Char): Boolean =
-    (c >= 0x4e00 && c <= 0x9fff) || // CJK Unified Ideographs
-    (c >= 0x3400 && c <= 0x4dbf) || // CJK Ideographs Extension A
-    (c >= 0x3040 && c <= 0x30ff) || // Hiragana + Katakana
-    (c >= 0x31f0 && c <= 0x31ff) || // Katakana phonetic extensions
-    (c >= 0xff66 && c <= 0xff9d) || // Halfwidth katakana
-    (c >= 0xac00 && c <= 0xd7af)    // Hangul syllables
+    // one lower-bound compare rejects every ASCII/Latin char before the
+    // per-block checks — this scan runs once per char of EVERY tokenized
+    // string (the shingle/minhash/simhash hot path), and the r15 block
+    // widening would otherwise have doubled its all-ASCII cost
+    c >= 0x3040 && (
+      (c <= 0x30ff) ||                // Hiragana + Katakana
+      (c >= 0x4e00 && c <= 0x9fff) || // CJK Unified Ideographs
+      (c >= 0xac00 && c <= 0xd7af) || // Hangul syllables
+      (c >= 0x3400 && c <= 0x4dbf) || // CJK Ideographs Extension A
+      (c >= 0x31f0 && c <= 0x31ff) || // Katakana phonetic extensions
+      (c >= 0xff66 && c <= 0xff9d))   // Halfwidth katakana
 
   /** Codepoint-class segmentation fallback for space-free scripts:
     * insert a space around every CJK letter ([[isCjk]]'s classes) —
