@@ -16,14 +16,17 @@ import graft.ops.Dedup
   * durable corpus (documents + fingerprint + signature tables in
   * `core.Store`), which each micro-batch reads for vetting and extends
   * by its ADMITTED rows only (the incremental `Store.refresh*` path:
-  * compute ∝ batch, never ∝ corpus). Decisions are appended to a
-  * decision-log table FIRST and the admitted set is derived by reading
-  * that log back — so the reject computation is never re-evaluated
-  * against tables it just mutated, and the log doubles as the gate's
-  * write-ahead record (a crashed batch re-runs idempotently: re-derived
-  * decisions for already-present doc_ids change nothing, the corpus
-  * append anti-joins out doc_ids a crashed attempt already landed, and
-  * the fingerprint/signature refreshes append only missing rows).
+  * compute ∝ batch, never ∝ corpus). The batch's decision frame is
+  * materialized ONCE, appended to a decision-log table FIRST, and the
+  * admitted set is derived from that same in-hand frame (r16 — never
+  * by re-reading the log, whose size grows ∝ admitted history, and
+  * never from a plan that reads tables the batch just mutated). The
+  * log is the gate's durable write-ahead record (a crashed batch
+  * re-runs idempotently: the corpus-as-of-before-the-batch
+  * reconstruction below makes re-derived decisions equal the
+  * originals, the corpus append anti-joins out doc_ids a crashed
+  * attempt already landed, and the fingerprint/signature refreshes
+  * append only missing rows).
   *
   * Sequencing semantics: batch N is vetted against the corpus AS OF
   * batch N−1's admissions — a duplicate of a document admitted two
@@ -163,7 +166,15 @@ object IngestGate {
     * t_quality_model_curve's sweep picks). Rejection kind
     * `quality_model`; docs with no bigram signal (< 2 tokens) are
     * rejected — no quality evidence, the conservative admission
-    * default, same as the DSIR arm. */
+    * default, same as the DSIR arm. NOTE the same NULL also covers a
+    * doc whose bigrams all hash to buckets ABSENT from the served
+    * model (the scorer inner-joins features to the artifact): with the
+    * 256-bucket md5 feature space any real training corpus populates
+    * every bucket, but a model fit on a toy corpus can leave holes,
+    * and a doc falling entirely into them is rejected under the same
+    * no-evidence rationale — which is the intended policy (no bucket
+    * the model has seen ⇒ no quality evidence), just a second route
+    * to it. */
   final case class QualityModelVet(model: DataFrame, tau: Double)
 
   /** Seed the durable semantic-survivor table (plain bucketed-by-cluster
@@ -347,16 +358,30 @@ object IngestGate {
             lit("quality_model").as("kind")))
     }
     // WAL first: land the decisions, then derive everything downstream
-    // from the written log — never from a plan that reads tables this
-    // batch is about to mutate. The log is at-least-once (a replayed
-    // batch appends its identical decisions again); consumers read it
-    // distinct, as [[rejected]] below does.
-    (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects ++ qmRejects)
-      .foldLeft(decisions)(_ unionByName _)
-      .write.mode("append").saveAsTable(decisionsTable)
-    val rejected = spark.table(decisionsTable)
-      .join(batch.select(col("doc_id").as("batch_id")), Seq("batch_id"), "left_semi")
-      .select(col("batch_id").as("doc_id")).distinct()
+    // from the batch's OWN materialized decision frame — never from a
+    // plan that re-reads tables this batch just mutated, and (r16)
+    // never from the full decisions log either. The r15 form semi-
+    // joined `spark.table(decisionsTable)` by the batch ids, which
+    // reads a table growing ∝ admitted HISTORY every batch — the one
+    // per-batch cost in the gate that was unbounded on a standing
+    // pipeline (cumulative cost quadratic in batches). The in-hand
+    // frame is sufficient: decisions are a pure function of (batch,
+    // corpus-as-of-before-the-batch), and the sansBatch/liveSans
+    // reconstruction above makes a crash-replay re-derive exactly the
+    // originals — so the union of this batch's frames IS the log's
+    // row-set for these batch_ids (doc_ids are globally unique across
+    // the stream's lifetime — the shared re-submission contract — so
+    // no OTHER batch's log rows can name them). The frame is
+    // materialized ONCE (eager localCheckpoint, ∝ batch) so the WAL
+    // append and the rejected-set derivation share one evaluation of
+    // every vetting arm. The written log stays the durable at-least-
+    // once record ([[report]] reads it distinct); per-batch gate cost
+    // no longer touches it.
+    val walFrame = graft.ops.DupClusters.materialize(
+      (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects ++ qmRejects)
+        .foldLeft(decisions)(_ unionByName _))
+    walFrame.write.mode("append").saveAsTable(decisionsTable)
+    val rejected = walFrame.select(col("batch_id").as("doc_id")).distinct()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
     // Crash-replay guard for the corpus append itself: a crashed attempt
     // may already have landed this batch's admitted rows in corpusTable,
@@ -409,6 +434,11 @@ object IngestGate {
         .saveAsTable(if (haveSurv) Store.appendTarget(spark, sem.survivorTable)
                      else sem.survivorTable)
     }
+    // every consumer of the batch's decision frame has executed (the
+    // WAL append, the corpus append, the survivor append) — release
+    // its checkpoint blocks so a long-running gate doesn't pin one
+    // batch-sized RDD per micro-batch for the session lifetime
+    graft.ops.DupClusters.release(walFrame)
   }
 
   /** The gate's operational readout (r14) — "why is my corpus
@@ -419,18 +449,28 @@ object IngestGate {
     * rows), so counts are DISTINCT documents per kind — replays can
     * never inflate the report (spec-proven); a doc rejected by several
     * arms counts once per kind (the arms are independent evidence).
+    * With the takedown leg configured, a TOMBSTONED doc is netted out
+    * of every per-kind count (r16 — its history is retired with it)
+    * and surfaces in the `tombstoned` volume row instead.
     * ≤ #kinds + 1 rows out of two aggregates — corpus-scale scans,
     * model-scale output, the report cadence decoupled from ingest. */
   def report(spark: SparkSession, decisionsTable: String,
              corpusTable: String, tombstones: Option[String] = None): DataFrame = {
     def one(kind: String, n: Long): DataFrame =
       spark.range(1).select(lit(kind).as("kind"), lit(n).as("n_docs"))
+    // takedown netting (r16): a tombstoned doc's old rejection rows
+    // must stop counting toward the per-kind distincts — the doc is
+    // retired, and its decision history with it (the `tombstoned` row
+    // below carries the volume instead). One anti-join against the
+    // distinct tombstone set, same as every LIVE-vetted read.
     val rejects =
       if (!spark.catalog.tableExists(decisionsTable))
         one("admitted", 0L).limit(0)
-      else spark.table(decisionsTable)
+      else Takedown.liveOnly(
+          spark.table(decisionsTable).withColumnRenamed("batch_id", "doc_id"),
+          tombstones)
         .groupBy(col("kind"))
-        .agg(count_distinct(col("batch_id")).as("n_docs"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
     // with the takedown leg configured (r15), `admitted` counts LIVE
     // docs only and the delete volume surfaces as its own row — "why
     // is my corpus shrinking" now includes the takedown answer

@@ -119,6 +119,31 @@ object StreamBench {
         "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs"))(
       b => graft.streaming.IngestGate.admitBatch(replica(b),
         "sb_gate_corpus", "sb_gate_fps", "sb_gate_sigs", "sb_gate_log"))
+    // r16: the gate with a PRE-GROWN decision log — the r15 weak item
+    // was a per-batch `rejected` derivation that semi-joined the FULL
+    // decisions log (cost ∝ admitted history; a 5-batch horizon can't
+    // see the growth). Plant a 50-batch-deep log BEFORE timing: if any
+    // per-batch path still reads the log, batch times here sit far
+    // above the plain ingest_gate arm's; the fixed gate (rejected
+    // derived from the batch's own in-hand frames) must read FLAT and
+    // comparable to ingest_gate.
+    val lt = Seq("sb_lgate_corpus", "sb_lgate_fps", "sb_lgate_sigs", "sb_lgate_log")
+    gateBench("ingest_gate_loggrown", lt)(
+      () => {
+        graft.streaming.IngestGate.seedCorpus(spark, docs,
+          "sb_lgate_corpus", "sb_lgate_fps", "sb_lgate_sigs")
+        // 50 synthetic prior batches' decision rows (corpus-sized each,
+        // ids disjoint from every timed batch) — the standing-pipeline
+        // history the r15 gate re-read per batch
+        (0 until 50).map(g => docs.select(
+            (col("doc_id") + (100 + g) * 10_000_000L).as("batch_id"),
+            col("doc_id").as("corpus_id"),
+            lit("exact").as("kind")))
+          .reduce(_ unionByName _)
+          .write.mode("append").saveAsTable("sb_lgate_log")
+      })(
+      b => graft.streaming.IngestGate.admitBatch(replica(b),
+        "sb_lgate_corpus", "sb_lgate_fps", "sb_lgate_sigs", "sb_lgate_log"))
     // full gate + the r15 TAKEDOWN leg: each batch first tombstones the
     // PREVIOUS batch's doc_ids (one WAL fold into the tombstone table),
     // then admits the next replica with LIVE-only vetting — per-batch

@@ -1011,6 +1011,42 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("report takedown netting: tombstoning a rejected doc decrements its kind row and increments the tombstoned row; replay-stable") {
+    import graft.streaming.{IngestGate, Takedown}
+    val tables = Seq("t_tdn_corpus", "t_tdn_fps", "t_tdn_sigs", "t_tdn_log",
+      "t_tdn_tomb", "t_tdn_tomb__wal_ids")
+    dropGateTables(tables: _*)
+    val contentX = (1 to 30).map(i => s"netting$i").mkString(" ")
+    val contentY = (1 to 30).map(i => s"other$i").mkString(" ")
+    val seed = Seq((1L, contentX, "en", "seed", contentX.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_tdn_corpus", "t_tdn_fps", "t_tdn_sigs", buckets = 2)
+    def admit(id: Long, text: String): Unit = IngestGate.admitBatch(
+      Seq((id, text, "en", "crawl", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "t_tdn_corpus", "t_tdn_fps", "t_tdn_sigs", "t_tdn_log", buckets = 2,
+      tombstones = Some("t_tdn_tomb"))
+    admit(100L, contentX) // exact duplicate of the seed — rejected
+    admit(200L, contentY) // fresh content — admitted
+    def rep(): Map[String, Long] = IngestGate.report(spark, "t_tdn_log",
+      "t_tdn_corpus", Some("t_tdn_tomb")).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_docs")).toMap
+    val pre = rep()
+    assert(pre("exact") == 1L && pre("admitted") == 2L &&
+      pre.getOrElse("tombstoned", 0L) == 0L, s"pre-takedown report: $pre")
+    // take down the REJECTED doc: its decision history retires with it
+    Takedown.tombstoneBatch(Seq(100L).toDF("doc_id"), 0L, "t_tdn_tomb")
+    val post = rep()
+    assert(post.get("exact").isEmpty,
+      s"the tombstoned doc's rejection must stop counting: $post")
+    assert(post("tombstoned") == 1L && post("admitted") == 2L,
+      s"takedown volume surfaces as its own row: $post")
+    // replay-stable: the same tombstone batch changes nothing
+    Takedown.tombstoneBatch(Seq(100L).toDF("doc_id"), 0L, "t_tdn_tomb")
+    assert(rep() == post, "report must be stable under tombstone replay")
+    dropGateTables(tables: _*)
+  }
+
   test("span gate takedown: a tombstoned keeper releases its spans; the next carrier keeps and re-registers them") {
     import graft.streaming.{SpanStream, Takedown}
     val tables = Seq("t_sptd_reg", "t_sptd_out", "t_sptd_tomb")
