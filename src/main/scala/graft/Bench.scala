@@ -178,6 +178,10 @@ object Bench {
     graft.core.Catalog.bpeCurve(spark, sfDir)
     graft.core.Catalog.bpeModelSnapshot(spark, sfDir)._2.count()
     graft.core.Catalog.rankSnapshot(spark, sfDir).count()
+    // the NB quality-model fit + materialized scores (r16) —
+    // t_quality_model, t_quality_model_curve and d_cluster_keep_quality
+    // serve off it; same reps=1-adjudication reason as every fit
+    graft.core.Catalog.qualityScores(spark, sfDir).count()
     val warmFitsSec = (System.nanoTime() - tw0) / 1e9
 
     var errors = List.empty[String]

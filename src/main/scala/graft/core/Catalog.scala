@@ -51,6 +51,14 @@ object Catalog {
   // landed by the SAME hooked training run that fills bpeCache
   private val bpeCurveCache =
     TrieMap.empty[(SparkSession, String, Int), Seq[(Int, Long, Long)]]
+  // the NB quality classifier (r16): ONE hooked training per
+  // (session, dir) lands the 256-row fit artifact AND the materialized
+  // per-doc score frame — t_quality_model, t_quality_model_curve and
+  // d_cluster_keep_quality all serve off it (the bpeModel precedent);
+  // the artifact is also what Store.saveQualityModel publishes for the
+  // streaming gate's quality_model arm
+  private val qmCache =
+    TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -68,6 +76,7 @@ object Catalog {
     rankCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pqCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     bpeCurveCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+    qmCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -112,6 +121,16 @@ object Catalog {
     pqCurveCache.keys.filter(_._1 eq spark).foreach(pqCurveCache.remove)
     // (the two curve caches hold value scalars — nothing to unpersist)
     bpeCurveCache.keys.filter(_._1 eq spark).foreach(bpeCurveCache.remove)
+    // the quality-model frames are localCheckpoints — their blocks hang
+    // off the LogicalRDD, so release them via DupClusters.release
+    qmCache.keys.filter(_._1 eq spark).foreach { k =>
+      qmCache.remove(k).foreach { case (m, sc) =>
+        if (!spark.sparkContext.isStopped) {
+          graft.ops.DupClusters.release(m)
+          graft.ops.DupClusters.release(sc)
+        }
+      }
+    }
   }
 
   /** The upserted vehicles table for a scale-factor dir (cached, shared). */
@@ -339,6 +358,32 @@ object Catalog {
         rounds)
     })
   }
+
+  private def qmPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    evictStopped()
+    qmCache.getOrElseUpdate((spark, dir),
+      graft.ops.TextAnalysis.qualityModelFitScores(Tables(spark, dir).documents))
+  }
+
+  /** The trained NB quality-model ARTIFACT for a dir's documents
+    * (r16, cached, shared): the 256-row (bucket, log-odds) table —
+    * the stored object `Store.saveQualityModel` publishes and the
+    * streaming gate's quality_model arm serves against corpora the
+    * model never saw. One hooked training per (session, dir) lands
+    * this AND [[qualityScores]] (the bpeModel/bpeCurve precedent —
+    * the classifier is a MODEL exactly like the IVF/PQ/BPE fits). */
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qmPair(spark, dir)._1
+
+  /** The MATERIALIZED per-doc quality-score frame for a dir's
+    * documents (r16, cached, shared): (doc_id, source, n_feats,
+    * q_score) — `t_quality_model`'s tercile card,
+    * `t_quality_model_curve`'s budget sweep and
+    * `d_cluster_keep_quality`'s survivor argmax all read THIS frame;
+    * the corpus token-stream scan and the NB fit run once per
+    * (session, dir), never per serve. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    qmPair(spark, dir)._2
 
   /** `nlist <= 0` (the default) resolves the list count from the corpus
     * via [[graft.ops.Similarity.autoNlist]] — the SCALING.md sizing rule

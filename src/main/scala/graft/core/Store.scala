@@ -49,6 +49,7 @@ object Store {
   val SemanticSurvivorsTable = "graft_semantic_survivors"
   val AnnIndexTable = "graft_ann_index"
   val MrlPrefixTable = "graft_mrl_prefix"
+  val QualityModelTable = "graft_quality_model"
 
   // ---- versioned publish machinery ----
 
@@ -238,6 +239,16 @@ object Store {
   def saveDupClusters(spark: SparkSession, dir: String, buckets: Int = 8,
                       table: String = ClustersTable): Unit =
     publish(spark, Catalog.dupClusters(spark, dir), table, buckets, "doc_id")
+
+  /** Persist the trained NB quality-model artifact (r16) — the 256-row
+    * (bucket, log-odds) table from `Catalog.qualityModel` — as a durable
+    * table: the stored classifier the streaming gate's quality_model
+    * arm (`IngestGate.QualityModelVet`) serves against corpora the
+    * model never saw. Model-scale (≤ `buckets` feature rows), one
+    * storage bucket. */
+  def saveQualityModel(spark: SparkSession, dir: String,
+                       table: String = QualityModelTable): Unit =
+    publish(spark, Catalog.qualityModel(spark, dir), table, 1, "b")
 
   /** Persist the semantic-dedup survivor set (vec_id, label, embedding,
     * cluster) bucketed by the coarse CLUSTER — the serving layout for

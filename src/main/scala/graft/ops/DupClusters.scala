@@ -260,9 +260,12 @@ object DupClusters {
     "d_dup_clusters" -> ((s, d) => Catalog.dupClusters(s, d)),
     "d_cluster_keep" -> ((s, d) =>
       clusterKeep(Tables(s, d).documents, Catalog.dupClusters(s, d))),
+    // scores come from the Catalog-cached quality model (r16): the
+    // serve pays the bounded cluster window + slim joins only, never
+    // an NB refit + double token-stream scan per invocation
     "d_cluster_keep_quality" -> ((s, d) =>
       clusterKeepQuality(Tables(s, d).documents, Catalog.dupClusters(s, d),
-        graft.ops.TextAnalysis.qualityModelScores(Tables(s, d).documents))))
+        Catalog.qualityScores(s, d))))
 
   /** DuckDB mirror: same edge set (exact-jaccard pairs ∪ exact-hash star
     * edges), components via a recursive transitive-closure CTE — DuckDB

@@ -964,11 +964,14 @@ object Sampling {
     * only, both engines identical. */
   private[ops] def budgetCurveOverWeights(scores: DataFrame, weightCol: String,
                                           fractions: Seq[Double], accuracy: Int,
-                                          meanAlias: String): DataFrame = {
+                                          meanAlias: String,
+                                          materialized: Boolean = false): DataFrame = {
     // one scores computation shared by the sketch and the sweep (the
     // dsirThreshold materialization — without it the full feature
-    // subtree executes under both consumers)
-    val w = DupClusters.materialize(scores)
+    // subtree executes under both consumers); `materialized = true`
+    // declares the caller already holds a materialized frame (r16 —
+    // the Catalog-cached quality scores), so no per-serve re-copy
+    val w = if (materialized) scores else DupClusters.materialize(scores)
     val taus = broadcast(w.agg(
       percentile_approx(col(weightCol),
         array(fractions.map(f => lit(1.0 - f)): _*), lit(accuracy)).as("taus")))

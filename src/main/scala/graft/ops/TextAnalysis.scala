@@ -225,13 +225,42 @@ object TextAnalysis {
     Sampling.dsirModelFromFeats(Sampling.dsirFeats(documents), hqSource, buckets)
 
   /** See the class note above: per-doc scores with the model trained
-    * in-plan over the same feature frame. */
+    * in-plan over the same feature frame. NOTE (r16): the feature
+    * subtree here is referenced by BOTH the model aggregate and the
+    * scoring join with no materialization, so the token-stream scan
+    * runs twice per ACTION — the in-plan form for one-shot use. Every
+    * serving key reads `Catalog.qualityScores` instead (one hooked
+    * [[qualityModelFitScores]] training per (session, dir) — the
+    * bpeModel/ivfIndex precedent). */
   def qualityModelScores(documents: DataFrame, hqSource: String = "src0",
                          buckets: Int = 256): DataFrame = {
     val feats = Sampling.dsirFeats(documents)
     Sampling.dsirScoreFeats(feats,
         Sampling.dsirModelFromFeats(feats, hqSource, buckets))
       .withColumnRenamed("dsir_weight", "q_score")
+  }
+
+  /** ONE hooked training run (r16): the fit ARTIFACT (the 256-row
+    * (bucket, log-odds) table — [[qualityModelFit]]'s output, the
+    * stored object the streaming gate's quality_model arm serves) AND
+    * the MATERIALIZED per-doc score frame, sharing one materialized
+    * pass over the feature stream — the token-stream scan runs once
+    * per corpus, not twice per serve. Both returned frames are
+    * materialized (the feature frame's blocks are released before
+    * returning); identical values to [[qualityModelFit]] /
+    * [[qualityModelScores]] by construction (same plan arithmetic), so
+    * every DuckDB mirror replays unchanged. Cached per (session, dir)
+    * by `Catalog.qualityModel`/`Catalog.qualityScores`. */
+  def qualityModelFitScores(documents: DataFrame, hqSource: String = "src0",
+                            buckets: Int = 256): (DataFrame, DataFrame) = {
+    val feats = DupClusters.materialize(Sampling.dsirFeats(documents))
+    val model = DupClusters.materialize(
+      Sampling.dsirModelFromFeats(feats, hqSource, buckets))
+    val scores = DupClusters.materialize(
+      Sampling.dsirScoreFeats(feats, model)
+        .withColumnRenamed("dsir_weight", "q_score"))
+    DupClusters.release(feats)
+    (model, scores)
   }
 
   /** [[qualityModelScores]] + CCNet's head/middle/tail TERCILE buckets
@@ -245,8 +274,14 @@ object TextAnalysis {
     * engines (ROUND(,4) scores make ties real; the set rule { ≥ τ }
     * needs no tie lottery). */
   def qualityModel(documents: DataFrame, hqSource: String = "src0",
-                   accuracy: Int = 10000): DataFrame = {
-    val s = DupClusters.materialize(qualityModelScores(documents, hqSource))
+                   accuracy: Int = 10000): DataFrame =
+    qualityModelFromScores(
+      DupClusters.materialize(qualityModelScores(documents, hqSource)), accuracy)
+
+  /** The tercile card served off an ALREADY-MATERIALIZED score frame
+    * (r16 — `Catalog.qualityScores`): the sketch pass and the bucket
+    * scan read the shared frame, no refit per serve. */
+  def qualityModelFromScores(s: DataFrame, accuracy: Int = 10000): DataFrame = {
     val taus = broadcast(s.agg(
       percentile_approx(col("q_score"),
         array(lit(1.0 / 3.0), lit(2.0 / 3.0)), lit(accuracy)).as("taus")))
@@ -272,6 +307,15 @@ object TextAnalysis {
                         accuracy: Int = 10000): DataFrame =
     Sampling.budgetCurveOverWeights(qualityModelScores(documents, hqSource),
       "q_score", fractions, accuracy, "mean_q_score")
+
+  /** [[qualityModelCurve]] served off an ALREADY-MATERIALIZED score
+    * frame (r16 — `Catalog.qualityScores`): the sweep's own
+    * materialization is skipped, no refit per serve. */
+  def qualityModelCurveFromScores(scores: DataFrame,
+                                  fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
+                                  accuracy: Int = 10000): DataFrame =
+    Sampling.budgetCurveOverWeights(scores, "q_score", fractions, accuracy,
+      "mean_q_score", materialized = true)
 
   /** Per-LANGUAGE corpus stratification (r14) — the language axis the
     * mixture planner reads before weighting sources: one row per
@@ -1780,8 +1824,12 @@ object TextAnalysis {
     "t_zipf"           -> ((s, d) => zipfReport(Tables(s, d).documents)),
     "t_langid"         -> ((s, d) => langId(Tables(s, d).documents)),
     "t_quality_lang"   -> ((s, d) => qualityByLang(Tables(s, d).documents)),
-    "t_quality_model"  -> ((s, d) => qualityModel(Tables(s, d).documents)),
-    "t_quality_model_curve" -> ((s, d) => qualityModelCurve(Tables(s, d).documents)),
+    // both model keys serve off the Catalog-cached fit + materialized
+    // scores (r16): one training per (session, dir), never per serve
+    "t_quality_model"  -> ((s, d) =>
+      qualityModelFromScores(graft.core.Catalog.qualityScores(s, d))),
+    "t_quality_model_curve" -> ((s, d) =>
+      qualityModelCurveFromScores(graft.core.Catalog.qualityScores(s, d))),
     "t_quality"        -> ((s, d) => quality(Tables(s, d).documents)),
     "t_tokens"         -> ((s, d) => tokenStats(Tables(s, d).documents)),
     "t_ngram_stats"    -> ((s, d) => ngramStats(Tables(s, d).documents)),

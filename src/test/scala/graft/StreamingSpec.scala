@@ -1148,16 +1148,25 @@ class StreamingSpec extends SparkSpec {
   test("ingest gate with quality-model arm: below-tau and no-signal docs rejected; arm ≡ batch classifier under the fixed model; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.{Sampling, TextAnalysis}
-    val tables = Seq("t_gateq_corpus", "t_gateq_fps", "t_gateq_sigs", "t_gateq_log")
+    val tables = Seq("t_gateq_corpus", "t_gateq_fps", "t_gateq_sigs", "t_gateq_log",
+      "t_gateq_model")
     dropGateTables(tables: _*)
     val seed = Seq((1L, "an entirely distinct seed document about storage engines", "en", "seed", 50L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     IngestGate.seedCorpus(spark, seed, "t_gateq_corpus", "t_gateq_fps", "t_gateq_sigs", buckets = 2)
     // the PRE-TRAINED classifier: hq-vs-rest fit on the reference
-    // corpus (the stored-artifact shape), applied to unseen docs; plus
-    // a planted single-token doc with NO bigram signal
+    // corpus, published as a durable Store artifact and served off the
+    // STORED table (r16 — the production path: Catalog fit →
+    // Store.saveQualityModel → gate reads the table), applied to
+    // unseen docs; plus a planted single-token doc with NO bigram
+    // signal. The stored artifact must equal the in-plan fit.
     val corpus = graft.core.Tables(spark, TestSpark.sf0001).documents
-    val model = TextAnalysis.qualityModelFit(corpus).localCheckpoint()
+    graft.core.Store.saveQualityModel(spark, TestSpark.sf0001, table = "t_gateq_model")
+    val model = spark.table("t_gateq_model")
+    assert(model.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap ==
+      TextAnalysis.qualityModelFit(corpus).collect()
+        .map(r => r.getString(0) -> r.getDecimal(1)).toMap,
+      "the Store-published artifact must equal the in-plan fit")
     val batch = corpus.filter($"doc_id" >= 40L && $"doc_id" < 70L)
       .unionByName(Seq((9998L, "solo", "en", "srcx", 4L))
         .toDF("doc_id", "text", "lang", "source", "n_chars"))

@@ -154,6 +154,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(monotone(curve.map(_.getAs[Double]("mean_q_score")).toSeq, incr = false))
   }
 
+  test("Catalog quality model (r16): cached fit + materialized scores equal the in-plan forms; served keys read the shared frame") {
+    val dir = TestSpark.sf0001
+    val corpus = graft.core.Tables(spark, dir).documents
+    // the cached artifact IS the in-plan fit
+    val cachedFit = graft.core.Catalog.qualityModel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val planFit = TextAnalysis.qualityModelFit(corpus).collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(cachedFit == planFit, "cached artifact must equal the in-plan fit")
+    // the cached score frame IS the in-plan scores
+    def scoreMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("source"), r.getAs[Long]("n_feats"),
+          r.getAs[Double]("q_score"))).toMap
+    assert(scoreMap(graft.core.Catalog.qualityScores(spark, dir)) ==
+      scoreMap(TextAnalysis.qualityModelScores(corpus)),
+      "cached scores must equal the in-plan scores")
+    // the served tercile card off the shared frame equals the in-plan key
+    val served = TextAnalysis.qualityModelFromScores(
+      graft.core.Catalog.qualityScores(spark, dir)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("q_bucket")).toMap
+    val inPlan = TextAnalysis.qualityModel(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("q_bucket")).toMap
+    assert(served == inPlan, "served tercile card must equal the in-plan key")
+  }
+
   test("langId: the r13 lists identify Italian, Portuguese and Dutch") {
     val df = Seq(
       (1L, "il gatto e il cane che vive per la casa di roma non dorme"),

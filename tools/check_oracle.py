@@ -76,7 +76,11 @@ all_keys = sorted(d for d in os.listdir(outdir)
 # equality outside approx_cols and |approx-exact| <= tol*exact inside.
 try:
     specs = json.load(open(f"{outdir}/spec_bounds.json"))
-except FileNotFoundError:
+except (FileNotFoundError, json.JSONDecodeError) as e:
+    # a truncated/corrupt file (Verify killed mid-write) must degrade to
+    # "no specs declared" — the spec keys then FAIL the engine-verdict
+    # cross-check below instead of crashing the whole gate
+    print(f"WARN spec_bounds.json unreadable ({e}); treating as empty")
     specs = {}
 spec_ok = []
 for name, spec in sorted(specs.items()):
@@ -122,7 +126,11 @@ for name, spec in sorted(specs.items()):
 # exactly what the redundancy exists to surface.
 try:
     engine_bounds = json.load(open(f"{outdir}/spec_bounds_result.json"))
-except FileNotFoundError:
+except (FileNotFoundError, json.JSONDecodeError) as e:
+    # corrupt == missing: engine_bounds = {} already converts absent
+    # verdicts into per-key FAILs below, which is the honest outcome —
+    # never a checker traceback with no correctness_local.json artifact
+    print(f"WARN spec_bounds_result.json unreadable ({e}); treating as empty")
     engine_bounds = {}
 for name in sorted(specs):
     eb = engine_bounds.get(name)
