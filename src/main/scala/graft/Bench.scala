@@ -24,7 +24,12 @@ import graft.core.GraftSession
   * battery end and the JSON ships `flags`/`flags_cleared`/
   * `flags_confirmed`/`adjudication_sec`. Disable with
   * `SPARK_GRAFT_BENCH_ADJUDICATE=0` (e.g. when scripting repeated
-  * batteries on a deliberately loaded box).
+  * batteries on a deliberately loaded box). A confirmed flag whose own
+  * child-side load sample sat at/above the gate gets ONE second-chance
+  * child after a fresh drain wait (r16): still >2× across two fresh
+  * JVMs ⇒ `flags_reconfirmed`; cleared ⇒ moved to `flags_cleared` —
+  * the r15 false-confirm class (load rising THROUGH the child) no
+  * longer publishes as "confirmed".
   *
   * Load discipline (r15): BOTH the battery start and the adjudication
   * child are gated on 1-min load < SPARK_GRAFT_BENCH_ADJ_LOAD_MAX
@@ -38,12 +43,19 @@ import graft.core.GraftSession
   */
 object Bench {
   /** Idle-box warm_fits_sec ceiling at the contract config (sf0.1,
-    * local[32]): every recorded idle run reads 16–49 s (BASELINE.md r10/r11
-    * rows); the r11 driver battery's 216 s was a 12× load artifact that
-    * cost 31 spurious per-key flags. A reading past 2× this ceiling makes
-    * the battery self-flag as load-contaminated so its per-key >2× flags
-    * are adjudicated (fresh JVM, idle box) instead of believed. */
-  val IdleWarmFitsMaxSec = 50.0
+    * local[32]). Re-pinned 50 → 80 in r16: the original 50 was pinned
+    * at r10's 16-item warm block; every round since added fits (BPE ×3,
+    * MRL, refit index, PQ m-sweep, rank snapshot, the r16 quality
+    * model) and recent IDLE readings sit at 30–65 s — clean runs were
+    * tripping the under-load annotation after sweeps, which defeats the
+    * annotation's purpose (it exists to flag LOAD, not block growth).
+    * The JSON now also ships `warm_fits_breakdown` (per-fit seconds),
+    * so the next re-pin — or a prune of a fit no pinned key needs —
+    * is a read of the artifact, not a bisection. A reading past 2×
+    * this ceiling still makes the battery self-flag as
+    * load-contaminated so its per-key >2× flags are adjudicated
+    * (fresh JVM, idle box) instead of believed. */
+  val IdleWarmFitsMaxSec = 80.0
 
   /** Bounded wait for the box to drain below `threshold` before the
     * adjudication child launches (r14 — the r13 protocol hole: a child
@@ -66,6 +78,39 @@ object Bench {
       l = poll()
     }
     (l, waited, l < threshold)
+  }
+
+  /** Second-chance selection (r16 — the r15 false-confirm lesson: the
+    * battery AND its adjudication child both read ~13-14 s on a key
+    * whose idle truth was 2.26 s, because load rose THROUGH the child;
+    * the judge's round went to re-proving a load artifact). A key the
+    * child CONFIRMED while its own per-key load sample sat at or above
+    * the gate threshold is a suspect verdict, not a verdict — those
+    * keys get ONE more child after a bounded drain wait instead of
+    * being published "confirmed". */
+  private[graft] def loadSuspectConfirms(confirmed: Seq[String],
+                                         childKeyLoad: Map[String, Double],
+                                         loadMax: Double): Seq[String] =
+    confirmed.filter(k => childKeyLoad.get(k).exists(_ >= loadMax))
+
+  /** Merge the second child's readings into the final verdict: a
+    * suspect clearing fresh (≤ 2× pin) moves to cleared; one still
+    * above is RECONFIRMED (two independent fresh JVMs agree — the
+    * strongest same-box evidence short of a human idle re-run). A
+    * suspect the second child could not time stays plain-confirmed
+    * (never silently cleared, never claimed re-proven). Returns
+    * (cleared', confirmed', reconfirmed). */
+  private[graft] def mergeSecondChance(cleared: Seq[String], confirmed: Seq[String],
+                                       suspects: Seq[String],
+                                       pins: Map[String, Double],
+                                       sec2: Map[String, Double])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val cleared2 = suspects.filter(k =>
+      sec2.get(k).exists(a => pins.get(k).exists(p => a <= 2 * p)))
+    val reconfirmed = suspects.filter(k =>
+      sec2.get(k).exists(a => pins.get(k).exists(p => a > 2 * p)))
+    ((cleared ++ cleared2).sorted,
+      confirmed.filterNot(cleared2.contains).sorted, reconfirmed.sorted)
   }
 
   /** Battery-start gate (r15): bounded wait for load < `loadMax` before
@@ -151,37 +196,50 @@ object Bench {
     // builds are timed and reported as their own `warm_fits_sec` JSON
     // field — visible, never folded into (or hidden from) a per-key
     // median.
+    // each fit is timed individually (r16): `warm_fits_breakdown` in
+    // the JSON attributes the block's cost per fit family, so ceiling
+    // re-pins and prune decisions read the artifact instead of
+    // bisecting the block
+    val warmBreakdown = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def warm(name: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime(); body
+      warmBreakdown(name) = (System.nanoTime() - t0) / 1e9
+    }
     val tw0 = System.nanoTime()
-    graft.core.Catalog.minhashSignatures(spark, sfDir).count()
-    graft.core.Catalog.docFingerprints(spark, sfDir).count()
-    graft.core.Catalog.dupClusters(spark, sfDir).count()
-    graft.core.Catalog.ivfIndex(spark, sfDir)._2.count()
+    warm("minhash_sigs")(graft.core.Catalog.minhashSignatures(spark, sfDir).count())
+    warm("doc_fps")(graft.core.Catalog.docFingerprints(spark, sfDir).count())
+    warm("dup_clusters")(graft.core.Catalog.dupClusters(spark, sfDir).count())
+    warm("ivf")(graft.core.Catalog.ivfIndex(spark, sfDir)._2.count())
     // the live-only refit index (s_ann_refit's second fit) — warm for
     // the same reps=1-adjudication reason as every other fit
-    graft.core.Catalog.ivfIndexLive(spark, sfDir)._2.count()
+    warm("ivf_live")(graft.core.Catalog.ivfIndexLive(spark, sfDir)._2.count())
     // the prefix-space MRL index (s_ann_mrl_ivf's fit) — same reason
-    graft.core.Catalog.ivfIndexMrl(spark, sfDir)._2.count()
-    graft.core.Catalog.pqIndex(spark, sfDir)._2.count()
+    warm("ivf_mrl")(graft.core.Catalog.ivfIndexMrl(spark, sfDir)._2.count())
+    warm("pq")(graft.core.Catalog.pqIndex(spark, sfDir)._2.count())
     // the m-sweep's off-m codebooks (m=8 aliases pqIndex above) — in
     // the warm block for the same reason as bpeModelSnapshot: a
     // reps=1 per-key adjudication must time s_pq_curve's SERVE, not
     // its one-per-session fits
-    graft.core.Catalog.pqCurveBooks(spark, sfDir, 2)
-    graft.core.Catalog.pqCurveBooks(spark, sfDir, 4)
-    graft.core.Catalog.ivfPqIndex(spark, sfDir)._3.count()
-    graft.core.Catalog.opqIndex(spark, sfDir)._3.count()
-    graft.core.Catalog.evalNgramBloom(spark, sfDir)
-    graft.core.Catalog.semanticSurvivors(spark, sfDir).count()
-    graft.core.Catalog.bpeModel(spark, sfDir)._2.count()
-    // the compression-curve scalars ride their own training run — in
-    // the warm block for the reps=1-adjudication reason (bpeModelSnapshot)
-    graft.core.Catalog.bpeCurve(spark, sfDir)
-    graft.core.Catalog.bpeModelSnapshot(spark, sfDir)._2.count()
-    graft.core.Catalog.rankSnapshot(spark, sfDir).count()
+    warm("pq_curve_books") {
+      graft.core.Catalog.pqCurveBooks(spark, sfDir, 2)
+      graft.core.Catalog.pqCurveBooks(spark, sfDir, 4)
+    }
+    warm("ivfpq")(graft.core.Catalog.ivfPqIndex(spark, sfDir)._3.count())
+    warm("opq")(graft.core.Catalog.opqIndex(spark, sfDir)._3.count())
+    warm("eval_bloom")(graft.core.Catalog.evalNgramBloom(spark, sfDir))
+    warm("semantic_survivors")(graft.core.Catalog.semanticSurvivors(spark, sfDir).count())
+    // the compression-curve scalars ride the bpe training run — in the
+    // warm block for the reps=1-adjudication reason (bpeModelSnapshot)
+    warm("bpe") {
+      graft.core.Catalog.bpeModel(spark, sfDir)._2.count()
+      graft.core.Catalog.bpeCurve(spark, sfDir)
+    }
+    warm("bpe_snapshot")(graft.core.Catalog.bpeModelSnapshot(spark, sfDir)._2.count())
+    warm("rank_snapshot")(graft.core.Catalog.rankSnapshot(spark, sfDir).count())
     // the NB quality-model fit + materialized scores (r16) —
     // t_quality_model, t_quality_model_curve and d_cluster_keep_quality
     // serve off it; same reps=1-adjudication reason as every fit
-    graft.core.Catalog.qualityScores(spark, sfDir).count()
+    warm("quality_model")(graft.core.Catalog.qualityScores(spark, sfDir).count())
     val warmFitsSec = (System.nanoTime() - tw0) / 1e9
 
     var errors = List.empty[String]
@@ -230,9 +288,10 @@ object Bench {
     if (underLoad)
       System.err.println(
         f"[bench] BATTERY_UNDER_LOAD: warm_fits_sec $warmFitsSec%.1f exceeds 2x the " +
-        f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 16-49 s) — load avg " +
+        f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 30-65 s) — load avg " +
         f"$loadStart%.2f -> $loadEnd%.2f. Per-key >2x readings from this run are load " +
-        "artifacts until reproduced per the fresh-JVM idle protocol (BASELINE.md).")
+        "artifacts until reproduced per the fresh-JVM idle protocol (BASELINE.md); " +
+        "warm_fits_breakdown in the JSON names the slow fit(s).")
 
     // SELF-ADJUDICATION (BASELINE.md load protocol, automated): a full
     // sf0.1 battery that recorded >2×-pin keys re-times exactly those
@@ -281,6 +340,88 @@ object Bench {
     var adjChildLoadStart = -1.0
     var adjChildLoadEnd = -1.0
     var adjKeyLoad = Map.empty[String, Double]
+    // second-chance round (r16): filled only when a confirmed flag's
+    // own child-side load sample sat at/above the gate threshold
+    var adj2Ran = false
+    var adj2Sec = Map.empty[String, Double]
+    var adj2KeyLoad = Map.empty[String, Double]
+    var adj2WaitedSec = 0L
+    var adj2UnderLoad = false
+    var flagsReconfirmed = Seq.empty[String]
+    // shared child launcher (both adjudication rounds): times `keys` at
+    // reps=3 in a fresh JVM inheriting this JVM's exact args/classpath;
+    // returns (per-key sec, per-key load samples, child load start/end)
+    def launchChild(keys: Seq[String])
+        : Option[(Map[String, Double], Map[String, Double], Double, Double)] =
+      try {
+        val javaBin = s"${sys.props("java.home")}/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val outFile = java.nio.file.Files
+          .createTempFile("graft_bench_adjudicate", ".json").toString
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin); cmd.addAll(jvmArgs)
+        cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_BENCH_KEYS", keys.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_BENCH_REPS", "3")
+        // the child must never adjudicate (recursion guard — a forced
+        // parent would otherwise force its child too)
+        pb.environment().put("SPARK_GRAFT_BENCH_ADJUDICATE", "0")
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // the child's
+        // contract JSON lands in outFile; its stdout must not interleave
+        // with THIS battery's single machine-parseable stdout line
+        val proc = pb.start()
+        // generous bound: the child pays the warm-fit block (< 80 s
+        // idle) + reps×flagged serves; a hung child must not hang the
+        // battery artifact
+        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+          proc.destroyForcibly()
+          System.err.println("[bench] adjudication child timed out — flags stand unadjudicated")
+          None
+        } else {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val childJson = JsonMethods.parse(new java.io.File(outFile))
+          def childD(field: String): Double = childJson \ field match {
+            case JDouble(v) => v
+            case JInt(v) => v.toDouble
+            case JDecimal(v) => v.toDouble
+            case _ => -1.0
+          }
+          def childMap(field: String, nonNeg: Boolean): Map[String, Double] =
+            childJson \ field match {
+              case JObject(fields) => fields.collect {
+                case (k, JDouble(v)) if !nonNeg || v >= 0 => k -> v
+                case (k, JInt(v)) if !nonNeg || v >= 0 => k -> v.toDouble
+                case (k, JDecimal(v)) if !nonNeg || v >= 0 => k -> v.toDouble
+              }.toMap
+              case _ => Map.empty
+            }
+          val sec = childMap("queries", nonNeg = true)
+          val kl = childMap("key_load", nonNeg = false)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
+          if ((childJson \ "queries").isInstanceOf[JObject])
+            Some((sec, kl, childD("load_avg_start"), childD("load_avg_end")))
+          else {
+            System.err.println("[bench] adjudication child JSON missing queries map")
+            None
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] adjudication failed: ${e.getMessage} — flags stand unadjudicated")
+        None
+      }
+    // shared knob with the battery-start gate; 2.0 (r15, was 4.0 in
+    // r14 — a child launched at 3.98 still absorbed draining residue)
+    val adjLoadMax = gateLoadMax
+    val adjWaitMax =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_WAIT_SEC", "600").toLong
     if (adjudicate) {
       System.err.println(s"[bench] ${flagged.size} >2x-pin flag(s) — adjudicating " +
         s"in a fresh child JVM: ${flagged.mkString(",")}")
@@ -297,11 +438,6 @@ object Bench {
       // launching; if it never does, still adjudicate — a flag must
       // not stand unexamined because the box stayed busy — but mark
       // the verdicts under-load so the reader weighs them accordingly.
-      // shared knob with the battery-start gate; 2.0 (r15, was 4.0 in
-      // r14 — a child launched at 3.98 still absorbed draining residue)
-      val adjLoadMax = gateLoadMax
-      val adjWaitMax =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_WAIT_SEC", "600").toLong
       val (gateLoad, gateWaitedMs, gateRecovered) =
         waitForLoadBelow(adjLoadMax, adjWaitMax * 1000L, () => loadAvg())
       adjLaunchLoad = gateLoad
@@ -313,98 +449,59 @@ object Bench {
       else if (adjWaitedSec > 0)
         System.err.println(f"[bench] load recovered to $gateLoad%.2f " +
           f"after ${adjWaitedSec}s — launching adjudication child")
-      try {
-        val javaBin = s"${sys.props("java.home")}/bin/java"
-        val jvmArgs = java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getInputArguments
-        val outFile = java.nio.file.Files
-          .createTempFile("graft_bench_adjudicate", ".json").toString
-        val cmd = new java.util.ArrayList[String]()
-        cmd.add(javaBin); cmd.addAll(jvmArgs)
-        cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
-        cmd.add("graft.Bench")
-        val pb = new ProcessBuilder(cmd)
-        pb.environment().put("SPARK_GRAFT_BENCH_KEYS", flagged.mkString(","))
-        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile)
-        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-        pb.environment().put("SPARK_GRAFT_BENCH_REPS", "3")
-        // the child must never adjudicate (recursion guard — a forced
-        // parent would otherwise force its child too)
-        pb.environment().put("SPARK_GRAFT_BENCH_ADJUDICATE", "0")
-        pb.redirectErrorStream(false)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // the child's
-        // contract JSON lands in outFile; its stdout must not interleave
-        // with THIS battery's single machine-parseable stdout line
-        val proc = pb.start()
-        // generous bound: the child pays the warm-fit block (< 50 s
-        // idle) + reps×flagged serves; a hung child must not hang the
-        // battery artifact
-        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
-          proc.destroyForcibly()
-          System.err.println("[bench] adjudication child timed out — flags stand unadjudicated")
-        } else {
-          import org.json4s._
-          import org.json4s.jackson.JsonMethods
-          val childJson = JsonMethods.parse(new java.io.File(outFile))
-          def childD(field: String): Double = childJson \ field match {
-            case JDouble(v) => v
-            case JInt(v) => v.toDouble
-            case JDecimal(v) => v.toDouble
-            case _ => -1.0
-          }
-          // the child records its OWN load window — the reader can see
-          // what "idle" actually meant at verdict time
-          adjChildLoadStart = childD("load_avg_start")
-          adjChildLoadEnd = childD("load_avg_end")
-          // per-key load samples from the child — a residual-load
-          // verdict names the exact keys it contaminated
-          childJson \ "key_load" match {
-            case JObject(fields) =>
-              adjKeyLoad = fields.collect {
-                case (k, JDouble(v)) => k -> v
-                case (k, JInt(v)) => k -> v.toDouble
-                case (k, JDecimal(v)) => k -> v.toDouble
-              }.toMap
-            case _ => ()
-          }
-          childJson \ "queries" match {
-            case JObject(fields) =>
-              adjSec = fields.collect {
-                case (k, JDouble(v)) if v >= 0 => k -> v
-                case (k, JInt(v)) if v >= 0 => k -> v.toDouble
-                case (k, JDecimal(v)) if v >= 0 => k -> v.toDouble
-              }.toMap
-              adjRan = true
-            case _ =>
-              System.err.println("[bench] adjudication child JSON missing queries map")
-          }
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(outFile))
-        }
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] adjudication failed: ${e.getMessage} — flags stand unadjudicated")
+      launchChild(flagged).foreach { case (sec, kl, ls, le) =>
+        adjSec = sec; adjKeyLoad = kl
+        adjChildLoadStart = ls; adjChildLoadEnd = le
+        adjRan = true
       }
     }
     // cleared = the fresh-JVM median sits back within the 2× gate;
     // confirmed = it reproduces >2× fresh (re-pin candidate, BASELINE.md
     // protocol); a key the child could not time stays CONFIRMED — a
     // failed adjudication must never silently clear a flag.
-    val flagsCleared =
-      if (!adjRan) Seq.empty
+    var flagsCleared =
+      if (!adjRan) Seq.empty[String]
       else flagged.filter(k => adjSec.get(k).exists(a => a <= 2 * pins(k)))
-    val flagsConfirmed =
-      if (!adjRan) (if (adjudicate) flagged else Seq.empty)
+    var flagsConfirmed =
+      if (!adjRan) (if (adjudicate) flagged else Seq.empty[String])
       else flagged.filterNot(flagsCleared.contains)
     if (adjRan)
       System.err.println(s"[bench] adjudication: ${flagsCleared.size} cleared, " +
         s"${flagsConfirmed.size} confirmed of ${flagged.size} flag(s)")
+    // SECOND CHANCE (r16 — VERDICT r15 #5): a "confirmed" flag whose
+    // own child-side load sample sat at/above the gate is a suspect
+    // verdict (r15: battery AND child both read ~5.7× on a key whose
+    // idle truth was 0.94× — load rose THROUGH the child). Those keys
+    // get exactly ONE more child after a fresh bounded drain wait;
+    // a key still >2× across two fresh JVMs ships as RECONFIRMED.
+    val suspects =
+      if (!adjRan) Seq.empty[String]
+      else loadSuspectConfirms(flagsConfirmed, adjKeyLoad, adjLoadMax)
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] ${suspects.size} confirmed flag(s) carry " +
+        s"child load >= $adjLoadMax — second-chance adjudication: ${suspects.mkString(",")}")
+      val (_, waited2Ms, recovered2) =
+        waitForLoadBelow(adjLoadMax, adjWaitMax * 1000L, () => loadAvg())
+      adj2WaitedSec = waited2Ms / 1000L
+      adj2UnderLoad = !recovered2
+      launchChild(suspects) match {
+        case Some((sec2, kl2, _, _)) =>
+          adj2Ran = true; adj2Sec = sec2; adj2KeyLoad = kl2
+          val (c2, conf2, rec2) =
+            mergeSecondChance(flagsCleared, flagsConfirmed, suspects, pins, sec2)
+          flagsCleared = c2; flagsConfirmed = conf2; flagsReconfirmed = rec2
+          System.err.println(s"[bench] second chance: ${rec2.size} reconfirmed, " +
+            s"${suspects.size - rec2.size} cleared of ${suspects.size} suspect(s)")
+        case None => () // suspects stay plain-confirmed; nothing reclaims them
+      }
+    }
     def strArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def numMap(m: Iterable[(String, Double)]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val adjJson = numMap(adjSec)
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"battery_gate_wait_sec":$batteryGateWaitSec,"battery_gate_under_load":$batteryGateUnderLoad,"key_load":${numMap(keyLoad)},"flags":${strArr(flagged)},"flags_cleared":${strArr(flagsCleared)},"flags_confirmed":${strArr(flagsConfirmed)},"adjudication_ran":$adjRan,"adjudication_sec":$adjJson,"adjudication_launch_load":$adjLaunchLoad,"adjudication_wait_sec":$adjWaitedSec,"adjudication_under_load":$adjUnderLoad,"adjudication_child_load_start":$adjChildLoadStart,"adjudication_child_load_end":$adjChildLoadEnd,"adjudication_load":${numMap(adjKeyLoad)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"warm_fits_sec":$warmFitsSec,"warm_fits_breakdown":${numMap(warmBreakdown)},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"idle_warm_fits_max_sec":$IdleWarmFitsMaxSec,"battery_under_load":$underLoad,"battery_gate_wait_sec":$batteryGateWaitSec,"battery_gate_under_load":$batteryGateUnderLoad,"key_load":${numMap(keyLoad)},"flags":${strArr(flagged)},"flags_cleared":${strArr(flagsCleared)},"flags_confirmed":${strArr(flagsConfirmed)},"flags_reconfirmed":${strArr(flagsReconfirmed)},"adjudication_ran":$adjRan,"adjudication_sec":$adjJson,"adjudication_launch_load":$adjLaunchLoad,"adjudication_wait_sec":$adjWaitedSec,"adjudication_under_load":$adjUnderLoad,"adjudication_child_load_start":$adjChildLoadStart,"adjudication_child_load_end":$adjChildLoadEnd,"adjudication_load":${numMap(adjKeyLoad)},"adjudication2_ran":$adj2Ran,"adjudication2_sec":${numMap(adj2Sec)},"adjudication2_load":${numMap(adj2KeyLoad)},"adjudication2_wait_sec":$adj2WaitedSec,"adjudication2_under_load":$adj2UnderLoad,"sf":"$sfDir"}"""
     println(json)
     // The stdout line is the driver contract, but log pipelines truncate
     // (r4's per-query map survived only in a cut-off tail) — also land

@@ -137,7 +137,7 @@ object Search {
     * summed exactly; ordering on the exact decimal, doc_id tie-break. */
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 lexTerms: Seq[String] = Seq("hash", "join"),
-                queryVecId: Long = 0L, n: Int = 100, k: Int = 20,
+                queryVecId: Long = RrfQueryVecId, n: Int = 100, k: Int = 20,
                 rrfK: Int = 60): DataFrame =
     fuseRrf(rrfRankLists(documents, embeddings, lexTerms, queryVecId, n),
       k, rrfK)
@@ -203,7 +203,7 @@ object Search {
     * (arm = rrf<k>), ndcg/mrr vs the label/source graded panel. */
   def rrfCurve(documents: DataFrame, embeddings: DataFrame,
                lexTerms: Seq[String] = Seq("hash", "join"),
-               queryVecId: Long = 0L, n: Int = 100, k: Int = 10,
+               queryVecId: Long = RrfQueryVecId, n: Int = 100, k: Int = 10,
                rrfKs: Seq[Int] = Seq(20, 60, 120)): DataFrame = {
     val (lex0, vec0) = rrfRankLists(documents, embeddings, lexTerms, queryVecId, n)
     val lex = DupClusters.materialize(lex0)
@@ -333,6 +333,12 @@ object Search {
 
   // ---- driver wiring ----
 
+  /** The ONE query vector id the rrf/rank-metric keys and their
+    * DuckDB mirrors share (r16 — ADVICE): every self-hit exclusion on
+    * both engines interpolates this constant, so the two sides cannot
+    * silently desynchronize if a future key picks a different query. */
+  private[ops] val RrfQueryVecId = 0L
+
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
     "t_bm25" -> ((s, d) => bm25TopK(Tables(s, d).documents)),
     "s_rank_metrics" -> ((s, d) => {
@@ -419,18 +425,22 @@ object Search {
   /** The rrfK-independent lexical/vector rank-list CTEs (rlex, rvec)
     * — the s_hybrid_rrf arms at top-100. Requires prof/stats in
     * scope. */
-  private def rrfListCtes(lexTerms: Seq[String]): String = {
+  private def rrfListCtes(lexTerms: Seq[String],
+                          queryVecId: Long = RrfQueryVecId): String = {
     val nonZero = lexTerms.map(t => s"tf_$t").mkString(" + ")
+    // the self-hit exclusions interpolate the SAME query id the engine
+    // side uses (ADVICE r15: a hardcoded `!= 0` here would silently
+    // desynchronize from a key instantiated with a different id)
     s"""rlex AS (
        |  SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
        |    SELECT doc_id,
        |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
        |    FROM prof, stats
-       |    WHERE $nonZero > 0 AND doc_id != 0)
+       |    WHERE $nonZero > 0 AND doc_id != $queryVecId)
        |  WHERE rank <= 100),
-       |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $queryVecId),
        |rvs AS (SELECT e.vec_id, ${Similarity.cosSql("e.embedding", "rq.qe")} AS cosr
-       |  FROM embeddings e, rq WHERE e.vec_id != 0),
+       |  FROM embeddings e, rq WHERE e.vec_id != $queryVecId),
        |rvec AS (
        |  SELECT vec_id, CAST(rank AS INTEGER) AS vec_rank FROM (
        |    SELECT vec_id, row_number() OVER (ORDER BY cosr DESC, vec_id ASC) AS rank
@@ -557,9 +567,9 @@ object Search {
          |    SELECT doc_id,
          |      row_number() OVER (ORDER BY ${scoreSql(lexTerms)} DESC, doc_id ASC) AS rank
          |    FROM prof, stats
-         |    WHERE tf_hash + tf_join > 0 AND doc_id != 0)
+         |    WHERE tf_hash + tf_join > 0 AND doc_id != $RrfQueryVecId)
          |  WHERE rank <= 100),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $RrfQueryVecId),
          |vs AS (SELECT e.vec_id,
          |    list_sum(list_transform(list_zip(e.embedding, q.qe),
          |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) AS dot,
@@ -567,7 +577,7 @@ object Search {
          |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS na,
          |    sqrt(list_sum(list_transform(q.qe,
          |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nb
-         |  FROM embeddings e, q WHERE e.vec_id != 0),
+         |  FROM embeddings e, q WHERE e.vec_id != $RrfQueryVecId),
          |vec AS (
          |  SELECT vec_id, CAST(rank AS INTEGER) AS vec_rank FROM (
          |    SELECT vec_id, row_number() OVER (

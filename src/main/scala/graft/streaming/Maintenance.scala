@@ -41,7 +41,16 @@ object Maintenance {
 
   /** A WAL-partials compaction leg: the maintainer's own compact
     * (e.g. `s => MixStream.compact(s, table)` — each maintainer knows
-    * its key/sum columns and upgrade rules). */
+    * its key/sum columns and upgrade rules).
+    *
+    * CONTRACT: `compact` MUST be a safe no-op on a fully ABSENT table
+    * (return (0, 0) rather than throw). [[tick]] calls every WalJob
+    * unconditionally — deliberately, since r15: a crash can leave only
+    * the `<table>__wal_fold` side copy with the main table missing,
+    * and gating on tableExists would skip that state's recovery
+    * forever. Every `Wal.compactPartials`-backed compact satisfies
+    * this already; a custom implementation that probes the table
+    * un-guarded would throw the whole tick. */
   final case class WalJob(table: String, compact: SparkSession => (Long, Long))
 
   /** A Store small-files compaction leg ([[graft.core.Store.compact]]),

@@ -69,7 +69,10 @@ import org.apache.spark.sql.functions._
   * is never re-delivered — a kept id lost to a crash mid-rewrite would
   * never be re-recorded and the watermark would stall permanently. A
   * FULLY covered ledger is dropped outright (atomic; every dropped id
-  * lives on under the main table's stored watermark).
+  * lives on under the main table's stored watermark). The RECOVERY of
+  * a crashed prune is APPEND-ONLY as of r16 (see [[recoverLedger]]) —
+  * it never overwrites either copy, so no crash window inside the
+  * recovery itself can lose an id either.
   */
 object Wal {
 
@@ -81,32 +84,50 @@ object Wal {
   private def wmOf(ids: Iterable[Long]): Long =
     ids.filter(_ < 0L).map(v => -v - 1L).foldLeft(-1L)(math.max)
 
-  /** Finish a crashed ledger prune (r15 — the prune is a side-copy-
-    * then-swap exactly like the partials fold; see [[compactPartials]]'
-    * pruneLedger): a leftover `<ledger>__side` is the durable pruned
-    * copy. Restore the ledger FROM it, preserving any ids a resumed
-    * writer appended to a re-created ledger in the crash window (an id
-    * survives iff it is above the side copy's watermark tombstone and
-    * not among its kept ids — the partials-recovery rule). */
+  /** Finish a crashed ledger prune (r15; recovery protocol rewritten
+    * r16): a leftover `<ledger>__side` is the durable pruned copy.
+    *
+    * The r15 recovery rebuilt the ledger by an in-place overwrite from
+    * a non-durable union — so a crash mid-overwrite (drop + create)
+    * could lose an id a resumed writer had appended to a re-created
+    * ledger in the prune's own crash window: the side copy survives
+    * but never covered that id, the committed streaming batch is never
+    * re-delivered to re-record it, and the watermark stalls forever —
+    * the exact failure class the prune fix exists to close, one level
+    * down. (Overwriting the SIDE first has the mirror-image hole: a
+    * crash mid-side-overwrite destroys the only copy of the kept ids
+    * while the ledger holds only the post-crash appends.)
+    *
+    * The r16 recovery is APPEND-ONLY — no step ever destroys a durable
+    * copy of any id:
+    *  - ledger missing: create it from the side copy (a crash leaves
+    *    the side intact; the re-run recreates);
+    *  - ledger present: append the side rows the ledger does not
+    *    already carry (a crash mid-append loses no existing row; the
+    *    re-run appends whatever is still missing);
+    *  - drop the side LAST, once every side row is represented.
+    * Duplicate ledger rows from a crash-windowed re-run are harmless
+    * by construction: [[seen]] filters, [[wmOf]] maxes, and the next
+    * prune rewrites the distinct kept set. Stale ids below the side
+    * watermark that the crashed prune meant to drop simply survive
+    * until the next prune covers them — correct, just unpruned. */
   private def recoverLedger(spark: SparkSession, table: String): Unit = {
     val ledger = ledgerTable(table)
     val side = ledgerSide(table)
     if (spark.catalog.tableExists(side)) {
-      val s = spark.table(side)
-      val recovered =
-        if (!spark.catalog.tableExists(ledger)) s
-        else {
-          val sideIds = s.select(col("batch_id")).distinct()
-            .collect().map(_.getLong(0))
-          val sideWm = wmOf(sideIds)
-          val sidePos = sideIds.filter(_ >= 0L)
-          s.unionByName(spark.table(ledger)
-            .filter(col("batch_id") > sideWm &&
-              !col("batch_id").isInCollection(sidePos)))
+      if (!spark.catalog.tableExists(ledger))
+        spark.table(side).write.saveAsTable(ledger)
+      else {
+        // both id sets are model-scale (≤ #batches rows)
+        val have = spark.table(ledger).select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        val missing = spark.table(side).select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0)).filterNot(have).toSeq.sorted
+        if (missing.nonEmpty) {
+          import spark.implicits._
+          missing.toDF("batch_id").write.mode("append").saveAsTable(ledger)
         }
-      val mat = graft.ops.DupClusters.materialize(recovered)
-      mat.write.mode("overwrite").saveAsTable(ledger)
-      graft.ops.DupClusters.release(mat)
+      }
       spark.sql(s"DROP TABLE $side")
     }
   }
@@ -193,7 +214,16 @@ object Wal {
     // main row survives iff the side copy does not already cover its
     // id (not folded under the side watermark, not among the side's
     // passed-through ids). The bucket spec comes from the side copy —
-    // it was written with the main table's spec.
+    // it was written with the main table's spec. Residual window,
+    // documented (r16): unlike the ledger's append-only recovery, DATA
+    // partials cannot be append-recovered (a folded watermark row plus
+    // the unfolded rows it covers would double-count), so this rewrite
+    // is an overwrite while the side copy stays intact — a SECOND
+    // crash mid-rewrite loses only resumed-writer rows landed inside
+    // the FIRST crash's window (crash → resumed append → crash again
+    // before this recovery completes). The single-maintenance-writer
+    // contract plus any restart discipline that runs compaction before
+    // resuming ingest closes it operationally.
     if (spark.catalog.tableExists(side)) {
       val s = spark.table(side)
       val recovered =

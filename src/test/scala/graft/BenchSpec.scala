@@ -70,6 +70,41 @@ class BenchSpec extends AnyFunSuite {
     assert(waitedSec == 20L, "the wait must stop exactly at the bound")
   }
 
+  test("loadSuspectConfirms: only confirmed flags whose child-side load sample reached the gate become suspects") {
+    val confirmed = Seq("a", "b", "c", "d")
+    val childLoad = Map("a" -> 3.4, "b" -> 1.2, "c" -> 2.0, "d" -> 0.4)
+    assert(Bench.loadSuspectConfirms(confirmed, childLoad, loadMax = 2.0) ==
+      Seq("a", "c"), "load >= gate (inclusive) marks the verdict suspect")
+    // a confirmed key with NO load sample (child died before sampling)
+    // is NOT a suspect — nothing certifies a second chance would differ
+    assert(Bench.loadSuspectConfirms(Seq("x"), Map.empty, 2.0).isEmpty)
+    assert(Bench.loadSuspectConfirms(Seq.empty, childLoad, 2.0).isEmpty)
+  }
+
+  test("mergeSecondChance: a suspect clearing fresh moves to cleared; one still >2x ships RECONFIRMED; an untimed suspect stays plain-confirmed") {
+    val pins = Map("a" -> 1.0, "c" -> 1.0, "e" -> 1.0)
+    // round 1: cleared = [z]; confirmed = [a, c, e]; suspects = [a, c, e]
+    // round 2: a clears (1.5 <= 2x), c reproduces (9.0 > 2x), e untimed
+    val (cleared, confirmed, reconfirmed) = Bench.mergeSecondChance(
+      cleared = Seq("z"), confirmed = Seq("a", "c", "e"),
+      suspects = Seq("a", "c", "e"), pins = pins,
+      sec2 = Map("a" -> 1.5, "c" -> 9.0))
+    assert(cleared == Seq("a", "z"), "the fresh-clear joins the cleared list")
+    assert(confirmed == Seq("c", "e"),
+      "the reproducer AND the untimed suspect stay confirmed — a failed re-time never silently clears")
+    assert(reconfirmed == Seq("c"),
+      "only a key >2x in BOTH fresh JVMs is reconfirmed — the untimed one is not claimed re-proven")
+  }
+
+  test("mergeSecondChance: non-suspect confirms are untouched by the second round") {
+    val (cleared, confirmed, reconfirmed) = Bench.mergeSecondChance(
+      cleared = Seq.empty, confirmed = Seq("clean_confirm", "suspect"),
+      suspects = Seq("suspect"), pins = Map("suspect" -> 1.0),
+      sec2 = Map("suspect" -> 0.9))
+    assert(cleared == Seq("suspect") && confirmed == Seq("clean_confirm")
+      && reconfirmed.isEmpty)
+  }
+
   test("batteryStartGate: filtered/off-SF runs are never gated — the reproduce protocol starts when asked") {
     var polled = false
     val (waitedSec, underLoad) = Bench.batteryStartGate(

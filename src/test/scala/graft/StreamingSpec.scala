@@ -2107,6 +2107,49 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(ts: _*)
   }
 
+  test("WAL ledger recovery is itself crash-safe (r16): append-only — any intermediate state re-runs to convergence without losing ids") {
+    import graft.streaming.Wal
+    val ts = Seq("t_lr_w", "t_lr_w__wal_ids", "t_lr_w__wal_ids__side")
+    dropGateTables(ts: _*)
+    def ledger(): Set[Long] =
+      spark.table("t_lr_w__wal_ids").collect().map(_.getLong(0)).toSet
+    def plantSide(): Unit =
+      Seq(7L, -3L).toDF("batch_id").write.mode("overwrite")
+        .saveAsTable("t_lr_w__wal_ids__side")
+    // the ADVICE r15 scenario: prune crashed (side = kept id 7 + wm
+    // tombstone −3), a resumed writer then recorded empty id 9 in a
+    // re-created ledger. Recovery must preserve BOTH — and because it
+    // APPENDS instead of overwriting, no crash inside the recovery
+    // can lose 9 (the pre-r16 in-place overwrite could).
+    plantSide()
+    Seq(9L).toDF("batch_id").write.saveAsTable("t_lr_w__wal_ids")
+    Wal.compactPartials(spark, "t_lr_w", Seq("k"), Seq("n")) // main absent: recovery only
+    assert(!spark.catalog.tableExists("t_lr_w__wal_ids__side"))
+    assert(ledger() == Set(7L, 9L, -3L), s"recovered ledger: ${ledger()}")
+    assert(Wal.seen(spark, "t_lr_w", 7L) && Wal.seen(spark, "t_lr_w", 9L)
+      && Wal.seen(spark, "t_lr_w", 1L)) // 1 covered by the −3 watermark
+    // crash window A: append completed, drop-side crashed — side
+    // re-appears with content the ledger already carries; the re-run
+    // appends nothing, drops the side, ledger unchanged
+    plantSide()
+    Wal.compactPartials(spark, "t_lr_w", Seq("k"), Seq("n"))
+    assert(ledger() == Set(7L, 9L, -3L), "re-run must not duplicate or lose ids")
+    // crash window B: append itself died half-way (ledger got 7 but
+    // not the tombstone) — the re-run appends exactly the missing row
+    spark.sql("DROP TABLE t_lr_w__wal_ids")
+    Seq(9L, 7L).toDF("batch_id").write.saveAsTable("t_lr_w__wal_ids")
+    plantSide()
+    Wal.compactPartials(spark, "t_lr_w", Seq("k"), Seq("n"))
+    assert(ledger() == Set(7L, 9L, -3L), "partial append converges on re-run")
+    // crash window C: ledger itself was missing (never re-created) —
+    // recovery creates it from the side copy alone
+    spark.sql("DROP TABLE t_lr_w__wal_ids")
+    plantSide()
+    Wal.compactPartials(spark, "t_lr_w", Seq("k"), Seq("n"))
+    assert(ledger() == Set(7L, -3L), "side-only state restores the side copy")
+    dropGateTables(ts: _*)
+  }
+
   test("maintenance tick runs WAL recovery on a MISSING main table (crash left only the fold side copy)") {
     import graft.ops.DomainGraph
     import graft.streaming.{Maintenance, RankStream}
