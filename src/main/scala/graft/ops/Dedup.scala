@@ -613,6 +613,100 @@ object Dedup {
         col("a.label").as("label"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** VALUES-planted cross-lingual "translation" fixture (r16 — the
+    * t_langid_cjk planting precedent): the driver corpus is
+    * English-only, so a translated duplicate — same content, DISJOINT
+    * token sets, different script — cannot occur in it at any scale
+    * (spec-asserted). The planted trio: an English sentence (9200001),
+    * its Russian translation (9200002 — shares not one token and not
+    * one script with it), and an unrelated French control (9200003).
+    * Their embeddings (label 999 — no real label collides) encode the
+    * semantics: en ≈ ru (cos ≈ 0.9998), fr ⟂ both. doc_id ≡ vec_id,
+    * ids far above any real id. Defined LITERALLY once and rendered
+    * into BOTH engines. */
+  private[graft] val xlingDocs: Seq[(Long, String, String)] = Seq(
+    (9200001L, "en",
+      "the quick brown fox jumps over the lazy dog near the river bank at dawn"),
+    (9200002L, "ru",
+      "быстрая рыжая лиса перепрыгивает через ленивую собаку у берега реки на рассвете"),
+    (9200003L, "fr",
+      "la réunion du conseil municipal aura lieu jeudi prochain dans la grande salle"))
+
+  private[graft] val xlingVecs: Seq[(Long, Int, Seq[Float])] = {
+    def unit(i: Int): Seq[Float] = Seq.tabulate(64)(j => if (j == i) 1f else 0f)
+    Seq(
+      (9200001L, 999, unit(0)),
+      // the "translation": nearly the same direction (cos ≈ 0.9998) —
+      // a near-dup, not a bit-identical vector
+      (9200002L, 999, Seq.tabulate(64)(j =>
+        if (j == 0) 0.98f else if (j == 1) 0.02f else 0f)),
+      (9200003L, 999, unit(1)))
+  }
+
+  private def xlingDocsValuesSql: String = xlingDocs.map { case (id, lang, text) =>
+    s"($id, '$lang', '$text')"
+  }.mkString(",\n    ")
+
+  private def xlingVecsValuesSql: String = xlingVecs.map { case (id, label, v) =>
+    s"($id, $label, [${v.mkString(", ")}]::FLOAT[])"
+  }.mkString(",\n    ")
+
+  /** documents(doc_id, lang, text) ∪ the planted trio — the
+    * d_crosslingual key's document side. */
+  private[graft] def xlingDocsUnion(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Tables(s, dir).documents.select($"doc_id", $"lang", $"text")
+      .unionByName(xlingDocs.toDF("doc_id", "lang", "text"))
+  }
+
+  /** embeddings ∪ the planted trio's vectors — the embedding side. */
+  private[graft] def xlingEmbUnion(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    import s.implicits._
+    graft.core.Tables(s, dir).embeddings.select($"vec_id", $"label", $"embedding")
+      .unionByName(xlingVecs.toDF("vec_id", "label", "embedding"))
+  }
+
+  /** CROSS-LINGUAL near-duplicates (r16): embedding-space near-dup
+    * pairs whose SURFACE forms are disjoint — the duplicate class every
+    * token-level detector is blind to by construction (a translated
+    * copy shares no shingles, no MinHash bands, no SimHash bits, and
+    * often no script with its original; DedupSpec proves the blindness
+    * on the planted pair). Semantics: cosine ≥ `tauCos` (high — a
+    * translation is the SAME content, not merely related) AND distinct-
+    * token Jaccard ≤ `maxJaccard` (surface-blind). Per pair: both
+    * sides' declared language, the cosine, the shared-token count and
+    * the exact ROUND(,4) Jaccard.
+    *
+    * Plan: pairs from the label-blocked [[embedNearDup]] (the oracle
+    * form; at corpus scale substitute [[embedNearDupLsh]] /
+    * [[embedNearDupClusters]] — the documented d_embed_neardup scale
+    * path, unchanged here), then ONE scan-side per-doc profile (lang +
+    * distinct token array) joined to the pair set by id — cost ∝ pairs
+    * after the cosine cut, never corpus². The per-pair set ops are
+    * array_intersect/array_union over two in-row arrays (codegen). */
+  def crossLingualNearDup(documents: DataFrame, embeddings: DataFrame,
+                          tauCos: Double = 0.9,
+                          maxJaccard: Double = 0.05): DataFrame = {
+    val pairs = embedNearDup(embeddings, tauCos)
+    val prof = documents.select(col("doc_id"),
+      coalesce(col("lang"), lit("unknown")).as("lang"),
+      array_distinct(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("toks"))
+    pairs
+      .join(prof.select(col("doc_id").as("vec_a"), col("lang").as("lang_a"),
+        col("toks").as("toks_a")), Seq("vec_a"))
+      .join(prof.select(col("doc_id").as("vec_b"), col("lang").as("lang_b"),
+        col("toks").as("toks_b")), Seq("vec_b"))
+      .withColumn("n_shared", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          greatest(size(array_union(col("toks_a"), col("toks_b"))), lit(1)), 4) + lit(0.0))
+      .filter(col("jaccard") <= maxJaccard)
+      .select(col("vec_a"), col("vec_b"), col("lang_a"), col("lang_b"),
+        col("cos_sim"), col("n_shared"), col("jaccard"))
+  }
+
   /** Embedding near-dup pairs via canopy blocking on the k-means coarse
     * quantizer (McCallum/Nigam/Ungar-style canopies): every vector is
     * assigned to its `nAssign` nearest centroids (codegen
@@ -1211,6 +1305,8 @@ object Dedup {
     "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
     "d_dedup_curve"      -> ((s, d) => dedupCurve(Tables(s, d).documents)),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
+    "d_crosslingual"     -> ((s, d) =>
+      crossLingualNearDup(xlingDocsUnion(s, d), xlingEmbUnion(s, d))),
     "d_embed_lsh"        -> ((s, d) => embedNearDupLsh(Tables(s, d).embeddings)),
     "d_semantic_dedup"   -> ((s, d) => semanticDedupBuckets(Tables(s, d).embeddings)),
     "d_semantic_cross"   -> ((s, d) => {
@@ -1942,5 +2038,40 @@ object Dedup {
         |SELECT vec_a, vec_b, label,
         |  ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) AS cos_sim
         |FROM p
-        |WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3""".stripMargin)
+        |WHERE ROUND(CASE WHEN na * nb = 0 THEN 0 ELSE dot / (na * nb) END, 4) >= 0.3""".stripMargin,
+    // crossLingualNearDup over the planted unions: the same label-
+    // blocked cosine pair CTE at τ = 0.9, per-doc distinct-token
+    // profiles, and the exact set-Jaccard surface-blindness cut —
+    // every constant rendered from the ONE Scala definition
+    "d_crosslingual" ->
+      s"""WITH xdocs AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $xlingDocsValuesSql) AS v(doc_id, lang, text)),
+         |xemb AS (
+         |  SELECT vec_id, label, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $xlingVecsValuesSql) AS e(vec_id, label, embedding)),
+         |xp AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ROUND(${graft.ops.Similarity.cosSql("a.embedding", "b.embedding")}, 4) AS cos_sim
+         |  FROM xemb a JOIN xemb b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |xpr AS (SELECT doc_id, COALESCE(lang, 'unknown') AS lang,
+         |    list_distinct(string_split_regex(trim(COALESCE(text, '')), '\\s+')) AS toks
+         |  FROM xdocs),
+         |xj AS (
+         |  SELECT vec_a, vec_b, pa.lang AS lang_a, pb.lang AS lang_b, cos_sim,
+         |    len(list_filter(pa.toks, x -> list_contains(pb.toks, x))) AS n_shared,
+         |    len(pa.toks) + len(pb.toks)
+         |      - len(list_filter(pa.toks, x -> list_contains(pb.toks, x))) AS n_union
+         |  FROM xp JOIN xpr pa ON pa.doc_id = xp.vec_a
+         |    JOIN xpr pb ON pb.doc_id = xp.vec_b
+         |  WHERE cos_sim >= 0.9)
+         |SELECT vec_a, vec_b, lang_a, lang_b, cos_sim,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  ROUND(CAST(n_shared AS DOUBLE) / GREATEST(n_union, 1), 4) + 0.0 AS jaccard
+         |FROM xj
+         |WHERE ROUND(CAST(n_shared AS DOUBLE) / GREATEST(n_union, 1), 4) <= 0.05""".stripMargin)
 }

@@ -197,7 +197,16 @@ object Audit {
     // same distinct collapse of the fact table — per-order fan-out is
     // C(items/order, 2), bounded, but the sides are corpus-order so
     // broadcast would be wrong at scale (the q_proximity_join class)
-    "q_basket_lift")
+    "q_basket_lift",
+    // assignment ⋈ the Catalog-cached materialized score frame on
+    // doc_id (r16): BOTH sides are one-row-per-doc corpus-order fact
+    // tables — broadcast would be wrong at 100 TB — and AQE cannot
+    // size the cached LogicalRDD (the d_rank_delta/t_bpe_apply
+    // class), so the doc-keyed shuffle join is the planned strategy;
+    // pre-r16 the in-plan scores aggregate let AQE pick broadcast at
+    // gate scale, which was the scale-WRONG plan dressed as the
+    // cheap one
+    "d_cluster_keep_quality")
 
   /** Loose per-key SHUFFLE tripwire (BroadcastExchange is data-movement
     * of a small side, not a corpus shuffle — it doesn't count);

@@ -673,4 +673,45 @@ class DedupSpec extends SparkSpec {
         BigDecimal(exp.toDouble / nPairs).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
     }
   }
+  test("d_crosslingual (r16): the planted translation pair is flagged by the embedding arm while every token-level detector is blind") {
+    val xdocs = Dedup.xlingDocsUnion(spark, TestSpark.sf0001)
+    val xemb = Dedup.xlingEmbUnion(spark, TestSpark.sf0001)
+    // the fixture cannot occur naturally: the driver corpus carries no
+    // Cyrillic codepoint at any scale (the t_langid_cjk precedent)
+    assert(docs.filter(col("text").rlike("[\u0400-\u04FF]")).count() == 0,
+      "the corpus must carry no Cyrillic — the planted pair is the only cross-script dup")
+    val out = Dedup.crossLingualNearDup(xdocs, xemb).collect()
+    val pair = out.filter(r => r.getAs[Long]("vec_a") == 9200001L
+      && r.getAs[Long]("vec_b") == 9200002L)
+    assert(pair.length == 1, s"the planted translation must be flagged: ${out.toSeq}")
+    val p = pair.head
+    assert(p.getAs[String]("lang_a") == "en" && p.getAs[String]("lang_b") == "ru")
+    assert(p.getAs[Double]("cos_sim") >= 0.99, "a translation is the SAME content")
+    assert(p.getAs[Int]("n_shared") == 0 && p.getAs[Double]("jaccard") == 0.0,
+      "surface-blind by construction: not one shared token")
+    // the unrelated French control (orthogonal vector) never pairs
+    assert(!out.exists(r => r.getAs[Long]("vec_a") == 9200003L
+      || r.getAs[Long]("vec_b") == 9200003L))
+    // BLINDNESS COUNTERFACTUALS: every token/script detector misses the
+    // planted pair — the embedding arm is the only mechanism that can
+    // see a translated duplicate
+    val planted = xdocs.filter(col("doc_id").isin(9200001L, 9200002L))
+      .withColumn("source", lit("xling"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(Dedup.exactDedup(planted).filter(col("n_dups") > 1).count() == 0,
+      "exact hash: blind")
+    assert(Dedup.exactDedupCanonical(planted).filter(col("n_dups") > 1).count() == 0,
+      "canonical hash: blind")
+    assert(Dedup.minhashCandidates(planted).count() == 0, "MinHash LSH: blind")
+    assert(Dedup.simhashPairs(planted).count() == 0, "SimHash: blind")
+    assert(Dedup.ngramJaccardPairs(planted).count() == 0,
+      "shingle Jaccard: blind (zero shared shingles, no candidate at any tau)")
+    // even the script classifier splits the pair across scripts: the
+    // two sides read as DIFFERENT languages, so any same-language
+    // blocking key separates them too
+    val langs = graft.ops.TextAnalysis.langId(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(9200001L) == "en" && langs(9200002L) == "ru",
+      s"the sides classify as different languages: $langs")
+  }
 }
