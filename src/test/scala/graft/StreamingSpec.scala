@@ -1145,6 +1145,47 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("cross-lingual gate rejection (r16): a TRANSLATED duplicate is semantically rejected at admission while the token arms are blind to it") {
+    import graft.streaming.IngestGate
+    import graft.ops.Dedup
+    val tables = Seq("t_gxl_corpus", "t_gxl_fps", "t_gxl_sigs", "t_gxl_log",
+      "t_gxl_surv")
+    dropGateTables(tables: _*)
+    // seed: the English original (the d_crosslingual planted fixture —
+    // one definition, reused); survivor table seeded with its vector
+    val en = Dedup.xlingDocs.find(_._1 == 9200001L).get
+    val ru = Dedup.xlingDocs.find(_._1 == 9200002L).get
+    val seed = Seq((en._1, en._3, en._2, "seed", en._3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_gxl_corpus", "t_gxl_fps", "t_gxl_sigs",
+      buckets = 2)
+    val vecs = Dedup.xlingVecs.map { case (id, label, v) => (id, label, v) }
+      .toDF("vec_id", "label", "embedding")
+    // one coarse centroid: every vector lands in cluster 0 — blocking
+    // cannot separate the pair, the cosine check decides
+    val cents = Seq(Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0))
+    IngestGate.seedSemantic(vecs.filter($"vec_id" === 9200001L)
+      .withColumn("cluster", lit(0)), "t_gxl_surv", buckets = 2)
+    val batch = Seq((ru._1, ru._3, ru._2, "crawl", ru._3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the semantic arm vets in EMBEDDING space: the translation's
+    // near-identical vector rejects against the English survivor even
+    // though the texts share not one token and not one script
+    IngestGate.admitBatch(batch, "t_gxl_corpus", "t_gxl_fps", "t_gxl_sigs",
+      "t_gxl_log", buckets = 2,
+      semantic = Some(IngestGate.SemanticVet(vecs, "t_gxl_surv", cents, tau = 0.9)))
+    val rej = spark.table("t_gxl_log").distinct()
+      .filter($"batch_id" === ru._1).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("corpus_id"))
+    assert(rej.toSeq == Seq("semantic" -> en._1),
+      s"the translation must be rejected by the SEMANTIC arm alone " +
+        s"(every token arm is blind — no exact/fuzzy rejection): ${rej.toSeq}")
+    assert(spark.table("t_gxl_corpus").select($"doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(en._1),
+      "the translated duplicate must not enter the corpus")
+    dropGateTables(tables: _*)
+  }
+
   test("ingest gate with quality-model arm: below-tau and no-signal docs rejected; arm ≡ batch classifier under the fixed model; replay idempotent") {
     import graft.streaming.IngestGate
     import graft.ops.{Sampling, TextAnalysis}
