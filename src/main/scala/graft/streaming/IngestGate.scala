@@ -380,7 +380,13 @@ object IngestGate {
     val walFrame = graft.ops.DupClusters.materialize(
       (contam ++ quality ++ langQuality ++ sampling ++ semRejects ++ dsirRejects ++ qmRejects)
         .foldLeft(decisions)(_ unionByName _))
-    walFrame.write.mode("append").saveAsTable(decisionsTable)
+    // appendTarget: once [[compactDecisions]] has folded the log into
+    // a versioned view, appends land on the current backing (plain
+    // tables resolve to themselves — the corpus-append discipline)
+    walFrame.write.mode("append").saveAsTable(
+      if (spark.catalog.tableExists(decisionsTable))
+        Store.appendTarget(spark, decisionsTable)
+      else decisionsTable)
     val rejected = walFrame.select(col("batch_id").as("doc_id")).distinct()
     val admitted = batch.join(rejected, Seq("doc_id"), "left_anti")
     // Crash-replay guard for the corpus append itself: a crashed attempt
@@ -485,6 +491,27 @@ object IngestGate {
     }
     tombstoned.foldLeft(rejects.unionByName(admitted))(_ unionByName _)
   }
+
+  /** Row-level compaction of the decision log (r16): the log is
+    * at-least-once — a crash-replayed batch appends its identical
+    * decision rows again — so physical row count grows past the true
+    * decision set on any pipeline that ever replays. Every consumer
+    * already reads the log DISTINCT ([[report]]'s per-kind distincts;
+    * admitBatch stopped reading it at all in r16), so folding the
+    * table to its distinct row-set changes no reader's result while
+    * bounding storage at the decision count. Runs through
+    * `Store.publishLike`'s versioned snapshot-safe swap (in-flight
+    * readers straddle; the gate's own appends keep working via
+    * `Store.appendTarget`). Safe (0, 0) no-op on a missing table, so
+    * it composes as a `Maintenance.WalJob` leg under the scheduled
+    * tick. Single-maintenance-writer contract as everywhere. */
+  def compactDecisions(spark: SparkSession, decisionsTable: String): (Long, Long) =
+    if (!spark.catalog.tableExists(decisionsTable)) (0L, 0L)
+    else {
+      val before = spark.table(decisionsTable).count()
+      Store.publishLike(spark, spark.table(decisionsTable).distinct(), decisionsTable)
+      (before, spark.table(decisionsTable).count())
+    }
 
   /** Start the continuous gate over a document stream; pass `eval` to
     * also vet every batch against an eval union (Bloom-prefiltered). */

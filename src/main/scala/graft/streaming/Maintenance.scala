@@ -65,6 +65,17 @@ object Maintenance {
                             listSnap: DataFrame, countersTable: String,
                             minCos: Double = 0.98, minLiveFrac: Double = 0.5)
 
+  /** A Store version-GC leg (r16): every snapshot-safe swap
+    * (`Takedown.scrub`, `Store.publishAnnRefit`,
+    * `IngestGate.compactDecisions`, any `publishLike`) RETAINS the
+    * previous backing version for in-flight readers — reclamation is
+    * deliberately deferred to the maintenance schedule, and this leg
+    * is that schedule: `Store.vacuum(table, keepVersions)` per tick,
+    * logged as action `vacuum` with before/after = live version
+    * counts and acted = something was actually dropped. Safe no-op on
+    * plain or missing tables (Store.vacuum returns empty). */
+  final case class VacuumJob(table: String, keepVersions: Int = 2)
+
   val LogTable = "graft_maintenance_log"
 
   private val logSchema = StructType(Seq(
@@ -85,6 +96,7 @@ object Maintenance {
            wal: Seq[WalJob] = Seq.empty,
            store: Seq[StoreJob] = Seq.empty,
            refit: Option[RefitJob] = None,
+           vacuum: Seq[VacuumJob] = Seq.empty,
            logTable: String = LogTable): DataFrame = {
     def logged: DataFrame =
       spark.table(logTable).filter(col("tick_id") === tickId)
@@ -114,6 +126,12 @@ object Maintenance {
         r.listSnap, r.countersTable, r.minCos, r.minLiveFrac)
       rows += Row(tickId, "refit_check", r.countersTable, 0L, 0L, rec)
     }
+    vacuum.foreach { j =>
+      val droppedN = graft.core.Store.vacuum(spark, j.table, j.keepVersions).size.toLong
+      val remaining = graft.core.Store.versions(spark, j.table).size.toLong
+      rows += Row(tickId, "vacuum", j.table, droppedN + remaining, remaining,
+        droppedN > 0L)
+    }
     // the log rows are driver-local decisions (≤ #jobs) — model-scale
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.result(), 1), logSchema)
@@ -131,6 +149,7 @@ object Maintenance {
             wal: Seq[WalJob] = Seq.empty,
             store: Seq[StoreJob] = Seq.empty,
             refit: Option[RefitJob] = None,
+            vacuum: Seq[VacuumJob] = Seq.empty,
             logTable: String = LogTable): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1).option("numPartitions", 1).load()
@@ -139,7 +158,7 @@ object Maintenance {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(s"$intervalSec seconds"))
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        tick(spark, batchId, wal, store, refit, logTable); ()
+        tick(spark, batchId, wal, store, refit, vacuum, logTable); ()
       }
       .start()
 }

@@ -1047,6 +1047,61 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("decision-log compaction (r16): replay-duplicated rows fold to the distinct set, report unchanged, the gate keeps appending; vacuum leg reclaims the old versions") {
+    import graft.streaming.{IngestGate, Maintenance}
+    val tables = Seq("t_dlc_corpus", "t_dlc_fps", "t_dlc_sigs", "t_dlc_log",
+      "t_dlc_mlog")
+    dropGateTables(tables: _*)
+    val contentX = (1 to 30).map(i => s"dlc$i").mkString(" ")
+    val seed = Seq((1L, contentX, "en", "seed", contentX.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_dlc_corpus", "t_dlc_fps", "t_dlc_sigs", buckets = 2)
+    def admit(id: Long): Unit = IngestGate.admitBatch(
+      Seq((id, contentX, "en", "crawl", contentX.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "t_dlc_corpus", "t_dlc_fps", "t_dlc_sigs", "t_dlc_log", buckets = 2)
+    admit(100L); admit(100L) // replay: identical decision rows appended again
+    val before = spark.table("t_dlc_log").count()
+    val distinctN = spark.table("t_dlc_log").distinct().count()
+    assert(before > distinctN, "the at-least-once log must carry replay duplicates")
+    def rep(): Map[String, Long] = IngestGate.report(spark, "t_dlc_log",
+      "t_dlc_corpus").collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_docs")).toMap
+    val rep0 = rep()
+    val (b, a) = IngestGate.compactDecisions(spark, "t_dlc_log")
+    assert((b, a) == ((before, distinctN)), s"fold to the distinct set: ($b, $a)")
+    assert(rep() == rep0, "every consumer reads distinct — the fold changes nothing")
+    // the gate keeps appending THROUGH the versioned view (appendTarget)
+    admit(101L)
+    assert(spark.table("t_dlc_log").distinct()
+      .filter($"batch_id" === 101L).count() >= 1,
+      "post-compaction appends must land on the current backing")
+    // idempotent: a second fold shrinks nothing further (already distinct
+    // modulo the new batch) and the report still reads the same classes
+    val (b2, a2) = IngestGate.compactDecisions(spark, "t_dlc_log")
+    assert(b2 == a2, "an already-distinct log folds to itself")
+    // VACUUM leg: the two publishLike swaps retained old versions; one
+    // Maintenance.tick with a VacuumJob reclaims past keepVersions = 1
+    val versionsBefore = graft.core.Store.versions(spark, "t_dlc_log").size
+    assert(versionsBefore >= 2, s"swaps must retain versions: $versionsBefore")
+    val log1 = Maintenance.tick(spark, 0L,
+      vacuum = Seq(Maintenance.VacuumJob("t_dlc_log", keepVersions = 1)),
+      logTable = "t_dlc_mlog").collect()
+    val v1 = log1.find(_.getAs[String]("action") == "vacuum").get
+    assert(v1.getAs[Boolean]("acted") && v1.getAs[Long]("after") == 1L
+      && v1.getAs[Long]("before") == versionsBefore.toLong,
+      s"vacuum row: $v1")
+    assert(graft.core.Store.versions(spark, "t_dlc_log").size == 1)
+    // quiet tick: nothing left to drop, acted = false
+    val log2 = Maintenance.tick(spark, 1L,
+      vacuum = Seq(Maintenance.VacuumJob("t_dlc_log", keepVersions = 1)),
+      logTable = "t_dlc_mlog").collect()
+    assert(!log2.find(_.getAs[String]("action") == "vacuum").get.getAs[Boolean]("acted"))
+    // the log still serves after reclamation
+    assert(rep().contains("exact"))
+    dropGateTables(tables: _*)
+  }
+
   test("span gate takedown: a tombstoned keeper releases its spans; the next carrier keeps and re-registers them") {
     import graft.streaming.{SpanStream, Takedown}
     val tables = Seq("t_sptd_reg", "t_sptd_out", "t_sptd_tomb")
@@ -1963,7 +2018,8 @@ class StreamingSpec extends SparkSpec {
       val weights0 = show(RankStream.weights(spark, "t_tick_w"))
       val audit0 = show(MixStream.report(spark, "t_tick_mix", rates, Sampling.MixDefault))
       def tickMap(id: Long) =
-        Maintenance.tick(spark, id, walJobs, storeJobs, refitJob, "t_tick_log")
+        Maintenance.tick(spark, id, walJobs, storeJobs, refitJob,
+        logTable = "t_tick_log")
           .collect().map(r => (r.getAs[String]("action"), r.getAs[String]("target")) ->
             ((r.getAs[Long]("before"), r.getAs[Long]("after"), r.getAs[Boolean]("acted"))))
           .toMap
