@@ -88,10 +88,29 @@ object Bench {
     * the gate threshold is a suspect verdict, not a verdict — those
     * keys get ONE more child after a bounded drain wait instead of
     * being published "confirmed". */
+  /** Which child-"confirmed" flags deserve the ONE second-chance
+    * re-adjudication. Two independent tells, either suffices:
+    *  - the key's child-side 1-min load sample sat at/above the gate
+    *    (the r15 false-confirm class — load rose THROUGH the child);
+    *  - the child read MATERIALLY WORSE than the loaded battery
+    *    itself (> 1.2×, r16b — caught live: t_decontaminate battery
+    *    1.74 s, child 3.79 s at a load sample of 1.78 that happened
+    *    to dip under the 2.0 gate; idle truth 0.64 s = 0.76× pin).
+    *    An idle child has strictly LESS going on than the 229-key
+    *    battery JVM — a real plan regression inflates both readings
+    *    alike, so child ≫ battery can only mean child-side
+    *    interference the load sample missed. */
   private[graft] def loadSuspectConfirms(confirmed: Seq[String],
                                          childKeyLoad: Map[String, Double],
-                                         loadMax: Double): Seq[String] =
-    confirmed.filter(k => childKeyLoad.get(k).exists(_ >= loadMax))
+                                         loadMax: Double,
+                                         batterySec: Map[String, Double] = Map.empty,
+                                         childSec: Map[String, Double] = Map.empty)
+      : Seq[String] =
+    confirmed.filter { k =>
+      childKeyLoad.get(k).exists(_ >= loadMax) ||
+        (for (b <- batterySec.get(k); c <- childSec.get(k))
+          yield c > 1.2 * b).getOrElse(false)
+    }
 
   /** Merge the second child's readings into the final verdict: a
     * suspect clearing fresh (≤ 2× pin) moves to cleared; one still
@@ -471,15 +490,21 @@ object Bench {
     // SECOND CHANCE (r16 — VERDICT r15 #5): a "confirmed" flag whose
     // own child-side load sample sat at/above the gate is a suspect
     // verdict (r15: battery AND child both read ~5.7× on a key whose
-    // idle truth was 0.94× — load rose THROUGH the child). Those keys
-    // get exactly ONE more child after a fresh bounded drain wait;
-    // a key still >2× across two fresh JVMs ships as RECONFIRMED.
+    // idle truth was 0.94× — load rose THROUGH the child), and so is
+    // one whose child read materially WORSE than the loaded battery
+    // itself (r16b — the load sample can dip under the gate exactly
+    // when polled while the child still runs loaded; see
+    // loadSuspectConfirms). Those keys get exactly ONE more child
+    // after a fresh bounded drain wait; a key still >2× across two
+    // fresh JVMs ships as RECONFIRMED.
     val suspects =
       if (!adjRan) Seq.empty[String]
-      else loadSuspectConfirms(flagsConfirmed, adjKeyLoad, adjLoadMax)
+      else loadSuspectConfirms(flagsConfirmed, adjKeyLoad, adjLoadMax,
+        batterySec = results.toMap, childSec = adjSec)
     if (suspects.nonEmpty) {
-      System.err.println(s"[bench] ${suspects.size} confirmed flag(s) carry " +
-        s"child load >= $adjLoadMax — second-chance adjudication: ${suspects.mkString(",")}")
+      System.err.println(s"[bench] ${suspects.size} confirmed flag(s) suspect " +
+        s"(child load >= $adjLoadMax or child reading > 1.2x battery) — " +
+        s"second-chance adjudication: ${suspects.mkString(",")}")
       val (_, waited2Ms, recovered2) =
         waitForLoadBelow(adjLoadMax, adjWaitMax * 1000L, () => loadAvg())
       adj2WaitedSec = waited2Ms / 1000L

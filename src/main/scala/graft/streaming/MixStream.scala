@@ -99,8 +99,11 @@ object MixStream {
     // [[waterfillPlan]] refusal armed exactly as on the ingest path)
     // the fold's crash-recovery side copy can be the ONLY copy (and the
     // tick now calls compact on a missing main table, r15) — a legacy
-    // side copy must be upgraded too or the recovered table re-throws
-    Seq(partialsTable, partialsTable + "__wal_fold").foreach { t =>
+    // side copy must be upgraded too or the recovered table re-throws;
+    // same for a crash-leftover recovered-union copy (__wal_fold2,
+    // r16b), which a marker-trusting recovery restores main FROM
+    Seq(partialsTable, partialsTable + "__wal_fold",
+        partialsTable + "__wal_fold2").foreach { t =>
       if (spark.catalog.tableExists(t) &&
           !spark.table(t).columns.contains("n_tokens"))
         spark.sql(s"ALTER TABLE $t ADD COLUMNS (n_tokens BIGINT)")

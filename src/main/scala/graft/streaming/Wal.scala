@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *    FROM that side copy, and the side copy dropped last. A crash in
   *    any window leaves at least one complete durable copy; a leftover
   *    side table is detected on the next compaction and the swap
-  *    finished idempotently before new work starts.
+  *    finished idempotently before new work starts — and the recovery
+  *    is itself crash-safe (r16b): the recovered union goes durable
+  *    (`__wal_fold2` + a completion marker) before the main table is
+  *    touched, so even crash → resumed ingest → crash-mid-recovery
+  *    loses nothing (see the recovery block in [[compactPartials]]).
   *
   * A later compaction folds the previous watermark row-set in and
   * re-lands under the new watermark; merged reads never look at
@@ -214,34 +218,62 @@ object Wal {
     // main row survives iff the side copy does not already cover its
     // id (not folded under the side watermark, not among the side's
     // passed-through ids). The bucket spec comes from the side copy —
-    // it was written with the main table's spec. Residual window,
-    // documented (r16): unlike the ledger's append-only recovery, DATA
-    // partials cannot be append-recovered (a folded watermark row plus
-    // the unfolded rows it covers would double-count), so this rewrite
-    // is an overwrite while the side copy stays intact — a SECOND
-    // crash mid-rewrite loses only resumed-writer rows landed inside
-    // the FIRST crash's window (crash → resumed append → crash again
-    // before this recovery completes). The single-maintenance-writer
-    // contract plus any restart discipline that runs compaction before
-    // resuming ingest closes it operationally.
+    // it was written with the main table's spec.
+    //
+    // The recovery is itself crash-safe as of r16b. DATA partials
+    // cannot be append-recovered the way the ledger is (a folded
+    // watermark row plus the unfolded rows it covers would
+    // double-count), so the r16 recovery overwrote main in place from
+    // a non-durable union — a SECOND crash mid-overwrite lost any
+    // resumed-writer rows landed inside the FIRST crash's window.
+    // Closed by making the union durable BEFORE main is touched:
+    //  - the recovered union (side ∪ main extras) is written to a
+    //    second side table (`__wal_fold2`), then a marker table
+    //    (`__wal_fold_ok`) is created strictly AFTER that write
+    //    completes — marker present ⇒ the union copy is complete;
+    //  - only then is main overwritten FROM the durable union copy;
+    //  - teardown drops marker FIRST, then the union copy, then the
+    //    original side LAST — so marker+union can only ever coexist
+    //    with the side table, and a stale union from a finished
+    //    recovery can never be mistaken for a fresh one.
+    // A crash in any window re-runs to convergence: union incomplete
+    // (no marker) ⇒ main is still intact with its extras, the partial
+    // union copy is discarded and rebuilt; union complete (marker) ⇒
+    // the extras are durable, the main rewrite replays idempotently
+    // (a partial main's rows are a subset of the side's row-set, so
+    // the extras filter re-derives the identical union). Ingest that
+    // RESUMES between the crash and this recovery is safe; ingest
+    // racing CONCURRENTLY with the recovery itself stays out of
+    // contract (the single-maintenance-writer rule above).
     if (spark.catalog.tableExists(side)) {
-      val s = spark.table(side)
-      val recovered =
-        if (!spark.catalog.tableExists(table)) s
-        else {
-          val sideIds = s.select(col("batch_id")).distinct()
-            .collect().map(_.getLong(0))
-          val sideWm = sideIds.filter(_ < 0L).sorted.headOption
-            .map(v => -v - 1L).getOrElse(-1L)
-          val passIds = sideIds.filter(_ >= 0L)
-          s.unionByName(spark.table(table)
-            .filter(col("batch_id") > sideWm &&
-              !col("batch_id").isInCollection(passIds)))
-        }
-      // the union reads both tables — cut lineage before overwriting
-      val mat = graft.ops.DupClusters.materialize(recovered)
-      writeLike(spark, mat, table, side)
-      graft.ops.DupClusters.release(mat)
+      val side2 = table + "__wal_fold2"
+      val marker = table + "__wal_fold_ok"
+      if (!(spark.catalog.tableExists(marker) &&
+            spark.catalog.tableExists(side2))) {
+        // partial union copy (no marker) or orphan marker — discard
+        if (spark.catalog.tableExists(side2)) spark.sql(s"DROP TABLE $side2")
+        if (spark.catalog.tableExists(marker)) spark.sql(s"DROP TABLE $marker")
+        val s = spark.table(side)
+        val recovered =
+          if (!spark.catalog.tableExists(table)) s
+          else {
+            val sideIds = s.select(col("batch_id")).distinct()
+              .collect().map(_.getLong(0))
+            val sideWm = sideIds.filter(_ < 0L).sorted.headOption
+              .map(v => -v - 1L).getOrElse(-1L)
+            val passIds = sideIds.filter(_ >= 0L)
+            s.unionByName(spark.table(table)
+              .filter(col("batch_id") > sideWm &&
+                !col("batch_id").isInCollection(passIds)))
+          }
+        writeLike(spark, recovered, side2, side)
+        spark.range(1).select(lit(1L).as("ok"))
+          .write.saveAsTable(marker)
+      }
+      // the union copy is complete and durable — swap main from it
+      writeLike(spark, spark.table(side2), table, side)
+      spark.sql(s"DROP TABLE $marker")
+      spark.sql(s"DROP TABLE $side2")
       spark.sql(s"DROP TABLE $side")
     }
     // ledger prune crash recovery (same rule as the partials fold —

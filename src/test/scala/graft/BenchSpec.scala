@@ -81,6 +81,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadSuspectConfirms(Seq.empty, childLoad, 2.0).isEmpty)
   }
 
+  test("loadSuspectConfirms: a child reading materially worse than the battery is suspect regardless of its load sample (r16b)") {
+    // the live case: t_decontaminate battery 1.74, child 3.79 at a
+    // child load sample of 1.78 — under the 2.0 gate, yet the child
+    // ran loaded (idle truth 0.64). The >1.2x-battery tell catches it.
+    val confirmed = Seq("a", "b", "c")
+    val childLoad = Map("a" -> 1.78, "b" -> 1.5, "c" -> 1.5)
+    val battery = Map("a" -> 1.74, "b" -> 3.0, "c" -> 3.0)
+    val child = Map("a" -> 3.79, "b" -> 3.1, "c" -> 3.7)
+    assert(Bench.loadSuspectConfirms(confirmed, childLoad, 2.0, battery, child)
+      == Seq("a", "c"),
+      "child > 1.2x battery is suspect; child within 1.2x of battery (a real regression's shape) is not")
+    // missing either reading -> the ratio tell cannot certify; only the
+    // load tell remains
+    assert(Bench.loadSuspectConfirms(Seq("a"), childLoad, 2.0,
+      Map.empty, child).isEmpty)
+    assert(Bench.loadSuspectConfirms(Seq("a"), childLoad, 2.0,
+      battery, Map.empty).isEmpty)
+  }
+
   test("mergeSecondChance: a suspect clearing fresh moves to cleared; one still >2x ships RECONFIRMED; an untimed suspect stays plain-confirmed") {
     val pins = Map("a" -> 1.0, "c" -> 1.0, "e" -> 1.0)
     // round 1: cleared = [z]; confirmed = [a, c, e]; suspects = [a, c, e]

@@ -2151,6 +2151,76 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_cg_w", "t_cg_w__wal_fold")
   }
 
+  test("WAL fold recovery is itself crash-safe (r16b): the recovered union goes durable before main is touched; every crash window re-runs to convergence") {
+    import graft.ops.DomainGraph
+    import graft.streaming.{RankStream, Wal}
+    val ts = Seq("t_cs_w", "t_cs_w__wal_fold", "t_cs_w__wal_fold2",
+      "t_cs_w__wal_fold_ok", "t_cs_w__wal_ids")
+    dropGateTables(ts: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def noTemps(): Unit = ts.tail.foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"$t must be dropped"))
+    val full = DomainGraph.syntheticEdges(docs)
+    (0L to 2L).foreach(RankStream.ingestBatch(full, _, "t_cs_w", buckets = 4))
+    RankStream.compact(spark, "t_cs_w")
+    def plantCrash(extraId: Long): Unit = {
+      // crash #1 mid-swap: side is the only durable copy; a resumed
+      // writer lands extraId in a re-created main before recovery runs
+      val snap = graft.ops.DupClusters.materialize(spark.table("t_cs_w"))
+      snap.write.bucketBy(4, "src").saveAsTable("t_cs_w__wal_fold")
+      graft.ops.DupClusters.release(snap)
+      spark.sql("DROP TABLE t_cs_w")
+      RankStream.ingestBatch(full, extraId, "t_cs_w", buckets = 4)
+    }
+    def expectN(n: Int) = {
+      var u = full
+      (2 to n).foreach(_ => u = u.unionByName(full))
+      u.groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+    }
+    // window A: recovery crashed mid-union-write — side2 exists but is
+    // PARTIAL (here: a 1-row garbage subset), no marker. The re-run
+    // must discard it and rebuild from side + main (extras preserved).
+    plantCrash(3L)
+    spark.table("t_cs_w__wal_fold").limit(1)
+      .write.bucketBy(4, "src").saveAsTable("t_cs_w__wal_fold2")
+    RankStream.compact(spark, "t_cs_w")
+    assert(show(RankStream.weights(spark, "t_cs_w")) == show(expectN(4)),
+      "window A: partial union copy discarded, extras preserved")
+    assert((0L to 3L).forall(Wal.seen(spark, "t_cs_w", _)))
+    noTemps()
+    // window B: union write + marker completed, then the main rewrite
+    // crashed with main FULLY LOST — the harshest state the r16
+    // in-place recovery could not survive. The durable union copy must
+    // restore main including the extras that lived only in main.
+    plantCrash(4L)
+    val union = graft.ops.DupClusters.materialize(
+      spark.table("t_cs_w__wal_fold")
+        .unionByName(spark.table("t_cs_w").filter($"batch_id" === 4L)))
+    union.write.bucketBy(4, "src").saveAsTable("t_cs_w__wal_fold2")
+    graft.ops.DupClusters.release(union)
+    spark.range(1).select(lit(1L).as("ok"))
+      .write.saveAsTable("t_cs_w__wal_fold_ok")
+    spark.sql("DROP TABLE t_cs_w")
+    RankStream.compact(spark, "t_cs_w")
+    assert(show(RankStream.weights(spark, "t_cs_w")) == show(expectN(5)),
+      "window B: the durable union copy restores main with its extras")
+    assert((0L to 4L).forall(Wal.seen(spark, "t_cs_w", _)))
+    noTemps()
+    // window C: orphan marker (crash between the two teardown drops
+    // left marker gone... then a manual state with marker but no
+    // side2) — the rebuild branch must drop it and still converge.
+    plantCrash(5L)
+    spark.range(1).select(lit(1L).as("ok"))
+      .write.saveAsTable("t_cs_w__wal_fold_ok")
+    RankStream.compact(spark, "t_cs_w")
+    assert(show(RankStream.weights(spark, "t_cs_w")) == show(expectN(6)),
+      "window C: orphan marker discarded, recovery converges")
+    noTemps()
+    dropGateTables(ts: _*)
+  }
+
   test("WAL ledger prune is crash-durable: kept ids survive a mid-rewrite crash, seen() sees through the window, post-crash ids preserved") {
     import graft.ops.DomainGraph
     import graft.streaming.{RankStream, Wal}
