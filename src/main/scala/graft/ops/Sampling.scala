@@ -805,6 +805,15 @@ object Sampling {
         (round(sum(col("lw")).cast("double") / count(lit(1)), 4) + lit(0.0))
           .as("dsir_weight"))
 
+  /** Per-bucket feature-instance counts of `docs` over the SHARED
+    * hashed-bigram feature space (the [[dsirFeats]] buckets both the
+    * DSIR model and the NB quality classifier are fit and served on):
+    * (b, n), ≤ 256 rows. The distribution card
+    * `streaming.ModelStream`'s staleness signal snapshots at fit time
+    * and accumulates per arriving batch. */
+  def featureCounts(docs: DataFrame): DataFrame =
+    dsirFeats(docs).groupBy(col("b")).agg(count(lit(1)).as("n"))
+
   /** The trained DSIR model as a standalone artifact: the `buckets`-row
     * (bucket, log-ratio) table [[dsirWeights]] fits — driver/model
     * scale, the stored object a SERVING pipeline (e.g. the streaming

@@ -65,6 +65,17 @@ object Maintenance {
                             listSnap: DataFrame, countersTable: String,
                             minCos: Double = 0.98, minLiveFrac: Double = 0.5)
 
+  /** The TEXT-model staleness check ([[ModelStream.refitRecommended]]:
+    * feature-distribution cosine of arrivals vs the fit-time snapshot
+    * ∨ unseen-bucket mass) — the [[RefitJob]] discipline for the DSIR
+    * and quality-classifier serving artifacts. Logged as action
+    * `text_refit_check`; like the ANN leg the tick only RECORDS the
+    * recommendation — re-fitting and publishing the artifact stays
+    * the consumer's scheduled move. */
+  final case class TextRefitJob(fitSnap: DataFrame, countersTable: String,
+                                minCos: Double = 0.98,
+                                maxUnseenFrac: Double = 0.05)
+
   /** A Store version-GC leg (r16): every snapshot-safe swap
     * (`Takedown.scrub`, `Store.publishAnnRefit`,
     * `IngestGate.compactDecisions`, any `publishLike`) RETAINS the
@@ -97,6 +108,7 @@ object Maintenance {
            store: Seq[StoreJob] = Seq.empty,
            refit: Option[RefitJob] = None,
            vacuum: Seq[VacuumJob] = Seq.empty,
+           textRefit: Option[TextRefitJob] = None,
            logTable: String = LogTable): DataFrame = {
     def logged: DataFrame =
       spark.table(logTable).filter(col("tick_id") === tickId)
@@ -132,6 +144,11 @@ object Maintenance {
       rows += Row(tickId, "vacuum", j.table, droppedN + remaining, remaining,
         droppedN > 0L)
     }
+    textRefit.foreach { r =>
+      val rec = ModelStream.refitRecommended(spark, r.fitSnap,
+        r.countersTable, r.minCos, r.maxUnseenFrac)
+      rows += Row(tickId, "text_refit_check", r.countersTable, 0L, 0L, rec)
+    }
     // the log rows are driver-local decisions (≤ #jobs) — model-scale
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.result(), 1), logSchema)
@@ -150,6 +167,7 @@ object Maintenance {
             store: Seq[StoreJob] = Seq.empty,
             refit: Option[RefitJob] = None,
             vacuum: Seq[VacuumJob] = Seq.empty,
+            textRefit: Option[TextRefitJob] = None,
             logTable: String = LogTable): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate")
       .option("rowsPerSecond", 1).option("numPartitions", 1).load()
@@ -158,7 +176,7 @@ object Maintenance {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(s"$intervalSec seconds"))
       .foreachBatch { (_: DataFrame, batchId: Long) =>
-        tick(spark, batchId, wal, store, refit, vacuum, logTable); ()
+        tick(spark, batchId, wal, store, refit, vacuum, textRefit, logTable); ()
       }
       .start()
 }

@@ -136,6 +136,47 @@ object Wal {
     }
   }
 
+  /** ROTATE an accumulation window (r16, for windowed maintainers like
+    * [[ModelStream]]): drop the partials table and its WAL apparatus,
+    * leaving behind ONE ledger watermark tombstone covering every id
+    * the window ever saw — so the stream's checkpointed batch ids can
+    * RESUME past the reset with (a) replays of pre-rotation ids
+    * no-ops ([[seen]] reads the tombstone) and (b) compaction still
+    * able to advance in the new window (the fold seeds its watermark
+    * from the ledger tombstone too, bridging the 0..M id gap a
+    * mid-stream reset otherwise leaves unfoldable forever).
+    *
+    * Crash-safe by ordering: the tombstone lands in the durable ledger
+    * SIDE table FIRST (the prune-recovery channel — [[seen]] consults
+    * it and the next compaction's [[recoverLedger]] folds it into a
+    * fresh ledger), and only then are the window's tables dropped. A
+    * crash anywhere re-runs to a consistent state: before the side
+    * write the old window is fully intact; after it every old id is
+    * covered whether or not the drops finished — re-running rotate
+    * completes the reset. Single-maintenance-writer contract: don't
+    * rotate while the window's ingest writer races. */
+  def rotate(spark: SparkSession, table: String): Unit = {
+    def idsOf(t: String): Seq[Long] =
+      if (!spark.catalog.tableExists(t)) Seq.empty
+      else spark.table(t).select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    val ledger = ledgerTable(table)
+    val side = ledgerSide(table)
+    val all = idsOf(table) ++ idsOf(ledger) ++ idsOf(side)
+    val maxSeen = all.map(v => if (v < 0L) -v - 1L else v)
+      .foldLeft(-1L)(math.max)
+    if (maxSeen >= 0L) {
+      import spark.implicits._
+      // overwrite is safe: any kept ids a crashed prune left in the
+      // side are <= maxSeen, so the tombstone covers them outright
+      Seq(-(maxSeen + 1L)).toDF("batch_id")
+        .write.mode("overwrite").saveAsTable(side)
+    }
+    Seq(table, table + "__wal_fold", table + "__wal_fold2",
+        table + "__wal_fold_ok", ledger)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** Has `batchId` already been folded into `table` — as live partial
     * rows under its own id, inside a compaction watermark covering it,
     * or recorded in the empty-batch ledger? (False when neither table
@@ -292,7 +333,16 @@ object Wal {
           .collect().map(_.getLong(0)).toSet
       else Set.empty
     val ledgerIds = allLedgerIds.filter(_ >= 0L) // tombstones are not ids
-    val prevWm = ids.filter(_ < 0L).sorted.headOption.map(v => -v - 1L).getOrElse(-1L)
+    // the watermark floor reads LEDGER tombstones too (r16): a prune's
+    // tombstone never exceeds the data table's stored watermark, so
+    // this is a no-op in the steady state — but after a window
+    // [[rotate]] the ledger tombstone is the ONLY record that ids
+    // 0..M happened, and without it the fold could never advance over
+    // the id gap a mid-stream reset leaves (read amplification would
+    // grow unbounded in the fresh window)
+    val prevWm = math.max(
+      ids.filter(_ < 0L).sorted.headOption.map(v => -v - 1L).getOrElse(-1L),
+      wmOf(allLedgerIds))
     val dataIds = ids.filter(_ >= 0L).toSet
     val pos = dataIds ++ ledgerIds // empty batches count as present
     var w = prevWm

@@ -314,8 +314,11 @@ object StreamBench {
     // model-scale snapshots) and the tick itself adds only a
     // ≤ #jobs-row log append per call
     lazy val fitSnapB = graft.streaming.AnnStream.fitSnapshot(emb).localCheckpoint()
+    // r16: the text-model staleness leg rides the same tick — fit-time
+    // feature-distribution snapshot (model-scale, checkpointed once)
+    lazy val textSnapB = graft.streaming.ModelStream.fitSnapshot(docs).localCheckpoint()
     val tt = Seq("sb_tick_w", "sb_tick_mix", "sb_tick_del", "sb_tick_tomb",
-      "sb_tick_log")
+      "sb_tick_feat", "sb_tick_log")
     gateBench("maintenance_tick", tt)(
       () => {
         graft.streaming.RankStream.ingestBatch(
@@ -328,6 +331,7 @@ object StreamBench {
         graft.streaming.Takedown.tombstoneBatch(
           docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")),
           0L, "sb_tick_tomb")
+        graft.streaming.ModelStream.ingestBatch(docs, 0L, "sb_tick_feat")
       })(
       b => {
         graft.streaming.RankStream.ingestBatch(
@@ -340,6 +344,7 @@ object StreamBench {
         graft.streaming.Takedown.tombstoneBatch(
           replica(b).filter(col("doc_id") % 97 === 0).select(col("doc_id")),
           b.toLong, "sb_tick_tomb")
+        graft.streaming.ModelStream.ingestBatch(replica(b), b.toLong, "sb_tick_feat")
         graft.streaming.Maintenance.tick(spark, b.toLong,
           wal = Seq(
             graft.streaming.Maintenance.WalJob("sb_tick_w",
@@ -349,9 +354,13 @@ object StreamBench {
             graft.streaming.Maintenance.WalJob("sb_tick_del",
               s => graft.streaming.AnnStream.compactDeleteCounters(s, "sb_tick_del")),
             graft.streaming.Maintenance.WalJob("sb_tick_tomb",
-              s => graft.streaming.Takedown.compact(s, "sb_tick_tomb"))),
+              s => graft.streaming.Takedown.compact(s, "sb_tick_tomb")),
+            graft.streaming.Maintenance.WalJob("sb_tick_feat",
+              s => graft.streaming.ModelStream.compact(s, "sb_tick_feat"))),
           refit = Some(graft.streaming.Maintenance.RefitJob(
             emb, fitSnapB, listSnap, "sb_tick_del")),
+          textRefit = Some(graft.streaming.Maintenance.TextRefitJob(
+            textSnapB, "sb_tick_feat")),
           logTable = "sb_tick_log").count()
       })
     val mt = Seq("sb_mix_p")

@@ -2151,6 +2151,152 @@ class StreamingSpec extends SparkSpec {
     dropGateTables("t_cg_w", "t_cg_w__wal_fold")
   }
 
+  test("text-model staleness signal (r16): same-distribution arrivals quiet, stream ≡ batch; concentrated drift fires the cosine arm; a sparse fit fires the unseen-bucket arm; replay + ledger + compaction + tick leg") {
+    import graft.streaming.{Maintenance, ModelStream, Wal}
+    val ts = Seq("t_ms_ctr", "t_ms_ctr__wal_ids", "t_ms_ctr__wal_fold",
+      "t_ms_ctr2", "t_ms_mlog")
+    dropGateTables(ts: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+      .select($"doc_id", $"text", $"source")
+    val fitSnap = graft.ops.DupClusters.materialize(ModelStream.fitSnapshot(docs))
+    // before any arrivals: no counters table -> no evidence, quiet
+    assert(!ModelStream.refitRecommended(spark, fitSnap, "t_ms_ctr"))
+    // arrivals = the SAME corpus split into two out-of-order batches;
+    // counts are additive, so the merged distribution is EXACTLY the
+    // fit distribution -> cosine exactly 1.0, zero unseen mass, quiet
+    ModelStream.ingestBatch(docs.filter($"doc_id" % 2 === 1), 1L, "t_ms_ctr")
+    ModelStream.ingestBatch(docs.filter($"doc_id" % 2 === 0), 0L, "t_ms_ctr")
+    def card() = ModelStream.signal(fitSnap,
+      ModelStream.mergedCounts(spark, "t_ms_ctr")).collect()(0)
+    val quiet = card()
+    assert(quiet.getAs[Double]("drift_cos") == 1.0 &&
+      quiet.getAs[Double]("unseen_frac") == 0.0 &&
+      !quiet.getAs[Boolean]("refit_recommended"), s"quiet card: $quiet")
+    // stream ≡ batch: the merged counters equal the one-shot batch
+    // distribution bit-for-bit
+    val oneShot = ModelStream.fitSnapshot(docs)
+      .withColumnRenamed("n_fit", "n")
+    assert(ModelStream.mergedCounts(spark, "t_ms_ctr")
+      .exceptAll(oneShot).count() == 0)
+    assert(oneShot.exceptAll(
+      ModelStream.mergedCounts(spark, "t_ms_ctr")).count() == 0)
+    // replay: the re-delivered batch_id is a no-op on the counters
+    val n0 = spark.table("t_ms_ctr").count()
+    ModelStream.ingestBatch(docs.filter($"doc_id" % 2 === 0), 0L, "t_ms_ctr")
+    assert(spark.table("t_ms_ctr").count() == n0)
+    // a featureless batch (every doc < 2 tokens) lands in the WAL
+    // ledger, not the counters — and the watermark can advance over it
+    ModelStream.ingestBatch(Seq((900L, "solo", "crawl"))
+      .toDF("doc_id", "text", "source"), 2L, "t_ms_ctr")
+    assert(spark.table("t_ms_ctr").count() == n0)
+    assert(Wal.seen(spark, "t_ms_ctr", 2L), "the empty batch must be ledgered")
+    // compaction folds the batch rows; the merged card is unchanged
+    val (cb, ca) = ModelStream.compact(spark, "t_ms_ctr")
+    assert(ca < cb, s"the fold must shrink the WAL: ($cb, $ca)")
+    assert((0L to 2L).forall(Wal.seen(spark, "t_ms_ctr", _)))
+    val afterFold = card()
+    assert(afterFold.getAs[Double]("drift_cos") == 1.0 &&
+      !afterFold.getAs[Boolean]("refit_recommended"))
+    // DRIFT arm: an arrival WINDOW whose distribution concentrates in
+    // one bucket (every bigram identical) collapses the cosine far
+    // below minCos — measured on its own accumulation window (a fresh
+    // counters table: the deployment pattern is one window per
+    // model-refresh interval, rotated like DriftStream's snapshot)
+    val repetitive = (1 to 40).map(i =>
+      (1000L + i, Seq.fill(30)("graftdrift").mkString(" "), "crawl"))
+      .toDF("doc_id", "text", "source")
+    ModelStream.ingestBatch(repetitive, 0L, "t_ms_ctr2")
+    val drifted = ModelStream.signal(fitSnap,
+      ModelStream.mergedCounts(spark, "t_ms_ctr2")).collect()(0)
+    assert(drifted.getAs[Double]("drift_cos") < 0.98 &&
+      drifted.getAs[Boolean]("refit_recommended"),
+      s"concentrated arrivals must fire the drift arm: $drifted")
+    assert(ModelStream.refitRecommended(spark, fitSnap, "t_ms_ctr2"))
+    // UNSEEN arm in isolation: a fit snapshot from a 2-doc corpus
+    // leaves most of the 256 buckets unpopulated; the full corpus then
+    // arrives mostly in unseen buckets — with the cosine arm disabled
+    // (minCos = -1) only the unseen-mass arm can recommend
+    val sparseFit = graft.ops.DupClusters.materialize(
+      ModelStream.fitSnapshot(docs.limit(2)))
+    val unseen = ModelStream.signal(sparseFit,
+      ModelStream.mergedCounts(spark, "t_ms_ctr"), minCos = -1.0)
+      .collect()(0)
+    assert(unseen.getAs[Double]("unseen_frac") > 0.05 &&
+      unseen.getAs[Boolean]("refit_recommended"),
+      s"unseen-bucket mass must fire on a sparse fit: $unseen")
+    // the composed tick RECORDS the recommendation: quiet on the
+    // same-distribution window, firing on the drifted one
+    val log = Maintenance.tick(spark, 0L,
+      textRefit = Some(Maintenance.TextRefitJob(fitSnap, "t_ms_ctr")),
+      logTable = "t_ms_mlog").collect()
+    val row = log.find(_.getAs[String]("action") == "text_refit_check").get
+    assert(!row.getAs[Boolean]("acted") && row.getAs[String]("target") == "t_ms_ctr")
+    val log2 = Maintenance.tick(spark, 1L,
+      textRefit = Some(Maintenance.TextRefitJob(fitSnap, "t_ms_ctr2")),
+      logTable = "t_ms_mlog").collect()
+    assert(log2.find(_.getAs[String]("action") == "text_refit_check").get
+      .getAs[Boolean]("acted"), "the drifted window's tick must recommend")
+    graft.ops.DupClusters.release(fitSnap)
+    graft.ops.DupClusters.release(sparseFit)
+    dropGateTables(ts: _*)
+  }
+
+  test("text-model refit loop closes (r16): drift -> recommend -> refit -> window rotation -> quiet; pre-rotation replays no-op; the new window's compaction bridges the id gap") {
+    import graft.streaming.{ModelStream, Wal}
+    val ts = Seq("t_mr_ctr", "t_mr_ctr__wal_ids", "t_mr_ctr__wal_ids__side",
+      "t_mr_ctr__wal_fold")
+    dropGateTables(ts: _*)
+    val docs = graft.core.Tables(spark, TestSpark.sf0001).documents
+      .select($"doc_id", $"text", $"source")
+    val fitSnap0 = graft.ops.DupClusters.materialize(ModelStream.fitSnapshot(docs))
+    // a drifted regime arrives over batches 0..2 (every bigram in one
+    // unseen-shape bucket) — the signal recommends a refit
+    def driftBatch(id: Long): org.apache.spark.sql.DataFrame =
+      (1 to 20).map(i => (5000L + id * 100 + i,
+        Seq.fill(20)("graftrotate").mkString(" "), "crawl"))
+        .toDF("doc_id", "text", "source")
+    (0L to 2L).foreach(b => ModelStream.ingestBatch(driftBatch(b), b, "t_mr_ctr"))
+    assert(ModelStream.refitRecommended(spark, fitSnap0, "t_mr_ctr"))
+    // the consumer refits on the grown corpus (old ∪ the drifted docs)
+    // and ROTATES the window
+    val refitCorpus = docs.unionByName(
+      (0L to 2L).map(driftBatch).reduce(_ unionByName _))
+    val fitSnap1 = graft.ops.DupClusters.materialize(
+      ModelStream.fitSnapshot(refitCorpus))
+    ModelStream.rotate(spark, "t_mr_ctr")
+    assert(!spark.catalog.tableExists("t_mr_ctr"), "rotation resets the window")
+    // the fresh window carries no evidence yet
+    assert(!ModelStream.refitRecommended(spark, fitSnap1, "t_mr_ctr"))
+    // a PRE-rotation batch id replayed into the fresh window is a
+    // no-op (its contribution belongs to the retired window)
+    ModelStream.ingestBatch(driftBatch(1L), 1L, "t_mr_ctr")
+    assert(!spark.catalog.tableExists("t_mr_ctr"),
+      "a replayed pre-rotation id must not seed the fresh window")
+    // arrivals matching the REFIT corpus's mix are now QUIET against
+    // the refreshed snapshot (ids resume where the checkpoint left off)
+    ModelStream.ingestBatch(refitCorpus.filter($"doc_id" % 2 === 0), 3L, "t_mr_ctr")
+    ModelStream.ingestBatch(refitCorpus.filter($"doc_id" % 2 === 1), 4L, "t_mr_ctr")
+    val card = ModelStream.signal(fitSnap1,
+      ModelStream.mergedCounts(spark, "t_mr_ctr")).collect()(0)
+    assert(card.getAs[Double]("drift_cos") == 1.0 &&
+      card.getAs[Double]("unseen_frac") == 0.0 &&
+      !card.getAs[Boolean]("refit_recommended"),
+      s"the refreshed model must be quiet on the regime it was refit for: $card")
+    // compaction ENGAGES across the rotation's id gap: the ledger
+    // watermark seeds the fold floor, so ids 3..4 fold even though
+    // 0..2 never landed in this window's data table
+    val (cb, ca) = ModelStream.compact(spark, "t_mr_ctr")
+    assert(ca < cb, s"the new window's fold must engage across the gap: ($cb, $ca)")
+    assert((0L to 4L).forall(Wal.seen(spark, "t_mr_ctr", _)))
+    // and the merged card is fold-invariant
+    val card2 = ModelStream.signal(fitSnap1,
+      ModelStream.mergedCounts(spark, "t_mr_ctr")).collect()(0)
+    assert(card2.getAs[Double]("drift_cos") == card.getAs[Double]("drift_cos"))
+    graft.ops.DupClusters.release(fitSnap0)
+    graft.ops.DupClusters.release(fitSnap1)
+    dropGateTables(ts: _*)
+  }
+
   test("WAL fold recovery is itself crash-safe (r16b): the recovered union goes durable before main is touched; every crash window re-runs to convergence") {
     import graft.ops.DomainGraph
     import graft.streaming.{RankStream, Wal}
