@@ -115,4 +115,46 @@ object Takedown {
       (before, spark.table(table).count())
     }
   }
+
+  /** [[scrub]] for the ingest gate's DECISION log (r16) — the store
+    * the plain id-keyed scrub cannot serve, because a tombstoned doc
+    * appears there in TWO roles: as the rejected document itself
+    * (`batch_id` — its own rows are DROPPED, exactly like every other
+    * store) and as the CAUSE of other documents' rejections
+    * (`corpus_id` — those rows belong to LIVE docs' decision history,
+    * so they survive with the reference REDACTED to NULL: the row
+    * still says "doc X was rejected as a near-dup", it just no longer
+    * names the taken-down document). Dropping the cause rows outright
+    * would silently un-count live docs from [[IngestGate.report]]'s
+    * per-kind distincts; redaction keeps the report bit-identical
+    * while completing the takedown contract — after this scrub the
+    * log carries NO reference to the doc in either column. Same
+    * versioned snapshot-safe swap, same (before, after) row counts,
+    * safe (0,0) no-op on a missing table; re-runnable (a crash-replay
+    * of an old batch re-derives decisions against the LIVE corpus, so
+    * scrubbed references do not resurrect — and a re-run scrubs any
+    * residue regardless). Single-maintenance-writer contract. */
+  def scrubDecisions(spark: SparkSession, decisionsTable: String,
+                     tombstonesTable: String): (Long, Long) = {
+    if (!spark.catalog.tableExists(decisionsTable)) (0L, 0L)
+    else {
+      val before = spark.table(decisionsTable).count()
+      val own = liveOnly(spark.table(decisionsTable), Some(tombstonesTable),
+        idCol = "batch_id")
+      val redacted =
+        if (!spark.catalog.tableExists(tombstonesTable)) own
+        else own
+          .join(tombstonedIds(spark, tombstonesTable)
+              .withColumnRenamed("doc_id", "corpus_id")
+              .withColumn("__tomb", lit(true)),
+            Seq("corpus_id"), "left_outer")
+          .withColumn("corpus_id",
+            when(col("__tomb"), lit(null).cast("long"))
+              .otherwise(col("corpus_id")))
+          .drop("__tomb")
+          .select(spark.table(decisionsTable).columns.map(col): _*)
+      graft.core.Store.publishLike(spark, redacted, decisionsTable)
+      (before, spark.table(decisionsTable).count())
+    }
+  }
 }

@@ -1011,6 +1011,60 @@ class StreamingSpec extends SparkSpec {
     dropGateTables(tables: _*)
   }
 
+  test("decision-log scrub (r16): a tombstoned doc's own rows drop, references to it as a rejection CAUSE redact to NULL, the report is unchanged, no reference survives in either column; idempotent; the gate keeps appending") {
+    import graft.streaming.{IngestGate, Takedown}
+    val tables = Seq("t_ds_corpus", "t_ds_fps", "t_ds_sigs", "t_ds_log",
+      "t_ds_tomb")
+    dropGateTables(tables: _*)
+    val contentX = (1 to 30).map(i => s"dscrub$i").mkString(" ")
+    val seed = Seq((1L, contentX, "en", "seed", contentX.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IngestGate.seedCorpus(spark, seed, "t_ds_corpus", "t_ds_fps", "t_ds_sigs", buckets = 2)
+    def admit(id: Long): Unit = IngestGate.admitBatch(
+      Seq((id, contentX, "en", "crawl", contentX.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "t_ds_corpus", "t_ds_fps", "t_ds_sigs", "t_ds_log", buckets = 2,
+      tombstones = Some("t_ds_tomb"))
+    // docs 100 and 102 both reject against corpus doc 1 (the cause)
+    admit(100L); admit(102L)
+    val causes = spark.table("t_ds_log").distinct()
+      .filter($"kind" === "exact").collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("corpus_id")).toMap
+    assert(causes == Map(100L -> 1L, 102L -> 1L), s"setup: $causes")
+    // takedown: doc 1 (the cause) AND doc 100 (a rejected doc itself)
+    Takedown.tombstoneBatch(Seq(1L, 100L).toDF("doc_id"), 0L, "t_ds_tomb")
+    def rep() = IngestGate.report(spark, "t_ds_log", "t_ds_corpus",
+      Some("t_ds_tomb")).collect()
+      .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n_docs")).toMap
+    val repBefore = rep()
+    val (b, a) = Takedown.scrubDecisions(spark, "t_ds_log", "t_ds_tomb")
+    assert(b > a, s"doc 100's own rows must drop: ($b, $a)")
+    assert(rep() == repBefore,
+      "redaction keeps the report bit-identical (live doc 102 still counted)")
+    // no reference to either tombstoned doc survives, in either column
+    assert(spark.table("t_ds_log")
+      .filter($"batch_id".isin(1L, 100L) || $"corpus_id".isin(1L, 100L))
+      .count() == 0, "the log must carry no reference to the taken-down docs")
+    // doc 102's decision survives with the cause redacted
+    val r102 = spark.table("t_ds_log").distinct()
+      .filter($"batch_id" === 102L && $"kind" === "exact").collect()
+    assert(r102.length == 1 && r102(0).isNullAt(r102(0).fieldIndex("corpus_id")),
+      s"the live doc's rejection row survives, cause redacted: ${r102.toSeq}")
+    // idempotent: nothing left to drop or redact
+    val (b2, a2) = Takedown.scrubDecisions(spark, "t_ds_log", "t_ds_tomb")
+    assert(b2 == a2, s"a second scrub is a no-op: ($b2, $a2)")
+    // the gate keeps appending THROUGH the versioned view: with both
+    // old carriers dead the content is re-admitted under a fresh id
+    // (the takedown contract), and a further duplicate's rejection
+    // against that NEW live carrier lands on the current backing
+    admit(103L); admit(104L)
+    val r104 = spark.table("t_ds_log").distinct()
+      .filter($"batch_id" === 104L && $"kind" === "exact").collect()
+    assert(r104.length == 1 && r104(0).getAs[Long]("corpus_id") == 103L,
+      s"post-scrub decisions must land on the current backing: ${r104.toSeq}")
+    dropGateTables(tables: _*)
+  }
+
   test("report takedown netting: tombstoning a rejected doc decrements its kind row and increments the tombstoned row; replay-stable") {
     import graft.streaming.{IngestGate, Takedown}
     val tables = Seq("t_tdn_corpus", "t_tdn_fps", "t_tdn_sigs", "t_tdn_log",
