@@ -32,6 +32,7 @@ object Catalog {
     TrieMap.empty[(SparkSession, String), (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame)]
   private val bloomCache = TrieMap.empty[(SparkSession, String), Option[Array[Byte]]]
   private val semCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val semCcCache = TrieMap.empty[(SparkSession, String), DataFrame]
   // resolved auto-nlist per corpus (one count() each — a scalar, no frame to unpersist)
   private val nlistCache = TrieMap.empty[(SparkSession, String), Int]
   private val opqCache =
@@ -70,6 +71,7 @@ object Catalog {
     ivfPqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bloomCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     semCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    semCcCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     nlistCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     opqCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     bpeCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
@@ -106,6 +108,7 @@ object Catalog {
     }
     bloomCache.keys.filter(_._1 eq spark).foreach(bloomCache.remove)
     drop(semCache, (k: (SparkSession, String)) => k._1)
+    drop(semCcCache, (k: (SparkSession, String)) => k._1)
     nlistCache.keys.filter(_._1 eq spark).foreach(nlistCache.remove)
     opqCache.keys.filter(_._1 eq spark).foreach { k =>
       opqCache.remove(k).foreach { case (_, _, df) =>
@@ -271,11 +274,34 @@ object Catalog {
     evictStopped()
     semCache.getOrElseUpdate((spark, dir), {
       import org.apache.spark.sql.functions.col
-      val (cents, assigned) = ivfIndex(spark, dir)
+      val (_, assigned) = ivfIndex(spark, dir)
       val keep = graft.ops.Dedup
-        .semanticDedup(assigned.drop("cluster"), cents)
+        .semanticDedupFromCc(assigned.drop("cluster"), semanticCc(spark, dir))
         .select(col("vec_id"))
       assigned.join(keep, Seq("vec_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** The IVF-canopy semantic component assignment (vec_id → cluster_id)
+    * for a dir's embeddings (cached, shared) — the VECTOR-space twin of
+    * [[dupClusters]]'s doc-space cluster map (r16 opt): canopy pair
+    * mining + the iterative large-star/small-star closure run once per
+    * (session, dir) and the assignment is persisted; `d_semantic_ivf`,
+    * `d_semantic_medoid` and [[semanticSurvivors]] all serve off it
+    * (pre-r16 each serve re-mined the identical pair set and re-ran the
+    * identical closure). At scale this is the durable cluster-map table
+    * next to the survivor store. */
+  def semanticCc(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    semCcCache.getOrElseUpdate((spark, dir), {
+      import org.apache.spark.sql.functions.col
+      val (cents, assigned) = ivfIndex(spark, dir)
+      val emb = assigned.drop("cluster")
+      graft.ops.DupClusters.connectedComponents(
+        graft.ops.Dedup.embedNearDupClusters(emb, cents)
+          .select(col("vec_a"), col("vec_b")),
+        emb.select(col("vec_id")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
   }

@@ -292,6 +292,19 @@ object Dedup {
   private def shingleInvertedIndex(documents: DataFrame, dfCap: Option[Int]): DataFrame = {
     val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
     val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
+    // r16 opt (guide §3.3/§5): the returned frame feeds a SELF-join, and
+    // the capped branch additionally references inverted0 three times
+    // (df aggregate, anti-join left side, capped-lens recount). Broadcast
+    // self-joins get no exchange reuse, so every reference replayed the
+    // whole tokenize+shingle chain — the executed d_containment plan
+    // carried SIXTEEN parquet scans of `documents`. A LAZY cache gives
+    // in-plan reuse without an extra materialization pass (an eager
+    // localCheckpoint here measured SLOWER at bench scale — one barrier
+    // job + block store per call; the cache populates during the first
+    // reference of the single action instead): the corpus is tokenized
+    // once per action, every other reference is a cached-block read.
+    // Results are bit-identical — same frame, only evaluated once.
+    val inv = inverted0.cache()
     dfCap match {
       case Some(cap) =>
         // Broadcast the OVER-cap (frequent) shingles and remove them with
@@ -300,15 +313,17 @@ object Dedup {
         // broadcast stays bounded no matter how large the corpus
         // vocabulary grows. Broadcasting the rare set would be the whole
         // vocabulary at corpus scale.
-        val frequent = inverted0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val frequent = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("shingle"))
-        val filtered = inverted0.join(broadcast(frequent), Seq("shingle"), "left_anti")
+        val filtered = inv.join(broadcast(frequent), Seq("shingle"), "left_anti")
         // recompute set sizes over the capped vocabulary so numerator and
         // denominators live in the same universe
         val cappedLens = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("capped_len"))
+        // the capped frame also feeds the self-join twice — cache it too
         filtered.drop("len").join(cappedLens, Seq("doc_id"))
           .select(col("doc_id"), col("capped_len").as("len"), col("shingle"))
-      case None => inverted0
+          .cache()
+      case None => inv
     }
   }
 
@@ -822,10 +837,19 @@ object Dedup {
     * blocks sized by nlist (never all-pairs), CC is O(log n) bounded
     * shuffles on the EDGE set only (≪ corpus; driver sees scalars), and
     * the final keep is one join of the survivor ids back to the corpus. */
-  def semanticDedupFromPairs(embeddings: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = DupClusters.connectedComponents(
-      pairs.select(col("vec_a"), col("vec_b")),
-      embeddings.select(col("vec_id")))
+  def semanticDedupFromPairs(embeddings: DataFrame, pairs: DataFrame): DataFrame =
+    semanticDedupFromCc(embeddings,
+      DupClusters.connectedComponents(
+        pairs.select(col("vec_a"), col("vec_b")),
+        embeddings.select(col("vec_id"))))
+
+  /** The post-closure survivor read-off of [[semanticDedupFromPairs]],
+    * served off an ALREADY-COMPUTED component assignment (r16 opt: the
+    * IVF-canopy CC is a shared derived table — `Catalog.semanticCc`, the
+    * vector-space twin of `Catalog.dupClusters` — so the serving keys
+    * don't re-run pair mining + the iterative closure per invocation;
+    * at scale this is the stored cluster-map table). */
+  def semanticDedupFromCc(embeddings: DataFrame, cc: DataFrame): DataFrame = {
     // cluster_id = min reachable id, so the survivor set IS the distinct
     // cluster ids — one aggregate for sizes, ONE join back to the corpus
     // for the surviving rows (fact×fact equi-join: at scale both sides
@@ -916,11 +940,17 @@ object Dedup {
     * mirror replays fit, closure, and medoid scoring; spec adds a JVM
     * reference on planted replica groups. */
   def semanticDedupMedoid(embeddings: DataFrame, centroids: Seq[Seq[Double]],
-                          tau: Double = 0.3, nAssign: Int = 2): DataFrame = {
-    val pairs = embedNearDupClusters(embeddings, centroids, tau, nAssign)
-    val cc = DupClusters.connectedComponents(
-      pairs.select(col("vec_a"), col("vec_b")),
-      embeddings.select(col("vec_id")))
+                          tau: Double = 0.3, nAssign: Int = 2): DataFrame =
+    semanticDedupMedoidFromCc(embeddings,
+      DupClusters.connectedComponents(
+        embedNearDupClusters(embeddings, centroids, tau, nAssign)
+          .select(col("vec_a"), col("vec_b")),
+        embeddings.select(col("vec_id"))))
+
+  /** The medoid read-off of [[semanticDedupMedoid]] off an
+    * already-computed component assignment (the [[semanticDedupFromCc]]
+    * rationale — one shared closure serves all the semantic keys). */
+  def semanticDedupMedoidFromCc(embeddings: DataFrame, cc: DataFrame): DataFrame = {
     val members = embeddings.select(col("vec_id"), col("label"), col("embedding"))
       .join(cc, col("vec_id") === col("doc_id"))
     val sums = members.groupBy(col("cluster_id"))
@@ -1057,7 +1087,10 @@ object Dedup {
     * mega-frequency shingle is ONE aggregate row (df counting collapses
     * map-side) — no skewed window anywhere. */
   def ngramNovelty(documents: DataFrame): DataFrame = {
+    // r16 opt: the fan-out feeds the df aggregate AND the join-back —
+    // lazily cached once so the corpus is shingled once, not twice
     val ex = shingled(documents).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .cache()
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
@@ -1315,12 +1348,15 @@ object Dedup {
         emb.filter(col("vec_id") >= 400))
     }),
     "d_semantic_ivf"     -> ((s, d) => {
-      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
-      semanticDedup(assigned.drop("cluster"), cents)
+      // r16 opt: served off the shared Catalog-cached component
+      // assignment (the dupClusters convention in vector space) — the
+      // serve is the survivor read-off, not a re-closure
+      val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      semanticDedupFromCc(assigned.drop("cluster"), graft.core.Catalog.semanticCc(s, d))
     }),
     "d_semantic_medoid"  -> ((s, d) => {
-      val (cents, assigned) = graft.core.Catalog.ivfIndex(s, d)
-      semanticDedupMedoid(assigned.drop("cluster"), cents)
+      val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
+      semanticDedupMedoidFromCc(assigned.drop("cluster"), graft.core.Catalog.semanticCc(s, d))
     }),
     "d_substring_dup"    -> ((s, d) => substringDupPairs(Tables(s, d).documents)),
     "d_winnow_dup"       -> ((s, d) => winnowDupPairs(Tables(s, d).documents)),

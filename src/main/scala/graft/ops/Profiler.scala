@@ -22,14 +22,46 @@ object Profiler {
 
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
+    // r16 opt: the exact mode no longer plans the multi-countDistinct
+    // rewrite. One agg(countDistinct(a), countDistinct(b), …) goes
+    // through Expand ×(#cols+1) — every input row replicated per
+    // distinct column — then (min/max string buffers being immutable)
+    // TWO full SortAggregates over the expanded width with a
+    // full-width Exchange between them: at 100 TB that is a 7× row
+    // blow-up, two corpus sorts and a corpus-wide shuffle for what is
+    // per-column metadata. Instead: one Expand-free hash pass for
+    // null/min/max/total + one two-stage hash aggregate PER COLUMN for
+    // its exact distinct count (each a single-column scan — parquet
+    // column pruning makes the N scans read the same total bytes as
+    // the one wide scan), assembled by 1-row-frame crossJoins (the
+    // t_bm25 corpus-stats broadcast shape; never a data-side join).
+    // Plan diff at sf0.1: Expand+2×SortAggregate+2 Exchanges →
+    // 7 independent hash-agg subplans, no Sort anywhere.
+    val baseAggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
-        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c), 0.01)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__total")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide =
+      if (!exact) {
+        // at-scale mode: HLL++ sketch buffers merge map-side in the
+        // SAME single pass as null/min/max — one scan, no Expand
+        val aggs = cols.flatMap { c =>
+          Seq(
+            count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
+            approx_count_distinct(col(c), 0.01).as(s"__nd_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        } :+ count(lit(1)).as("__total")
+        df.agg(aggs.head, aggs.tail: _*)
+      } else {
+        val base = df.agg(baseAggs.head, baseAggs.tail: _*)
+        cols.foldLeft(base) { (acc, c) =>
+          acc.crossJoin(
+            df.select(col(c)).agg(countDistinct(col(c)).as(s"__nd_$c")))
+        }
+      }
     val stackArgs = cols.map { c =>
       s"'$c', `__null_$c`, `__nd_$c`, `__min_$c`, `__max_$c`"
     }.mkString(", ")

@@ -206,8 +206,10 @@ object Search {
                queryVecId: Long = RrfQueryVecId, n: Int = 100, k: Int = 10,
                rrfKs: Seq[Int] = Seq(20, 60, 120)): DataFrame = {
     val (lex0, vec0) = rrfRankLists(documents, embeddings, lexTerms, queryVecId, n)
-    val lex = DupClusters.materialize(lex0)
-    val vec = DupClusters.materialize(vec0)
+    // r16 opt: lazily cached (the annTombstoneReport note) — the three
+    // rrfK arms read the two cached rank lists inside the one action
+    val lex = lex0.cache()
+    val vec = vec0.cache()
     val ranked = rrfKs.map { kk =>
       fuseRrf((lex, vec), k, kk)
         .select(lit(s"rrf$kk").as("arm"), lit(queryVecId).as("query_id"),

@@ -606,7 +606,11 @@ object Similarity {
     queryVecIds.map { id =>
       require(id % UniformTombMod != UniformTombRem,
         s"query $id is tombstoned — pick a live query")
-      val exact = DupClusters.materialize(annTopK(live, id, k).select(col("vec_id")))
+      // r16 opt: lazily cached, not eagerly checkpointed — the exact
+      // arm is computed inside the report's single action (its two
+      // readers share the cache) instead of one blocking driver job
+      // per query cell; the 5 cells' stages then overlap (guide §2.6)
+      val exact = annTopK(live, id, k).select(col("vec_id")).cache()
       val approx = annIvfFilteredFromIndex(centroids, assigned, liveP, id, k, nProbe)
         .select(col("vec_id").as("a_vec_id"))
       approx.join(exact.withColumn("in_exact", lit(1L)),
@@ -710,8 +714,10 @@ object Similarity {
       return Seq(("stale", 0L, 0L, 0.0), ("refit", 0L, 0L, 0.0))
         .toDF("arm", "n_exact", "n_hit", "recall")
     }
-    val exact = DupClusters.materialize(
-      annTopKBatch(live, panel, k).select(col("query_id"), col("vec_id")))
+    // r16 opt: lazily cached (the annTombstoneReport note) — both arms
+    // read the one cached exact panel inside the single action
+    val exact = annTopKBatch(live, panel, k).select(col("query_id"), col("vec_id"))
+      .cache()
     def arm(name: String, cents: Seq[Seq[Double]], assigned: DataFrame) = {
       // the served side is ≤ |panel|·k rows — broadcast it explicitly
       // (AQE can't size the window output against the checkpointed
@@ -827,8 +833,11 @@ object Similarity {
                       codesOpq: DataFrame,
                       queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
                       k: Int = 10): DataFrame = {
+    // r16 opt: lazily cached (the annTombstoneReport note) — every
+    // probe/dim/arm cell reads its query's one cached exact top-k
+    // inside the single action; no per-query blocking checkpoint jobs
     val exacts = queryVecIds.map(id =>
-      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+      id -> annTopK(embeddings, id, k).select(col("vec_id")).cache())
     def cells(arm: String, serve: Long => DataFrame) =
       exacts.map { case (id, exact) =>
         val approx = serve(id).select(col("vec_id").as("a_vec_id"))
@@ -1451,8 +1460,11 @@ object Similarity {
                   assigned: DataFrame,
                   queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
                   k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    // r16 opt: lazily cached (the annTombstoneReport note) — every
+    // probe/dim/arm cell reads its query's one cached exact top-k
+    // inside the single action; no per-query blocking checkpoint jobs
     val exacts = queryVecIds.map(id =>
-      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+      id -> annTopK(embeddings, id, k).select(col("vec_id")).cache())
     val cells = for (np <- probes; (id, exact) <- exacts) yield {
       val approx = annIvfFromIndex(centroids, assigned, id, k, np)
         .select(col("vec_id").as("a_vec_id"))
@@ -1511,8 +1523,11 @@ object Similarity {
   def mrlRecallCurve(embeddings: DataFrame,
                      queryVecIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
                      k: Int = 10, dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    // r16 opt: lazily cached (the annTombstoneReport note) — every
+    // probe/dim/arm cell reads its query's one cached exact top-k
+    // inside the single action; no per-query blocking checkpoint jobs
     val exacts = queryVecIds.map(id =>
-      id -> DupClusters.materialize(annTopK(embeddings, id, k).select(col("vec_id"))))
+      id -> annTopK(embeddings, id, k).select(col("vec_id")).cache())
     val cells = for (dm <- dims; (id, exact) <- exacts) yield {
       val approx = truncTopKIds(embeddings, id, k, dm)
         .select(col("vec_id").as("a_vec_id"))

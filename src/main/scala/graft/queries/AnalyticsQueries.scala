@@ -745,7 +745,12 @@ object AnalyticsQueries {
     * from exact integer counts) with a (part_a, part_b) tie-break.
     * Counts exact integers; support/lift ROUND once at the end. */
   def basketLift(lineitem: DataFrame, minPairCount: Long = 3L, k: Int = 20): DataFrame = {
+    // r16 opt: the distinct collapse feeds the order-count aggregate,
+    // the per-part counts AND both self-join sides — four evaluations
+    // of the scan+distinct without reuse. Lazily cached so the collapse
+    // is paid once per action (the shingleInvertedIndex recipe).
     val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .cache()
     val nOrders = broadcast(op.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_orders")))
     val pc = op.groupBy(col("p")).agg(count(lit(1)).as("c"))

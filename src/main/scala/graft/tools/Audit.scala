@@ -104,6 +104,13 @@ object Audit {
     // the 1-row order-count frame crossJoined onto the pair-count
     // aggregate — the t_bm25 corpus-stats shape
     "q_basket_lift",
+    // r16 opt: exact profile = one null/min/max pass crossJoined with
+    // one 1-row countDistinct frame PER COLUMN (replacing the
+    // Expand ×(#cols+1) multi-distinct rewrite and its two corpus
+    // SortAggregates) — every BNLJ side is a single-row aggregate
+    "q_profile",
+    // its exact arm is the same per-column assembly
+    "q_profile_hll_check",
     // TWO 1-row snapshot-total frames crossJoined onto the #sources-row
     // drift join — the t_bm25 corpus-stats shape, twice
     "t_corpus_drift",
@@ -261,7 +268,14 @@ object Audit {
     // the DSIR weights chain (bucket aggregate + window + per-doc
     // aggregate) feeds BOTH the sketch arm and the sweep scan (the
     // d_dsir_threshold shape), plus the 1-row stack aggregate
-    "d_dsir_curve" -> 8)
+    "d_dsir_curve" -> 8,
+    // r16 opt: one 2-exchange two-stage hash aggregate PER COLUMN for
+    // the exact distinct counts (6 columns) + the null/min/max pass —
+    // every exchange is over a ≤ #distinct(column) single-column frame,
+    // replacing the Expand plan's two corpus-wide sorted exchanges
+    "q_profile" -> 14,
+    // the same per-column assembly + the single-pass HLL arm
+    "q_profile_hll_check" -> 16)
 
   def main(args: Array[String]): Unit = {
     val assertMode = args.contains("--assert")

@@ -118,14 +118,26 @@ class ScaleOpsSpec extends SparkSpec {
       if (e > 100) assert(math.abs(r.getAs[Long]("n_distinct") - e).toDouble / e < 0.02)
     }
     // plan shape: the HLL mode must stay a single Expand-free pass
-    // (exact multi-distinct plans an Expand that multiplies every input
-    // row by #distinct-columns — the thing the sketch mode exists to
-    // avoid at 100 TB); small columns stay exact on the sketch too
+    // (a multi-column countDistinct would plan an Expand that
+    // multiplies every input row by #distinct-columns — the thing the
+    // sketch mode exists to avoid at 100 TB); small columns stay exact
+    // on the sketch too
     assert(!hll.queryExecution.executedPlan.toString.contains("Expand"),
       "HLL profile must not plan an Expand")
-    assert(graft.ops.Profiler.profile(t.lineitem, exact = true)
-      .queryExecution.executedPlan.toString.contains("Expand"),
-      "exact profile is the Expand-based plan (the contrast this spec pins)")
+    // r16 opt: the EXACT mode is Expand-free too — per-column two-stage
+    // hash aggregates assembled by 1-row crossJoins replaced the
+    // multi-distinct rewrite (Expand ×(#cols+1) + two corpus-wide
+    // SortAggregates); this pins the new shape
+    val exactPlan = graft.ops.Profiler.profile(t.lineitem, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("Expand"),
+      "exact profile must not plan an Expand (per-column assembly)")
+    // (the null/min/max pass is a KEYLESS SortAggregate — string min/max
+    // buffers are immutable so hash-agg can't host them, and a no-key
+    // sort aggregate performs no sort; the thing to keep out is the
+    // Expand and the keyed corpus-wide sorts it forced)
+    assert(!exactPlan.contains("Sort ["),
+      "exact profile must not plan a corpus sort")
     hll.collect().foreach { r =>
       val e = exact(r.getString(0))
       if (e <= 100) assert(r.getAs[Long]("n_distinct") == e,
