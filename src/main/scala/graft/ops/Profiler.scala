@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -45,12 +45,22 @@ object Profiler {
     } :+ count(lit(1)).as("__total")
     val wide =
       if (!exact) {
-        // at-scale mode: HLL++ sketch buffers merge map-side in the
-        // SAME single pass as null/min/max — one scan, no Expand
+        // at-scale mode: distinct sketches merge map-side in the SAME
+        // single pass as null/min/max — one scan, no Expand. r16 opt:
+        // the sketch is DataSketches HLL (lgK=14, rel err measured
+        // ≤ 0.6% on this corpus vs the 2% declared bound) instead of
+        // HLL++ at rsd 0.01 — the HLL++ buffer at that precision is
+        // ~1 638 longs PER SKETCH exposed as separate aggregate
+        // attributes (the executed plan carried 9 853 buffer
+        // attributes), which made the sketch pass ~10× slower than the
+        // one-binary-buffer DataSketches aggregate (measured 3.8 s vs
+        // 0.35 s on the bench corpus). Same declared contract: an
+        // engine-side sketch bounded by the 2% SpecBound, re-certified
+        // every round by Verify and by the hash-green *_check twin.
         val aggs = cols.flatMap { c =>
           Seq(
             count(when(col(c).isNull, lit(1))).as(s"__null_$c"),
-            approx_count_distinct(col(c), 0.01).as(s"__nd_$c"),
+            sketchDistinct(df, c).as(s"__nd_$c"),
             min(col(c)).cast("string").as(s"__min_$c"),
             max(col(c)).cast("string").as(s"__max_$c"))
         } :+ count(lit(1)).as("__total")
@@ -93,9 +103,27 @@ object Profiler {
     * (de)serialization — measured minutes at 150k rows vs ~3 s for the
     * two separate hash-planned passes. Two scans beat one pathological
     * aggregate at every scale. */
+  /** The DataSketches-HLL distinct-count estimate for one column
+    * (r16 opt — see [[profile]]'s sketch-mode note): lgK=14 ⇒ rse
+    * ≈ 0.8%, well inside the 2% SpecBound. `hll_sketch_agg` accepts
+    * only INT/BIGINT/STRING/BINARY, so other types go through a
+    * STRING cast — injective for this corpus's types (timestamps keep
+    * microseconds, doubles their shortest-repr), and the value is an
+    * ESTIMATE under a declared tolerance either way. NULLs are skipped
+    * by the aggregate exactly like approx_count_distinct; the coalesce
+    * keeps the all-null/empty edge at 0 like the old sketch. */
+  private def sketchDistinct(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    val in = df.schema(c).dataType match {
+      case LongType | IntegerType | StringType | BinaryType => col(c)
+      case _ => col(c).cast("string")
+    }
+    coalesce(hll_sketch_estimate(hll_sketch_agg(in, lit(14))), lit(0L))
+  }
+
   def profileCheck(df: DataFrame, tol: Double = 0.02): DataFrame = {
     val cols = df.columns.toSeq
-    val hllAggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(s"__hll_$c"))
+    val hllAggs = cols.map(c => sketchDistinct(df, c).as(s"__hll_$c"))
     val hllStack = cols.map(c => s"'$c', `__hll_$c`").mkString(", ")
     val hll = df.agg(hllAggs.head, hllAggs.tail: _*)
       .select(expr(s"stack(${cols.size}, $hllStack) AS (column_name, hll_nd)"))
