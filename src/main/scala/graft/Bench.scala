@@ -43,19 +43,20 @@ import graft.core.GraftSession
   */
 object Bench {
   /** Idle-box warm_fits_sec ceiling at the contract config (sf0.1,
-    * local[32]). Re-pinned 50 → 80 in r16: the original 50 was pinned
-    * at r10's 16-item warm block; every round since added fits (BPE ×3,
-    * MRL, refit index, PQ m-sweep, rank snapshot, the r16 quality
-    * model) and recent IDLE readings sit at 30–65 s — clean runs were
-    * tripping the under-load annotation after sweeps, which defeats the
-    * annotation's purpose (it exists to flag LOAD, not block growth).
-    * The JSON now also ships `warm_fits_breakdown` (per-fit seconds),
-    * so the next re-pin — or a prune of a fit no pinned key needs —
-    * is a read of the artifact, not a bisection. A reading past 2×
-    * this ceiling still makes the battery self-flag as
-    * load-contaminated so its per-key >2× flags are adjudicated
-    * (fresh JVM, idle box) instead of believed. */
-  val IdleWarmFitsMaxSec = 80.0
+    * local[32]). Re-pinned 80 → 40 in r17: the warm block now runs as
+    * four parallel dependency-ordered lanes (guide §2.6), and idle
+    * readings dropped to 13–17 s even with three MORE fits in the
+    * block (shingle index, host graph, DSIR feature stream) — the r16
+    * ceiling of 80 would have needed a 160 s reading to trip, losing
+    * the annotation's sensitivity. History: pinned at 50 (r10's
+    * 16-item serial block), 80 in r16 (serial idle 30–65 s), 40 now
+    * (parallel idle 13–17 s; trip point 2× = 80 s ≈ 5× idle max). The
+    * JSON ships `warm_fits_breakdown` (per-fit seconds; entries
+    * OVERLAP across lanes, so their sum can exceed the block's
+    * wall-clock). A reading past 2× this ceiling still makes the
+    * battery self-flag as load-contaminated so its per-key >2× flags
+    * are adjudicated (fresh JVM, idle box) instead of believed. */
+  val IdleWarmFitsMaxSec = 40.0
 
   /** Bounded wait for the box to drain below `threshold` before the
     * adjudication child launches (r14 — the r13 protocol hole: a child
@@ -286,6 +287,9 @@ object Bench {
         // graph keys serve off these instead of re-materializing the
         // edge aggregation per invocation
         warm("host_graph")(C.hostGraph(spark, sfDir))
+        // the hashed-bigram feature stream (r17) — the DSIR keys and
+        // the quality-model training (next) serve off one extraction
+        warm("dsir_feats")(C.dsirFeats(spark, sfDir).count())
         // the NB quality-model fit + materialized scores (r16)
         warm("quality_model")(C.qualityScores(spark, sfDir).count())
       })
@@ -348,7 +352,7 @@ object Bench {
     if (underLoad)
       System.err.println(
         f"[bench] BATTERY_UNDER_LOAD: warm_fits_sec $warmFitsSec%.1f exceeds 2x the " +
-        f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 30-65 s) — load avg " +
+        f"idle ceiling ($IdleWarmFitsMaxSec%.0f s; idle runs read 13-17 s) — load avg " +
         f"$loadStart%.2f -> $loadEnd%.2f. Per-key >2x readings from this run are load " +
         "artifacts until reproduced per the fresh-JVM idle protocol (BASELINE.md); " +
         "warm_fits_breakdown in the JSON names the slow fit(s).")

@@ -72,6 +72,11 @@ object Catalog {
   // RankStream maintains incrementally
   private val hostGraphCache =
     TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, Long)]
+  // the hashed-bigram feature stream (r17): referenced by BOTH the
+  // model aggregate and the scoring join of every DSIR-family key (and
+  // the NB quality-model training), so the un-materialized form ran
+  // the bigram kernel twice per action
+  private val dsirFeatsCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def evictStopped(): Unit = {
     vehiclesCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
@@ -94,6 +99,7 @@ object Catalog {
     shDocsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     shIdxCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     hostGraphCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    dsirFeatsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -150,6 +156,7 @@ object Catalog {
       }
     }
     drop(shDocsCache, (k: (SparkSession, String)) => k._1)
+    drop(dsirFeatsCache, (k: (SparkSession, String)) => k._1)
     shIdxCache.keys.filter(_._1 eq spark).foreach { k =>
       shIdxCache.remove(k).foreach(df =>
         if (!spark.sparkContext.isStopped) df.unpersist())
@@ -164,6 +171,20 @@ object Catalog {
         }
       }
     }
+  }
+
+  /** The hashed-bigram feature stream `(doc_id, source, b)` for a
+    * dir's documents (cached, shared — r17): the four DSIR keys each
+    * referenced it twice per action (model fit + scoring join), and
+    * the NB quality-model training extracts the identical stream. At
+    * scale this is the stored per-document feature table a selection
+    * pipeline extracts once per corpus. */
+  def dsirFeats(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    dsirFeatsCache.getOrElseUpdate(
+      (spark, dir),
+      graft.ops.Sampling.dsirFeats(Tables(spark, dir).documents)
+        .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
   /** The materialized host-graph tables (edge weights, out-degrees,
@@ -478,7 +499,9 @@ object Catalog {
   private def qmPair(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     evictStopped()
     qmCache.getOrElseUpdate((spark, dir),
-      graft.ops.TextAnalysis.qualityModelFitScores(Tables(spark, dir).documents))
+      // trained over the SHARED materialized feature stream (r17) —
+      // the fit no longer extracts its own copy of the bigram stream
+      graft.ops.TextAnalysis.qualityModelFitScoresOverFeats(dsirFeats(spark, dir)))
   }
 
   /** The trained NB quality-model ARTIFACT for a dir's documents

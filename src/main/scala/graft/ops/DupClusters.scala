@@ -100,7 +100,12 @@ object DupClusters {
     sym.join(m, "u")
       .where(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // no distinct here (r17): smallStar — always composed directly on
+    // top — ends in its own distinct, and its groupBy-min absorbs
+    // duplicate edges in the map-side partial aggregate, so the
+    // large-star dedup exchange was a per-round shuffle that changed
+    // no result. Each materialized round stays a distinct edge SET
+    // (smallStar's closing distinct guarantees it).
   }
 
   /** Small-star: every node connects its SMALLER neighbors (and itself)

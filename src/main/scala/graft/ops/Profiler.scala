@@ -20,6 +20,13 @@ import graft.core.Tables
   */
 object Profiler {
 
+  /** Input contract (ADVICE r16): `exact = true` evaluates `df` once
+    * per column plus one base pass — the "same total bytes" argument
+    * relies on parquet COLUMN PRUNING, so point exact mode at a (near-)
+    * direct file scan (the driver keys profile a base table). Profiling
+    * a derived/computed frame in exact mode recomputes its upstream
+    * pipeline once per column — cache such a frame first, or use the
+    * sketch mode, whose single pass has no such amplification. */
   def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
     // r16 opt: the exact mode no longer plans the multi-countDistinct
@@ -116,6 +123,11 @@ object Profiler {
     import org.apache.spark.sql.types._
     val in = df.schema(c).dataType match {
       case LongType | IntegerType | StringType | BinaryType => col(c)
+      // normalize negative zero before the string cast (ADVICE r16):
+      // countDistinct treats 0.0 and -0.0 as one value, but their
+      // string forms differ — `+ 0.0` maps -0.0 to 0.0 (IEEE) and
+      // changes no other value, keeping the cast injective
+      case DoubleType | FloatType => (col(c) + lit(0.0)).cast("string")
       case _ => col(c).cast("string")
     }
     coalesce(hll_sketch_estimate(hll_sketch_agg(in, lit(14))), lit(0L))

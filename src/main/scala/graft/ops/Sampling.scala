@@ -770,7 +770,7 @@ object Sampling {
     * (doc_id, source, bucket) row per bigram instance; docs with < 2
     * tokens produce NO rows (no bigram signal — absent from every
     * weight/selection result by construction). */
-  private[ops] def dsirFeats(documents: DataFrame): DataFrame =
+  private[graft] def dsirFeats(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("source"),
         split(trim(coalesce(col("text"), lit(""))), "\\s+").as("a"))
@@ -857,11 +857,18 @@ object Sampling {
     * broadcasts back into the feature stream and one per-doc aggregate
     * finishes. Linear, two passes over the token stream. */
   def dsirWeights(documents: DataFrame, targetSource: String = "src19",
-                  buckets: Int = 256): DataFrame = {
-    val feats = dsirFeats(documents)
+                  buckets: Int = 256): DataFrame =
+    dsirWeightsOverFeats(dsirFeats(documents), targetSource, buckets)
+
+  /** [[dsirWeights]] over a prebuilt feature stream (r17: the feature
+    * frame is referenced by BOTH the model aggregate and the scoring
+    * join, so the in-plan form runs the bigram kernel twice per action
+    * — the four DSIR driver keys read the Catalog-materialized stream
+    * instead, the stored feature table a DSIR pipeline extracts once). */
+  def dsirWeightsOverFeats(feats: DataFrame, targetSource: String = "src19",
+                           buckets: Int = 256): DataFrame =
     dsirScoreFeats(feats.filter(col("source") =!= targetSource),
       dsirModelFromFeats(feats, targetSource, buckets))
-  }
 
   /** DSIR importance SELECTION — the second half of Xie et al. 2023:
     * [[dsirWeights]] scores every raw-corpus doc by target-domain
@@ -880,7 +887,12 @@ object Sampling {
     * the top-n form is the oracle-exact contract for both. */
   def dsirSelect(documents: DataFrame, n: Int = 100,
                  targetSource: String = "src19"): DataFrame =
-    dsirWeights(documents, targetSource)
+    dsirSelectOverFeats(dsirFeats(documents), n, targetSource)
+
+  /** [[dsirSelect]] over a prebuilt feature stream (r17, Catalog). */
+  def dsirSelectOverFeats(feats: DataFrame, n: Int = 100,
+                          targetSource: String = "src19"): DataFrame =
+    dsirWeightsOverFeats(feats, targetSource)
       .orderBy(col("dsir_weight").desc, col("doc_id").asc)
       .limit(n)
 
@@ -906,12 +918,19 @@ object Sampling {
     * top-n equivalence at matched budget and the sketch-error bound. */
   def dsirThreshold(documents: DataFrame, budgetFraction: Double = 0.2,
                     targetSource: String = "src19",
-                    accuracy: Int = 10000): DataFrame = {
+                    accuracy: Int = 10000): DataFrame =
+    dsirThresholdOverFeats(dsirFeats(documents), budgetFraction,
+      targetSource, accuracy)
+
+  /** [[dsirThreshold]] over a prebuilt feature stream (r17, Catalog). */
+  def dsirThresholdOverFeats(feats: DataFrame, budgetFraction: Double = 0.2,
+                             targetSource: String = "src19",
+                             accuracy: Int = 10000): DataFrame = {
     // the slim (doc_id, source, n_feats, dsir_weight) frame is read by
     // BOTH consumers below (the τ sketch and the selection filter) —
     // materialize it once so the dsirFeats subtree (bigram kernel +
     // bucket join, the expensive part) runs a single time, not twice
-    val w = DupClusters.materialize(dsirWeights(documents, targetSource))
+    val w = DupClusters.materialize(dsirWeightsOverFeats(feats, targetSource))
     val tau = broadcast(w.agg(
       percentile_approx(col("dsir_weight"), lit(1.0 - budgetFraction), lit(accuracy))
         .as("tau")))
@@ -951,7 +970,14 @@ object Sampling {
   def dsirCurve(documents: DataFrame,
                 fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
                 targetSource: String = "src19", accuracy: Int = 10000): DataFrame =
-    budgetCurveOverWeights(dsirWeights(documents, targetSource),
+    dsirCurveOverFeats(dsirFeats(documents), fractions, targetSource, accuracy)
+
+  /** [[dsirCurve]] over a prebuilt feature stream (r17, Catalog). */
+  def dsirCurveOverFeats(feats: DataFrame,
+                         fractions: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.5),
+                         targetSource: String = "src19",
+                         accuracy: Int = 10000): DataFrame =
+    budgetCurveOverWeights(dsirWeightsOverFeats(feats, targetSource),
       "dsir_weight", fractions, accuracy, "mean_weight")
 
   /** The budget-fraction sweep shared by [[dsirCurve]] and
@@ -1154,12 +1180,16 @@ object Sampling {
     "d_sample_mix" -> ((s, d) => sampleMixture(Tables(s, d).documents, MixRates, MixDefault)),
     "d_sample_temperature" -> ((s, d) => sampleTemperature(Tables(s, d).documents)),
     "d_temp_curve"       -> ((s, d) => temperatureCurve(Tables(s, d).documents)),
-    "d_dsir_curve"       -> ((s, d) => dsirCurve(Tables(s, d).documents)),
+    "d_dsir_curve"       -> ((s, d) =>
+      dsirCurveOverFeats(graft.core.Catalog.dsirFeats(s, d))),
     "d_sample_tokens" -> ((s, d) => sampleTokenBudget(Tables(s, d).documents, budgetTokens = 500L)),
     "d_stratified_sample" -> ((s, d) => stratifiedExactN(Tables(s, d).documents, n = 10)),
-    "d_dsir_weights" -> ((s, d) => dsirWeights(Tables(s, d).documents)),
-    "d_dsir_select" -> ((s, d) => dsirSelect(Tables(s, d).documents)),
-    "d_dsir_threshold" -> ((s, d) => dsirThreshold(Tables(s, d).documents)),
+    "d_dsir_weights" -> ((s, d) =>
+      dsirWeightsOverFeats(graft.core.Catalog.dsirFeats(s, d))),
+    "d_dsir_select" -> ((s, d) =>
+      dsirSelectOverFeats(graft.core.Catalog.dsirFeats(s, d))),
+    "d_dsir_threshold" -> ((s, d) =>
+      dsirThresholdOverFeats(graft.core.Catalog.dsirFeats(s, d))),
     "d_soft_sample" -> ((s, d) => softDedupSample(Tables(s, d).documents)),
     "d_split_assign" -> ((s, d) => splitAssign(Tables(s, d).documents)),
     "d_split_semantic" -> ((s, d) => {

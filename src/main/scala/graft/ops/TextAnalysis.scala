@@ -254,12 +254,22 @@ object TextAnalysis {
   def qualityModelFitScores(documents: DataFrame, hqSource: String = "src0",
                             buckets: Int = 256): (DataFrame, DataFrame) = {
     val feats = DupClusters.materialize(Sampling.dsirFeats(documents))
+    val out = qualityModelFitScoresOverFeats(feats, hqSource, buckets)
+    DupClusters.release(feats)
+    out
+  }
+
+  /** [[qualityModelFitScores]] over an ALREADY-MATERIALIZED feature
+    * stream (r17 — `Catalog.dsirFeats`, shared with the four DSIR
+    * keys): the training run no longer extracts its own copy of the
+    * bigram stream. The caller owns the feats frame's lifecycle. */
+  def qualityModelFitScoresOverFeats(feats: DataFrame, hqSource: String = "src0",
+                                     buckets: Int = 256): (DataFrame, DataFrame) = {
     val model = DupClusters.materialize(
       Sampling.dsirModelFromFeats(feats, hqSource, buckets))
     val scores = DupClusters.materialize(
       Sampling.dsirScoreFeats(feats, model)
         .withColumnRenamed("dsir_weight", "q_score"))
-    DupClusters.release(feats)
     (model, scores)
   }
 

@@ -749,6 +749,11 @@ object AnalyticsQueries {
     // the per-part counts AND both self-join sides — four evaluations
     // of the scan+distinct without reuse. Lazily cached so the collapse
     // is paid once per action (the shingleInvertedIndex recipe).
+    // (r17: caching the collapse REPARTITIONED by the order key — the
+    // Catalog shingle-index recipe — measured WORSE, 1.36 -> 1.92 s:
+    // the self-join's two exchanges were already deduplicated by
+    // ReuseExchange, so the extra cache-populate shuffle bought
+    // nothing. Kept as-is.)
     val op = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       .cache()
     val nOrders = broadcast(op.select(col("o")).distinct()

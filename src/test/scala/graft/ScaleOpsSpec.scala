@@ -145,6 +145,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact profile: per-column distinct branches scan ONLY their column (ReadSchema)") {
+    // VERDICT r16 #8: the per-column assembly plans N single-column
+    // scans — the "same total bytes as one wide scan" claim holds only
+    // if parquet column pruning reaches each branch's scan. Pin it via
+    // the ReadSchema lines of the executed formatted plan: one wide
+    // base pass (null/min/max over all columns) + exactly one
+    // single-column scan per column.
+    val df = graft.ops.Profiler.profile(t.orders, exact = true)
+    df.collect() // AQE: execute before reading the final plan
+    val txt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(txt).map(_.group(1)).toSeq
+    val nCols = t.orders.columns.length
+    val single = schemas.count(s => !s.contains(","))
+    val wide = schemas.count(s => s.split(",").length == nCols)
+    assert(single == nCols,
+      s"expected $nCols single-column pruned scans, got $single in: $schemas")
+    assert(wide == 1, s"expected one wide base-pass scan, got $wide in: $schemas")
+  }
+
   test("date-partitioned writes prune partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     Tables(spark, TestSpark.sf0001).events
