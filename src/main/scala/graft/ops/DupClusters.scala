@@ -53,13 +53,16 @@ object DupClusters {
     var converged = sig._1 == 0L // no edges: all singletons
     var round = 0
     while (!converged && round < maxRounds) {
-      // One large/small alternation per materialize. MEASURED NEGATIVE
-      // (r17): pairing two alternations per materialize — the HITS
-      // powerIterations discipline — made every CC key 2-3× SLOWER
-      // (d_semantic_dedup 2.9 -> 7.0 s), because each star references
-      // its input twice (symmetrize feeds both the groupBy-min and the
-      // join), so an unmaterialized inner round's subtree is evaluated
-      // 2-3× by the outer one. Star rounds need the per-round barrier.
+      // One large/small alternation per materialize. Round-pairing
+      // MEASURED NEGATIVE TWICE (r17): (a) unmaterialized pairing made
+      // every CC key 2-3× slower (each star references its input
+      // twice — symmetrize feeds both the groupBy-min and the join —
+      // so the inner round's subtree re-evaluates 2-3×); (b) pairing
+      // with a lazily CACHED inner round was slower still
+      // (d_semantic_dedup warm 3.5 -> 8.5 s: the per-round cache
+      // write + InMemoryRelation read of the edge frame costs more
+      // than the saved checkpoint job at every tested size). Star
+      // rounds keep their per-round barrier.
       val next = materialize(smallStar(largeStar(edges)))
       val nextSig = checksum(next)
       // The checksum is a cheap fixpoint pre-filter; on a match, confirm

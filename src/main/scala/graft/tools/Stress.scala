@@ -22,7 +22,14 @@ object Stress {
     // "graphonly" = just the host-graph arms (rank + HITS) — the same
     // A/B idea for the r13 graph additions
     val graphOnly = args.drop(1).contains("graphonly")
-    val spark = GraftSession.builder("local[8]", "stress").config("spark.sql.shuffle.partitions", "16").getOrCreate()
+    // core count from SPARK_GRAFT_CPUS (r17 — the Bench convention):
+    // the stress ladder doubles as the CORE-SCALING probe at a corpus
+    // size where work dominates overhead (VERDICT r16 #9 — the sf0.1
+    // battery's 8-vs-32 ratios only measure fixed plan/driver cost);
+    // shuffle partitions scale with the cores, never a local constant
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", "stress")
+      .config("spark.sql.shuffle.partitions", 2 * cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, "/root/testdata/sf0.1")
     // n distinct variants per doc: suffix the text so replicas are NEAR dups
@@ -32,7 +39,7 @@ object Stress {
               concat(col("text"), lit(" rep"), col("rep")).as("text"),
               col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(16)
+      .repartition(2 * cpus)
     println(s"[stress] corpus: ${docs.count()} docs")
     def time[T](label: String)(f: => T): Unit = {
       val t0 = System.nanoTime(); val r = f
@@ -136,7 +143,7 @@ object Stress {
     val embN = emb.crossJoin(spark.range(n).withColumnRenamed("id", "rep"))
       .select((col("vec_id") * n + col("rep")).as("vec_id"),
               col("label"), jitter.as("embedding"))
-      .repartition(16)
+      .repartition(2 * cpus)
     val nVec = embN.count()
     // the SCALING rule applied as code (Similarity.autoNlist): nlist
     // grows ∝ vectors so bucket width stays ≈ targetBucket — the r9
