@@ -260,6 +260,9 @@ object Bench {
         // the prefix-space MRL index (s_ann_mrl_ivf's fit) — same reason
         warm("ivf_mrl")(C.ivfIndexMrl(spark, sfDir)._2.count())
         warm("ivfpq")(C.ivfPqIndex(spark, sfDir)._3.count())
+        // the shared canopy candidate-pair table (r17) — the three
+        // canopy-kNN keys serve off one mining run (reads ivfIndex)
+        warm("canopy_pairs")(C.canopyPairs(spark, sfDir).count())
         warm("semantic_survivors")(C.semanticSurvivors(spark, sfDir).count())
       },
       () => {

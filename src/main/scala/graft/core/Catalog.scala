@@ -72,6 +72,10 @@ object Catalog {
   // RankStream maintains incrementally
   private val hostGraphCache =
     TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, Long)]
+  // the verified canopy candidate-pair frame (r17): s_knn_ivf,
+  // s_hard_negatives and s_knn_accuracy each re-mined the identical
+  // canopy self-join per invocation
+  private val canopyPairsCache = TrieMap.empty[(SparkSession, String), DataFrame]
   // the hashed-bigram feature stream (r17): referenced by BOTH the
   // model aggregate and the scoring join of every DSIR-family key (and
   // the NB quality-model training), so the un-materialized form ran
@@ -100,6 +104,7 @@ object Catalog {
     shIdxCache.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
     hostGraphCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     dsirFeatsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    canopyPairsCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
   }
 
   /** Unpersist and drop every cached frame for `spark` (all dirs). */
@@ -157,6 +162,7 @@ object Catalog {
     }
     drop(shDocsCache, (k: (SparkSession, String)) => k._1)
     drop(dsirFeatsCache, (k: (SparkSession, String)) => k._1)
+    drop(canopyPairsCache, (k: (SparkSession, String)) => k._1)
     shIdxCache.keys.filter(_._1 eq spark).foreach { k =>
       shIdxCache.remove(k).foreach(df =>
         if (!spark.sparkContext.isStopped) df.unpersist())
@@ -171,6 +177,24 @@ object Catalog {
         }
       }
     }
+  }
+
+  /** The verified canopy candidate-pair frame `(vec_id, label, nbr_id,
+    * nbr_label, cos_sim)` for a dir's embeddings (cached, shared —
+    * r17): the k-means-canopy blocked, least-shared-canopy-deduped,
+    * exact-cosine-verified pair set that s_knn_ivf, s_hard_negatives
+    * and s_knn_accuracy each re-mined per invocation. At scale this is
+    * the stored kNN-graph candidate table an index-maintenance run
+    * materializes before its consumers fan out. Centroids come from
+    * the shared [[ivfIndex]] fit. */
+  def canopyPairs(spark: SparkSession, dir: String): DataFrame = {
+    evictStopped()
+    canopyPairsCache.getOrElseUpdate((spark, dir), {
+      val (cents, _) = ivfIndex(spark, dir)
+      graft.ops.Similarity.canopyCandidatePairs(
+        Tables(spark, dir).embeddings, cents)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
   }
 
   /** The hashed-bigram feature stream `(doc_id, source, b)` for a

@@ -1073,20 +1073,28 @@ object Similarity {
     * planted replicas are rank-1 neighbors and agreement with
     * [[knnJoin]] on high-cosine neighbors. */
   def knnJoinCanopy(embeddings: DataFrame, centroids: Seq[Seq[Double]],
-                    k: Int = 5, nAssign: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // r10 shuffle diet: the naive form shuffled the CANDIDATE frame
-    // (O(Σ bucket²) rows, embeddings attached) three times — canopy
-    // join, a distinct to collapse pairs sharing both canopies, and the
-    // row_number window sort. Now: (1) pair-dedup happens SCAN-SIDE —
-    // each row carries its tiny canopies array, and a pair is emitted
-    // only from its LEAST shared canopy (array_intersect/array_min of
-    // two nAssign-length arrays, codegen); (2) the per-vector top-k is
-    // the bounded `graft_topk_pairs` heap aggregate, truncated
-    // MAP-SIDE — the final shuffle ships ≤ k entries per (vec,
-    // partition) instead of every candidate row. Candidate rows now
-    // never leave their canopy partition; result identical (same
-    // (cos_sim desc, nbr_id asc) order on the same deduped pair set).
+                    k: Int = 5, nAssign: Int = 2): DataFrame =
+    knnJoinCanopyFromPairs(
+      canopyCandidatePairs(embeddings, centroids, nAssign), k)
+
+  /** The verified canopy candidate-pair frame SHARED by
+    * [[knnJoinCanopy]], [[hardNegatives]] and [[knnLabelAccuracy]]
+    * (r17): `(vec_id, label, nbr_id, nbr_label, cos_sim)` — pairs
+    * deduped scan-side by the least-shared-canopy rule (r10), exact
+    * cosine at report rounding. The three serving keys each re-mined
+    * this identical frame per invocation; `Catalog.canopyPairs`
+    * materializes it once per session — the stored kNN-graph candidate
+    * table a 100 TB index maintenance run writes before its consumers
+    * fan out.
+    *
+    * r10 shuffle-diet provenance (unchanged): pair-dedup happens
+    * SCAN-SIDE — each row carries its tiny canopies array, and a pair
+    * is emitted only from its LEAST shared canopy (array_intersect/
+    * array_min of two nAssign-length arrays, codegen), so candidate
+    * rows never leave their canopy partition and no distinct pass
+    * exists. */
+  def canopyCandidatePairs(embeddings: DataFrame, centroids: Seq[Seq[Double]],
+                           nAssign: Int = 2): DataFrame = {
     val e = embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
         GraftFunctions.nearestCentroids(col("embedding"),
@@ -1099,15 +1107,25 @@ object Similarity {
       .filter(col("a.canopy") ===
         array_min(array_intersect(col("a.canopies"), col("b.canopies"))))
       .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
         (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+  }
+
+  /** [[knnJoinCanopy]] over a prebuilt candidate-pair frame (r17,
+    * Catalog): the per-vector top-k is the bounded `graft_topk_pairs`
+    * heap aggregate, truncated MAP-SIDE — the final shuffle ships ≤ k
+    * entries per (vec, partition) instead of every candidate row;
+    * result identical (same (cos_sim desc, nbr_id asc) order on the
+    * same deduped pair set). */
+  def knnJoinCanopyFromPairs(pairs: DataFrame, k: Int = 5): DataFrame =
+    pairs
       .groupBy(col("vec_id"))
       .agg(GraftFunctions.topkPairs(col("nbr_id"), col("cos_sim"), lit(k)).as("nn"))
       .select(col("vec_id"), posexplode(col("nn")).as(Seq("off", "s")))
       .select(col("vec_id"), col("s.nbr_id").as("nbr_id"),
         col("s.cos_sim").as("cos_sim"),
         (col("off") + 1).cast("int").as("knn_rank"))
-  }
 
   /** HARD-NEGATIVE triplet mining for embedding training (the
     * in-batch-negatives upgrade every contrastive recipe reaches for):
@@ -1130,29 +1148,18 @@ object Similarity {
     * portable fit CTE; spec plants cross-label near-duplicates and
     * asserts they are mined as the negatives. */
   def hardNegatives(embeddings: DataFrame, centroids: Seq[Seq[Double]],
-                    nAssign: Int = 2): DataFrame = {
-    // r10 shuffle diet (the knnJoinCanopy note, applied to the two-arm
-    // shape): pair-dedup is scan-side (least-shared-canopy rule), and
-    // BOTH arms come from ONE conditional `graft_topk_pairs` aggregate
-    // — the heap skips the other arm's rows via the when()-null inputs,
-    // so the candidate frame is aggregated once, map-side-truncated,
-    // with no distinct, no window sort, no pos⋈neg arm join.
-    val e = embeddings
-      .select(col("vec_id"), col("label"), col("embedding"),
-        GraftFunctions.nearestCentroids(col("embedding"),
-          typedlit(centroids), lit(nAssign)).as("canopies"))
-      .select(col("vec_id"), col("label"), col("embedding"), col("canopies"),
-        explode(col("canopies")).as("canopy"))
+                    nAssign: Int = 2): DataFrame =
+    hardNegativesFromPairs(canopyCandidatePairs(embeddings, centroids, nAssign))
+
+  /** [[hardNegatives]] over the prebuilt candidate-pair frame (r17,
+    * Catalog — the knnJoinCanopyFromPairs note, two-arm shape): BOTH
+    * arms come from ONE conditional `graft_topk_pairs` aggregate — the
+    * heap skips the other arm's rows via the when()-null inputs, so
+    * the candidate frame is aggregated once, map-side-truncated, with
+    * no distinct, no window sort, no pos⋈neg arm join. */
+  def hardNegativesFromPairs(pairs: DataFrame): DataFrame = {
     val same = col("label") === col("nbr_label")
-    e.as("a")
-      .join(e.as("b"),
-        col("a.canopy") === col("b.canopy") && col("a.vec_id") =!= col("b.vec_id"))
-      .filter(col("a.canopy") ===
-        array_min(array_intersect(col("a.canopies"), col("b.canopies"))))
-      .withColumn("cos", GraftFunctions.cosine(col("a.embedding"), col("b.embedding")))
-      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
-        (round(col("cos"), 4) + lit(0.0)).as("cos_sim"))
+    pairs
       .groupBy(col("vec_id"), col("label"))
       .agg(
         GraftFunctions.topkPairs(when(same, col("nbr_id")),
@@ -1748,10 +1755,22 @@ object Similarity {
     * embedding payload is not re-read. Oracle-checked off the
     * portable fit CTE; spec: planted tight same-label clusters recover
     * accuracy 1.0. */
-  def knnLabelAccuracy(embeddings: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    val top1 = knnJoinCanopy(embeddings, centroids).filter(col("knn_rank") === 1)
+  def knnLabelAccuracy(embeddings: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    knnLabelAccuracyFromPairs(
+      canopyCandidatePairs(embeddings, centroids), embeddings)
+
+  /** [[knnLabelAccuracy]] over the prebuilt candidate-pair frame (r17,
+    * Catalog): the anchor's label rides the pair frame (identical to
+    * the old embeddings join — same source column), the top-1
+    * neighbor's label arrives by the same one key join as before. */
+  def knnLabelAccuracyFromPairs(pairs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val top1 = pairs
+      .groupBy(col("vec_id"), col("label"))
+      .agg(GraftFunctions.topkPairs(col("nbr_id"), col("cos_sim"), lit(1)).as("nn"))
+      .filter(size(col("nn")) === 1)
+      .select(col("vec_id"), col("label"),
+        col("nn").getItem(0).getField("nbr_id").as("nbr_id"))
     top1
-      .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
       .join(embeddings.select(col("vec_id").as("nbr_id"), col("label").as("nbr_label")),
         "nbr_id")
       .groupBy(col("label"))
@@ -1824,14 +1843,13 @@ object Similarity {
       annIvfPqFromIndex(cents, books, codes, Tables(s, d).embeddings)
     }),
     "s_knn_join" -> ((s, d) => knnJoin(Tables(s, d).embeddings)),
-    "s_knn_ivf" -> ((s, d) => {
-      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
-      knnJoinCanopy(Tables(s, d).embeddings, cents)
-    }),
-    "s_hard_negatives" -> ((s, d) => {
-      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
-      hardNegatives(Tables(s, d).embeddings, cents)
-    }),
+    // r17: the three canopy-kNN keys serve off the SHARED materialized
+    // candidate-pair table (Catalog.canopyPairs) instead of re-mining
+    // the identical canopy self-join per invocation
+    "s_knn_ivf" -> ((s, d) =>
+      knnJoinCanopyFromPairs(graft.core.Catalog.canopyPairs(s, d))),
+    "s_hard_negatives" -> ((s, d) =>
+      hardNegativesFromPairs(graft.core.Catalog.canopyPairs(s, d))),
     "s_centroid_report" -> ((s, d) => centroidReport(Tables(s, d).embeddings)),
     "s_kmeans" -> ((s, d) => {
       val (_, assigned) = graft.core.Catalog.ivfIndex(s, d)
@@ -1894,10 +1912,8 @@ object Similarity {
     "s_norm_report_approx" -> ((s, d) => normReportApprox(Tables(s, d).embeddings)),
     "s_centroid_drift" -> ((s, d) => centroidDrift(Tables(s, d).embeddings)),
     "s_dim_report" -> ((s, d) => dimReport(Tables(s, d).embeddings)),
-    "s_knn_accuracy" -> ((s, d) => {
-      val (cents, _) = graft.core.Catalog.ivfIndex(s, d)
-      knnLabelAccuracy(Tables(s, d).embeddings, cents)
-    }))
+    "s_knn_accuracy" -> ((s, d) => knnLabelAccuracyFromPairs(
+      graft.core.Catalog.canopyPairs(s, d), Tables(s, d).embeddings)))
 
   // ---- portable SQL reproduction of the IVF fit (oracle support) ----
   //
